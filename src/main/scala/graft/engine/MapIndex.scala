@@ -1,0 +1,85 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Stored map-index: the Spark-native re-expression of the reference's
+ * materialized map view (mikeal/level-mapreduce `index.js:112-122`).
+ *
+ * A `MapIndex` is a named, user-defined flatMap from source rows to
+ * `(emit_key, emit_value)` pairs. Where the reference runs a JS `map`
+ * function per written entry and persists emissions under bytewise composite
+ * LevelDB keys (`index.js:233-240`), we declare the map as a DataFrame
+ * transformation (so Catalyst can prune/push down through it) and persist
+ * the emission relation as parquet range-partitioned and sorted by
+ * `emit_key` — parquet min/max stats then make every range or prefix scan
+ * (`index.js:124-138`) a pruned read, the columnar analog of a LevelDB seek.
+ *
+ * mapPlan contract: `source → (src_key, emit: struct<emit_key, emit_value>)`
+ * with one row per emission and `emit = NULL` for a source key whose map
+ * emitted nothing (the empty-emission case, `index.js:218-230`) — keeping
+ * that row is what lets [[MaterializedView.refresh]] retract the key's old
+ * emissions without the reference's meta back-pointers.
+ *
+ * Emission schema after materialization: `(src_key, emit_key, emit_value, uid)`.
+ *  - `src_key` replaces the meta back-pointers (`index.js:232-242`):
+ *    incremental maintenance is an anti-join on `src_key` instead of
+ *    pointer-chasing.
+ *  - `uid` mirrors the uuid suffix of `['index', k, uuid()]`
+ *    (`index.js:236`): duplicate emitted keys coexist, and `(emit_key, uid)`
+ *    reproduces the reference's stable scan order.
+ *
+ * Scale note (100 TB): the map is a narrow transformation — no shuffle until
+ * the single `repartitionByRange` that clusters the view by `emit_key`,
+ * which is also what makes every later scan/get a pruned, shuffle-free read.
+ */
+final class MapIndex(val name: String, val mapPlan: DataFrame => DataFrame)
+    extends Serializable {
+
+  private def mapped(source: DataFrame): DataFrame = {
+    val m = mapPlan(source)
+    val need = Seq("src_key", "emit")
+    require(need.forall(m.columns.contains),
+      s"mapPlan for index '$name' must produce columns $need, got ${m.columns.toSeq}")
+    m
+  }
+
+  /**
+   * Emission relation for a source batch: `(src_key, emit_key, emit_value,
+   * uid)`. Empty emissions drop out here, exactly as the reference stores
+   * nothing for them (`index.js:218-230`).
+   */
+  def emissions(source: DataFrame): DataFrame =
+    mapped(source)
+      .filter(col("emit").isNotNull)
+      .select(col("src_key"), col("emit.emit_key").as("emit_key"),
+        col("emit.emit_value").as("emit_value"))
+      .withColumn("uid", monotonically_increasing_id())
+
+  /** Every source key touched by a batch — including keys that emitted
+    * nothing (the refresh retraction set). */
+  def touchedKeys(source: DataFrame): DataFrame =
+    mapped(source).select("src_key").distinct()
+
+  /** Materialize the full view from a source batch (O1 + O3 batch path). */
+  def materialize(source: DataFrame, store: ViewStore): MaterializedView =
+    store.write(this, emissions(source))
+}
+
+object MapIndex {
+  /**
+   * Declarative construction: `srcKey` identifies the source entry,
+   * `emits` is an `array<struct<emit_key, emit_value>>` column built from
+   * [[emit]] / `array` / `transform` / `filter` — the codegen-friendly
+   * analog of the reference's arbitrary JS map returning `[[k,v],...]`
+   * (`tests/test-basic.js:14`). An empty or null array = empty emission.
+   */
+  def columns(name: String)(srcKey: Column, emits: Column): MapIndex =
+    new MapIndex(name, src =>
+      src.select(srcKey.as("src_key"), explode_outer(emits).as("emit")))
+
+  /** One `[key, value]` emission pair. */
+  def emit(key: Column, value: Column): Column =
+    struct(key.as("emit_key"), value.as("emit_value"))
+}

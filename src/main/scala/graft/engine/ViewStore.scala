@@ -1,0 +1,73 @@
+package graft.engine
+
+import java.nio.file.{Files, Path, Paths}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Versioned parquet storage for materialized [[MapIndex]] views.
+ *
+ * The reference mutates LevelDB in place under a write mutex
+ * (`index.js:114`; level-mutex serializes batches). Parquet files are
+ * immutable, so the equivalent single-writer consistency mechanism is
+ * versioned directories with an atomically-renamed `_LATEST` pointer:
+ * readers resolve `_LATEST` once and then read an immutable snapshot —
+ * the same read-your-snapshot behavior a LevelDB iterator gives.
+ *
+ * Layout: `<base>/<indexName>/v<N>/part-*.parquet`, `<base>/<indexName>/_LATEST`.
+ *
+ * Scale note: on a real cluster `<base>` is an object-store prefix and the
+ * pointer swap is the usual metadata-commit pattern (what table formats do
+ * with a transaction log); per-version data is written once, never mutated.
+ */
+final class ViewStore(val spark: SparkSession, val baseDir: String)
+    extends Serializable {
+
+  private def dir(name: String): Path = Paths.get(baseDir, name)
+  private def latestFile(name: String): Path = dir(name).resolve("_LATEST")
+
+  def latestVersion(name: String): Option[Int] =
+    if (Files.exists(latestFile(name)))
+      Some(Files.readString(latestFile(name)).trim.toInt)
+    else None
+
+  def latestPath(name: String): String = {
+    val v = latestVersion(name).getOrElse(
+      throw new IllegalStateException(s"view '$name' not materialized in $baseDir"))
+    dir(name).resolve(s"v$v").toString
+  }
+
+  /**
+   * Write `emissions` as the next version of the view, clustered by
+   * `emit_key`: `repartitionByRange` gives disjoint key ranges per file
+   * (file-level min/max pruning for scans) and `sortWithinPartitions`
+   * gives row-group/page-level pruning plus the reference's iteration
+   * order (`index.js:137`) without a query-time sort.
+   */
+  def write(index: MapIndex, emissions: DataFrame): MaterializedView = {
+    val next = latestVersion(index.name).getOrElse(-1) + 1
+    val path = dir(index.name).resolve(s"v$next")
+    emissions
+      .repartitionByRange(col("emit_key"), col("uid"))
+      .sortWithinPartitions("emit_key", "uid")
+      .write.mode("overwrite").parquet(path.toString)
+    // atomic pointer swap: write sidecar then move over _LATEST
+    Files.createDirectories(dir(index.name))
+    val tmp = dir(index.name).resolve(s"_LATEST.tmp$next")
+    Files.writeString(tmp, next.toString)
+    Files.move(tmp, latestFile(index.name),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    new MaterializedView(spark, this, index)
+  }
+
+  def load(index: MapIndex): MaterializedView =
+    new MaterializedView(spark, this, index)
+}
+
+object ViewStore {
+  /** Fresh throwaway store under java.io.tmpdir (tests, per-run views). */
+  def temp(spark: SparkSession): ViewStore =
+    new ViewStore(spark,
+      Files.createTempDirectory("graft-views-").toString)
+}

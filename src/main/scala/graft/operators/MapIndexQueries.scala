@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.{MapIndex, Tables, Views}
+import graft.engine.MapIndex.emit
+
+/**
+ * The reference's own operator surface (SURVEY.md §2 O1–O17) exercised over
+ * the driver's `lineitem` table, each with a DuckDB oracle.
+ *
+ * Flagship fixture (SURVEY.md §7.2): index `lineitem` by `l_returnflag`
+ * emitting `l_extendedprice` — the Spark analog of
+ * `map = obj => [[obj.value.l_returnflag, obj.value.l_extendedprice]]`.
+ */
+object MapIndexQueries {
+
+  /** O1: index definition. src_key = lineitem primary key (orderkey, lineno). */
+  private val byFlag = MapIndex.columns("lineitem_byflag")(
+    concat_ws("-", col("l_orderkey"), col("l_linenumber")),
+    array(emit(col("l_returnflag"), col("l_extendedprice"))))
+
+  /** Two-stage cascade (O17): lineitem → (orderkey, revenue) → (orderkey%10, revenue). */
+  private val byOrder = MapIndex.columns("lineitem_byorder")(
+    concat_ws("-", col("l_orderkey"), col("l_linenumber")),
+    array(emit(col("l_orderkey"),
+      col("l_extendedprice") * (lit(1) - col("l_discount")))))
+  // the downstream map consumes the full upstream emission array — the
+  // analog of a JS map looping over obj.value (tests/test-replication.js:18)
+  private val byBucket = MapIndex.columns("order_bucket")(
+    col("key"),
+    transform(col("value"),
+      e => emit(pmod(e("emit_key"), lit(10)), e("emit_value"))))
+
+  private def flagView(s: SparkSession, dir: String) =
+    Views.materialized(s, dir, byFlag)(Tables.lineitem(s, dir))
+
+  private def bucketView(s: SparkSession, dir: String) =
+    Views.cached(dir, byBucket.name) {
+      Views.materialized(s, dir, byOrder)(Tables.lineitem(s, dir))
+        .cascadeInto(byBucket)
+    }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // O14 grouped aggregation over the materialized view (+ O16 count)
+    "mapindex_group" -> ((s, dir) =>
+      flagView(s, dir).df
+        .groupBy(col("emit_key"))
+        .agg(round(sum("emit_value"), 2).as("sum_value"),
+          count(lit(1)).as("cnt"))
+        .orderBy("emit_key")),
+
+    // O8 point lookup: every value emitted under one key
+    "mapindex_get" -> ((s, dir) =>
+      flagView(s, dir).get("R").orderBy("emit_value")),
+
+    // O6 ordered range scan with corrected [start, end) semantics
+    "mapindex_scan" -> ((s, dir) =>
+      flagView(s, dir).scan(Some("A"), Some("N"))
+        .select("emit_key", "emit_value")
+        .orderBy("emit_key", "emit_value")),
+
+    // O16: the count the reference stubbed (index.js:148-150), implemented
+    "mapindex_count" -> ((s, dir) =>
+      flagView(s, dir).scan(Some("N"))
+        .agg(count(lit(1)).as("cnt"))),
+
+    // O17 cascade: view-of-view, grouped at the second stage
+    "mapindex_cascade" -> ((s, dir) =>
+      bucketView(s, dir).df
+        .groupBy(col("emit_key").cast("long").as("bucket"))
+        .agg(round(sum("emit_value"), 2).as("sum_rev"),
+          count(lit(1)).as("cnt"))
+        .orderBy("bucket")),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "mapindex_group" ->
+      """SELECT l_returnflag AS emit_key, round(sum(l_extendedprice), 2) AS sum_value,
+        |       count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag ORDER BY emit_key""".stripMargin,
+    "mapindex_get" ->
+      """SELECT l_extendedprice AS emit_value FROM lineitem
+        |WHERE l_returnflag = 'R' ORDER BY emit_value""".stripMargin,
+    "mapindex_scan" ->
+      """SELECT l_returnflag AS emit_key, l_extendedprice AS emit_value
+        |FROM lineitem WHERE l_returnflag >= 'A' AND l_returnflag < 'N'
+        |ORDER BY emit_key, emit_value""".stripMargin,
+    "mapindex_count" ->
+      "SELECT count(*) AS cnt FROM lineitem WHERE l_returnflag >= 'N'",
+    "mapindex_cascade" ->
+      """SELECT l_orderkey % 10 AS bucket,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_rev,
+        |       count(*) AS cnt
+        |FROM lineitem GROUP BY 1 ORDER BY bucket""".stripMargin,
+  )
+}

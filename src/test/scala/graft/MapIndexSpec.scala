@@ -1,0 +1,158 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.engine.{MapIndex, ViewStore}
+import graft.engine.MapIndex.emit
+
+/**
+ * Seed suite: the reference's own end-to-end scenarios
+ * (`/root/reference/tests/test-basic.js`, `tests/test-replication.js`)
+ * plus the gap fixtures SURVEY.md §5 calls out (multi-emit, empty-emit,
+ * tombstone, range scan, grouped collect, count).
+ */
+class MapIndexSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  /** map = obj => [['test', obj.value.test]]  (test-basic.js:14) */
+  private def primaryIndex(name: String = "primary") =
+    MapIndex.columns(name)(col("key"), array(emit(lit("test"), col("test"))))
+
+  private def entries(rows: (String, Int)*): DataFrame =
+    rows.toSeq.toDF("key", "test")
+
+  private def values(df: DataFrame): Seq[Int] =
+    df.as[Int].collect().toSeq
+
+  test("write → get round-trip (test-basic.js:19-27)") {
+    val store = ViewStore.temp(spark)
+    val view = primaryIndex().materialize(entries("asdf" -> 123), store)
+    assert(values(view.get("test")) === Seq(123))
+  }
+
+  test("overwrite replaces all previous emissions (test-basic.js:29-39)") {
+    val store = ViewStore.temp(spark)
+    val view = primaryIndex().materialize(entries("asdf" -> 123), store)
+    val v2 = view.refresh(entries("asdf" -> 345))
+    assert(values(v2.get("test")) === Seq(345)) // exactly one row, new value
+  }
+
+  test("tombstone deletes all emissions for the key (index.js:187-205)") {
+    val store = ViewStore.temp(spark)
+    val view = primaryIndex().materialize(entries("asdf" -> 123, "keep" -> 7), store)
+    val v2 = view.refresh(entries(), deleteKeys = Some(Seq("asdf").toDF("src_key")))
+    assert(values(v2.get("test")) === Seq(7))
+  }
+
+  test("multi-emit map: one entry, many pairs (index.js:233 loop)") {
+    val store = ViewStore.temp(spark)
+    val idx = MapIndex.columns("multi")(col("key"),
+      array(emit(lit("a"), col("test")), emit(lit("b"), col("test") * 2)))
+    val view = idx.materialize(entries("k1" -> 10), store)
+    assert(values(view.get("a")) === Seq(10))
+    assert(values(view.get("b")) === Seq(20))
+  }
+
+  test("empty emission drops the key from the view (index.js:218-230)") {
+    val store = ViewStore.temp(spark)
+    // emits only when test > 0 — a filtering map
+    val idx = MapIndex.columns("maybe")(col("key"),
+      when(col("test") > 0, array(emit(lit("test"), col("test"))))
+        .otherwise(array().cast("array<struct<emit_key:string,emit_value:int>>")))
+    val view = idx.materialize(entries("asdf" -> 123), store)
+    assert(values(view.get("test")) === Seq(123))
+    // rewrite with a value that emits nothing → key's emissions retracted
+    val v2 = view.refresh(entries("asdf" -> -1))
+    assert(v2.get("test").count() === 0)
+  }
+
+  test("duplicate emitted keys coexist via uid (index.js:236)") {
+    val store = ViewStore.temp(spark)
+    val view = primaryIndex().materialize(entries("k1" -> 1, "k2" -> 2), store)
+    assert(values(view.get("test")).sorted === Seq(1, 2))
+  }
+
+  test("ordered range scan with [start, end) semantics (O6, corrected)") {
+    val store = ViewStore.temp(spark)
+    val idx = MapIndex.columns("bykey")(col("key"),
+      array(emit(col("key"), col("test"))))
+    val view = idx.materialize(
+      entries("a" -> 1, "b" -> 2, "c" -> 3, "d" -> 4), store)
+    val got = view.scan(Some("b"), Some("d")).select("emit_key").as[String].collect()
+    assert(got.toSeq === Seq("b", "c"))
+    assert(view.scan().count() === 4)
+    assert(view.scan(Some("c")).count() === 2)
+  }
+
+  test("countRange implements the O16 stub for real (index.js:148-150)") {
+    val store = ViewStore.temp(spark)
+    val idx = MapIndex.columns("bykey2")(col("key"),
+      array(emit(col("key"), col("test"))))
+    val view = idx.materialize(entries("a" -> 1, "b" -> 2, "c" -> 3), store)
+    assert(view.countRange(Some("b")) === 2)
+    assert(view.countRange() === 3)
+  }
+
+  test("grouped collect preserves every group's first row (O14, corrected)") {
+    val store = ViewStore.temp(spark)
+    val idx = MapIndex.columns("groups")(col("key"),
+      array(emit(substring(col("key"), 1, 1), col("test"))))
+    val view = idx.materialize(
+      entries("a1" -> 1, "a2" -> 2, "b1" -> 3, "c1" -> 4, "c2" -> 5), store)
+    // corrected semantics: GROUP BY key → (key, all values); the reference
+    // dropped each group's boundary row (index.js:70-74) — we must not.
+    val groups = view.df.groupBy("emit_key")
+      .agg(sort_array(collect_list("emit_value")).as("vals"))
+      .orderBy("emit_key")
+      .as[(String, Seq[Int])].collect().toSeq
+    assert(groups === Seq(("a", Seq(1, 2)), ("b", Seq(3)), ("c", Seq(4, 5))))
+  }
+
+  test("cascade: secondary view sees upstream writes (test-replication.js:27-37)") {
+    val store = ViewStore.temp(spark)
+    val primary = primaryIndex()
+    val view = primary.materialize(entries("asdf" -> 123), store)
+    // mapSecondary = obj => [['test2', obj.value[0][1]]]  (test-replication.js:18)
+    val secondary = MapIndex.columns("secondary")(col("key"),
+      array(emit(lit("test2"), col("value")(0)("emit_value"))))
+    val sview = view.cascadeInto(secondary)
+    assert(values(sview.get("test2")) === Seq(123))
+  }
+
+  test("cascaded overwrite propagates (test-replication.js:39-51)") {
+    val store = ViewStore.temp(spark)
+    val primary = primaryIndex()
+    val secondary = MapIndex.columns("secondary2")(col("key"),
+      array(emit(lit("test2"), col("value")(0)("emit_value"))))
+    val v1 = primary.materialize(entries("asdf" -> 123), store)
+    v1.cascadeInto(secondary)
+    val v2 = v1.refresh(entries("asdf" -> 345))
+    // incremental propagation: only the changed upstream key flows down
+    val changed = Seq("asdf").toDF("k")
+    val sview2 = store.load(secondary).refresh(
+      v2.cascadeSource.join(changed, col("key") === col("k"), "left_semi"))
+    assert(values(sview2.get("test2")) === Seq(345))
+  }
+
+  test("tombstone retraction propagates through a cascade (index.js:190-205)") {
+    val store = ViewStore.temp(spark)
+    val primary = primaryIndex()
+    val secondary = MapIndex.columns("secondary3")(col("key"),
+      array(emit(lit("test2"), col("value")(0)("emit_value"))))
+    val v1 = primary.materialize(entries("asdf" -> 123, "other" -> 9), store)
+    v1.cascadeInto(secondary)
+    val v2 = v1.refresh(entries(), Some(Seq("asdf").toDF("src_key")))
+    // downstream receives the retraction {key, value: []} (index.js:190):
+    // src key 'asdf' is deleted from the secondary too
+    val emptyUpserts = Seq.empty[String].toDF("key").withColumn("value",
+      lit(null).cast("array<struct<emit_key:string,emit_value:int>>"))
+    val sview2 = store.load(secondary).refresh(
+      emptyUpserts, Some(Seq("asdf").toDF("src_key")))
+    assert(values(sview2.get("test2")) === Seq(9))
+    // full recompute from the retracted upstream agrees
+    val recomputed = v2.cascadeInto(MapIndex.columns("secondary3b")(col("key"),
+      array(emit(lit("test2"), col("value")(0)("emit_value")))))
+    assert(values(recomputed.get("test2")) === Seq(9))
+  }
+}
