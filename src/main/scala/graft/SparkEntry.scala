@@ -11,10 +11,14 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    MapIndexQueries.queries ++ RelationalQueries.queries
+    MapIndexQueries.queries ++ RelationalQueries.queries ++
+      PipelineQueries.queries ++ SimilarityQueries.queries ++
+      MultimodalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    MapIndexQueries.oracle ++ RelationalQueries.oracle
+    MapIndexQueries.oracle ++ RelationalQueries.oracle ++
+      PipelineQueries.oracle ++ SimilarityQueries.oracle ++
+      MultimodalQueries.oracle
 }

@@ -1,0 +1,120 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Document-fingerprint hash expressions for near-duplicate detection.
+ *
+ * Native Catalyst expressions (not Scala UDFs): evaluated directly on
+ * UTF8String without Row boxing; registered in the session function
+ * registry so they are usable from both the Column API (`expr("…")`) and
+ * SQL. CodegenFallback is acceptable here — each evaluates once per
+ * document (not per token/pair), so the interpreted call is not the hot
+ * path at scale; the downstream band-join dominates.
+ */
+object Hashes {
+
+  /** 64-bit FNV-1a over a token's bytes — deterministic across JVMs
+    * (unlike String.hashCode's 32 bits; no seed dependence). */
+  private[functions] def tokenHash(s: UTF8String, from: Int, until: Int): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = from
+    val b = s.getBytes
+    while (i < until) { h ^= (b(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  /** splitmix64 — derives the per-permutation mix constants for minhash
+    * and the pseudo-random hyperplanes for ANN LSH. */
+  private[graft] def splitmix64(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+
+  private def foreachToken(s: UTF8String)(f: (Int, Int) => Unit): Unit = {
+    val b = s.getBytes
+    var start = 0
+    var i = 0
+    while (i <= b.length) {
+      if (i == b.length || b(i) == ' ') {
+        if (i > start) f(start, i)
+        start = i + 1
+      }
+      i += 1
+    }
+  }
+
+  /**
+   * simhash64(text): 64-bit SimHash over whitespace tokens — each token
+   * hash votes ±1 per bit position; the sign of each counter becomes the
+   * output bit. Near-duplicate texts differ in few bits (small hamming
+   * distance), so banding on bit ranges finds candidates without a
+   * pairwise pass.
+   */
+  case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[UTF8String]
+      val acc = new Array[Int](64)
+      foreachToken(s) { (from, until) =>
+        val h = tokenHash(s, from, until)
+        var i = 0
+        while (i < 64) {
+          if (((h >>> i) & 1L) == 1L) acc(i) += 1 else acc(i) -= 1
+          i += 1
+        }
+      }
+      var out = 0L
+      var i = 0
+      while (i < 64) { if (acc(i) > 0) out |= (1L << i); i += 1 }
+      java.lang.Long.valueOf(out)
+    }
+    override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+      copy(child = newChild)
+    override def prettyName: String = "simhash64"
+  }
+
+  /**
+   * minhash_sig(text): 64-element MinHash signature over the distinct
+   * whitespace-token set. Permutation j is `splitmix64-mixed(h ^ c_j)`;
+   * the signature estimates Jaccard similarity (fraction of equal
+   * components), and fixed-width bands of it are the LSH bucket keys.
+   */
+  case class MinHashSig(child: Expression, k: Int = 64)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    private lazy val mixConsts: Array[Long] =
+      Array.tabulate(k)(j => splitmix64(0x5851f42d4c957f2dL + j))
+    override def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[UTF8String]
+      val sig = Array.fill(k)(Long.MaxValue)
+      foreachToken(s) { (from, until) =>
+        val h = tokenHash(s, from, until)
+        var j = 0
+        while (j < k) {
+          val hj = splitmix64(h ^ mixConsts(j))
+          if (hj < sig(j)) sig(j) = hj
+          j += 1
+        }
+      }
+      ArrayData.toArrayData(sig)
+    }
+    override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+      copy(child = newChild)
+    override def prettyName: String = "minhash_sig"
+  }
+
+  /** Register both in the session's function registry (idempotent). */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("simhash64", es => SimHash64(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("minhash_sig", es => MinHashSig(es.head), "scala_udf")
+  }
+}

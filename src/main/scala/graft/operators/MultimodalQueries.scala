@@ -1,0 +1,67 @@
+package graft.operators
+
+import java.security.MessageDigest
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.Tables
+
+/** Deterministic stand-in for a media decoder output. */
+final case class MediaFeatures(
+    doc_id: Long, n_bytes: Long, checksum: String,
+    channels: Int, width: Int, height: Int)
+
+/**
+ * Multimodal-column plumbing: media payloads are opaque `binary` columns
+ * with typed metadata; decode/feature-extraction runs per partition over
+ * the raw bytes. The container has no image/audio codecs, so
+ * [[MultimodalQueries.decodeStub]] is a clearly-marked deterministic fake
+ * standing in for the real decoder — the Spark-side shape (binary column,
+ * typed `Dataset` output, `mapPartitions` batching, per-partition codec
+ * init) is the real, tested part.
+ *
+ * Scale note: `mapPartitions` (not `map`) so a real decoder initializes
+ * once per partition, and the binary payload column is projected alone —
+ * the scan never materializes unrelated columns next to multi-MB blobs.
+ */
+object MultimodalQueries {
+
+  /** STUB — replace with a real codec (JPEG/PNG/PCM decode). Deterministic:
+    * features derive from the payload's md5, so the DuckDB oracle can
+    * reproduce them. A real implementation keeps this exact signature. */
+  def decodeStub(docId: Long, payload: Array[Byte], md: MessageDigest): MediaFeatures = {
+    val hex = md.digest(payload).map("%02x".format(_)).mkString
+    MediaFeatures(
+      doc_id = docId,
+      n_bytes = payload.length.toLong,
+      checksum = hex,
+      channels = (hex.charAt(0).toInt % 3) + 1,
+      width = 64 + (hex.charAt(1).toInt % 8) * 16,
+      height = 64 + (hex.charAt(2).toInt % 8) * 16)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_features" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          val md = MessageDigest.getInstance("MD5") // per-partition codec init
+          it.map { case (id, bytes) => decodeStub(id, bytes, md) }
+        }
+        .toDF()
+        .orderBy("doc_id")
+    }),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "multimodal_features" ->
+      """SELECT doc_id,
+        |       strlen(text) AS n_bytes,
+        |       md5(text) AS checksum,
+        |       (ascii(substr(md5(text), 1, 1)) % 3) + 1 AS channels,
+        |       64 + (ascii(substr(md5(text), 2, 1)) % 8) * 16 AS width,
+        |       64 + (ascii(substr(md5(text), 3, 1)) % 8) * 16 AS height
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}

@@ -1,0 +1,227 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.Tables
+import graft.functions.{Hashes, TextFunctions => T}
+
+/**
+ * Training-data pipeline operators over `documents`: deduplication (exact,
+ * normalization-fingerprint, n-gram Jaccard, MinHash-LSH, SimHash) and
+ * text analysis (quality metrics, language-ID heuristic, token stats).
+ *
+ * Scale design: every dedup variant is candidate-generation + verification.
+ * Candidates come from an equi-join on a short key (content hash,
+ * fingerprint, rare shingle, MinHash band, SimHash band) — never a
+ * pairwise cross join — so the shuffle is on the key space and stays
+ * linear in corpus size; only verified candidate pairs pay the exact
+ * set-intersection cost.
+ */
+object PipelineQueries {
+
+  private val JaccardThreshold = 0.5
+  /** shingles seen in more than this many docs are dropped from candidate
+    * generation (stop-shingle pruning; keeps the self-join linear). */
+  private val MaxShingleDf = 100
+
+  private def docs(s: SparkSession, dir: String): DataFrame = Tables.documents(s, dir)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // exact dedup: group by content hash, keep lowest doc_id
+    "dedup_exact" -> ((s, dir) =>
+      docs(s, dir)
+        .groupBy(md5(col("text")).as("content_hash"))
+        .agg(min("doc_id").as("keeper"), count(lit(1)).as("cnt"))
+        .orderBy("content_hash")),
+
+    // normalization-fingerprint dedup: order-insensitive token-set key
+    "dedup_fingerprint" -> ((s, dir) =>
+      docs(s, dir)
+        .groupBy(T.fingerprint(col("text")).as("fp"))
+        .agg(min("doc_id").as("keeper"), count(lit(1)).as("cnt"))
+        .orderBy("fp")),
+
+    // n-gram Jaccard near-dup: rare-shingle candidates, exact verification
+    "dedup_ngram_jaccard" -> ((s, dir) => {
+      val sets = docs(s, dir)
+        .select(col("doc_id"), T.shingles3(col("text")).as("set"))
+        .withColumn("n", size(col("set")))
+      val sh = sets.select(col("doc_id"), explode(col("set")).as("sh"))
+      val rare = sh.join(
+        sh.groupBy("sh").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= MaxShingleDf), Seq("sh"))
+      val cand = rare.as("a")
+        .join(rare.as("b"),
+          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+        .distinct()
+      cand
+        .join(sets.select(col("doc_id").as("i"), col("set").as("set_i"), col("n").as("n_i")), Seq("i"))
+        .join(sets.select(col("doc_id").as("j"), col("set").as("set_j"), col("n").as("n_j")), Seq("j"))
+        .withColumn("inter", size(array_intersect(col("set_i"), col("set_j"))))
+        .withColumn("jaccard",
+          round(col("inter").cast("double") / (col("n_i") + col("n_j") - col("inter")), 6))
+        .filter(col("jaccard") >= JaccardThreshold)
+        .select(col("i"), col("j"), col("jaccard"))
+        .orderBy("i", "j")
+    }),
+
+    // MinHash + LSH banding (16 bands × 4 rows), exact token-Jaccard verify.
+    // No SQL oracle — the MinHashSig permutations are engine-defined; the
+    // ScalaTest suite checks recall against the exact pairs instead.
+    "dedup_minhash_lsh" -> ((s, dir) => {
+      Hashes.register(s)
+      val d = docs(s, dir)
+      val withSig = d.withColumn("sig", expr("minhash_sig(text)"))
+      val bands = withSig.select(col("doc_id"),
+        explode(transform(sequence(lit(0), lit(15)), b => struct(
+          b.as("band"),
+          xxhash64(concat_ws(",",
+            transform(slice(col("sig"), b * lit(4) + 1, lit(4)), _.cast("string")))).as("bh")))).as("e"))
+        .select(col("doc_id"), col("e.band").as("band"), col("e.bh").as("bh"))
+      val cand = bands.as("a")
+        .join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+        .distinct()
+      val tsets = d.select(col("doc_id"), T.distinctTokens(col("text")).as("ts"))
+        .withColumn("nt", size(col("ts")))
+      cand
+        .join(tsets.select(col("doc_id").as("i"), col("ts").as("ts_i"), col("nt").as("nt_i")), Seq("i"))
+        .join(tsets.select(col("doc_id").as("j"), col("ts").as("ts_j"), col("nt").as("nt_j")), Seq("j"))
+        .withColumn("inter", size(array_intersect(col("ts_i"), col("ts_j"))))
+        .withColumn("jaccard",
+          round(col("inter").cast("double") / (col("nt_i") + col("nt_j") - col("inter")), 6))
+        .filter(col("jaccard") >= JaccardThreshold)
+        .select(col("i"), col("j"), col("jaccard"))
+        .orderBy("i", "j")
+    }),
+
+    // SimHash near-dup: 8 bands × 8 bits for candidates (guarantees any
+    // pair with hamming ≤ 7 shares a band), verified by bit_count(xor).
+    "dedup_simhash" -> ((s, dir) => {
+      Hashes.register(s)
+      val withH = docs(s, dir).withColumn("sh64", expr("simhash64(text)"))
+      val bandStructs = (0 until 8).map(b => struct(
+        lit(b).as("band"),
+        shiftrightunsigned(col("sh64"), b * 8).bitwiseAND(lit(255L)).as("bh")))
+      val bands = withH.select(col("doc_id"), col("sh64"),
+        explode(array(bandStructs: _*)).as("e"))
+        .select(col("doc_id"), col("sh64"), col("e.band").as("band"), col("e.bh").as("bh"))
+      bands.as("a")
+        .join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
+          bit_count(col("a.sh64").bitwiseXOR(col("b.sh64"))).as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 7)
+        .orderBy("i", "j")
+    }),
+
+    // ---- text analysis ---------------------------------------------------
+    "text_quality" -> ((s, dir) => {
+      val t = T.tokens(col("text"))
+      val nTokens = size(t).cast("long")
+      val sumLen = aggregate(t, lit(0), (acc, x) => acc + length(x)).cast("long")
+      val nStop = T.stopwordCount(col("text")).cast("long")
+      val nSub = size(split(col("text"), "[^a-z0-9]+")).cast("long")
+      val avgTok = round(col("sum_len").cast("double") / col("n_tokens"), 4)
+      val stopR = round(col("n_stop").cast("double") / col("n_tokens"), 6)
+      docs(s, dir).select(col("doc_id"),
+          nTokens.as("n_tokens"), sumLen.as("sum_len"), nStop.as("n_stop"), nSub.as("n_subtokens"))
+        .withColumn("avg_tok_len", avgTok)
+        .withColumn("stop_ratio", stopR)
+        // weights chosen so the 7th decimal of the sum is never exactly 5:
+        // ratio*0.4 ends in an even 1e-7 digit and the length term has only
+        // 3 decimals — round(,6) then has no half-ulp tie to disagree on
+        .withColumn("quality_score",
+          round(col("stop_ratio") * 0.4 + least(col("n_tokens"), lit(100L)).cast("double") * 0.006, 6))
+        .orderBy("doc_id")
+    }),
+
+    // language-ID heuristic (marker-token argmax) vs the labeled lang:
+    // confusion-matrix counts
+    "text_langid" -> ((s, dir) =>
+      docs(s, dir)
+        .withColumn("pred_lang", T.langId(col("text")))
+        .groupBy(col("lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("lang", "pred_lang")),
+
+    "text_tokens" -> ((s, dir) =>
+      docs(s, dir)
+        .withColumn("n_tokens", size(T.tokens(col("text"))).cast("long"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("total_tokens"),
+          round(avg("n_tokens"), 4).as("avg_tokens"))
+        .orderBy("lang")),
+  )
+
+  private def langScoreSql(markers: Seq[String]): String =
+    s"len(list_filter(string_split(lower(text), ' '), x -> x IN (${markers.map(m => s"'$m'").mkString(", ")})))"
+
+  private val langCaseSql: String = {
+    val scores = T.langMarkers.map { case (l, m) => l -> langScoreSql(m) }
+    val g = s"greatest(${scores.map(_._2).mkString(", ")})"
+    val whens = scores.map { case (l, sc) => s"WHEN $sc = $g THEN '$l'" }.mkString(" ")
+    s"CASE $whens ELSE 'en' END"
+  }
+
+  private val stopListSql = T.stopwords.map(w => s"'$w'").mkString(", ")
+
+  val oracle: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keeper, count(*) AS cnt
+        |FROM documents GROUP BY md5(text) ORDER BY content_hash""".stripMargin,
+    "dedup_fingerprint" ->
+      """SELECT md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fp,
+        |       min(doc_id) AS keeper, count(*) AS cnt
+        |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS s
+         |       FROM tok, UNNEST(range(len(t) - 2)) AS u(i)),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |rare AS (SELECT * FROM sh
+         |         WHERE s IN (SELECT s FROM sh GROUP BY s HAVING count(*) <= $MaxShingleDf)),
+         |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+         |         FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id),
+         |inter AS (SELECT c.i, c.j, count(*) AS inter
+         |          FROM cand c
+         |          JOIN sh x ON x.doc_id = c.i
+         |          JOIN sh y ON y.doc_id = c.j AND y.s = x.s
+         |          GROUP BY c.i, c.j)
+         |SELECT t.i, t.j, round(t.inter * 1.0 / (sa.n + sb.n - t.inter), 6) AS jaccard
+         |FROM inter t
+         |JOIN sizes sa ON sa.doc_id = t.i
+         |JOIN sizes sb ON sb.doc_id = t.j
+         |WHERE round(t.inter * 1.0 / (sa.n + sb.n - t.inter), 6) >= $JaccardThreshold
+         |ORDER BY i, j""".stripMargin,
+    "text_quality" ->
+      s"""SELECT doc_id,
+         |       len(string_split(text, ' ')) AS n_tokens,
+         |       list_sum(list_transform(string_split(text, ' '), x -> length(x))) AS sum_len,
+         |       len(list_filter(string_split(lower(text), ' '), x -> x IN ($stopListSql))) AS n_stop,
+         |       len(string_split_regex(text, '[^a-z0-9]+')) AS n_subtokens,
+         |       round(list_sum(list_transform(string_split(text, ' '), x -> length(x))) * 1.0
+         |             / len(string_split(text, ' ')), 4) AS avg_tok_len,
+         |       round(len(list_filter(string_split(lower(text), ' '), x -> x IN ($stopListSql))) * 1.0
+         |             / len(string_split(text, ' ')), 6) AS stop_ratio,
+         |       round(round(len(list_filter(string_split(lower(text), ' '), x -> x IN ($stopListSql))) * 1.0
+         |                   / len(string_split(text, ' ')), 6) * 0.4
+         |             + least(len(string_split(text, ' ')), 100) * 0.006, 6) AS quality_score
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_langid" ->
+      s"""SELECT lang, $langCaseSql AS pred_lang, count(*) AS cnt
+         |FROM documents GROUP BY 1, 2 ORDER BY lang, pred_lang""".stripMargin,
+    "text_tokens" ->
+      """SELECT lang, count(*) AS n_docs,
+        |       sum(len(string_split(text, ' '))) AS total_tokens,
+        |       round(avg(len(string_split(text, ' '))), 4) AS avg_tokens
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+  )
+}

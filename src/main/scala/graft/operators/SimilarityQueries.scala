@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.engine.Tables
+import graft.functions.Hashes
+
+/**
+ * Approximate-nearest-neighbor search over the `embeddings` table
+ * (`Array[Float]`, 64-dim).
+ *
+ * `sim_brute_topk` is the exact baseline: probe set × corpus with a
+ * codegen'd dot product (`zip_with` + `aggregate`), ranked per probe.
+ * The probe side is broadcast, so the corpus is scanned once with no
+ * shuffle — at 100 TB this is the right shape for a small probe batch.
+ *
+ * `sim_lsh_topk` is the scale path: random-hyperplane signatures in 8
+ * bands of 4 bits; a corpus vector is a candidate when ANY band matches
+ * the probe's (per-plane sign agreement probability is 1 - θ/π, so a
+ * near-neighbor collides in some band with high probability while the
+ * candidate set stays a fraction of the corpus). Banding — not one wide
+ * bucket — is what keeps recall up when similarities are moderate.
+ */
+object SimilarityQueries {
+
+  private val K = 5
+  private val NumBands = 8
+  private val BitsPerBand = 4
+  private val NumPlanes = NumBands * BitsPerBand
+  private val Dim = 64
+
+  /** Deterministic pseudo-random ±1 hyperplanes from splitmix64. */
+  private lazy val planes: Seq[Seq[Double]] =
+    (0 until NumPlanes).map { j =>
+      (0 until Dim).map { i =>
+        if ((Hashes.splitmix64(j.toLong * 7919L + i) & 1L) == 0L) 1.0 else -1.0
+      }
+    }
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+
+  private def rankTopK(scored: DataFrame): DataFrame = {
+    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= K)
+      .select(col("probe_id"), col("neighbor_id"), col("cos"), col("rank"))
+      .orderBy("probe_id", "rank")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // exact cosine top-k: broadcast probes against the corpus scan
+    "sim_brute_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val probes = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("norm").as("pn"))
+      val scored = e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+        .withColumn("cos", round(dot(col("pv"), col("v")) / (col("pn") * col("norm")), 6))
+        .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("cos"))
+      rankTopK(scored)
+    }),
+
+    // LSH-banded ANN: candidate iff any 4-bit hyperplane band matches.
+    // No SQL oracle (engine-defined planes); recall vs. brute force is
+    // asserted in the ScalaTest suite.
+    "sim_lsh_topk" -> ((s, dir) => {
+      def bandVal(b: Int): Column =
+        (0 until BitsPerBand).map { k =>
+          val p = planes(b * BitsPerBand + k)
+          when(dot(col("v"), typedLit(p)) > 0, lit(1L << k)).otherwise(lit(0L))
+        }.reduce(_ + _)
+      val bandStructs = (0 until NumBands).map(b =>
+        struct(lit(b).as("band"), bandVal(b).as("bv")))
+      val e = emb(s, dir)
+      val bands = e.select(col("vec_id"), col("v"), col("norm"),
+          explode(array(bandStructs: _*)).as("e"))
+        .select(col("vec_id"), col("v"), col("norm"),
+          col("e.band").as("band"), col("e.bv").as("bv"))
+      val probeBands = bands.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("band").as("pband"), col("bv").as("pbv"))
+      val cand = bands.join(broadcast(probeBands),
+          col("band") === col("pband") && col("bv") === col("pbv") &&
+            col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id"), col("v"), col("norm"))
+        .distinct()
+      val probes = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("norm").as("pn"))
+      val scored = cand.join(broadcast(probes), Seq("probe_id"))
+        .withColumn("cos", round(dot(col("pv"), col("v")) / (col("pn") * col("norm")), 6))
+        .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("cos"))
+      rankTopK(scored)
+    }),
+  )
+
+  // double-precision dot/norms spelled out: DuckDB's list_cosine_similarity
+  // computes in float32, which disagrees with Spark's double math at 1e-6
+  private val cosSql =
+    """(list_sum([CAST(a.embedding[i+1] AS DOUBLE) * CAST(b.embedding[i+1] AS DOUBLE) for i in range(64)])
+      | / (sqrt(list_sum([CAST(a.embedding[i+1] AS DOUBLE) * CAST(a.embedding[i+1] AS DOUBLE) for i in range(64)]))
+      |   * sqrt(list_sum([CAST(b.embedding[i+1] AS DOUBLE) * CAST(b.embedding[i+1] AS DOUBLE) for i in range(64)]))))""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "sim_brute_topk" ->
+      s"""SELECT probe_id, neighbor_id, cos, rank FROM (
+         |  SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
+         |         round($cosSql, 6) AS cos,
+         |         row_number() OVER (
+         |           PARTITION BY a.vec_id
+         |           ORDER BY round($cosSql, 6) DESC, b.vec_id) AS rank
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id < 10 AND b.vec_id <> a.vec_id) t
+         |WHERE rank <= $K ORDER BY probe_id, rank""".stripMargin,
+  )
+}

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.{Hashes, TextFunctions => T}
+import graft.operators.{PipelineQueries, SimilarityQueries}
+
+/** Training-data pipeline operators: dedup recall, hashes, language ID. */
+class PipelineSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("minhash-LSH finds every strong near-dup pair the exact pass finds") {
+    val exact = PipelineQueries.queries("dedup_ngram_jaccard")(spark, sf)
+      .filter(col("jaccard") >= 0.8)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    val lsh = PipelineQueries.queries("dedup_minhash_lsh")(spark, sf)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "fixture should contain planted near-dups")
+    val recall = exact.count(lsh.contains).toDouble / exact.size
+    assert(recall >= 0.9, s"LSH recall $recall over ${exact.size} strong pairs")
+  }
+
+  test("simhash64 is deterministic and near-dup-sensitive") {
+    Hashes.register(spark)
+    val df = Seq(
+      ("a b c d e f g h i j k l m n o p", 1),
+      ("a b c d e f g h i j k l m n o q", 2), // one token changed
+      ("z y x w v u t s r q p o n m l k", 3)  // unrelated
+    ).toDF("text", "id").withColumn("sh", expr("simhash64(text)"))
+    val m = df.select("id", "sh").as[(Int, Long)].collect().toMap
+    assert(m(1) != m(3))
+    val hamNear = java.lang.Long.bitCount(m(1) ^ m(2))
+    val hamFar = java.lang.Long.bitCount(m(1) ^ m(3))
+    assert(hamNear < hamFar, s"near=$hamNear far=$hamFar")
+  }
+
+  test("simhash banding reports only pairs with hamming <= 7") {
+    val res = PipelineQueries.queries("dedup_simhash")(spark, sf)
+      .select("hamming").as[Int].collect()
+    assert(res.forall(_ <= 7))
+  }
+
+  test("language-ID heuristic identifies natural-language markers") {
+    val df = Seq(
+      ("the cat sat on the mat and looked at the dog", "en"),
+      ("der hund und die katze ist ein tier", "de"),
+      ("le chat est un animal et la maison est grande", "fr"),
+      ("el perro es un animal y los gatos", "es")
+    ).toDF("text", "expected")
+    val got = df.withColumn("pred", T.langId(col("text")))
+      .filter(col("pred") === col("expected")).count()
+    assert(got === 4)
+  }
+
+  test("fingerprint collapses token-order permutations") {
+    val df = Seq("b a c", "c b a", "a b d").toDF("text")
+      .select(T.fingerprint(col("text")).as("fp"))
+    val fps = df.as[String].collect()
+    assert(fps(0) === fps(1))
+    assert(fps(0) !== fps(2))
+  }
+
+  test("banded hyperplane LSH ANN achieves recall >= 0.4 of brute-force top-5") {
+    val brute = SimilarityQueries.queries("sim_brute_topk")(spark, sf)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val lsh = SimilarityQueries.queries("sim_lsh_topk")(spark, sf)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(brute.size === 50)
+    val recall = brute.count(lsh.contains).toDouble / brute.size
+    // similarities in this synthetic corpus are moderate (top-5 cos ~0.3),
+    // so 8 bands x 4 bits gives ~0.6 expected recall; real near-dup
+    // embeddings (cos > 0.9) collide with probability > 0.999
+    assert(recall >= 0.4, s"ANN recall $recall")
+    // every LSH hit must be a genuine corpus vector pair (sanity)
+    assert(lsh.forall { case (p, n) => p < 10 && n != p })
+  }
+}
