@@ -82,10 +82,13 @@ object Hashes {
   }
 
   /**
-   * minhash_sig(text): 64-element MinHash signature over the distinct
-   * whitespace-token set. Permutation j is `splitmix64-mixed(h ^ c_j)`;
-   * the signature estimates Jaccard similarity (fraction of equal
-   * components), and fixed-width bands of it are the LSH bucket keys.
+   * minhash_sig(text): 64-element MinHash signature over the document's
+   * 3-token shingles — the same granularity the exact n-gram Jaccard
+   * operator uses, so band collisions approximate *that* similarity.
+   * (Unigram token sets are useless here: documents drawing from a small
+   * vocabulary share nearly all tokens, so every pair would collide.)
+   * Permutation j is `splitmix64(h ^ c_j)`; fixed-width bands of the
+   * signature are the LSH bucket keys.
    */
   case class MinHashSig(child: Expression, k: Int = 64)
       extends UnaryExpression with CodegenFallback {
@@ -94,15 +97,22 @@ object Hashes {
       Array.tabulate(k)(j => splitmix64(0x5851f42d4c957f2dL + j))
     override def nullSafeEval(input: Any): Any = {
       val s = input.asInstanceOf[UTF8String]
+      // token boundaries, then hash each 3-token window's byte span
+      // (single-space separated, so the span equals the shingle string)
+      val starts = scala.collection.mutable.ArrayBuffer.empty[Int]
+      val ends = scala.collection.mutable.ArrayBuffer.empty[Int]
+      foreachToken(s) { (from, until) => starts += from; ends += until }
       val sig = Array.fill(k)(Long.MaxValue)
-      foreachToken(s) { (from, until) =>
-        val h = tokenHash(s, from, until)
+      var i = 0
+      while (i + 2 < starts.length) {
+        val h = tokenHash(s, starts(i), ends(i + 2))
         var j = 0
         while (j < k) {
           val hj = splitmix64(h ^ mixConsts(j))
           if (hj < sig(j)) sig(j) = hj
           j += 1
         }
+        i += 1
       }
       ArrayData.toArrayData(sig)
     }

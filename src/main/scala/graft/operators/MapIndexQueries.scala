@@ -41,6 +41,13 @@ object MapIndexQueries {
         .cascadeInto(byBucket)
     }
 
+  /** Build the stored views eagerly (write-time cost, SURVEY.md §4.1) so
+    * bench timings measure the read path the reference architecture pays. */
+  def prewarm(s: SparkSession, dir: String): Unit = {
+    flagView(s, dir)
+    bucketView(s, dir)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // O14 grouped aggregation over the materialized view (+ O16 count)
     "mapindex_group" -> ((s, dir) =>

@@ -20,9 +20,11 @@ import graft.functions.{Hashes, TextFunctions => T}
 object PipelineQueries {
 
   private val JaccardThreshold = 0.5
-  /** shingles seen in more than this many docs are dropped from candidate
-    * generation (stop-shingle pruning; keeps the self-join linear). */
-  private val MaxShingleDf = 100
+  /** shingles seen in more than this many docs are dropped before the
+    * pair join (stop-shingle pruning: bounds the self-join at
+    * sum(df^2) and drops only shingles that carry no dedup signal).
+    * Jaccard is computed over the pruned shingle sets on both sides. */
+  private val MaxShingleDf = 1000
 
   private def docs(s: SparkSession, dir: String): DataFrame = Tables.documents(s, dir)
 
@@ -42,24 +44,25 @@ object PipelineQueries {
         .agg(min("doc_id").as("keeper"), count(lit(1)).as("cnt"))
         .orderBy("fp")),
 
-    // n-gram Jaccard near-dup: rare-shingle candidates, exact verification
+    // n-gram Jaccard near-dup over pruned shingle sets. Shape: one
+    // equi-join on shingle + one pair-count aggregation — intersection
+    // sizes fall out of the same join that finds the candidates, so no
+    // per-pair array work and exactly one shuffle of the pair stream.
     "dedup_ngram_jaccard" -> ((s, dir) => {
-      val sets = docs(s, dir)
-        .select(col("doc_id"), T.shingles3(col("text")).as("set"))
-        .withColumn("n", size(col("set")))
-      val sh = sets.select(col("doc_id"), explode(col("set")).as("sh"))
+      val sh = docs(s, dir)
+        .select(col("doc_id"), explode(T.shingles3(col("text"))).as("sh"))
       val rare = sh.join(
         sh.groupBy("sh").agg(count(lit(1)).as("df"))
           .filter(col("df") <= MaxShingleDf), Seq("sh"))
-      val cand = rare.as("a")
+      val sizes = rare.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = rare.as("a")
         .join(rare.as("b"),
           col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
-        .distinct()
-      cand
-        .join(sets.select(col("doc_id").as("i"), col("set").as("set_i"), col("n").as("n_i")), Seq("i"))
-        .join(sets.select(col("doc_id").as("j"), col("set").as("set_j"), col("n").as("n_j")), Seq("j"))
-        .withColumn("inter", size(array_intersect(col("set_i"), col("set_j"))))
+        .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+        .agg(count(lit(1)).as("inter"))
+      inter
+        .join(broadcast(sizes.select(col("doc_id").as("i"), col("n").as("n_i"))), Seq("i"))
+        .join(broadcast(sizes.select(col("doc_id").as("j"), col("n").as("n_j"))), Seq("j"))
         .withColumn("jaccard",
           round(col("inter").cast("double") / (col("n_i") + col("n_j") - col("inter")), 6))
         .filter(col("jaccard") >= JaccardThreshold)
@@ -86,7 +89,10 @@ object PipelineQueries {
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
         .distinct()
-      val tsets = d.select(col("doc_id"), T.distinctTokens(col("text")).as("ts"))
+      // verify candidates with the exact shingle-set Jaccard (same
+      // similarity the signatures approximate); the banded candidate set
+      // is small, so per-pair array intersection is cheap here
+      val tsets = d.select(col("doc_id"), T.shingles3(col("text")).as("ts"))
         .withColumn("nt", size(col("ts")))
       cand
         .join(tsets.select(col("doc_id").as("i"), col("ts").as("ts_i"), col("nt").as("nt_i")), Seq("i"))
@@ -185,16 +191,12 @@ object PipelineQueries {
       s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
          |sh AS (SELECT DISTINCT doc_id, t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS s
          |       FROM tok, UNNEST(range(len(t) - 2)) AS u(i)),
-         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
          |rare AS (SELECT * FROM sh
          |         WHERE s IN (SELECT s FROM sh GROUP BY s HAVING count(*) <= $MaxShingleDf)),
-         |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
-         |         FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id),
-         |inter AS (SELECT c.i, c.j, count(*) AS inter
-         |          FROM cand c
-         |          JOIN sh x ON x.doc_id = c.i
-         |          JOIN sh y ON y.doc_id = c.j AND y.s = x.s
-         |          GROUP BY c.i, c.j)
+         |sizes AS (SELECT doc_id, count(*) AS n FROM rare GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter
+         |          FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2)
          |SELECT t.i, t.j, round(t.inter * 1.0 / (sa.n + sb.n - t.inter), 6) AS jaccard
          |FROM inter t
          |JOIN sizes sa ON sa.doc_id = t.i

@@ -221,6 +221,22 @@ object RelationalQueries {
         get_json_object(col("props"), "$.k").cast("long").as("k"))
         .orderBy("event_id")),
 
+    // gap-based sessionization (30-min inactivity): the batch shape of the
+    // streaming mapGroupsWithState sessionizer
+    "events_sessionize" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+        .withColumn("is_start",
+          when(col("prev_us").isNull ||
+            unix_micros(col("ts")) - col("prev_us") > 1800L * 1000000L, 1).otherwise(0))
+        .withColumn("sess", sum("is_start")
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"))
+        .agg(max("sess").cast("long").as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    }),
+
     // tumbling event-time window (batch shape of the streaming agg)
     "events_hourly" -> ((s, dir) =>
       Tables.events(s, dir)
@@ -350,6 +366,21 @@ object RelationalQueries {
     "json_extract" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events ORDER BY event_id""".stripMargin,
+    "events_sessionize" ->
+      """WITH x AS (
+        |  SELECT user_id, ts, event_id,
+        |         CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |               OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |                  > 1800000000
+        |              THEN 1 ELSE 0 END AS is_start
+        |  FROM events),
+        |y AS (
+        |  SELECT user_id,
+        |         sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |  FROM x)
+        |SELECT user_id, max(sess) AS n_sessions, count(*) AS n_events
+        |FROM y GROUP BY user_id ORDER BY user_id""".stripMargin,
     "events_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,
         |       count(*) AS cnt, round(sum(value), 2) AS sum_value

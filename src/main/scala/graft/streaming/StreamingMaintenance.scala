@@ -1,0 +1,96 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+import graft.engine.{MapIndex, MaterializedView, ViewStore}
+
+/**
+ * Streaming view maintenance: the push-based write path of the reference
+ * (an Index IS a writable stream — `index.js:121-123,173-249`) expressed
+ * as Structured Streaming.
+ *
+ * Each micro-batch is split into upserts and tombstones (`{key,
+ * deleted:true}`, `index.js:178,187-205`) and applied through
+ * [[MaterializedView.refresh]] — the same delete-then-insert contract the
+ * reference runs per entry, amortized per batch. Cascaded indexes
+ * (`index.pipe(secondary)`, `index.js:250-253`) chain inside the same
+ * `foreachBatch`, so downstream views lag by exactly one micro-batch —
+ * the streaming analog of the reference's event-loop-asynchronous
+ * propagation (`tests/test-replication.js:29-35`).
+ *
+ * Scale note: `foreachBatch` makes every batch plain batch Spark, so the
+ * refresh inherits the broadcast anti-join upsert (changed keys are small
+ * per batch; the big view is scanned, never shuffled).
+ */
+final class StreamingMapIndex(
+    index: MapIndex,
+    store: ViewStore,
+    cascades: Seq[MapIndex] = Nil) {
+
+  /** Apply one batch of source entries (with optional `deleted` column). */
+  def applyBatch(batch: DataFrame): Unit = {
+    val hasTombstones = batch.columns.contains("deleted")
+    val upserts =
+      if (hasTombstones) batch.filter(!coalesce(col("deleted"), lit(false))) else batch
+    val deletes =
+      if (hasTombstones)
+        Some(batch.filter(coalesce(col("deleted"), lit(false)))
+          .select(col("key").cast("string").as("src_key")))
+      else None
+    val view = store.latestVersion(index.name) match {
+      case Some(_) => store.load(index).refresh(upserts, deletes)
+      case None    => index.materialize(upserts, store) // first batch bootstraps
+    }
+    // cascade: downstream consumes this view's grouped emissions, scoped to
+    // the keys this batch touched (incremental propagation, O17)
+    if (cascades.nonEmpty) {
+      val touched = deletes
+        .map(index.touchedKeys(upserts).union(_))
+        .getOrElse(index.touchedKeys(upserts))
+        .distinct()
+      cascades.foreach { next =>
+        store.latestVersion(next.name) match {
+          case Some(_) =>
+            val changedSource = view.cascadeSource
+              .join(broadcast(touched), col("key") === col("src_key"), "left_semi")
+            // delete-then-insert over every touched upstream key: covers
+            // tombstones and keys whose new map output is empty
+            store.load(next).refresh(changedSource, Some(touched))
+          case None => next.materialize(view.cascadeSource, store)
+        }
+      }
+    }
+  }
+
+  /** Attach to a stream of source entries; caller picks trigger/checkpoint. */
+  def writer(entries: DataFrame): DataStreamWriter[org.apache.spark.sql.Row] =
+    entries.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, _: Long) => applyBatch(batch) }
+}
+
+/** Event-time analytics over a stream: windowed aggregation with
+  * watermarked late-data handling — the capability layer the reference's
+  * ordering-only write path never had (SURVEY.md §2.2 streaming row). */
+object StreamingEvents {
+
+  /** Tumbling 1-hour counts/sums per event type; late data beyond the
+    * watermark is dropped by Spark's state eviction. */
+  def hourlyAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value"))
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("cnt"), col("sum_value"))
+
+  def run(events: DataFrame, queryName: String): Unit = {
+    val q = hourlyAgg(events).writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory").queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+}

@@ -1,0 +1,95 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.SQLContext
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+import graft.engine.{MapIndex, ViewStore}
+import graft.engine.MapIndex.emit
+import graft.streaming.{StreamingEvents, StreamingMapIndex}
+
+/** Structured-Streaming maintenance: the push-based write path (O3/O17)
+  * plus event-time windowed aggregation with watermarks. */
+class StreamingSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+  implicit def sqlCtx: SQLContext = spark.sqlContext
+
+  private def primary(name: String) =
+    MapIndex.columns(name)(col("key"), array(emit(lit("test"), col("test"))))
+
+  test("foreachBatch upsert maintains the view across micro-batches (O3/O4)") {
+    val store = ViewStore.temp(spark)
+    val idx = primary("stream_primary")
+    val sm = new StreamingMapIndex(idx, store)
+    val input = MemoryStream[(String, Int)]
+    val q = sm.writer(input.toDF().toDF("key", "test")).start()
+    input.addData("asdf" -> 123, "other" -> 7)
+    q.processAllAvailable()
+    assert(store.load(idx).get("test").as[Int].collect().sorted === Seq(7, 123))
+    // next micro-batch overwrites 'asdf' — exactly one new value survives
+    input.addData("asdf" -> 345)
+    q.processAllAvailable()
+    assert(store.load(idx).get("test").as[Int].collect().sorted === Seq(7, 345))
+    q.stop()
+  }
+
+  test("streaming cascade propagates incremental changes (O17)") {
+    val store = ViewStore.temp(spark)
+    val idx = primary("stream_casc_primary")
+    val secondary = MapIndex.columns("stream_casc_secondary")(col("key"),
+      array(emit(lit("test2"), col("value")(0)("emit_value"))))
+    val sm = new StreamingMapIndex(idx, store, cascades = Seq(secondary))
+    val input = MemoryStream[(String, Int)]
+    val q = sm.writer(input.toDF().toDF("key", "test")).start()
+    input.addData("asdf" -> 123)
+    q.processAllAvailable()
+    assert(store.load(secondary).get("test2").as[Int].collect().toSeq === Seq(123))
+    input.addData("asdf" -> 345) // cascaded overwrite (test-replication.js:39-51)
+    q.processAllAvailable()
+    assert(store.load(secondary).get("test2").as[Int].collect().toSeq === Seq(345))
+    q.stop()
+  }
+
+  test("streaming tombstone retracts downstream (O5 through the cascade)") {
+    val store = ViewStore.temp(spark)
+    val idx = primary("stream_del_primary")
+    val secondary = MapIndex.columns("stream_del_secondary")(col("key"),
+      array(emit(lit("test2"), col("value")(0)("emit_value"))))
+    val sm = new StreamingMapIndex(idx, store, cascades = Seq(secondary))
+    val input = MemoryStream[(String, Int, Boolean)]
+    val q = sm.writer(input.toDF().toDF("key", "test", "deleted")).start()
+    input.addData(("asdf", 123, false), ("keep", 9, false))
+    q.processAllAvailable()
+    input.addData(("asdf", 0, true)) // {key, deleted: true}
+    q.processAllAvailable()
+    assert(store.load(idx).get("test").as[Int].collect().toSeq === Seq(9))
+    assert(store.load(secondary).get("test2").as[Int].collect().toSeq === Seq(9))
+    q.stop()
+  }
+
+  test("watermarked hourly window agg emits closed windows in append mode") {
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+    val q = StreamingEvents.hourlyAgg(events).writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory").queryName("hourly_out")
+      .start()
+    def t(s: String) = Timestamp.valueOf(s)
+    input.addData(
+      (t("2024-01-01 10:05:00"), "click", 1.5),
+      (t("2024-01-01 10:55:00"), "click", 2.5),
+      (t("2024-01-01 11:05:00"), "view", 4.0))
+    q.processAllAvailable()
+    input.addData((t("2024-01-01 13:00:00"), "click", 8.0)) // advance watermark
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("hourly_out")
+      .select(col("hour").cast("string"), col("event_type"), col("cnt"), col("sum_value"))
+      .as[(String, String, Long, Double)].collect().toSet
+    // windows fully below the watermark (10:00, 11:00) must have been emitted
+    assert(rows.contains(("2024-01-01 10:00:00", "click", 2L, 4.0)))
+    assert(rows.contains(("2024-01-01 11:00:00", "view", 1L, 4.0)))
+  }
+}
