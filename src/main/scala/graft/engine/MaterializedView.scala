@@ -73,6 +73,24 @@ final class MaterializedView(
   }
 
   /**
+   * Grouped collect (O14, `index.js:64-89`) with the corrected semantics:
+   * GROUP BY emitted key → all values in emission (uid) order, every
+   * group complete — the reference dropped each group's boundary row
+   * (`index.js:70-74`) and we deliberately do not.
+   *
+   * Sort-based, like the reference's single-pass streaming group over
+   * LevelDB iteration order (§4.1): cluster by key, sort within
+   * partitions by (key, uid), and `collect_list` then accumulates in row
+   * order because each group is contiguous inside one partition. No
+   * order-dependent result ever crosses a partition boundary.
+   */
+  def grouped(): DataFrame =
+    df.repartition(col("emit_key"))
+      .sortWithinPartitions("emit_key", "uid")
+      .groupBy("emit_key")
+      .agg(collect_list(col("emit_value")).as("vals"))
+
+  /**
    * The cascade source (O17, `index.js:244,250-253`): one row per source
    * key with all its emissions collected in emission order — exactly the
    * `{key, value: mapped}` shape a piped downstream index receives

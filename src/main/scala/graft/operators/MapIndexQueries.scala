@@ -57,6 +57,15 @@ object MapIndexQueries {
           count(lit(1)).as("cnt"))
         .orderBy("emit_key")),
 
+    // O14 grouped collect surfaced as a list column (value-sorted so the
+    // oracle can reproduce it; uid-order preservation is covered by the
+    // MapIndexSpec grouped() test)
+    "mapindex_grouplist" -> ((s, dir) =>
+      flagView(s, dir).df
+        .groupBy(col("emit_key"))
+        .agg(sort_array(collect_list(col("emit_value"))).as("vals"))
+        .orderBy("emit_key")),
+
     // O8 point lookup: every value emitted under one key
     "mapindex_get" -> ((s, dir) =>
       flagView(s, dir).get("R").orderBy("emit_value")),
@@ -85,6 +94,10 @@ object MapIndexQueries {
     "mapindex_group" ->
       """SELECT l_returnflag AS emit_key, round(sum(l_extendedprice), 2) AS sum_value,
         |       count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag ORDER BY emit_key""".stripMargin,
+    "mapindex_grouplist" ->
+      """SELECT l_returnflag AS emit_key,
+        |       list(l_extendedprice ORDER BY l_extendedprice) AS vals
         |FROM lineitem GROUP BY l_returnflag ORDER BY emit_key""".stripMargin,
     "mapindex_get" ->
       """SELECT l_extendedprice AS emit_value FROM lineitem

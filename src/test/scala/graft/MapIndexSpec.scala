@@ -109,6 +109,17 @@ class MapIndexSpec extends AnyFunSuite with SparkSpec {
     assert(groups === Seq(("a", Seq(1, 2)), ("b", Seq(3)), ("c", Seq(4, 5))))
   }
 
+  test("grouped() preserves emission (uid) order within each group (O14)") {
+    val store = ViewStore.temp(spark)
+    // two emissions from one entry plus one from another, same emitted key
+    val idx = MapIndex.columns("ordered")(col("key"),
+      array(emit(lit("g"), col("test") * 10), emit(lit("g"), col("test") * 10 + 1)))
+    val view = idx.materialize(entries("k1" -> 1, "k2" -> 2).coalesce(1), store)
+    val groups = view.grouped().as[(String, Seq[Int])].collect().toMap
+    // emission order = source order × per-entry emit order
+    assert(groups("g") === Seq(10, 11, 20, 21))
+  }
+
   test("cascade: secondary view sees upstream writes (test-replication.js:27-37)") {
     val store = ViewStore.temp(spark)
     val primary = primaryIndex()

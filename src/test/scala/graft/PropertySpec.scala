@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.engine.{MapIndex, ViewStore}
+import graft.engine.MapIndex.emit
+
+/**
+ * Property tests for the maintenance invariants (SURVEY.md §5), driven by
+ * seeded ScalaCheck generators (each case runs real Spark jobs, so a small
+ * deterministic sample instead of the default 100):
+ *  - overwrite idempotence: write(k,v1); write(k,v2) ≡ write(k,v2)
+ *  - tombstone ≡ never written
+ *  - get(k) ≡ filter(emit_key = k) of a full scan
+ */
+class PropertySpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private val idx = MapIndex.columns("prop")(col("key"),
+    array(emit(col("key"), col("v"))))
+
+  private def build(rows: Seq[(String, Int)]) = {
+    val store = ViewStore.temp(spark)
+    (store, idx.materialize(rows.toDF("key", "v"), store))
+  }
+
+  private val keyGen = Gen.oneOf("a", "b", "c", "d")
+  private val rowsGen = Gen.listOfN(6, Gen.zip(keyGen, Gen.choose(0, 99)))
+
+  private def sample[A](g: Gen[A], seed: Long): A =
+    g.pureApply(Gen.Parameters.default, Seed(seed))
+
+  test("overwrite idempotence: refreshing twice equals refreshing once") {
+    (1 to 4).foreach { i =>
+      val rows = sample(rowsGen, 100L + i)
+      val k = sample(keyGen, 200L + i)
+      val (v1, v2) = (i * 7 % 100, i * 13 % 100)
+      val (_, view) = build(rows)
+      val twice = view.refresh(Seq(k -> v1).toDF("key", "v"))
+        .refresh(Seq(k -> v2).toDF("key", "v"))
+      val once = view.refresh(Seq(k -> v2).toDF("key", "v"))
+      val a = twice.df.select("src_key", "emit_key", "emit_value")
+        .as[(String, String, Int)].collect().sorted.toSeq
+      val b = once.df.select("src_key", "emit_key", "emit_value")
+        .as[(String, String, Int)].collect().sorted.toSeq
+      assert(a === b, s"case $i rows=$rows k=$k")
+    }
+  }
+
+  test("tombstone equals never-written") {
+    (1 to 4).foreach { i =>
+      val rows = sample(rowsGen, 300L + i).toMap.toSeq // unique source keys
+      val k = "zz" // outside keyGen's range
+      val (_, withK) = build(rows :+ (k -> i))
+      val deleted = withK.refresh(Seq.empty[(String, Int)].toDF("key", "v"),
+        Some(Seq(k).toDF("src_key")))
+      val (_, never) = build(rows)
+      val a = deleted.df.select("src_key", "emit_value")
+        .as[(String, Int)].collect().sorted.toSeq
+      val b = never.df.select("src_key", "emit_value")
+        .as[(String, Int)].collect().sorted.toSeq
+      assert(a === b, s"case $i rows=$rows")
+    }
+  }
+
+  test("get(k) equals full-scan filter on the emitted key") {
+    (1 to 4).foreach { i =>
+      val rows = sample(rowsGen, 400L + i)
+      val k = sample(keyGen, 500L + i)
+      val (_, view) = build(rows)
+      val viaGet = view.get(k).as[Int].collect().sorted.toSeq
+      val viaScan = view.scan()
+        .filter(col("emit_key") === k).select("emit_value")
+        .as[Int].collect().sorted.toSeq
+      assert(viaGet === viaScan, s"case $i rows=$rows k=$k")
+    }
+  }
+}
