@@ -1,0 +1,234 @@
+package graft.engine
+
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Bucket-partitioned view storage with partition-scoped refresh — the
+ * 100 TB path for incremental maintenance.
+ *
+ * The flat [[ViewStore]] rewrites the whole view per refresh; fine at test
+ * scale, not at 100 TB. Here the emission relation is hash-bucketed by
+ * `emit_key` (`kb = pmod(xxhash64(emit_key), B)`) and a **meta relation**
+ * — the Spark analog of the reference's per-source-key back-pointers
+ * (`{keys:[...]}` at `['meta', srcKey]`, `index.js:232-242,255-263`) —
+ * is hash-bucketed by `src_key` and records which emit buckets each source
+ * key has emissions in. A refresh then:
+ *
+ *   1. reads ONLY the meta buckets of the changed source keys,
+ *   2. learns which emit buckets hold their old emissions,
+ *   3. rewrites ONLY those emit buckets (one anti-join+union job,
+ *      `partitionBy` staged write, per-bucket directory move),
+ *   4. rewrites only the touched meta buckets the same way,
+ *   5. atomically swaps a manifest mapping bucket → version.
+ *
+ * I/O is proportional to the buckets the batch touches, not to view size.
+ * Point lookups read a single bucket (the LevelDB-seek analog for hash
+ * layout); within each bucket files are sorted by `(emit_key, uid)` so
+ * range scans still skip row groups via min/max stats.
+ *
+ * Layout: `<base>/<name>/kb=<i>/v<N>/part-….parquet`,
+ *         `<base>/<name>/meta/mb=<i>/v<N>/part-….parquet`,
+ *         `<base>/<name>/_MANIFEST` (lines `kind:bucket:version`).
+ */
+final class BucketedViewStore(
+    val spark: SparkSession,
+    val baseDir: String,
+    val numBuckets: Int = 16) extends Serializable {
+
+  import BucketedViewStore._
+
+  private def root(name: String): Path = Paths.get(baseDir, name)
+  private def manifestFile(name: String): Path = root(name).resolve("_MANIFEST")
+
+  private def bucketExpr(key: Column): Column =
+    pmod(xxhash64(key.cast("string")), lit(numBuckets))
+
+  // ---- manifest ----------------------------------------------------------
+
+  def manifest(name: String): Map[(String, Int), Int] =
+    if (!Files.exists(manifestFile(name))) Map.empty
+    else Files.readAllLines(manifestFile(name)).asScala.filter(_.nonEmpty).map { line =>
+      val Array(kind, b, v) = line.split(":")
+      (kind, b.toInt) -> v.toInt
+    }.toMap
+
+  private def writeManifest(name: String, m: Map[(String, Int), Int]): Unit = {
+    Files.createDirectories(root(name))
+    val body = m.toSeq.sortBy(e => (e._1._1, e._1._2))
+      .map { case ((k, b), v) => s"$k:$b:$v" }.mkString("\n")
+    val tmp = root(name).resolve(s"_MANIFEST.tmp${System.nanoTime()}")
+    Files.writeString(tmp, body)
+    Files.move(tmp, manifestFile(name),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  private def bucketPath(name: String, kind: String, b: Int, v: Int): String =
+    root(name).resolve(if (kind == Emit) s"kb=$b/v$v" else s"meta/mb=$b/v$v").toString
+
+  private def livePaths(name: String, kind: String,
+      only: Option[Set[Int]] = None): Seq[String] =
+    manifest(name).collect {
+      case ((k, b), v) if k == kind && only.forall(_.contains(b)) =>
+        bucketPath(name, k, b, v)
+    }.toSeq
+
+  /**
+   * One staged write for many buckets: `partitionBy(bcol)` into a staging
+   * dir, then move each `bcol=<i>` directory to its next version. Buckets
+   * in `expected` that produced no rows go empty (dropped from the
+   * manifest). Returns the new (bucket → version) entries.
+   */
+  private def stagedWrite(name: String, kind: String, df: DataFrame, bcol: String,
+      expected: Set[Int], prev: Map[(String, Int), Int]): Map[(String, Int), Int] = {
+    val staging = root(name).resolve(s"_stage_${kind}_${System.nanoTime()}")
+    df.repartition(col(bcol))
+      .sortWithinPartitions(bcol, "emit_key", "uid")
+      .write.partitionBy(bcol).parquet(staging.toString)
+    val out = scala.collection.mutable.Map.empty[(String, Int), Int]
+    expected.foreach { b =>
+      val staged = staging.resolve(s"$bcol=$b")
+      val v1 = prev.get((kind, b)).getOrElse(-1) + 1
+      if (Files.exists(staged)) {
+        val dest = Paths.get(bucketPath(name, kind, b, v1))
+        Files.createDirectories(dest.getParent)
+        Files.move(staged, dest)
+        out((kind, b)) = v1
+      } // else: bucket became empty — omit from manifest
+    }
+    // clear staging remnants (_SUCCESS, empty dirs)
+    if (Files.exists(staging)) {
+      Files.walk(staging).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.deleteIfExists(p))
+    }
+    out.toMap
+  }
+
+  // ---- reads -------------------------------------------------------------
+
+  /** Full emission relation (all live emit buckets). */
+  def df(name: String): DataFrame = {
+    val paths = livePaths(name, Emit)
+    require(paths.nonEmpty, s"view '$name' not materialized in $baseDir")
+    spark.read.parquet(paths: _*)
+  }
+
+  /** Point lookup pruned to the single bucket that can hold the key. */
+  def get(name: String, key: Any): DataFrame = {
+    val b = bucketOf(key, numBuckets)
+    manifest(name).get((Emit, b)) match {
+      case None => df(name).filter(lit(false)).select("emit_value")
+      case Some(v) =>
+        spark.read.parquet(bucketPath(name, Emit, b, v))
+          .filter(col("emit_key") === lit(key))
+          .orderBy("uid").select("emit_value")
+    }
+  }
+
+  // ---- writes ------------------------------------------------------------
+
+  private def withBuckets(emissions: DataFrame): DataFrame =
+    emissions.withColumn("kb", bucketExpr(col("emit_key")))
+
+  private def metaOf(emissions: DataFrame): DataFrame =
+    emissions.groupBy(col("src_key"))
+      .agg(collect_set(col("kb")).as("emit_buckets"))
+      .withColumn("mb", bucketExpr(col("src_key")))
+      // stagedWrite sorts on these; give meta rows compatible columns
+      .withColumn("emit_key", col("src_key"))
+      .withColumn("uid", lit(0L))
+
+  /** Full materialization of emissions + meta back-pointers. */
+  def materialize(index: MapIndex, source: DataFrame): Unit = {
+    val name = index.name
+    val emissions = withBuckets(index.emissions(source)).cache()
+    val all = (0 until numBuckets).toSet
+    val m = stagedWrite(name, Emit, emissions, "kb", all, Map.empty) ++
+      stagedWrite(name, Meta, metaOf(emissions), "mb", all, Map.empty)
+    emissions.unpersist()
+    writeManifest(name, m)
+  }
+
+  /**
+   * Partition-scoped refresh: delete-then-insert for the changed source
+   * keys, touching only the buckets that hold their rows (plus the new
+   * emissions' buckets). Returns how much of the view was rewritten.
+   */
+  def refresh(index: MapIndex, upserts: DataFrame,
+      deleteKeys: Option[DataFrame] = None): RefreshStats = {
+    import spark.implicits.newLongEncoder
+    val name = index.name
+    val m0 = manifest(name)
+    val changed = {
+      val up = index.touchedKeys(upserts)
+      deleteKeys.map(d => up.union(d.toDF("src_key"))).getOrElse(up).distinct()
+        .withColumn("mb", bucketExpr(col("src_key"))).cache()
+    }
+    val changedKeys = changed.select("src_key")
+
+    // 1-2: back-pointer lookup, pruned to the changed keys' meta buckets
+    val metaBuckets = changed.select("mb").distinct()
+      .as[Long].collect().map(_.toInt).toSet
+    val oldMetaPaths = livePaths(name, Meta, Some(metaBuckets))
+    val oldEmitBuckets: Set[Int] =
+      if (oldMetaPaths.isEmpty) Set.empty
+      else spark.read.parquet(oldMetaPaths: _*)
+        .join(broadcast(changedKeys), Seq("src_key"), "left_semi")
+        .select(explode(col("emit_buckets")).as("kb"))
+        .distinct().as[Long].collect().map(_.toInt).toSet
+
+    val newEmissions = withBuckets(index.emissions(upserts)).cache()
+    val newEmitBuckets = newEmissions.select("kb").distinct()
+      .as[Long].collect().map(_.toInt).toSet
+
+    // 3: rewrite only affected emit buckets — one job
+    val affected = oldEmitBuckets ++ newEmitBuckets
+    val oldAffectedPaths = livePaths(name, Emit, Some(affected))
+    val kept =
+      if (oldAffectedPaths.isEmpty) newEmissions.limit(0)
+      else withBuckets(spark.read.parquet(oldAffectedPaths: _*))
+        .join(broadcast(changedKeys), Seq("src_key"), "left_anti")
+    val mEmit = stagedWrite(name, Emit,
+      kept.unionByName(newEmissions), "kb", affected, m0)
+
+    // 4: rewrite only the changed keys' meta buckets — one job
+    // (partitionBy drops the bucket column from data files; re-derive it)
+    val oldMetaKept =
+      if (oldMetaPaths.isEmpty) metaOf(newEmissions).limit(0)
+      else spark.read.parquet(oldMetaPaths: _*)
+        .join(broadcast(changedKeys), Seq("src_key"), "left_anti")
+        .withColumn("mb", bucketExpr(col("src_key")))
+    val mMeta = stagedWrite(name, Meta,
+      oldMetaKept.unionByName(metaOf(newEmissions)), "mb", metaBuckets, m0)
+
+    newEmissions.unpersist(); changed.unpersist()
+    // 5: atomic manifest swap — readers see old or new snapshot, never a mix
+    val dropped = (affected.map((Emit, _)) ++ metaBuckets.map((Meta, _))) --
+      mEmit.keySet -- mMeta.keySet
+    writeManifest(name, m0 -- dropped ++ mEmit ++ mMeta)
+    RefreshStats(affected.size, metaBuckets.size, numBuckets)
+  }
+}
+
+object BucketedViewStore {
+  private val Emit = "emit"
+  private val Meta = "meta"
+
+  final case class RefreshStats(
+      emitBucketsRewritten: Int, metaBucketsRewritten: Int, totalBuckets: Int)
+
+  /** JVM-side mirror of the bucket expression (pmod(xxhash64(str), B)). */
+  def bucketOf(key: Any, numBuckets: Int): Int = {
+    val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+      org.apache.spark.unsafe.types.UTF8String.fromString(String.valueOf(key)),
+      org.apache.spark.sql.types.StringType, 42L)
+    (((h % numBuckets) + numBuckets) % numBuckets).toInt
+  }
+
+  def temp(spark: SparkSession, numBuckets: Int = 16): BucketedViewStore =
+    new BucketedViewStore(spark,
+      Files.createTempDirectory("graft-bucketed-").toString, numBuckets)
+}

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.engine.{BucketedViewStore, MapIndex, ViewStore}
+import graft.engine.MapIndex.emit
+
+/**
+ * Partition-scoped incremental maintenance (the 100 TB refresh path):
+ * correctness vs. the flat store, and the I/O bound — a small batch must
+ * rewrite only the buckets its keys live in, never the whole view.
+ */
+class BucketedStoreSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  // two emissions per entry so meta back-pointers track multiple buckets
+  private val idx = MapIndex.columns("bstore")(col("key"),
+    array(emit(col("key"), col("v")), emit(concat(col("key"), lit("!")), col("v") * 2)))
+
+  private def rows(n: Int): Seq[(String, Int)] =
+    (0 until n).map(i => s"k$i" -> i)
+
+  private def snapshot(df: org.apache.spark.sql.DataFrame): Seq[(String, String, Int)] =
+    df.select("src_key", "emit_key", "emit_value")
+      .as[(String, String, Int)].collect().sorted.toSeq
+
+  test("materialize + get round-trip; point lookup prunes to one bucket") {
+    val store = BucketedViewStore.temp(spark, numBuckets = 16)
+    idx.materialize(rows(200).toDF("key", "v"), ViewStore.temp(spark)) // flat for reference
+    store.materialize(idx, rows(200).toDF("key", "v"))
+    assert(store.get(idx.name, "k7").as[Int].collect().toSeq === Seq(7))
+    assert(store.get(idx.name, "k7!").as[Int].collect().toSeq === Seq(14))
+    assert(store.df(idx.name).count() === 400)
+  }
+
+  test("refresh rewrites only the touched buckets, not the view") {
+    val store = BucketedViewStore.temp(spark, numBuckets = 16)
+    store.materialize(idx, rows(200).toDF("key", "v"))
+    val m0 = store.manifest(idx.name)
+    val stats = store.refresh(idx, Seq("k7" -> 700).toDF("key", "v"))
+    // one source key → at most 4 emit buckets (2 old + 2 new key-hashes)
+    assert(stats.emitBucketsRewritten <= 4,
+      s"rewrote ${stats.emitBucketsRewritten}/${stats.totalBuckets} buckets for 1 key")
+    assert(stats.metaBucketsRewritten === 1)
+    // manifest: only the affected buckets bumped a version
+    val m1 = store.manifest(idx.name)
+    val bumped = m1.count { case (k, v) => m0.get(k).exists(_ < v) }
+    assert(bumped === stats.emitBucketsRewritten + stats.metaBucketsRewritten)
+    // values: overwrite semantics held
+    assert(store.get(idx.name, "k7").as[Int].collect().toSeq === Seq(700))
+    assert(store.get(idx.name, "k7!").as[Int].collect().toSeq === Seq(1400))
+    assert(store.df(idx.name).count() === 400)
+  }
+
+  test("bucketed refresh result equals the flat store's refresh result") {
+    val bucketed = BucketedViewStore.temp(spark, numBuckets = 8)
+    val flat = ViewStore.temp(spark)
+    val src = rows(50).toDF("key", "v")
+    bucketed.materialize(idx, src)
+    val flatView = idx.materialize(src, flat)
+    val upserts = Seq("k3" -> 33, "k44" -> 440, "kNew" -> 9).toDF("key", "v")
+    val dels = Some(Seq("k10").toDF("src_key"))
+    bucketed.refresh(idx, upserts, dels)
+    val flatV2 = flatView.refresh(upserts, dels)
+    assert(snapshot(bucketed.df(idx.name)) === snapshot(flatV2.df))
+  }
+
+  test("tombstone removes the key from data and meta; get returns empty") {
+    val store = BucketedViewStore.temp(spark, numBuckets = 8)
+    store.materialize(idx, rows(20).toDF("key", "v"))
+    store.refresh(idx, Seq.empty[(String, Int)].toDF("key", "v"),
+      Some(Seq("k5").toDF("src_key")))
+    assert(store.get(idx.name, "k5").count() === 0)
+    assert(store.get(idx.name, "k5!").count() === 0)
+    assert(store.df(idx.name).count() === 38)
+    // second refresh of the same key is a no-op on data (idempotent delete)
+    val stats = store.refresh(idx, Seq.empty[(String, Int)].toDF("key", "v"),
+      Some(Seq("k5").toDF("src_key")))
+    assert(store.df(idx.name).count() === 38)
+    assert(stats.emitBucketsRewritten === 0) // no back-pointers left to chase
+  }
+}
