@@ -73,6 +73,24 @@ object RelationalQueries {
           col("cnt"), col("sum_price"))
         .orderBy("status", "priority")),
 
+    // exact (interpolating) percentiles — matches DuckDB quantile_cont
+    "agg_percentile" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          round(expr("percentile(o_totalprice, 0.25)"), 4).as("p25"),
+          round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(o_totalprice, 0.75)"), 4).as("p75"))
+        .orderBy("o_orderpriority")),
+
+    // pivot: one column per order status, conditional sums
+    "agg_pivot" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(round(sum("o_totalprice"), 2))
+        .orderBy("o_orderpriority")),
+
     // ---- joins -----------------------------------------------------------
     // star join through three broadcast dims (orders→customer→nation→region)
     "join_broadcast" -> ((s, dir) =>
@@ -201,6 +219,28 @@ object RelationalQueries {
           .select(col("s_nationkey").as("nationkey")))
         .orderBy("nationkey")),
 
+    // edit-distance self-join over nation names (string similarity)
+    "string_levenshtein" -> ((s, dir) => {
+      val n1 = Tables.nation(s, dir).select(col("n_nationkey").as("k1"), col("n_name").as("name1"))
+      val n2 = Tables.nation(s, dir).select(col("n_nationkey").as("k2"), col("n_name").as("name2"))
+      n1.join(n2, col("k1") < col("k2"))
+        .withColumn("dist", levenshtein(col("name1"), col("name2")).cast("long"))
+        .filter(col("dist") <= 6)
+        .select(col("name1"), col("name2"), col("dist"))
+        .orderBy("name1", "name2")
+    }),
+
+    // the SQL entry point: same engine, text queries over registered views
+    "sql_api" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+      s.sql(
+        """SELECT year(o_orderdate) AS yr,
+          |       round(sum(o_totalprice), 2) AS total,
+          |       count(*) AS cnt
+          |FROM orders_v GROUP BY year(o_orderdate) ORDER BY yr""".stripMargin)
+        .withColumn("yr", col("yr").cast("long"))
+    }),
+
     // ---- scalar / date / JSON functions ----------------------------------
     "scalar_funcs" -> ((s, dir) =>
       Tables.orders(s, dir).select(
@@ -277,6 +317,29 @@ object RelationalQueries {
         |       count(*) AS cnt, round(sum(o_totalprice), 2) AS sum_price
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin,
+    "agg_percentile" ->
+      """SELECT o_orderpriority,
+        |       round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+        |       round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        |       round(quantile_cont(o_totalprice, 0.75), 4) AS p75
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "agg_pivot" ->
+      """SELECT o_orderpriority,
+        |       round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS F,
+        |       round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS O,
+        |       round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS P
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "string_levenshtein" ->
+      """SELECT n1.n_name AS name1, n2.n_name AS name2,
+        |       levenshtein(n1.n_name, n2.n_name) AS dist
+        |FROM nation n1 JOIN nation n2 ON n1.n_nationkey < n2.n_nationkey
+        |WHERE levenshtein(n1.n_name, n2.n_name) <= 6
+        |ORDER BY name1, name2""".stripMargin,
+    "sql_api" ->
+      """SELECT year(o_orderdate) AS yr,
+        |       round(sum(o_totalprice), 2) AS total,
+        |       count(*) AS cnt
+        |FROM orders GROUP BY year(o_orderdate) ORDER BY yr""".stripMargin,
     "join_broadcast" ->
       """SELECT r_name, round(sum(o_totalprice), 2) AS total_price, count(*) AS cnt
         |FROM orders

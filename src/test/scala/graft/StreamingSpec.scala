@@ -69,6 +69,31 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     q.stop()
   }
 
+  test("stateful sessionizer closes sessions across micro-batches") {
+    import graft.streaming.StatefulSessionizer
+    import graft.streaming.StatefulSessionizer.{ClosedSession, Event}
+    val input = MemoryStream[Event]
+    val q = StatefulSessionizer.sessions(input.toDS()).writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory").queryName("sessions_out")
+      .start()
+    val min = 60L * 1000000
+    // batch 1: two events 5 min apart (one open session)
+    input.addData(Event(1, 0), Event(1, 5 * min))
+    q.processAllAvailable()
+    assert(spark.table("sessions_out").count() === 0) // still open
+    // batch 2: an event 45 min later closes the first session
+    input.addData(Event(1, 50 * min))
+    q.processAllAvailable()
+    val closed = spark.table("sessions_out").as[ClosedSession].collect().toSeq
+    assert(closed === Seq(ClosedSession(1, 0, 2, 5 * min)))
+    // a second user's lone event stays open and emits nothing
+    input.addData(Event(2, 0))
+    q.processAllAvailable()
+    assert(spark.table("sessions_out").count() === 1)
+    q.stop()
+  }
+
   test("watermarked hourly window agg emits closed windows in append mode") {
     val input = MemoryStream[(Timestamp, String, Double)]
     val events = input.toDF().toDF("ts", "event_type", "value")
