@@ -121,10 +121,62 @@ object Hashes {
     override def prettyName: String = "minhash_sig"
   }
 
-  /** Register both in the session's function registry (idempotent). */
+  /**
+   * minhash_bands(text): the 16 LSH band keys (FNV over each 4-element
+   * signature slice) computed in ONE evaluation. Deriving bands from a
+   * `minhash_sig` column in a later projection is a trap: Catalyst
+   * collapses projects and higher-order functions re-evaluate captured
+   * subtrees per element, so the full signature gets recomputed once per
+   * band (16× the hashing). One expression + one `posexplode` avoids it.
+   */
+  case class MinHashBands(child: Expression, bands: Int = 16, rowsPerBand: Int = 4)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    private lazy val sigExpr = MinHashSig(child, bands * rowsPerBand)
+    override def nullSafeEval(input: Any): Any = {
+      val sig = sigExpr.nullSafeEval(input).asInstanceOf[ArrayData].toLongArray()
+      val out = new Array[Long](bands)
+      var b = 0
+      while (b < bands) {
+        var h = 0xcbf29ce484222325L
+        var r = 0
+        while (r < rowsPerBand) {
+          h ^= sig(b * rowsPerBand + r); h *= 0x100000001b3L
+          r += 1
+        }
+        out(b) = h
+        b += 1
+      }
+      ArrayData.toArrayData(out)
+    }
+    override protected def withNewChildInternal(newChild: Expression): MinHashBands =
+      copy(child = newChild)
+    override def prettyName: String = "minhash_bands"
+  }
+
+  /** simhash_full(text): `[simhash64, band0..band7]` (8-bit bands) in one
+    * evaluation — same per-band re-evaluation trap as minhash_bands. */
+  case class SimHashFull(child: Expression) extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val h = SimHash64(child).nullSafeEval(input).asInstanceOf[java.lang.Long].longValue()
+      val out = new Array[Long](9)
+      out(0) = h
+      var b = 0
+      while (b < 8) { out(b + 1) = (h >>> (b * 8)) & 0xffL; b += 1 }
+      ArrayData.toArrayData(out)
+    }
+    override protected def withNewChildInternal(newChild: Expression): SimHashFull =
+      copy(child = newChild)
+    override def prettyName: String = "simhash_full"
+  }
+
+  /** Register all in the session's function registry (idempotent). */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("simhash64", es => SimHash64(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("minhash_sig", es => MinHashSig(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("minhash_bands", es => MinHashBands(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("simhash_full", es => SimHashFull(es.head), "scala_udf")
   }
 }

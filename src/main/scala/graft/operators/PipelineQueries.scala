@@ -49,8 +49,12 @@ object PipelineQueries {
     // sizes fall out of the same join that finds the candidates, so no
     // per-pair array work and exactly one shuffle of the pair stream.
     "dedup_ngram_jaccard" -> ((s, dir) => {
+      // join/shuffle on the 64-bit shingle hash, not the string: same
+      // counts (a 64-bit collision across ~corpus shingles is ~1e-8) at a
+      // fraction of the shuffle bytes
       val sh = docs(s, dir)
-        .select(col("doc_id"), explode(T.shingles3(col("text"))).as("sh"))
+        .select(col("doc_id"), explode(T.shingles3(col("text"))).as("s"))
+        .select(col("doc_id"), xxhash64(col("s")).as("sh"))
       val rare = sh.join(
         sh.groupBy("sh").agg(count(lit(1)).as("df"))
           .filter(col("df") <= MaxShingleDf), Seq("sh"))
@@ -76,13 +80,9 @@ object PipelineQueries {
     "dedup_minhash_lsh" -> ((s, dir) => {
       Hashes.register(s)
       val d = docs(s, dir)
-      val withSig = d.withColumn("sig", expr("minhash_sig(text)"))
-      val bands = withSig.select(col("doc_id"),
-        explode(transform(sequence(lit(0), lit(15)), b => struct(
-          b.as("band"),
-          xxhash64(concat_ws(",",
-            transform(slice(col("sig"), b * lit(4) + 1, lit(4)), _.cast("string")))).as("bh")))).as("e"))
-        .select(col("doc_id"), col("e.band").as("band"), col("e.bh").as("bh"))
+      // one signature evaluation per doc; posexplode fans out the 16 bands
+      val bands = d.select(col("doc_id"),
+        posexplode(expr("minhash_bands(text)")).as(Seq("band", "bh")))
       val cand = bands.as("a")
         .join(bands.as("b"),
           col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
@@ -109,13 +109,14 @@ object PipelineQueries {
     // pair with hamming ≤ 7 shares a band), verified by bit_count(xor).
     "dedup_simhash" -> ((s, dir) => {
       Hashes.register(s)
-      val withH = docs(s, dir).withColumn("sh64", expr("simhash64(text)"))
-      val bandStructs = (0 until 8).map(b => struct(
-        lit(b).as("band"),
-        shiftrightunsigned(col("sh64"), b * 8).bitwiseAND(lit(255L)).as("bh")))
-      val bands = withH.select(col("doc_id"), col("sh64"),
-        explode(array(bandStructs: _*)).as("e"))
-        .select(col("doc_id"), col("sh64"), col("e.band").as("band"), col("e.bh").as("bh"))
+      // simhash_full = [sh64, band0..band7] in one pass over the tokens
+      val full = docs(s, dir).select(col("doc_id"),
+        posexplode(expr("simhash_full(text)")).as(Seq("pos", "val")))
+      val hashes = full.filter(col("pos") === 0)
+        .select(col("doc_id"), col("val").as("sh64"))
+      val bands = full.filter(col("pos") >= 1)
+        .select(col("doc_id"), (col("pos") - 1).as("band"), col("val").as("bh"))
+        .join(hashes, Seq("doc_id"))
       bands.as("a")
         .join(bands.as("b"),
           col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
