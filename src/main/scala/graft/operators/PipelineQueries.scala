@@ -98,6 +98,9 @@ object PipelineQueries {
         .join(tsets.select(col("doc_id").as("i"), col("ts").as("ts_i"), col("nt").as("nt_i")), Seq("i"))
         .join(tsets.select(col("doc_id").as("j"), col("ts").as("ts_j"), col("nt").as("nt_j")), Seq("j"))
         .withColumn("inter", size(array_intersect(col("ts_i"), col("ts_j"))))
+        // sub-shingle-length docs collide on constant signatures but have
+        // empty sets — guard the 0/0 before the threshold filter
+        .filter(col("nt_i") + col("nt_j") - col("inter") > 0)
         .withColumn("jaccard",
           round(col("inter").cast("double") / (col("nt_i") + col("nt_j") - col("inter")), 6))
         .filter(col("jaccard") >= JaccardThreshold)

@@ -45,6 +45,9 @@ object SimilarityQueries {
     Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+      // an all-zero vector has no cosine; ANSI mode would throw on the
+      // division, so exclude rather than crash (none exist in this data)
+      .filter(col("norm") > 0)
 
   private def rankTopK(scored: DataFrame): DataFrame = {
     val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("neighbor_id"))

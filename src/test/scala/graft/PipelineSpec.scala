@@ -54,6 +54,31 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(got === 4)
   }
 
+  test("hash expressions handle null, empty, and sub-shingle-length text") {
+    Hashes.register(spark)
+    val df = Seq(
+      (1, "a b c d"), (2, "a b"), (3, ""), (4, null.asInstanceOf[String])
+    ).toDF("id", "text")
+      .withColumn("sh", expr("simhash64(text)"))
+      .withColumn("bands", expr("minhash_bands(text)"))
+      .withColumn("shingles", T.shingles3(col("text")))
+    val rows = df.select("id", "sh", "bands", "shingles").collect()
+    val byId = rows.map(r => r.getInt(0) -> r).toMap
+    assert(!byId(1).isNullAt(1) && byId(1).getSeq[Long](2).length === 16)
+    assert(byId(4).isNullAt(1) && byId(4).isNullAt(2)) // null in → null out
+    // docs shorter than one shingle: empty shingle set, constant signature
+    assert(byId(2).getSeq[String](3).isEmpty)
+    assert(byId(2).getSeq[Long](2) === byId(3).getSeq[Long](2))
+    // …and the minhash query must guard the empty-set 0/0 explicitly:
+    // Spark 4's default ANSI mode throws DIVIDE_BY_ZERO even for doubles
+    val ex = intercept[Exception] {
+      spark.sql("SELECT CAST(0 AS DOUBLE) / CAST(0 AS DOUBLE)").collect()
+    }
+    assert(ex.getMessage.contains("DIVIDE_BY_ZERO"))
+    val keep = spark.sql("SELECT try_divide(0.0, 0.0) >= 0.5 AS keep").collect()(0)
+    assert(keep.isNullAt(0)) // NULL fails the threshold filter
+  }
+
   test("fingerprint collapses token-order permutations") {
     val df = Seq("b a c", "c b a", "a b d").toDF("text")
       .select(T.fingerprint(col("text")).as("fp"))

@@ -69,6 +69,28 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     q.stop()
   }
 
+  test("streaming upsert over the bucketed store touches only its buckets") {
+    import graft.engine.BucketedViewStore
+    import graft.streaming.BucketedStreamingMapIndex
+    val store = BucketedViewStore.temp(spark, numBuckets = 16)
+    val idx = MapIndex.columns("stream_bucketed")(col("key"),
+      array(emit(col("key"), col("test"))))
+    val sm = new BucketedStreamingMapIndex(idx, store)
+    val input = MemoryStream[(String, Int)]
+    val q = sm.writer(input.toDF().toDF("key", "test")).start()
+    input.addData((1 to 50).map(i => s"k$i" -> i): _*)
+    q.processAllAvailable()
+    assert(store.df(idx.name).count() === 50)
+    val m0 = store.manifest(idx.name)
+    input.addData("k7" -> 700) // second micro-batch: one key
+    q.processAllAvailable()
+    q.stop()
+    assert(store.get(idx.name, "k7").as[Int].collect().toSeq === Seq(700))
+    val m1 = store.manifest(idx.name)
+    val bumped = m1.count { case (k, v) => m0.get(k).exists(_ < v) }
+    assert(bumped <= 2, s"micro-batch of one key bumped $bumped buckets") // 1 emit + 1 meta
+  }
+
   test("stateful sessionizer closes sessions across micro-batches") {
     import graft.streaming.StatefulSessionizer
     import graft.streaming.StatefulSessionizer.{ClosedSession, Event}
