@@ -1,0 +1,50 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Physical-layout helpers for shuffle avoidance and skew at cluster scale
+ * (SURVEY.md §2.1 O6 / builder prompt "partitioning & shuffle").
+ *
+ * - [[saveBucketed]] / co-located joins: two tables bucketed by the same
+ *   key and count join with NO exchange on either side — the parquet
+ *   bucketing metadata satisfies the join's distribution requirement, the
+ *   cluster-scale equivalent of LevelDB's "everything already sorted by
+ *   key" (a repeated-join workload materializes its views this way once
+ *   and joins shuffle-free forever after).
+ *
+ * - [[saltedAgg]]: aggregation over heavily skewed keys in two rounds —
+ *   partial aggregation on (key, salt) spreads a hot key over N reducers,
+ *   the final round combines the N partials. Only sum/count-style
+ *   (associative, decomposable) aggregates may be salted this way.
+ */
+object Layout {
+
+  /** Write as a Spark bucketed table (sorted within buckets) so later
+    * equi-joins/aggregations on `key` need no exchange. Idempotent: drops
+    * stale catalog entries AND orphaned warehouse directories (an
+    * in-memory catalog forgets tables across sessions but the location
+    * survives, which would fail the create). */
+  def saveBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table)
+    loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
+  /** Two-round skew-safe sum: `SUM(valueCol) GROUP BY key` where some keys
+    * dominate. Correct for any number of salt partitions. */
+  def saltedSum(df: DataFrame, key: String, valueCol: String,
+      salts: Int, out: String = "total"): DataFrame =
+    df.withColumn("_salt", pmod(monotonically_increasing_id(), lit(salts.toLong)))
+      .groupBy(col(key), col("_salt"))
+      .agg(sum(valueCol).as("_partial"), count(lit(1)).as("_n"))
+      .groupBy(col(key))
+      .agg(sum("_partial").as(out), sum("_n").as("cnt"))
+}

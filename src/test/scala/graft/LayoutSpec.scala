@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.engine.{Layout, Tables}
+
+/** Shuffle-avoidance layout: bucketed co-located joins and salted skew
+  * aggregation (SURVEY.md §4.2 physical strategies). */
+class LayoutSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  test("bucketed tables join with no exchange on either side") {
+    val sf = "/root/testdata/sf0.001"
+    Layout.saveBucketed(
+      Tables.orders(spark, sf).select("o_orderkey", "o_custkey", "o_totalprice"),
+      "orders_b", "o_orderkey", 8)
+    Layout.saveBucketed(
+      Tables.lineitem(spark, sf)
+        .groupBy(col("l_orderkey")).agg(sum("l_quantity").as("qty")),
+      "liagg_b", "l_orderkey", 8)
+    // force the sort-merge path (the scale scenario: both sides too big
+    // to broadcast) and assert the bucketing removed the shuffles
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("orders_b")
+        .join(spark.table("liagg_b"), col("o_orderkey") === col("l_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ, plan:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join should be co-located, plan was:\n$plan")
+      assert(joined.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    // same result as the shuffled join over raw parquet
+    val raw = Tables.orders(spark, sf)
+      .join(Tables.lineitem(spark, sf)
+          .groupBy(col("l_orderkey")).agg(sum("l_quantity").as("qty")),
+        col("o_orderkey") === col("l_orderkey"))
+    val joined = spark.table("orders_b")
+      .join(spark.table("liagg_b"), col("o_orderkey") === col("l_orderkey"))
+    assert(joined.count() === raw.count())
+  }
+
+  test("salted aggregation equals direct aggregation on skewed data") {
+    // 10k rows where one key holds 90% of the data
+    val skewed = spark.range(10000)
+      .select(when(col("id") < 9000, lit("hot")).otherwise(concat(lit("k"), col("id") % 50)).as("key"),
+        (col("id") % 7).cast("double").as("v"))
+    val direct = skewed.groupBy("key")
+      .agg(sum("v").as("total"), count(lit(1)).as("cnt"))
+      .as[(String, Double, Long)].collect()
+      .map { case (k, t, c) => k -> ((t, c)) }.toMap
+    val salted = Layout.saltedSum(skewed, "key", "v", salts = 16)
+      .as[(String, Double, Long)].collect()
+      .map { case (k, t, c) => k -> ((t, c)) }.toMap
+    assert(salted === direct)
+  }
+}
