@@ -192,6 +192,16 @@ object RelationalQueries {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    "window_ntile" -> ((s, dir) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, dir)
+        .withColumn("quartile", ntile(4).over(w).cast("long"))
+        .groupBy(col("o_orderpriority"), col("quartile"))
+        .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("sum_price"))
+        .orderBy("o_orderpriority", "quartile")
+    }),
+
     // ---- sort / top-k ----------------------------------------------------
     // plans as TakeOrderedAndProject: no global sort, per-partition heaps
     "topk_orders" -> ((s, dir) =>
@@ -254,6 +264,28 @@ object RelationalQueries {
         date_trunc("month", col("o_orderdate")).as("mon"),
         round(sqrt(col("o_totalprice")), 6).as("sqrt_price"))
         .orderBy("o_orderkey")),
+
+    "regexp_funcs" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("src_num",
+          regexp_extract(col("source"), "(\\d+)", 1).cast("long"))
+        .groupBy(col("src_num"))
+        .agg(count(lit(1)).as("cnt"), sum("n_chars").as("total_chars"))
+        .orderBy("src_num")),
+
+    // array functions over the vector column (double math spelled out so
+    // DuckDB's float32 list aggregates don't drift)
+    "array_funcs" -> ((s, dir) => {
+      val v = col("embedding").cast("array<double>")
+      Tables.embeddings(s, dir).select(
+        col("vec_id"),
+        size(col("embedding")).cast("long").as("n_dims"),
+        round(array_max(v), 6).as("vmax"),
+        round(array_min(v), 6).as("vmin"),
+        round(aggregate(v, lit(0.0), (a, x) => a + x), 6).as("vsum"),
+        round(element_at(v, 1), 6).as("v1"))
+        .orderBy("vec_id")
+    }),
 
     "json_extract" -> ((s, dir) =>
       Tables.events(s, dir).select(
@@ -396,6 +428,27 @@ object RelationalQueries {
         |       round(o_totalprice - lag(o_totalprice, 1) OVER (PARTITION BY o_custkey
         |         ORDER BY o_orderdate, o_orderkey), 2) AS delta
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "window_ntile" ->
+      """SELECT o_orderpriority, quartile, count(*) AS cnt,
+        |       round(sum(o_totalprice), 2) AS sum_price
+        |FROM (SELECT o_orderpriority, o_totalprice,
+        |             ntile(4) OVER (PARTITION BY o_orderpriority
+        |                            ORDER BY o_totalprice, o_orderkey) AS quartile
+        |      FROM orders) t
+        |GROUP BY o_orderpriority, quartile
+        |ORDER BY o_orderpriority, quartile""".stripMargin,
+    "regexp_funcs" ->
+      """SELECT CAST(regexp_extract(source, '(\d+)', 1) AS BIGINT) AS src_num,
+        |       count(*) AS cnt, sum(n_chars) AS total_chars
+        |FROM documents GROUP BY 1 ORDER BY src_num""".stripMargin,
+    "array_funcs" ->
+      """SELECT vec_id,
+        |       len(embedding) AS n_dims,
+        |       round(list_max([CAST(x AS DOUBLE) for x in embedding]), 6) AS vmax,
+        |       round(list_min([CAST(x AS DOUBLE) for x in embedding]), 6) AS vmin,
+        |       round(list_sum([CAST(x AS DOUBLE) for x in embedding]), 6) AS vsum,
+        |       round(CAST(embedding[1] AS DOUBLE), 6) AS v1
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
     "topk_orders" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 15""".stripMargin,
