@@ -1,10 +1,28 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
 
 /** Benchmark harness: runs every registered query on SPARK_GRAFT_SF_DIR,
-  * prints one JSON line with per-query wall-clock seconds. */
+  * prints one JSON line with per-query wall-clock seconds.
+  *
+  * A failing query is recorded as `-1` (never a fast-looking near-zero
+  * time) and its message lands in the `errors` object — a broken query
+  * must be distinguishable from a cheap one. The same JSON is also
+  * written to `bench_result.json` in the working directory so the signal
+  * survives even if stdout is decorated by the build tool.
+  */
 object Bench {
+  private def esc(s: String): String = s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -15,7 +33,7 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel("ERROR")
     // Materialize the stored map views up front: the reference computes
     // views at WRITE time and serves queries from the stored index
     // (SURVEY.md §4.1 compute-on-write); view build is load cost, query
@@ -23,13 +41,22 @@ object Bench {
     operators.MapIndexQueries.prewarm(spark, sfDir)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val err = try { fn(spark, sfDir).count(); None }
+                catch { case e: Throwable => Some(e) }
+      val sec = (System.nanoTime() - t0) / 1e9
+      (name, if (err.isDefined) -1.0 else sec, err)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errors = results.collect { case (k, _, Some(e)) =>
+      "\"" + k + "\":\"" + esc(Option(e.getMessage).getOrElse(e.getClass.getName).take(300)) + "\""
+    }.mkString("{", ",", "}")
+    val total = results.collect { case (_, v, None) => v }.sum
+    val nFailed = results.count(_._3.isDefined)
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$nFailed,"errors":$errors,"sf":"$sfDir"}"""
+    Files.writeString(Paths.get("bench_result.json"), json + "\n")
+    println(json)
     spark.stop()
   }
 }

@@ -13,12 +13,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     MapIndexQueries.queries ++ RelationalQueries.queries ++
       PipelineQueries.queries ++ SimilarityQueries.queries ++
-      MultimodalQueries.queries
+      MultimodalQueries.queries ++ LayoutQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     MapIndexQueries.oracle ++ RelationalQueries.oracle ++
       PipelineQueries.oracle ++ SimilarityQueries.oracle ++
-      MultimodalQueries.oracle
+      MultimodalQueries.oracle ++ LayoutQueries.oracle
 }

@@ -180,7 +180,10 @@ final class BucketedViewStore(
         .select(explode(col("emit_buckets")).as("kb"))
         .distinct().as[Long].collect().map(_.toInt).toSet
 
-    val newEmissions = withBuckets(index.emissions(upserts)).cache()
+    // epoch for cross-refresh uid uniqueness: one past the highest live
+    // bucket version (monotone — every refresh bumps its touched buckets)
+    val epoch = (m0.values.maxOption.getOrElse(-1) + 1).toLong
+    val newEmissions = withBuckets(index.emissions(upserts, epoch)).cache()
     val newEmitBuckets = newEmissions.select("kb").distinct()
       .as[Long].collect().map(_.toInt).toSet
 
@@ -209,8 +212,27 @@ final class BucketedViewStore(
     val dropped = (affected.map((Emit, _)) ++ metaBuckets.map((Meta, _))) --
       mEmit.keySet -- mMeta.keySet
     writeManifest(name, m0 -- dropped ++ mEmit ++ mMeta)
+    // 6: GC superseded versions — without this the streaming path leaks one
+    // version per touched bucket per micro-batch. Keep one grace version
+    // (v-1) for readers that resolved the previous manifest and are still
+    // scanning; delete everything older.
+    gcOldVersions(name, mEmit ++ mMeta)
     RefreshStats(affected.size, metaBuckets.size, numBuckets)
   }
+
+  /** Delete bucket version dirs older than `live - 1` (one grace version
+    * stays for in-flight readers of the previous snapshot). */
+  private def gcOldVersions(name: String, live: Map[(String, Int), Int]): Unit =
+    live.foreach { case ((kind, b), v) =>
+      var old = v - 2
+      var p = Paths.get(bucketPath(name, kind, b, math.max(old, 0)))
+      while (old >= 0 && Files.exists(p)) {
+        Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => Files.deleteIfExists(f))
+        old -= 1
+        if (old >= 0) p = Paths.get(bucketPath(name, kind, b, old))
+      }
+    }
 }
 
 object BucketedViewStore {

@@ -49,13 +49,31 @@ final class MapIndex(val name: String, val mapPlan: DataFrame => DataFrame)
    * Emission relation for a source batch: `(src_key, emit_key, emit_value,
    * uid)`. Empty emissions drop out here, exactly as the reference stores
    * nothing for them (`index.js:218-230`).
+   *
+   * `epoch` is the refresh generation (stores pass their next version).
+   * uid packs `(partition, row-in-partition, epoch)` so it stays unique
+   * ACROSS refreshes — with a bare `monotonically_increasing_id()` two
+   * batches would restart near 0 and `(emit_key, uid)` tie-breaks in
+   * scan order would be nondeterministic (the reference's uuid suffix,
+   * `index.js:236`, was globally unique). Bit budget: 25-bit partition
+   * (33M partitions/batch), 26-bit row (67M rows/partition — generous at
+   * 128 MB parquet splits), 12-bit epoch. Epochs recycle mod 4096, which
+   * can only collide with rows 4096 refreshes old for a key never
+   * rewritten since — and refresh retracts a changed key's rows wholesale,
+   * so live rows for one src_key always come from a single epoch.
    */
-  def emissions(source: DataFrame): DataFrame =
+  def emissions(source: DataFrame, epoch: Long = 0L): DataFrame = {
+    val mid = monotonically_increasing_id() // (partitionId << 33) | row
+    val part = shiftright(mid, 33)
+    val row = mid.bitwiseAND(lit((1L << 33) - 1))
     mapped(source)
       .filter(col("emit").isNotNull)
       .select(col("src_key"), col("emit.emit_key").as("emit_key"),
         col("emit.emit_value").as("emit_value"))
-      .withColumn("uid", monotonically_increasing_id())
+      .withColumn("uid",
+        shiftleft(part, 38).bitwiseOR(shiftleft(row, 12))
+          .bitwiseOR(lit(epoch & 0xfffL)))
+  }
 
   /** Every source key touched by a batch — including keys that emitted
     * nothing (the refresh retraction set). */

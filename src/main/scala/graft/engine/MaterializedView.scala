@@ -62,7 +62,10 @@ final class MaterializedView(
    * planned refinement; at test scale a full rewrite per refresh is fine.)
    */
   def refresh(upserts: DataFrame, deleteKeys: Option[DataFrame] = None): MaterializedView = {
-    val newEmissions = index.emissions(upserts)
+    // epoch = the version this refresh will write: keeps uid unique across
+    // refreshes so (emit_key, uid) scan order stays deterministic
+    val epoch = store.latestVersion(index.name).getOrElse(-1) + 1
+    val newEmissions = index.emissions(upserts, epoch.toLong)
     val upsertKeys = index.touchedKeys(upserts) // includes empty-emission keys
     val changed = deleteKeys match {
       case Some(d) => upsertKeys.union(d.toDF("src_key")).distinct()
@@ -78,36 +81,44 @@ final class MaterializedView(
    * group complete — the reference dropped each group's boundary row
    * (`index.js:70-74`) and we deliberately do not.
    *
-   * Sort-based, like the reference's single-pass streaming group over
-   * LevelDB iteration order (§4.1): cluster by key, sort within
-   * partitions by (key, uid), and `collect_list` then accumulates in row
-   * order because each group is contiguous inside one partition. No
-   * order-dependent result ever crosses a partition boundary.
+   * Order is explicit, not positional: collect `(uid, value)` structs and
+   * `sort_array` them — correct under ANY aggregation strategy (hash,
+   * object-hash, or the sort-based fallback ObjectHashAggregateExec
+   * switches to past its group threshold), instead of relying on
+   * `collect_list` preserving input row order.
    */
-  def grouped(): DataFrame =
-    df.repartition(col("emit_key"))
-      .sortWithinPartitions("emit_key", "uid")
-      .groupBy("emit_key")
-      .agg(collect_list(col("emit_value")).as("vals"))
+  def grouped(): DataFrame = MaterializedView.groupedInOrder(df)
 
   /**
    * The cascade source (O17, `index.js:244,250-253`): one row per source
    * key with all its emissions collected in emission order — exactly the
    * `{key, value: mapped}` shape a piped downstream index receives
    * (`tests/test-replication.js:18` reads `obj.value[0][1]`).
-   *
-   * Order preservation: clustering by `src_key` and sorting by `uid`
-   * before a sort-based collect reproduces the reference's in-order
-   * `mapped` array without relying on `collect_list`'s partition order
-   * (SURVEY §7.5).
    */
-  def cascadeSource: DataFrame =
-    df.repartition(col("src_key"))
-      .sortWithinPartitions("src_key", "uid")
-      .groupBy(col("src_key").as("key"))
-      .agg(collect_list(struct(col("emit_key"), col("emit_value"))).as("value"))
+  def cascadeSource: DataFrame = MaterializedView.cascadeSourceOf(df)
 
   /** Materialize a downstream index fed by this view (view-of-view). */
   def cascadeInto(next: MapIndex): MaterializedView =
     next.materialize(cascadeSource, store)
+}
+
+object MaterializedView {
+
+  /** `emit_key → [emit_value…]` in uid order, order made explicit via
+    * sort_array over `(uid, value)` structs (uid is unique, so the struct
+    * sort is total and value field order never matters). */
+  def groupedInOrder(emissions: DataFrame): DataFrame =
+    emissions.groupBy("emit_key")
+      .agg(transform(
+        sort_array(collect_list(struct(col("uid").as("u"), col("emit_value").as("v")))),
+        e => e("v")).as("vals"))
+
+  /** `src_key → [(emit_key, emit_value)…]` in uid (emission) order —
+    * shared by the batch and bucketed-streaming cascade paths. */
+  def cascadeSourceOf(emissions: DataFrame): DataFrame =
+    emissions.groupBy(col("src_key").as("key"))
+      .agg(transform(
+        sort_array(collect_list(struct(col("uid").as("u"),
+          struct(col("emit_key"), col("emit_value")).as("e")))),
+        x => x("e")).as("value"))
 }

@@ -57,13 +57,16 @@ object MapIndexQueries {
           count(lit(1)).as("cnt"))
         .orderBy("emit_key")),
 
-    // O14 grouped collect surfaced as a list column (value-sorted so the
-    // oracle can reproduce it; uid-order preservation is covered by the
-    // MapIndexSpec grouped() test)
+    // O14 grouped collect, serialized hash-stably: values sorted, cast to
+    // DECIMAL(12,2) strings, comma-joined — a list column is unhashable on
+    // the driver's pandas side (uid-order preservation is covered by the
+    // MapIndexSpec grouped() test; the value sort here is for the oracle)
     "mapindex_grouplist" -> ((s, dir) =>
       flagView(s, dir).df
         .groupBy(col("emit_key"))
-        .agg(sort_array(collect_list(col("emit_value"))).as("vals"))
+        .agg(concat_ws(",",
+          transform(sort_array(collect_list(col("emit_value"))),
+            v => v.cast("decimal(12,2)").cast("string"))).as("vals"))
         .orderBy("emit_key")),
 
     // O8 point lookup: every value emitted under one key
@@ -97,7 +100,9 @@ object MapIndexQueries {
         |FROM lineitem GROUP BY l_returnflag ORDER BY emit_key""".stripMargin,
     "mapindex_grouplist" ->
       """SELECT l_returnflag AS emit_key,
-        |       list(l_extendedprice ORDER BY l_extendedprice) AS vals
+        |       array_to_string(list_transform(
+        |         list(l_extendedprice ORDER BY l_extendedprice),
+        |         x -> CAST(CAST(x AS DECIMAL(12,2)) AS VARCHAR)), ',') AS vals
         |FROM lineitem GROUP BY l_returnflag ORDER BY emit_key""".stripMargin,
     "mapindex_get" ->
       """SELECT l_extendedprice AS emit_value FROM lineitem

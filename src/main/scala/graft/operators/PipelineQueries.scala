@@ -25,6 +25,10 @@ object PipelineQueries {
     * sum(df^2) and drops only shingles that carry no dedup signal).
     * Jaccard is computed over the pruned shingle sets on both sides. */
   private val MaxShingleDf = 1000
+  /** LSH band buckets with more members than this are pruned before the
+    * band self-join — df² candidate pairs for near-zero signal; a real
+    * near-dup pair still collides in its other bands. */
+  private val MaxBandDf = 200
 
   private def docs(s: SparkSession, dir: String): DataFrame = Tables.documents(s, dir)
 
@@ -64,9 +68,12 @@ object PipelineQueries {
           col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
         .agg(count(lit(1)).as("inter"))
+      // no broadcast hint on `sizes`: it is one row per document, so a
+      // forced broadcast OOMs the driver at corpus scale — AQE broadcasts
+      // it anyway while it is actually small
       inter
-        .join(broadcast(sizes.select(col("doc_id").as("i"), col("n").as("n_i"))), Seq("i"))
-        .join(broadcast(sizes.select(col("doc_id").as("j"), col("n").as("n_j"))), Seq("j"))
+        .join(sizes.select(col("doc_id").as("i"), col("n").as("n_i")), Seq("i"))
+        .join(sizes.select(col("doc_id").as("j"), col("n").as("n_j")), Seq("j"))
         .withColumn("jaccard",
           round(col("inter").cast("double") / (col("n_i") + col("n_j") - col("inter")), 6))
         .filter(col("jaccard") >= JaccardThreshold)
@@ -79,10 +86,22 @@ object PipelineQueries {
     // ScalaTest suite checks recall against the exact pairs instead.
     "dedup_minhash_lsh" -> ((s, dir) => {
       Hashes.register(s)
-      val d = docs(s, dir)
+      // docs under 3 tokens have an empty shingle set → the constant
+      // all-MaxValue signature → they collide with each other in EVERY
+      // band (quadratic blowup on that cohort at scale) yet can never
+      // pass the Jaccard verify (0/0). Drop them before banding.
+      val d = docs(s, dir).filter(size(split(col("text"), " ")) >= 3)
       // one signature evaluation per doc; posexplode fans out the 16 bands
-      val bands = d.select(col("doc_id"),
+      val allBands = d.select(col("doc_id"),
         posexplode(expr("minhash_bands(text)")).as(Seq("band", "bh")))
+      // hot-bucket cap: a bucket with df docs contributes df²/2 candidate
+      // pairs but almost no dedup signal once df is large (same trick as
+      // stop-shingle pruning; a true near-dup pair still collides in its
+      // other 15 bands). The hot list is ≤ N/MaxBandDf rows — AQE picks
+      // the join side; no forced broadcast.
+      val hot = allBands.groupBy("band", "bh").agg(count(lit(1)).as("df"))
+        .filter(col("df") > MaxBandDf).select("band", "bh")
+      val bands = allBands.join(hot, Seq("band", "bh"), "left_anti")
       val cand = bands.as("a")
         .join(bands.as("b"),
           col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
@@ -210,7 +229,7 @@ object PipelineQueries {
     "text_quality" ->
       s"""SELECT doc_id,
          |       len(string_split(text, ' ')) AS n_tokens,
-         |       list_sum(list_transform(string_split(text, ' '), x -> length(x))) AS sum_len,
+         |       CAST(list_sum(list_transform(string_split(text, ' '), x -> length(x))) AS BIGINT) AS sum_len,
          |       len(list_filter(string_split(lower(text), ' '), x -> x IN ($stopListSql))) AS n_stop,
          |       len(string_split_regex(text, '[^a-z0-9]+')) AS n_subtokens,
          |       round(list_sum(list_transform(string_split(text, ' '), x -> length(x))) * 1.0
@@ -226,7 +245,7 @@ object PipelineQueries {
          |FROM documents GROUP BY 1, 2 ORDER BY lang, pred_lang""".stripMargin,
     "text_tokens" ->
       """SELECT lang, count(*) AS n_docs,
-        |       sum(len(string_split(text, ' '))) AS total_tokens,
+        |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
         |       round(avg(len(string_split(text, ' '))), 4) AS avg_tokens
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
   )

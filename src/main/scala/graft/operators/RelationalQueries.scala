@@ -27,7 +27,9 @@ object RelationalQueries {
     // TPC-H Q1-shaped pricing summary: hash agg with partial aggregation
     "q1_pricing" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
-      li.filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
+      // to_timestamp resolves via spark.sql.session.timeZone (UTC), unlike
+      // a java.sql.Timestamp literal which parses in the JVM default zone
+      li.filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02 00:00:00")))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           round(sum("l_quantity"), 2).as("sum_qty"),
@@ -439,7 +441,7 @@ object RelationalQueries {
         |ORDER BY o_orderpriority, quartile""".stripMargin,
     "regexp_funcs" ->
       """SELECT CAST(regexp_extract(source, '(\d+)', 1) AS BIGINT) AS src_num,
-        |       count(*) AS cnt, sum(n_chars) AS total_chars
+        |       count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY 1 ORDER BY src_num""".stripMargin,
     "array_funcs" ->
       """SELECT vec_id,
@@ -495,7 +497,7 @@ object RelationalQueries {
         |         sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
         |  FROM x)
-        |SELECT user_id, max(sess) AS n_sessions, count(*) AS n_events
+        |SELECT user_id, CAST(max(sess) AS BIGINT) AS n_sessions, count(*) AS n_events
         |FROM y GROUP BY user_id ORDER BY user_id""".stripMargin,
     "events_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,

@@ -82,20 +82,22 @@ object SimilarityQueries {
       val bandStructs = (0 until NumBands).map(b =>
         struct(lit(b).as("band"), bandVal(b).as("bv")))
       val e = emb(s, dir)
-      val bands = e.select(col("vec_id"), col("v"), col("norm"),
-          explode(array(bandStructs: _*)).as("e"))
-        .select(col("vec_id"), col("v"), col("norm"),
-          col("e.band").as("band"), col("e.bv").as("bv"))
+      // band relation carries ONLY (vec_id, band, bv): the 64-dim vector
+      // would make the 8× explode and the distinct() 8× wider than needed;
+      // vectors join back after the candidate ids are deduped
+      val bands = e.select(col("vec_id"), explode(array(bandStructs: _*)).as("e"))
+        .select(col("vec_id"), col("e.band").as("band"), col("e.bv").as("bv"))
       val probeBands = bands.filter(col("vec_id") < 10)
         .select(col("vec_id").as("probe_id"), col("band").as("pband"), col("bv").as("pbv"))
-      val cand = bands.join(broadcast(probeBands),
+      val candIds = bands.join(broadcast(probeBands),
           col("band") === col("pband") && col("bv") === col("pbv") &&
             col("vec_id") =!= col("probe_id"))
-        .select(col("probe_id"), col("vec_id"), col("v"), col("norm"))
+        .select(col("probe_id"), col("vec_id"))
         .distinct()
       val probes = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("norm").as("pn"))
-      val scored = cand.join(broadcast(probes), Seq("probe_id"))
+      val scored = candIds.join(e, Seq("vec_id"))
+        .join(broadcast(probes), Seq("probe_id"))
         .withColumn("cos", round(dot(col("pv"), col("v")) / (col("pn") * col("norm")), 6))
         .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("cos"))
       rankTopK(scored)

@@ -76,10 +76,17 @@ final class StreamingMapIndex(
  * the buckets holding the changed keys (meta back-pointer lookup) — the
  * configuration a 100 TB deployment runs, where rewriting the whole view
  * per micro-batch is not an option.
+ *
+ * Cascades (`index.pipe(secondary)`, `index.js:250-253`) chain per
+ * micro-batch exactly like the flat path: the downstream refresh is scoped
+ * to the upstream keys this batch touched, so it too rewrites only the
+ * buckets those keys live in — incremental propagation end to end
+ * (`tests/test-replication.js:27-51`).
  */
 final class BucketedStreamingMapIndex(
     index: MapIndex,
-    store: graft.engine.BucketedViewStore) {
+    store: graft.engine.BucketedViewStore,
+    cascades: Seq[MapIndex] = Nil) {
 
   def applyBatch(batch: DataFrame): Unit = {
     val hasTombstones = batch.columns.contains("deleted")
@@ -92,6 +99,26 @@ final class BucketedStreamingMapIndex(
       else None
     if (store.manifest(index.name).isEmpty) store.materialize(index, upserts)
     else store.refresh(index, upserts, deletes)
+    if (cascades.nonEmpty) {
+      val touched = deletes
+        .map(index.touchedKeys(upserts).union(_))
+        .getOrElse(index.touchedKeys(upserts))
+        .distinct()
+      val view = store.df(index.name)
+      cascades.foreach { next =>
+        if (store.manifest(next.name).isEmpty)
+          store.materialize(next, MaterializedView.cascadeSourceOf(view))
+        else {
+          // grouped emissions of just the touched upstream keys: broadcast
+          // semi-join BEFORE the group-collect, so only batch-sized data is
+          // aggregated (the upstream scan stays filter-only — emissions are
+          // bucketed by emit_key, so one src_key's rows span buckets)
+          val changedSource = MaterializedView.cascadeSourceOf(
+            view.join(broadcast(touched), Seq("src_key"), "left_semi"))
+          store.refresh(next, changedSource, Some(touched))
+        }
+      }
+    }
   }
 
   def writer(entries: DataFrame): DataStreamWriter[org.apache.spark.sql.Row] =
