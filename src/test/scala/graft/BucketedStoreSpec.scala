@@ -65,6 +65,25 @@ class BucketedStoreSpec extends AnyFunSuite with SparkSpec {
     assert(snapshot(bucketed.df(idx.name)) === snapshot(flatV2.df))
   }
 
+  test("refresh garbage-collects superseded bucket versions (one grace kept)") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val store = BucketedViewStore.temp(spark, numBuckets = 4)
+    store.materialize(idx, rows(40).toDF("key", "v"))
+    // repeated refreshes of the same key bump its buckets several times
+    (1 to 3).foreach(i => store.refresh(idx, Seq("k1" -> (100 + i)).toDF("key", "v")))
+    store.manifest(idx.name).foreach { case ((kind, b), v) =>
+      val bdir = Paths.get(store.baseDir, idx.name)
+        .resolve(if (kind == "emit") s"kb=$b" else s"meta/mb=$b")
+      val onDisk = Files.list(bdir).iterator().asScala
+        .map(_.getFileName.toString).filter(_.startsWith("v"))
+        .map(_.drop(1).toInt).toSeq
+      assert(onDisk.forall(_ >= v - 1),
+        s"$kind bucket $b: live v$v but stale versions ${onDisk.sorted} on disk")
+    }
+    assert(store.get(idx.name, "k1").as[Int].collect().toSeq === Seq(103))
+  }
+
   test("tombstone removes the key from data and meta; get returns empty") {
     val store = BucketedViewStore.temp(spark, numBuckets = 8)
     store.materialize(idx, rows(20).toDF("key", "v"))

@@ -41,6 +41,22 @@ class LayoutSpec extends AnyFunSuite with SparkSpec {
     assert(joined.count() === raw.count())
   }
 
+  test("registered layout_bucketed_join plan has no exchange under the join") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val q = SparkEntry.queries("layout_bucketed_join")(spark, "/root/testdata/sf0.001")
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ, plan:\n$plan")
+      // the only exchange allowed is the final tiny aggregation; the join
+      // keys must be satisfied by the bucketing metadata
+      assert(!plan.contains("hashpartitioning(o_custkey") &&
+        !plan.contains("hashpartitioning(c_custkey"),
+        s"join sides should be co-located via bucketing, plan:\n$plan")
+      assert(q.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("salted aggregation equals direct aggregation on skewed data") {
     // 10k rows where one key holds 90% of the data
     val skewed = spark.range(10000)

@@ -120,6 +120,27 @@ class MapIndexSpec extends AnyFunSuite with SparkSpec {
     assert(groups("g") === Seq(10, 11, 20, 21))
   }
 
+  test("grouped() order holds past the sort-based aggregation fallback") {
+    val store = ViewStore.temp(spark)
+    // 600 groups over 4 shuffle partitions = 150 groups/partition — past
+    // spark.sql.objectHashAggregate.sortBased.fallbackThreshold (128), so
+    // ObjectHashAggregateExec switches to sort-based merge mid-stream;
+    // the explicit (uid, value) sort must keep per-group order regardless
+    val src = spark.range(2400).select(
+      concat(lit("s"), col("id")).as("key"),
+      (col("id") % 600).cast("string").as("g"),
+      col("id").as("v"))
+    val idx = MapIndex.columns("manygroups")(col("key"),
+      array(emit(col("g"), col("v"))))
+    val view = idx.materialize(src.coalesce(1), store)
+    val groups = view.grouped().as[(String, Seq[Long])].collect()
+    assert(groups.length === 600)
+    groups.foreach { case (g, vals) =>
+      assert(vals.length === 4, s"group $g: $vals")
+      assert(vals === vals.sorted, s"group $g out of emission order: $vals")
+    }
+  }
+
   test("cascade: secondary view sees upstream writes (test-replication.js:27-37)") {
     val store = ViewStore.temp(spark)
     val primary = primaryIndex()

@@ -91,6 +91,49 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(bumped <= 2, s"micro-batch of one key bumped $bumped buckets") // 1 emit + 1 meta
   }
 
+  test("bucketed streaming cascade propagates incremental changes (O17 at scale)") {
+    import graft.engine.BucketedViewStore
+    import graft.streaming.BucketedStreamingMapIndex
+    val store = BucketedViewStore.temp(spark, numBuckets = 8)
+    val idx = MapIndex.columns("bstream_casc")(col("key"),
+      array(emit(lit("test"), col("test"))))
+    val secondary = MapIndex.columns("bstream_casc2")(col("key"),
+      array(emit(lit("test2"), col("value")(0)("emit_value"))))
+    val sm = new BucketedStreamingMapIndex(idx, store, cascades = Seq(secondary))
+    val input = MemoryStream[(String, Int)]
+    val q = sm.writer(input.toDF().toDF("key", "test")).start()
+    input.addData("asdf" -> 123, "other" -> 9)
+    q.processAllAvailable()
+    assert(store.get(secondary.name, "test2").as[Int].collect().sorted
+      === Seq(9, 123))
+    // cascaded overwrite through the bucketed store (test-replication.js:39-51)
+    input.addData("asdf" -> 345)
+    q.processAllAvailable()
+    assert(store.get(secondary.name, "test2").as[Int].collect().sorted
+      === Seq(9, 345))
+    q.stop()
+  }
+
+  test("bucketed streaming tombstone retracts downstream through the cascade") {
+    import graft.engine.BucketedViewStore
+    import graft.streaming.BucketedStreamingMapIndex
+    val store = BucketedViewStore.temp(spark, numBuckets = 8)
+    val idx = MapIndex.columns("bstream_del")(col("key"),
+      array(emit(lit("test"), col("test"))))
+    val secondary = MapIndex.columns("bstream_del2")(col("key"),
+      array(emit(lit("test2"), col("value")(0)("emit_value"))))
+    val sm = new BucketedStreamingMapIndex(idx, store, cascades = Seq(secondary))
+    val input = MemoryStream[(String, Int, Boolean)]
+    val q = sm.writer(input.toDF().toDF("key", "test", "deleted")).start()
+    input.addData(("asdf", 123, false), ("keep", 9, false))
+    q.processAllAvailable()
+    input.addData(("asdf", 0, true)) // {key, deleted: true}
+    q.processAllAvailable()
+    assert(store.get(idx.name, "test").as[Int].collect().toSeq === Seq(9))
+    assert(store.get(secondary.name, "test2").as[Int].collect().toSeq === Seq(9))
+    q.stop()
+  }
+
   test("stateful sessionizer closes sessions across micro-batches") {
     import graft.streaming.StatefulSessionizer
     import graft.streaming.StatefulSessionizer.{ClosedSession, Event}
