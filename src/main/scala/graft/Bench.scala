@@ -39,7 +39,10 @@ object Bench {
     // (SURVEY.md §4.1 compute-on-write); view build is load cost, query
     // timings below measure the read path.
     operators.MapIndexQueries.prewarm(spark, sfDir)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // dev loop: SPARK_GRAFT_ONLY=q1,q2 restricts the run to named queries
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val err = try { fn(spark, sfDir).count(); None }
                 catch { case e: Throwable => Some(e) }

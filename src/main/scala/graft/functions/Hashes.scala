@@ -52,6 +52,42 @@ object Hashes {
   }
 
   /**
+   * shingle_hashes(text): the DISTINCT 64-bit FNV hashes of the document's
+   * 3-token shingles, one pass over the bytes. This replaces the
+   * string-shingle route (`transform(sequence, i => concat_ws(element_at…))`)
+   * in hot paths: higher-order functions are not codegen'd and re-evaluate
+   * the captured token-split per lambda step — ~3×shingles regex splits per
+   * document, interpreted. Here tokenization happens once and no shingle
+   * string is ever materialized; downstream Jaccard math is identical
+   * because only set membership matters (a 64-bit collision across a
+   * corpus's shingles is ~1e-8). Hash = FNV over the token span INCLUDING
+   * separators — the same shingle identity MinHashSig banding uses, so the
+   * exact verify measures exactly what the signatures approximate.
+   */
+  case class ShingleHashes(child: Expression, n: Int = 3)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[UTF8String]
+      val starts = scala.collection.mutable.ArrayBuffer.empty[Int]
+      val ends = scala.collection.mutable.ArrayBuffer.empty[Int]
+      foreachToken(s) { (from, until) => starts += from; ends += until }
+      val seen = new java.util.HashSet[java.lang.Long]()
+      val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var i = 0
+      while (i + n - 1 < starts.length) {
+        val h = tokenHash(s, starts(i), ends(i + n - 1))
+        if (seen.add(h)) out += h
+        i += 1
+      }
+      ArrayData.toArrayData(out.toArray)
+    }
+    override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+      copy(child = newChild)
+    override def prettyName: String = "shingle_hashes"
+  }
+
+  /**
    * simhash64(text): 64-bit SimHash over whitespace tokens — each token
    * hash votes ±1 per bit position; the sign of each counter becomes the
    * output bit. Near-duplicate texts differ in few bits (small hamming
@@ -174,6 +210,7 @@ object Hashes {
   /** Register all in the session's function registry (idempotent). */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("shingle_hashes", es => ShingleHashes(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("simhash64", es => SimHash64(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("minhash_sig", es => MinHashSig(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("minhash_bands", es => MinHashBands(es.head), "scala_udf")

@@ -48,25 +48,37 @@ object PipelineQueries {
         .agg(min("doc_id").as("keeper"), count(lit(1)).as("cnt"))
         .orderBy("fp")),
 
-    // n-gram Jaccard near-dup over pruned shingle sets. Shape: one
-    // equi-join on shingle + one pair-count aggregation — intersection
-    // sizes fall out of the same join that finds the candidates, so no
-    // per-pair array work and exactly one shuffle of the pair stream.
+    // n-gram Jaccard near-dup over pruned shingle sets. Shape: ONE
+    // aggregation of the shingle stream into per-shingle posting lists
+    // (df-capped), from which BOTH the candidate pairs (double explode,
+    // i<j) and the per-doc set sizes derive — the two consumers read the
+    // same exchange (ReusedExchange), so the corpus is scanned and
+    // shingled exactly once. No all-pairs join anywhere; the pair stream
+    // is Σ df² over capped buckets.
     "dedup_ngram_jaccard" -> ((s, dir) => {
-      // join/shuffle on the 64-bit shingle hash, not the string: same
-      // counts (a 64-bit collision across ~corpus shingles is ~1e-8) at a
-      // fraction of the shuffle bytes
+      Hashes.register(s)
+      // one-pass native shingle hashing (no string shingles, no HOF
+      // re-evaluation); aggregating on the 64-bit hash gives the same
+      // counts at a fraction of the compute and shuffle bytes
       val sh = docs(s, dir)
-        .select(col("doc_id"), explode(T.shingles3(col("text"))).as("s"))
-        .select(col("doc_id"), xxhash64(col("s")).as("sh"))
-      val rare = sh.join(
-        sh.groupBy("sh").agg(count(lit(1)).as("df"))
-          .filter(col("df") <= MaxShingleDf), Seq("sh"))
-      val sizes = rare.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val inter = rare.as("a")
-        .join(rare.as("b"),
-          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+        .select(col("doc_id"), explode(expr("shingle_hashes(text)")).as("sh"))
+      // posting list per shingle; stop-shingle cap bounds the fan-out.
+      // Persisted because both candidate-gen and set-sizes consume it:
+      // without the persist Spark re-scans and re-shingles the corpus per
+      // consumer. MEMORY_AND_DISK spills at scale instead of OOMing —
+      // postings is corpus-linear, the usual checkpoint-or-persist case.
+      val postings = sh.groupBy("sh")
+        .agg(collect_list(col("doc_id")).as("docs"))
+        .filter(size(col("docs")) <= MaxShingleDf)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sizes = postings
+        .select(explode(col("docs")).as("doc_id"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = postings
+        .select(explode(col("docs")).as("i"), col("docs"))
+        .select(col("i"), explode(col("docs")).as("j"))
+        .filter(col("i") < col("j"))
+        .groupBy("i", "j")
         .agg(count(lit(1)).as("inter"))
       // no broadcast hint on `sizes`: it is one row per document, so a
       // forced broadcast OOMs the driver at corpus scale — AQE broadcasts
@@ -109,9 +121,9 @@ object PipelineQueries {
         .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
         .distinct()
       // verify candidates with the exact shingle-set Jaccard (same
-      // similarity the signatures approximate); the banded candidate set
-      // is small, so per-pair array intersection is cheap here
-      val tsets = d.select(col("doc_id"), T.shingles3(col("text")).as("ts"))
+      // similarity the signatures approximate); hashed shingle sets make
+      // the per-pair intersection a long-array op, not string compares
+      val tsets = d.select(col("doc_id"), expr("shingle_hashes(text)").as("ts"))
         .withColumn("nt", size(col("ts")))
       cand
         .join(tsets.select(col("doc_id").as("i"), col("ts").as("ts_i"), col("nt").as("nt_i")), Seq("i"))
