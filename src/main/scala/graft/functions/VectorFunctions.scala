@@ -1,0 +1,88 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/**
+ * Native vector math for the similarity operators.
+ *
+ * The declarative alternative — `aggregate(zip_with(a, b, _*_), 0.0, _+_)`
+ * — is a higher-order function: not codegen'd, one lambda dispatch per
+ * element, intermediate product array materialized per row. Fine for a
+ * one-off; wrong for the ANN hot path where every (probe, candidate) pair
+ * pays it. These expressions run a tight primitive loop over the two
+ * ArrayData buffers instead (no per-element dispatch, no intermediates).
+ */
+object VectorFunctions {
+
+  /** vec_dot(a, b): Σ a_i·b_i over array<double>, accumulated left to
+    * right (same order as the sequential HOF fold and the DuckDB oracle's
+    * list_sum, so float results are bit-identical). */
+  case class VecDot(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var acc = 0.0
+      var i = 0
+      while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+      acc
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): VecDot =
+      copy(left = l, right = r)
+    override def prettyName: String = "vec_dot"
+  }
+
+  /**
+   * hyperplane_bands(v): the `bands` random-hyperplane LSH band values of a
+   * vector, one pass. Plane (j) component (i) is ±1 from
+   * `splitmix64(j*7919 + i) & 1`; band value packs `bitsPerBand` sign
+   * bits. One evaluation computes all planes while the vector is hot in
+   * cache — the per-band expression route re-reads the 64-dim array once
+   * per plane (32×) through interpreted HOFs.
+   */
+  case class HyperplaneBands(child: Expression, bands: Int = 8, bitsPerBand: Int = 4)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val v = input.asInstanceOf[ArrayData]
+      val dim = v.numElements()
+      val out = new Array[Long](bands)
+      var b = 0
+      while (b < bands) {
+        var bv = 0L
+        var k = 0
+        while (k < bitsPerBand) {
+          val j = b * bitsPerBand + k
+          var dot = 0.0
+          var i = 0
+          while (i < dim) {
+            val sign = if ((Hashes.splitmix64(j.toLong * 7919L + i) & 1L) == 0L) 1.0 else -1.0
+            dot += sign * v.getDouble(i)
+            i += 1
+          }
+          if (dot > 0) bv |= (1L << k)
+          k += 1
+        }
+        out(b) = bv
+        b += 1
+      }
+      ArrayData.toArrayData(out)
+    }
+    override protected def withNewChildInternal(newChild: Expression): HyperplaneBands =
+      copy(child = newChild)
+    override def prettyName: String = "hyperplane_bands"
+  }
+
+  /** Register in the session's function registry (idempotent). */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("vec_dot", es => VecDot(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("hyperplane_bands", es => HyperplaneBands(es.head), "scala_udf")
+  }
+}

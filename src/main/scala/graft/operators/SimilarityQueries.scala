@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.engine.Tables
-import graft.functions.Hashes
+import graft.functions.VectorFunctions
 
 /**
  * Approximate-nearest-neighbor search over the `embeddings` table
@@ -25,29 +25,23 @@ import graft.functions.Hashes
 object SimilarityQueries {
 
   private val K = 5
-  private val NumBands = 8
-  private val BitsPerBand = 4
-  private val NumPlanes = NumBands * BitsPerBand
-  private val Dim = 64
 
-  /** Deterministic pseudo-random ±1 hyperplanes from splitmix64. */
-  private lazy val planes: Seq[Seq[Double]] =
-    (0 until NumPlanes).map { j =>
-      (0 until Dim).map { i =>
-        if ((Hashes.splitmix64(j.toLong * 7919L + i) & 1L) == 0L) 1.0 else -1.0
-      }
-    }
-
+  /** Native tight-loop dot product (graft.functions.VectorFunctions) —
+    * the HOF spelling (`aggregate(zip_with(...))`) pays one interpreted
+    * lambda dispatch per element on every (probe, candidate) pair.
+    * Callers go through emb(), which registers the function. */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    call_function("vec_dot", a, b)
 
-  private def emb(s: SparkSession, dir: String): DataFrame =
+  private def emb(s: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(s)
     Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+      .withColumn("norm", sqrt(expr("vec_dot(v, v)")))
       // an all-zero vector has no cosine; ANSI mode would throw on the
       // division, so exclude rather than crash (none exist in this data)
       .filter(col("norm") > 0)
+  }
 
   private def rankTopK(scored: DataFrame): DataFrame = {
     val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("neighbor_id"))
@@ -74,19 +68,13 @@ object SimilarityQueries {
     // No SQL oracle (engine-defined planes); recall vs. brute force is
     // asserted in the ScalaTest suite.
     "sim_lsh_topk" -> ((s, dir) => {
-      def bandVal(b: Int): Column =
-        (0 until BitsPerBand).map { k =>
-          val p = planes(b * BitsPerBand + k)
-          when(dot(col("v"), typedLit(p)) > 0, lit(1L << k)).otherwise(lit(0L))
-        }.reduce(_ + _)
-      val bandStructs = (0 until NumBands).map(b =>
-        struct(lit(b).as("band"), bandVal(b).as("bv")))
       val e = emb(s, dir)
       // band relation carries ONLY (vec_id, band, bv): the 64-dim vector
       // would make the 8× explode and the distinct() 8× wider than needed;
-      // vectors join back after the candidate ids are deduped
-      val bands = e.select(col("vec_id"), explode(array(bandStructs: _*)).as("e"))
-        .select(col("vec_id"), col("e.band").as("band"), col("e.bv").as("bv"))
+      // vectors join back after the candidate ids are deduped. All 8 band
+      // values come from ONE hyperplane_bands evaluation per vector.
+      val bands = e.select(col("vec_id"),
+        posexplode(expr("hyperplane_bands(v)")).as(Seq("band", "bv")))
       val probeBands = bands.filter(col("vec_id") < 10)
         .select(col("vec_id").as("probe_id"), col("band").as("pband"), col("bv").as("pbv"))
       val candIds = bands.join(broadcast(probeBands),
