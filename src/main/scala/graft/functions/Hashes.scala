@@ -190,6 +190,54 @@ object Hashes {
     override def prettyName: String = "minhash_bands"
   }
 
+  /**
+   * winnow_hashes(text): winnowing document fingerprints (Schleimer et al.,
+   * the MOSS scheme): rolling polynomial hash over every k-byte character
+   * gram, then the minimum hash of each w-gram window — guarantees any
+   * shared substring of length ≥ w+k-1 contributes a shared fingerprint,
+   * while keeping ~2/(w+1) of the grams. Output is the distinct selected
+   * hashes; docs shorter than k bytes fingerprint to an empty set.
+   */
+  case class WinnowHashes(child: Expression, k: Int = 8, w: Int = 16)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val b = input.asInstanceOf[UTF8String].getBytes
+      if (b.length < k) return ArrayData.toArrayData(Array.empty[Long])
+      val n = b.length - k + 1
+      val hs = new Array[Long](n)
+      val base = 1000003L
+      var pow = 1L
+      var i = 1
+      while (i < k) { pow *= base; i += 1 }
+      var h = 0L
+      i = 0
+      while (i < k) { h = h * base + (b(i) & 0xff); i += 1 }
+      hs(0) = splitmix64(h)
+      i = 1
+      while (i < n) {
+        h = (h - (b(i - 1) & 0xff) * pow) * base + (b(i + k - 1) & 0xff)
+        hs(i) = splitmix64(h)
+        i += 1
+      }
+      val seen = new java.util.HashSet[java.lang.Long]()
+      val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val windows = math.max(1, n - w + 1)
+      var start = 0
+      while (start < windows) {
+        var m = hs(start)
+        var j = start + 1
+        while (j < math.min(start + w, n)) { if (hs(j) <= m) m = hs(j); j += 1 }
+        if (seen.add(m)) out += m
+        start += 1
+      }
+      ArrayData.toArrayData(out.toArray)
+    }
+    override protected def withNewChildInternal(newChild: Expression): WinnowHashes =
+      copy(child = newChild)
+    override def prettyName: String = "winnow_hashes"
+  }
+
   /** simhash_full(text): `[simhash64, band0..band7]` (8-bit bands) in one
     * evaluation — same per-band re-evaluation trap as minhash_bands. */
   case class SimHashFull(child: Expression) extends UnaryExpression with CodegenFallback {
@@ -211,6 +259,7 @@ object Hashes {
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("shingle_hashes", es => ShingleHashes(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("winnow_hashes", es => WinnowHashes(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("simhash64", es => SimHash64(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("minhash_sig", es => MinHashSig(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("minhash_bands", es => MinHashBands(es.head), "scala_udf")

@@ -35,6 +35,14 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", sort_array(array_distinct(tokens(lower(text))))))
 
+  /** GPT-2-ish pre-tokenizer: contraction suffix, space-prefixed letter
+    * run, space-prefixed digit run, space-prefixed punctuation run.
+    * Restricted to syntax RE2 and java.util.regex agree on (no
+    * lookarounds), so the Spark query and the DuckDB oracle segment
+    * identically. */
+  val BpeishPattern: String =
+    "'[a-z]+| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+"
+
   val stopwords: Seq[String] =
     Seq("the", "a", "an", "of", "and", "to", "in", "is", "it", "on")
 

@@ -32,6 +32,31 @@ object PipelineQueries {
 
   private def docs(s: SparkSession, dir: String): DataFrame = Tables.documents(s, dir)
 
+  /**
+   * Shared candidate-generation core for set-overlap dedup: aggregate a
+   * `(doc_id, key)` stream into per-key posting lists (df-capped — a hot
+   * key is df² candidate pairs of noise), then derive BOTH the pair
+   * intersection counts (double explode, i<j) and the per-doc set sizes
+   * from that one persisted relation, so the input is computed exactly
+   * once. Returns (inter: i,j,inter — sizes: doc_id,n).
+   */
+  private def postingStats(items: DataFrame, maxDf: Int): (DataFrame, DataFrame) = {
+    val postings = items.toDF("doc_id", "key")
+      .groupBy("key").agg(collect_list(col("doc_id")).as("docs"))
+      .filter(size(col("docs")) <= maxDf)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = postings
+      .select(explode(col("docs")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = postings
+      .select(explode(col("docs")).as("i"), col("docs"))
+      .select(col("i"), explode(col("docs")).as("j"))
+      .filter(col("i") < col("j"))
+      .groupBy("i", "j")
+      .agg(count(lit(1)).as("inter"))
+    (inter, sizes)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // exact dedup: group by content hash, keep lowest doc_id
@@ -62,24 +87,7 @@ object PipelineQueries {
       // counts at a fraction of the compute and shuffle bytes
       val sh = docs(s, dir)
         .select(col("doc_id"), explode(expr("shingle_hashes(text)")).as("sh"))
-      // posting list per shingle; stop-shingle cap bounds the fan-out.
-      // Persisted because both candidate-gen and set-sizes consume it:
-      // without the persist Spark re-scans and re-shingles the corpus per
-      // consumer. MEMORY_AND_DISK spills at scale instead of OOMing —
-      // postings is corpus-linear, the usual checkpoint-or-persist case.
-      val postings = sh.groupBy("sh")
-        .agg(collect_list(col("doc_id")).as("docs"))
-        .filter(size(col("docs")) <= MaxShingleDf)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val sizes = postings
-        .select(explode(col("docs")).as("doc_id"))
-        .groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val inter = postings
-        .select(explode(col("docs")).as("i"), col("docs"))
-        .select(col("i"), explode(col("docs")).as("j"))
-        .filter(col("i") < col("j"))
-        .groupBy("i", "j")
-        .agg(count(lit(1)).as("inter"))
+      val (inter, sizes) = postingStats(sh, MaxShingleDf)
       // no broadcast hint on `sizes`: it is one row per document, so a
       // forced broadcast OOMs the driver at corpus scale — AQE broadcasts
       // it anyway while it is actually small
@@ -162,6 +170,27 @@ object PipelineQueries {
         .orderBy("i", "j")
     }),
 
+    // winnowing (rolling-hash) near-dup: MOSS-style character-gram
+    // fingerprints guarantee any shared run of ≥ w+k-1 bytes yields a
+    // shared fingerprint — catches copy-paste overlap that token-set
+    // measures dilute. Overlap = shared / min(|A|, |B|) (containment, so
+    // a short doc pasted into a long one still scores high). No SQL
+    // oracle (engine-defined hash); invariants are spec-tested.
+    "dedup_winnow" -> ((s, dir) => {
+      Hashes.register(s)
+      val fps = docs(s, dir)
+        .select(col("doc_id"), explode(expr("winnow_hashes(text)")).as("fp"))
+      val (shared, sizes) = postingStats(fps, MaxShingleDf)
+      shared
+        .join(sizes.select(col("doc_id").as("i"), col("n").as("n_i")), Seq("i"))
+        .join(sizes.select(col("doc_id").as("j"), col("n").as("n_j")), Seq("j"))
+        .withColumn("overlap",
+          round(col("inter").cast("double") / least(col("n_i"), col("n_j")), 6))
+        .filter(col("overlap") >= JaccardThreshold)
+        .select(col("i"), col("j"), col("overlap"))
+        .orderBy("i", "j")
+    }),
+
     // ---- text analysis ---------------------------------------------------
     "text_quality" -> ((s, dir) => {
       val t = T.tokens(col("text"))
@@ -199,6 +228,19 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_docs"),
           sum("n_tokens").as("total_tokens"),
           round(avg("n_tokens"), 4).as("avg_tokens"))
+        .orderBy("lang")),
+
+    // BPE-style pre-tokenizer counts (GPT-2-ish segmentation: contraction
+    // suffixes, space-prefixed letter/digit runs, punctuation runs) — the
+    // token-budget estimate a training pipeline runs before the real BPE
+    "text_bpe_tokens" -> ((s, dir) =>
+      docs(s, dir)
+        .withColumn("n_bpe",
+          size(regexp_extract_all(col("text"), lit(T.BpeishPattern), lit(0))).cast("long"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_bpe").as("total_bpe"),
+          round(avg("n_bpe"), 4).as("avg_bpe"))
         .orderBy("lang")),
   )
 
@@ -260,5 +302,12 @@ object PipelineQueries {
         |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
         |       round(avg(len(string_split(text, ' '))), 4) AS avg_tokens
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "text_bpe_tokens" -> {
+      val p = T.BpeishPattern.replace("'", "''") // SQL string-literal quoting
+      s"""SELECT lang, count(*) AS n_docs,
+         |       CAST(sum(len(regexp_extract_all(text, '$p'))) AS BIGINT) AS total_bpe,
+         |       round(avg(len(regexp_extract_all(text, '$p'))), 4) AS avg_bpe
+         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+    },
   )
 }

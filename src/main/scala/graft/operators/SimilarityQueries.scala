@@ -25,6 +25,13 @@ import graft.functions.VectorFunctions
 object SimilarityQueries {
 
   private val K = 5
+  /** embedding near-dup threshold — low because the synthetic vectors are
+    * random (max pairwise cosine ≈ 0.51); a real corpus runs ≥ 0.9 */
+  private val EmbDupThreshold = 0.4
+  /** band buckets above this df are pruned before the self-join (df² pairs
+    * of noise). At production scale bits-per-band is the knob that keeps
+    * bucket populations bounded: size 2^bits ≫ N / tolerable-bucket-df. */
+  private val MaxBandDf = 500
 
   /** Native tight-loop dot product (graft.functions.VectorFunctions) —
     * the HOF spelling (`aggregate(zip_with(...))`) pays one interpreted
@@ -89,6 +96,34 @@ object SimilarityQueries {
         .withColumn("cos", round(dot(col("pv"), col("v")) / (col("pn") * col("norm")), 6))
         .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("cos"))
       rankTopK(scored)
+    }),
+
+    // embedding-cosine near-dup over the whole corpus: hyperplane-band
+    // candidate pairs (df-capped buckets) + exact cosine verify — the
+    // all-pairs analog of sim_lsh_topk's probe search. No SQL oracle
+    // (engine-defined planes); recall vs. the exact pair set is asserted
+    // in the ScalaTest suite. Dense exact similarity join is inherently
+    // O(n²); the banded candidate-gen is the standard scale shape.
+    "dedup_embedding" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val allBands = e.select(col("vec_id"),
+        posexplode(expr("hyperplane_bands(v)")).as(Seq("band", "bv")))
+      val hot = allBands.groupBy("band", "bv").agg(count(lit(1)).as("df"))
+        .filter(col("df") > MaxBandDf).select("band", "bv")
+      val bands = allBands.join(hot, Seq("band", "bv"), "left_anti")
+      val cand = bands.as("a")
+        .join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"))
+        .distinct()
+      cand
+        .join(e.select(col("vec_id").as("i"), col("v").as("vi"), col("norm").as("ni")), Seq("i"))
+        .join(e.select(col("vec_id").as("j"), col("v").as("vj"), col("norm").as("nj")), Seq("j"))
+        .withColumn("cos", round(dot(col("vi"), col("vj")) / (col("ni") * col("nj")), 6))
+        .filter(col("cos") >= EmbDupThreshold)
+        .select(col("i"), col("j"), col("cos"))
+        .orderBy("i", "j")
     }),
   )
 

@@ -127,6 +127,18 @@ final class BucketedStreamingMapIndex(
       .foreachBatch { (batch: DataFrame, _: Long) => applyBatch(batch) }
 }
 
+/** Streaming exact deduplication for an ingest pipeline: keep the first
+  * document per content hash. `dropDuplicatesWithinWatermark` bounds the
+  * dedup state — a hash is only held until the watermark passes it, so
+  * state is proportional to the watermark window, not the corpus (the
+  * batch `dedup_exact` pass is the cross-window backstop). */
+object StreamingDedup {
+  def firstPerContent(docs: DataFrame, watermark: String = "1 hour"): DataFrame =
+    docs.withColumn("content_hash", md5(col("text")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("content_hash")
+}
+
 /** Event-time analytics over a stream: windowed aggregation with
   * watermarked late-data handling — the capability layer the reference's
   * ordering-only write path never had (SURVEY.md §2.2 streaming row). */

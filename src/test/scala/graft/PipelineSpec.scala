@@ -87,6 +87,48 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(fps(0) !== fps(2))
   }
 
+  test("winnow fingerprints: identical docs share all, edits share most") {
+    Hashes.register(spark)
+    val base = "the quick brown fox jumps over the lazy dog and then runs far away into the woods tonight"
+    val edited = base.replace("lazy", "busy")
+    val other = "completely different content with no overlap whatsoever in any of its characters at all here"
+    val df = Seq((1, base), (2, base), (3, edited), (4, other))
+      .toDF("id", "text").withColumn("fp", expr("winnow_hashes(text)"))
+    val m = df.select("id", "fp").as[(Int, Seq[Long])].collect().toMap
+    assert(m(1) === m(2), "identical docs must fingerprint identically")
+    val sharedEdit = m(1).toSet.intersect(m(3).toSet).size.toDouble / m(1).size
+    val sharedOther = m(1).toSet.intersect(m(4).toSet).size.toDouble / m(1).size
+    assert(sharedEdit > 0.5, s"one-word edit shares only $sharedEdit")
+    assert(sharedOther < 0.1, s"unrelated doc shares $sharedOther")
+    // short doc: empty fingerprint set, not a crash
+    assert(Seq((5, "tiny")).toDF("id", "text")
+      .select(expr("winnow_hashes(text)")).as[Seq[Long]].head().isEmpty)
+  }
+
+  test("dedup_winnow reports sane overlaps and full-containment pairs") {
+    // sf0.01's corpus has no byte-identical dups (dedup_exact = 500 distinct
+    // hashes) but plenty of copy-paste near-dups — winnow must surface them
+    val res = PipelineQueries.queries("dedup_winnow")(spark, "/root/testdata/sf0.01")
+      .as[(Long, Long, Double)].collect()
+    assert(res.nonEmpty, "fixture contains near-dups; winnow must find them")
+    assert(res.forall { case (i, j, ov) => i < j && ov >= 0.5 && ov <= 1.0 })
+    // heavy-overlap documents exist (fingerprint-identical clusters): some
+    // pair must reach full fingerprint containment
+    assert(res.exists(_._3 === 1.0), "expected at least one full-containment pair")
+  }
+
+  test("dedup_embedding matches brute-force pairs it reports; recall is sane") {
+    import graft.operators.SimilarityQueries
+    val got = SimilarityQueries.queries("dedup_embedding")(spark, sf)
+      .as[(Long, Long, Double)].collect()
+    assert(got.forall { case (i, j, cos) => i < j && cos >= 0.4 })
+    // every reported pair must agree with a direct cosine computation
+    val brute = PipelineSpec.bruteCosPairs(spark, sf, 0.4)
+    assert(got.forall { case (i, j, _) => brute.contains((i, j)) })
+    val recall = brute.count(p => got.exists(g => (g._1, g._2) == p)).toDouble / brute.size
+    assert(recall >= 0.4, s"embedding near-dup recall $recall of ${brute.size}")
+  }
+
   test("banded hyperplane LSH ANN achieves recall >= 0.4 of brute-force top-5") {
     val brute = SimilarityQueries.queries("sim_brute_topk")(spark, sf)
       .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
@@ -100,5 +142,24 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(recall >= 0.4, s"ANN recall $recall")
     // every LSH hit must be a genuine corpus vector pair (sanity)
     assert(lsh.forall { case (p, n) => p < 10 && n != p })
+  }
+}
+
+object PipelineSpec {
+  /** Exact cosine-threshold pair set (test oracle for the banded dedup). */
+  def bruteCosPairs(spark: org.apache.spark.sql.SparkSession, sf: String,
+      thr: Double): Set[(Long, Long)] = {
+    import spark.implicits._
+    graft.functions.VectorFunctions.register(spark)
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", sqrt(call_function("vec_dot", col("v"), col("v"))))
+    val a = e.select(col("vec_id").as("i"), col("v").as("vi"), col("norm").as("ni"))
+    val b = e.select(col("vec_id").as("j"), col("v").as("vj"), col("norm").as("nj"))
+    a.join(b, col("i") < col("j"))
+      .withColumn("cos",
+        round(call_function("vec_dot", col("vi"), col("vj")) / (col("ni") * col("nj")), 6))
+      .filter(col("cos") >= thr)
+      .select("i", "j").as[(Long, Long)].collect().toSet
   }
 }

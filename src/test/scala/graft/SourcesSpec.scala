@@ -35,6 +35,17 @@ class SourcesSpec extends AnyFunSuite with SparkSpec {
       agg.as[(String, Long)].collect().toMap)
   }
 
+  test("query results round-trip through orc") {
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val agg = li.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("cnt"), round(sum("l_quantity"), 2).as("qty"))
+    val path = tmp("graft-orc-")
+    agg.write.mode("overwrite").orc(path)
+    val back = spark.read.orc(path)
+    assert(back.as[(String, Long, Double)].collect().sortBy(_._1).toSeq ===
+      agg.as[(String, Long, Double)].collect().sortBy(_._1).toSeq)
+  }
+
   test("source entries ingest from json documents (schema-free value model)") {
     val path = tmp("graft-src-")
     Files.writeString(java.nio.file.Paths.get(path, "data.json"),

@@ -159,6 +159,28 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     q.stop()
   }
 
+  test("streaming exact dedup keeps first doc per content hash, bounded state") {
+    import graft.streaming.StreamingDedup
+    val input = MemoryStream[(Timestamp, String, String)]
+    val docs = input.toDF().toDF("ts", "doc_id", "text")
+    val q = StreamingDedup.firstPerContent(docs).writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory").queryName("dedup_out")
+      .start()
+    def t(s: String) = Timestamp.valueOf(s)
+    input.addData(
+      (t("2024-01-01 10:00:00"), "d1", "alpha beta"),
+      (t("2024-01-01 10:01:00"), "d2", "alpha beta"), // dup in-batch
+      (t("2024-01-01 10:02:00"), "d3", "gamma delta"))
+    q.processAllAvailable()
+    input.addData((t("2024-01-01 10:30:00"), "d4", "alpha beta")) // dup cross-batch
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("dedup_out").select("doc_id").as[String].collect().toSet
+    assert(kept.intersect(Set("d1", "d2")).size === 1) // exactly one of the dups
+    assert(kept.contains("d3") && !kept.contains("d4"))
+  }
+
   test("watermarked hourly window agg emits closed windows in append mode") {
     val input = MemoryStream[(Timestamp, String, Double)]
     val events = input.toDF().toDF("ts", "event_type", "value")
