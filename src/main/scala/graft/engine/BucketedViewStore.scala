@@ -42,6 +42,23 @@ final class BucketedViewStore(
 
   private def root(name: String): Path = Paths.get(baseDir, name)
   private def manifestFile(name: String): Path = root(name).resolve("_MANIFEST")
+  private def schemaFile(name: String): Path = root(name).resolve("_SCHEMA")
+
+  /** Persisted emission schema: lets a view whose every bucket emptied
+    * (all keys tombstoned) still read as an empty relation. */
+  private def writeSchema(name: String, df: DataFrame): Unit = {
+    Files.createDirectories(root(name))
+    Files.writeString(schemaFile(name), df.schema.json)
+  }
+
+  private def emptyDf(name: String): DataFrame = {
+    require(Files.exists(schemaFile(name)),
+      s"view '$name' not materialized in $baseDir")
+    val schema = org.apache.spark.sql.types.DataType
+      .fromJson(Files.readString(schemaFile(name)))
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+  }
 
   private def bucketExpr(key: Column): Column =
     pmod(xxhash64(key.cast("string")), lit(numBuckets))
@@ -91,7 +108,20 @@ final class BucketedViewStore(
     val out = scala.collection.mutable.Map.empty[(String, Int), Int]
     expected.foreach { b =>
       val staged = staging.resolve(s"$bcol=$b")
-      val v1 = prev.get((kind, b)).getOrElse(-1) + 1
+      // next version continues past BOTH the manifest and any stale dirs on
+      // disk: a bucket that went empty is dropped from the manifest but its
+      // old version dirs remain (grace copy) — restarting at v0 would
+      // collide with them when the bucket later gets rows again
+      val onDisk = {
+        val parent = Paths.get(bucketPath(name, kind, b, 0)).getParent
+        if (!Files.exists(parent)) -1
+        else Files.list(parent).iterator().asScala
+          .map(_.getFileName.toString)
+          .collect { case s if s.startsWith("v") && s.drop(1).forall(_.isDigit) =>
+            s.drop(1).toInt }
+          .foldLeft(-1)(math.max)
+      }
+      val v1 = math.max(prev.get((kind, b)).getOrElse(-1), onDisk) + 1
       if (Files.exists(staged)) {
         val dest = Paths.get(bucketPath(name, kind, b, v1))
         Files.createDirectories(dest.getParent)
@@ -109,11 +139,12 @@ final class BucketedViewStore(
 
   // ---- reads -------------------------------------------------------------
 
-  /** Full emission relation (all live emit buckets). */
+  /** Full emission relation (all live emit buckets; empty-schema relation
+    * when every bucket has been tombstoned away). */
   def df(name: String): DataFrame = {
     val paths = livePaths(name, Emit)
-    require(paths.nonEmpty, s"view '$name' not materialized in $baseDir")
-    spark.read.parquet(paths: _*)
+    if (paths.isEmpty) emptyDf(name)
+    else spark.read.parquet(paths: _*)
   }
 
   /** Point lookup pruned to the single bucket that can hold the key. */
@@ -145,6 +176,7 @@ final class BucketedViewStore(
   def materialize(index: MapIndex, source: DataFrame): Unit = {
     val name = index.name
     val emissions = withBuckets(index.emissions(source)).cache()
+    writeSchema(name, emissions)
     val all = (0 until numBuckets).toSet
     val m = stagedWrite(name, Emit, emissions, "kb", all, Map.empty) ++
       stagedWrite(name, Meta, metaOf(emissions), "mb", all, Map.empty)

@@ -84,6 +84,22 @@ class BucketedStoreSpec extends AnyFunSuite with SparkSpec {
     assert(store.get(idx.name, "k1").as[Int].collect().toSeq === Seq(103))
   }
 
+  test("bucket that empties and later refills continues versioning past stale dirs") {
+    val store = BucketedViewStore.temp(spark, numBuckets = 4)
+    val one = MapIndex.columns("bstore_refill")(col("key"),
+      array(emit(col("key"), col("v"))))
+    store.materialize(one, Seq("a" -> 1).toDF("key", "v"))
+    // tombstone the only key → its buckets go empty (dropped from the
+    // manifest) but their v0 dirs stay on disk as the grace copy
+    store.refresh(one, Seq.empty[(String, Int)].toDF("key", "v"),
+      Some(Seq("a").toDF("src_key")))
+    assert(store.get(one.name, "a").count() === 0)
+    // refill the same bucket: the write must take a fresh version, not
+    // collide with the stale v0 directory
+    store.refresh(one, Seq("a" -> 2).toDF("key", "v"))
+    assert(store.get(one.name, "a").as[Int].collect().toSeq === Seq(2))
+  }
+
   test("tombstone removes the key from data and meta; get returns empty") {
     val store = BucketedViewStore.temp(spark, numBuckets = 8)
     store.materialize(idx, rows(20).toDF("key", "v"))
