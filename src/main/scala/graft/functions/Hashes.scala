@@ -197,8 +197,13 @@ object Hashes {
    * shared substring of length ≥ w+k-1 contributes a shared fingerprint,
    * while keeping ~2/(w+1) of the grams. Output is the distinct selected
    * hashes; docs shorter than k bytes fingerprint to an empty set.
+   *
+   * k=16/w=32 targets copy-paste overlap (shared runs of ≥ 47 bytes):
+   * short grams on templated corpora are near-universal (a df explosion
+   * in the posting lists), while 47-byte runs only recur in genuine
+   * copied passages.
    */
-  case class WinnowHashes(child: Expression, k: Int = 8, w: Int = 16)
+  case class WinnowHashes(child: Expression, k: Int = 16, w: Int = 32)
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullSafeEval(input: Any): Any = {

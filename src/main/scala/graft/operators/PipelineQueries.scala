@@ -40,11 +40,16 @@ object PipelineQueries {
    * from that one persisted relation, so the input is computed exactly
    * once. Returns (inter: i,j,inter — sizes: doc_id,n).
    */
-  private def postingStats(items: DataFrame, maxDf: Int): (DataFrame, DataFrame) = {
-    val postings = items.toDF("doc_id", "key")
+  private[operators] def postingStats(items: DataFrame, maxDf: Int,
+      persistPostings: Boolean = true): (DataFrame, DataFrame) = {
+    val base = items.toDF("doc_id", "key")
       .groupBy("key").agg(collect_list(col("doc_id")).as("docs"))
       .filter(size(col("docs")) <= maxDf)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // persist only pays off when both the pair and the size branches run;
+    // pair-only callers (banded LSH candidate gen) skip it
+    val postings = if (persistPostings)
+      base.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else base
     val sizes = postings
       .select(explode(col("docs")).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("n"))
@@ -111,23 +116,15 @@ object PipelineQueries {
       // band (quadratic blowup on that cohort at scale) yet can never
       // pass the Jaccard verify (0/0). Drop them before banding.
       val d = docs(s, dir).filter(size(split(col("text"), " ")) >= 3)
-      // one signature evaluation per doc; posexplode fans out the 16 bands
-      val allBands = d.select(col("doc_id"),
-        posexplode(expr("minhash_bands(text)")).as(Seq("band", "bh")))
-      // hot-bucket cap: a bucket with df docs contributes df²/2 candidate
-      // pairs but almost no dedup signal once df is large (same trick as
-      // stop-shingle pruning; a true near-dup pair still collides in its
-      // other 15 bands). The hot list is ≤ N/MaxBandDf rows — AQE picks
-      // the join side; no forced broadcast.
-      val hot = allBands.groupBy("band", "bh").agg(count(lit(1)).as("df"))
-        .filter(col("df") > MaxBandDf).select("band", "bh")
-      val bands = allBands.join(hot, Seq("band", "bh"), "left_anti")
-      val cand = bands.as("a")
-        .join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
-        .distinct()
+      // one signature evaluation per doc; posexplode fans out the 16 bands;
+      // candidate pairs come from the shared posting-list core, whose df
+      // cap IS the hot-bucket prune (a bucket with df docs is df²/2 pairs
+      // of noise; a true near-dup still collides in its other 15 bands)
+      val bands = d.select(col("doc_id"),
+          posexplode(expr("minhash_bands(text)")).as(Seq("band", "bh")))
+        .select(col("doc_id"), struct(col("band"), col("bh")).as("key"))
+      val (pairs, _) = postingStats(bands, MaxBandDf, persistPostings = false)
+      val cand = pairs.select("i", "j")
       // verify candidates with the exact shingle-set Jaccard (same
       // similarity the signatures approximate); hashed shingle sets make
       // the per-pair intersection a long-array op, not string compares
@@ -151,22 +148,22 @@ object PipelineQueries {
     // pair with hamming ≤ 7 shares a band), verified by bit_count(xor).
     "dedup_simhash" -> ((s, dir) => {
       Hashes.register(s)
-      // simhash_full = [sh64, band0..band7] in one pass over the tokens
-      val full = docs(s, dir).select(col("doc_id"),
-        posexplode(expr("simhash_full(text)")).as(Seq("pos", "val")))
-      val hashes = full.filter(col("pos") === 0)
-        .select(col("doc_id"), col("val").as("sh64"))
-      val bands = full.filter(col("pos") >= 1)
-        .select(col("doc_id"), (col("pos") - 1).as("band"), col("val").as("bh"))
-        .join(hashes, Seq("doc_id"))
-      bands.as("a")
-        .join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
-          bit_count(col("a.sh64").bitwiseXOR(col("b.sh64"))).as("hamming"))
-        .distinct()
+      // simhash_full = [sh64, band0..band7] in one pass over the tokens;
+      // bands and the verify hashes each evaluate it once (the old shape
+      // joined sh64 onto every band row BEFORE the self-join — wide rows
+      // and ~4 evaluations of the signature)
+      val full = docs(s, dir).select(col("doc_id"), expr("simhash_full(text)").as("arr"))
+      val hashes = full.select(col("doc_id"), col("arr")(0).as("sh64"))
+      val bands = full.select(col("doc_id"),
+          posexplode(expr("slice(arr, 2, 8)")).as(Seq("band", "bh")))
+        .select(col("doc_id"), struct(col("band"), col("bh")).as("key"))
+      val (pairs, _) = postingStats(bands, MaxBandDf, persistPostings = false)
+      pairs.select("i", "j")
+        .join(hashes.select(col("doc_id").as("i"), col("sh64").as("h_i")), Seq("i"))
+        .join(hashes.select(col("doc_id").as("j"), col("sh64").as("h_j")), Seq("j"))
+        .withColumn("hamming", bit_count(col("h_i").bitwiseXOR(col("h_j"))))
         .filter(col("hamming") <= 7)
+        .select(col("i"), col("j"), col("hamming"))
         .orderBy("i", "j")
     }),
 
@@ -180,7 +177,10 @@ object PipelineQueries {
       Hashes.register(s)
       val fps = docs(s, dir)
         .select(col("doc_id"), explode(expr("winnow_hashes(text)")).as("fp"))
-      val (shared, sizes) = postingStats(fps, MaxShingleDf)
+      // tighter cap than shingles: a 47-byte run shared by hundreds of
+      // docs is boilerplate, not copying — and char-gram df distributions
+      // are much heavier-tailed than 3-token shingles
+      val (shared, sizes) = postingStats(fps, MaxBandDf)
       shared
         .join(sizes.select(col("doc_id").as("i"), col("n").as("n_i")), Seq("i"))
         .join(sizes.select(col("doc_id").as("j"), col("n").as("n_j")), Seq("j"))

@@ -106,18 +106,15 @@ object SimilarityQueries {
     // O(n²); the banded candidate-gen is the standard scale shape.
     "dedup_embedding" -> ((s, dir) => {
       val e = emb(s, dir)
-      val allBands = e.select(col("vec_id"),
-        posexplode(expr("hyperplane_bands(v)")).as(Seq("band", "bv")))
-      val hot = allBands.groupBy("band", "bv").agg(count(lit(1)).as("df"))
-        .filter(col("df") > MaxBandDf).select("band", "bv")
-      val bands = allBands.join(hot, Seq("band", "bv"), "left_anti")
-      val cand = bands.as("a")
-        .join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
-            col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"))
-        .distinct()
-      cand
+      // candidate pairs via the shared posting-list core: one banding
+      // evaluation, df-capped buckets (the hot-bucket prune), pairs from
+      // a double explode instead of a self-join of recomputed subtrees
+      val bands = e.select(col("vec_id"),
+          posexplode(expr("hyperplane_bands(v)")).as(Seq("band", "bv")))
+        .select(col("vec_id"), struct(col("band"), col("bv")).as("key"))
+      val (pairs, _) = PipelineQueries.postingStats(bands, MaxBandDf,
+        persistPostings = false)
+      pairs.select("i", "j")
         .join(e.select(col("vec_id").as("i"), col("v").as("vi"), col("norm").as("ni")), Seq("i"))
         .join(e.select(col("vec_id").as("j"), col("v").as("vj"), col("norm").as("nj")), Seq("j"))
         .withColumn("cos", round(dot(col("vi"), col("vj")) / (col("ni") * col("nj")), 6))

@@ -89,9 +89,15 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
 
   test("winnow fingerprints: identical docs share all, edits share most") {
     Hashes.register(spark)
-    val base = "the quick brown fox jumps over the lazy dog and then runs far away into the woods tonight"
-    val edited = base.replace("lazy", "busy")
-    val other = "completely different content with no overlap whatsoever in any of its characters at all here"
+    // long enough that a one-word edit perturbs a bounded share of the
+    // winnow windows (each edit touches ~k+w grams of neighborhood)
+    val base = (1 to 8).map(i =>
+      s"paragraph $i of the source document talks about topic $i in careful detail with several words")
+      .mkString(" ")
+    val edited = base.replace("topic 5", "theme 5")
+    val other = (1 to 8).map(i =>
+      s"entirely unrelated text block $i covering other material $i nothing shared with any source here")
+      .mkString(" ")
     val df = Seq((1, base), (2, base), (3, edited), (4, other))
       .toDF("id", "text").withColumn("fp", expr("winnow_hashes(text)"))
     val m = df.select("id", "fp").as[(Int, Seq[Long])].collect().toMap
