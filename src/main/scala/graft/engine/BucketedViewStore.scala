@@ -104,7 +104,7 @@ final class BucketedViewStore(
     val staging = root(name).resolve(s"_stage_${kind}_${System.nanoTime()}")
     df.repartition(col(bcol))
       .sortWithinPartitions(bcol, "emit_key", "uid")
-      .write.partitionBy(bcol).parquet(staging.toString)
+      .write.partitionBy(bcol).option("compression", "zstd").parquet(staging.toString)
     val out = scala.collection.mutable.Map.empty[(String, Int), Int]
     expected.foreach { b =>
       val staged = staging.resolve(s"$bcol=$b")

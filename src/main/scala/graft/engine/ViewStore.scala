@@ -50,7 +50,9 @@ final class ViewStore(val spark: SparkSession, val baseDir: String)
     emissions
       .repartitionByRange(col("emit_key"), col("uid"))
       .sortWithinPartitions("emit_key", "uid")
-      .write.mode("overwrite").parquet(path.toString)
+      // zstd: ~30% smaller than snappy at comparable decode speed — at
+      // 100 TB the stored view's scan cost is IO-bound, so the ratio wins
+      .write.mode("overwrite").option("compression", "zstd").parquet(path.toString)
     // atomic pointer swap: write sidecar then move over _LATEST
     Files.createDirectories(dir(index.name))
     val tmp = dir(index.name).resolve(s"_LATEST.tmp$next")

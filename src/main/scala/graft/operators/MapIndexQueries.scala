@@ -35,6 +35,17 @@ object MapIndexQueries {
   private def flagView(s: SparkSession, dir: String) =
     Views.materialized(s, dir, byFlag)(Tables.lineitem(s, dir))
 
+  /** The same index in the bucket-partitioned (100 TB) store, so the scale
+    * configuration's read paths run under the driver's correctness gate. */
+  private val bucketedStores =
+    scala.collection.concurrent.TrieMap.empty[String, graft.engine.BucketedViewStore]
+  private def bucketedFlag(s: SparkSession, dir: String): graft.engine.BucketedViewStore =
+    bucketedStores.getOrElseUpdate(dir, {
+      val st = graft.engine.BucketedViewStore.temp(s, numBuckets = 16)
+      st.materialize(byFlag, Tables.lineitem(s, dir))
+      st
+    })
+
   private def bucketView(s: SparkSession, dir: String) =
     Views.cached(dir, byBucket.name) {
       Views.materialized(s, dir, byOrder)(Tables.lineitem(s, dir))
@@ -46,6 +57,7 @@ object MapIndexQueries {
   def prewarm(s: SparkSession, dir: String): Unit = {
     flagView(s, dir)
     bucketView(s, dir)
+    bucketedFlag(s, dir)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -84,6 +96,19 @@ object MapIndexQueries {
       flagView(s, dir).scan(Some("N"))
         .agg(count(lit(1)).as("cnt"))),
 
+    // O14 over the bucket-partitioned store: same answer as mapindex_group,
+    // served from hash-bucketed, per-bucket-sorted storage
+    "mapindex_bucketed_group" -> ((s, dir) =>
+      bucketedFlag(s, dir).df(byFlag.name)
+        .groupBy(col("emit_key"))
+        .agg(round(sum("emit_value"), 2).as("sum_value"),
+          count(lit(1)).as("cnt"))
+        .orderBy("emit_key")),
+
+    // O8 over the bucketed store: the single-bucket pruned point lookup
+    "mapindex_bucketed_get" -> ((s, dir) =>
+      bucketedFlag(s, dir).get(byFlag.name, "R").orderBy("emit_value")),
+
     // O17 cascade: view-of-view, grouped at the second stage
     "mapindex_cascade" -> ((s, dir) =>
       bucketView(s, dir).df
@@ -113,6 +138,13 @@ object MapIndexQueries {
         |ORDER BY emit_key, emit_value""".stripMargin,
     "mapindex_count" ->
       "SELECT count(*) AS cnt FROM lineitem WHERE l_returnflag >= 'N'",
+    "mapindex_bucketed_group" ->
+      """SELECT l_returnflag AS emit_key, round(sum(l_extendedprice), 2) AS sum_value,
+        |       count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag ORDER BY emit_key""".stripMargin,
+    "mapindex_bucketed_get" ->
+      """SELECT l_extendedprice AS emit_value FROM lineitem
+        |WHERE l_returnflag = 'R' ORDER BY emit_value""".stripMargin,
     "mapindex_cascade" ->
       """SELECT l_orderkey % 10 AS bucket,
         |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_rev,

@@ -52,6 +52,33 @@ object MultimodalQueries {
         .toDF()
         .orderBy("doc_id")
     }),
+
+    // frame sampling: treat the payload as a media container, cut 64-char
+    // frames at a 256-char stride (every 4th frame), per-frame "decode"
+    // (stub md5) in mapPartitions, then per-doc aggregation — the shape a
+    // video pipeline uses (frame explode → batched decode → reduce), with
+    // only the codec call stubbed
+    "multimodal_frames" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("text").as("payload"), length(col("text")).as("len"))
+        .filter(col("len") >= 64)
+        .select(col("doc_id"), col("payload"),
+          explode(sequence(lit(0L), floor((col("len") - 64) / 256).cast("long"))).as("f"))
+        .select(col("doc_id"), col("f"),
+          expr("substring(payload, CAST(f * 256 + 1 AS INT), 64)").as("frame"))
+        .as[(Long, Long, String)]
+        .mapPartitions { it =>
+          val md = MessageDigest.getInstance("MD5") // per-partition codec init
+          it.map { case (id, f, frame) =>
+            (id, f, md.digest(frame.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+          }
+        }
+        .toDF("doc_id", "f", "fh")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_frames"), min("fh").as("min_fh"), max("fh").as("max_fh"))
+        .orderBy("doc_id")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -63,5 +90,13 @@ object MultimodalQueries {
         |       64 + (ascii(substr(md5(text), 2, 1)) % 8) * 16 AS width,
         |       64 + (ascii(substr(md5(text), 3, 1)) % 8) * 16 AS height
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "multimodal_frames" ->
+      """WITH f AS (
+        |  SELECT doc_id, md5(substr(text, CAST(i * 256 + 1 AS INT), 64)) AS fh
+        |  FROM documents,
+        |       UNNEST(range(CAST(floor((length(text) - 64) / 256) + 1 AS BIGINT))) AS u(i)
+        |  WHERE length(text) >= 64)
+        |SELECT doc_id, count(*) AS n_frames, min(fh) AS min_fh, max(fh) AS max_fh
+        |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
   )
 }
