@@ -191,6 +191,38 @@ object PipelineQueries {
         .orderBy("i", "j")
     }),
 
+    // near-dup cluster resolution: connected components over the
+    // ngram-Jaccard pair graph (min-label propagation), so a dedup run
+    // can pick ONE keeper per cluster instead of reasoning about pairs.
+    // Pregel-style driver loop: each iteration is one join + one
+    // aggregation, converging in O(cluster diameter) rounds — near-dup
+    // clusters are shallow, so a handful of rounds; the per-round driver
+    // work is a single scalar convergence count.
+    "dedup_components" -> ((s, dir) => {
+      val pairs = queries("dedup_ngram_jaccard")(s, dir).select("i", "j")
+      graft.operators.Components.minLabel(pairs)
+        .orderBy("doc_id")
+    }),
+
+    // end-to-end curation: fingerprint-dedup keepers ∩ language-ID
+    // agreement ∩ minimum length — the composed filter chain a training
+    // data pipeline actually ships, in one declarative plan (semi-join on
+    // the keeper set, everything else scan-local predicates)
+    "pipeline_curate" -> ((s, dir) => {
+      val keepers = docs(s, dir)
+        .groupBy(T.fingerprint(col("text")).as("fp"))
+        .agg(min("doc_id").as("doc_id"))
+      docs(s, dir)
+        .join(keepers.select("doc_id"), Seq("doc_id"), "left_semi")
+        .withColumn("pred_lang", T.langId(col("text")))
+        .filter(col("pred_lang") === col("lang"))
+        .withColumn("n_tokens", size(T.tokens(col("text"))).cast("long"))
+        .filter(col("n_tokens") >= 20)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"))
+        .orderBy("lang")
+    }),
+
     // ---- text analysis ---------------------------------------------------
     "text_quality" -> ((s, dir) => {
       val t = T.tokens(col("text"))
@@ -256,7 +288,33 @@ object PipelineQueries {
 
   private val stopListSql = T.stopwords.map(w => s"'$w'").mkString(", ")
 
+  private val ngramJaccardSql: String =
+    s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS s
+       |       FROM tok, UNNEST(range(len(t) - 2)) AS u(i)),
+       |rare AS (SELECT * FROM sh
+       |         WHERE s IN (SELECT s FROM sh GROUP BY s HAVING count(*) <= $MaxShingleDf)),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM rare GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter
+       |          FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2)
+       |SELECT t.i, t.j, round(t.inter * 1.0 / (sa.n + sb.n - t.inter), 6) AS jaccard
+       |FROM inter t
+       |JOIN sizes sa ON sa.doc_id = t.i
+       |JOIN sizes sb ON sb.doc_id = t.j
+       |WHERE round(t.inter * 1.0 / (sa.n + sb.n - t.inter), 6) >= $JaccardThreshold
+       |ORDER BY i, j""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "dedup_components" ->
+      s"""WITH RECURSIVE pairs AS (SELECT i, j FROM ($ngramJaccardSql)),
+         |edges AS (SELECT i AS a, j AS b FROM pairs UNION SELECT j, i FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+         |SELECT a AS doc_id, least(a, min(b)) AS component
+         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keeper, count(*) AS cnt
         |FROM documents GROUP BY md5(text) ORDER BY content_hash""".stripMargin,
@@ -264,22 +322,7 @@ object PipelineQueries {
       """SELECT md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fp,
         |       min(doc_id) AS keeper, count(*) AS cnt
         |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
-    "dedup_ngram_jaccard" ->
-      s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-         |sh AS (SELECT DISTINCT doc_id, t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS s
-         |       FROM tok, UNNEST(range(len(t) - 2)) AS u(i)),
-         |rare AS (SELECT * FROM sh
-         |         WHERE s IN (SELECT s FROM sh GROUP BY s HAVING count(*) <= $MaxShingleDf)),
-         |sizes AS (SELECT doc_id, count(*) AS n FROM rare GROUP BY doc_id),
-         |inter AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter
-         |          FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id
-         |          GROUP BY 1, 2)
-         |SELECT t.i, t.j, round(t.inter * 1.0 / (sa.n + sb.n - t.inter), 6) AS jaccard
-         |FROM inter t
-         |JOIN sizes sa ON sa.doc_id = t.i
-         |JOIN sizes sb ON sb.doc_id = t.j
-         |WHERE round(t.inter * 1.0 / (sa.n + sb.n - t.inter), 6) >= $JaccardThreshold
-         |ORDER BY i, j""".stripMargin,
+    "dedup_ngram_jaccard" -> ngramJaccardSql,
     "text_quality" ->
       s"""SELECT doc_id,
          |       len(string_split(text, ' ')) AS n_tokens,
@@ -297,6 +340,15 @@ object PipelineQueries {
     "text_langid" ->
       s"""SELECT lang, $langCaseSql AS pred_lang, count(*) AS cnt
          |FROM documents GROUP BY 1, 2 ORDER BY lang, pred_lang""".stripMargin,
+    "pipeline_curate" ->
+      s"""WITH k AS (
+         |  SELECT min(doc_id) AS doc_id FROM documents
+         |  GROUP BY md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')))
+         |SELECT lang, count(*) AS n_docs,
+         |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+         |FROM documents JOIN k USING (doc_id)
+         |WHERE $langCaseSql = lang AND len(string_split(text, ' ')) >= 20
+         |GROUP BY lang ORDER BY lang""".stripMargin,
     "text_tokens" ->
       """SELECT lang, count(*) AS n_docs,
         |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,

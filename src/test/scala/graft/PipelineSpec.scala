@@ -135,6 +135,16 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(recall >= 0.4, s"embedding near-dup recall $recall of ${brute.size}")
   }
 
+  test("connected components: chains, triangles, and singleton edges resolve") {
+    import graft.operators.Components
+    // components: {1,2,3,4} (chain), {10,11,12} (triangle), {20,21}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L)).toDF("i", "j")
+    val got = Components.minLabel(pairs).as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
   test("banded hyperplane LSH ANN achieves recall >= 0.4 of brute-force top-5") {
     val brute = SimilarityQueries.queries("sim_brute_topk")(spark, sf)
       .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
