@@ -23,13 +23,20 @@ object Components {
   /** `(doc_id, component)` for every node of `pairs`, where component =
     * the minimum doc_id reachable from the node. */
   def minLabel(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs.toDF("i", "j")
+    // persist the directed pairs BEFORE symmetrizing: the union would
+    // otherwise evaluate the (possibly expensive) pair-producing plan
+    // once per branch
+    val edges = pairs.toDF("i", "j").persist(StorageLevel.MEMORY_AND_DISK)
     // symmetric edge list, one direction per row
     val sym = edges.select(col("i").as("a"), col("j").as("b"))
       .union(edges.select(col("j").as("a"), col("i").as("b")))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // labels carry (node, prev, label) so the convergence count reads the
+    // same persisted relation the next round joins against — two jobs per
+    // round (propagation, scalar count), bounded lineage via per-round
+    // persist/unpersist
     var labels = sym.select(col("a").as("node")).distinct()
-      .withColumn("label", col("node"))
+      .select(col("node"), col("node").as("prev"), col("node").as("label"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var converged = false
     var it = 0
@@ -39,19 +46,16 @@ object Components {
         .groupBy(col("a")).agg(min("label").as("nlabel"))
       val next = labels
         .join(neighborMin, labels("node") === neighborMin("a"), "left")
-        .select(col("node"),
+        .select(col("node"), col("label").as("prev"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val changed = next.as("n")
-        .join(labels.as("p"), col("n.node") === col("p.node"))
-        .filter(col("n.label") =!= col("p.label"))
-        .count()
+      val changed = next.filter(col("label") =!= col("prev")).count()
       labels.unpersist()
       labels = next
       converged = changed == 0
       it += 1
     }
-    sym.unpersist()
+    sym.unpersist(); edges.unpersist()
     labels.select(col("node").as("doc_id"), col("label").as("component"))
   }
 }
