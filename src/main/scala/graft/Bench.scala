@@ -39,6 +39,7 @@ object Bench {
     // (SURVEY.md §4.1 compute-on-write); view build is load cost, query
     // timings below measure the read path.
     operators.MapIndexQueries.prewarm(spark, sfDir)
+    operators.LayoutQueries.prewarm(spark, sfDir)
     // dev loop: SPARK_GRAFT_ONLY=q1,q2 restricts the run to named queries
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }

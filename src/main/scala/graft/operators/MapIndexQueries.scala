@@ -109,6 +109,15 @@ object MapIndexQueries {
     "mapindex_bucketed_get" -> ((s, dir) =>
       bucketedFlag(s, dir).get(byFlag.name, "R").orderBy("emit_value")),
 
+    // the stored index is a first-class SQL relation: register the view
+    // snapshot and query it with text SQL (same engine, same storage)
+    "mapindex_sql" -> ((s, dir) => {
+      flagView(s, dir).df.createOrReplaceTempView("lineitem_byflag_v")
+      s.sql(
+        """SELECT emit_key, round(sum(emit_value), 2) AS sum_value, count(*) AS cnt
+          |FROM lineitem_byflag_v GROUP BY emit_key ORDER BY emit_key""".stripMargin)
+    }),
+
     // O17 cascade: view-of-view, grouped at the second stage
     "mapindex_cascade" -> ((s, dir) =>
       bucketView(s, dir).df
@@ -139,6 +148,10 @@ object MapIndexQueries {
     "mapindex_count" ->
       "SELECT count(*) AS cnt FROM lineitem WHERE l_returnflag >= 'N'",
     "mapindex_bucketed_group" ->
+      """SELECT l_returnflag AS emit_key, round(sum(l_extendedprice), 2) AS sum_value,
+        |       count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag ORDER BY emit_key""".stripMargin,
+    "mapindex_sql" ->
       """SELECT l_returnflag AS emit_key, round(sum(l_extendedprice), 2) AS sum_value,
         |       count(*) AS cnt
         |FROM lineitem GROUP BY l_returnflag ORDER BY emit_key""".stripMargin,

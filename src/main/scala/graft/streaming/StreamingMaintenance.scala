@@ -144,6 +144,29 @@ object StreamingDedup {
   * ordering-only write path never had (SURVEY.md §2.2 streaming row). */
 object StreamingEvents {
 
+  /**
+   * Stream-stream interval join: each purchase joins the clicks of the
+   * same user within the preceding hour. Watermarks on BOTH sides plus
+   * the time-range condition bound the join state — Spark evicts click
+   * state older than (watermark − interval), so state is proportional to
+   * the window, not the stream history.
+   */
+  def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("value").as("click_value"))
+      .withWatermark("click_ts", "30 minutes")
+    val p = purchases
+      .select(col("user_id"), col("ts").as("purchase_ts"), col("event_id"))
+      .withWatermark("purchase_ts", "30 minutes")
+    p.join(c,
+      col("c_user") === col("user_id") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("event_id"), col("user_id"), col("purchase_ts"),
+        col("click_ts"), col("click_value"))
+  }
+
   /** Tumbling 1-hour counts/sums per event type; late data beyond the
     * watermark is dropped by Spark's state eviction. */
   def hourlyAgg(events: DataFrame): DataFrame =

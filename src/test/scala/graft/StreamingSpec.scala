@@ -181,6 +181,35 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(kept.contains("d3") && !kept.contains("d4"))
   }
 
+  test("stream-stream interval join matches purchases to in-window clicks") {
+    val clickIn = MemoryStream[(Timestamp, Long, Double)]
+    val purchIn = MemoryStream[(Timestamp, Long, Long)]
+    val clicks = clickIn.toDF().toDF("ts", "user_id", "value")
+    val purchases = purchIn.toDF().toDF("ts", "user_id", "event_id")
+    val q = StreamingEvents.clickPurchaseJoin(clicks, purchases).writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory").queryName("ss_join_out")
+      .start()
+    def t(s: String) = Timestamp.valueOf(s)
+    clickIn.addData(
+      (t("2024-01-01 10:00:00"), 1L, 1.5), // in window of the 10:30 purchase
+      (t("2024-01-01 09:00:00"), 1L, 9.9), // too old (> 1h before purchase)
+      (t("2024-01-01 10:10:00"), 2L, 2.5)) // other user
+    purchIn.addData((t("2024-01-01 10:30:00"), 1L, 100L))
+    q.processAllAvailable()
+    // advance both watermarks far enough to emit/evict
+    clickIn.addData((t("2024-01-01 13:00:00"), 9L, 0.0))
+    purchIn.addData((t("2024-01-01 13:00:00"), 9L, 999L))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ss_join_out")
+      .select(col("event_id"), col("user_id"), col("click_value"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(rows.contains((100L, 1L, 1.5)))
+    assert(!rows.exists(_._3 == 9.9), "out-of-interval click must not join")
+    assert(!rows.exists(_._2 == 2L), "other user's click must not join")
+  }
+
   test("watermarked hourly window agg emits closed windows in append mode") {
     val input = MemoryStream[(Timestamp, String, Double)]
     val events = input.toDF().toDF("ts", "event_type", "value")
