@@ -60,6 +60,16 @@ final class ViewStore(val spark: SparkSession, val baseDir: String)
     Files.move(tmp, latestFile(index.name),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    // GC superseded versions (keep one grace copy for in-flight readers of
+    // the previous snapshot) — otherwise every refresh leaks a full view
+    var old = next - 2
+    var p = dir(index.name).resolve(s"v${math.max(old, 0)}")
+    while (old >= 0 && Files.exists(p)) {
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.deleteIfExists(f))
+      old -= 1
+      if (old >= 0) p = dir(index.name).resolve(s"v$old")
+    }
     new MaterializedView(spark, this, index)
   }
 

@@ -120,6 +120,18 @@ class MapIndexSpec extends AnyFunSuite with SparkSpec {
     assert(groups("g") === Seq(10, 11, 20, 21))
   }
 
+  test("repeated refresh garbage-collects old view versions (one grace kept)") {
+    import java.nio.file.{Files, Paths}
+    val store = ViewStore.temp(spark)
+    var view = primaryIndex("gc_view").materialize(entries("a" -> 1), store)
+    (1 to 3).foreach(i => view = view.refresh(entries("a" -> i)))
+    val versions = Files.list(Paths.get(store.baseDir, "gc_view")).iterator()
+    val vDirs = scala.jdk.CollectionConverters.IteratorHasAsScala(versions).asScala
+      .map(_.getFileName.toString).filter(_.startsWith("v")).toSeq.sorted
+    assert(vDirs === Seq("v2", "v3"), s"expected only grace+live, got $vDirs")
+    assert(values(view.get("test")) === Seq(3))
+  }
+
   test("grouped() order holds past the sort-based aggregation fallback") {
     val store = ViewStore.temp(spark)
     // 600 groups over 4 shuffle partitions = 150 groups/partition — past
