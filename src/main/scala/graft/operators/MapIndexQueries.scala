@@ -52,12 +52,23 @@ object MapIndexQueries {
         .cascadeInto(byBucket)
     }
 
+  /** Schema-free value model: the reference stores arbitrary JSON values
+    * (`valueEncoding:'json'`, index.js:113); here the emission value is a
+    * JSON document column and queries project typed fields back out. */
+  private val byTypeJson = MapIndex.columns("events_bytype_json")(
+    col("event_id").cast("string"),
+    array(emit(col("event_type"), to_json(struct(col("user_id"), col("value"))))))
+
+  private def jsonView(s: SparkSession, dir: String) =
+    Views.materialized(s, dir, byTypeJson)(Tables.events(s, dir))
+
   /** Build the stored views eagerly (write-time cost, SURVEY.md §4.1) so
     * bench timings measure the read path the reference architecture pays. */
   def prewarm(s: SparkSession, dir: String): Unit = {
     flagView(s, dir)
     bucketView(s, dir)
     bucketedFlag(s, dir)
+    jsonView(s, dir)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -109,6 +120,19 @@ object MapIndexQueries {
     "mapindex_bucketed_get" -> ((s, dir) =>
       bucketedFlag(s, dir).get(byFlag.name, "R").orderBy("emit_value")),
 
+    // schema-free JSON values round-trip through the stored index and
+    // project back to typed columns at read time (reference value model)
+    "mapindex_json_values" -> ((s, dir) =>
+      jsonView(s, dir).df
+        .select(col("emit_key"),
+          get_json_object(col("emit_value"), "$.user_id").cast("long").as("user_id"),
+          get_json_object(col("emit_value"), "$.value").cast("double").as("value"))
+        .groupBy(col("emit_key"))
+        .agg(count(lit(1)).as("cnt"),
+          round(sum("value"), 2).as("sum_value"),
+          count_distinct(col("user_id")).as("users"))
+        .orderBy("emit_key")),
+
     // the stored index is a first-class SQL relation: register the view
     // snapshot and query it with text SQL (same engine, same storage)
     "mapindex_sql" -> ((s, dir) => {
@@ -155,6 +179,11 @@ object MapIndexQueries {
       """SELECT l_returnflag AS emit_key, round(sum(l_extendedprice), 2) AS sum_value,
         |       count(*) AS cnt
         |FROM lineitem GROUP BY l_returnflag ORDER BY emit_key""".stripMargin,
+    "mapindex_json_values" ->
+      """SELECT event_type AS emit_key, count(*) AS cnt,
+        |       round(sum(value), 2) AS sum_value,
+        |       count(DISTINCT user_id) AS users
+        |FROM events GROUP BY event_type ORDER BY emit_key""".stripMargin,
     "mapindex_bucketed_get" ->
       """SELECT l_extendedprice AS emit_value FROM lineitem
         |WHERE l_returnflag = 'R' ORDER BY emit_value""".stripMargin,

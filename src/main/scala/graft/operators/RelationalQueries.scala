@@ -196,6 +196,30 @@ object RelationalQueries {
         .orderBy("event_id")
     }),
 
+    // pure interval join (no equi-time key): clicks × purchases of the same
+    // user within ±1 hour. The naive theta join is a per-user nested loop;
+    // the scale shape bins timestamps at the window width and explodes one
+    // side to its 3 adjacent bins — every qualifying pair shares exactly
+    // one (user, bin) key, so this is a plain equi-join + residual filter,
+    // shuffle linear in the input, no pair appears twice.
+    "join_interval_binned" -> ((s, dir) => {
+      val W = 3600L * 1000000L // 1 h in microseconds = bin width
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("a_id"), col("user_id"),
+          unix_micros(col("ts")).as("a_us"))
+        .withColumn("base", floor(col("a_us") / W).cast("long"))
+        .withColumn("bin", explode(array(col("base") - 1, col("base"), col("base") + 1)))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("b_id"), col("user_id"),
+          unix_micros(col("ts")).as("b_us"))
+        .withColumn("bin", floor(col("b_us") / W).cast("long"))
+      clicks.join(purchases, Seq("user_id", "bin"))
+        .filter(abs(col("a_us") - col("b_us")) <= W)
+        .select(col("a_id"), col("b_id"), (col("a_us") - col("b_us")).as("delta_us"))
+        .orderBy("a_id", "b_id")
+    }),
+
     // ---- windows ---------------------------------------------------------
     "window_topk" -> ((s, dir) => {
       val w = Window.partitionBy("o_custkey")
@@ -464,6 +488,14 @@ object RelationalQueries {
         |   ORDER BY b.ts DESC, b.event_id DESC LIMIT 1) AS last_click_value
         |FROM events a WHERE a.event_type = 'purchase'
         |ORDER BY a.event_id""".stripMargin,
+    "join_interval_binned" ->
+      """SELECT a.event_id AS a_id, b.event_id AS b_id,
+        |       epoch_us(a.ts) - epoch_us(b.ts) AS delta_us
+        |FROM events a JOIN events b
+        |ON a.user_id = b.user_id
+        |AND a.event_type = 'click' AND b.event_type = 'purchase'
+        |AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 3600000000
+        |ORDER BY a_id, b_id""".stripMargin,
     "window_topk" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
