@@ -204,6 +204,17 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // deterministic content-hash train/valid split: assignment depends
+    // only on the document bytes (stable across runs, partitionings, and
+    // re-ingestion — unlike rand()-based sampling), ~1/16 to valid
+    "sample_hash_split" -> ((s, dir) =>
+      docs(s, dir)
+        .withColumn("split",
+          when(substring(md5(col("text")), 1, 1) === "0", "valid").otherwise("train"))
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang", "split")),
+
     // end-to-end curation: fingerprint-dedup keepers ∩ language-ID
     // agreement ∩ minimum length — the composed filter chain a training
     // data pipeline actually ships, in one declarative plan (semi-join on
@@ -340,6 +351,11 @@ object PipelineQueries {
     "text_langid" ->
       s"""SELECT lang, $langCaseSql AS pred_lang, count(*) AS cnt
          |FROM documents GROUP BY 1, 2 ORDER BY lang, pred_lang""".stripMargin,
+    "sample_hash_split" ->
+      """SELECT lang,
+        |       CASE WHEN substr(md5(text), 1, 1) = '0' THEN 'valid' ELSE 'train' END AS split,
+        |       count(*) AS n_docs
+        |FROM documents GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
     "pipeline_curate" ->
       s"""WITH k AS (
          |  SELECT min(doc_id) AS doc_id FROM documents

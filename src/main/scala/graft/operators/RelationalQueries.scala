@@ -108,6 +108,24 @@ object RelationalQueries {
           col("cnt"), col("sum_price"))
         .orderBy("status", "priority")),
 
+    // fixed-width histogram: value → bucket id, count + mass per bucket
+    "agg_histogram" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .withColumn("bucket", floor(col("o_totalprice") / 50000).cast("long"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("mass"))
+        .orderBy("bucket")),
+
+    // second-moment statistics per group (corr/covariance/stddev)
+    "agg_corr" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qp"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("cov_qp"),
+          round(stddev_samp(col("l_extendedprice")), 2).as("sd_price"))
+        .orderBy("l_returnflag")),
+
     // exact (interpolating) percentiles — matches DuckDB quantile_cont
     "agg_percentile" -> ((s, dir) =>
       Tables.orders(s, dir)
@@ -429,6 +447,16 @@ object RelationalQueries {
         |       count(*) AS cnt, round(sum(o_totalprice), 2) AS sum_price
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin,
+    "agg_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+        |       count(*) AS cnt, round(sum(o_totalprice), 2) AS mass
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "agg_corr" ->
+      """SELECT l_returnflag,
+        |       round(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
+        |       round(covar_samp(l_quantity, l_extendedprice), 2) AS cov_qp,
+        |       round(stddev_samp(l_extendedprice), 2) AS sd_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "agg_percentile" ->
       """SELECT o_orderpriority,
         |       round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
