@@ -90,6 +90,17 @@ object RelationalQueries {
         .agg(approx_count_distinct(col("o_custkey")).as("approx_custs"))
         .orderBy("o_orderstatus")),
 
+    // custom UDAF: KMV bottom-k distinct sketch (TypedImperativeAggregate,
+    // functions/Sketches.scala) — rows-only like agg_hll; the error bound
+    // vs exact distinct is asserted in the ScalaTest suite
+    "agg_kmv" -> ((s, dir) => {
+      graft.functions.Sketches.register(s)
+      Tables.orders(s, dir)
+        .groupBy(col("o_orderstatus"))
+        .agg(expr("bottomk_distinct(o_custkey, 256)").as("kmv_custs"))
+        .orderBy("o_orderstatus")
+    }),
+
     "agg_rollup" -> ((s, dir) =>
       Tables.lineitem(s, dir)
         .rollup(col("l_returnflag"), col("l_linestatus"))

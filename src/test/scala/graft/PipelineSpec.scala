@@ -135,6 +135,25 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(recall >= 0.4, s"embedding near-dup recall $recall of ${brute.size}")
   }
 
+  test("KMV bottom-k sketch: exact below k, bounded error above k") {
+    import graft.functions.Sketches
+    Sketches.register(spark)
+    // below k: exact
+    val small = spark.range(100).select((col("id") % 37).as("v"))
+      .agg(expr("bottomk_distinct(v, 256)")).as[Long].head()
+    assert(small === 37L)
+    // above k: KMV estimate within ~3/sqrt(k) relative error (k=256 → ~19%)
+    val n = 20000L
+    val est = spark.range(n).select(col("id").as("v"))
+      .agg(expr("bottomk_distinct(v, 256)")).as[Long].head()
+    val err = math.abs(est - n).toDouble / n
+    assert(err < 0.2, s"KMV estimate $est vs $n (err $err)")
+    // mergeability: the same estimate regardless of partitioning
+    val est2 = spark.range(n).repartition(32).select(col("id").as("v"))
+      .agg(expr("bottomk_distinct(v, 256)")).as[Long].head()
+    assert(est2 === est, "sketch must be partitioning-invariant")
+  }
+
   test("connected components: chains, triangles, and singleton edges resolve") {
     import graft.operators.Components
     // components: {1,2,3,4} (chain), {10,11,12} (triangle), {20,21}
