@@ -45,10 +45,13 @@ final class BucketedViewStore(
   private def schemaFile(name: String): Path = root(name).resolve("_SCHEMA")
 
   /** Persisted emission schema: lets a view whose every bucket emptied
-    * (all keys tombstoned) still read as an empty relation. */
+    * (all keys tombstoned) still read as an empty relation. The internal
+    * `kb` bucket column is dropped — partitionBy strips it from data
+    * files, so the normal read path never exposes it and the empty
+    * relation must not either. */
   private def writeSchema(name: String, df: DataFrame): Unit = {
     Files.createDirectories(root(name))
-    Files.writeString(schemaFile(name), df.schema.json)
+    Files.writeString(schemaFile(name), df.drop("kb").schema.json)
   }
 
   private def emptyDf(name: String): DataFrame = {
@@ -115,11 +118,15 @@ final class BucketedViewStore(
       val onDisk = {
         val parent = Paths.get(bucketPath(name, kind, b, 0)).getParent
         if (!Files.exists(parent)) -1
-        else Files.list(parent).iterator().asScala
-          .map(_.getFileName.toString)
-          .collect { case s if s.startsWith("v") && s.drop(1).forall(_.isDigit) =>
-            s.drop(1).toInt }
-          .foldLeft(-1)(math.max)
+        else {
+          val stream = Files.list(parent)
+          try stream.iterator().asScala
+            .map(_.getFileName.toString)
+            .collect { case s if s.startsWith("v") && s.drop(1).forall(_.isDigit) =>
+              s.drop(1).toInt }
+            .foldLeft(-1)(math.max)
+          finally stream.close()
+        }
       }
       val v1 = math.max(prev.get((kind, b)).getOrElse(-1), onDisk) + 1
       if (Files.exists(staged)) {
@@ -130,11 +137,17 @@ final class BucketedViewStore(
       } // else: bucket became empty — omit from manifest
     }
     // clear staging remnants (_SUCCESS, empty dirs)
-    if (Files.exists(staging)) {
-      Files.walk(staging).sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => Files.deleteIfExists(p))
-    }
+    if (Files.exists(staging)) deleteRecursively(staging)
     out.toMap
+  }
+
+  /** rm -r with the walk stream closed (an unclosed Files.walk leaks one
+    * fd per call — fatal eventually under per-micro-batch refresh). */
+  private def deleteRecursively(p: Path): Unit = {
+    val stream = Files.walk(p)
+    try stream.sorted(java.util.Comparator.reverseOrder())
+      .forEach(f => Files.deleteIfExists(f))
+    finally stream.close()
   }
 
   // ---- reads -------------------------------------------------------------
@@ -181,7 +194,8 @@ final class BucketedViewStore(
     val m = stagedWrite(name, Emit, emissions, "kb", all, Map.empty) ++
       stagedWrite(name, Meta, metaOf(emissions), "mb", all, Map.empty)
     emissions.unpersist()
-    writeManifest(name, m)
+    // initial load wrote uids at epoch 0 — record it so refresh #1 uses 1
+    writeManifest(name, m + ((EpochKind, 0) -> 0))
   }
 
   /**
@@ -212,9 +226,11 @@ final class BucketedViewStore(
         .select(explode(col("emit_buckets")).as("kb"))
         .distinct().as[Long].collect().map(_.toInt).toSet
 
-    // epoch for cross-refresh uid uniqueness: one past the highest live
-    // bucket version (monotone — every refresh bumps its touched buckets)
-    val epoch = (m0.values.maxOption.getOrElse(-1) + 1).toLong
+    // epoch for cross-refresh uid uniqueness: a dedicated monotone counter
+    // in the manifest. (Deriving it from the max bucket version is NOT
+    // monotone — a refresh that touches only low-version buckets leaves
+    // the max unchanged, and the next refresh would reuse the epoch.)
+    val epoch = (m0.getOrElse((EpochKind, 0), -1) + 1).toLong
     val newEmissions = withBuckets(index.emissions(upserts, epoch)).cache()
     val newEmitBuckets = newEmissions.select("kb").distinct()
       .as[Long].collect().map(_.toInt).toSet
@@ -243,7 +259,8 @@ final class BucketedViewStore(
     // 5: atomic manifest swap — readers see old or new snapshot, never a mix
     val dropped = (affected.map((Emit, _)) ++ metaBuckets.map((Meta, _))) --
       mEmit.keySet -- mMeta.keySet
-    writeManifest(name, m0 -- dropped ++ mEmit ++ mMeta)
+    writeManifest(name,
+      m0 -- dropped ++ mEmit ++ mMeta + ((EpochKind, 0) -> epoch.toInt))
     // 6: GC superseded versions — without this the streaming path leaks one
     // version per touched bucket per micro-batch. Keep one grace version
     // (v-1) for readers that resolved the previous manifest and are still
@@ -259,8 +276,7 @@ final class BucketedViewStore(
       var old = v - 2
       var p = Paths.get(bucketPath(name, kind, b, math.max(old, 0)))
       while (old >= 0 && Files.exists(p)) {
-        Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-          .forEach(f => Files.deleteIfExists(f))
+        deleteRecursively(p)
         old -= 1
         if (old >= 0) p = Paths.get(bucketPath(name, kind, b, old))
       }
@@ -270,6 +286,9 @@ final class BucketedViewStore(
 object BucketedViewStore {
   private val Emit = "emit"
   private val Meta = "meta"
+  /** manifest entry `(EpochKind, 0) -> e`: monotone refresh counter for
+    * cross-refresh uid uniqueness (not a bucket). */
+  private val EpochKind = "epoch"
 
   final case class RefreshStats(
       emitBucketsRewritten: Int, metaBucketsRewritten: Int, totalBuckets: Int)

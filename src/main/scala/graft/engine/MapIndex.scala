@@ -66,12 +66,19 @@ final class MapIndex(val name: String, val mapPlan: DataFrame => DataFrame)
     val mid = monotonically_increasing_id() // (partitionId << 33) | row
     val part = shiftright(mid, 33)
     val row = mid.bitwiseAND(lit((1L << 33) - 1))
+    // fail loud instead of silently colliding uids if a partition blows
+    // the 26-bit row budget (67M emissions in one partition means the
+    // batch needed repartitioning anyway)
+    val safeRow = when(row < lit(1L << 26), row)
+      .otherwise(raise_error(lit(
+        s"partition exceeded ${1L << 26} emissions — uid bit budget; " +
+          "repartition the source batch")).cast("long"))
     mapped(source)
       .filter(col("emit").isNotNull)
       .select(col("src_key"), col("emit.emit_key").as("emit_key"),
         col("emit.emit_value").as("emit_value"))
       .withColumn("uid",
-        shiftleft(part, 38).bitwiseOR(shiftleft(row, 12))
+        shiftleft(part, 38).bitwiseOR(shiftleft(safeRow, 12))
           .bitwiseOR(lit(epoch & 0xfffL)))
   }
 

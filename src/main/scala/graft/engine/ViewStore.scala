@@ -65,8 +65,10 @@ final class ViewStore(val spark: SparkSession, val baseDir: String)
     var old = next - 2
     var p = dir(index.name).resolve(s"v${math.max(old, 0)}")
     while (old >= 0 && Files.exists(p)) {
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+      val stream = Files.walk(p) // close the stream: an unclosed walk leaks an fd
+      try stream.sorted(java.util.Comparator.reverseOrder())
         .forEach(f => Files.deleteIfExists(f))
+      finally stream.close()
       old -= 1
       if (old >= 0) p = dir(index.name).resolve(s"v$old")
     }

@@ -38,13 +38,20 @@ object Hashes {
     x ^ (x >>> 31)
   }
 
+  /** Single-space tokenization over the raw bytes, INCLUDING empty tokens
+    * between consecutive separators — exactly `split(text, ' ')` / DuckDB
+    * `string_split` semantics. Keeping empties is what makes a 3-token
+    * byte-span hash identical to hashing `t[i] || ' ' || t[i+1] || ' ' ||
+    * t[i+2]` for ANY spacing (the span includes the separators), so the
+    * shingle measures here agree with the SQL oracles even on
+    * multi-space text. */
   private def foreachToken(s: UTF8String)(f: (Int, Int) => Unit): Unit = {
     val b = s.getBytes
     var start = 0
     var i = 0
     while (i <= b.length) {
       if (i == b.length || b(i) == ' ') {
-        if (i > start) f(start, i)
+        f(start, i) // empty token (start == i) included, like split(' ')
         start = i + 1
       }
       i += 1
@@ -133,8 +140,9 @@ object Hashes {
       Array.tabulate(k)(j => splitmix64(0x5851f42d4c957f2dL + j))
     override def nullSafeEval(input: Any): Any = {
       val s = input.asInstanceOf[UTF8String]
-      // token boundaries, then hash each 3-token window's byte span
-      // (single-space separated, so the span equals the shingle string)
+      // token boundaries, then hash each 3-token window's byte span (the
+      // span includes the separators, so it equals the joined shingle
+      // string for any spacing — see foreachToken)
       val starts = scala.collection.mutable.ArrayBuffer.empty[Int]
       val ends = scala.collection.mutable.ArrayBuffer.empty[Int]
       foreachToken(s) { (from, until) => starts += from; ends += until }

@@ -21,8 +21,10 @@ import org.apache.spark.storage.StorageLevel
 object Components {
 
   /** `(doc_id, component)` for every node of `pairs`, where component =
-    * the minimum doc_id reachable from the node. */
-  def minLabel(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    * the minimum doc_id reachable from the node. Throws if `maxIter`
+    * rounds pass without convergence (a graph deeper than expected) —
+    * silently returning half-propagated labels would be a wrong answer. */
+  def minLabel(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
     // persist the directed pairs BEFORE symmetrizing: the union would
     // otherwise evaluate the (possibly expensive) pair-producing plan
     // once per branch
@@ -56,6 +58,12 @@ object Components {
       it += 1
     }
     sym.unpersist(); edges.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxIter rounds " +
+          "(graph diameter exceeds maxIter — raise it)")
+    // final labels stay persisted: the caller consumes them next, and the
+    // ContextCleaner reclaims the cache when the DataFrame drops out of scope
     labels.select(col("node").as("doc_id"), col("label").as("component"))
   }
 }

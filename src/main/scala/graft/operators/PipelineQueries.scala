@@ -42,11 +42,21 @@ object PipelineQueries {
    */
   private[operators] def postingStats(items: DataFrame, maxDf: Int,
       persistPostings: Boolean = true): (DataFrame, DataFrame) = {
-    val base = items.toDF("doc_id", "key")
+    val keyed = items.toDF("doc_id", "key")
+    // prune hot keys BEFORE collecting posting lists: count() carries O(1)
+    // aggregation state per key, so a corpus-universal key costs nothing —
+    // collecting first and filtering after would build an O(corpus) array
+    // in one buffer (executor OOM at scale). The hot list is ≤ N/maxDf
+    // rows; AQE broadcasts the anti-join.
+    val hot = keyed.groupBy("key").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select("key")
+    val base = keyed.join(hot, Seq("key"), "left_anti")
       .groupBy("key").agg(collect_list(col("doc_id")).as("docs"))
-      .filter(size(col("docs")) <= maxDf)
     // persist only pays off when both the pair and the size branches run;
-    // pair-only callers (banded LSH candidate gen) skip it
+    // pair-only callers (banded LSH candidate gen) skip it. (Not
+    // explicitly unpersisted — the returned plans reference it lazily;
+    // Spark's ContextCleaner reclaims the cache once the DataFrames
+    // become unreachable.)
     val postings = if (persistPostings)
       base.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else base

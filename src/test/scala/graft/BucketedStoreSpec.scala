@@ -42,9 +42,11 @@ class BucketedStoreSpec extends AnyFunSuite with SparkSpec {
     assert(stats.emitBucketsRewritten <= 4,
       s"rewrote ${stats.emitBucketsRewritten}/${stats.totalBuckets} buckets for 1 key")
     assert(stats.metaBucketsRewritten === 1)
-    // manifest: only the affected buckets bumped a version
+    // manifest: only the affected buckets bumped a version (the epoch
+    // counter entry increments every refresh by design — exclude it)
     val m1 = store.manifest(idx.name)
-    val bumped = m1.count { case (k, v) => m0.get(k).exists(_ < v) }
+    val bumped = m1.count { case ((kind, b), v) =>
+      kind != "epoch" && m0.get((kind, b)).exists(_ < v) }
     assert(bumped === stats.emitBucketsRewritten + stats.metaBucketsRewritten)
     // values: overwrite semantics held
     assert(store.get(idx.name, "k7").as[Int].collect().toSeq === Seq(700))
@@ -72,7 +74,9 @@ class BucketedStoreSpec extends AnyFunSuite with SparkSpec {
     store.materialize(idx, rows(40).toDF("key", "v"))
     // repeated refreshes of the same key bump its buckets several times
     (1 to 3).foreach(i => store.refresh(idx, Seq("k1" -> (100 + i)).toDF("key", "v")))
-    store.manifest(idx.name).foreach { case ((kind, b), v) =>
+    store.manifest(idx.name)
+      .filter { case ((kind, _), _) => kind == "emit" || kind == "meta" }
+      .foreach { case ((kind, b), v) =>
       val bdir = Paths.get(store.baseDir, idx.name)
         .resolve(if (kind == "emit") s"kb=$b" else s"meta/mb=$b")
       val onDisk = Files.list(bdir).iterator().asScala
@@ -82,6 +86,15 @@ class BucketedStoreSpec extends AnyFunSuite with SparkSpec {
         s"$kind bucket $b: live v$v but stale versions ${onDisk.sorted} on disk")
     }
     assert(store.get(idx.name, "k1").as[Int].collect().toSeq === Seq(103))
+  }
+
+  test("refresh epochs are monotone even when touched buckets lag the max version") {
+    val store = BucketedViewStore.temp(spark, numBuckets = 8)
+    store.materialize(idx, rows(30).toDF("key", "v"))
+    // each refresh touches a different key (different buckets) — a
+    // max-bucket-version-derived epoch would repeat here
+    (1 to 3).foreach(i => store.refresh(idx, Seq(s"k$i" -> (100 + i)).toDF("key", "v")))
+    assert(store.manifest(idx.name).get(("epoch", 0)).contains(3))
   }
 
   test("bucket that empties and later refills continues versioning past stale dirs") {

@@ -77,6 +77,12 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(ex.getMessage.contains("DIVIDE_BY_ZERO"))
     val keep = spark.sql("SELECT try_divide(0.0, 0.0) >= 0.5 AS keep").collect()(0)
     assert(keep.isNullAt(0)) // NULL fails the threshold filter
+    // multi-space parity: tokenization keeps empty tokens like
+    // split(text, ' ') / DuckDB string_split, so "a  b c" has tokens
+    // [a, '', b, c] → 2 three-token shingles
+    val ms = Seq(Tuple1("a  b c")).toDF("text")
+      .select(expr("shingle_hashes(text)")).as[Seq[Long]].head()
+    assert(ms.length === 2, s"expected 2 shingles over empty-token text, got $ms")
   }
 
   test("fingerprint collapses token-order permutations") {
