@@ -65,6 +65,38 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("bucketed store equals flat store over random upsert/tombstone sequences") {
+    import graft.engine.BucketedViewStore
+    // the scale store and the reference-shaped flat store must agree on
+    // ANY maintenance history, not just the hand-written cases
+    val opGen = Gen.zip(Gen.oneOf(true, false), rowsGen) // (isUpsert, rows)
+    (1 to 3).foreach { i =>
+      val initial = sample(rowsGen, 600L + i).toMap.toSeq
+      val ops = sample(Gen.listOfN(3, opGen), 700L + i)
+      val bucketed = BucketedViewStore.temp(spark, numBuckets = 8)
+      val flat = ViewStore.temp(spark)
+      bucketed.materialize(idx, initial.toDF("key", "v"))
+      var flatView = idx.materialize(initial.toDF("key", "v"), flat)
+      ops.foreach { case (isUpsert, rows) =>
+        if (isUpsert) {
+          val batch = rows.toMap.toSeq.toDF("key", "v") // unique keys per batch
+          bucketed.refresh(idx, batch)
+          flatView = flatView.refresh(batch)
+        } else {
+          val dels = Some(rows.map(_._1).distinct.toDF("src_key"))
+          val empty = Seq.empty[(String, Int)].toDF("key", "v")
+          bucketed.refresh(idx, empty, dels)
+          flatView = flatView.refresh(empty, dels)
+        }
+      }
+      val a = bucketed.df(idx.name).select("src_key", "emit_key", "emit_value")
+        .as[(String, String, Int)].collect().sorted.toSeq
+      val b = flatView.df.select("src_key", "emit_key", "emit_value")
+        .as[(String, String, Int)].collect().sorted.toSeq
+      assert(a === b, s"case $i ops=$ops")
+    }
+  }
+
   test("get(k) equals full-scan filter on the emitted key") {
     (1 to 4).foreach { i =>
       val rows = sample(rowsGen, 400L + i)
