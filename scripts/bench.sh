@@ -1,0 +1,11 @@
+#!/usr/bin/env bash
+# Bench entry point whose LAST stdout line is the bare result JSON.
+# sbt decorates stdout with [info]/[success] lines that bury the JSON the
+# driver parses — so run sbt with its output on stderr and cat the JSON
+# file (written by graft.Bench) as the only stdout output.
+#
+#   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 scripts/bench.sh
+set -uo pipefail
+cd "$(dirname "$0")/.."
+sbt -batch "runMain graft.Bench" 1>&2
+cat bench_result.json

@@ -44,21 +44,30 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // isolate timings by construction: a query must not read (or evict)
+      // another query's leftover cache — r2's bench charged ~25 s of one
+      // query's persisted garbage to its alphabetical neighbors
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       val err = try { fn(spark, sfDir).count(); None }
                 catch { case e: Throwable => Some(e) }
       val sec = (System.nanoTime() - t0) / 1e9
       (name, if (err.isDefined) -1.0 else sec, err)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+    // 3-decimal timings: ms precision is all the signal there is, and the
+    // compact line keeps the whole JSON inside the driver's stdout tail
+    // window (r1/r2 "parsed": null — the 9-decimal line was long enough
+    // that its head fell off the captured tail)
+    def fmt(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val errors = results.collect { case (k, _, Some(e)) =>
-      "\"" + k + "\":\"" + esc(Option(e.getMessage).getOrElse(e.getClass.getName).take(300)) + "\""
+      "\"" + k + "\":\"" + esc(Option(e.getMessage).getOrElse(e.getClass.getName).take(200)) + "\""
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, v, None) => v }.sum
     val nFailed = results.count(_._3.isDefined)
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$nFailed,"errors":$errors,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$nFailed,"errors":$errors,"sf":"$sfDir"}"""
     Files.writeString(Paths.get("bench_result.json"), json + "\n")
     println(json)
     spark.stop()

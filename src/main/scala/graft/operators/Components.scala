@@ -23,12 +23,17 @@ object Components {
   /** `(doc_id, component)` for every node of `pairs`, where component =
     * the minimum doc_id reachable from the node. Throws if `maxIter`
     * rounds pass without convergence (a graph deeper than expected) —
-    * silently returning half-propagated labels would be a wrong answer. */
+    * silently returning half-propagated labels would be a wrong answer.
+    *
+    * Callers with an expensive pair-producing plan should materialize it
+    * first (persist + count, or localCheckpoint): the symmetrizing union
+    * below evaluates the input plan once per branch, and every round's
+    * join re-reads it. The returned DataFrame is eagerly materialized
+    * with its lineage truncated, and every cache this loop created is
+    * unpersisted before returning — a still-persisted result would squat
+    * on executor memory and contaminate whatever runs next. */
   def minLabel(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
-    // persist the directed pairs BEFORE symmetrizing: the union would
-    // otherwise evaluate the (possibly expensive) pair-producing plan
-    // once per branch
-    val edges = pairs.toDF("i", "j").persist(StorageLevel.MEMORY_AND_DISK)
+    val edges = pairs.toDF("i", "j")
     // symmetric edge list, one direction per row
     val sym = edges.select(col("i").as("a"), col("j").as("b"))
       .union(edges.select(col("j").as("a"), col("i").as("b")))
@@ -57,13 +62,19 @@ object Components {
       converged = changed == 0
       it += 1
     }
-    sym.unpersist(); edges.unpersist()
-    if (!converged)
+    sym.unpersist(blocking = false)
+    if (!converged) {
+      labels.unpersist(blocking = false)
       throw new IllegalStateException(
         s"connected components did not converge in $maxIter rounds " +
           "(graph diameter exceeds maxIter — raise it)")
-    // final labels stay persisted: the caller consumes them next, and the
-    // ContextCleaner reclaims the cache when the DataFrame drops out of scope
-    labels.select(col("node").as("doc_id"), col("label").as("component"))
+    }
+    // eager localCheckpoint materializes the (small) result out of the
+    // loop's cache before that cache is dropped; the result is one row
+    // per node of the pair graph, a tiny fraction of the corpus
+    val out = labels.select(col("node").as("doc_id"), col("label").as("component"))
+      .localCheckpoint(true)
+    labels.unpersist(blocking = false)
+    out
   }
 }

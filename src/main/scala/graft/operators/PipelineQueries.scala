@@ -40,8 +40,7 @@ object PipelineQueries {
    * from that one persisted relation, so the input is computed exactly
    * once. Returns (inter: i,j,inter — sizes: doc_id,n).
    */
-  private[operators] def postingStats(items: DataFrame, maxDf: Int,
-      persistPostings: Boolean = true): (DataFrame, DataFrame) = {
+  private[operators] def postingStats(items: DataFrame, maxDf: Int): (DataFrame, DataFrame) = {
     val keyed = items.toDF("doc_id", "key")
     // prune hot keys BEFORE collecting posting lists: count() carries O(1)
     // aggregation state per key, so a corpus-universal key costs nothing —
@@ -50,16 +49,13 @@ object PipelineQueries {
     // rows; AQE broadcasts the anti-join.
     val hot = keyed.groupBy("key").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf).select("key")
-    val base = keyed.join(hot, Seq("key"), "left_anti")
+    // NOT persisted: callers that consume both branches in one action get
+    // the scan+shingle+partial-agg computed once via ReuseExchange (the
+    // shared shuffle below `postings` dedupes; only the cheap post-shuffle
+    // final agg runs per branch). A persist here would outlive the query —
+    // cache squatting that contaminates whatever runs next (bench-proven).
+    val postings = keyed.join(hot, Seq("key"), "left_anti")
       .groupBy("key").agg(collect_list(col("doc_id")).as("docs"))
-    // persist only pays off when both the pair and the size branches run;
-    // pair-only callers (banded LSH candidate gen) skip it. (Not
-    // explicitly unpersisted — the returned plans reference it lazily;
-    // Spark's ContextCleaner reclaims the cache once the DataFrames
-    // become unreachable.)
-    val postings = if (persistPostings)
-      base.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    else base
     val sizes = postings
       .select(explode(col("docs")).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("n"))
@@ -133,7 +129,7 @@ object PipelineQueries {
       val bands = d.select(col("doc_id"),
           posexplode(expr("minhash_bands(text)")).as(Seq("band", "bh")))
         .select(col("doc_id"), struct(col("band"), col("bh")).as("key"))
-      val (pairs, _) = postingStats(bands, MaxBandDf, persistPostings = false)
+      val (pairs, _) = postingStats(bands, MaxBandDf)
       val cand = pairs.select("i", "j")
       // verify candidates with the exact shingle-set Jaccard (same
       // similarity the signatures approximate); hashed shingle sets make
@@ -167,7 +163,7 @@ object PipelineQueries {
       val bands = full.select(col("doc_id"),
           posexplode(expr("slice(arr, 2, 8)")).as(Seq("band", "bh")))
         .select(col("doc_id"), struct(col("band"), col("bh")).as("key"))
-      val (pairs, _) = postingStats(bands, MaxBandDf, persistPostings = false)
+      val (pairs, _) = postingStats(bands, MaxBandDf)
       pairs.select("i", "j")
         .join(hashes.select(col("doc_id").as("i"), col("sh64").as("h_i")), Seq("i"))
         .join(hashes.select(col("doc_id").as("j"), col("sh64").as("h_j")), Seq("j"))
@@ -209,9 +205,14 @@ object PipelineQueries {
     // clusters are shallow, so a handful of rounds; the per-round driver
     // work is a single scalar convergence count.
     "dedup_components" -> ((s, dir) => {
+      // materialize the pair set ONCE before the loop: without this every
+      // propagation round re-derives the whole shingle→posting→pair plan
+      // inside its lineage (r2: 26 s; the pair graph itself is tiny)
       val pairs = queries("dedup_ngram_jaccard")(s, dir).select("i", "j")
-      graft.operators.Components.minLabel(pairs)
-        .orderBy("doc_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      pairs.count()
+      try Components.minLabel(pairs).orderBy("doc_id")
+      finally pairs.unpersist(blocking = false) // result is checkpointed — safe
     }),
 
     // deterministic content-hash train/valid split: assignment depends

@@ -112,8 +112,7 @@ object SimilarityQueries {
       val bands = e.select(col("vec_id"),
           posexplode(expr("hyperplane_bands(v)")).as(Seq("band", "bv")))
         .select(col("vec_id"), struct(col("band"), col("bv")).as("key"))
-      val (pairs, _) = PipelineQueries.postingStats(bands, MaxBandDf,
-        persistPostings = false)
+      val (pairs, _) = PipelineQueries.postingStats(bands, MaxBandDf)
       pairs.select("i", "j")
         .join(e.select(col("vec_id").as("i"), col("v").as("vi"), col("norm").as("ni")), Seq("i"))
         .join(e.select(col("vec_id").as("j"), col("v").as("vj"), col("norm").as("nj")), Seq("j"))
