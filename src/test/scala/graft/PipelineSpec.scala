@@ -15,7 +15,7 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     val exact = PipelineQueries.queries("dedup_ngram_jaccard")(spark, sf)
       .filter(col("jaccard") >= 0.8)
       .select("i", "j").as[(Long, Long)].collect().toSet
-    val lsh = PipelineQueries.queries("dedup_minhash_lsh")(spark, sf)
+    val lsh = PipelineQueries.minhashLshPairs(spark, sf)
       .select("i", "j").as[(Long, Long)].collect().toSet
     assert(exact.nonEmpty, "fixture should contain planted near-dups")
     val recall = exact.count(lsh.contains).toDouble / exact.size
@@ -37,7 +37,7 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("simhash banding reports only pairs with hamming <= 7") {
-    val res = PipelineQueries.queries("dedup_simhash")(spark, sf)
+    val res = PipelineQueries.simhashPairs(spark, sf)
       .select("hamming").as[Int].collect()
     assert(res.forall(_ <= 7))
   }
@@ -120,7 +120,7 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
   test("dedup_winnow reports sane overlaps and full-containment pairs") {
     // sf0.01's corpus has no byte-identical dups (dedup_exact = 500 distinct
     // hashes) but plenty of copy-paste near-dups — winnow must surface them
-    val res = PipelineQueries.queries("dedup_winnow")(spark, "/root/testdata/sf0.01")
+    val res = PipelineQueries.winnowPairs(spark, "/root/testdata/sf0.01")
       .as[(Long, Long, Double)].collect()
     assert(res.nonEmpty, "fixture contains near-dups; winnow must find them")
     assert(res.forall { case (i, j, ov) => i < j && ov >= 0.5 && ov <= 1.0 })
@@ -131,7 +131,7 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
 
   test("dedup_embedding matches brute-force pairs it reports; recall is sane") {
     import graft.operators.SimilarityQueries
-    val got = SimilarityQueries.queries("dedup_embedding")(spark, sf)
+    val got = SimilarityQueries.embeddingPairs(spark, sf)
       .as[(Long, Long, Double)].collect()
     assert(got.forall { case (i, j, cos) => i < j && cos >= 0.4 })
     // every reported pair must agree with a direct cosine computation
@@ -170,10 +170,28 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("invariant queries assert true on their boolean columns (sf0.001)") {
+    // the driver's DuckDB oracle checks these at sf0.01; this covers a
+    // second scale so a bound that only holds at one SF cannot slip in
+    for ((name, boolCols) <- Seq(
+        "agg_hll" -> Seq("est_ok"),
+        "agg_kmv" -> Seq("est_ok"),
+        "dedup_minhash_lsh" -> Seq("recall_ok"),
+        "dedup_simhash" -> Seq("sample_recall_ok", "pairs_valid"),
+        "sim_lsh_topk" -> Seq("recall_ok"),
+        "dedup_embedding" -> Seq("recall_ok"))) {
+      val df = SparkEntry.queries(name)(spark, sf)
+      val rows = df.collect()
+      assert(rows.nonEmpty, s"$name returned no rows")
+      for (c <- boolCols; r <- rows)
+        assert(r.getAs[Boolean](c), s"$name.$c is false: $r")
+    }
+  }
+
   test("banded hyperplane LSH ANN achieves recall >= 0.4 of brute-force top-5") {
     val brute = SimilarityQueries.queries("sim_brute_topk")(spark, sf)
       .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
-    val lsh = SimilarityQueries.queries("sim_lsh_topk")(spark, sf)
+    val lsh = SimilarityQueries.lshTopKPairs(spark, sf)
       .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
     assert(brute.size === 50)
     val recall = brute.count(lsh.contains).toDouble / brute.size
