@@ -36,7 +36,14 @@ import org.apache.spark.sql.functions._
 final class BucketedViewStore(
     val spark: SparkSession,
     val baseDir: String,
-    val numBuckets: Int = 16) extends Serializable {
+    val numBuckets: Int = 16,
+    /** superseded bucket versions kept after a refresh for in-flight
+      * readers of older snapshots. 1 covers a reader of the immediately
+      * previous manifest; deployments with long-running scans under fast
+      * micro-batches should retain more. */
+    val graceVersions: Int = 1) extends Serializable {
+
+  require(graceVersions >= 0, s"graceVersions must be >= 0, got $graceVersions")
 
   import BucketedViewStore._
 
@@ -269,11 +276,11 @@ final class BucketedViewStore(
     RefreshStats(affected.size, metaBuckets.size, numBuckets)
   }
 
-  /** Delete bucket version dirs older than `live - 1` (one grace version
-    * stays for in-flight readers of the previous snapshot). */
+  /** Delete bucket version dirs older than `live - graceVersions` (the
+    * grace versions stay for in-flight readers of older snapshots). */
   private def gcOldVersions(name: String, live: Map[(String, Int), Int]): Unit =
     live.foreach { case ((kind, b), v) =>
-      var old = v - 2
+      var old = v - 1 - graceVersions
       var p = Paths.get(bucketPath(name, kind, b, math.max(old, 0)))
       while (old >= 0 && Files.exists(p)) {
         deleteRecursively(p)

@@ -73,12 +73,19 @@ final class MapIndex(val name: String, val mapPlan: DataFrame => DataFrame)
       .otherwise(raise_error(lit(
         s"partition exceeded ${1L << 26} emissions — uid bit budget; " +
           "repartition the source batch")).cast("long"))
+    // symmetric guard on the 25-bit partition budget: past 2^25
+    // partitions, shiftleft(part, 38) would overflow into the sign bit —
+    // silent uid collisions and order flips instead of an error
+    val safePart = when(part < lit(1L << 25), part)
+      .otherwise(raise_error(lit(
+        s"batch exceeded ${1L << 25} partitions — uid bit budget; " +
+          "coalesce the source batch")).cast("long"))
     mapped(source)
       .filter(col("emit").isNotNull)
       .select(col("src_key"), col("emit.emit_key").as("emit_key"),
         col("emit.emit_value").as("emit_value"))
       .withColumn("uid",
-        shiftleft(part, 38).bitwiseOR(shiftleft(safeRow, 12))
+        shiftleft(safePart, 38).bitwiseOR(shiftleft(safeRow, 12))
           .bitwiseOR(lit(epoch & 0xfffL)))
   }
 

@@ -20,8 +20,14 @@ import org.apache.spark.sql.functions._
  * pointer swap is the usual metadata-commit pattern (what table formats do
  * with a transaction log); per-version data is written once, never mutated.
  */
-final class ViewStore(val spark: SparkSession, val baseDir: String)
-    extends Serializable {
+final class ViewStore(
+    val spark: SparkSession,
+    val baseDir: String,
+    /** superseded versions kept after a write for in-flight readers of
+      * older snapshots (see [[BucketedViewStore.graceVersions]]). */
+    val graceVersions: Int = 1) extends Serializable {
+
+  require(graceVersions >= 0, s"graceVersions must be >= 0, got $graceVersions")
 
   private def dir(name: String): Path = Paths.get(baseDir, name)
   private def latestFile(name: String): Path = dir(name).resolve("_LATEST")
@@ -60,9 +66,9 @@ final class ViewStore(val spark: SparkSession, val baseDir: String)
     Files.move(tmp, latestFile(index.name),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    // GC superseded versions (keep one grace copy for in-flight readers of
-    // the previous snapshot) — otherwise every refresh leaks a full view
-    var old = next - 2
+    // GC superseded versions (keep graceVersions copies for in-flight
+    // readers of older snapshots) — otherwise every refresh leaks a view
+    var old = next - 1 - graceVersions
     var p = dir(index.name).resolve(s"v${math.max(old, 0)}")
     while (old >= 0 && Files.exists(p)) {
       val stream = Files.walk(p) // close the stream: an unclosed walk leaks an fd

@@ -32,6 +32,8 @@ object Sketches {
       inputAggBufferOffset: Int = 0)
       extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]] {
 
+    require(k > 0, s"bottomk_distinct: k must be positive, got $k")
+
     override def children: Seq[Expression] = Seq(child)
     override def nullable: Boolean = false
     override def dataType: DataType = LongType
@@ -101,8 +103,18 @@ object Sketches {
     reg.createOrReplaceTempFunction("bottomk_distinct", {
       case Seq(c) => BottomKDistinct(c, 256).toAggregateExpression()
       case Seq(c, kExpr) =>
-        val k = kExpr.eval(InternalRow.empty).asInstanceOf[Number].intValue()
+        // k parameterizes the aggregation buffer, so it must be resolvable
+        // at plan time — a column-valued k has no meaningful semantics here
+        require(kExpr.foldable,
+          "bottomk_distinct: k must be a literal (it sizes the sketch buffer)")
+        val k = kExpr.eval(InternalRow.empty) match {
+          case n: Number => n.intValue()
+          case other => throw new IllegalArgumentException(
+            s"bottomk_distinct: k must be numeric, got $other")
+        }
         BottomKDistinct(c, k).toAggregateExpression()
+      case es => throw new IllegalArgumentException(
+        s"bottomk_distinct expects (col) or (col, k), got ${es.length} arguments")
     }, "scala_udf")
   }
 }

@@ -27,7 +27,13 @@ object VectorFunctions {
     override def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]
       val y = b.asInstanceOf[ArrayData]
-      val n = math.min(x.numElements(), y.numElements())
+      val n = x.numElements()
+      // fail loud on a dimension mismatch: silently truncating would give
+      // a plausible-but-wrong dot (and cosine), shifting every downstream
+      // ANN/dedup score with no visible symptom
+      if (n != y.numElements())
+        throw new IllegalArgumentException(
+          s"vec_dot: dimension mismatch ($n vs ${y.numElements()})")
       var acc = 0.0
       var i = 0
       while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }

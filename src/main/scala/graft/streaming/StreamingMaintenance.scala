@@ -127,11 +127,14 @@ final class BucketedStreamingMapIndex(
       .foreachBatch { (batch: DataFrame, _: Long) => applyBatch(batch) }
 }
 
-/** Streaming exact deduplication for an ingest pipeline: keep the first
-  * document per content hash. `dropDuplicatesWithinWatermark` bounds the
-  * dedup state — a hash is only held until the watermark passes it, so
-  * state is proportional to the watermark window, not the corpus (the
-  * batch `dedup_exact` pass is the cross-window backstop). */
+/** Streaming exact deduplication for an ingest pipeline: keep the
+  * first-ARRIVING document per content hash within the watermark window.
+  * With out-of-order arrival the kept doc may not be the
+  * event-time-earliest — this diverges from the batch `dedup_exact`
+  * keeper rule (min doc_id); a pipeline needing the batch rule exactly
+  * reconciles in the batch backstop pass. `dropDuplicatesWithinWatermark`
+  * bounds the dedup state — a hash is only held until the watermark
+  * passes it, so state is proportional to the window, not the corpus. */
 object StreamingDedup {
   def firstPerContent(docs: DataFrame, watermark: String = "1 hour"): DataFrame =
     docs.withColumn("content_hash", md5(col("text")))
