@@ -34,47 +34,76 @@ object Components {
     * on executor memory and contaminate whatever runs next. */
   def minLabel(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
     val edges = pairs.toDF("i", "j")
-    // symmetric edge list, one direction per row
-    val sym = edges.select(col("i").as("a"), col("j").as("b"))
-      .union(edges.select(col("j").as("a"), col("i").as("b")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // labels carry (node, prev, label) so the convergence count reads the
-    // same persisted relation the next round joins against — two jobs per
-    // round (propagation, scalar count), bounded lineage via per-round
-    // persist/unpersist
-    var labels = sym.select(col("a").as("node")).distinct()
-      .select(col("node"), col("node").as("prev"), col("node").as("label"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    var converged = false
-    var it = 0
-    while (!converged && it < maxIter) {
-      val neighborMin = sym
-        .join(labels, sym("b") === labels("node"))
-        .groupBy(col("a")).agg(min("label").as("nlabel"))
-      val next = labels
-        .join(neighborMin, labels("node") === neighborMin("a"), "left")
-        .select(col("node"), col("label").as("prev"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+    // size the loop's shuffle width by GRAPH size, not the session
+    // default: the near-dup pair graph is a sliver of the corpus, and
+    // every round is two jobs whose constant cost scales with task
+    // count (at bench scale, 32-wide shuffles of a few hundred edges
+    // dominated the loop's wall-clock). ~500k edges per partition; the
+    // caller has typically materialized `pairs`, so this count is a
+    // cache read. Also clamp nonzero: repartition(0) is illegal.
+    val nEdges = edges.count()
+    val spark = edges.sparkSession
+    val parts = math.max(1L, math.min(
+      spark.sessionState.conf.numShufflePartitions.toLong,
+      nEdges / 500000L + 1L)).toInt
+    // AQE re-plans every shuffle stage — the right trade for one big
+    // query, pure per-round latency for an iterative loop over a small
+    // graph (measured 2.2 s vs 1.0 s for the same loop at bench scale).
+    // Keep it for genuinely large graphs, where runtime skew handling
+    // matters more than per-stage overhead.
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqeWas = spark.conf.get(aqeKey, "true")
+    val suspendAqe = nEdges < 10000000L && aqeWas == "true"
+    if (suspendAqe) spark.conf.set(aqeKey, "false")
+    try {
+      // symmetric edge list, one direction per row, pre-partitioned by the
+      // join key so every round's join re-reads it without re-shuffling
+      val sym = edges.select(col("i").as("a"), col("j").as("b"))
+        .union(edges.select(col("j").as("a"), col("i").as("b")))
+        .repartition(parts, col("b"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val changed = next.filter(col("label") =!= col("prev")).count()
-      labels.unpersist()
-      labels = next
-      converged = changed == 0
-      it += 1
-    }
-    sym.unpersist(blocking = false)
-    if (!converged) {
+      // labels carry (node, prev, label) so the convergence count reads the
+      // same persisted relation the next round joins against — two jobs per
+      // round (propagation, scalar count), bounded lineage via per-round
+      // persist/unpersist
+      var labels = sym.select(col("a").as("node")).distinct()
+        .select(col("node"), col("node").as("prev"), col("node").as("label"))
+        .repartition(parts, col("node"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      var converged = false
+      var it = 0
+      while (!converged && it < maxIter) {
+        val neighborMin = sym
+          .join(labels, sym("b") === labels("node"))
+          .groupBy(col("a")).agg(min("label").as("nlabel"))
+        val next = labels
+          .join(neighborMin, labels("node") === neighborMin("a"), "left")
+          .select(col("node"), col("label").as("prev"),
+            least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+          .repartition(parts, col("node"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val changed = next.filter(col("label") =!= col("prev")).count()
+        labels.unpersist()
+        labels = next
+        converged = changed == 0
+        it += 1
+      }
+      sym.unpersist(blocking = false)
+      if (!converged) {
+        labels.unpersist(blocking = false)
+        throw new IllegalStateException(
+          s"connected components did not converge in $maxIter rounds " +
+            "(graph diameter exceeds maxIter — raise it)")
+      }
+      // eager localCheckpoint materializes the (small) result out of the
+      // loop's cache before that cache is dropped; the result is one row
+      // per node of the pair graph, a tiny fraction of the corpus
+      val out = labels.select(col("node").as("doc_id"), col("label").as("component"))
+        .localCheckpoint(true)
       labels.unpersist(blocking = false)
-      throw new IllegalStateException(
-        s"connected components did not converge in $maxIter rounds " +
-          "(graph diameter exceeds maxIter — raise it)")
+      out
+    } finally {
+      if (suspendAqe) spark.conf.set(aqeKey, aqeWas)
     }
-    // eager localCheckpoint materializes the (small) result out of the
-    // loop's cache before that cache is dropped; the result is one row
-    // per node of the pair graph, a tiny fraction of the corpus
-    val out = labels.select(col("node").as("doc_id"), col("label").as("component"))
-      .localCheckpoint(true)
-    labels.unpersist(blocking = false)
-    out
   }
 }
