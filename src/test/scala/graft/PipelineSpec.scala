@@ -170,6 +170,16 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("connected components: pointer jumping resolves a 400-link chain in O(log) rounds") {
+    import graft.operators.Components
+    // diameter 400 ≫ maxIter=30: plain per-edge propagation would throw
+    // the non-convergence guard; pointer jumping needs ~log2(400) ≈ 9 rounds
+    val chain = (0L until 400L).map(k => (k, k + 1)).toDF("i", "j")
+    val got = Components.minLabel(chain).as[(Long, Long)].collect()
+    assert(got.length === 401)
+    assert(got.forall(_._2 === 0L), "every chain node must resolve to the minimum")
+  }
+
   test("invariant queries assert true on their boolean columns (sf0.001)") {
     // the driver's DuckDB oracle checks these at sf0.01; this covers a
     // second scale so a bound that only holds at one SF cannot slip in
