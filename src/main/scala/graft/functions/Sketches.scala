@@ -97,22 +97,147 @@ object Sketches {
     override def prettyName: String = "bottomk_distinct"
   }
 
+  /**
+   * `heavy_hitters(col, k)`: Misra-Gries frequent-items sketch over a
+   * LongType column — k counters per aggregation buffer, mergeable
+   * (Agarwal et al., "Mergeable Summaries": combine counts, then subtract
+   * the (k+1)-th largest and drop non-positives). Returns the candidate
+   * values as a sorted array.
+   *
+   * Guarantee: EVERY value with true frequency > N/(k+1) survives in the
+   * sketch regardless of partitioning or merge order — so a query that
+   * joins the candidates back to exact counts and keeps those > N/k
+   * computes the exact frequent-item set with O(k) aggregation state,
+   * where a full groupBy would shuffle the whole key space. Sub-threshold
+   * extras MAY differ with partitioning; the exact-count verify filter is
+   * what makes the final answer deterministic.
+   */
+  case class HeavyHitters(
+      child: Expression,
+      k: Int,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+      extends TypedImperativeAggregate[java.util.HashMap[java.lang.Long, java.lang.Long]] {
+
+    require(k > 0, s"heavy_hitters: k must be positive, got $k")
+
+    override def children: Seq[Expression] = Seq(child)
+    override def nullable: Boolean = false
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+    override def createAggregationBuffer(): java.util.HashMap[java.lang.Long, java.lang.Long] =
+      new java.util.HashMap[java.lang.Long, java.lang.Long]()
+
+    override def update(
+        buf: java.util.HashMap[java.lang.Long, java.lang.Long],
+        input: InternalRow): java.util.HashMap[java.lang.Long, java.lang.Long] = {
+      val v = child.eval(input)
+      if (v != null) {
+        val key = java.lang.Long.valueOf(v.asInstanceOf[Long])
+        val cur = buf.get(key)
+        if (cur != null) buf.put(key, cur + 1L)
+        else if (buf.size < k) buf.put(key, 1L)
+        else decrementAll(buf) // MG step: a miss with a full table decrements every counter
+      }
+      buf
+    }
+
+    private def decrementAll(buf: java.util.HashMap[java.lang.Long, java.lang.Long]): Unit = {
+      val it = buf.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getValue <= 1L) it.remove() else e.setValue(e.getValue - 1L)
+      }
+    }
+
+    override def merge(
+        b1: java.util.HashMap[java.lang.Long, java.lang.Long],
+        b2: java.util.HashMap[java.lang.Long, java.lang.Long]): java.util.HashMap[java.lang.Long, java.lang.Long] = {
+      val it = b2.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val cur = b1.get(e.getKey)
+        b1.put(e.getKey, if (cur == null) e.getValue else java.lang.Long.valueOf(cur + e.getValue))
+      }
+      if (b1.size > k) {
+        // subtract the (k+1)-th largest count from everything, drop <= 0:
+        // keeps exactly <= k counters and preserves the MG error bound
+        val counts = new Array[Long](b1.size)
+        var i = 0
+        val vs = b1.values().iterator()
+        while (vs.hasNext) { counts(i) = vs.next().longValue(); i += 1 }
+        java.util.Arrays.sort(counts)
+        val cut = counts(b1.size - k - 1) // (k+1)-th largest
+        val es = b1.entrySet().iterator()
+        while (es.hasNext) {
+          val e = es.next()
+          if (e.getValue <= cut) es.remove() else e.setValue(e.getValue - cut)
+        }
+      }
+      b1
+    }
+
+    override def eval(buf: java.util.HashMap[java.lang.Long, java.lang.Long]): Any = {
+      val out = new Array[Long](buf.size)
+      var i = 0
+      val it = buf.keySet().iterator()
+      while (it.hasNext) { out(i) = it.next().longValue(); i += 1 }
+      java.util.Arrays.sort(out) // stable output order
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+    }
+
+    override def serialize(buf: java.util.HashMap[java.lang.Long, java.lang.Long]): Array[Byte] = {
+      val bb = ByteBuffer.allocate(4 + buf.size * 16)
+      bb.putInt(buf.size)
+      val it = buf.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        bb.putLong(e.getKey.longValue()); bb.putLong(e.getValue.longValue())
+      }
+      bb.array()
+    }
+
+    override def deserialize(bytes: Array[Byte]): java.util.HashMap[java.lang.Long, java.lang.Long] = {
+      val bb = ByteBuffer.wrap(bytes)
+      val n = bb.getInt
+      val buf = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+      var i = 0
+      while (i < n) { buf.put(bb.getLong, bb.getLong); i += 1 }
+      buf
+    }
+
+    override def withNewMutableAggBufferOffset(o: Int): HeavyHitters =
+      copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): HeavyHitters =
+      copy(inputAggBufferOffset = o)
+    override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): HeavyHitters =
+      copy(child = cs.head)
+    override def prettyName: String = "heavy_hitters"
+  }
+
+  private def literalK(kExpr: Expression, fn: String): Int = {
+    require(kExpr.foldable, s"$fn: k must be a literal (it sizes the sketch buffer)")
+    kExpr.eval(InternalRow.empty) match {
+      case n: Number => n.intValue()
+      case other => throw new IllegalArgumentException(s"$fn: k must be numeric, got $other")
+    }
+  }
+
   /** Register in the session's function registry (idempotent). */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("heavy_hitters", {
+      case Seq(c, kExpr) =>
+        require(c.dataType == LongType,
+          s"heavy_hitters expects a BIGINT column (got ${c.dataType.simpleString}); cast first")
+        HeavyHitters(c, literalK(kExpr, "heavy_hitters")).toAggregateExpression()
+      case es => throw new IllegalArgumentException(
+        s"heavy_hitters expects (col, k), got ${es.length} arguments")
+    }, "scala_udf")
     reg.createOrReplaceTempFunction("bottomk_distinct", {
       case Seq(c) => BottomKDistinct(c, 256).toAggregateExpression()
       case Seq(c, kExpr) =>
-        // k parameterizes the aggregation buffer, so it must be resolvable
-        // at plan time — a column-valued k has no meaningful semantics here
-        require(kExpr.foldable,
-          "bottomk_distinct: k must be a literal (it sizes the sketch buffer)")
-        val k = kExpr.eval(InternalRow.empty) match {
-          case n: Number => n.intValue()
-          case other => throw new IllegalArgumentException(
-            s"bottomk_distinct: k must be numeric, got $other")
-        }
-        BottomKDistinct(c, k).toAggregateExpression()
+        BottomKDistinct(c, literalK(kExpr, "bottomk_distinct")).toAggregateExpression()
       case es => throw new IllegalArgumentException(
         s"bottomk_distinct expects (col) or (col, k), got ${es.length} arguments")
     }, "scala_udf")

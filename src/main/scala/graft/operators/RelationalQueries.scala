@@ -113,6 +113,28 @@ object RelationalQueries {
         .orderBy("o_orderstatus")
     }),
 
+    // exact frequent-item set through a Misra-Gries sketch: the sketch
+    // pass keeps O(k) state per buffer and its completeness guarantee
+    // (every value with freq > N/k survives any partitioning/merge order)
+    // means candidates→exact-count→filter reproduces the full
+    // groupBy+HAVING answer — the DuckDB oracle computes exactly that.
+    // At 100 TB the win is the key space: candidates ≤ k regardless of
+    // how many billions of distinct keys the column has, so the exact
+    // pass aggregates a semi-join-pruned sliver instead of everything.
+    "agg_heavy_hitters" -> ((s, dir) => {
+      graft.functions.Sketches.register(s)
+      val li = Tables.lineitem(s, dir).select(col("l_quantity").cast("long").as("qty"))
+      val cand = li.agg(expr("heavy_hitters(qty, 100)").as("cand"))
+        .select(explode(col("cand")).as("qty"))
+      val total = li.agg(count(lit(1)).as("n"))
+      li.join(broadcast(cand), Seq("qty"), "left_semi")
+        .groupBy("qty").agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(total))
+        .filter(col("cnt") > col("n") / 100.0)
+        .select(col("qty"), col("cnt"))
+        .orderBy("qty")
+    }),
+
     "agg_rollup" -> ((s, dir) =>
       Tables.lineitem(s, dir)
         .rollup(col("l_returnflag"), col("l_linestatus"))
@@ -569,6 +591,11 @@ object RelationalQueries {
     "agg_kmv" ->
       """SELECT o_orderstatus, count(DISTINCT o_custkey) AS exact_custs, true AS est_ok
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "agg_heavy_hitters" ->
+      """SELECT CAST(l_quantity AS BIGINT) AS qty, count(*) AS cnt
+        |FROM lineitem GROUP BY 1
+        |HAVING count(*) > (SELECT count(*) FROM lineitem) / 100.0
+        |ORDER BY qty""".stripMargin,
     "agg_rollup" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS flag,
         |       COALESCE(l_linestatus, 'ALL') AS status,

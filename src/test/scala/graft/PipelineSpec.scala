@@ -160,6 +160,34 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(est2 === est, "sketch must be partitioning-invariant")
   }
 
+  test("Misra-Gries heavy hitters: completeness guarantee and partitioning invariance") {
+    import graft.functions.Sketches
+    Sketches.register(spark)
+    // skewed stream: value 0 → 5000 occurrences, values 1..100 → 50 each.
+    // N = 10000, k = 10 → threshold 1000: only value 0 qualifies, and the
+    // guarantee says it MUST survive the sketch under any partitioning.
+    val skewed = spark.range(5000).select(lit(0L).as("v"))
+      .union(spark.range(5000).select((col("id") % 100 + 1).as("v")))
+    for (parts <- Seq(1, 32)) {
+      val cand = skewed.repartition(parts)
+        .agg(expr("heavy_hitters(v, 10)")).as[Seq[Long]].head()
+      assert(cand.contains(0L), s"parts=$parts: frequent value lost: $cand")
+      assert(cand.length <= 10, s"parts=$parts: sketch exceeded k: $cand")
+    }
+    // below-threshold values may or may not appear; the exact-count verify
+    // in agg_heavy_hitters is what pins the final answer — check it end
+    // to end against a direct groupBy at a real scale factor
+    val got = SparkEntry.queries("agg_heavy_hitters")(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_quantity").cast("long").as("qty"))
+    val n = li.count()
+    val exact = li.groupBy("qty").count()
+      .filter(col("count") > n / 100.0)
+      .as[(Long, Long)].collect().toMap
+    assert(got === exact)
+  }
+
   test("connected components: chains, triangles, and singleton edges resolve") {
     import graft.operators.Components
     // components: {1,2,3,4} (chain), {10,11,12} (triangle), {20,21}
