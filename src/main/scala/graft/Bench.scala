@@ -58,7 +58,10 @@ object Bench {
     // compact line keeps the whole JSON inside the driver's stdout tail
     // window (r1/r2 "parsed": null — the 9-decimal line was long enough
     // that its head fell off the captured tail)
-    def fmt(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: the f interpolator formats in the default JVM locale,
+    // which under comma-decimal locales would emit invalid JSON
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val errors = results.collect { case (k, _, Some(e)) =>

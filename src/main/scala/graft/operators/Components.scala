@@ -27,22 +27,27 @@ object Components {
     * rounds pass without convergence (a graph deeper than expected) —
     * silently returning half-propagated labels would be a wrong answer.
     *
-    * Callers with an expensive pair-producing plan should materialize it
-    * first (persist + count, or localCheckpoint): the symmetrizing union
-    * below evaluates the input plan once per branch, and every round's
-    * join re-reads it. The returned DataFrame is eagerly materialized
-    * with its lineage truncated, and every cache this loop created is
-    * unpersisted before returning — a still-persisted result would squat
-    * on executor memory and contaminate whatever runs next. */
+    * An un-cached input plan is persisted internally for the duration of
+    * the call (the count, the symmetrizing union, and every round would
+    * otherwise re-derive it); an input the caller already persisted or
+    * checkpointed is used as-is. The returned DataFrame is eagerly
+    * materialized with its lineage truncated, and every cache or
+    * checkpoint this loop created is released before returning — on the
+    * failure path too — because a leaked block squats on executor memory
+    * and contaminates whatever runs next. */
   def minLabel(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
-    val edges = pairs.toDF("i", "j")
+    val inputCached = pairs.storageLevel != StorageLevel.NONE
+    val edges = {
+      val e = pairs.toDF("i", "j")
+      if (inputCached) e else e.persist(StorageLevel.MEMORY_AND_DISK)
+    }
     // size the loop's shuffle width by GRAPH size, not the session
     // default: the near-dup pair graph is a sliver of the corpus, and
     // every round is two jobs whose constant cost scales with task
     // count (at bench scale, 32-wide shuffles of a few hundred edges
-    // dominated the loop's wall-clock). ~500k edges per partition; the
-    // caller has typically materialized `pairs`, so this count is a
-    // cache read. Also clamp nonzero: repartition(0) is illegal.
+    // dominated the loop's wall-clock). ~500k edges per partition; this
+    // count also materializes the internal persist above. Clamp nonzero:
+    // repartition(0) is illegal.
     val nEdges = edges.count()
     val spark = edges.sparkSession
     val parts = math.max(1L, math.min(
@@ -52,15 +57,22 @@ object Components {
     // query, pure per-round latency for an iterative loop over a small
     // graph (measured 2.2 s vs 1.0 s for the same loop at bench scale).
     // Keep it for genuinely large graphs, where runtime skew handling
-    // matters more than per-stage overhead.
+    // matters more than per-stage overhead. NOTE: spark.conf is
+    // session-global, so other queries planned on this session while the
+    // loop runs also skip AQE — acceptable for the engine's
+    // one-query-at-a-time sessions; use a dedicated session to run
+    // minLabel concurrently with AQE-dependent work.
     val aqeKey = "spark.sql.adaptive.enabled"
     val aqeWas = spark.conf.get(aqeKey, "true")
     val suspendAqe = nEdges < 10000000L && aqeWas == "true"
     if (suspendAqe) spark.conf.set(aqeKey, "false")
+    var sym: DataFrame = null
+    var labels: DataFrame = null
+    var stepped: DataFrame = null
     try {
       // symmetric edge list, one direction per row, pre-partitioned by the
       // join key so every round's join re-reads it without re-shuffling
-      val sym = edges.select(col("i").as("a"), col("j").as("b"))
+      sym = edges.select(col("i").as("a"), col("j").as("b"))
         .union(edges.select(col("j").as("a"), col("i").as("b")))
         .repartition(parts, col("b"))
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -72,7 +84,7 @@ object Components {
       // (measured: a 64-link chain took 152 s; with truncation, under a
       // second per round). The previous round's checkpoint blocks are
       // freed explicitly once the new round is materialized.
-      var labels = sym.select(col("a").as("node")).distinct()
+      labels = sym.select(col("a").as("node")).distinct()
         .select(col("node"), col("node").as("prev"), col("node").as("label"))
         .repartition(parts, col("node"))
         .localCheckpoint(true)
@@ -83,7 +95,7 @@ object Components {
           .join(labels, sym("b") === labels("node"))
           .groupBy(col("a")).agg(min("label").as("nlabel"))
         // persisted: the pointer jump below reads it twice (probe + build)
-        val stepped = labels
+        stepped = labels
           .join(neighborMin, labels("node") === neighborMin("a"), "left")
           .select(col("node"), col("label").as("prev"),
             least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
@@ -102,26 +114,29 @@ object Components {
           .localCheckpoint(true)
         val changed = next.filter(col("label") =!= col("prev")).count()
         stepped.unpersist(blocking = false)
+        stepped = null
         freeCheckpoint(labels)
         labels = next
         converged = changed == 0
         it += 1
       }
-      sym.unpersist(blocking = false)
-      if (!converged) {
-        freeCheckpoint(labels)
+      if (!converged)
         throw new IllegalStateException(
           s"connected components did not converge in $maxIter rounds " +
             "(graph diameter exceeds maxIter — raise it)")
-      }
-      // checkpoint the (small) projected result before freeing the loop's
-      // final round; the result is one row per node of the pair graph
-      val out = labels.select(col("node").as("doc_id"), col("label").as("component"))
+      // checkpoint the (small) projected result before the finally block
+      // frees the loop's final round; one row per node of the pair graph
+      labels.select(col("node").as("doc_id"), col("label").as("component"))
         .localCheckpoint(true)
-      freeCheckpoint(labels)
-      out
     } finally {
+      // release everything this call created, on success AND failure —
+      // catalog.clearCache() cannot reclaim RDD-level checkpoint blocks,
+      // so a leak here would outlive the query and poison its neighbors
       if (suspendAqe) spark.conf.set(aqeKey, aqeWas)
+      if (stepped != null) stepped.unpersist(blocking = false)
+      if (labels != null) freeCheckpoint(labels)
+      if (sym != null) sym.unpersist(blocking = false)
+      if (!inputCached) edges.unpersist(blocking = false)
     }
   }
 

@@ -112,9 +112,12 @@ object SimilarityQueries {
     * sf0.001/0.01/0.1: ANN top-k 0.68/0.62/0.60; embedding near-dup
     * sample 0.85/0.83/0.65 (synthetic corpus has only moderate
     * similarities, where hyperplane collision probability 1-θ/π is
-    * weakest; real near-dup corpora sit near cos 1.0 where it → 1). */
-  private val AnnRecallBound = 0.5
-  private val EmbSampleRecallBound = 0.5
+    * weakest; real near-dup corpora sit near cos 1.0 where it → 1).
+    * Bounds sit well under the measured minima because both series
+    * decline with corpus size — promises about this corpus family at
+    * tested scales, re-measured if the corpus changes. */
+  private val AnnRecallBound = 0.4
+  private val EmbSampleRecallBound = 0.45
   /** brute-force ground truth inside the dedup_embedding invariant is
     * restricted to pairs touching vec_id < this (full brute is O(n²)). */
   private val SampleVecs = 50
