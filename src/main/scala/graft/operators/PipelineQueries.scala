@@ -363,6 +363,31 @@ object PipelineQueries {
         .orderBy("lang")
     }),
 
+    // end-to-end near-dup REMOVAL: resolve ngram-Jaccard pair clusters to
+    // components, keep the minimum doc per cluster plus every unpaired
+    // doc, and report the surviving corpus per language — the full
+    // "dedup the training set" operation in one query. Oracle recomputes
+    // the keeper set from scratch with a recursive CTE.
+    "pipeline_dedup_removal" -> ((s, dir) => {
+      val pairs = queries("dedup_ngram_jaccard")(s, dir).select("i", "j")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      pairs.count()
+      try {
+        val comp = Components.minLabel(pairs) // (doc_id, component=min of cluster)
+        val d = docs(s, dir)
+        // keepers: each cluster's component id IS its minimum member, so
+        // distinct components ∪ never-paired docs (anti-join) = keep set
+        val keepers = d.join(comp.select("doc_id"), Seq("doc_id"), "left_anti")
+          .select("doc_id")
+          .union(comp.select(col("component").as("doc_id")).distinct())
+        d.join(keepers, Seq("doc_id"), "left_semi")
+          .withColumn("n_tokens", size(T.tokens(col("text"))).cast("long"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"))
+          .orderBy("lang")
+      } finally pairs.unpersist(blocking = false)
+    }),
+
     // ---- text analysis ---------------------------------------------------
     "text_quality" -> ((s, dir) => {
       val t = T.tokens(col("text"))
@@ -392,6 +417,29 @@ object PipelineQueries {
         .groupBy(col("lang"), col("pred_lang"))
         .agg(count(lit(1)).as("cnt"))
         .orderBy("lang", "pred_lang")),
+
+    // vocabulary heavy hitters: every token above 1% corpus frequency,
+    // EXACTLY, through the Misra-Gries sketch — tokens are hashed to
+    // 64-bit keys for the O(k)-state sketch pass, candidates semi-join
+    // back to the token stream, and the exact count + threshold filter
+    // pins the answer (a hash collision only ever ADDS a candidate,
+    // which the exact filter then rejects; a frequent token's hash count
+    // ≥ its own count, so the MG completeness guarantee still holds).
+    "text_top_tokens" -> ((s, dir) => {
+      graft.functions.Sketches.register(s)
+      val toks = docs(s, dir)
+        .select(explode(split(lower(col("text")), " ")).as("token"))
+      val hashed = toks.select(col("token"), xxhash64(col("token")).as("h"))
+      val cand = hashed.agg(expr("heavy_hitters(h, 100)").as("cand"))
+        .select(explode(col("cand")).as("h"))
+      val total = toks.agg(count(lit(1)).as("n"))
+      hashed.join(broadcast(cand), Seq("h"), "left_semi")
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(total))
+        .filter(col("cnt") > col("n") / 100.0)
+        .select(col("token"), col("cnt"))
+        .orderBy("token")
+    }),
 
     "text_tokens" -> ((s, dir) =>
       docs(s, dir)
@@ -473,6 +521,31 @@ object PipelineQueries {
          |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
          |SELECT a AS doc_id, least(a, min(b)) AS component
          |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+    "pipeline_dedup_removal" ->
+      s"""WITH RECURSIVE pairs AS (SELECT i, j FROM ($ngramJaccardSql)),
+         |edges AS (SELECT i AS a, j AS b FROM pairs UNION SELECT j, i FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |comp AS (SELECT a AS doc_id, least(a, min(b)) AS component
+         |         FROM reach GROUP BY a),
+         |keepers AS (
+         |  SELECT DISTINCT component AS doc_id FROM comp
+         |  UNION
+         |  SELECT doc_id FROM documents
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM comp))
+         |SELECT lang, count(*) AS n_docs,
+         |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+         |FROM documents JOIN keepers USING (doc_id)
+         |GROUP BY lang ORDER BY lang""".stripMargin,
+    "text_top_tokens" ->
+      """WITH tok AS (SELECT unnest(string_split(lower(text), ' ')) AS token
+        |             FROM documents),
+        |n AS (SELECT count(*) AS n FROM tok)
+        |SELECT token, count(*) AS cnt FROM tok
+        |GROUP BY token HAVING count(*) > (SELECT n FROM n) / 100.0
+        |ORDER BY token""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keeper, count(*) AS cnt
         |FROM documents GROUP BY md5(text) ORDER BY content_hash""".stripMargin,

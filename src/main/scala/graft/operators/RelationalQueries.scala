@@ -209,6 +209,21 @@ object RelationalQueries {
           col("promo_revenue"), col("total_revenue"))
     }),
 
+    // TPC-H Q19-shaped: join with disjunctive multi-attribute predicate
+    // groups. Catalyst extracts the common conjuncts it can push
+    // (p_partkey join key both sides); the OR-of-ANDs residual runs
+    // post-join — the shape that exercises predicate normalization.
+    "q19_discount" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val p = Tables.part(s, dir)
+      li.join(p, col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) && col("l_quantity") >= 10) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(10, 30) && col("l_quantity") >= 20))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("cnt"))
+    }),
+
     // explicit GROUPING SETS (rollup/cube cover the lattice cases; this is
     // the arbitrary-set form): per-returnflag totals, per-linestatus
     // totals, and the grand total in one pass
@@ -559,6 +574,12 @@ object RelationalQueries {
         |SELECT round(100.0 * promo_revenue / total_revenue, 4) AS promo_pct,
         |       promo_revenue, total_revenue
         |FROM s""".stripMargin,
+    "q19_discount" ->
+      """SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |       count(*) AS cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 10)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 30 AND l_quantity >= 20)""".stripMargin,
     "agg_grouping_sets" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS flag,
         |       coalesce(l_linestatus, 'ALL') AS status,
