@@ -215,6 +215,105 @@ object Sketches {
     override def prettyName: String = "heavy_hitters"
   }
 
+  /**
+   * `topk_by(score, id, k)`: group-wise top-k as a bounded-heap aggregate —
+   * keeps the k (score DESC, id ASC) best `(score, id)` pairs per group,
+   * returned as a rank-ordered `array<struct<score, id>>`.
+   *
+   * This is the scale-right shape for "top k rows per group": partial
+   * aggregation bounds what the shuffle carries to k pairs per group per
+   * map task, where the window-function spelling
+   * (`row_number over (partition by g order by s) <= k`) shuffles EVERY
+   * row of every group and sorts each partition before discarding
+   * all but k. Same answer, verified by the same oracle.
+   */
+  case class TopKByScore(
+      scoreExpr: Expression,
+      idExpr: Expression,
+      k: Int,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+      extends TypedImperativeAggregate[java.util.TreeSet[(Double, Long)]] {
+
+    require(k > 0, s"topk_by: k must be positive, got $k")
+
+    override def children: Seq[Expression] = Seq(scoreExpr, idExpr)
+    override def nullable: Boolean = false
+    override def dataType: DataType = ArrayType(
+      StructType(Seq(StructField("score", DoubleType, nullable = false),
+        StructField("id", LongType, nullable = false))), containsNull = false)
+
+    // TreeSet ordered worst-first: lowest score first, and among equal
+    // scores the LARGER id first (ties prefer the smaller id, so the
+    // larger id is the one to evict) — pollFirst() drops the worst
+    private val ord: Ordering[(Double, Long)] =
+      Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long.reverse)
+
+    override def createAggregationBuffer(): java.util.TreeSet[(Double, Long)] =
+      new java.util.TreeSet[(Double, Long)](ord)
+
+    private def insert(buf: java.util.TreeSet[(Double, Long)], e: (Double, Long)): Unit = {
+      buf.add(e)
+      if (buf.size > k) buf.pollFirst()
+    }
+
+    override def update(
+        buf: java.util.TreeSet[(Double, Long)],
+        input: InternalRow): java.util.TreeSet[(Double, Long)] = {
+      val s = scoreExpr.eval(input)
+      val i = idExpr.eval(input)
+      if (s != null && i != null)
+        insert(buf, (s.asInstanceOf[Double], i.asInstanceOf[Long]))
+      buf
+    }
+
+    override def merge(
+        b1: java.util.TreeSet[(Double, Long)],
+        b2: java.util.TreeSet[(Double, Long)]): java.util.TreeSet[(Double, Long)] = {
+      val it = b2.iterator()
+      while (it.hasNext) insert(b1, it.next())
+      b1
+    }
+
+    override def eval(buf: java.util.TreeSet[(Double, Long)]): Any = {
+      // descending iteration = best-first = rank order
+      val rows = new Array[Any](buf.size)
+      var i = 0
+      val it = buf.descendingIterator()
+      while (it.hasNext) {
+        val (s, id) = it.next()
+        rows(i) = InternalRow(s, id)
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
+    }
+
+    override def serialize(buf: java.util.TreeSet[(Double, Long)]): Array[Byte] = {
+      val bb = ByteBuffer.allocate(4 + buf.size * 16)
+      bb.putInt(buf.size)
+      val it = buf.iterator()
+      while (it.hasNext) { val (s, i) = it.next(); bb.putDouble(s); bb.putLong(i) }
+      bb.array()
+    }
+
+    override def deserialize(bytes: Array[Byte]): java.util.TreeSet[(Double, Long)] = {
+      val bb = ByteBuffer.wrap(bytes)
+      val n = bb.getInt
+      val buf = createAggregationBuffer()
+      var i = 0
+      while (i < n) { buf.add((bb.getDouble, bb.getLong)); i += 1 }
+      buf
+    }
+
+    override def withNewMutableAggBufferOffset(o: Int): TopKByScore =
+      copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): TopKByScore =
+      copy(inputAggBufferOffset = o)
+    override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): TopKByScore =
+      copy(scoreExpr = cs(0), idExpr = cs(1))
+    override def prettyName: String = "topk_by"
+  }
+
   private def literalK(kExpr: Expression, fn: String): Int = {
     require(kExpr.foldable, s"$fn: k must be a literal (it sizes the sketch buffer)")
     kExpr.eval(InternalRow.empty) match {
@@ -233,6 +332,15 @@ object Sketches {
         HeavyHitters(c, literalK(kExpr, "heavy_hitters")).toAggregateExpression()
       case es => throw new IllegalArgumentException(
         s"heavy_hitters expects (col, k), got ${es.length} arguments")
+    }, "scala_udf")
+    reg.createOrReplaceTempFunction("topk_by", {
+      case Seq(s, i, kExpr) =>
+        require(s.dataType == DoubleType && i.dataType == LongType,
+          s"topk_by expects (DOUBLE score, BIGINT id, k); got " +
+            s"(${s.dataType.simpleString}, ${i.dataType.simpleString}) — cast first")
+        TopKByScore(s, i, literalK(kExpr, "topk_by")).toAggregateExpression()
+      case es => throw new IllegalArgumentException(
+        s"topk_by expects (score, id, k), got ${es.length} arguments")
     }, "scala_udf")
     reg.createOrReplaceTempFunction("bottomk_distinct", {
       case Seq(c) => BottomKDistinct(c, 256).toAggregateExpression()

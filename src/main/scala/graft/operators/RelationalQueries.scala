@@ -407,6 +407,23 @@ object RelationalQueries {
         .orderBy("o_orderpriority", "quartile")
     }),
 
+    // group-wise top-k via the bounded-heap UDAF (functions.Sketches
+    // topk_by): partial aggregation ships ≤ k pairs per group per map
+    // task through the shuffle, where the window_topk spelling shuffles
+    // every row and sorts whole partitions before discarding all but k.
+    // Same rows, same oracle as window_topk — the two spellings must
+    // agree exactly.
+    "topk_grouped" -> ((s, dir) => {
+      graft.functions.Sketches.register(s)
+      Tables.orders(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(expr("topk_by(o_totalprice, o_orderkey, 3)").as("top"))
+        .select(col("o_custkey"), posexplode(col("top")).as(Seq("pos", "t")))
+        .select(col("o_custkey"), col("t.id").as("o_orderkey"),
+          col("t.score").as("o_totalprice"), (col("pos") + 1).cast("long").as("rn"))
+        .orderBy("o_custkey", "rn")
+    }),
+
     // ---- sort / top-k ----------------------------------------------------
     // plans as TakeOrderedAndProject: no global sort, per-partition heaps
     "topk_orders" -> ((s, dir) =>
@@ -706,6 +723,15 @@ object RelationalQueries {
         |AND a.event_type = 'click' AND b.event_type = 'purchase'
         |AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 3600000000
         |ORDER BY a_id, b_id""".stripMargin,
+    // intentionally identical to window_topk's oracle: the UDAF and the
+    // window spelling must produce byte-identical answers
+    "topk_grouped" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
     "window_topk" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,

@@ -188,6 +188,28 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(got === exact)
   }
 
+  test("topk_by heap UDAF: partial aggregation in plan, partitioning-invariant, ties to smaller id") {
+    import graft.functions.Sketches
+    Sketches.register(spark)
+    // the scale claim: the heap aggregate runs map-side (partial) so the
+    // shuffle carries <= k pairs per group per task — assert the partial
+    // phase actually appears in the physical plan
+    val agg = spark.range(100)
+      .select((col("id") % 7).as("g"), col("id").cast("double").as("s"), col("id").as("i"))
+      .groupBy("g").agg(expr("topk_by(s, i, 3)").as("top"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_topk_by"), s"expected partial aggregation phase:\n$plan")
+    // ties on score keep the smaller id; result invariant to partitioning
+    val tied = Seq((1L, 5.0, 10L), (1L, 5.0, 3L), (1L, 5.0, 7L), (1L, 4.0, 1L))
+    for (parts <- Seq(1, 8)) {
+      val top = tied.toDF("g", "s", "i").repartition(parts)
+        .groupBy("g").agg(expr("topk_by(s, i, 2)").as("top"))
+        .select(explode(col("top")).as("t"))
+        .select(col("t.id")).as[Long].collect().toSeq
+      assert(top === Seq(3L, 7L), s"parts=$parts: $top")
+    }
+  }
+
   test("connected components: chains, triangles, and singleton edges resolve") {
     import graft.operators.Components
     // components: {1,2,3,4} (chain), {10,11,12} (triangle), {20,21}
