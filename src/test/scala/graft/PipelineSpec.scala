@@ -239,6 +239,7 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
         "dedup_minhash_lsh" -> Seq("recall_ok"),
         "dedup_simhash" -> Seq("sample_recall_ok", "pairs_valid"),
         "sim_lsh_topk" -> Seq("recall_ok"),
+        "sim_ivf_topk" -> Seq("recall_ok"),
         "dedup_embedding" -> Seq("recall_ok"))) {
       val df = SparkEntry.queries(name)(spark, sf)
       val rows = df.collect()
@@ -246,6 +247,16 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
       for (c <- boolCols; r <- rows)
         assert(r.getAs[Boolean](c), s"$name.$c is false: $r")
     }
+  }
+
+  test("IVF cell-probed ANN achieves recall >= 0.7 of brute-force top-5") {
+    val brute = SimilarityQueries.queries("sim_brute_topk")(spark, sf)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = SimilarityQueries.ivfTopKPairs(spark, sf)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = brute.count(ivf.contains).toDouble / brute.size
+    assert(recall >= 0.7, s"IVF recall $recall")
+    assert(ivf.forall { case (p, n) => p < 10 && n != p })
   }
 
   test("banded hyperplane LSH ANN achieves recall >= 0.4 of brute-force top-5") {
