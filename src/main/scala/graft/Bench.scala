@@ -40,6 +40,7 @@ object Bench {
     // timings below measure the read path.
     operators.MapIndexQueries.prewarm(spark, sfDir)
     operators.LayoutQueries.prewarm(spark, sfDir)
+    operators.SimilarityQueries.prewarm(spark, sfDir)
     // dev loop: SPARK_GRAFT_ONLY=q1,q2 restricts the run to named queries
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
