@@ -225,7 +225,11 @@ object Sketches {
    * map task, where the window-function spelling
    * (`row_number over (partition by g order by s) <= k`) shuffles EVERY
    * row of every group and sorts each partition before discarding
-   * all but k. Same answer, verified by the same oracle.
+   * all but k. Same answer as the window spelling, verified by the same
+   * oracle, under two contracts: `id` uniquely identifies rows within a
+   * group (two rows with identical (score, id) collapse to one — pass a
+   * row id, which is what the tie-break needs anyway), and null scores /
+   * ids are EXCLUDED (the window form ranks null scores last instead).
    */
   case class TopKByScore(
       scoreExpr: Expression,

@@ -428,7 +428,7 @@ object PipelineQueries {
     "text_top_tokens" -> ((s, dir) => {
       graft.functions.Sketches.register(s)
       val toks = docs(s, dir)
-        .select(explode(split(lower(col("text")), " ")).as("token"))
+        .select(explode(T.tokens(lower(col("text")))).as("token"))
       val hashed = toks.select(col("token"), xxhash64(col("token")).as("h"))
       val cand = hashed.agg(expr("heavy_hitters(h, 100)").as("cand"))
         .select(explode(col("cand")).as("h"))

@@ -119,8 +119,10 @@ object SimilarityQueries {
 
   /** Per-JVM quantizer cache: like a real IVF index, the model is trained
     * once per corpus and served by every subsequent query (the `Views`
-    * pattern). Keyed by the corpus dir; training is deterministic, so a
-    * cached model is indistinguishable from a retrained one. */
+    * pattern). Keyed by the corpus dir. Training is deterministic up to
+    * floating-point summation order in the distributed mean (partition
+    * layout can drift centroid low bits and flip cell-boundary vectors);
+    * the recall invariant carries enough margin to absorb that drift. */
   private val centroidCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
 
@@ -140,42 +142,54 @@ object SimilarityQueries {
     * so each round is ONE scan of the corpus with no shuffle beyond the
     * per-cell mean aggregation. Init = first NCells vectors by vec_id
     * (deterministic). */
-  private[operators] def ivfCentroids(e: DataFrame): Array[Array[Double]] = {
-    import org.apache.spark.sql.functions.typedlit
-    var cents: Array[Array[Double]] = e.orderBy("vec_id").limit(NCells)
-      .select("v").collect().map(_.getSeq[Double](0).toArray)
-    var it = 0
-    while (it < KmeansIters) {
-      val assigned = e.withColumn("cid", assignExpr(cents))
-      // element-wise mean per cell: posexplode to (cid, pos, x), average,
-      // reassemble in pos order — 64·NCells rows, trivially small
-      val means = assigned
-        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy("cid", "pos").agg(avg("x").as("m"))
-        .groupBy("cid")
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("ms"))
-        .select(col("cid"), expr("transform(ms, s -> s.m)").as("c"))
-        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
-      // a cell that captured no vectors keeps its previous centroid
-      cents = Array.tabulate(NCells)(i => means.getOrElse(i, cents(i)))
-      it += 1
-    }
-    cents
+  private[operators] def ivfCentroids(e0: DataFrame): Array[Array[Double]] = {
+    // persisted for the Lloyd loop: each round replans from this relation,
+    // and without the cache every round re-scans the parquet and
+    // recomputes the vec_dot norms — 6× the index-build I/O for nothing
+    val e = e0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // a corpus smaller than NCells trains that many cells instead
+      var cents: Array[Array[Double]] = e.orderBy("vec_id").limit(NCells)
+        .select("v").collect().map(_.getSeq[Double](0).toArray)
+      val nCells = cents.length
+      var it = 0
+      while (it < KmeansIters) {
+        val assigned = e.withColumn("cid", assignExpr(cents))
+        // element-wise mean per cell: posexplode to (cid, pos, x), average,
+        // reassemble in pos order — 64·NCells rows, trivially small
+        val means = assigned
+          .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+          .groupBy("cid", "pos").agg(avg("x").as("m"))
+          .groupBy("cid")
+          .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("ms"))
+          .select(col("cid"), expr("transform(ms, s -> s.m)").as("c"))
+          .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+        // a cell that captured no vectors keeps its previous centroid
+        cents = Array.tabulate(nCells)(i => means.getOrElse(i, cents(i)))
+        it += 1
+      }
+      cents
+    } finally e.unpersist(blocking = false)
   }
 
-  /** `argmin_c dist²(v, c)` as a codegen-friendly expression over the
+  /** Per-cell ranking scores as a codegen-friendly array over the
     * collected centroid model: dist² = |v|² − 2·v·c + |c|², and |v|² is
-    * constant per row, so ranking uses `−2·v·c + |c|²` only. array_min
-    * over `struct<score, idx>` breaks ties toward the lower cell id. */
-  private def assignExpr(cents: Array[Array[Double]]): Column = {
+    * constant per row, so ranking uses `−2·v·c + |c|²` only. Shared by
+    * corpus assignment and probe cell selection — the two MUST rank with
+    * the same formula or they silently disagree on cell boundaries. */
+  private def cellScores(cents: Array[Array[Double]], v: Column): Column = {
     import org.apache.spark.sql.functions.typedlit
-    val scored = cents.zipWithIndex.map { case (c, i) =>
+    array(cents.zipWithIndex.map { case (c, i) =>
       val c2 = c.map(x => x * x).sum
-      struct((lit(-2.0) * dot(col("v"), typedlit(c)) + lit(c2)).as("score"),
+      struct((lit(-2.0) * dot(v, typedlit(c)) + lit(c2)).as("score"),
         lit(i).as("idx"))
-    }
-    array_min(array(scored: _*)).getField("idx")
+    }: _*)
   }
+
+  /** `argmin_c dist²(v, c)`: array_min over `struct<score, idx>` breaks
+    * ties toward the lower cell id. */
+  private def assignExpr(cents: Array[Array[Double]]): Column =
+    array_min(cellScores(cents, col("v"))).getField("idx")
 
   /** IVF ANN top-k `(probe_id, neighbor_id, cos, rank)`: corpus vectors
     * are bucketed by nearest centroid; a probe scans only its NProbe
@@ -187,16 +201,12 @@ object SimilarityQueries {
     val cents = ivfCentroidsFor(s, dir)
     val corpus = e.withColumn("cid", assignExpr(cents))
       .select(col("vec_id"), col("v"), col("norm"), col("cid"))
-    // probe side: score all cells with the same −2·v·c + |c|² ranking,
-    // sort, keep the NProbe nearest cell ids, one row per (probe, cell)
-    val scored = cents.zipWithIndex.map { case (c, i) =>
-      val c2 = c.map(x => x * x).sum
-      struct((lit(-2.0) * dot(col("pv"), typedlit(c)) + lit(c2)).as("score"),
-        lit(i).as("idx"))
-    }
+    // probe side: rank cells with the SAME scoring array as corpus
+    // assignment (cellScores), keep the NProbe nearest, one row per
+    // (probe, cell)
     val probesWithCells = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("norm").as("pn"))
-      .withColumn("pscored", array_sort(array(scored: _*)))
+      .withColumn("pscored", array_sort(cellScores(cents, col("pv"))))
       .withColumn("cid", explode(expr(s"slice(transform(pscored, s -> s.idx), 1, $NProbe)")))
       .drop("pscored")
     val cand = corpus.join(broadcast(probesWithCells), Seq("cid"))
