@@ -209,6 +209,24 @@ object RelationalQueries {
           col("promo_revenue"), col("total_revenue"))
     }),
 
+    // TPC-H Q17-shaped: correlated scalar subquery (per-part average
+    // threshold). Catalyst decorrelates this into an aggregate + join —
+    // the scale shape — rather than per-row re-execution. FP-safe oracle:
+    // l_quantity is integral, so the per-part sum is exact and the
+    // 0.2·avg threshold is bit-identical across engines.
+    "q17_small_qty" -> ((s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_q17")
+      Tables.part(s, dir).createOrReplaceTempView("part_q17")
+      s.sql(
+        """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+          |       count(*) AS cnt
+          |FROM lineitem_q17 JOIN part_q17 ON p_partkey = l_partkey
+          |WHERE p_brand = 'Brand#1'
+          |  AND l_quantity < (SELECT 0.2 * avg(l_quantity)
+          |                    FROM lineitem_q17 l2
+          |                    WHERE l2.l_partkey = p_partkey)""".stripMargin)
+    }),
+
     // TPC-H Q19-shaped: join with disjunctive multi-attribute predicate
     // groups. Catalyst extracts the common conjuncts it can push
     // (p_partkey join key both sides); the OR-of-ANDs residual runs
@@ -591,6 +609,14 @@ object RelationalQueries {
         |SELECT round(100.0 * promo_revenue / total_revenue, 4) AS promo_pct,
         |       promo_revenue, total_revenue
         |FROM s""".stripMargin,
+    "q17_small_qty" ->
+      """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+        |       count(*) AS cnt
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#1'
+        |  AND l_quantity < (SELECT 0.2 * avg(l_quantity)
+        |                    FROM lineitem l2
+        |                    WHERE l2.l_partkey = p_partkey)""".stripMargin,
     "q19_discount" ->
       """SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
         |       count(*) AS cnt
