@@ -227,6 +227,26 @@ object RelationalQueries {
           |                    WHERE l2.l_partkey = p_partkey)""".stripMargin)
     }),
 
+    // TPC-H Q22-shaped: uncorrelated scalar subquery (global average as a
+    // filter threshold — planned once, broadcast as a literal) combined
+    // with NOT EXISTS over a selective subset (anti join with pushed filter).
+    // Complements q17's correlated form.
+    "q22_idle_balance" -> ((s, dir) => {
+      Tables.customer(s, dir).createOrReplaceTempView("customer_q22")
+      Tables.orders(s, dir).createOrReplaceTempView("orders_q22")
+      s.sql(
+        """SELECT c_nationkey, count(*) AS cnt,
+          |       round(sum(c_acctbal), 2) AS total_bal
+          |FROM customer_q22 c
+          |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer_q22
+          |                   WHERE c_acctbal > 0.0)
+          |  AND NOT EXISTS (SELECT 1 FROM orders_q22 o
+          |                  WHERE o.o_custkey = c.c_custkey
+          |                    AND o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+          |GROUP BY c_nationkey
+          |ORDER BY c_nationkey""".stripMargin)
+    }),
+
     // TPC-H Q19-shaped: join with disjunctive multi-attribute predicate
     // groups. Catalyst extracts the common conjuncts it can push
     // (p_partkey join key both sides); the OR-of-ANDs residual runs
@@ -617,6 +637,17 @@ object RelationalQueries {
         |  AND l_quantity < (SELECT 0.2 * avg(l_quantity)
         |                    FROM lineitem l2
         |                    WHERE l2.l_partkey = p_partkey)""".stripMargin,
+    "q22_idle_balance" ->
+      """SELECT c_nationkey, count(*) AS cnt,
+        |       round(sum(c_acctbal), 2) AS total_bal
+        |FROM customer c
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+        |                   WHERE c_acctbal > 0.0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin,
     "q19_discount" ->
       """SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
         |       count(*) AS cnt
