@@ -97,6 +97,80 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("topk_by equals the window row_number spelling on random groups") {
+    graft.functions.Sketches.register(spark)
+    // unique ids, no nulls — the documented contract under which the two
+    // spellings promise identical answers
+    val rowGen = Gen.listOfN(60,
+      Gen.zip(Gen.choose(0L, 5L), Gen.choose(0.0, 9.0).map(x => math.rint(x * 4) / 4)))
+    (1 to 4).foreach { i =>
+      val rows = sample(rowGen, 600L + i).zipWithIndex
+        .map { case ((g, s), id) => (g, s, id.toLong) }
+      val df = rows.toDF("g", "s", "id").repartition(7)
+      val viaAgg = df.groupBy("g")
+        .agg(expr("topk_by(s, id, 3)").as("top"))
+        .select(col("g"), explode(col("top")).as("t"))
+        .select(col("g"), col("t.score"), col("t.id"))
+        .as[(Long, Double, Long)].collect().sorted.toSeq
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("g").orderBy(col("s").desc, col("id"))
+      val viaWin = df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3).select(col("g"), col("s"), col("id"))
+        .as[(Long, Double, Long)].collect().sorted.toSeq
+      assert(viaAgg === viaWin, s"case $i")
+    }
+  }
+
+  test("heavy_hitters completeness holds on random zipf-ish streams") {
+    graft.functions.Sketches.register(spark)
+    // values drawn with heavy skew; every value above N/k must survive
+    val valGen = Gen.frequency(
+      5 -> Gen.const(0L), 3 -> Gen.const(1L), 2 -> Gen.choose(2L, 40L))
+    (1 to 3).foreach { i =>
+      val vals = sample(Gen.listOfN(400, valGen), 700L + i)
+      val df = vals.toDF("v").repartition(9)
+      val k = 8
+      val cand = df.agg(expr(s"heavy_hitters(v, $k)")).as[Seq[Long]].head().toSet
+      val counts = vals.groupBy(identity).view.mapValues(_.size).toMap
+      val mustHave = counts.filter(_._2 > vals.size.toDouble / k).keySet
+      assert(mustHave.subsetOf(cand), s"case $i: lost ${mustHave -- cand}")
+      assert(cand.size <= k, s"case $i: $cand")
+    }
+  }
+
+  test("error contracts: guards fail loud with actionable messages") {
+    import graft.functions.{Sketches, VectorFunctions}
+    Sketches.register(spark)
+    VectorFunctions.register(spark)
+    // vec_dot dimension mismatch must raise, not truncate
+    val e1 = intercept[Exception] {
+      Seq((Array(1.0, 2.0), Array(1.0, 2.0, 3.0))).toDF("a", "b")
+        .select(expr("vec_dot(a, b)")).collect()
+    }
+    assert(e1.getMessage != null)
+    // bottomk_distinct arity and k validation
+    val e2 = intercept[Exception] {
+      spark.range(5).agg(expr("bottomk_distinct(id, 2, 3)")).collect()
+    }
+    assert(e2.getMessage.contains("bottomk_distinct"))
+    val e3 = intercept[Exception] {
+      spark.range(5).agg(expr("bottomk_distinct(id, 0)")).collect()
+    }
+    assert(e3.getMessage.contains("positive"))
+    // heavy_hitters requires a BIGINT column
+    val e4 = intercept[Exception] {
+      Seq("x").toDF("s").agg(expr("heavy_hitters(s, 4)")).collect()
+    }
+    assert(e4.getMessage.contains("BIGINT"))
+    // components non-convergence guard fires rather than returning
+    // half-propagated labels
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("i", "j")
+    val e5 = intercept[IllegalStateException] {
+      graft.operators.Components.minLabel(chain, maxIter = 1)
+    }
+    assert(e5.getMessage.contains("converge"))
+  }
+
   test("get(k) equals full-scan filter on the emitted key") {
     (1 to 4).foreach { i =>
       val rows = sample(rowsGen, 400L + i)
