@@ -234,4 +234,38 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(rows.contains(("2024-01-01 10:00:00", "click", 2L, 4.0)))
     assert(rows.contains(("2024-01-01 11:00:00", "view", 1L, 4.0)))
   }
+
+  test("custom UDAF (heavy_hitters) runs inside a watermarked streaming window") {
+    // TypedImperativeAggregate buffers serialize into streaming state, so
+    // the engine's custom sketches compose with Structured Streaming —
+    // per-window frequent users over an event stream
+    graft.functions.Sketches.register(spark)
+    val input = MemoryStream[(Timestamp, Long)]
+    val agg = input.toDF().toDF("ts", "user_id")
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(expr("heavy_hitters(user_id, 4)").as("frequent"))
+      .select(col("window.start").as("hour"), col("frequent"))
+    val q = agg.writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory").queryName("hh_out")
+      .start()
+    def t(s: String) = Timestamp.valueOf(s)
+    // user 7 dominates the 10:00 window across micro-batches
+    input.addData((t("2024-01-01 10:05:00"), 7L), (t("2024-01-01 10:10:00"), 7L),
+      (t("2024-01-01 10:15:00"), 1L))
+    q.processAllAvailable()
+    input.addData((t("2024-01-01 10:20:00"), 7L), (t("2024-01-01 10:25:00"), 2L))
+    q.processAllAvailable()
+    input.addData((t("2024-01-01 13:00:00"), 9L)) // advance watermark past 10:00
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("hh_out")
+      .select(col("hour").cast("string"), col("frequent"))
+      .as[(String, Seq[Long])].collect().toMap
+    // the closed 10:00 window merged sketch state across micro-batches:
+    // user 7 (3 of 5 events, above N/k) must be in the candidate set
+    assert(rows.contains("2024-01-01 10:00:00"), s"windows: ${rows.keySet}")
+    assert(rows("2024-01-01 10:00:00").contains(7L), s"got ${rows("2024-01-01 10:00:00")}")
+  }
 }
