@@ -171,6 +171,26 @@ object RelationalQueries {
           round(stddev_samp(col("l_extendedprice")), 2).as("sd_price"))
         .orderBy("l_returnflag")),
 
+    // quantile sketch under the invariant pattern (completes the sketch
+    // roster: distinct = HLL/KMV, frequency = Misra-Gries, top-k = heap,
+    // quantiles = this). approx_percentile's rank guarantee (error ≤
+    // n/accuracy) is checked by joining the approximate median back and
+    // counting its true rank — n is oracle-verified, rank_ok asserts the
+    // rank lands within 1% of the true median position (100× the sketch's
+    // own bound at accuracy=10000).
+    "agg_approx_quantile" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val approx = o.groupBy("o_orderpriority")
+        .agg(expr("approx_percentile(o_totalprice, 0.5, 10000)").as("ap"))
+      o.join(approx, Seq("o_orderpriority"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("o_totalprice") <= col("ap"), 1L).otherwise(0L)).as("rank"))
+        .select(col("o_orderpriority"), col("n"),
+          (abs(col("rank") - col("n") * 0.5) <= col("n") * 0.01 + 1).as("rank_ok"))
+        .orderBy("o_orderpriority")
+    }),
+
     // exact (interpolating) percentiles — matches DuckDB quantile_cont
     "agg_percentile" -> ((s, dir) =>
       Tables.orders(s, dir)
@@ -713,6 +733,9 @@ object RelationalQueries {
         |       round(covar_samp(l_quantity, l_extendedprice), 2) AS cov_qp,
         |       round(stddev_samp(l_extendedprice), 2) AS sd_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_approx_quantile" ->
+      """SELECT o_orderpriority, count(*) AS n, true AS rank_ok
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "agg_percentile" ->
       """SELECT o_orderpriority,
         |       round(quantile_cont(o_totalprice, 0.25), 4) AS p25,

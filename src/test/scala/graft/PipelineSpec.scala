@@ -236,6 +236,7 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     for ((name, boolCols) <- Seq(
         "agg_hll" -> Seq("est_ok"),
         "agg_kmv" -> Seq("est_ok"),
+        "agg_approx_quantile" -> Seq("rank_ok"),
         "dedup_minhash_lsh" -> Seq("recall_ok"),
         "dedup_simhash" -> Seq("sample_recall_ok", "pairs_valid"),
         "sim_lsh_topk" -> Seq("recall_ok"),
