@@ -36,9 +36,20 @@ object Components {
     * failure path too — because a leaked block squats on executor memory
     * and contaminates whatever runs next. */
   def minLabel(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
+    val caller = pairs.sparkSession
     val inputCached = pairs.storageLevel != StorageLevel.NONE
+    val parentDf = pairs.toDF("i", "j")
+    // The whole loop runs on a CLONED session (newSession: shared
+    // SparkContext, block manager, and cached data; private SQL conf).
+    // The loop tunes planner knobs — AQE off for small graphs, shuffle
+    // width sized to the graph — and a clone scopes those choices to
+    // this call, so a query planned concurrently on the caller's session
+    // keeps its own settings. DataFrames cross sessions by re-rooting
+    // through their RDDs (session-agnostic); input reads still hit the
+    // caller's cache because the derived RDD scans the cached plan.
+    val spark = caller.newSession()
     val edges = {
-      val e = pairs.toDF("i", "j")
+      val e = spark.createDataFrame(parentDf.rdd, parentDf.schema)
       if (inputCached) e else e.persist(StorageLevel.MEMORY_AND_DISK)
     }
     // size the loop's shuffle width by GRAPH size, not the session
@@ -49,23 +60,18 @@ object Components {
     // count also materializes the internal persist above. Clamp nonzero:
     // repartition(0) is illegal.
     val nEdges = edges.count()
-    val spark = edges.sparkSession
     val parts = math.max(1L, math.min(
       spark.sessionState.conf.numShufflePartitions.toLong,
       nEdges / 500000L + 1L)).toInt
+    spark.conf.set("spark.sql.shuffle.partitions", parts)
     // AQE re-plans every shuffle stage — the right trade for one big
     // query, pure per-round latency for an iterative loop over a small
     // graph (measured 2.2 s vs 1.0 s for the same loop at bench scale).
     // Keep it for genuinely large graphs, where runtime skew handling
-    // matters more than per-stage overhead. NOTE: spark.conf is
-    // session-global, so other queries planned on this session while the
-    // loop runs also skip AQE — acceptable for the engine's
-    // one-query-at-a-time sessions; use a dedicated session to run
-    // minLabel concurrently with AQE-dependent work.
-    val aqeKey = "spark.sql.adaptive.enabled"
-    val aqeWas = spark.conf.get(aqeKey, "true")
-    val suspendAqe = nEdges < 10000000L && aqeWas == "true"
-    if (suspendAqe) spark.conf.set(aqeKey, "false")
+    // matters more than per-stage overhead. Clone-scoped: no restore
+    // needed, the clone is discarded when this call returns.
+    if (nEdges < 10000000L)
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
     var sym: DataFrame = null
     var labels: DataFrame = null
     var stepped: DataFrame = null
@@ -125,14 +131,15 @@ object Components {
           s"connected components did not converge in $maxIter rounds " +
             "(graph diameter exceeds maxIter — raise it)")
       // checkpoint the (small) projected result before the finally block
-      // frees the loop's final round; one row per node of the pair graph
-      labels.select(col("node").as("doc_id"), col("label").as("component"))
+      // frees the loop's final round, then re-root it into the CALLER's
+      // session so downstream planning happens under the caller's conf
+      val res = labels.select(col("node").as("doc_id"), col("label").as("component"))
         .localCheckpoint(true)
+      caller.createDataFrame(res.rdd, res.schema)
     } finally {
       // release everything this call created, on success AND failure —
       // catalog.clearCache() cannot reclaim RDD-level checkpoint blocks,
       // so a leak here would outlive the query and poison its neighbors
-      if (suspendAqe) spark.conf.set(aqeKey, aqeWas)
       if (stepped != null) stepped.unpersist(blocking = false)
       if (labels != null) freeCheckpoint(labels)
       if (sym != null) sym.unpersist(blocking = false)

@@ -119,15 +119,35 @@ object SimilarityQueries {
 
   /** Per-JVM quantizer cache: like a real IVF index, the model is trained
     * once per corpus and served by every subsequent query (the `Views`
-    * pattern). Keyed by the corpus dir. Training is deterministic up to
-    * floating-point summation order in the distributed mean (partition
-    * layout can drift centroid low bits and flip cell-boundary vectors);
-    * the recall invariant carries enough margin to absorb that drift. */
+    * pattern). Keyed by the corpus dir PLUS a cheap content fingerprint
+    * (file paths, sizes, mtimes of embeddings.parquet), so regenerating
+    * the parquet under the same path invalidates the cached model instead
+    * of silently serving a quantizer trained on the old data. Training is
+    * deterministic up to floating-point summation order in the
+    * distributed mean (partition layout can drift centroid low bits and
+    * flip cell-boundary vectors); the recall invariant carries enough
+    * margin to absorb that drift. */
   private val centroidCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
 
+  /** Metadata-only fingerprint of the corpus files — one listStatus, no
+    * data read; any rewrite bumps an mtime or length and rolls the key. */
+  private def corpusFingerprint(s: SparkSession, dir: String): String = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(s"$dir/embeddings.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val h = fs.listStatus(p).sortBy(_.getPath.toString)
+      .foldLeft(1469598103934665603L) { (acc, st) =>
+        val s1 = (acc ^ st.getPath.toString.hashCode.toLong) * 1099511628211L
+        val s2 = (s1 ^ st.getLen) * 1099511628211L
+        (s2 ^ st.getModificationTime) * 1099511628211L
+      }
+    java.lang.Long.toHexString(h)
+  }
+
   private def ivfCentroidsFor(s: SparkSession, dir: String): Array[Array[Double]] =
-    centroidCache.computeIfAbsent(dir, _ => ivfCentroids(emb(s, dir)))
+    centroidCache.computeIfAbsent(s"$dir#${corpusFingerprint(s, dir)}",
+      _ => ivfCentroids(emb(s, dir)))
 
   /** Train the IVF quantizer up front — index-build cost, not query cost,
     * the same compute-on-write stance as the stored map views (an IVF
