@@ -228,8 +228,9 @@ object Sketches {
    * all but k. Same answer as the window spelling, verified by the same
    * oracle, under two contracts: `id` uniquely identifies rows within a
    * group (two rows with identical (score, id) collapse to one — pass a
-   * row id, which is what the tie-break needs anyway), and null scores /
-   * ids are EXCLUDED (the window form ranks null scores last instead).
+   * row id, which is what the tie-break needs anyway), and null or NaN
+   * scores / null ids are EXCLUDED (the window form ranks null scores
+   * last and NaN greatest instead).
    */
   case class TopKByScore(
       scoreExpr: Expression,
@@ -266,7 +267,10 @@ object Sketches {
         input: InternalRow): java.util.TreeSet[(Double, Long)] = {
       val s = scoreExpr.eval(input)
       val i = idExpr.eval(input)
-      if (s != null && i != null)
+      // NaN scores are excluded like nulls: TotalOrdering would rank NaN
+      // above every real score and hand it a top-k slot, and external
+      // oracles disagree with each other on NaN placement
+      if (s != null && i != null && !java.lang.Double.isNaN(s.asInstanceOf[Double]))
         insert(buf, (s.asInstanceOf[Double], i.asInstanceOf[Long]))
       buf
     }

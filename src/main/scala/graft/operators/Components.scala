@@ -22,6 +22,88 @@ import org.apache.spark.storage.StorageLevel
  */
 object Components {
 
+  /** Edge-count gate for the driver fast path: a pair graph at or under
+    * this many edges is collected and resolved by union-find on the
+    * driver (1M edges ≈ 16 MB of longs — trivially driver-resident),
+    * anything larger runs the distributed min-label loop. Near-dup pair
+    * graphs are orders of magnitude smaller than their corpus (pairs
+    * exist only where dedup signal exists), so at bench scale the fast
+    * path saves ~10 Spark jobs of per-round latency; at 100 TB a
+    * billions-of-edges graph takes the distributed path unchanged. */
+  private[operators] val DriverEdgeLimit = 1000000L
+
+  /** `(doc_id, component)` for every node of `pairs` — the entry point
+    * queries should use. Counts the edges once (persisting an un-cached
+    * input so the count and the downstream resolution share one
+    * materialization), then picks the resolution strategy by size:
+    * driver union-find under [[DriverEdgeLimit]], distributed
+    * [[minLabel]] above it. Both paths return the same labeling —
+    * component = minimum reachable doc_id — verified against each other
+    * in the property suite. */
+  def resolve(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
+    val inputCached = pairs.storageLevel != StorageLevel.NONE
+    val p = if (inputCached) pairs.toDF("i", "j")
+            else pairs.toDF("i", "j").persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (p.count() <= DriverEdgeLimit) driverUnionFind(p)
+      else minLabel(p, maxIter) // sees a cached input; uses it as-is
+    } finally {
+      // safe on both paths: union-find output is a local relation and
+      // minLabel's is checkpointed — neither re-reads this cache
+      if (!inputCached) p.unpersist(blocking = false)
+    }
+  }
+
+  /** Union-find with path halving over a collected edge list; component =
+    * min member, matching [[minLabel]] exactly. One executor→driver
+    * transfer bounded by [[DriverEdgeLimit]], zero Spark jobs per round —
+    * the right tool when the pair graph is a sliver of the corpus. */
+  private def driverUnionFind(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    val keyType = pairs.schema.fields(0).dataType
+    import org.apache.spark.sql.functions.col
+    val edges = pairs
+      .select(col("i").cast("long"), col("j").cast("long"))
+      .as(org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaLong))
+      .collect()
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x0: Long): Long = {
+      var x = x0
+      var px = parent.get(x)
+      while (px != x) { // path halving: point x at its grandparent
+        val ppx = parent.get(px)
+        parent.put(x, ppx)
+        x = ppx
+        px = parent.get(x)
+      }
+      x
+    }
+    edges.foreach { case (i, j) =>
+      parent.putIfAbsent(i, i)
+      parent.putIfAbsent(j, j)
+      val ri = find(i)
+      val rj = find(j)
+      // union by min keeps every root the minimum of its set, so the
+      // final find() IS the component id — no second min pass needed
+      if (ri < rj) parent.put(rj, ri) else if (rj < ri) parent.put(ri, rj)
+    }
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row](parent.size())
+    val it = parent.keySet().iterator()
+    def asKey(v: Long): Any = keyType match {
+      case org.apache.spark.sql.types.IntegerType => v.toInt
+      case _ => v
+    }
+    while (it.hasNext) {
+      val n = it.next()
+      rows.add(org.apache.spark.sql.Row(asKey(n), asKey(find(n))))
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", keyType, nullable = false),
+      org.apache.spark.sql.types.StructField("component", keyType, nullable = false)))
+    spark.createDataFrame(rows, schema)
+  }
+
   /** `(doc_id, component)` for every node of `pairs`, where component =
     * the minimum doc_id reachable from the node. Throws if `maxIter`
     * rounds pass without convergence (a graph deeper than expected) —

@@ -322,16 +322,13 @@ object PipelineQueries {
     // aggregation, converging in O(cluster diameter) rounds — near-dup
     // clusters are shallow, so a handful of rounds; the per-round driver
     // work is a single scalar convergence count.
-    "dedup_components" -> ((s, dir) => {
-      // materialize the pair set ONCE before the loop: without this every
-      // propagation round re-derives the whole shingle→posting→pair plan
-      // inside its lineage (r2: 26 s; the pair graph itself is tiny)
-      val pairs = queries("dedup_ngram_jaccard")(s, dir).select("i", "j")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      pairs.count()
-      try Components.minLabel(pairs).orderBy("doc_id")
-      finally pairs.unpersist(blocking = false) // result is checkpointed — safe
-    }),
+    "dedup_components" -> ((s, dir) =>
+      // resolve() materializes the pair set once (without that, every
+      // propagation round would re-derive the whole shingle→posting→pair
+      // plan inside its lineage — r2: 26 s), counts it, and picks driver
+      // union-find vs the distributed min-label loop by edge count
+      Components.resolve(queries("dedup_ngram_jaccard")(s, dir).select("i", "j"))
+        .orderBy("doc_id")),
 
     // deterministic content-hash train/valid split: assignment depends
     // only on the document bytes (stable across runs, partitionings, and
@@ -369,23 +366,19 @@ object PipelineQueries {
     // "dedup the training set" operation in one query. Oracle recomputes
     // the keeper set from scratch with a recursive CTE.
     "pipeline_dedup_removal" -> ((s, dir) => {
-      val pairs = queries("dedup_ngram_jaccard")(s, dir).select("i", "j")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      pairs.count()
-      try {
-        val comp = Components.minLabel(pairs) // (doc_id, component=min of cluster)
-        val d = docs(s, dir)
-        // keepers: each cluster's component id IS its minimum member, so
-        // distinct components ∪ never-paired docs (anti-join) = keep set
-        val keepers = d.join(comp.select("doc_id"), Seq("doc_id"), "left_anti")
-          .select("doc_id")
-          .union(comp.select(col("component").as("doc_id")).distinct())
-        d.join(keepers, Seq("doc_id"), "left_semi")
-          .withColumn("n_tokens", size(T.tokens(col("text"))).cast("long"))
-          .groupBy(col("lang"))
-          .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"))
-          .orderBy("lang")
-      } finally pairs.unpersist(blocking = false)
+      val comp = Components.resolve( // (doc_id, component=min of cluster)
+        queries("dedup_ngram_jaccard")(s, dir).select("i", "j"))
+      val d = docs(s, dir)
+      // keepers: each cluster's component id IS its minimum member, so
+      // distinct components ∪ never-paired docs (anti-join) = keep set
+      val keepers = d.join(comp.select("doc_id"), Seq("doc_id"), "left_anti")
+        .select("doc_id")
+        .union(comp.select(col("component").as("doc_id")).distinct())
+      d.join(keepers, Seq("doc_id"), "left_semi")
+        .withColumn("n_tokens", size(T.tokens(col("text"))).cast("long"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"))
+        .orderBy("lang")
     }),
 
     // ---- text analysis ---------------------------------------------------

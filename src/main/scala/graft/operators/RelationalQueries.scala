@@ -115,7 +115,8 @@ object RelationalQueries {
 
     // exact frequent-item set through a Misra-Gries sketch: the sketch
     // pass keeps O(k) state per buffer and its completeness guarantee
-    // (every value with freq > N/k survives any partitioning/merge order)
+    // (every value with freq > N/(k+1) survives any partitioning/merge
+    // order — the k-counter Misra-Gries bound)
     // means candidates→exact-count→filter reproduces the full
     // groupBy+HAVING answer — the DuckDB oracle computes exactly that.
     // At 100 TB the win is the key space: candidates ≤ k regardless of

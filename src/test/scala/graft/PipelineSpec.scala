@@ -220,6 +220,26 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("connected components: driver union-find path agrees with the distributed loop") {
+    import graft.operators.Components
+    // random graphs: resolve() (driver union-find at this size) must
+    // produce the identical labeling to the distributed min-label loop
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val n = 30 + trial * 20
+      val edges = (1 to n).map(_ => (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      val pairs = edges.toDF("i", "j")
+      val fast = Components.resolve(pairs).as[(Long, Long)].collect().toMap
+      val dist = Components.minLabel(pairs).as[(Long, Long)].collect().toMap
+      assert(fast === dist, s"trial $trial: union-find and min-label disagree")
+    }
+    // int-typed keys keep their type through the driver path
+    val intPairs = Seq((1, 2), (4, 3)).toDF("i", "j")
+    val got = Components.resolve(intPairs)
+    assert(got.schema("doc_id").dataType === org.apache.spark.sql.types.IntegerType)
+    assert(got.as[(Int, Int)].collect().toMap === Map(1 -> 1, 2 -> 1, 3 -> 3, 4 -> 3))
+  }
+
   test("connected components: pointer jumping resolves a 400-link chain in O(log) rounds") {
     import graft.operators.Components
     // diameter 400 ≫ maxIter=30: plain per-edge propagation would throw
