@@ -268,14 +268,19 @@ object Hashes {
     override def prettyName: String = "simhash_full"
   }
 
+  /** Name → expression builders, the single source for both per-session
+    * [[register]] and builder-time [[graft.GraftExtensions]] injection. */
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "shingle_hashes" -> (es => ShingleHashes(es.head)),
+    "winnow_hashes" -> (es => WinnowHashes(es.head)),
+    "simhash64" -> (es => SimHash64(es.head)),
+    "minhash_sig" -> (es => MinHashSig(es.head)),
+    "minhash_bands" -> (es => MinHashBands(es.head)),
+    "simhash_full" -> (es => SimHashFull(es.head)))
+
   /** Register all in the session's function registry (idempotent). */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("shingle_hashes", es => ShingleHashes(es.head), "scala_udf")
-    reg.createOrReplaceTempFunction("winnow_hashes", es => WinnowHashes(es.head), "scala_udf")
-    reg.createOrReplaceTempFunction("simhash64", es => SimHash64(es.head), "scala_udf")
-    reg.createOrReplaceTempFunction("minhash_sig", es => MinHashSig(es.head), "scala_udf")
-    reg.createOrReplaceTempFunction("minhash_bands", es => MinHashBands(es.head), "scala_udf")
-    reg.createOrReplaceTempFunction("simhash_full", es => SimHashFull(es.head), "scala_udf")
+    builders.foreach { case (n, b) => reg.createOrReplaceTempFunction(n, b, "scala_udf") }
   }
 }

@@ -330,18 +330,18 @@ object Sketches {
     }
   }
 
-  /** Register in the session's function registry (idempotent). */
-  def register(spark: SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("heavy_hitters", {
+  /** Name → expression builders, the single source for both per-session
+    * [[register]] and builder-time [[graft.GraftExtensions]] injection. */
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "heavy_hitters" -> {
       case Seq(c, kExpr) =>
         require(c.dataType == LongType,
           s"heavy_hitters expects a BIGINT column (got ${c.dataType.simpleString}); cast first")
         HeavyHitters(c, literalK(kExpr, "heavy_hitters")).toAggregateExpression()
       case es => throw new IllegalArgumentException(
         s"heavy_hitters expects (col, k), got ${es.length} arguments")
-    }, "scala_udf")
-    reg.createOrReplaceTempFunction("topk_by", {
+    },
+    "topk_by" -> {
       case Seq(s, i, kExpr) =>
         require(s.dataType == DoubleType && i.dataType == LongType,
           s"topk_by expects (DOUBLE score, BIGINT id, k); got " +
@@ -349,13 +349,18 @@ object Sketches {
         TopKByScore(s, i, literalK(kExpr, "topk_by")).toAggregateExpression()
       case es => throw new IllegalArgumentException(
         s"topk_by expects (score, id, k), got ${es.length} arguments")
-    }, "scala_udf")
-    reg.createOrReplaceTempFunction("bottomk_distinct", {
+    },
+    "bottomk_distinct" -> {
       case Seq(c) => BottomKDistinct(c, 256).toAggregateExpression()
       case Seq(c, kExpr) =>
         BottomKDistinct(c, literalK(kExpr, "bottomk_distinct")).toAggregateExpression()
       case es => throw new IllegalArgumentException(
         s"bottomk_distinct expects (col) or (col, k), got ${es.length} arguments")
-    }, "scala_udf")
+    })
+
+  /** Register in the session's function registry (idempotent). */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    builders.foreach { case (n, b) => reg.createOrReplaceTempFunction(n, b, "scala_udf") }
   }
 }

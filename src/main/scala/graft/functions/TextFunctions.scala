@@ -43,6 +43,11 @@ object TextFunctions {
   val BpeishPattern: String =
     "'[a-z]+| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+"
 
+  /** PII patterns, restricted to constructs Java regex and RE2 evaluate
+    * identically (no backrefs/lookaround) so the DuckDB oracle agrees. */
+  val EmailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern: String = "\\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{4}"
+
   val stopwords: Seq[String] =
     Seq("the", "a", "an", "of", "and", "to", "in", "is", "it", "on")
 

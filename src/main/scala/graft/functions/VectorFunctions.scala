@@ -85,10 +85,15 @@ object VectorFunctions {
     override def prettyName: String = "hyperplane_bands"
   }
 
+  /** Name → expression builders, the single source for both per-session
+    * [[register]] and builder-time [[graft.GraftExtensions]] injection. */
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "vec_dot" -> (es => VecDot(es(0), es(1))),
+    "hyperplane_bands" -> (es => HyperplaneBands(es.head)))
+
   /** Register in the session's function registry (idempotent). */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("vec_dot", es => VecDot(es(0), es(1)), "scala_udf")
-    reg.createOrReplaceTempFunction("hyperplane_bands", es => HyperplaneBands(es.head), "scala_udf")
+    builders.foreach { case (n, b) => reg.createOrReplaceTempFunction(n, b, "scala_udf") }
   }
 }

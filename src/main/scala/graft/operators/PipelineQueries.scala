@@ -381,6 +381,41 @@ object PipelineQueries {
         .orderBy("lang")
     }),
 
+    // decontamination via bloom pruning: remove from the train split every
+    // doc whose token-set fingerprint appears in the valid split (the
+    // "eval-set leakage" removal every training pipeline runs). Scale
+    // shape: the filter is built over the SMALL side and shipped into a
+    // scan predicate over the big side — the "definitely clean" mass
+    // (1 - fpp of it) skips the join entirely; only bloom hits pay the
+    // exact anti-join that makes the final answer exact regardless of
+    // false positives. A plain anti-join would shuffle the whole corpus;
+    // Spark's own AQE runtime bloom filters use the identical pattern.
+    // The one driver round-trip is the finished filter binary (~90 KB),
+    // the same cost class as Spark's reused-subquery runtime filter.
+    "pipeline_decontaminate" -> ((s, dir) => {
+      graft.functions.Bloom.register(s)
+      val d = docs(s, dir)
+        .withColumn("fp", T.fingerprint(col("text")))
+        .withColumn("split",
+          when(substring(md5(col("text")), 1, 1) === "0", "valid").otherwise("train"))
+      val evalSet = d.filter(col("split") === "valid")
+      val train = d.filter(col("split") === "train")
+      val bloomBytes = evalSet.select(xxhash64(col("fp")).as("h"))
+        .agg(expr("bloom_build(h, 100000, 0.01)")).head.getAs[Array[Byte]](0)
+      val probed = train.withColumn("maybe",
+        call_function("bloom_contains", lit(bloomBytes), xxhash64(col("fp"))))
+      val cols = Seq(col("doc_id"), col("lang"), col("text"))
+      val keepClean = probed.filter(!col("maybe")).select(cols: _*)
+      val keepVerified = probed.filter(col("maybe"))
+        .join(evalSet.select("fp").distinct(), Seq("fp"), "left_anti")
+        .select(cols: _*)
+      keepClean.union(keepVerified)
+        .withColumn("n_tokens", size(T.tokens(col("text"))).cast("long"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"))
+        .orderBy("lang")
+    }),
+
     // ---- text analysis ---------------------------------------------------
     "text_quality" -> ((s, dir) => {
       val t = T.tokens(col("text"))
@@ -433,6 +468,42 @@ object PipelineQueries {
         .select(col("token"), col("cnt"))
         .orderBy("token")
     }),
+
+    // repeated-trigram ratio: the boilerplate/degenerate-text quality
+    // signal (a doc that is one phrase looped has ratio → 1). Shingles
+    // WITH multiplicity — intentionally not the distinct sets the dedup
+    // family uses, repetition is exactly the multiplicity
+    "text_repetition" -> ((s, dir) =>
+      docs(s, dir)
+        .withColumn("t", split(col("text"), " "))
+        .withColumn("sh", when(size(col("t")) >= 3,
+            expr("transform(sequence(0, size(t) - 3), i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))"))
+          .otherwise(array().cast("array<string>")))
+        .withColumn("n_sh", size(col("sh")).cast("long"))
+        .withColumn("n_uniq", size(array_distinct(col("sh"))).cast("long"))
+        .withColumn("rep_ratio", when(col("n_sh") > 0,
+            round(lit(1.0) - col("n_uniq").cast("double") / col("n_sh"), 6))
+          .otherwise(lit(0.0)))
+        .select(col("doc_id"), col("n_sh"), col("n_uniq"), col("rep_ratio"))
+        .orderBy("doc_id")),
+
+    // PII scrub: count and redact email/phone patterns per document,
+    // reported per language. Counting runs on the original text; the
+    // redaction replaces emails first, then phones on the result — the
+    // oracle applies the identical order so overlap resolves identically.
+    "text_pii_scrub" -> ((s, dir) =>
+      docs(s, dir)
+        .withColumn("n_email", regexp_count(col("text"), lit(T.EmailPattern)).cast("long"))
+        .withColumn("n_phone", regexp_count(col("text"), lit(T.PhonePattern)).cast("long"))
+        .withColumn("redacted",
+          regexp_replace(regexp_replace(col("text"), T.EmailPattern, "<EMAIL>"),
+            T.PhonePattern, "<PHONE>"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_email").as("n_emails"),
+          sum("n_phone").as("n_phones"),
+          sum(length(col("redacted")).cast("long")).as("redacted_chars"))
+        .orderBy("lang")),
 
     "text_tokens" -> ((s, dir) =>
       docs(s, dir)
@@ -578,6 +649,43 @@ object PipelineQueries {
          |FROM documents JOIN k USING (doc_id)
          |WHERE $langCaseSql = lang AND len(string_split(text, ' ')) >= 20
          |GROUP BY lang ORDER BY lang""".stripMargin,
+    // the bloom is an engine-side pruning detail — the exact verify step
+    // makes the answer identical to the plain fingerprint anti-join the
+    // oracle computes
+    "pipeline_decontaminate" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, text,
+        |         md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fp,
+        |         CASE WHEN substr(md5(text), 1, 1) = '0' THEN 'valid' ELSE 'train' END AS split
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+        |FROM t
+        |WHERE split = 'train'
+        |  AND fp NOT IN (SELECT fp FROM t WHERE split = 'valid')
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    "text_repetition" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT doc_id,
+        |         CASE WHEN len(t) >= 3
+        |              THEN list_transform(range(len(t) - 2), i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
+        |              ELSE [] END AS s
+        |       FROM tok)
+        |SELECT doc_id, len(s) AS n_sh, len(list_distinct(s)) AS n_uniq,
+        |       CASE WHEN len(s) > 0
+        |            THEN round(1.0 - len(list_distinct(s)) * 1.0 / len(s), 6)
+        |            ELSE 0.0 END AS rep_ratio
+        |FROM sh ORDER BY doc_id""".stripMargin,
+    "text_pii_scrub" -> {
+      val e = T.EmailPattern
+      val p = T.PhonePattern
+      s"""SELECT lang, count(*) AS n_docs,
+         |       CAST(sum(len(regexp_extract_all(text, '$e'))) AS BIGINT) AS n_emails,
+         |       CAST(sum(len(regexp_extract_all(text, '$p'))) AS BIGINT) AS n_phones,
+         |       CAST(sum(length(regexp_replace(regexp_replace(text, '$e', '<EMAIL>', 'g'),
+         |                                      '$p', '<PHONE>', 'g'))) AS BIGINT) AS redacted_chars
+         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+    },
     "text_tokens" ->
       """SELECT lang, count(*) AS n_docs,
         |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,

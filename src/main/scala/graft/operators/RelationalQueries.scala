@@ -401,6 +401,25 @@ object RelationalQueries {
         .orderBy("event_id")
     }),
 
+    // the same as-of semantics through the engine's NATIVE operator —
+    // custom LogicalPlan + SparkStrategy + SparkPlan (plans/AsOfJoin.scala):
+    // each side shuffled once on user_id, sorted (key, time), merged per
+    // partition with O(1) state. Must agree exactly with join_asof's
+    // union+window spelling (identical DuckDB oracle).
+    "join_asof_native" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+          col("event_id").as("c_event_id"), col("value").as("c_value"))
+      graft.plans.AsOfJoin.backward(purchases, clicks,
+          leftOn = Seq("user_id"), rightOn = Seq("c_user"),
+          leftTime = "ts", rightTime = "c_ts", rightTie = Seq("c_event_id"))
+        .select(col("event_id"), col("user_id"), col("c_value").as("last_click_value"))
+        .orderBy("event_id")
+    }),
+
     // pure interval join (no equi-time key): clicks × purchases of the same
     // user within ±1 hour. The naive theta join is a per-user nested loop;
     // the scale shape bins timestamps at the window width and explodes one
@@ -790,6 +809,15 @@ object RelationalQueries {
         |  AND l_shipdate < o_orderdate + INTERVAL 30 DAY
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "join_asof" ->
+      """SELECT a.event_id, a.user_id,
+        |  (SELECT b.value FROM events b
+        |   WHERE b.user_id = a.user_id AND b.event_type = 'click' AND b.ts <= a.ts
+        |   ORDER BY b.ts DESC, b.event_id DESC LIMIT 1) AS last_click_value
+        |FROM events a WHERE a.event_type = 'purchase'
+        |ORDER BY a.event_id""".stripMargin,
+    // intentionally identical to join_asof's oracle: the native merge
+    // operator and the union+window spelling must agree exactly
+    "join_asof_native" ->
       """SELECT a.event_id, a.user_id,
         |  (SELECT b.value FROM events b
         |   WHERE b.user_id = a.user_id AND b.event_type = 'click' AND b.ts <= a.ts
