@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -20,9 +20,13 @@ object VectorFunctions {
 
   /** vec_dot(a, b): Σ a_i·b_i over array<double>, accumulated left to
     * right (same order as the sequential HOF fold and the DuckDB oracle's
-    * list_sum, so float results are bit-identical). */
+    * list_sum, so float results are bit-identical). Fully codegen'd:
+    * this runs once per (probe, candidate) pair in the ANN hot path, so
+    * unlike the once-per-document hash expressions it earns a real
+    * `doGenCode` — the loop inlines into whole-stage codegen with no
+    * boxing and no interpreted-eval bridge. */
   case class VecDot(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression {
     override def dataType: DataType = DoubleType
     override def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]
@@ -39,6 +43,24 @@ object VectorFunctions {
       while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
       acc
     }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n")
+        val i = ctx.freshName("i")
+        val acc = ctx.freshName("acc")
+        s"""
+           |final int $n = $a.numElements();
+           |if ($n != $b.numElements()) {
+           |  throw new IllegalArgumentException(
+           |    "vec_dot: dimension mismatch (" + $n + " vs " + $b.numElements() + ")");
+           |}
+           |double $acc = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $acc += $a.getDouble($i) * $b.getDouble($i);
+           |}
+           |${ev.value} = $acc;
+         """.stripMargin
+      })
     override protected def withNewChildrenInternal(l: Expression, r: Expression): VecDot =
       copy(left = l, right = r)
     override def prettyName: String = "vec_dot"
