@@ -609,6 +609,25 @@ object RelationalQueries {
         .orderBy("user_id")
     }),
 
+    // time-series resample + gap fill: hourly event counts per user with
+    // EVERY hour of the user's active span present (zero-filled). Scale
+    // shape: the dense frame comes from a per-user sequence() explode
+    // bounded by that user's own span — never a calendar cross join — so
+    // row count is Σ user spans, and the fill join is a co-partitioned
+    // left join on (user, hour).
+    "events_gapfill" -> ((s, dir) => {
+      val hours = Tables.events(s, dir).filter(col("user_id") < 50)
+        .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).as("cnt"))
+      val frame = hours.groupBy("user_id")
+        .agg(min("hr").as("h0"), max("hr").as("h1"))
+        .select(col("user_id"),
+          explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("hr"))
+      frame.join(hours, Seq("user_id", "hr"), "left_outer")
+        .select(col("user_id"), col("hr"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+        .orderBy("user_id", "hr")
+    }),
+
     // tumbling event-time window (batch shape of the streaming agg)
     "events_hourly" -> ((s, dir) =>
       Tables.events(s, dir)
@@ -620,6 +639,14 @@ object RelationalQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "events_gapfill" ->
+      """WITH h AS (SELECT user_id, date_trunc('hour', ts) AS hr, count(*) AS cnt
+        |           FROM events WHERE user_id < 50 GROUP BY 1, 2),
+        |s AS (SELECT user_id, min(hr) AS h0, max(hr) AS h1 FROM h GROUP BY 1),
+        |f AS (SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr FROM s)
+        |SELECT f.user_id, f.hr, coalesce(h.cnt, 0) AS cnt
+        |FROM f LEFT JOIN h USING (user_id, hr)
+        |ORDER BY user_id, hr""".stripMargin,
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |       round(sum(l_quantity), 2) AS sum_qty,

@@ -57,6 +57,34 @@ class LayoutSpec extends AnyFunSuite with SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("date-partitioned events prune to only the filtered directories") {
+    val sf = "/root/testdata/sf0.001"
+    Layout.savePartitioned(
+      Tables.events(spark, sf).withColumn("event_date", to_date(col("ts"))),
+      "events_part_spec", "event_date")
+    val all = spark.table("events_part_spec")
+    val totalParts = all.select("event_date").distinct().count()
+    assert(totalParts > 7, s"expected a month of partitions, got $totalParts")
+    // AQE off so the physical scan is directly collectable
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val week = all.filter(col("event_date") >= lit("2024-01-08") &&
+        col("event_date") <= lit("2024-01-14"))
+      val scans = week.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      assert(scans.length === 1, "expected one file scan")
+      assert(scans.head.selectedPartitions.partitionCount === 7,
+        s"week filter must list exactly 7 partitions, " +
+          s"got ${scans.head.selectedPartitions.partitionCount} of $totalParts")
+      // and the pruning changes I/O, never results
+      val rawCnt = Tables.events(spark, sf)
+        .filter(to_date(col("ts")).between("2024-01-08", "2024-01-14")).count()
+      assert(week.count() === rawCnt)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("salted aggregation equals direct aggregation on skewed data") {
     // 10k rows where one key holds 90% of the data
     val skewed = spark.range(10000)
