@@ -182,6 +182,51 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(kept.contains("d3") && !kept.contains("d4"))
   }
 
+  test("incremental LSH near-dup index equals the one-shot batch pipeline") {
+    import graft.streaming.StreamingNearDupIndex
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.engine.Tables.documents(spark, sf)
+      .select("doc_id", "text").persist()
+    val n = docs.count()
+    // one-shot ground truth: the batch pipeline over the full corpus
+    val batchPairs = graft.operators.PipelineQueries.minhashLshPairs(spark, sf)
+      .select("i", "j", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(batchPairs.nonEmpty, "spec corpus is known to contain near-dups")
+    // stream the same corpus in 3 arbitrary micro-batches
+    for (split <- Seq(Seq(0L, n / 3, 2 * n / 3, n), Seq(0L, n / 5, n / 2, n))) {
+      val dir = java.nio.file.Files.createTempDirectory("neardup").toString
+      val idx = new StreamingNearDupIndex(spark, dir)
+      val flagged = split.sliding(2).flatMap { case Seq(lo, hi) =>
+        idx.applyBatch(docs.filter(col("doc_id") >= lo && col("doc_id") < hi))
+          .as[(Long, Long, Double)].collect()
+      }.map { case (i, j, jc) => (math.min(i, j), math.max(i, j), jc) }.toSet
+      assert(flagged === batchPairs,
+        s"split $split: incremental flags must equal the batch pipeline")
+    }
+    docs.unpersist()
+  }
+
+  test("streaming near-dup writer flags cross-batch duplicates from a doc stream") {
+    import graft.streaming.StreamingNearDupIndex
+    val dir = java.nio.file.Files.createTempDirectory("neardup_stream").toString
+    val out = s"$dir/flagged"
+    val input = MemoryStream[(Long, String)]
+    val idx = new StreamingNearDupIndex(spark, s"$dir/index")
+    val q = idx.writer(input.toDF().toDF("doc_id", "text"), out)
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    input.addData(1L -> "the quick brown fox jumps over the lazy dog tonight",
+      2L -> "completely unrelated text about spark physical planning")
+    q.processAllAvailable()
+    // near-dup of doc 1 arrives two batches later
+    input.addData(3L -> "the quick brown fox jumps over the lazy dog today")
+    q.processAllAvailable()
+    q.stop()
+    val flagged = spark.read.parquet(out).select("i", "j")
+      .as[(Long, Long)].collect().toSet
+    assert(flagged === Set(1L -> 3L), s"got $flagged")
+  }
+
   test("stream-stream interval join matches purchases to in-window clicks") {
     val clickIn = MemoryStream[(Timestamp, Long, Double)]
     val purchIn = MemoryStream[(Timestamp, Long, Long)]
