@@ -469,6 +469,21 @@ object PipelineQueries {
         .orderBy("token")
     }),
 
+    // overlapping token-window chunking — the pretraining/RAG chunker:
+    // 32-token windows at stride 24 (8-token overlap), one output row per
+    // chunk. Scale shape: a scan-local explode whose fan-out is
+    // tokens/stride per doc — no shuffle until the caller aggregates;
+    // chunk_hash stands in for shipping the chunk text through the gate
+    "text_chunks" -> ((s, dir) =>
+      docs(s, dir)
+        .withColumn("t", split(col("text"), " "))
+        .withColumn("st", explode(expr("sequence(0, size(t) - 1, 24)")))
+        .withColumn("chunk", expr("slice(t, st + 1, 32)"))
+        .select(col("doc_id"), (col("st") / lit(24)).cast("long").as("chunk_id"),
+          size(col("chunk")).cast("long").as("n_chunk_tokens"),
+          md5(array_join(col("chunk"), " ")).as("chunk_hash"))
+        .orderBy("doc_id", "chunk_id")),
+
     // repeated-trigram ratio: the boilerplate/degenerate-text quality
     // signal (a doc that is one phrase looped has ratio → 1). Shingles
     // WITH multiplicity — intentionally not the distinct sets the dedup
@@ -664,6 +679,13 @@ object PipelineQueries {
         |WHERE split = 'train'
         |  AND fp NOT IN (SELECT fp FROM t WHERE split = 'valid')
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    "text_chunks" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |c AS (SELECT doc_id, unnest(range(0, len(t), 24)) AS st, t FROM tok)
+        |SELECT doc_id, CAST(st // 24 AS BIGINT) AS chunk_id,
+        |       CAST(len(t[st+1 : st+32]) AS BIGINT) AS n_chunk_tokens,
+        |       md5(array_to_string(t[st+1 : st+32], ' ')) AS chunk_hash
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
     "text_repetition" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |sh AS (SELECT doc_id,
