@@ -171,6 +171,44 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
     assert(e5.getMessage.contains("converge"))
   }
 
+  test("native as-of join equals the union+window spelling on random tied streams") {
+    import org.apache.spark.sql.expressions.Window
+    // small key/time ranges force heavy ties — the case where the two
+    // spellings' tie-break contracts must agree exactly
+    val probeGen = Gen.listOfN(40,
+      Gen.zip(Gen.choose(0L, 5L), Gen.choose(0L, 20L)))
+    val buildGen = Gen.listOfN(40,
+      Gen.zip(Gen.choose(0L, 5L), Gen.choose(0L, 20L), Gen.choose(0, 99)))
+    (1 to 3).foreach { i =>
+      val probes = sample(probeGen, 700L + i).zipWithIndex
+        .map { case ((u, t), id) => (id.toLong, u, t) }
+      val builds = sample(buildGen, 800L + i).zipWithIndex
+        .map { case ((u, t, v), id) => (1000L + id, u, t, v.toDouble) }
+      val pDf = probes.toDF("p_id", "user", "p_ts")
+      val bDf = builds.toDF("b_id", "b_user", "b_ts", "b_value")
+      val native = graft.plans.AsOfJoin.backward(pDf, bDf,
+          Seq("user"), Seq("b_user"), "p_ts", "b_ts", rightTie = Seq("b_id"))
+        .select(col("p_id"), col("b_value"))
+        .as[(Long, Option[Double])].collect().toMap
+      // the union+window spelling: builds sort before probes at equal ts
+      // (inclusive), larger build id last (last-wins == largest tie)
+      val w = Window.partitionBy("user")
+        .orderBy(col("ts"), col("is_probe"), col("id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val windowed = probes.toDF("id", "user", "ts")
+        .select(col("id"), col("user"), col("ts"),
+          lit(1).as("is_probe"), lit(null).cast("double").as("b_value"))
+        .unionByName(builds.toDF("id", "user", "ts", "b_value")
+          .select(col("id"), col("user"), col("ts"),
+            lit(0).as("is_probe"), col("b_value")))
+        .withColumn("last_v", last("b_value", ignoreNulls = true).over(w))
+        .filter(col("is_probe") === 1)
+        .select(col("id"), col("last_v"))
+        .as[(Long, Option[Double])].collect().toMap
+      assert(native === windowed, s"trial $i: spellings disagree")
+    }
+  }
+
   test("get(k) equals full-scan filter on the emitted key") {
     (1 to 4).foreach { i =>
       val rows = sample(rowsGen, 400L + i)
