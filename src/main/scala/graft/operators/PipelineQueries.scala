@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.engine.Tables
 import graft.functions.{Hashes, TextFunctions => T}
@@ -50,6 +51,12 @@ object PipelineQueries {
   private val MaxBandDf = 200
 
   private def docs(s: SparkSession, dir: String): DataFrame = Tables.documents(s, dir)
+
+  /** Tokens per training sequence for concat-and-chunk packing. */
+  private val PackBudget = 256L
+
+  /** Fixed keyword-search query terms (mid-frequency corpus words). */
+  private val SearchTerms = Seq("spark", "vector", "join", "stream")
 
   /**
    * Shared candidate-generation core for set-overlap dedup: aggregate a
@@ -340,6 +347,64 @@ object PipelineQueries {
         .groupBy(col("lang"), col("split"))
         .agg(count(lit(1)).as("n_docs"))
         .orderBy("lang", "split")),
+
+    // stratified sampling with per-language target rates, deterministic:
+    // hex digits compare lexicographically as their numeric value, so
+    // `substr(md5(text),1,4) < threshold` keeps exactly threshold/0x10000
+    // of the hash space per stratum — stable across runs, partitionings,
+    // and cluster sizes (no rand()), and scan-local at 100 TB: the keep
+    // decision needs only the row itself, no shuffle before the count agg
+    "sample_stratified" -> ((s, dir) =>
+      docs(s, dir)
+        .withColumn("thr",
+          when(col("lang") === "en", "4000")        // 25 % of the dominant lang
+            .when(col("lang") === "zh", "c000")     // 75 % of the rarest
+            .otherwise("8000"))                     // 50 % elsewhere
+        .withColumn("kept",
+          (substring(md5(col("text")), 1, 4) < col("thr")).cast("long"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum("kept").as("n_sampled"))
+        .orderBy("lang")),
+
+    // concat-and-chunk sequence packing (the standard LLM-pretraining
+    // packing): per source shard, documents are laid end-to-end in doc_id
+    // order and the token stream is cut every PackBudget tokens; a doc
+    // belongs to the pack where it STARTS. One window per source — the
+    // 100 TB shape is embarrassingly parallel across shards (each source's
+    // prefix-sum is independent; no global coordination), unlike a single
+    // global greedy packer which would serialize the whole corpus
+    "pipeline_pack_sequences" -> ((s, dir) => {
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs(s, dir)
+        .withColumn("toks", size(T.tokens(col("text"))).cast("long"))
+        .withColumn("strt", sum("toks").over(w) - col("toks"))
+        .withColumn("pack_id", floor(col("strt") / PackBudget).cast("long"))
+        .groupBy(col("source"), col("pack_id"))
+        .agg(count(lit(1)).as("n_docs"), sum("toks").as("pack_tokens"))
+        .orderBy("source", "pack_id")
+    }),
+
+    // keyword search over an inverted index, deterministic integer TF-IDF:
+    // score = Σ_terms tf · (1e6 div df) — integer division keeps every
+    // intermediate exact (float idf would make cross-engine hash equality
+    // a rounding lottery). Scale shape: tokenize+explode is scan-local,
+    // tf filters to the query terms BEFORE any shuffle, df is a tiny
+    // broadcast, and the final top-k is TakeOrderedAndProject (no global
+    // sort materialization). The posting-list build is the same linear
+    // pass a real inverted index would make
+    "search_tfidf" -> ((s, dir) => {
+      val tf = docs(s, dir)
+        .select(col("doc_id"), explode(T.tokens(lower(col("text")))).as("w"))
+        .filter(col("w").isInCollection(SearchTerms))
+        .groupBy(col("doc_id"), col("w"))
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("w").agg(countDistinct("doc_id").as("df"))
+      tf.join(broadcast(dfreq), "w")
+        .withColumn("contrib", col("tf") * expr("1000000 div df"))
+        .groupBy(col("doc_id")).agg(sum("contrib").as("score"))
+        .orderBy(col("score").desc, col("doc_id")).limit(20)
+    }),
 
     // end-to-end curation: fingerprint-dedup keepers ∩ language-ID
     // agreement ∩ minimum length — the composed filter chain a training
@@ -655,6 +720,33 @@ object PipelineQueries {
         |       CASE WHEN substr(md5(text), 1, 1) = '0' THEN 'valid' ELSE 'train' END AS split,
         |       count(*) AS n_docs
         |FROM documents GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
+    "sample_stratified" ->
+      """SELECT lang, count(*) AS n_docs,
+        |       CAST(sum(CASE WHEN substr(md5(text), 1, 4) <
+        |                  CASE lang WHEN 'en' THEN '4000' WHEN 'zh' THEN 'c000' ELSE '8000' END
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "pipeline_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT source, doc_id, len(string_split(text, ' ')) AS toks FROM documents),
+        |c AS (
+        |  SELECT source, toks,
+        |         sum(toks) OVER (PARTITION BY source ORDER BY doc_id
+        |                         ROWS UNBOUNDED PRECEDING) - toks AS strt
+        |  FROM t)
+        |SELECT source, CAST(floor(strt / 256.0) AS BIGINT) AS pack_id,
+        |       count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS pack_tokens
+        |FROM c GROUP BY 1, 2 ORDER BY source, pack_id""".stripMargin,
+    "search_tfidf" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents),
+        |tf AS (
+        |  SELECT doc_id, w, count(*) AS tf FROM tok
+        |  WHERE w IN ('spark', 'vector', 'join', 'stream') GROUP BY 1, 2),
+        |df AS (SELECT w, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1)
+        |SELECT tf.doc_id, CAST(sum(tf.tf * (1000000 // df.df)) AS BIGINT) AS score
+        |FROM tf JOIN df USING (w) GROUP BY tf.doc_id
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
     "pipeline_curate" ->
       s"""WITH k AS (
          |  SELECT min(doc_id) AS doc_id FROM documents

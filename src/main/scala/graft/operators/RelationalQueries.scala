@@ -420,6 +420,44 @@ object RelationalQueries {
         .orderBy("event_id")
     }),
 
+    // FORWARD as-of through the native operator: for each purchase, the
+    // next click at-or-after it (first-touch attribution mirror). Same
+    // merge, opposite direction: first same-key build row with
+    // c_ts >= ts wins, smallest event_id breaking ties.
+    "join_asof_forward" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+          col("event_id").as("c_event_id"), col("value").as("c_value"))
+      graft.plans.AsOfJoin.forward(purchases, clicks,
+          leftOn = Seq("user_id"), rightOn = Seq("c_user"),
+          leftTime = "ts", rightTime = "c_ts", rightTie = Seq("c_event_id"))
+        .select(col("event_id"), col("user_id"), col("c_value").as("next_click_value"))
+        .orderBy("event_id")
+    }),
+
+    // bounded as-of: last click within ONE HOUR before the purchase —
+    // the pandas merge_asof(tolerance=...) surface. The tolerance only
+    // filters the buffered closest row, so the merge stays O(1)-state;
+    // at 100 TB this is the same single co-partitioned pass, and stale
+    // history never has to be carried or re-scanned.
+    "join_asof_tolerance" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+          col("event_id").as("c_event_id"), col("value").as("c_value"))
+      graft.plans.AsOfJoin.backward(purchases, clicks,
+          leftOn = Seq("user_id"), rightOn = Seq("c_user"),
+          leftTime = "ts", rightTime = "c_ts", rightTie = Seq("c_event_id"),
+          tolerance = Some(3600L * 1000000L)) // 1 h in micros
+        .select(col("event_id"), col("user_id"), col("c_value").as("last_click_value_1h"))
+        .orderBy("event_id")
+    }),
+
     // pure interval join (no equi-time key): clicks × purchases of the same
     // user within ±1 hour. The naive theta join is a per-user nested loop;
     // the scale shape bins timestamps at the window width and explodes one
@@ -849,6 +887,27 @@ object RelationalQueries {
         |  (SELECT b.value FROM events b
         |   WHERE b.user_id = a.user_id AND b.event_type = 'click' AND b.ts <= a.ts
         |   ORDER BY b.ts DESC, b.event_id DESC LIMIT 1) AS last_click_value
+        |FROM events a WHERE a.event_type = 'purchase'
+        |ORDER BY a.event_id""".stripMargin,
+    // epoch_us() in these two: the engine reads ts at microsecond
+    // precision (Tables.events truncates the parquet nanos), so the
+    // oracle must compare and tie-break at the same granularity —
+    // raw ns comparison could flip <=/ORDER BY on sub-µs differences
+    "join_asof_forward" ->
+      """SELECT a.event_id, a.user_id,
+        |  (SELECT b.value FROM events b
+        |   WHERE b.user_id = a.user_id AND b.event_type = 'click'
+        |     AND epoch_us(b.ts) >= epoch_us(a.ts)
+        |   ORDER BY epoch_us(b.ts) ASC, b.event_id ASC LIMIT 1) AS next_click_value
+        |FROM events a WHERE a.event_type = 'purchase'
+        |ORDER BY a.event_id""".stripMargin,
+    "join_asof_tolerance" ->
+      """SELECT a.event_id, a.user_id,
+        |  (SELECT b.value FROM events b
+        |   WHERE b.user_id = a.user_id AND b.event_type = 'click'
+        |     AND epoch_us(b.ts) <= epoch_us(a.ts)
+        |     AND epoch_us(a.ts) - epoch_us(b.ts) <= 3600000000
+        |   ORDER BY epoch_us(b.ts) DESC, b.event_id DESC LIMIT 1) AS last_click_value_1h
         |FROM events a WHERE a.event_type = 'purchase'
         |ORDER BY a.event_id""".stripMargin,
     "join_interval_binned" ->

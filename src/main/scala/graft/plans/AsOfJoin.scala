@@ -11,6 +11,8 @@ import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Dist
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.execution.metric.SQLMetrics
 import org.apache.spark.sql.graftshim.Shims
+import org.apache.spark.sql.types.{DataType, DateType, IntegerType, LongType,
+  ShortType, TimestampNTZType, TimestampType}
 
 /**
  * Native backward as-of join — the whole-operator Catalyst extension path
@@ -63,9 +65,44 @@ object AsOfJoin {
       left: DataFrame, right: DataFrame,
       leftOn: Seq[String], rightOn: Seq[String],
       leftTime: String, rightTime: String,
-      rightTie: Seq[String] = Nil): DataFrame = {
+      rightTie: Seq[String] = Nil,
+      tolerance: Option[Long] = None): DataFrame =
+    join(left, right, leftOn, rightOn, leftTime, rightTime, rightTie,
+      forward = false, tolerance)
+
+  /** Forward (inclusive) as-of join: for every probe row, the FIRST build
+    * row with the same key and `rightTime >= leftTime` — "next state at or
+    * after event time" (next purchase after a click, next maintenance
+    * window after an alert). Ties among equal `(key, time)` build rows
+    * resolve to the row SMALLEST under ascending `rightTie` order
+    * (matches `ORDER BY time ASC, tie ASC LIMIT 1` — the mirror image of
+    * [[backward]]'s largest-wins rule, both being "closest first").
+    */
+  def forward(
+      left: DataFrame, right: DataFrame,
+      leftOn: Seq[String], rightOn: Seq[String],
+      leftTime: String, rightTime: String,
+      rightTie: Seq[String] = Nil,
+      tolerance: Option[Long] = None): DataFrame =
+    join(left, right, leftOn, rightOn, leftTime, rightTime, rightTie,
+      forward = true, tolerance)
+
+  /** Shared builder. `tolerance` (if set) bounds the match distance
+    * inclusively — backward: `leftTime - rightTime <= tolerance`; forward:
+    * `rightTime - leftTime <= tolerance` — expressed in the time column's
+    * native physical units (microseconds for timestamps, days for dates,
+    * the value itself for integral columns). Requires an integral,
+    * timestamp, or date time column on both sides. */
+  private def join(
+      left: DataFrame, right: DataFrame,
+      leftOn: Seq[String], rightOn: Seq[String],
+      leftTime: String, rightTime: String,
+      rightTie: Seq[String],
+      forward: Boolean, tolerance: Option[Long]): DataFrame = {
     require(leftOn.nonEmpty && leftOn.length == rightOn.length,
       s"asof join: key lists must be non-empty and same-length, got $leftOn / $rightOn")
+    require(tolerance.forall(_ >= 0L),
+      s"asof join: tolerance must be non-negative, got $tolerance")
     val spark = left.sparkSession
     ensureStrategy(spark)
     val lPlan = left.queryExecution.analyzed
@@ -82,13 +119,21 @@ object AsOfJoin {
         throw new IllegalArgumentException(
           s"asof join: column '$name' not found on $side side " +
             s"(${plan.output.map(_.name).mkString(", ")})"))
+    val lTimeAttr = resolve(lPlan, leftTime, "probe")
+    val rTimeAttr = resolve(rPlan, rightTime, "build")
+    // fail at build time, not mid-job: tolerance arithmetic needs a
+    // physical-long view of the time columns
+    tolerance.foreach { _ =>
+      AsOfJoinExec.timeAsLong(lTimeAttr.dataType)
+      AsOfJoinExec.timeAsLong(rTimeAttr.dataType)
+    }
     Shims.ofRows(spark, AsOfJoinPlan(
       lPlan, rPlan,
       leftOn.map(resolve(lPlan, _, "probe")),
       rightOn.map(resolve(rPlan, _, "build")),
-      resolve(lPlan, leftTime, "probe"),
-      resolve(rPlan, rightTime, "build"),
-      rightTie.map(resolve(rPlan, _, "build"))))
+      lTimeAttr, rTimeAttr,
+      rightTie.map(resolve(rPlan, _, "build")),
+      forward, tolerance))
   }
 
   /** Idempotently register the planner strategy on an existing session
@@ -100,9 +145,10 @@ object AsOfJoin {
   }
 }
 
-/** Logical backward as-of join: pure structure — all semantics live in
-  * the physical operator. Output = probe columns ++ build columns
-  * (nullable: the no-match case null-extends the build side). */
+/** Logical as-of join (backward or forward, optional tolerance): pure
+  * structure — all semantics live in the physical operator. Output =
+  * probe columns ++ build columns (nullable: the no-match case
+  * null-extends the build side). */
 case class AsOfJoinPlan(
     left: LogicalPlan,
     right: LogicalPlan,
@@ -110,7 +156,9 @@ case class AsOfJoinPlan(
     rightKeys: Seq[Expression],
     leftTime: Expression,
     rightTime: Expression,
-    rightTie: Seq[Expression]) extends BinaryNode {
+    rightTie: Seq[Expression],
+    forward: Boolean = false,
+    tolerance: Option[Long] = None) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override def maxRows: Option[Long] = left.maxRows
@@ -123,20 +171,36 @@ case class AsOfJoinPlan(
   * `spark.experimental.extraStrategies` or [[graft.GraftExtensions]]. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tie) =>
-      AsOfJoinExec(lk, rk, lt, rt, tie, planLater(l), planLater(r)) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tie, fwd, tol) =>
+      AsOfJoinExec(lk, rk, lt, rt, tie, fwd, tol, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
 
+object AsOfJoinExec {
+  /** Physical-long view of a time column for tolerance arithmetic:
+    * timestamps are stored as micros, dates as days, integrals as
+    * themselves. Throws for types with no meaningful long distance. */
+  def timeAsLong(dt: DataType): InternalRow => Long = dt match {
+    case TimestampType | TimestampNTZType | LongType => r => r.getLong(0)
+    case IntegerType | DateType => r => r.getInt(0).toLong
+    case ShortType => r => r.getShort(0).toLong
+    case other => throw new IllegalArgumentException(
+      s"asof join: tolerance requires an integral, timestamp, or date time column, got $other")
+  }
+}
+
 /**
- * Physical backward as-of join: requires both children clustered on their
- * keys and sorted `(key..., time, [tie...])` ascending — Catalyst inserts
+ * Physical as-of join: requires both children clustered on their keys
+ * and sorted `(key..., time, [tie...])` ascending — Catalyst inserts
  * (or reuses) the exchanges and sorts — then merges each co-partition in
- * one forward pass. State per partition is ONE buffered build row (the
- * best match so far for the current key), so memory is O(1) regardless
- * of group size; taking the last build row whose time qualifies makes
- * the ascending tie columns resolve to "largest tie wins".
+ * one forward pass. State per partition is ONE buffered build row, so
+ * memory is O(1) regardless of group size. Backward takes the last
+ * build row at-or-before the probe time (ascending tie ⇒ largest tie
+ * wins); forward takes the first at-or-after (smallest tie wins).
+ * `tolerance` (time-column native units) bounds the distance
+ * inclusively and only ever FILTERS the chosen row — the closest
+ * qualifying row is by construction the one buffered.
  *
  * Not codegen'd (a bespoke two-iterator merge); both inputs arrive
  * through whole-stage-codegen'd sort stages, and the per-row work here
@@ -148,6 +212,8 @@ case class AsOfJoinExec(
     leftTime: Expression,
     rightTime: Expression,
     rightTie: Seq[Expression],
+    forward: Boolean,
+    tolerance: Option[Long],
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode {
 
@@ -181,6 +247,8 @@ case class AsOfJoinExec(
     val lTimeExpr = leftTime
     val rTimeExpr = rightTime
     val outAttrs = output
+    val fwd = forward
+    val tol = tolerance
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(lKeyExprs, lOut)
       val rKeyProj = UnsafeProjection.create(rKeyExprs, rOut)
@@ -188,6 +256,11 @@ case class AsOfJoinExec(
       val rTimeProj = UnsafeProjection.create(Seq(rTimeExpr), rOut)
       val keyOrd = RowOrdering.createNaturalAscendingOrdering(lKeyExprs.map(_.dataType))
       val timeOrd = RowOrdering.createNaturalAscendingOrdering(Seq(lTimeExpr.dataType))
+      // physical-long time views, only touched when tolerance is set
+      val lTimeLong =
+        if (tol.isDefined) AsOfJoinExec.timeAsLong(lTimeExpr.dataType) else null
+      val rTimeLong =
+        if (tol.isDefined) AsOfJoinExec.timeAsLong(rTimeExpr.dataType) else null
       // bind against NULLABLE right attrs: the no-match case null-extends
       // the build side, and binding against the children's non-nullable
       // schema would elide the null checks and read garbage zeros
@@ -203,9 +276,11 @@ case class AsOfJoinExec(
         private var rKey: UnsafeRow = _
         private var rTime: UnsafeRow = _
         private var rDone = false
-        // best build row so far for the key it was matched under
+        // backward state: best build row so far for the key it was matched
+        // under, plus its time row for the tolerance check
         private var matched: InternalRow = _
         private var matchedKey: UnsafeRow = _
+        private var matchedTime: UnsafeRow = _
 
         private def pullRight(): Unit = {
           var pulled = false
@@ -228,27 +303,54 @@ case class AsOfJoinExec(
 
         override def hasNext: Boolean = lIter.hasNext
 
+        // the chosen row is by construction the closest qualifier, so
+        // tolerance only filters it; distance is non-negative either way
+        private def withinTol(dist: => Long): Boolean =
+          tol.isEmpty || dist <= tol.get
+
         override def next(): InternalRow = {
           val l = lIter.next()
           val lKey = lKeyProj(l)
-          // a stale match from a previous key is no match at all
-          if (matched != null && keyOrd.compare(matchedKey, lKey) != 0) matched = null
           val lTime = lTimeProj(l)
-          if (!lKey.anyNull && !lTime.isNullAt(0)) {
-            // advance the build stream through everything at-or-before
-            // this probe position; the last same-key qualifier sticks
-            var advancing = true
-            while (advancing && rRow != null) {
-              val c = keyOrd.compare(rKey, lKey)
-              if (c < 0) pullRight() // dead key: probe keys only grow
-              else if (c == 0 && timeOrd.compare(rTime, lTime) <= 0) {
-                matched = rRow; matchedKey = rKey
-                pullRight()
-              } else advancing = false
+          val probeOk = !lKey.anyNull && !lTime.isNullAt(0)
+          var out: InternalRow = null
+          if (fwd) {
+            // FORWARD: discard dead keys and same-key rows strictly before
+            // this probe time (later probes are >= this one, so they can't
+            // want them either); the surviving head matches iff same key
+            if (probeOk) {
+              var advancing = true
+              while (advancing && rRow != null) {
+                val c = keyOrd.compare(rKey, lKey)
+                if (c < 0 || (c == 0 && timeOrd.compare(rTime, lTime) < 0)) pullRight()
+                else advancing = false
+              }
+              if (rRow != null && keyOrd.compare(rKey, lKey) == 0 &&
+                  withinTol(rTimeLong(rTime) - lTimeLong(lTime)))
+                out = rRow // head stays: it may serve later probes too
+            }
+          } else {
+            // BACKWARD: a stale match from a previous key is no match at all
+            if (matched != null && keyOrd.compare(matchedKey, lKey) != 0) matched = null
+            if (probeOk) {
+              // advance the build stream through everything at-or-before
+              // this probe position; the last same-key qualifier sticks
+              var advancing = true
+              while (advancing && rRow != null) {
+                val c = keyOrd.compare(rKey, lKey)
+                if (c < 0) pullRight() // dead key: probe keys only grow
+                else if (c == 0 && timeOrd.compare(rTime, lTime) <= 0) {
+                  matched = rRow; matchedKey = rKey; matchedTime = rTime
+                  pullRight()
+                } else advancing = false
+              }
+              if (matched != null &&
+                  withinTol(lTimeLong(lTime) - rTimeLong(matchedTime)))
+                out = matched
             }
           }
           numOutputRows += 1
-          resultProj(joined(l, if (matched != null) matched else nullRight))
+          resultProj(joined(l, if (out != null) out else nullRight))
         }
       }
     }

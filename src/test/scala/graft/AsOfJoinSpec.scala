@@ -84,6 +84,70 @@ class AsOfJoinSpec extends AnyFunSuite with SparkSpec {
     assert(plan.contains("c_id"), s"expected tie column in the build sort in:\n$plan")
   }
 
+  test("asof forward: first at-or-after wins, smallest tie, no-match nulls") {
+    val probes = Seq(
+      (1L, "u1", 6L),  // clicks at 5,8 -> 8 is first at-or-after
+      (2L, "u1", 8L),  // equal ts (inclusive) -> 8
+      (3L, "u1", 9L),  // after every click -> null
+      (4L, "u2", 1L),  // u2 has no clicks -> null
+      (5L, "u3", 7L),  // two clicks at ts=7 -> SMALLER tie id wins
+      (6L, "u3", 7L)   // same head serves a second probe (not consumed)
+    ).toDF("p_id", "user", "p_ts")
+    val builds = Seq(
+      (101L, "u1", 5L, 1.5),
+      (102L, "u1", 8L, 2.5),
+      (103L, "u3", 7L, 10.0),
+      (104L, "u3", 7L, 20.0)
+    ).toDF("c_id", "c_user", "c_ts", "c_value")
+    val got = AsOfJoin.forward(probes, builds,
+        Seq("user"), Seq("c_user"), "p_ts", "c_ts", rightTie = Seq("c_id"))
+      .select(col("p_id"), col("c_value"))
+      .as[(Long, Option[Double])].collect().toMap
+    assert(got === Map(
+      1L -> Some(2.5), 2L -> Some(2.5), 3L -> None, 4L -> None,
+      5L -> Some(10.0), 6L -> Some(10.0)))
+  }
+
+  test("asof tolerance: bounds the match distance inclusively, both directions") {
+    val probes = Seq(
+      (1L, "u1", 10L), // nearest earlier click at 8: dist 2 <= 3 -> match
+      (2L, "u1", 20L), // nearest earlier click at 8: dist 12 > 3 -> null
+      (3L, "u1", 11L)  // dist 3, inclusive boundary -> match
+    ).toDF("p_id", "user", "p_ts")
+    val builds = Seq(
+      (101L, "u1", 5L, 1.5),
+      (102L, "u1", 8L, 2.5)
+    ).toDF("c_id", "c_user", "c_ts", "c_value")
+    val back = AsOfJoin.backward(probes, builds,
+        Seq("user"), Seq("c_user"), "p_ts", "c_ts", Seq("c_id"),
+        tolerance = Some(3L))
+      .select(col("p_id"), col("c_value"))
+      .as[(Long, Option[Double])].collect().toMap
+    assert(back === Map(1L -> Some(2.5), 2L -> None, 3L -> Some(2.5)))
+
+    val fprobes = Seq(
+      (1L, "u1", 3L), // next click at 5: dist 2 <= 2 -> match
+      (2L, "u1", 1L), // next click at 5: dist 4 > 2 -> null
+      (3L, "u1", 6L)  // next click at 8: dist 2 (boundary) -> match
+    ).toDF("p_id", "user", "p_ts")
+    val fwd = AsOfJoin.forward(fprobes, builds,
+        Seq("user"), Seq("c_user"), "p_ts", "c_ts", Seq("c_id"),
+        tolerance = Some(2L))
+      .select(col("p_id"), col("c_value"))
+      .as[(Long, Option[Double])].collect().toMap
+    assert(fwd === Map(1L -> Some(1.5), 2L -> None, 3L -> Some(2.5)))
+  }
+
+  test("asof tolerance: rejected for non-integral time columns at build time") {
+    val probes = Seq((1L, "u1", 1.5)).toDF("p_id", "user", "p_ts")
+    val builds = Seq((101L, "u1", 1.0, 1.5)).toDF("c_id", "c_user", "c_ts", "c_value")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.backward(probes, builds,
+        Seq("user"), Seq("c_user"), "p_ts", "c_ts", Nil, tolerance = Some(1L))
+    }
+    assert(e.getMessage.contains("tolerance requires"))
+  }
+
   test("asof native agrees exactly with the union+window spelling on events") {
     val native = SparkEntry.queries("join_asof_native")(spark, sf)
     val window = SparkEntry.queries("join_asof")(spark, sf)

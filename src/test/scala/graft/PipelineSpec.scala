@@ -250,6 +250,50 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(got.forall(_._2 === 0L), "every chain node must resolve to the minimum")
   }
 
+  test("pack_sequences: straddling docs stay in their start pack; sources independent") {
+    // 256-token budget; doc "c" STARTS at offset 250 (< 256) so it packs
+    // into pack 0 even though it runs past the boundary; "d" starts at
+    // 250+100=350 -> pack 1. Source s2's offsets restart at 0.
+    val df = Seq(
+      ("s1", 1L, 150), ("s1", 2L, 100), ("s1", 3L, 100), ("s1", 4L, 10),
+      ("s2", 5L, 300), ("s2", 6L, 10)
+    ).map { case (src, id, n) => (src, id, Seq.fill(n)("w").mkString(" ")) }
+      .toDF("source", "doc_id", "text")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val packs = df
+      .withColumn("toks", size(T.tokens(col("text"))).cast("long"))
+      .withColumn("strt", sum("toks").over(w) - col("toks"))
+      .withColumn("pack_id", floor(col("strt") / 256L).cast("long"))
+      .select(col("doc_id"), col("pack_id")).as[(Long, Long)].collect().toMap
+    assert(packs === Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 0L, 6L -> 1L))
+  }
+
+  test("search_tfidf: integer scoring, deterministic order, rarer terms weigh more") {
+    val res = PipelineQueries.queries("search_tfidf")(spark, sf)
+      .as[(Long, Long)].collect()
+    assert(res.nonEmpty && res.length <= 20)
+    // descending score with doc_id tiebreak = a total order
+    assert(res.sameElements(res.sortBy { case (id, sc) => (-sc, id) }))
+    // run twice: content-deterministic
+    val again = PipelineQueries.queries("search_tfidf")(spark, sf)
+      .as[(Long, Long)].collect()
+    assert(res.sameElements(again))
+  }
+
+  test("sample_stratified: every stratum's rate lands near its hash-space target") {
+    val rows = PipelineQueries.queries("sample_stratified")(spark, "/root/testdata/sf0.01")
+      .as[(String, Long, Long)].collect()
+    val target = Map("en" -> 0.25, "zh" -> 0.75).withDefaultValue(0.5)
+    for ((lang, total, kept) <- rows) {
+      val rate = kept.toDouble / total
+      assert(math.abs(rate - target(lang)) < 0.15,
+        s"$lang rate $rate vs target ${target(lang)} ($kept/$total)")
+    }
+  }
+
   test("invariant queries assert true on their boolean columns (sf0.001)") {
     // the driver's DuckDB oracle checks these at sf0.01; this covers a
     // second scale so a bound that only holds at one SF cannot slip in
