@@ -1,0 +1,132 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/**
+ * Incrementally-maintained GROUP BY aggregate over a [[MapIndex]]'s
+ * emissions — the "reduce" half of map/reduce that the reference declares
+ * but stubs (`/root/reference/index.js:148-150` leaves `count` empty;
+ * `group(finish)` never calls its `finish` argument, `index.js:64`).
+ * Here it is completed with the property the reference's architecture was
+ * reaching for: **maintenance cost proportional to the change batch, not
+ * the view**.
+ *
+ * State relation (clustered by `emit_key`): one row per group —
+ * `emit_key, cnt: bigint, sum_value: decimal(28,4), min_value, max_value`.
+ * Contract: emission values are numeric; sums are carried in DECIMAL so
+ * partial-aggregate merge is EXACT and associative — float sums would
+ * drift by merge order and an incrementally-maintained state could never
+ * promise equality with a full recompute.
+ *
+ * A refresh consumes the same change batch the base view's refresh takes
+ * and splits the aggregates by their algebraic class:
+ *
+ *  - `cnt`/`sum` are **retractable**: old emissions of the changed source
+ *    keys enter the delta at weight −1, new emissions at +1; the state
+ *    merge touches only groups present in the delta. No base-view
+ *    rescan for these at all.
+ *  - `min`/`max` are **not retractable** under deletion (removing the
+ *    current min says nothing about the runner-up), so they are
+ *    recomputed from the refreshed base view — but ONLY for the touched
+ *    groups, a predicate-pushed (bucket- or range-pruned) read.
+ *
+ * Scale shape: every join against a large relation (pre-refresh view,
+ * state, post-refresh view) is a broadcast semi/anti join on the small
+ * changed-key / touched-group sets — the big sides are scanned once and
+ * never shuffled; the only shuffles are group-bys over delta-sized data.
+ * At 100 TB the state write is the same clustered versioned write the
+ * emission store uses ([[ViewStore.writeClustered]]); the bucketed
+ * analog would rewrite only touched state buckets.
+ */
+final class AggView private[engine] (
+    val spark: SparkSession,
+    val store: ViewStore,
+    val name: String) extends Serializable {
+
+  /** Current state snapshot: `emit_key, cnt, sum_value, min_value, max_value`. */
+  def state: DataFrame = spark.read.parquet(store.latestPath(name))
+
+  /** Read surface with derived aggregates (avg = exact sum / count). */
+  def read: DataFrame =
+    state.withColumn("avg_value",
+      round(col("sum_value").cast("double") / col("cnt"), 4))
+
+  /**
+   * Refresh the base view AND this aggregate state from one change batch
+   * (upserts + tombstoned source keys — the [[MaterializedView.refresh]]
+   * contract), returning both post-refresh handles. Doing both here
+   * pins the PRE-refresh snapshot for the retraction read; the store's
+   * `graceVersions >= 1` keeps that version alive under the swap.
+   */
+  def refresh(
+      base: MaterializedView,
+      upserts: DataFrame,
+      deleteKeys: Option[DataFrame] = None): (MaterializedView, AggView) = {
+    require(base.store eq store,
+      s"aggregate view '$name' maintained against a different store than its base")
+    val index = base.index
+    // pin the pre-refresh snapshot path BEFORE the base swap
+    val preDf = base.df
+    val upsertKeys = index.touchedKeys(upserts)
+    val changed = deleteKeys match {
+      case Some(d) => upsertKeys.union(d.toDF("src_key")).distinct()
+      case None    => upsertKeys
+    }
+    // retractions: every old emission of a changed source key, at −1
+    val oldEmis = preDf.join(broadcast(changed), Seq("src_key"), "left_semi")
+    val newEmis = index.emissions(upserts)
+    val delta = AggView.partials(oldEmis, negate = true)
+      .unionByName(AggView.partials(newEmis, negate = false))
+      .groupBy("emit_key")
+      .agg(sum("d_cnt").as("d_cnt"),
+        sum("d_sum").cast(AggView.SumType).as("d_sum"))
+    val post = base.refresh(upserts, deleteKeys)
+
+    val touched = delta.select("emit_key").distinct()
+    val untouched = state.join(broadcast(touched), Seq("emit_key"), "left_anti")
+    val touchedOld = state.join(broadcast(touched), Seq("emit_key"), "left_semi")
+    val merged = touchedOld.join(delta, Seq("emit_key"), "full_outer")
+      .select(col("emit_key"),
+        (coalesce(col("cnt"), lit(0L)) + coalesce(col("d_cnt"), lit(0L))).as("cnt"),
+        (coalesce(col("sum_value"), lit(0).cast(AggView.SumType))
+          + coalesce(col("d_sum"), lit(0).cast(AggView.SumType)))
+          .cast(AggView.SumType).as("sum_value"))
+      .filter(col("cnt") > 0) // a group whose count reaches zero vanishes
+    // min/max recomputed from the post-refresh base, touched groups only
+    val mm = post.df.join(broadcast(touched), Seq("emit_key"), "left_semi")
+      .groupBy("emit_key")
+      .agg(min("emit_value").as("min_value"), max("emit_value").as("max_value"))
+    // inner: cnt > 0 guarantees the group still exists in the post base
+    val updated = merged.join(mm, Seq("emit_key"), "inner")
+      .select(untouched.columns.map(col).toIndexedSeq: _*)
+    store.writeClustered(name, untouched.unionByName(updated), Seq("emit_key"))
+    (post, this)
+  }
+}
+
+object AggView {
+  /** Canonical exact-sum type for state and deltas: wide enough that a
+    * 10-digit-integer-part value summed over ~1e9 rows cannot overflow. */
+  private[engine] val SumType = DecimalType(28, 4)
+
+  private def partials(emissions: DataFrame, negate: Boolean): DataFrame = {
+    val v = col("emit_value").cast(DecimalType(18, 4))
+    emissions.select(col("emit_key"),
+      lit(if (negate) -1L else 1L).as("d_cnt"),
+      (if (negate) -v else v).as("d_sum"))
+  }
+
+  /** Full build from the base view's current snapshot (first
+    * materialization; also the recompute an equivalence check uses). */
+  def build(base: MaterializedView, name: String): AggView = {
+    val st = base.df.groupBy("emit_key")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("emit_value").cast(DecimalType(18, 4))).cast(SumType).as("sum_value"),
+        min("emit_value").as("min_value"),
+        max("emit_value").as("max_value"))
+    base.store.writeClustered(name, st, Seq("emit_key"))
+    new AggView(base.spark, base.store, name)
+  }
+}

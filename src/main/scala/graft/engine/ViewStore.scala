@@ -51,34 +51,41 @@ final class ViewStore(
    * order (`index.js:137`) without a query-time sort.
    */
   def write(index: MapIndex, emissions: DataFrame): MaterializedView = {
-    val next = latestVersion(index.name).getOrElse(-1) + 1
-    val path = dir(index.name).resolve(s"v$next")
-    emissions
-      .repartitionByRange(col("emit_key"), col("uid"))
-      .sortWithinPartitions("emit_key", "uid")
+    writeClustered(index.name, emissions, Seq("emit_key", "uid"))
+    new MaterializedView(spark, this, index)
+  }
+
+  /** The same versioned write + atomic pointer swap + GC for ANY derived
+    * relation (aggregate-view state, secondary structures), clustered by
+    * the given columns for file/row-group pruning on their predicates. */
+  def writeClustered(name: String, df: DataFrame, clusterCols: Seq[String]): Unit = {
+    val next = latestVersion(name).getOrElse(-1) + 1
+    val path = dir(name).resolve(s"v$next")
+    df
+      .repartitionByRange(clusterCols.map(col): _*)
+      .sortWithinPartitions(clusterCols.map(col): _*)
       // zstd: ~30% smaller than snappy at comparable decode speed — at
       // 100 TB the stored view's scan cost is IO-bound, so the ratio wins
       .write.mode("overwrite").option("compression", "zstd").parquet(path.toString)
     // atomic pointer swap: write sidecar then move over _LATEST
-    Files.createDirectories(dir(index.name))
-    val tmp = dir(index.name).resolve(s"_LATEST.tmp$next")
+    Files.createDirectories(dir(name))
+    val tmp = dir(name).resolve(s"_LATEST.tmp$next")
     Files.writeString(tmp, next.toString)
-    Files.move(tmp, latestFile(index.name),
+    Files.move(tmp, latestFile(name),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     // GC superseded versions (keep graceVersions copies for in-flight
     // readers of older snapshots) — otherwise every refresh leaks a view
     var old = next - 1 - graceVersions
-    var p = dir(index.name).resolve(s"v${math.max(old, 0)}")
+    var p = dir(name).resolve(s"v${math.max(old, 0)}")
     while (old >= 0 && Files.exists(p)) {
       val stream = Files.walk(p) // close the stream: an unclosed walk leaks an fd
       try stream.sorted(java.util.Comparator.reverseOrder())
         .forEach(f => Files.deleteIfExists(f))
       finally stream.close()
       old -= 1
-      if (old >= 0) p = dir(index.name).resolve(s"v$old")
+      if (old >= 0) p = dir(name).resolve(s"v$old")
     }
-    new MaterializedView(spark, this, index)
   }
 
   def load(index: MapIndex): MaterializedView =

@@ -62,6 +62,37 @@ object MapIndexQueries {
   private def jsonView(s: SparkSession, dir: String) =
     Views.materialized(s, dir, byTypeJson)(Tables.events(s, dir))
 
+  /** Incrementally-maintained aggregate (the completed "reduce" half —
+    * engine/AggView.scala): its OWN index name and state, so the shared
+    * `flagView` other queries read stays untouched by the refresh below. */
+  private val byFlagAgg = MapIndex.columns("lineitem_byflag_agg")(
+    concat_ws("-", col("l_orderkey"), col("l_linenumber")),
+    array(emit(col("l_returnflag"), col("l_extendedprice"))))
+
+  private val aggViews =
+    scala.collection.concurrent.TrieMap.empty[String, graft.engine.AggView]
+
+  /** Build base + aggregate state, then push ONE deterministic change
+    * batch through the incremental path: lineitems of `%97` orders
+    * re-flagged to 'X' (upsert), lineitems of `%89` orders tombstoned.
+    * The returned state must equal a from-scratch recompute of the
+    * modified source — which is exactly what the DuckDB oracle does. */
+  private def aggView(s: SparkSession, dir: String): graft.engine.AggView =
+    aggViews.getOrElseUpdate(dir, {
+      val store = Views.store(s, dir)
+      val li = Tables.lineitem(s, dir)
+      val base = byFlagAgg.materialize(li, store)
+      val agg0 = graft.engine.AggView.build(base, "lineitem_byflag_agg__state")
+      val upserts = li
+        .filter(col("l_orderkey") % 97 === 0 && col("l_orderkey") % 89 =!= 0)
+        .withColumn("l_returnflag", lit("X"))
+      val deletes = li.filter(col("l_orderkey") % 89 === 0)
+        .select(concat_ws("-", col("l_orderkey"), col("l_linenumber")).as("src_key"))
+        .distinct()
+      val (_, agg) = agg0.refresh(base, upserts, Some(deletes))
+      agg
+    })
+
   /** Build the stored views eagerly (write-time cost, SURVEY.md §4.1) so
     * bench timings measure the read path the reference architecture pays. */
   def prewarm(s: SparkSession, dir: String): Unit = {
@@ -69,6 +100,7 @@ object MapIndexQueries {
     bucketView(s, dir)
     bucketedFlag(s, dir)
     jsonView(s, dir)
+    aggView(s, dir)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -149,6 +181,17 @@ object MapIndexQueries {
         .agg(round(sum("emit_value"), 2).as("sum_rev"),
           count(lit(1)).as("cnt"))
         .orderBy("bucket")),
+
+    // the completed reduce half: incrementally-maintained grouped
+    // count/sum/min/max/avg, read AFTER an upsert+tombstone batch went
+    // through the delta-merge path — the oracle recomputes the same final
+    // state from scratch, so any maintenance error is a hash mismatch
+    "mapindex_aggview" -> ((s, dir) =>
+      aggView(s, dir).read
+        .select(col("emit_key"), col("cnt"),
+          round(col("sum_value").cast("double"), 2).as("sum_value"),
+          col("min_value"), col("max_value"), col("avg_value"))
+        .orderBy("emit_key")),
   )
 
   val oracle: Map[String, String] = Map(
@@ -192,5 +235,17 @@ object MapIndexQueries {
         |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_rev,
         |       count(*) AS cnt
         |FROM lineitem GROUP BY 1 ORDER BY bucket""".stripMargin,
+    // from-scratch recompute of the incrementally-maintained state: the
+    // same re-flag/%97 upsert and %89 tombstone batch applied as plain SQL
+    "mapindex_aggview" ->
+      """WITH src AS (
+        |  SELECT CASE WHEN l_orderkey % 97 = 0 THEN 'X' ELSE l_returnflag END AS k,
+        |         l_extendedprice AS v
+        |  FROM lineitem WHERE l_orderkey % 89 <> 0)
+        |SELECT k AS emit_key, count(*) AS cnt,
+        |       round(CAST(sum(CAST(v AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_value,
+        |       min(v) AS min_value, max(v) AS max_value,
+        |       round(CAST(sum(CAST(v AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_value
+        |FROM src GROUP BY k ORDER BY emit_key""".stripMargin,
   )
 }
