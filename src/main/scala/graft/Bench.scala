@@ -41,6 +41,7 @@ object Bench {
     operators.MapIndexQueries.prewarm(spark, sfDir)
     operators.LayoutQueries.prewarm(spark, sfDir)
     operators.SimilarityQueries.prewarm(spark, sfDir)
+    operators.PipelineQueries.prewarm(spark, sfDir)
     // dev loop: SPARK_GRAFT_ONLY=q1,q2 restricts the run to named queries
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
