@@ -118,6 +118,11 @@ object AggView {
       (if (negate) -v else v).as("d_sum"))
   }
 
+  /** Handle to an already-materialized state relation (resume paths,
+    * streaming maintenance across micro-batches). */
+  def attach(spark: SparkSession, store: ViewStore, name: String): AggView =
+    new AggView(spark, store, name)
+
   /** Full build from the base view's current snapshot (first
     * materialization; also the recompute an equivalence check uses). */
   def build(base: MaterializedView, name: String): AggView = {

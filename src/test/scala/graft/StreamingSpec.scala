@@ -69,6 +69,37 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     q.stop()
   }
 
+  test("streaming aggregate maintenance equals a from-scratch rebuild after every batch") {
+    import graft.engine.AggView
+    import graft.streaming.StreamingAggMapIndex
+    val store = ViewStore.temp(spark)
+    val idx = MapIndex.columns("stream_agg")(col("key"),
+      array(emit(col("cat"), col("amt"))))
+    val sm = new StreamingAggMapIndex(idx, store, "stream_agg__state")
+    val input = MemoryStream[(String, String, Double, Boolean)]
+    val q = sm.writer(input.toDF().toDF("key", "cat", "amt", "deleted")).start()
+
+    def stateNow = AggView.attach(spark, store, "stream_agg__state").state
+      .select("emit_key", "cnt", "sum_value", "min_value", "max_value")
+      .collect().map(_.toSeq).toSet
+    def rebuilt = {
+      // recompute from the CURRENT base view into a throwaway state name
+      val st = AggView.build(store.load(idx), s"rebuild_${System.nanoTime()}")
+      st.state.select("emit_key", "cnt", "sum_value", "min_value", "max_value")
+        .collect().map(_.toSeq).toSet
+    }
+
+    input.addData(("k1", "a", 10.0, false), ("k2", "a", 20.0, false), ("k3", "b", 5.0, false))
+    q.processAllAvailable()
+    assert(stateNow === rebuilt)
+    // overwrite k2 into another group + tombstone k3 (its group vanishes)
+    input.addData(("k2", "c", 7.5, false), ("k3", "x", 0.0, true))
+    q.processAllAvailable()
+    assert(stateNow === rebuilt)
+    assert(stateNow.map(_.head) === Set("a", "c"))
+    q.stop()
+  }
+
   test("streaming upsert over the bucketed store touches only its buckets") {
     import graft.engine.BucketedViewStore
     import graft.streaming.BucketedStreamingMapIndex
