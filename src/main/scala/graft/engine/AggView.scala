@@ -66,42 +66,15 @@ final class AggView private[engine] (
       deleteKeys: Option[DataFrame] = None): (MaterializedView, AggView) = {
     require(base.store eq store,
       s"aggregate view '$name' maintained against a different store than its base")
-    val index = base.index
     // pin the pre-refresh snapshot path BEFORE the base swap
     val preDf = base.df
-    val upsertKeys = index.touchedKeys(upserts)
-    val changed = deleteKeys match {
-      case Some(d) => upsertKeys.union(d.toDF("src_key")).distinct()
-      case None    => upsertKeys
-    }
-    // retractions: every old emission of a changed source key, at −1
-    val oldEmis = preDf.join(broadcast(changed), Seq("src_key"), "left_semi")
-    val newEmis = index.emissions(upserts)
-    val delta = AggView.partials(oldEmis, negate = true)
-      .unionByName(AggView.partials(newEmis, negate = false))
-      .groupBy("emit_key")
-      .agg(sum("d_cnt").as("d_cnt"),
-        sum("d_sum").cast(AggView.SumType).as("d_sum"))
     val post = base.refresh(upserts, deleteKeys)
-
-    val touched = delta.select("emit_key").distinct()
+    val (updated, touched) = AggView.maintain(
+      base.index, preDf, upserts, deleteKeys, post.df, state)
     val untouched = state.join(broadcast(touched), Seq("emit_key"), "left_anti")
-    val touchedOld = state.join(broadcast(touched), Seq("emit_key"), "left_semi")
-    val merged = touchedOld.join(delta, Seq("emit_key"), "full_outer")
-      .select(col("emit_key"),
-        (coalesce(col("cnt"), lit(0L)) + coalesce(col("d_cnt"), lit(0L))).as("cnt"),
-        (coalesce(col("sum_value"), lit(0).cast(AggView.SumType))
-          + coalesce(col("d_sum"), lit(0).cast(AggView.SumType)))
-          .cast(AggView.SumType).as("sum_value"))
-      .filter(col("cnt") > 0) // a group whose count reaches zero vanishes
-    // min/max recomputed from the post-refresh base, touched groups only
-    val mm = post.df.join(broadcast(touched), Seq("emit_key"), "left_semi")
-      .groupBy("emit_key")
-      .agg(min("emit_value").as("min_value"), max("emit_value").as("max_value"))
-    // inner: cnt > 0 guarantees the group still exists in the post base
-    val updated = merged.join(mm, Seq("emit_key"), "inner")
-      .select(untouched.columns.map(col).toIndexedSeq: _*)
-    store.writeClustered(name, untouched.unionByName(updated), Seq("emit_key"))
+    store.writeClustered(name,
+      untouched.unionByName(updated.select(untouched.columns.map(col).toIndexedSeq: _*)),
+      Seq("emit_key"))
     (post, this)
   }
 }
@@ -111,11 +84,61 @@ object AggView {
     * 10-digit-integer-part value summed over ~1e9 rows cannot overflow. */
   private[engine] val SumType = DecimalType(28, 4)
 
-  private def partials(emissions: DataFrame, negate: Boolean): DataFrame = {
+  private[engine] def partials(emissions: DataFrame, negate: Boolean): DataFrame = {
     val v = col("emit_value").cast(DecimalType(18, 4))
     emissions.select(col("emit_key"),
       lit(if (negate) -1L else 1L).as("d_cnt"),
       (if (negate) -v else v).as("d_sum"))
+  }
+
+  /** Full grouped-aggregate recompute of an emission relation — the state
+    * relation both storage layouts materialize and maintain. */
+  private[engine] def aggregateOf(emissions: DataFrame): DataFrame =
+    emissions.groupBy("emit_key")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("emit_value").cast(DecimalType(18, 4))).cast(SumType).as("sum_value"),
+        min("emit_value").as("min_value"),
+        max("emit_value").as("max_value"))
+
+  /** The delta-merge + touched-group min/max maintenance step shared by
+    * the flat and bucketed layouts: given the pre-refresh base emissions,
+    * the change batch, the post-refresh base emissions, and the current
+    * state, returns `(updated state rows for touched groups, touched
+    * group keys)` — the caller writes them into its layout. */
+  private[engine] def maintain(
+      index: MapIndex,
+      preBase: DataFrame,
+      upserts: DataFrame,
+      deleteKeys: Option[DataFrame],
+      postBase: DataFrame,
+      state: DataFrame): (DataFrame, DataFrame) = {
+    val upsertKeys = index.touchedKeys(upserts)
+    val changed = deleteKeys match {
+      case Some(d) => upsertKeys.union(d.toDF("src_key")).distinct()
+      case None    => upsertKeys
+    }
+    val oldEmis = preBase.join(broadcast(changed), Seq("src_key"), "left_semi")
+    val newEmis = index.emissions(upserts)
+    val delta = partials(oldEmis, negate = true)
+      .unionByName(partials(newEmis, negate = false))
+      .groupBy("emit_key")
+      .agg(sum("d_cnt").as("d_cnt"), sum("d_sum").cast(SumType).as("d_sum"))
+    val touched = delta.select("emit_key").distinct()
+    val touchedOld = state.join(broadcast(touched), Seq("emit_key"), "left_semi")
+    val merged = touchedOld.join(delta, Seq("emit_key"), "full_outer")
+      .select(col("emit_key"),
+        (coalesce(col("cnt"), lit(0L)) + coalesce(col("d_cnt"), lit(0L))).as("cnt"),
+        (coalesce(col("sum_value"), lit(0).cast(SumType))
+          + coalesce(col("d_sum"), lit(0).cast(SumType)))
+          .cast(SumType).as("sum_value"))
+      .filter(col("cnt") > 0) // a group whose count reaches zero vanishes
+    val mm = postBase.join(broadcast(touched), Seq("emit_key"), "left_semi")
+      .groupBy("emit_key")
+      .agg(min("emit_value").as("min_value"), max("emit_value").as("max_value"))
+    val updated = merged.join(mm, Seq("emit_key"), "inner")
+      .select(col("emit_key"), col("cnt"), col("sum_value"),
+        col("min_value"), col("max_value"))
+    (updated, touched)
   }
 
   /** Handle to an already-materialized state relation (resume paths,
@@ -126,12 +149,88 @@ object AggView {
   /** Full build from the base view's current snapshot (first
     * materialization; also the recompute an equivalence check uses). */
   def build(base: MaterializedView, name: String): AggView = {
-    val st = base.df.groupBy("emit_key")
-      .agg(count(lit(1)).as("cnt"),
-        sum(col("emit_value").cast(DecimalType(18, 4))).cast(SumType).as("sum_value"),
-        min("emit_value").as("min_value"),
-        max("emit_value").as("max_value"))
-    base.store.writeClustered(name, st, Seq("emit_key"))
+    base.store.writeClustered(name, aggregateOf(base.df), Seq("emit_key"))
     new AggView(base.spark, base.store, name)
   }
+}
+
+/**
+ * The 100 TB layout for aggregate state: groups live in a
+ * [[BucketedViewStore]] as a map view OF the state itself (src_key =
+ * group key, one emission per group carrying the aggregate struct), so a
+ * refresh rewrites ONLY the state buckets holding touched groups —
+ * exactly the partition-scoped economics the emission store already has.
+ * The flat [[AggView]] rewrites its whole (small) state relation per
+ * refresh; this variant bounds state-write I/O by the batch even when the
+ * group count itself is huge (per-user aggregates over billions of users).
+ *
+ * The base view lives in the same bucketed store; both are refreshed here
+ * from one change batch (base first, then state), and the maintenance
+ * math is the shared [[AggView.maintain]] delta-merge.
+ */
+final class BucketedAggView private (
+    val spark: SparkSession,
+    val store: BucketedViewStore,
+    val stateName: String) extends Serializable {
+
+  private val stateIdx = BucketedAggView.stateIndex(stateName)
+
+  /** Current state snapshot: `emit_key, cnt, sum_value, min_value, max_value`. */
+  def state: DataFrame =
+    store.df(stateName).select(col("emit_key"),
+      col("emit_value.cnt").as("cnt"),
+      col("emit_value.sum_value").as("sum_value"),
+      col("emit_value.min_value").as("min_value"),
+      col("emit_value.max_value").as("max_value"))
+
+  /** Single-group point read, pruned to one state bucket. */
+  def get(groupKey: Any): DataFrame = store.get(stateName, groupKey)
+
+  /** Joint base + state refresh from one change batch; returns per-layer
+    * rewrite stats (`(base, state)`) so callers — and tests — can see the
+    * bucket-scoped I/O bound hold. */
+  def refresh(
+      baseIndex: MapIndex,
+      upserts: DataFrame,
+      deleteKeys: Option[DataFrame] = None): (BucketedViewStore.RefreshStats, BucketedViewStore.RefreshStats) = {
+    // pin the pre-refresh base paths BEFORE the manifest swap (the store's
+    // grace version keeps them readable while the delta is consumed)
+    val preBase = store.df(baseIndex.name)
+    val baseStats = store.refresh(baseIndex, upserts, deleteKeys)
+    val postBase = store.df(baseIndex.name)
+    val preState = state
+    val (updated, touched) = AggView.maintain(
+      baseIndex, preBase, upserts, deleteKeys, postBase, preState)
+    // delete-then-insert per touched group: groups with rows re-emit their
+    // new aggregate; vanished groups fall under the delete set only
+    val stateStats = store.refresh(stateIdx, updated,
+      Some(touched.select(col("emit_key").cast("string").as("src_key"))))
+    (baseStats, stateStats)
+  }
+}
+
+object BucketedAggView {
+  /** The state relation viewed as its own map index: src_key = group key,
+    * one emission per group with the aggregate struct as the value. */
+  private def stateIndex(stateName: String): MapIndex =
+    MapIndex.columns(stateName)(
+      col("emit_key").cast("string"),
+      array(MapIndex.emit(col("emit_key"),
+        struct(col("cnt"), col("sum_value"), col("min_value"), col("max_value")))))
+
+  /** Materialize base + state into the bucketed store from a source batch. */
+  def build(
+      store: BucketedViewStore,
+      baseIndex: MapIndex,
+      source: DataFrame,
+      stateName: String): BucketedAggView = {
+    store.materialize(baseIndex, source)
+    val v = new BucketedAggView(store.spark, store, stateName)
+    store.materialize(stateIndex(stateName), AggView.aggregateOf(store.df(baseIndex.name)))
+    v
+  }
+
+  /** Handle to an already-materialized bucketed aggregate view. */
+  def attach(store: BucketedViewStore, stateName: String): BucketedAggView =
+    new BucketedAggView(store.spark, store, stateName)
 }

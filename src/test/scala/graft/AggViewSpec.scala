@@ -76,6 +76,45 @@ class AggViewSpec extends AnyFunSuite with SparkSpec {
     assert(snap(agg1) === Map("g" -> ((1L, BigDecimal("10.0000"), 10.0, 10.0))))
   }
 
+  test("bucketed state: maintenance equals flat recompute; only touched buckets rewritten") {
+    import graft.engine.{BucketedAggView, BucketedViewStore}
+    val bstore = BucketedViewStore.temp(spark, numBuckets = 16)
+    // many groups so the touched set maps to FEW buckets
+    val rows = (1 to 200).map(i => (i, s"g${i % 40}", i * 1.0))
+    val bav = BucketedAggView.build(bstore, idx, src(rows: _*), "bagg_state")
+    def snapB = bav.state.collect().map { r =>
+      r.getAs[String]("emit_key") -> ((
+        r.getAs[Long]("cnt"),
+        BigDecimal(r.getAs[java.math.BigDecimal]("sum_value")),
+        r.getAs[Double]("min_value"), r.getAs[Double]("max_value")))
+    }.toMap
+
+    // upsert two rows (one moves groups) + tombstone one row
+    val (baseStats, stateStats) = bav.refresh(idx,
+      src((1, "g39", 500.0), (2, "g2", 3.25)),
+      Some(Seq("3").toDF("src_key")))
+    // the state write touched at most the buckets of the 4 affected groups
+    // (g1 lost row 1, g39 gained it, g2 replaced row 2, g3 lost row 3)
+    assert(stateStats.emitBucketsRewritten <= 4,
+      s"state rewrite should be bucket-scoped, got $stateStats")
+    assert(stateStats.emitBucketsRewritten < stateStats.totalBuckets)
+    assert(baseStats.emitBucketsRewritten < baseStats.totalBuckets)
+
+    // equivalence with a from-scratch flat recompute of the post base
+    val truth = rows.filterNot(r => Set(1, 2, 3)(r._1)) ++
+      Seq((1, "g39", 500.0), (2, "g2", 3.25))
+    val expect = truth.groupBy(_._2).map { case (g, vs) =>
+      val amts = vs.map(_._3)
+      g -> ((amts.size.toLong,
+        amts.map(a => BigDecimal(a).setScale(4)).sum.setScale(4),
+        amts.min, amts.max))
+    }
+    assert(snapB === expect)
+    // point read prunes to one bucket and returns the aggregate struct
+    val g39 = bav.get("g39").collect()
+    assert(g39.length === 1)
+  }
+
   test("randomized batches: incremental state equals full recompute at every step") {
     val rnd = new scala.util.Random(42)
     val store = ViewStore.temp(spark)
