@@ -21,6 +21,13 @@ final class MaterializedView(
   /** Current snapshot of the emission relation. */
   def df: DataFrame = spark.read.parquet(store.latestPath(index.name))
 
+  /** Snapshot (time-travel) read of a retained earlier version. */
+  def asOf(version: Int): DataFrame = store.readVersion(index.name, version)
+
+  /** Change feed `(fromVersion, toVersion]` — see [[ViewStore.changesBetween]]. */
+  def changesBetween(fromVersion: Int, toVersion: Int): DataFrame =
+    store.changesBetween(index.name, fromVersion, toVersion)
+
   /**
    * Ordered range scan (O6, `index.js:124-138`), with the reference's
    * *intended* `[start, end)` semantics — v0.5.1's `end` option is broken

@@ -43,6 +43,45 @@ final class ViewStore(
     dir(name).resolve(s"v$v").toString
   }
 
+  /** Versions currently readable: the latest plus up to `graceVersions`
+    * superseded snapshots the GC has not reclaimed. */
+  def readableVersions(name: String): Seq[Int] = {
+    val latest = latestVersion(name).toSeq
+    latest.flatMap(l => (math.max(0, l - graceVersions) to l))
+      .filter(v => Files.exists(dir(name).resolve(s"v$v")))
+  }
+
+  /** Snapshot (time-travel) read of a specific retained version — the
+    * read-your-snapshot guarantee made addressable: a reader pins `v` and
+    * sees that refresh's world regardless of later writes (until the GC
+    * horizon `latest - graceVersions` passes it). */
+  def readVersion(name: String, version: Int): DataFrame = {
+    require(readableVersions(name).contains(version),
+      s"view '$name' version $version not readable " +
+        s"(retained: ${readableVersions(name).mkString(",")})")
+    spark.read.parquet(dir(name).resolve(s"v$version").toString)
+  }
+
+  /**
+   * Change feed between two retained versions: every emission added or
+   * removed by the refreshes in `(fromVersion, toVersion]`, tagged
+   * `change_type` ∈ {insert, delete}. Emission rows are immutable and
+   * `(uid)` is unique across refreshes (epoch-prefixed), so the diff is
+   * two anti-joins on uid — no row-value comparison needed. An upserted
+   * source key appears as deletes of its old rows + inserts of its new
+   * rows, which is exactly the delete-then-insert contract downstream
+   * consumers must replay (the cascade retraction model, SURVEY §2 O5).
+   */
+  def changesBetween(name: String, fromVersion: Int, toVersion: Int): DataFrame = {
+    val from = readVersion(name, fromVersion)
+    val to = readVersion(name, toVersion)
+    val inserted = to.join(from.select("uid"), Seq("uid"), "left_anti")
+      .withColumn("change_type", lit("insert"))
+    val deleted = from.join(to.select("uid"), Seq("uid"), "left_anti")
+      .withColumn("change_type", lit("delete"))
+    inserted.unionByName(deleted)
+  }
+
   /**
    * Write `emissions` as the next version of the view, clustered by
    * `emit_key`: `repartitionByRange` gives disjoint key ranges per file

@@ -132,6 +132,29 @@ class MapIndexSpec extends AnyFunSuite with SparkSpec {
     assert(values(view.get("test")) === Seq(3))
   }
 
+  test("snapshot reads pin a retained version; the change feed replays the delta") {
+    val store = ViewStore.temp(spark)
+    val idx = MapIndex.columns("tt_view")(col("key"),
+      array(emit(col("key"), col("test"))))
+    var view = idx.materialize(entries("a" -> 1, "b" -> 2), store)
+    view = view.refresh(entries("a" -> 10, "c" -> 3)) // overwrite a, insert c
+    assert(store.readableVersions("tt_view") === Seq(0, 1))
+    // time travel: v0 still shows the pre-refresh world
+    assert(view.asOf(0).select("emit_value").as[Int].collect().sorted === Array(1, 2))
+    assert(view.df.select("emit_value").as[Int].collect().sorted === Array(2, 3, 10))
+    // change feed (0,1]: delete of a's old row, inserts of a's new row and c
+    val changes = view.changesBetween(0, 1)
+      .select("change_type", "emit_key", "emit_value")
+      .as[(String, String, Int)].collect().toSet
+    assert(changes === Set(
+      ("delete", "a", 1), ("insert", "a", 10), ("insert", "c", 3)))
+    // a reader cannot address a GC'd version
+    view = view.refresh(entries("d" -> 4))
+    assert(store.readableVersions("tt_view") === Seq(1, 2))
+    val e = intercept[IllegalArgumentException](view.asOf(0))
+    assert(e.getMessage.contains("not readable"))
+  }
+
   test("grouped() order holds past the sort-based aggregation fallback") {
     val store = ViewStore.temp(spark)
     // 600 groups over 4 shuffle partitions = 150 groups/partition — past
