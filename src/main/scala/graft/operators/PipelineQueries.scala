@@ -389,6 +389,28 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_docs"), sum("kept").as("n_sampled"))
         .orderBy("lang")),
 
+    // training-mix assembly: each source shard gets a target inclusion
+    // rate (the "data mixture" a pretraining run specifies); inclusion is
+    // the same deterministic hex-threshold hash as sample_stratified, and
+    // the output accounts the mixture in TOKENS (what the training budget
+    // is actually denominated in), not documents. Scan-local keep
+    // decision + one aggregation — the 100 TB shape
+    "pipeline_mixture" -> ((s, dir) =>
+      docs(s, dir)
+        .withColumn("thr",
+          // even-numbered sources are "high-quality" (75 %), the rest 25 %
+          when(regexp_extract(col("source"), "\\d+", 0).cast("int") % 2 === 0, "c000")
+            .otherwise("4000"))
+        .withColumn("kept",
+          (substring(md5(col("text")), 1, 4) < col("thr")).cast("long"))
+        .withColumn("toks", size(T.tokens(col("text"))).cast("long"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum("kept").as("n_sampled"),
+          sum(when(col("kept") === 1, col("toks")).otherwise(0L)).as("sampled_tokens"),
+          sum("toks").as("total_tokens"))
+        .orderBy("source")),
+
     // concat-and-chunk sequence packing (the standard LLM-pretraining
     // packing): per source shard, documents are laid end-to-end in doc_id
     // order and the token stream is cut every PackBudget tokens; a doc
@@ -751,6 +773,18 @@ object PipelineQueries {
         |                  CASE lang WHEN 'en' THEN '4000' WHEN 'zh' THEN 'c000' ELSE '8000' END
         |                THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "pipeline_mixture" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN substr(md5(text), 1, 4) <
+        |    CASE WHEN CAST(regexp_extract(source, '\d+', 0) AS INT) % 2 = 0
+        |         THEN 'c000' ELSE '4000' END
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+        |  CAST(sum(CASE WHEN substr(md5(text), 1, 4) <
+        |    CASE WHEN CAST(regexp_extract(source, '\d+', 0) AS INT) % 2 = 0
+        |         THEN 'c000' ELSE '4000' END
+        |    THEN len(string_split(text, ' ')) ELSE 0 END) AS BIGINT) AS sampled_tokens,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "pipeline_pack_sequences" ->
       """WITH t AS (
         |  SELECT source, doc_id, len(string_split(text, ' ')) AS toks FROM documents),
