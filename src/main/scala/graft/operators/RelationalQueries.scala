@@ -667,6 +667,24 @@ object RelationalQueries {
     }),
 
     // tumbling event-time window (batch shape of the streaming agg)
+    // cohort retention: users grouped by first-seen day, distinct-user
+    // counts at each day offset — the standard product-analytics matrix.
+    // Scale shape: both sides of the join are keyed and shuffled ONCE on
+    // user_id (first-day is a partial-aggregated groupBy, activity a
+    // distinct on the same key), then one count-distinct per cell; no
+    // per-user loops, no window over the whole history
+    "events_retention" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      val first = ev.groupBy("user_id").agg(min("d").as("cohort"))
+      ev.join(first, Seq("user_id"))
+        .withColumn("day_offset", datediff(col("d"), col("cohort")).cast("long"))
+        .filter(col("day_offset") <= 7)
+        .groupBy(col("cohort"), col("day_offset"))
+        .agg(count_distinct(col("user_id")).as("n_users"))
+        .orderBy("cohort", "day_offset")
+    }),
+
     "events_hourly" -> ((s, dir) =>
       Tables.events(s, dir)
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -1020,5 +1038,13 @@ object RelationalQueries {
       """SELECT date_trunc('hour', ts) AS hour, event_type,
         |       count(*) AS cnt, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "events_retention" ->
+      """WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |f AS (SELECT user_id, min(d) AS cohort FROM act GROUP BY 1)
+        |SELECT cohort, CAST(date_diff('day', cohort, d) AS BIGINT) AS day_offset,
+        |       count(DISTINCT act.user_id) AS n_users
+        |FROM act JOIN f ON act.user_id = f.user_id
+        |WHERE date_diff('day', cohort, d) <= 7
+        |GROUP BY 1, 2 ORDER BY cohort, day_offset""".stripMargin,
   )
 }

@@ -258,6 +258,24 @@ object SimilarityQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // per-label corpus health stats for an embedding table: vector counts
+    // and the L2-norm envelope (min/max only — no cross-row float sums, so
+    // the oracle compare is exact; per-row norm math is deterministic in
+    // both engines). Scan-local + one partial-aggregated groupBy
+    "embed_label_stats" -> ((s, dir) => {
+      VectorFunctions.register(s)
+      Tables.embeddings(s, dir)
+        .select(col("label").cast("long").as("label"),
+          col("embedding").cast("array<double>").as("v"))
+        .withColumn("norm", sqrt(expr("vec_dot(v, v)")))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          round(min("norm"), 6).as("min_norm"),
+          round(max("norm"), 6).as("max_norm"),
+          min(size(col("v"))).cast("long").as("dim"))
+        .orderBy("label")
+    }),
+
     // exact cosine top-k: broadcast probes against the corpus scan
     "sim_brute_topk" -> ((s, dir) => {
       val e = emb(s, dir)
@@ -343,6 +361,12 @@ object SimilarityQueries {
        |WHERE rank <= $K ORDER BY probe_id, rank""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "embed_label_stats" ->
+      """SELECT CAST(label AS BIGINT) AS label, count(*) AS n_vecs,
+        |  round(min(sqrt(list_sum([CAST(embedding[i+1] AS DOUBLE) * CAST(embedding[i+1] AS DOUBLE) for i in range(64)]))), 6) AS min_norm,
+        |  round(max(sqrt(list_sum([CAST(embedding[i+1] AS DOUBLE) * CAST(embedding[i+1] AS DOUBLE) for i in range(64)]))), 6) AS max_norm,
+        |  CAST(min(len(embedding)) AS BIGINT) AS dim
+        |FROM embeddings GROUP BY 1 ORDER BY label""".stripMargin,
     "sim_brute_topk" -> bruteTopkSql,
     // the oracle recomputes the exact top-k ground truth the invariant
     // counts; recall_ok is the engine's asserted bound
