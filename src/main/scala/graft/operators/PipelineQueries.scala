@@ -59,22 +59,29 @@ object PipelineQueries {
   /** Fixed keyword-search query terms (mid-frequency corpus words). */
   private val SearchTerms = Seq("spark", "vector", "join", "stream")
 
-  /** The inverted index as a stored map view: term → (doc_id, tf)
-    * postings, materialized once through the engine's own MapIndex
-    * machinery and clustered by term — a query-time term filter reaches
+  /** The inverted index as a stored map view OF THE DOCUMENTS TABLE:
+    * src_key = doc_id, one emission per distinct term carrying
+    * `(doc_id, tf)`, clustered by term — a query-time term filter reaches
     * the parquet scan as a pushed predicate, so search reads ONLY the
     * matching posting lists (the point of an inverted index at 100 TB;
-    * re-tokenizing the corpus per query would scan everything). */
-  private val postingsIdx = MapIndex.columns("doc_postings")(
-    concat_ws("-", col("doc_id"), col("w")),
-    array(emit(col("w"), struct(col("doc_id"), col("tf")))))
+    * re-tokenizing the corpus per query would scan everything).
+    * Because the document IS the source entry, the index inherits the
+    * engine's incremental maintenance whole: upserting a document
+    * delete-then-inserts exactly its postings (terms it dropped vanish),
+    * and a tombstone retracts them — no side pipeline to keep in sync
+    * (spec: "inverted index is an incrementally-maintained map view"). */
+  private[graft] val postingsIdx: MapIndex = {
+    val toks = split(lower(col("text")), " ")
+    MapIndex.columns("doc_postings")(
+      col("doc_id").cast("string"),
+      transform(array_distinct(toks),
+        t => emit(t, struct(col("doc_id"),
+          size(filter(toks, x => x === t)).cast("long").as("tf")))))
+  }
 
   private def postingsView(s: SparkSession, dir: String) =
     Views.cached(dir, postingsIdx.name) {
-      val tfSource = docs(s, dir)
-        .select(col("doc_id"), explode(T.tokens(lower(col("text")))).as("w"))
-        .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
-      postingsIdx.materialize(tfSource, Views.store(s, dir))
+      postingsIdx.materialize(docs(s, dir), Views.store(s, dir))
     }
 
   /** Materialize the stored postings eagerly (write-time cost) so bench

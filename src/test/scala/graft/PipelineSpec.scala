@@ -271,6 +271,28 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(packs === Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 0L, 6L -> 1L))
   }
 
+  test("inverted index is an incrementally-maintained map view (upsert rewires postings)") {
+    import graft.engine.ViewStore
+    val store = ViewStore.temp(spark)
+    val corpus = Seq((1L, "alpha beta beta"), (2L, "alpha gamma")).toDF("doc_id", "text")
+    var view = PipelineQueries.postingsIdx.materialize(corpus, store)
+    def postings(term: String) = view.df
+      .filter(col("emit_key") === term)
+      .select(col("emit_value.doc_id"), col("emit_value.tf"))
+      .as[(Long, Long)].collect().toSet
+    assert(postings("beta") === Set((1L, 2L)))
+    assert(postings("alpha") === Set((1L, 1L), (2L, 1L)))
+    // doc 1 rewritten without 'beta': its postings are delete-then-inserted
+    view = view.refresh(Seq((1L, "gamma gamma")).toDF("doc_id", "text"))
+    assert(postings("beta") === Set.empty)
+    assert(postings("gamma") === Set((1L, 2L), (2L, 1L)))
+    // tombstone doc 2: its postings retract
+    view = view.refresh(Seq.empty[(Long, String)].toDF("doc_id", "text"),
+      Some(Seq("2").toDF("src_key")))
+    assert(postings("alpha") === Set.empty)
+    assert(postings("gamma") === Set((1L, 2L)))
+  }
+
   test("search_tfidf: integer scoring, deterministic order, rarer terms weigh more") {
     val res = PipelineQueries.queries("search_tfidf")(spark, sf)
       .as[(Long, Long)].collect()
