@@ -11,11 +11,13 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
-  /** Executed-plan string after the adaptive plan finalizes. */
+  /** Executed-plan string after the adaptive plan finalizes. AQE's
+    * toString appends the pre-adaptive "Initial Plan" section — slice it
+    * off so operator COUNTS reflect only what actually ran. */
   private def finalPlan(q: String): String = {
     val df = SparkEntry.queries(q)(spark, sf)
     df.collect()
-    df.queryExecution.executedPlan.toString
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
   }
 
   test("topk_orders: global top-k plans as TakeOrderedAndProject, not a full sort") {
@@ -58,5 +60,38 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
   test("mapindex_get: the point lookup is pushed into the parquet scan") {
     val p = finalPlan("mapindex_get")
     assert(p.contains("EqualTo(emit_key"), s"emit_key lookup must push down:\n$p")
+  }
+
+  test("search_tfidf: the term filter reaches the postings scan; df broadcasts; top-k") {
+    val p = finalPlan("search_tfidf")
+    assert(p.contains("In(emit_key, [join,spark,stream,vector])"),
+      s"term filter must push into the postings scan:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"df side must broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-20 must not global-sort:\n$p")
+  }
+
+  test("pipeline_pack_sequences: pack aggregation reuses the window's partitioning") {
+    // window partitions by source; the (source, pack_id) groupBy must not
+    // add another exchange — hash(source) already clusters it
+    val p = finalPlan("pipeline_pack_sequences")
+    val exchanges = p.split("Exchange hashpartitioning").length - 1
+    assert(exchanges <= 1, s"expected one hash exchange (the window's), got $exchanges:\n$p")
+  }
+
+  test("join_asof_forward and _tolerance plan through AsOfJoinExec") {
+    for (q <- Seq("join_asof_forward", "join_asof_tolerance")) {
+      val p = finalPlan(q)
+      assert(p.contains("AsOfJoin "), s"$q must use the native operator:\n$p")
+    }
+  }
+
+  test("sample_stratified and pipeline_mixture stay scan-local before one aggregation") {
+    for (q <- Seq("sample_stratified", "pipeline_mixture")) {
+      val p = finalPlan(q)
+      // exactly one pre-agg exchange (plus the final orderBy range exchange)
+      val hashEx = p.split("Exchange hashpartitioning").length - 1
+      assert(hashEx === 1, s"$q keep decision must not shuffle, got $hashEx:\n$p")
+      assert(!p.contains("Join"), s"$q must be join-free:\n$p")
+    }
   }
 }
