@@ -248,6 +248,42 @@ object RelationalQueries {
           |                    WHERE l2.l_partkey = p_partkey)""".stripMargin)
     }),
 
+    // TPC-H Q21-shaped (adapted: lateness = shipped >60 days after the
+    // order date, since this schema has no receipt/commit dates): for one
+    // nation, suppliers who were the SOLE late shipper on a finished
+    // multi-supplier order. The EXISTS/NOT-EXISTS pair becomes one semi
+    // and one anti join with an equi key (orderkey) plus a suppkey
+    // inequality residual — both shuffle on orderkey only, and the late
+    // relation feeding probe and anti sides is one shared subtree
+    // (exchange-reused). Supplier×nation is a broadcast.
+    "q21_waiting" -> ((s, dir) => {
+      val ordersF = Tables.orders(s, dir)
+        .filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      val late = li.join(ordersF, col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val others = li.select(col("l_orderkey").as("o2_orderkey"),
+        col("l_suppkey").as("o2_suppkey"))
+      val withOthers = late.join(others,
+        col("l_orderkey") === col("o2_orderkey") &&
+          col("l_suppkey") =!= col("o2_suppkey"), "left_semi")
+      val lateOthers = late.select(col("l_orderkey").as("o3_orderkey"),
+        col("l_suppkey").as("o3_suppkey"))
+      val sole = withOthers.join(lateOthers,
+        col("l_orderkey") === col("o3_orderkey") &&
+          col("l_suppkey") =!= col("o3_suppkey"), "left_anti")
+      val supp = Tables.supplier(s, dir)
+        .join(Tables.nation(s, dir), col("s_nationkey") === col("n_nationkey"))
+        .filter(col("n_name") === "NATION_9")
+        .select(col("s_suppkey"), col("s_name"))
+      sole.join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name")).agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name")).limit(100)
+    }),
+
     // TPC-H Q22-shaped: uncorrelated scalar subquery (global average as a
     // filter threshold — planned once, broadcast as a literal) combined
     // with NOT EXISTS over a selective subset (anti join with pushed filter).
@@ -760,6 +796,21 @@ object RelationalQueries {
         |  AND l_quantity < (SELECT 0.2 * avg(l_quantity)
         |                    FROM lineitem l2
         |                    WHERE l2.l_partkey = p_partkey)""".stripMargin,
+    "q21_waiting" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM supplier, lineitem l1, orders, nation
+        |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+        |  AND o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |  AND s_nationkey = n_nationkey AND n_name = 'NATION_9'
+        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin,
     "q22_idle_balance" ->
       """SELECT c_nationkey, count(*) AS cnt,
         |       round(sum(c_acctbal), 2) AS total_bal
