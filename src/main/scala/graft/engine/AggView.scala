@@ -2,7 +2,7 @@ package graft.engine
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, NumericType}
 
 /**
  * Incrementally-maintained GROUP BY aggregate over a [[MapIndex]]'s
@@ -91,14 +91,27 @@ object AggView {
       (if (negate) -v else v).as("d_sum"))
   }
 
+  /** Fail at build time, not with silent null sums mid-maintenance: the
+    * DECIMAL contract needs numeric emission values. */
+  private[engine] def requireNumericValue(emissions: DataFrame): Unit = {
+    val dt = emissions.schema("emit_value").dataType
+    require(dt.isInstanceOf[NumericType],
+      s"AggView requires numeric emission values, got $dt")
+  }
+
   /** Full grouped-aggregate recompute of an emission relation — the state
-    * relation both storage layouts materialize and maintain. */
-  private[engine] def aggregateOf(emissions: DataFrame): DataFrame =
+    * relation both storage layouts materialize and maintain. The sum of an
+    * all-null group is normalized to 0 (not SQL-null) so the build and
+    * delta-merge paths agree on it. */
+  private[engine] def aggregateOf(emissions: DataFrame): DataFrame = {
+    requireNumericValue(emissions)
     emissions.groupBy("emit_key")
       .agg(count(lit(1)).as("cnt"),
-        sum(col("emit_value").cast(DecimalType(18, 4))).cast(SumType).as("sum_value"),
+        coalesce(sum(col("emit_value").cast(DecimalType(18, 4))), lit(0))
+          .cast(SumType).as("sum_value"),
         min("emit_value").as("min_value"),
         max("emit_value").as("max_value"))
+  }
 
   /** The delta-merge + touched-group min/max maintenance step shared by
     * the flat and bucketed layouts: given the pre-refresh base emissions,
@@ -112,6 +125,7 @@ object AggView {
       deleteKeys: Option[DataFrame],
       postBase: DataFrame,
       state: DataFrame): (DataFrame, DataFrame) = {
+    requireNumericValue(preBase)
     val upsertKeys = index.touchedKeys(upserts)
     val changed = deleteKeys match {
       case Some(d) => upsertKeys.union(d.toDF("src_key")).distinct()

@@ -115,6 +115,40 @@ class AggViewSpec extends AnyFunSuite with SparkSpec {
     assert(g39.length === 1)
   }
 
+  test("null emission values: skipped by sum/min/max, counted by cnt, paths agree") {
+    val store = ViewStore.temp(spark)
+    val nidx = MapIndex.columns("aggview_null")(
+      col("id").cast("string"),
+      array(emit(col("cat"), col("amt"))))
+    def nsrc(rows: (Int, String, Option[Double])*): DataFrame =
+      rows.toDF("id", "cat", "amt")
+    val base0 = nidx.materialize(
+      nsrc((1, "g", Some(2.0)), (2, "g", None), (3, "h", None)), store)
+    val agg0 = AggView.build(base0, "state")
+    // all-null group h: sum normalized to 0, min/max null, cnt counts rows
+    val s0 = agg0.state.collect().map(r => r.getAs[String]("emit_key") ->
+      ((r.getAs[Long]("cnt"), BigDecimal(r.getAs[java.math.BigDecimal]("sum_value")),
+        Option(r.getAs[java.lang.Double]("min_value"))))).toMap
+    assert(s0("g") === ((2L, BigDecimal("2.0000"), Some(2.0))))
+    assert(s0("h") === ((1L, BigDecimal("0.0000"), None)))
+    // maintenance over a null-valued upsert agrees with a full rebuild
+    val (base1, agg1) = agg0.refresh(base0, nsrc((1, "g", None)))
+    val a = agg1.state.orderBy("emit_key").collect().map(_.toSeq)
+    val b = AggView.build(base1, "state_rb").state.orderBy("emit_key").collect().map(_.toSeq)
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("non-numeric emission values are rejected at build time") {
+    val store = ViewStore.temp(spark)
+    val sidx = MapIndex.columns("aggview_str")(
+      col("id").cast("string"),
+      array(emit(col("cat"), col("txt"))))
+    val base = sidx.materialize(
+      Seq((1, "g", "not a number")).toDF("id", "cat", "txt"), store)
+    val e = intercept[IllegalArgumentException](AggView.build(base, "state"))
+    assert(e.getMessage.contains("numeric emission values"))
+  }
+
   test("randomized batches: incremental state equals full recompute at every step") {
     val rnd = new scala.util.Random(42)
     val store = ViewStore.temp(spark)
