@@ -192,6 +192,21 @@ object MapIndexQueries {
           round(col("sum_value").cast("double"), 2).as("sum_value"),
           col("min_value"), col("max_value"), col("avg_value"))
         .orderBy("emit_key")),
+
+    // the change feed between two view versions, hash-verified: the
+    // aggview fixture leaves its base at v1 with v0 retained, so the CDC
+    // rows for the %97-reflag/%89-tombstone batch are addressable — and
+    // the oracle recomputes the exact same delta from the source table
+    // (upserted keys surface as delete-of-old + insert-of-new, the
+    // contract cascaded consumers replay). Aggregated per (change_type,
+    // emit_key) so the compare is order-free.
+    "mapindex_changefeed" -> ((s, dir) => {
+      aggView(s, dir) // builds base v0, then the deterministic refresh → v1
+      Views.store(s, dir).changesBetween(byFlagAgg.name, 0, 1)
+        .groupBy(col("change_type"), col("emit_key"))
+        .agg(count(lit(1)).as("cnt"), round(sum("emit_value"), 2).as("sum_value"))
+        .orderBy("change_type", "emit_key")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -247,5 +262,23 @@ object MapIndexQueries {
         |       min(v) AS min_value, max(v) AS max_value,
         |       round(CAST(sum(CAST(v AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_value
         |FROM src GROUP BY k ORDER BY emit_key""".stripMargin,
+    // the same delta recomputed from scratch: deletes = every old emission
+    // of a changed source key (re-flagged or tombstoned), inserts = the
+    // re-flagged keys' new emissions
+    "mapindex_changefeed" ->
+      """WITH del AS (
+        |  SELECT l_returnflag AS emit_key, l_extendedprice AS v FROM lineitem
+        |  WHERE l_orderkey % 89 = 0 OR (l_orderkey % 97 = 0 AND l_orderkey % 89 <> 0)),
+        |ins AS (
+        |  SELECT 'X' AS emit_key, l_extendedprice AS v FROM lineitem
+        |  WHERE l_orderkey % 97 = 0 AND l_orderkey % 89 <> 0)
+        |SELECT 'delete' AS change_type, emit_key, count(*) AS cnt,
+        |       round(sum(v), 2) AS sum_value
+        |FROM del GROUP BY 2
+        |UNION ALL
+        |SELECT 'insert' AS change_type, emit_key, count(*) AS cnt,
+        |       round(sum(v), 2) AS sum_value
+        |FROM ins GROUP BY 2
+        |ORDER BY change_type, emit_key""".stripMargin,
   )
 }
