@@ -14,8 +14,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
   /** Executed-plan string after the adaptive plan finalizes. AQE's
     * toString appends the pre-adaptive "Initial Plan" section — slice it
     * off so operator COUNTS reflect only what actually ran. */
-  private def finalPlan(q: String): String = {
-    val df = SparkEntry.queries(q)(spark, sf)
+  private def finalPlan(q: String, dir: String = sf): String = {
+    val df = SparkEntry.queries(q)(spark, dir)
     df.collect()
     df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
   }
@@ -83,6 +83,15 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       val p = finalPlan(q)
       assert(p.contains("AsOfJoin "), s"$q must use the native operator:\n$p")
     }
+  }
+
+  test("q21: the late-lineitem subtree is exchange-reused between semi and anti sides") {
+    // sf0.01: at sf0.001 the result is empty and AQE collapses the whole
+    // plan to EmptyRelation before any join shape exists to audit
+    val p = finalPlan("q21_waiting", "/root/testdata/sf0.01")
+    assert(p.contains("ReusedExchange"),
+      s"probe and anti-build must share the late relation's exchange:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"supplier×nation should broadcast:\n$p")
   }
 
   test("sample_stratified and pipeline_mixture stay scan-local before one aggregation") {
