@@ -75,6 +75,13 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$nFailed,"errors":$errors,"sf":"$sfDir"}"""
     Files.writeString(Paths.get("bench_result.json"), json + "\n")
     println(json)
+    // the driver captures a bounded TAIL of stdout, and at ~100 queries the
+    // full record overflows it from the head (r1–r5 "parsed": null). The
+    // FINAL line is therefore a compact summary that always fits; per-query
+    // timings live in the full line above and in bench_result.json.
+    val summary =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":$nFailed,"n_queries":${results.size},"sf":"$sfDir","detail":"bench_result.json"}"""
+    println(summary)
     spark.stop()
   }
 }

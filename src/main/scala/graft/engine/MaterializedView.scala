@@ -78,8 +78,17 @@ final class MaterializedView(
       case Some(d) => upsertKeys.union(d.toDF("src_key")).distinct()
       case None    => upsertKeys
     }
-    val kept = df.join(broadcast(changed), Seq("src_key"), "left_anti")
-    store.write(index, kept.unionByName(newEmissions))
+    val snap = df
+    val kept = snap.join(broadcast(changed), Seq("src_key"), "left_anti")
+    // CDC sidecar: the refresh has the retracted set (old emissions of the
+    // changed keys — a broadcast semi-join, so the view is scanned, never
+    // shuffled) and the inserted set in hand RIGHT NOW; persisting them at
+    // write time is what makes the change feed an O(delta) read instead of
+    // an O(view) snapshot diff (ViewStore.changesBetween).
+    val retracted = snap.join(broadcast(changed), Seq("src_key"), "left_semi")
+    val delta = retracted.withColumn("change_type", lit("delete"))
+      .unionByName(newEmissions.withColumn("change_type", lit("insert")))
+    store.write(index, kept.unionByName(newEmissions), Some(delta))
   }
 
   /**

@@ -62,24 +62,46 @@ final class ViewStore(
     spark.read.parquet(dir(name).resolve(s"v$version").toString)
   }
 
+  private def changesPath(name: String, version: Int): Path =
+    dir(name).resolve("_changes").resolve(s"v$version")
+
   /**
-   * Change feed between two retained versions: every emission added or
-   * removed by the refreshes in `(fromVersion, toVersion]`, tagged
-   * `change_type` ∈ {insert, delete}. Emission rows are immutable and
-   * `(uid)` is unique across refreshes (epoch-prefixed), so the diff is
-   * two anti-joins on uid — no row-value comparison needed. An upserted
-   * source key appears as deletes of its old rows + inserts of its new
-   * rows, which is exactly the delete-then-insert contract downstream
-   * consumers must replay (the cascade retraction model, SURVEY §2 O5).
+   * Change feed over `(fromVersion, toVersion]`: the per-refresh CDC
+   * deltas, concatenated — a replay log. Each refresh persisted its delta
+   * as a `_changes/v<N>` sidecar at write time (rows tagged `change_type`
+   * ∈ {insert, delete} plus `change_version` = N), so this read is
+   * **O(delta)**: a union of sidecar scans, no join, no shuffle. An
+   * upserted source key appears as deletes of its old rows + inserts of
+   * its new rows — exactly the delete-then-insert contract downstream
+   * consumers replay (the cascade retraction model, SURVEY §2 O5); replay
+   * order across versions is `change_version` ascending, deletes before
+   * inserts within one version.
+   *
+   * (The previous implementation diffed two full snapshots with anti-joins
+   * on uid — an O(view) shuffle per CDC read, which defeats the feature at
+   * scale. Note one semantic refinement: over multi-version ranges this is
+   * the GROSS replay log — a row inserted in v1 and deleted in v2 appears
+   * twice, where a snapshot diff would net it out. Gross is what cascaded
+   * consumers need; netting loses the intermediate retraction.)
    */
   def changesBetween(name: String, fromVersion: Int, toVersion: Int): DataFrame = {
-    val from = readVersion(name, fromVersion)
-    val to = readVersion(name, toVersion)
-    val inserted = to.join(from.select("uid"), Seq("uid"), "left_anti")
-      .withColumn("change_type", lit("insert"))
-    val deleted = from.join(to.select("uid"), Seq("uid"), "left_anti")
-      .withColumn("change_type", lit("delete"))
-    inserted.unionByName(deleted)
+    require(fromVersion < toVersion,
+      s"change feed range must be non-empty: ($fromVersion, $toVersion]")
+    // both endpoints must still be addressable snapshots, same contract as
+    // readVersion — and their sidecars outlive them by construction (GC
+    // reclaims sidecar v alongside snapshot v)
+    Seq(fromVersion, toVersion).foreach { v =>
+      require(readableVersions(name).contains(v),
+        s"view '$name' version $v not readable " +
+          s"(retained: ${readableVersions(name).mkString(",")})")
+    }
+    ((fromVersion + 1) to toVersion).map { v =>
+      val p = changesPath(name, v)
+      require(Files.exists(p),
+        s"change sidecar v$v missing for view '$name' — this version was " +
+          "not written through MaterializedView.refresh/MapIndex.materialize")
+      spark.read.parquet(p.toString)
+    }.reduce(_.unionByName(_))
   }
 
   /**
@@ -89,15 +111,22 @@ final class ViewStore(
    * gives row-group/page-level pruning plus the reference's iteration
    * order (`index.js:137`) without a query-time sort.
    */
-  def write(index: MapIndex, emissions: DataFrame): MaterializedView = {
-    writeClustered(index.name, emissions, Seq("emit_key", "uid"))
+  def write(index: MapIndex, emissions: DataFrame,
+      changes: Option[DataFrame] = None): MaterializedView = {
+    writeClustered(index.name, emissions, Seq("emit_key", "uid"), changes)
     new MaterializedView(spark, this, index)
   }
 
   /** The same versioned write + atomic pointer swap + GC for ANY derived
     * relation (aggregate-view state, secondary structures), clustered by
-    * the given columns for file/row-group pruning on their predicates. */
-  def writeClustered(name: String, df: DataFrame, clusterCols: Seq[String]): Unit = {
+    * the given columns for file/row-group pruning on their predicates.
+    * `changes` (the refresh's retracted+inserted rows, `change_type`
+    * tagged) is persisted as a `_changes/v<N>` sidecar BEFORE the pointer
+    * swap, so a version is never visible without its CDC delta — this is
+    * what makes [[changesBetween]] an O(delta) read instead of a
+    * snapshot diff. */
+  def writeClustered(name: String, df: DataFrame, clusterCols: Seq[String],
+      changes: Option[DataFrame] = None): Unit = {
     val next = latestVersion(name).getOrElse(-1) + 1
     val path = dir(name).resolve(s"v$next")
     df
@@ -106,6 +135,12 @@ final class ViewStore(
       // zstd: ~30% smaller than snappy at comparable decode speed — at
       // 100 TB the stored view's scan cost is IO-bound, so the ratio wins
       .write.mode("overwrite").option("compression", "zstd").parquet(path.toString)
+    // CDC sidecar: delta-sized, written once at refresh time — the change
+    // feed's whole read cost. No re-clustering: a delta is small and its
+    // consumer replays it wholesale.
+    changes.foreach(_.withColumn("change_version", lit(next))
+      .write.mode("overwrite").option("compression", "zstd")
+      .parquet(changesPath(name, next).toString))
     // atomic pointer swap: write sidecar then move over _LATEST
     Files.createDirectories(dir(name))
     val tmp = dir(name).resolve(s"_LATEST.tmp$next")
@@ -118,13 +153,21 @@ final class ViewStore(
     var old = next - 1 - graceVersions
     var p = dir(name).resolve(s"v${math.max(old, 0)}")
     while (old >= 0 && Files.exists(p)) {
-      val stream = Files.walk(p) // close the stream: an unclosed walk leaks an fd
-      try stream.sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => Files.deleteIfExists(f))
-      finally stream.close()
+      deleteTree(p)
+      // the sidecar's life is tied to its snapshot: changesBetween requires
+      // its `from` endpoint readable, and sidecar v is only reachable with
+      // from = v-1 ≤ latest - grace, i.e. at or past the GC horizon
+      deleteTree(changesPath(name, old))
       old -= 1
       if (old >= 0) p = dir(name).resolve(s"v$old")
     }
+  }
+
+  private def deleteTree(p: Path): Unit = if (Files.exists(p)) {
+    val stream = Files.walk(p) // close the stream: an unclosed walk leaks an fd
+    try stream.sorted(java.util.Comparator.reverseOrder())
+      .forEach(f => Files.deleteIfExists(f))
+    finally stream.close()
   }
 
   def load(index: MapIndex): MaterializedView =
