@@ -31,6 +31,7 @@ import org.apache.spark.sql.functions._
  *
  * Layout: `<base>/<name>/kb=<i>/v<N>/part-….parquet`,
  *         `<base>/<name>/meta/mb=<i>/v<N>/part-….parquet`,
+ *         `<base>/<name>/_changes/e<E>/part-….parquet` (CDC sidecars),
  *         `<base>/<name>/_MANIFEST` (lines `kind:bucket:version`).
  */
 final class BucketedViewStore(
@@ -41,9 +42,16 @@ final class BucketedViewStore(
       * readers of older snapshots. 1 covers a reader of the immediately
       * previous manifest; deployments with long-running scans under fast
       * micro-batches should retain more. */
-    val graceVersions: Int = 1) extends Serializable {
+    val graceVersions: Int = 1,
+    /** refresh epochs whose CDC sidecars are retained for [[changesBetween]]
+      * readers. The bucketed store has no per-version snapshots (buckets
+      * version independently), so sidecar life is a consumer-lag budget,
+      * not a snapshot tie-in: a cascaded consumer may lag up to this many
+      * refreshes before its replay range is reclaimed (fail-loud). */
+    val changeRetention: Int = 8) extends Serializable {
 
   require(graceVersions >= 0, s"graceVersions must be >= 0, got $graceVersions")
+  require(changeRetention >= 1, s"changeRetention must be >= 1, got $changeRetention")
 
   import BucketedViewStore._
 
@@ -157,6 +165,63 @@ final class BucketedViewStore(
     finally stream.close()
   }
 
+  // ---- change feed -------------------------------------------------------
+
+  private def changesRoot(name: String): Path = root(name).resolve("_changes")
+  private def changesPath(name: String, epoch: Long): Path =
+    changesRoot(name).resolve(s"e$epoch")
+
+  /** Current refresh epoch of the view (0 = initial materialization). */
+  def epoch(name: String): Int = {
+    val m = manifest(name)
+    require(m.nonEmpty, s"view '$name' not materialized in $baseDir")
+    m.getOrElse((EpochKind, 0), 0)
+  }
+
+  /**
+   * Change feed over refresh epochs `(fromEpoch, toEpoch]` — the bucketed
+   * analog of [[ViewStore.changesBetween]]. Each refresh persisted its
+   * delta (retracted rows at `change_type=delete`, inserted rows at
+   * `insert`, tagged `change_version` = epoch) as a `_changes/e<N>`
+   * sidecar BEFORE the manifest swap, so the read is **O(delta)**: a union
+   * of sidecar scans, no join, no shuffle — and a manifest epoch is never
+   * visible without its sidecar. Replay order is `change_version`
+   * ascending, deletes before inserts within one epoch (the
+   * delete-then-insert contract cascaded consumers replay, SURVEY §2 O5).
+   * Sidecars older than [[changeRetention]] epochs are reclaimed;
+   * requesting one fails loudly.
+   */
+  def changesBetween(name: String, fromEpoch: Int, toEpoch: Int): DataFrame = {
+    require(fromEpoch < toEpoch,
+      s"change feed range must be non-empty: ($fromEpoch, $toEpoch]")
+    val cur = epoch(name)
+    require(toEpoch <= cur,
+      s"view '$name' is at epoch $cur; requested toEpoch $toEpoch does not exist")
+    ((fromEpoch + 1) to toEpoch).map { e =>
+      val p = changesPath(name, e.toLong)
+      require(Files.exists(p),
+        s"change sidecar e$e for view '$name' missing or past the " +
+          s"$changeRetention-epoch retention horizon")
+      spark.read.parquet(p.toString)
+    }.reduce(_.unionByName(_))
+  }
+
+  /** Reclaim sidecars at or below the retention horizon. Sweeps the
+    * `_changes/` listing independently of any other state, so a sidecar
+    * orphaned by a crash is still collected by the next pass. */
+  private def gcOldSidecars(name: String, currentEpoch: Long): Unit = {
+    val cd = changesRoot(name)
+    if (Files.exists(cd)) {
+      val stream = Files.list(cd)
+      try stream.iterator().forEachRemaining { c =>
+        val n = c.getFileName.toString
+        if (n.startsWith("e") && n.drop(1).nonEmpty && n.drop(1).forall(_.isDigit) &&
+            n.drop(1).toLong <= currentEpoch - changeRetention)
+          deleteRecursively(c)
+      } finally stream.close()
+    }
+  }
+
   // ---- reads -------------------------------------------------------------
 
   /** Full emission relation (all live emit buckets; empty-schema relation
@@ -192,17 +257,40 @@ final class BucketedViewStore(
       .withColumn("emit_key", col("src_key"))
       .withColumn("uid", lit(0L))
 
-  /** Full materialization of emissions + meta back-pointers. */
+  /** Full materialization of emissions + meta back-pointers.
+    *
+    * Re-materializing an EXISTING view continues the epoch counter (uid
+    * uniqueness across the rebuild) and writes the rebuild's CDC sidecar —
+    * deletes of the entire prior snapshot + inserts of the new emission
+    * set — so [[changesBetween]] stays contiguous across a full rebuild.
+    * Initial materialization is epoch 0 with no sidecar. */
   def materialize(index: MapIndex, source: DataFrame): Unit = {
     val name = index.name
-    val emissions = withBuckets(index.emissions(source)).cache()
+    val m0 = manifest(name)
+    val prevEpoch = m0.get((EpochKind, 0))
+    val nextEpoch = prevEpoch.map(_ + 1).getOrElse(0)
+    val raw = withBuckets(index.emissions(source, nextEpoch.toLong))
+    // rebuild writes the emission set twice (buckets + sidecar): pin uids
+    // with an eager localCheckpoint (see MaterializedView.refresh); the
+    // fresh path writes once per relation and a cache suffices (meta is
+    // uid-independent)
+    val emissions = if (prevEpoch.isDefined) raw.localCheckpoint(true) else raw.cache()
     writeSchema(name, emissions)
     val all = (0 until numBuckets).toSet
-    val m = stagedWrite(name, Emit, emissions, "kb", all, Map.empty) ++
-      stagedWrite(name, Meta, metaOf(emissions), "mb", all, Map.empty)
-    emissions.unpersist()
-    // initial load wrote uids at epoch 0 — record it so refresh #1 uses 1
-    writeManifest(name, m + ((EpochKind, 0) -> 0))
+    val m = stagedWrite(name, Emit, emissions, "kb", all, m0) ++
+      stagedWrite(name, Meta, metaOf(emissions), "mb", all, m0)
+    prevEpoch.foreach { _ =>
+      // prior snapshot read off the OLD manifest — not yet swapped
+      val delta = df(name).withColumn("change_type", lit("delete"))
+        .unionByName(emissions.drop("kb").withColumn("change_type", lit("insert")))
+        .withColumn("change_version", lit(nextEpoch.toLong))
+      delta.write.mode("overwrite").option("compression", "zstd")
+        .parquet(changesPath(name, nextEpoch.toLong).toString)
+    }
+    if (prevEpoch.isEmpty) emissions.unpersist()
+    writeManifest(name, m + ((EpochKind, 0) -> nextEpoch))
+    gcOldVersions(name, m)
+    gcOldSidecars(name, nextEpoch.toLong)
   }
 
   /**
@@ -238,17 +326,28 @@ final class BucketedViewStore(
     // monotone — a refresh that touches only low-version buckets leaves
     // the max unchanged, and the next refresh would reuse the epoch.)
     val epoch = (m0.getOrElse((EpochKind, 0), -1) + 1).toLong
-    val newEmissions = withBuckets(index.emissions(upserts, epoch)).cache()
+    // localCheckpoint, not cache: the batch feeds THREE writes (emit
+    // buckets, meta, CDC sidecar) and uid must be identical in all of
+    // them — see MaterializedView.refresh
+    val newEmissions = withBuckets(index.emissions(upserts, epoch)).localCheckpoint(true)
     val newEmitBuckets = newEmissions.select("kb").distinct()
       .as[Long].collect().map(_.toInt).toSet
 
-    // 3: rewrite only affected emit buckets — one job
+    // 3: rewrite only affected emit buckets — one job. A single outer
+    // join tags each old row kept/retracted, so the affected buckets are
+    // scanned once for BOTH the rewrite and the CDC sidecar's delete half.
     val affected = oldEmitBuckets ++ newEmitBuckets
     val oldAffectedPaths = livePaths(name, Emit, Some(affected))
-    val kept =
-      if (oldAffectedPaths.isEmpty) newEmissions.limit(0)
-      else withBuckets(spark.read.parquet(oldAffectedPaths: _*))
-        .join(broadcast(changedKeys), Seq("src_key"), "left_anti")
+    val taggedOld =
+      if (oldAffectedPaths.isEmpty) None
+      else Some(withBuckets(spark.read.parquet(oldAffectedPaths: _*))
+        .join(broadcast(changedKeys.withColumn("_chg", lit(true))),
+          Seq("src_key"), "left_outer")
+        .persist())
+    val kept = taggedOld.map(_.filter(col("_chg").isNull).drop("_chg"))
+      .getOrElse(newEmissions.limit(0))
+    val retracted = taggedOld.map(_.filter(col("_chg")).drop("_chg"))
+      .getOrElse(newEmissions.limit(0))
     val mEmit = stagedWrite(name, Emit,
       kept.unionByName(newEmissions), "kb", affected, m0)
 
@@ -262,17 +361,30 @@ final class BucketedViewStore(
     val mMeta = stagedWrite(name, Meta,
       oldMetaKept.unionByName(metaOf(newEmissions)), "mb", metaBuckets, m0)
 
-    newEmissions.unpersist(); changed.unpersist()
-    // 5: atomic manifest swap — readers see old or new snapshot, never a mix
+    // 5: CDC sidecar — the retracted set (from the tagged scan above) and
+    // the inserted set are in hand right now; persisting them per epoch
+    // BEFORE the manifest swap is what gives the bucketed (100 TB) layout
+    // an O(delta) change feed (changesBetween) with no snapshot diff. A
+    // reader can never see the new epoch without its sidecar.
+    val delta = retracted.drop("kb").withColumn("change_type", lit("delete"))
+      .unionByName(newEmissions.drop("kb").withColumn("change_type", lit("insert")))
+      .withColumn("change_version", lit(epoch))
+    delta.write.mode("overwrite").option("compression", "zstd")
+      .parquet(changesPath(name, epoch).toString)
+
+    taggedOld.foreach(_.unpersist()); changed.unpersist()
+    // 6: atomic manifest swap — readers see old or new snapshot, never a mix
     val dropped = (affected.map((Emit, _)) ++ metaBuckets.map((Meta, _))) --
       mEmit.keySet -- mMeta.keySet
     writeManifest(name,
       m0 -- dropped ++ mEmit ++ mMeta + ((EpochKind, 0) -> epoch.toInt))
-    // 6: GC superseded versions — without this the streaming path leaks one
+    // 7: GC superseded versions — without this the streaming path leaks one
     // version per touched bucket per micro-batch. Keep one grace version
     // (v-1) for readers that resolved the previous manifest and are still
-    // scanning; delete everything older.
+    // scanning; delete everything older. Sidecars past the retention
+    // horizon go with them.
     gcOldVersions(name, mEmit ++ mMeta)
+    gcOldSidecars(name, epoch)
     RefreshStats(affected.size, metaBuckets.size, numBuckets)
   }
 

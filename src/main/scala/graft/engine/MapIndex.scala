@@ -94,9 +94,30 @@ final class MapIndex(val name: String, val mapPlan: DataFrame => DataFrame)
   def touchedKeys(source: DataFrame): DataFrame =
     mapped(source).select("src_key").distinct()
 
-  /** Materialize the full view from a source batch (O1 + O3 batch path). */
+  /** Materialize the full view from a source batch (O1 + O3 batch path).
+    *
+    * Re-materializing an EXISTING view is a refresh whose delta happens to
+    * be everything: deletes of the entire prior snapshot + inserts of the
+    * entire new emission set. Writing that as the CDC sidecar keeps
+    * [[ViewStore.changesBetween]] contiguous across a full rebuild —
+    * without it the rebuilt version would be a permanent hole in the
+    * change feed. The sidecar is O(view) here, but so is the rebuild
+    * itself. Initial materialization (v0) writes no sidecar: the feed is
+    * defined over `(from, to]` ranges between existing versions.
+    */
   def materialize(source: DataFrame, store: ViewStore): MaterializedView =
-    store.write(this, emissions(source))
+    store.latestVersion(name) match {
+      case None => store.write(this, emissions(source))
+      case Some(v) =>
+        // epoch continues past the prior version so uids stay unique
+        // across the rebuild; localCheckpoint pins uids across the two
+        // writes (see MaterializedView.refresh)
+        val emis = emissions(source, (v + 1).toLong).localCheckpoint(true)
+        val prior = store.spark.read.parquet(store.latestPath(name))
+        val delta = prior.withColumn("change_type", lit("delete"))
+          .unionByName(emis.withColumn("change_type", lit("insert")))
+        store.write(this, emis, Some(delta))
+    }
 }
 
 object MapIndex {

@@ -72,23 +72,41 @@ final class MaterializedView(
     // epoch = the version this refresh will write: keeps uid unique across
     // refreshes so (emit_key, uid) scan order stays deterministic
     val epoch = store.latestVersion(index.name).getOrElse(-1) + 1
-    val newEmissions = index.emissions(upserts, epoch.toLong)
+    // The emission batch is consumed by TWO write actions (the snapshot and
+    // the CDC sidecar) and uid comes from monotonically_increasing_id —
+    // deterministic only for a fixed partitioning. Pin the batch once with
+    // an eager localCheckpoint so both writes see IDENTICAL uids; without
+    // it, a nondeterministically-ordered upserts source could persist one
+    // uid in the snapshot and a different one in the sidecar, desyncing the
+    // change feed from asOf reads. The batch is delta-sized, so the
+    // checkpoint is cheap; a lost checkpoint block fails loudly instead of
+    // silently recomputing different uids.
+    val newEmissions = index.emissions(upserts, epoch.toLong).localCheckpoint(true)
     val upsertKeys = index.touchedKeys(upserts) // includes empty-emission keys
     val changed = deleteKeys match {
       case Some(d) => upsertKeys.union(d.toDF("src_key")).distinct()
       case None    => upsertKeys
     }
-    val snap = df
-    val kept = snap.join(broadcast(changed), Seq("src_key"), "left_anti")
-    // CDC sidecar: the refresh has the retracted set (old emissions of the
-    // changed keys — a broadcast semi-join, so the view is scanned, never
-    // shuffled) and the inserted set in hand RIGHT NOW; persisting them at
-    // write time is what makes the change feed an O(delta) read instead of
-    // an O(view) snapshot diff (ViewStore.changesBetween).
-    val retracted = snap.join(broadcast(changed), Seq("src_key"), "left_semi")
+    // Single scan of the previous snapshot: one broadcast outer join tags
+    // every row kept/retracted, and both outputs (the new snapshot and the
+    // sidecar's delete half) split off the cached tag — the refresh reads
+    // v<N-1> once instead of once per output. The cache spills to disk at
+    // worst; the flat store rewrites O(view) per refresh anyway, so the
+    // read saving is the win (the bucketed store is the 100 TB layout).
+    val tagged = df.join(
+        broadcast(changed.withColumn("_chg", lit(true))), Seq("src_key"), "left_outer")
+      .persist()
+    val kept = tagged.filter(col("_chg").isNull).drop("_chg")
+    // CDC sidecar: the refresh has the retracted set and the inserted set
+    // in hand RIGHT NOW; persisting them at write time is what makes the
+    // change feed an O(delta) read instead of an O(view) snapshot diff
+    // (ViewStore.changesBetween).
+    val retracted = tagged.filter(col("_chg")).drop("_chg")
     val delta = retracted.withColumn("change_type", lit("delete"))
       .unionByName(newEmissions.withColumn("change_type", lit("insert")))
-    store.write(index, kept.unionByName(newEmissions), Some(delta))
+    val out = store.write(index, kept.unionByName(newEmissions), Some(delta))
+    tagged.unpersist()
+    out
   }
 
   /**

@@ -21,7 +21,10 @@ object Tables {
     * (PARQUET_TYPE_ILLEGAL); read nanos as long and convert to a
     * microsecond timestamp (the synthetic data has no sub-µs precision). */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // set-once guard: an unconditional conf.set per call invalidates state
+    // keyed on the conf (and races concurrent query threads) for no reason
+    if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     apply(spark, sfDir, "events")
       .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
   }

@@ -154,12 +154,25 @@ final class ViewStore(
     var p = dir(name).resolve(s"v${math.max(old, 0)}")
     while (old >= 0 && Files.exists(p)) {
       deleteTree(p)
-      // the sidecar's life is tied to its snapshot: changesBetween requires
-      // its `from` endpoint readable, and sidecar v is only reachable with
-      // from = v-1 ≤ latest - grace, i.e. at or past the GC horizon
-      deleteTree(changesPath(name, old))
       old -= 1
       if (old >= 0) p = dir(name).resolve(s"v$old")
+    }
+    // Sidecars are swept INDEPENDENTLY of snapshot presence: a sidecar is
+    // only reachable while its `from` endpoint v-1 is readable (≥ the GC
+    // horizon), so everything at or below `latest - graceVersions - 1`
+    // goes. Keying this sweep off the snapshot loop above (the previous
+    // implementation) left a permanent orphan if a crash landed between
+    // the two deletes — the snapshot-keyed loop breaks at the missing
+    // v<old> dir and never revisits its sidecar.
+    val changesDir = dir(name).resolve("_changes")
+    if (Files.exists(changesDir)) {
+      val stream = Files.list(changesDir)
+      try stream.iterator().forEachRemaining { c =>
+        val n = c.getFileName.toString
+        if (n.startsWith("v") && n.drop(1).nonEmpty && n.drop(1).forall(_.isDigit) &&
+            n.drop(1).toInt <= next - 1 - graceVersions)
+          deleteTree(c)
+      } finally stream.close()
     }
   }
 

@@ -83,14 +83,74 @@ object MapIndexQueries {
       val li = Tables.lineitem(s, dir)
       val base = byFlagAgg.materialize(li, store)
       val agg0 = graft.engine.AggView.build(base, "lineitem_byflag_agg__state")
-      val upserts = li
-        .filter(col("l_orderkey") % 97 === 0 && col("l_orderkey") % 89 =!= 0)
-        .withColumn("l_returnflag", lit("X"))
-      val deletes = li.filter(col("l_orderkey") % 89 === 0)
-        .select(concat_ws("-", col("l_orderkey"), col("l_linenumber")).as("src_key"))
-        .distinct()
-      val (_, agg) = agg0.refresh(base, upserts, Some(deletes))
+      val (_, agg) = agg0.refresh(base, reflaggedUpserts(li), Some(tombstoneKeys(li)))
       agg
+    })
+
+  /** The shared deterministic change batch (lineitems of `%97` orders
+    * re-flagged to 'X', lineitems of `%89` orders tombstoned) every
+    * incremental-maintenance fixture pushes — so the flat, bucketed and
+    * streaming layouts are all graded against the SAME from-scratch
+    * oracle recompute. */
+  private def reflaggedUpserts(li: DataFrame): DataFrame =
+    li.filter(col("l_orderkey") % 97 === 0 && col("l_orderkey") % 89 =!= 0)
+      .withColumn("l_returnflag", lit("X"))
+  private def tombstoneKeys(li: DataFrame): DataFrame =
+    li.filter(col("l_orderkey") % 89 === 0)
+      .select(concat_ws("-", col("l_orderkey"), col("l_linenumber")).as("src_key"))
+      .distinct()
+
+  /** The aggregate view in the bucket-partitioned (100 TB) layout —
+    * [[graft.engine.BucketedAggView]]: same base index, same change
+    * batch, state living as bucketed emissions. Its refresh also writes
+    * the base view's CDC sidecar, which `mapindex_bucketed_changefeed`
+    * reads back. */
+  private val byFlagAggB = MapIndex.columns("lineitem_byflag_agg_b")(
+    concat_ws("-", col("l_orderkey"), col("l_linenumber")),
+    array(emit(col("l_returnflag"), col("l_extendedprice"))))
+
+  private val bucketedAggViews =
+    scala.collection.concurrent.TrieMap.empty[String, graft.engine.BucketedAggView]
+
+  private def bucketedAggView(s: SparkSession, dir: String): graft.engine.BucketedAggView =
+    bucketedAggViews.getOrElseUpdate(dir, {
+      val store = graft.engine.BucketedViewStore.temp(s, numBuckets = 16)
+      val li = Tables.lineitem(s, dir)
+      val v = graft.engine.BucketedAggView.build(
+        store, byFlagAggB, li, "lineitem_byflag_agg_b__state")
+      v.refresh(byFlagAggB, reflaggedUpserts(li), Some(tombstoneKeys(li)))
+      v
+    })
+
+  /** A view built purely through the STREAMING maintenance path
+    * ([[graft.streaming.StreamingMapIndex.applyBatch]] micro-batches):
+    * three insert batches partitioning lineitem, then the shared
+    * upsert+tombstone batch — so the driver's hash gate grades the
+    * streaming write path against the same batch-recompute oracle. */
+  private val byFlagStream = MapIndex.columns("lineitem_byflag_stream")(
+    concat_ws("-", col("l_orderkey"), col("l_linenumber")),
+    array(emit(col("l_returnflag"), col("l_extendedprice"))))
+
+  private val streamViews =
+    scala.collection.concurrent.TrieMap.empty[String, graft.engine.MaterializedView]
+
+  private def streamView(s: SparkSession, dir: String): graft.engine.MaterializedView =
+    streamViews.getOrElseUpdate(dir, {
+      val store = Views.store(s, dir)
+      val smi = new graft.streaming.StreamingMapIndex(byFlagStream, store)
+      val li = Tables.lineitem(s, dir)
+      // micro-batch 0..2: disjoint thirds of the source (bootstrap + two
+      // incremental inserts through the refresh path)
+      (0 to 2).foreach(r => smi.applyBatch(li.filter(col("l_orderkey") % 3 === r)))
+      // micro-batch 3: upserts + tombstones in one batch, the streaming
+      // contract's `deleted` column splitting them (index.js:178,187-205)
+      val key = concat_ws("-", col("l_orderkey"), col("l_linenumber"))
+      val ups = reflaggedUpserts(li)
+        .withColumn("key", key).withColumn("deleted", lit(false))
+      val dels = tombstoneKeys(li).withColumnRenamed("src_key", "key")
+        .withColumn("deleted", lit(true))
+      smi.applyBatch(ups.unionByName(dels, allowMissingColumns = true))
+      store.load(byFlagStream)
     })
 
   /** Build the stored views eagerly (write-time cost, SURVEY.md §4.1) so
@@ -101,6 +161,8 @@ object MapIndexQueries {
     bucketedFlag(s, dir)
     jsonView(s, dir)
     aggView(s, dir)
+    bucketedAggView(s, dir)
+    streamView(s, dir)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -207,6 +269,40 @@ object MapIndexQueries {
         .agg(count(lit(1)).as("cnt"), round(sum("emit_value"), 2).as("sum_value"))
         .orderBy("change_type", "emit_key")
     }),
+
+    // the aggregate view in the bucketed (100 TB) layout, read after the
+    // same upsert+tombstone batch went through the partition-scoped
+    // delta-merge path — same from-scratch oracle as mapindex_aggview, so
+    // flat and bucketed maintenance must agree exactly
+    "mapindex_bucketed_aggview" -> ((s, dir) =>
+      bucketedAggView(s, dir).state
+        .select(col("emit_key"), col("cnt"),
+          round(col("sum_value").cast("double"), 2).as("sum_value"),
+          col("min_value"), col("max_value"),
+          round(col("sum_value").cast("double") / col("cnt"), 4).as("avg_value"))
+        .orderBy("emit_key")),
+
+    // the bucketed store's change feed over the same refresh: epoch 0 → 1
+    // CDC sidecar read back, no snapshot diff — same exact-delta oracle as
+    // the flat mapindex_changefeed
+    "mapindex_bucketed_changefeed" -> ((s, dir) => {
+      val v = bucketedAggView(s, dir) // materialize e0, then the refresh → e1
+      v.store.changesBetween(byFlagAggB.name, 0, 1)
+        .groupBy(col("change_type"), col("emit_key"))
+        .agg(count(lit(1)).as("cnt"), round(sum("emit_value"), 2).as("sum_value"))
+        .orderBy("change_type", "emit_key")
+    }),
+
+    // a view built ONLY through streaming micro-batches (bootstrap + two
+    // incremental inserts + upsert/tombstone batch), read under the same
+    // hash gate: the streaming write path must land byte-identical state
+    // to a batch recompute of the modified source
+    "mapindex_streaming_group" -> ((s, dir) =>
+      streamView(s, dir).df
+        .groupBy(col("emit_key"))
+        .agg(round(sum("emit_value"), 2).as("sum_value"),
+          count(lit(1)).as("cnt"))
+        .orderBy("emit_key")),
   )
 
   val oracle: Map[String, String] = Map(
@@ -265,6 +361,41 @@ object MapIndexQueries {
     // the same delta recomputed from scratch: deletes = every old emission
     // of a changed source key (re-flagged or tombstoned), inserts = the
     // re-flagged keys' new emissions
+    // bucketed state after the same change batch = the same from-scratch
+    // recompute the flat aggview is graded against
+    "mapindex_bucketed_aggview" ->
+      """WITH src AS (
+        |  SELECT CASE WHEN l_orderkey % 97 = 0 THEN 'X' ELSE l_returnflag END AS k,
+        |         l_extendedprice AS v
+        |  FROM lineitem WHERE l_orderkey % 89 <> 0)
+        |SELECT k AS emit_key, count(*) AS cnt,
+        |       round(CAST(sum(CAST(v AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_value,
+        |       min(v) AS min_value, max(v) AS max_value,
+        |       round(CAST(sum(CAST(v AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_value
+        |FROM src GROUP BY k ORDER BY emit_key""".stripMargin,
+    // the bucketed CDC sidecar must carry the exact same delta the flat
+    // feed (and this from-scratch SQL) computes
+    "mapindex_bucketed_changefeed" ->
+      """WITH del AS (
+        |  SELECT l_returnflag AS emit_key, l_extendedprice AS v FROM lineitem
+        |  WHERE l_orderkey % 89 = 0 OR (l_orderkey % 97 = 0 AND l_orderkey % 89 <> 0)),
+        |ins AS (
+        |  SELECT 'X' AS emit_key, l_extendedprice AS v FROM lineitem
+        |  WHERE l_orderkey % 97 = 0 AND l_orderkey % 89 <> 0)
+        |SELECT 'delete' AS change_type, emit_key, count(*) AS cnt,
+        |       round(sum(v), 2) AS sum_value
+        |FROM del GROUP BY 2
+        |UNION ALL
+        |SELECT 'insert' AS change_type, emit_key, count(*) AS cnt,
+        |       round(sum(v), 2) AS sum_value
+        |FROM ins GROUP BY 2
+        |ORDER BY change_type, emit_key""".stripMargin,
+    // streaming-built view state = batch recompute of the modified source
+    "mapindex_streaming_group" ->
+      """SELECT CASE WHEN l_orderkey % 97 = 0 THEN 'X' ELSE l_returnflag END AS emit_key,
+        |       round(sum(l_extendedprice), 2) AS sum_value, count(*) AS cnt
+        |FROM lineitem WHERE l_orderkey % 89 <> 0
+        |GROUP BY 1 ORDER BY emit_key""".stripMargin,
     "mapindex_changefeed" ->
       """WITH del AS (
         |  SELECT l_returnflag AS emit_key, l_extendedprice AS v FROM lineitem

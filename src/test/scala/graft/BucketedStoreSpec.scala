@@ -113,6 +113,79 @@ class BucketedStoreSpec extends AnyFunSuite with SparkSpec {
     assert(store.get(one.name, "a").as[Int].collect().toSeq === Seq(2))
   }
 
+  test("change feed: per-epoch CDC sidecars replay the exact delta, join-free") {
+    val store = BucketedViewStore.temp(spark, numBuckets = 8)
+    store.materialize(idx, rows(20).toDF("key", "v"))
+    store.refresh(idx, Seq("k3" -> 33, "kNew" -> 9).toDF("key", "v"),
+      Some(Seq("k5").toDF("src_key")))
+    val changes = store.changesBetween(idx.name, 0, 1)
+      .select("change_type", "emit_key", "emit_value")
+      .as[(String, String, Int)].collect().toSet
+    assert(changes === Set(
+      ("delete", "k3", 3), ("delete", "k3!", 6),
+      ("delete", "k5", 5), ("delete", "k5!", 10),
+      ("insert", "k3", 33), ("insert", "k3!", 66),
+      ("insert", "kNew", 9), ("insert", "kNew!", 18)))
+    // a multi-epoch range is the GROSS replay log, change_version ascending
+    store.refresh(idx, Seq("k3" -> 300).toDF("key", "v"))
+    val feed = store.changesBetween(idx.name, 0, 2)
+    assert(feed.count() === 12) // e1: 8 rows; e2: 2 deletes + 2 inserts
+    assert(feed.filter(col("change_version") === 2).count() === 4)
+    // O(delta) by construction: a union of sidecar scans — no join, no
+    // shuffle, no snapshot read
+    val plan = feed.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("sidecar insert uids equal the snapshot's uids (pinned emission batch)") {
+    // the emission batch feeds three writes; monotonically_increasing_id is
+    // only deterministic for a fixed partitioning, so the batch is pinned
+    // with a localCheckpoint — a recomputed uid would desync the feed from
+    // the snapshot it describes
+    val store = BucketedViewStore.temp(spark, numBuckets = 4)
+    store.materialize(idx, rows(10).toDF("key", "v"))
+    store.refresh(idx, Seq("k2" -> 22).toDF("key", "v"))
+    val snapUids = store.df(idx.name).filter(col("src_key") === "k2")
+      .select("emit_key", "uid").as[(String, Long)].collect().toSet
+    val feedUids = store.changesBetween(idx.name, 0, 1)
+      .filter(col("change_type") === "insert")
+      .select("emit_key", "uid").as[(String, Long)].collect().toSet
+    assert(feedUids === snapUids)
+  }
+
+  test("sidecars past the retention horizon are reclaimed; reads fail loudly") {
+    val store = new BucketedViewStore(spark,
+      java.nio.file.Files.createTempDirectory("graft-cdc-").toString,
+      numBuckets = 4, graceVersions = 1, changeRetention = 2)
+    store.materialize(idx, rows(6).toDF("key", "v"))
+    (1 to 4).foreach(i => store.refresh(idx, Seq("k1" -> (100 + i)).toDF("key", "v")))
+    assert(store.epoch(idx.name) === 4)
+    // epochs 3,4 retained (each: 2 deletes + 2 inserts); 1,2 reclaimed
+    assert(store.changesBetween(idx.name, 2, 4).count() === 8)
+    val e = intercept[IllegalArgumentException](store.changesBetween(idx.name, 1, 4))
+    assert(e.getMessage.contains("retention"))
+    val e2 = intercept[IllegalArgumentException](store.changesBetween(idx.name, 4, 9))
+    assert(e2.getMessage.contains("epoch"))
+  }
+
+  test("re-materialize continues the epoch and writes a full-rebuild delta") {
+    val store = BucketedViewStore.temp(spark, numBuckets = 4)
+    val one = MapIndex.columns("bstore_rebuild")(col("key"),
+      array(emit(col("key"), col("v"))))
+    store.materialize(one, Seq("a" -> 1, "b" -> 2).toDF("key", "v"))
+    store.materialize(one, Seq("a" -> 10, "c" -> 3).toDF("key", "v"))
+    assert(store.epoch(one.name) === 1)
+    val changes = store.changesBetween(one.name, 0, 1)
+      .select("change_type", "emit_key", "emit_value")
+      .as[(String, String, Int)].collect().toSet
+    assert(changes === Set(
+      ("delete", "a", 1), ("delete", "b", 2),
+      ("insert", "a", 10), ("insert", "c", 3)))
+    assert(snapshot(store.df(one.name)) ===
+      Seq(("a", "a", 10), ("c", "c", 3)))
+  }
+
   test("tombstone removes the key from data and meta; get returns empty") {
     val store = BucketedViewStore.temp(spark, numBuckets = 8)
     store.materialize(idx, rows(20).toDF("key", "v"))

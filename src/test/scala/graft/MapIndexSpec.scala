@@ -155,6 +155,56 @@ class MapIndexSpec extends AnyFunSuite with SparkSpec {
     assert(e.getMessage.contains("not readable"))
   }
 
+  test("change feed insert uids equal the snapshot's uids (pinned batch)") {
+    // the refresh writes the emission batch twice (snapshot + sidecar);
+    // the localCheckpoint pin guarantees both carry identical uids even
+    // for a nondeterministically-ordered upserts source
+    val store = ViewStore.temp(spark)
+    val idx = MapIndex.columns("pin_view")(col("key"),
+      array(emit(col("key"), col("test"))))
+    var view = idx.materialize(entries("a" -> 1), store)
+    view = view.refresh(entries("b" -> 2, "c" -> 3))
+    val snapUids = view.df.filter(col("src_key").isin("b", "c"))
+      .select("emit_key", "uid").as[(String, Long)].collect().toSet
+    val feedUids = view.changesBetween(0, 1).filter(col("change_type") === "insert")
+      .select("emit_key", "uid").as[(String, Long)].collect().toSet
+    assert(feedUids === snapUids)
+  }
+
+  test("re-materialize writes a full-rebuild delta: the feed stays contiguous") {
+    val store = ViewStore.temp(spark)
+    val idx = MapIndex.columns("rebuild_view")(col("key"),
+      array(emit(col("key"), col("test"))))
+    var view = idx.materialize(entries("a" -> 1, "b" -> 2), store)
+    view = idx.materialize(entries("a" -> 10, "c" -> 3), store) // full rebuild → v1
+    val changes = view.changesBetween(0, 1)
+      .select("change_type", "emit_key", "emit_value")
+      .as[(String, String, Int)].collect().toSet
+    assert(changes === Set(
+      ("delete", "a", 1), ("delete", "b", 2),
+      ("insert", "a", 10), ("insert", "c", 3)))
+    assert(values(view.get("a")) === Seq(10))
+  }
+
+  test("sidecar GC sweeps _changes/ independently: a crash-orphaned sidecar is collected") {
+    import java.nio.file.{Files, Paths}
+    val store = ViewStore.temp(spark)
+    val idx = MapIndex.columns("orphan_view")(col("key"),
+      array(emit(col("key"), col("test"))))
+    var view = idx.materialize(entries("a" -> 1), store)
+    (1 to 2).foreach(i => view = view.refresh(entries("a" -> i))) // v2 live
+    // simulate the crash window between snapshot-delete and sidecar-delete:
+    // an ancient sidecar with no sibling snapshot
+    val orphan = Paths.get(store.baseDir, "orphan_view", "_changes", "v0")
+    Files.createDirectories(orphan)
+    view = view.refresh(entries("a" -> 9)) // v3; the sweep must collect v0
+    assert(!Files.exists(orphan))
+    val left = Files.list(Paths.get(store.baseDir, "orphan_view", "_changes")).iterator()
+    val names = scala.jdk.CollectionConverters.IteratorHasAsScala(left).asScala
+      .map(_.getFileName.toString).toSeq.sorted
+    assert(names === Seq("v2", "v3"), s"retained sidecars: $names")
+  }
+
   test("grouped() order holds past the sort-based aggregation fallback") {
     val store = ViewStore.temp(spark)
     // 600 groups over 4 shuffle partitions = 150 groups/partition — past

@@ -94,6 +94,24 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"supplier×nation should broadcast:\n$p")
   }
 
+  test("change feeds execute as sidecar unions: no join between snapshots") {
+    // the O(delta) contract for BOTH storage layouts: a CDC read is a
+    // union of per-refresh sidecar scans — a Join in this plan means a
+    // snapshot diff crept back in (the one scale-killer the sidecar
+    // design removed)
+    for (q <- Seq("mapindex_changefeed", "mapindex_bucketed_changefeed")) {
+      val p = finalPlan(q)
+      assert(!p.contains("Join"), s"$q must not diff snapshots:\n$p")
+    }
+  }
+
+  test("dedup_winnow: the posting-list exchange is computed once and reused") {
+    // the shared-posting core serves both the pair branch and the sizes
+    // branch; the fingerprint scan + shuffle must run exactly once
+    val p = finalPlan("dedup_winnow")
+    assert(p.contains("ReusedExchange"), s"posting exchange must be shared:\n$p")
+  }
+
   test("sample_stratified and pipeline_mixture stay scan-local before one aggregation") {
     for (q <- Seq("sample_stratified", "pipeline_mixture")) {
       val p = finalPlan(q)
