@@ -71,10 +71,24 @@ final class AggView private[engine] (
     val post = base.refresh(upserts, deleteKeys)
     val (updated, touched) = AggView.maintain(
       base.index, preDf, upserts, deleteKeys, post.df, state)
-    val untouched = state.join(broadcast(touched), Seq("emit_key"), "left_anti")
+    // one scan of the current state, tagged touched/untouched — feeds the
+    // rewrite AND the state CDC sidecar (a stream of aggregate updates for
+    // downstream consumers: delete of each touched group's old aggregate,
+    // insert of its new one; groups whose count reached zero appear as
+    // deletes only). State rows are deterministic aggregates — no uid, so
+    // no checkpoint pin is needed here.
+    val tagged = state.join(
+        broadcast(touched.withColumn("_chg", lit(true))), Seq("emit_key"), "left_outer")
+      .persist()
+    val untouched = tagged.filter(col("_chg").isNull).drop("_chg")
+    val cols = untouched.columns.map(col).toIndexedSeq
+    val delta = tagged.filter(col("_chg")).drop("_chg")
+      .withColumn("change_type", lit("delete"))
+      .unionByName(updated.select(cols: _*).withColumn("change_type", lit("insert")))
     store.writeClustered(name,
-      untouched.unionByName(updated.select(untouched.columns.map(col).toIndexedSeq: _*)),
-      Seq("emit_key"))
+      untouched.unionByName(updated.select(cols: _*)),
+      Seq("emit_key"), Some(delta))
+    tagged.unpersist()
     (post, this)
   }
 }

@@ -153,6 +153,32 @@ object MapIndexQueries {
       store.load(byFlagStream)
     })
 
+  /** The same micro-batch sequence through the BUCKETED streaming path
+    * ([[graft.streaming.BucketedStreamingMapIndex]]) — every batch's
+    * delete-then-insert rewrites only the touched buckets, and the final
+    * state must still hash-match the batch recompute. */
+  private val byFlagStreamB = MapIndex.columns("lineitem_byflag_stream_b")(
+    concat_ws("-", col("l_orderkey"), col("l_linenumber")),
+    array(emit(col("l_returnflag"), col("l_extendedprice"))))
+
+  private val bucketedStreamStores =
+    scala.collection.concurrent.TrieMap.empty[String, graft.engine.BucketedViewStore]
+
+  private def bucketedStreamView(s: SparkSession, dir: String): graft.engine.BucketedViewStore =
+    bucketedStreamStores.getOrElseUpdate(dir, {
+      val store = graft.engine.BucketedViewStore.temp(s, numBuckets = 16)
+      val smi = new graft.streaming.BucketedStreamingMapIndex(byFlagStreamB, store)
+      val li = Tables.lineitem(s, dir)
+      (0 to 2).foreach(r => smi.applyBatch(li.filter(col("l_orderkey") % 3 === r)))
+      val key = concat_ws("-", col("l_orderkey"), col("l_linenumber"))
+      val ups = reflaggedUpserts(li)
+        .withColumn("key", key).withColumn("deleted", lit(false))
+      val dels = tombstoneKeys(li).withColumnRenamed("src_key", "key")
+        .withColumn("deleted", lit(true))
+      smi.applyBatch(ups.unionByName(dels, allowMissingColumns = true))
+      store
+    })
+
   /** Build the stored views eagerly (write-time cost, SURVEY.md §4.1) so
     * bench timings measure the read path the reference architecture pays. */
   def prewarm(s: SparkSession, dir: String): Unit = {
@@ -163,6 +189,7 @@ object MapIndexQueries {
     aggView(s, dir)
     bucketedAggView(s, dir)
     streamView(s, dir)
+    bucketedStreamView(s, dir)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -293,12 +320,49 @@ object MapIndexQueries {
         .orderBy("change_type", "emit_key")
     }),
 
+    // the AGGREGATE-state change feed (flat layout): each refresh's state
+    // rewrite also persists delete-of-old / insert-of-new aggregate rows
+    // per touched group — the update stream a downstream consumer of a
+    // materialized aggregate replays. Oracle recomputes both the
+    // pre-refresh and post-refresh state from scratch.
+    "mapindex_agg_changefeed" -> ((s, dir) => {
+      aggView(s, dir) // state v0 (build), then the refresh → v1 + sidecar
+      Views.store(s, dir).changesBetween("lineitem_byflag_agg__state", 0, 1)
+        .select(col("change_type"), col("emit_key"), col("cnt"),
+          round(col("sum_value").cast("double"), 2).as("sum_value"),
+          col("min_value"), col("max_value"))
+        .orderBy("change_type", "emit_key")
+    }),
+
+    // the same aggregate update stream off the bucketed (100 TB) layout:
+    // the state store's refresh writes its CDC sidecar like any bucketed
+    // view, so aggregate deltas are replayable at scale too
+    "mapindex_bucketed_agg_changefeed" -> ((s, dir) => {
+      val v = bucketedAggView(s, dir)
+      v.store.changesBetween("lineitem_byflag_agg_b__state", 0, 1)
+        .select(col("change_type"), col("emit_key"),
+          col("emit_value.cnt").as("cnt"),
+          round(col("emit_value.sum_value").cast("double"), 2).as("sum_value"),
+          col("emit_value.min_value").as("min_value"),
+          col("emit_value.max_value").as("max_value"))
+        .orderBy("change_type", "emit_key")
+    }),
+
     // a view built ONLY through streaming micro-batches (bootstrap + two
     // incremental inserts + upsert/tombstone batch), read under the same
     // hash gate: the streaming write path must land byte-identical state
     // to a batch recompute of the modified source
     "mapindex_streaming_group" -> ((s, dir) =>
       streamView(s, dir).df
+        .groupBy(col("emit_key"))
+        .agg(round(sum("emit_value"), 2).as("sum_value"),
+          count(lit(1)).as("cnt"))
+        .orderBy("emit_key")),
+
+    // the same micro-batch history through the bucketed streaming path:
+    // per-batch partition-scoped rewrites must land the identical state
+    "mapindex_bucketed_streaming_group" -> ((s, dir) =>
+      bucketedStreamView(s, dir).df(byFlagStreamB.name)
         .groupBy(col("emit_key"))
         .agg(round(sum("emit_value"), 2).as("sum_value"),
           count(lit(1)).as("cnt"))
@@ -390,8 +454,66 @@ object MapIndexQueries {
         |       round(sum(v), 2) AS sum_value
         |FROM ins GROUP BY 2
         |ORDER BY change_type, emit_key""".stripMargin,
+    // aggregate-state CDC, recomputed from scratch: touched groups = groups
+    // with at least one emission from a changed source key; deletes = their
+    // pre-refresh aggregates, inserts = their post-refresh aggregates
+    "mapindex_agg_changefeed" ->
+      """WITH touched AS (
+        |  SELECT DISTINCT l_returnflag AS k FROM lineitem
+        |  WHERE l_orderkey % 97 = 0 OR l_orderkey % 89 = 0
+        |  UNION
+        |  SELECT DISTINCT 'X' AS k FROM lineitem
+        |  WHERE l_orderkey % 97 = 0 AND l_orderkey % 89 <> 0),
+        |oldst AS (
+        |  SELECT l_returnflag AS k, count(*) AS cnt,
+        |         round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS sv,
+        |         min(l_extendedprice) AS mn, max(l_extendedprice) AS mx
+        |  FROM lineitem GROUP BY 1),
+        |newst AS (
+        |  SELECT CASE WHEN l_orderkey % 97 = 0 THEN 'X' ELSE l_returnflag END AS k,
+        |         count(*) AS cnt,
+        |         round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS sv,
+        |         min(l_extendedprice) AS mn, max(l_extendedprice) AS mx
+        |  FROM lineitem WHERE l_orderkey % 89 <> 0 GROUP BY 1)
+        |SELECT 'delete' AS change_type, k AS emit_key, cnt, sv AS sum_value,
+        |       mn AS min_value, mx AS max_value
+        |FROM oldst WHERE k IN (SELECT k FROM touched)
+        |UNION ALL
+        |SELECT 'insert', k, cnt, sv, mn, mx
+        |FROM newst WHERE k IN (SELECT k FROM touched)
+        |ORDER BY change_type, emit_key""".stripMargin,
+    "mapindex_bucketed_agg_changefeed" ->
+      """WITH touched AS (
+        |  SELECT DISTINCT l_returnflag AS k FROM lineitem
+        |  WHERE l_orderkey % 97 = 0 OR l_orderkey % 89 = 0
+        |  UNION
+        |  SELECT DISTINCT 'X' AS k FROM lineitem
+        |  WHERE l_orderkey % 97 = 0 AND l_orderkey % 89 <> 0),
+        |oldst AS (
+        |  SELECT l_returnflag AS k, count(*) AS cnt,
+        |         round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS sv,
+        |         min(l_extendedprice) AS mn, max(l_extendedprice) AS mx
+        |  FROM lineitem GROUP BY 1),
+        |newst AS (
+        |  SELECT CASE WHEN l_orderkey % 97 = 0 THEN 'X' ELSE l_returnflag END AS k,
+        |         count(*) AS cnt,
+        |         round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS sv,
+        |         min(l_extendedprice) AS mn, max(l_extendedprice) AS mx
+        |  FROM lineitem WHERE l_orderkey % 89 <> 0 GROUP BY 1)
+        |SELECT 'delete' AS change_type, k AS emit_key, cnt, sv AS sum_value,
+        |       mn AS min_value, mx AS max_value
+        |FROM oldst WHERE k IN (SELECT k FROM touched)
+        |UNION ALL
+        |SELECT 'insert', k, cnt, sv, mn, mx
+        |FROM newst WHERE k IN (SELECT k FROM touched)
+        |ORDER BY change_type, emit_key""".stripMargin,
     // streaming-built view state = batch recompute of the modified source
     "mapindex_streaming_group" ->
+      """SELECT CASE WHEN l_orderkey % 97 = 0 THEN 'X' ELSE l_returnflag END AS emit_key,
+        |       round(sum(l_extendedprice), 2) AS sum_value, count(*) AS cnt
+        |FROM lineitem WHERE l_orderkey % 89 <> 0
+        |GROUP BY 1 ORDER BY emit_key""".stripMargin,
+    "mapindex_bucketed_streaming_group" ->
       """SELECT CASE WHEN l_orderkey % 97 = 0 THEN 'X' ELSE l_returnflag END AS emit_key,
         |       round(sum(l_extendedprice), 2) AS sum_value, count(*) AS cnt
         |FROM lineitem WHERE l_orderkey % 89 <> 0

@@ -99,7 +99,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     // union of per-refresh sidecar scans — a Join in this plan means a
     // snapshot diff crept back in (the one scale-killer the sidecar
     // design removed)
-    for (q <- Seq("mapindex_changefeed", "mapindex_bucketed_changefeed")) {
+    for (q <- Seq("mapindex_changefeed", "mapindex_bucketed_changefeed",
+        "mapindex_agg_changefeed", "mapindex_bucketed_agg_changefeed")) {
       val p = finalPlan(q)
       assert(!p.contains("Join"), s"$q must not diff snapshots:\n$p")
     }
