@@ -288,6 +288,7 @@ final class BucketedViewStore(
         .parquet(changesPath(name, nextEpoch.toLong).toString)
     }
     if (prevEpoch.isEmpty) emissions.unpersist()
+    else Checkpoints.free(emissions)
     writeManifest(name, m + ((EpochKind, 0) -> nextEpoch))
     gcOldVersions(name, m)
     gcOldSidecars(name, nextEpoch.toLong)
@@ -373,6 +374,7 @@ final class BucketedViewStore(
       .parquet(changesPath(name, epoch).toString)
 
     taggedOld.foreach(_.unpersist()); changed.unpersist()
+    Checkpoints.free(newEmissions) // all three writes done — release the pin
     // 6: atomic manifest swap — readers see old or new snapshot, never a mix
     val dropped = (affected.map((Emit, _)) ++ metaBuckets.map((Meta, _))) --
       mEmit.keySet -- mMeta.keySet

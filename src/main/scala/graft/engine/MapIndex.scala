@@ -116,7 +116,9 @@ final class MapIndex(val name: String, val mapPlan: DataFrame => DataFrame)
         val prior = store.spark.read.parquet(store.latestPath(name))
         val delta = prior.withColumn("change_type", lit("delete"))
           .unionByName(emis.withColumn("change_type", lit("insert")))
-        store.write(this, emis, Some(delta))
+        val out = store.write(this, emis, Some(delta))
+        Checkpoints.free(emis)
+        out
     }
 }
 

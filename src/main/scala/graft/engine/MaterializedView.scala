@@ -106,6 +106,7 @@ final class MaterializedView(
       .unionByName(newEmissions.withColumn("change_type", lit("insert")))
     val out = store.write(index, kept.unionByName(newEmissions), Some(delta))
     tagged.unpersist()
+    Checkpoints.free(newEmissions) // both writes done — release the pin now
     out
   }
 
