@@ -135,6 +135,37 @@ final class MaterializedView(
   /** Materialize a downstream index fed by this view (view-of-view). */
   def cascadeInto(next: MapIndex): MaterializedView =
     next.materialize(cascadeSource, store)
+
+  /**
+   * O(delta) cascade catch-up: bring an already-materialized downstream
+   * index up to date from THIS view's change feed alone — no upstream
+   * snapshot read. This is the consumer lifecycle the CDC sidecars exist
+   * for: bootstrap the downstream once from a snapshot ([[cascadeInto]] /
+   * [[MapIndex.materialize]] over `cascadeSourceOf(asOf(v))`), then replay
+   * `(fromVersion, toVersion]` per refresh.
+   *
+   * Replay semantics over the gross log: a refresh retracts a changed
+   * source key WHOLESALE, so a key's post-change emissions are exactly the
+   * INSERT rows of the last version that touched it; a key whose last
+   * touching version has only deletes was tombstoned (or re-mapped to
+   * empty). Both reduce to one downstream refresh: upserts = the final
+   * inserts grouped back into cascade shape, deleteKeys = every touched
+   * key (refresh clears them all, then re-inserts the live ones).
+   *
+   * Scale shape: everything here is delta-sized until the downstream
+   * refresh itself — the feed read is a sidecar union (no join), the
+   * last-version resolution is a groupBy+join over delta rows, and the
+   * downstream refresh broadcasts the touched-key set as usual.
+   */
+  def cascadeChangesInto(next: MapIndex, fromVersion: Int, toVersion: Int): MaterializedView = {
+    val delta = changesBetween(fromVersion, toVersion)
+    val lastV = delta.groupBy("src_key").agg(max("change_version").as("change_version"))
+    val finalInserts = delta.join(lastV, Seq("src_key", "change_version"))
+      .filter(col("change_type") === "insert")
+    val changedSource = MaterializedView.cascadeSourceOf(finalInserts)
+    val touched = delta.select("src_key").distinct()
+    store.load(next).refresh(changedSource, Some(touched))
+  }
 }
 
 object MaterializedView {

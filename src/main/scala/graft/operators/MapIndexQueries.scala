@@ -153,6 +153,30 @@ object MapIndexQueries {
       store.load(byFlagStream)
     })
 
+  /** A downstream consumer maintained purely from the upstream CHANGE
+    * FEED: bootstrapped from the v0 snapshot, then caught up to v1 by
+    * replaying the CDC delta ([[graft.engine.MaterializedView
+    * .cascadeChangesInto]]) — the upstream view itself is never re-read.
+    * The relay map forwards each entry's grouped emissions unchanged, so
+    * the downstream must equal a from-scratch recompute of the modified
+    * source if and only if the feed carries the exact delta. */
+  private val byFlagRelay = MapIndex.columns("lineitem_byflag_relay")(
+    col("key"),
+    transform(col("value"), e => emit(e("emit_key"), e("emit_value"))))
+
+  private val cascadeCdcViews =
+    scala.collection.concurrent.TrieMap.empty[String, graft.engine.MaterializedView]
+
+  private def cascadeCdcView(s: SparkSession, dir: String): graft.engine.MaterializedView =
+    cascadeCdcViews.getOrElseUpdate(dir, {
+      aggView(s, dir) // byFlagAgg at v1 with v0 retained + the CDC sidecar
+      val store = Views.store(s, dir)
+      val base = store.load(byFlagAgg)
+      byFlagRelay.materialize(
+        graft.engine.MaterializedView.cascadeSourceOf(base.asOf(0)), store)
+      base.cascadeChangesInto(byFlagRelay, 0, 1)
+    })
+
   /** The same micro-batch sequence through the BUCKETED streaming path
     * ([[graft.streaming.BucketedStreamingMapIndex]]) — every batch's
     * delete-then-insert rewrites only the touched buckets, and the final
@@ -190,6 +214,7 @@ object MapIndexQueries {
     bucketedAggView(s, dir)
     streamView(s, dir)
     bucketedStreamView(s, dir)
+    cascadeCdcView(s, dir)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -367,6 +392,16 @@ object MapIndexQueries {
         .agg(round(sum("emit_value"), 2).as("sum_value"),
           count(lit(1)).as("cnt"))
         .orderBy("emit_key")),
+
+    // a downstream view caught up purely by replaying the upstream CDC
+    // feed (bootstrap from v0, replay (0,1] — upstream never re-read):
+    // must equal a from-scratch recompute of the modified source
+    "mapindex_cascade_cdc" -> ((s, dir) =>
+      cascadeCdcView(s, dir).df
+        .groupBy(col("emit_key"))
+        .agg(round(sum("emit_value"), 2).as("sum_value"),
+          count(lit(1)).as("cnt"))
+        .orderBy("emit_key")),
   )
 
   val oracle: Map[String, String] = Map(
@@ -514,6 +549,13 @@ object MapIndexQueries {
         |FROM lineitem WHERE l_orderkey % 89 <> 0
         |GROUP BY 1 ORDER BY emit_key""".stripMargin,
     "mapindex_bucketed_streaming_group" ->
+      """SELECT CASE WHEN l_orderkey % 97 = 0 THEN 'X' ELSE l_returnflag END AS emit_key,
+        |       round(sum(l_extendedprice), 2) AS sum_value, count(*) AS cnt
+        |FROM lineitem WHERE l_orderkey % 89 <> 0
+        |GROUP BY 1 ORDER BY emit_key""".stripMargin,
+    // CDC-replayed cascade = the same modified-source recompute: the relay
+    // forwards emissions unchanged, so group sums must match exactly
+    "mapindex_cascade_cdc" ->
       """SELECT CASE WHEN l_orderkey % 97 = 0 THEN 'X' ELSE l_returnflag END AS emit_key,
         |       round(sum(l_extendedprice), 2) AS sum_value, count(*) AS cnt
         |FROM lineitem WHERE l_orderkey % 89 <> 0

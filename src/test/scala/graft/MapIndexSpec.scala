@@ -205,6 +205,34 @@ class MapIndexSpec extends AnyFunSuite with SparkSpec {
     assert(names === Seq("v2", "v3"), s"retained sidecars: $names")
   }
 
+  test("cascade catch-up from the change feed alone equals a recompute") {
+    // grace 2: the (0, 2] replay below needs v0 still addressable
+    val store = new ViewStore(spark,
+      java.nio.file.Files.createTempDirectory("graft-cdc-casc-").toString,
+      graceVersions = 2)
+    val idx = MapIndex.columns("cdc_up")(col("key"),
+      array(emit(col("key"), col("test"))))
+    // downstream relays each entry's grouped emissions unchanged
+    val relay = MapIndex.columns("cdc_down")(col("key"),
+      transform(col("value"), e => emit(e("emit_key"), e("emit_value"))))
+    var up = idx.materialize(entries("a" -> 1, "b" -> 2, "c" -> 3), store)
+    // bootstrap downstream from the v0 snapshot
+    relay.materialize(graft.engine.MaterializedView.cascadeSourceOf(up.asOf(0)), store)
+    // v1: overwrite a, tombstone b, insert d; v2: overwrite a AGAIN,
+    // tombstone d — multi-version replay must take each key's FINAL state
+    up = up.refresh(entries("a" -> 10, "d" -> 4), Some(Seq("b").toDF("src_key")))
+    up = up.refresh(entries("a" -> 100), Some(Seq("d").toDF("src_key")))
+    val down = up.cascadeChangesInto(relay, 0, 2)
+    val got = down.df.select("emit_key", "emit_value")
+      .as[(String, Int)].collect().toSet
+    assert(got === Set("a" -> 100, "c" -> 3))
+    // and equals a from-scratch downstream rebuild of the current upstream
+    val rebuilt = up.cascadeInto(MapIndex.columns("cdc_down2")(col("key"),
+      transform(col("value"), e => emit(e("emit_key"), e("emit_value")))))
+    assert(rebuilt.df.select("emit_key", "emit_value")
+      .as[(String, Int)].collect().toSet === got)
+  }
+
   test("grouped() order holds past the sort-based aggregation fallback") {
     val store = ViewStore.temp(spark)
     // 600 groups over 4 shuffle partitions = 150 groups/partition — past
