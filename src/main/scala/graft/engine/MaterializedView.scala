@@ -158,12 +158,8 @@ final class MaterializedView(
    * downstream refresh broadcasts the touched-key set as usual.
    */
   def cascadeChangesInto(next: MapIndex, fromVersion: Int, toVersion: Int): MaterializedView = {
-    val delta = changesBetween(fromVersion, toVersion)
-    val lastV = delta.groupBy("src_key").agg(max("change_version").as("change_version"))
-    val finalInserts = delta.join(lastV, Seq("src_key", "change_version"))
-      .filter(col("change_type") === "insert")
-    val changedSource = MaterializedView.cascadeSourceOf(finalInserts)
-    val touched = delta.select("src_key").distinct()
+    val (changedSource, touched) =
+      MaterializedView.replayDelta(changesBetween(fromVersion, toVersion))
     store.load(next).refresh(changedSource, Some(touched))
   }
 }
@@ -187,4 +183,19 @@ object MaterializedView {
         sort_array(collect_list(struct(col("uid").as("u"),
           struct(col("emit_key"), col("emit_value")).as("e")))),
         x => x("e")).as("value"))
+
+  /** Resolve a gross CDC delta (`change_type`/`change_version`-tagged
+    * emission rows from either store's `changesBetween`) into the inputs
+    * of ONE downstream refresh: `(changedSource, touchedKeys)`. A key's
+    * final state is the inserts of the LAST version that touched it (a
+    * refresh retracts changed keys wholesale); a key whose last touching
+    * version carries only deletes was tombstoned — it appears in
+    * `touchedKeys` and not in `changedSource`. Everything here is
+    * delta-sized. */
+  def replayDelta(delta: DataFrame): (DataFrame, DataFrame) = {
+    val lastV = delta.groupBy("src_key").agg(max("change_version").as("change_version"))
+    val finalInserts = delta.join(lastV, Seq("src_key", "change_version"))
+      .filter(col("change_type") === "insert")
+    (cascadeSourceOf(finalInserts), delta.select("src_key").distinct())
+  }
 }

@@ -38,27 +38,22 @@ final class StreamingMapIndex(
         Some(batch.filter(coalesce(col("deleted"), lit(false)))
           .select(col("key").cast("string").as("src_key")))
       else None
-    val view = store.latestVersion(index.name) match {
+    val vBefore = store.latestVersion(index.name)
+    val view = vBefore match {
       case Some(_) => store.load(index).refresh(upserts, deletes)
       case None    => index.materialize(upserts, store) // first batch bootstraps
     }
-    // cascade: downstream consumes this view's grouped emissions, scoped to
-    // the keys this batch touched (incremental propagation, O17)
-    if (cascades.nonEmpty) {
-      val touched = deletes
-        .map(index.touchedKeys(upserts).union(_))
-        .getOrElse(index.touchedKeys(upserts))
-        .distinct()
-      cascades.foreach { next =>
-        store.latestVersion(next.name) match {
-          case Some(_) =>
-            val changedSource = view.cascadeSource
-              .join(broadcast(touched), col("key") === col("src_key"), "left_semi")
-            // delete-then-insert over every touched upstream key: covers
-            // tombstones and keys whose new map output is empty
-            store.load(next).refresh(changedSource, Some(touched))
-          case None => next.materialize(view.cascadeSource, store)
-        }
+    // cascade (incremental propagation, O17): an established downstream
+    // catches up by replaying THIS batch's CDC sidecar — an O(delta)
+    // read, no upstream scan. (The previous shape re-read the whole
+    // upstream view per micro-batch for the semi-joined cascadeSource —
+    // a full scan per batch, which defeats micro-batching at scale.)
+    cascades.foreach { next =>
+      (store.latestVersion(next.name), vBefore) match {
+        case (Some(_), Some(v0)) =>
+          view.cascadeChangesInto(next, v0, v0 + 1)
+        case _ => // downstream (or upstream) bootstrap: full snapshot feed
+          next.materialize(view.cascadeSource, store)
       }
     }
   }
@@ -137,26 +132,23 @@ final class BucketedStreamingMapIndex(
         Some(batch.filter(coalesce(col("deleted"), lit(false)))
           .select(col("key").cast("string").as("src_key")))
       else None
-    if (store.manifest(index.name).isEmpty) store.materialize(index, upserts)
+    val fresh = store.manifest(index.name).isEmpty
+    if (fresh) store.materialize(index, upserts)
     else store.refresh(index, upserts, deletes)
-    if (cascades.nonEmpty) {
-      val touched = deletes
-        .map(index.touchedKeys(upserts).union(_))
-        .getOrElse(index.touchedKeys(upserts))
-        .distinct()
-      val view = store.df(index.name)
-      cascades.foreach { next =>
-        if (store.manifest(next.name).isEmpty)
-          store.materialize(next, MaterializedView.cascadeSourceOf(view))
-        else {
-          // grouped emissions of just the touched upstream keys: broadcast
-          // semi-join BEFORE the group-collect, so only batch-sized data is
-          // aggregated (the upstream scan stays filter-only — emissions are
-          // bucketed by emit_key, so one src_key's rows span buckets)
-          val changedSource = MaterializedView.cascadeSourceOf(
-            view.join(broadcast(touched), Seq("src_key"), "left_semi"))
-          store.refresh(next, changedSource, Some(touched))
-        }
+    cascades.foreach { next =>
+      if (store.manifest(next.name).isEmpty || fresh)
+        store.materialize(next, MaterializedView.cascadeSourceOf(store.df(index.name)))
+      else {
+        // an established downstream catches up from THIS batch's CDC
+        // sidecar: O(delta) read, no bucket scan at all. (The previous
+        // shape semi-joined the FULL upstream relation per micro-batch —
+        // emissions are bucketed by emit_key, so a changed src_key's rows
+        // span buckets and nothing prunes; at 100 TB that is a full-view
+        // scan per batch.)
+        val e1 = store.epoch(index.name)
+        val (changedSource, touched) =
+          MaterializedView.replayDelta(store.changesBetween(index.name, e1 - 1, e1))
+        store.refresh(next, changedSource, Some(touched))
       }
     }
   }
