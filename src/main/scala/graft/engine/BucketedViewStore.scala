@@ -90,10 +90,27 @@ final class BucketedViewStore(
       (kind, b.toInt) -> v.toInt
     }.toMap
 
+  private def manifestsRoot(name: String): Path = root(name).resolve("_manifests")
+
   private def writeManifest(name: String, m: Map[(String, Int), Int]): Unit = {
     Files.createDirectories(root(name))
     val body = m.toSeq.sortBy(e => (e._1._1, e._1._2))
       .map { case ((k, b), v) => s"$k:$b:$v" }.mkString("\n")
+    // epoch-stamped manifest history BEFORE the live swap: snapshot reads
+    // ([[dfAsOf]]) resolve an epoch through its retained manifest, and the
+    // per-bucket grace versions guarantee the previous graceVersions
+    // epochs' bucket paths still exist — the same retention contract the
+    // flat store's readableVersions gives. Older history is swept here.
+    val epoch = m.getOrElse((EpochKind, 0), 0)
+    Files.createDirectories(manifestsRoot(name))
+    Files.writeString(manifestsRoot(name).resolve(s"e$epoch"), body)
+    val sweep = Files.list(manifestsRoot(name))
+    try sweep.iterator().forEachRemaining { c =>
+      val n = c.getFileName.toString
+      if (n.startsWith("e") && n.drop(1).nonEmpty && n.drop(1).forall(_.isDigit) &&
+          n.drop(1).toInt < epoch - graceVersions)
+        Files.deleteIfExists(c)
+    } finally sweep.close()
     val tmp = root(name).resolve(s"_MANIFEST.tmp${System.nanoTime()}")
     Files.writeString(tmp, body)
     Files.move(tmp, manifestFile(name),
@@ -230,6 +247,50 @@ final class BucketedViewStore(
     val paths = livePaths(name, Emit)
     if (paths.isEmpty) emptyDf(name)
     else spark.read.parquet(paths: _*)
+  }
+
+  /** Epochs currently addressable by [[dfAsOf]]: the live epoch plus up
+    * to [[graceVersions]] predecessors whose manifests are retained (the
+    * per-bucket grace copies guarantee their data paths still exist). */
+  def readableEpochs(name: String): Seq[Int] = {
+    val e = epoch(name)
+    (math.max(0, e - graceVersions) to e)
+      .filter(k => Files.exists(manifestsRoot(name).resolve(s"e$k")))
+  }
+
+  /** Snapshot (time-travel) read of a retained epoch — the bucketed
+    * analog of [[ViewStore.readVersion]]: a reader pins an epoch's
+    * manifest and sees that refresh's world regardless of later writes,
+    * until the epoch passes the grace horizon. */
+  def dfAsOf(name: String, atEpoch: Int): DataFrame = {
+    require(readableEpochs(name).contains(atEpoch),
+      s"view '$name' epoch $atEpoch not readable " +
+        s"(retained: ${readableEpochs(name).mkString(",")})")
+    val m = Files.readAllLines(manifestsRoot(name).resolve(s"e$atEpoch"))
+      .asScala.filter(_.nonEmpty).map { line =>
+        val Array(kind, b, v) = line.split(":")
+        (kind, b.toInt) -> v.toInt
+      }.toMap
+    val paths = m.collect { case ((k, b), v) if k == Emit => bucketPath(name, k, b, v) }.toSeq
+    paths.foreach(p => require(Files.exists(Paths.get(p)),
+      s"view '$name' epoch $atEpoch references GC'd bucket data at $p"))
+    if (paths.isEmpty) emptyDf(name)
+    else spark.read.parquet(paths: _*)
+  }
+
+  /** Ordered range scan with `[start, end)` semantics (O6 parity on the
+    * bucketed layout). Hash bucketing cannot prune whole buckets by key
+    * range, but every bucket's files are sorted by `(emit_key, uid)`, so
+    * the pushed range predicates prune row groups inside each bucket. */
+  def scan(name: String, start: Option[Any] = None, end: Option[Any] = None): DataFrame = {
+    val base = (start, end) match {
+      case (Some(s), Some(e)) =>
+        df(name).filter(col("emit_key") >= lit(s) && col("emit_key") < lit(e))
+      case (Some(s), None) => df(name).filter(col("emit_key") >= lit(s))
+      case (None, Some(e)) => df(name).filter(col("emit_key") < lit(e))
+      case (None, None)    => df(name)
+    }
+    base.orderBy("emit_key", "uid")
   }
 
   /** Point lookup pruned to the single bucket that can hold the key. */

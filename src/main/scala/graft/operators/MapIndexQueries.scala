@@ -266,6 +266,26 @@ object MapIndexQueries {
     "mapindex_bucketed_get" -> ((s, dir) =>
       bucketedFlag(s, dir).get(byFlag.name, "R").orderBy("emit_value")),
 
+    // O6 over the bucketed store: ordered [start, end) range scan — range
+    // predicates push into every bucket's sorted files for row-group
+    // pruning (hash layout cannot prune whole buckets by range)
+    "mapindex_bucketed_scan" -> ((s, dir) =>
+      bucketedFlag(s, dir).scan(byFlag.name, Some("A"), Some("N"))
+        .select("emit_key", "emit_value")
+        .orderBy("emit_key", "emit_value")),
+
+    // snapshot read of the bucketed store one epoch back: the aggview
+    // fixture's refresh moved the view to epoch 1, and dfAsOf(0) must
+    // still show the PRE-refresh world (original flags, no tombstones)
+    "mapindex_bucketed_asof" -> ((s, dir) => {
+      val v = bucketedAggView(s, dir) // epoch 0 → 1 with grace retention
+      v.store.dfAsOf(byFlagAggB.name, 0)
+        .groupBy(col("emit_key"))
+        .agg(round(sum("emit_value"), 2).as("sum_value"),
+          count(lit(1)).as("cnt"))
+        .orderBy("emit_key")
+    }),
+
     // schema-free JSON values round-trip through the stored index and
     // project back to typed columns at read time (reference value model)
     "mapindex_json_values" -> ((s, dir) =>
@@ -440,6 +460,15 @@ object MapIndexQueries {
     "mapindex_bucketed_get" ->
       """SELECT l_extendedprice AS emit_value FROM lineitem
         |WHERE l_returnflag = 'R' ORDER BY emit_value""".stripMargin,
+    "mapindex_bucketed_scan" ->
+      """SELECT l_returnflag AS emit_key, l_extendedprice AS emit_value
+        |FROM lineitem WHERE l_returnflag >= 'A' AND l_returnflag < 'N'
+        |ORDER BY emit_key, emit_value""".stripMargin,
+    // the pre-refresh snapshot: the unmodified source, grouped
+    "mapindex_bucketed_asof" ->
+      """SELECT l_returnflag AS emit_key, round(sum(l_extendedprice), 2) AS sum_value,
+        |       count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag ORDER BY emit_key""".stripMargin,
     "mapindex_cascade" ->
       """SELECT l_orderkey % 10 AS bucket,
         |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_rev,

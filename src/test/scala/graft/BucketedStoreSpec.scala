@@ -186,6 +186,39 @@ class BucketedStoreSpec extends AnyFunSuite with SparkSpec {
       Seq(("a", "a", 10), ("c", "c", 3)))
   }
 
+  test("dfAsOf pins a retained epoch; past the grace horizon it refuses") {
+    val store = BucketedViewStore.temp(spark, numBuckets = 8)
+    store.materialize(idx, rows(10).toDF("key", "v"))
+    store.refresh(idx, Seq("k2" -> 22).toDF("key", "v"), Some(Seq("k5").toDF("src_key")))
+    assert(store.readableEpochs(idx.name) === Seq(0, 1))
+    // epoch 0 still shows the pre-refresh world
+    assert(snapshot(store.dfAsOf(idx.name, 0)) === snapshot_unchanged(10))
+    // live epoch agrees with df()
+    assert(snapshot(store.dfAsOf(idx.name, 1)) === snapshot(store.df(idx.name)))
+    // one more refresh pushes epoch 0 past the horizon (grace 1)
+    store.refresh(idx, Seq("k3" -> 33).toDF("key", "v"))
+    assert(store.readableEpochs(idx.name) === Seq(1, 2))
+    val e = intercept[IllegalArgumentException](store.dfAsOf(idx.name, 0))
+    assert(e.getMessage.contains("not readable"))
+  }
+
+  private def snapshot_unchanged(n: Int): Seq[(String, String, Int)] =
+    (0 until n).flatMap(i =>
+      Seq((s"k$i", s"k$i", i), (s"k$i", s"k$i!", i * 2))).sorted
+
+  test("scan returns the ordered [start, end) range across buckets") {
+    val store = BucketedViewStore.temp(spark, numBuckets = 8)
+    val one = MapIndex.columns("bstore_scan")(col("key"),
+      array(emit(col("key"), col("v"))))
+    store.materialize(one,
+      Seq("a" -> 1, "b" -> 2, "c" -> 3, "d" -> 4).toDF("key", "v"))
+    val got = store.scan(one.name, Some("b"), Some("d"))
+      .select("emit_key").as[String].collect()
+    assert(got.toSeq === Seq("b", "c"))
+    assert(store.scan(one.name).count() === 4)
+    assert(store.scan(one.name, Some("c")).count() === 2)
+  }
+
   test("tombstone removes the key from data and meta; get returns empty") {
     val store = BucketedViewStore.temp(spark, numBuckets = 8)
     store.materialize(idx, rows(20).toDF("key", "v"))

@@ -62,6 +62,14 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("EqualTo(emit_key"), s"emit_key lookup must push down:\n$p")
   }
 
+  test("mapindex_bucketed_scan: range predicates push into the bucket files") {
+    // hash layout cannot prune whole buckets by range, so the row-group
+    // pruning inside each (emit_key, uid)-sorted bucket is the read bound
+    val p = finalPlan("mapindex_bucketed_scan")
+    assert(p.contains("GreaterThanOrEqual(emit_key"), s"range pushdown missing:\n$p")
+    assert(p.contains("LessThan(emit_key"), s"upper bound pushdown missing:\n$p")
+  }
+
   test("search_tfidf: the term filter reaches the postings scan; df broadcasts; top-k") {
     val p = finalPlan("search_tfidf")
     assert(p.contains("In(emit_key, [join,spark,stream,vector])"),
