@@ -97,6 +97,53 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("change feed replay reconstructs the final snapshot on random histories") {
+    import graft.engine.BucketedViewStore
+    // the CDC invariant both stores promise: for ANY maintenance history,
+    // v0 ∪ feed-inserts − feed-deletes (exact rows, uid included) == vN.
+    // This is what makes a bootstrapped consumer + replay equivalent to
+    // re-reading the view.
+    val opGen = Gen.zip(Gen.oneOf(true, false), rowsGen)
+    def rows4(df: org.apache.spark.sql.DataFrame): Set[(String, String, Int, Long)] =
+      df.select("src_key", "emit_key", "emit_value", "uid")
+        .as[(String, String, Int, Long)].collect().toSet
+    (1 to 3).foreach { i =>
+      val initial = sample(rowsGen, 900L + i).toMap.toSeq
+      val ops = sample(Gen.listOfN(3, opGen), 1000L + i)
+      val flat = new ViewStore(spark,
+        java.nio.file.Files.createTempDirectory("graft-prop-cdc-").toString,
+        graceVersions = 10)
+      val bucketed = new BucketedViewStore(spark,
+        java.nio.file.Files.createTempDirectory("graft-prop-cdcb-").toString,
+        numBuckets = 8, graceVersions = 10, changeRetention = 10)
+      var flatView = idx.materialize(initial.toDF("key", "v"), flat)
+      bucketed.materialize(idx, initial.toDF("key", "v"))
+      ops.foreach { case (isUpsert, rows) =>
+        if (isUpsert) {
+          val batch = rows.toMap.toSeq.toDF("key", "v")
+          flatView = flatView.refresh(batch)
+          bucketed.refresh(idx, batch)
+        } else {
+          val dels = Some(rows.map(_._1).distinct.toDF("src_key"))
+          val empty = Seq.empty[(String, Int)].toDF("key", "v")
+          flatView = flatView.refresh(empty, dels)
+          bucketed.refresh(idx, empty, dels)
+        }
+      }
+      val n = ops.size
+      val feed = flatView.changesBetween(0, n)
+      val replayed = rows4(flatView.asOf(0)) ++
+        rows4(feed.filter(col("change_type") === "insert")) --
+        rows4(feed.filter(col("change_type") === "delete"))
+      assert(replayed === rows4(flatView.df), s"case $i flat ops=$ops")
+      val bFeed = bucketed.changesBetween(idx.name, 0, n)
+      val bReplayed = rows4(bucketed.dfAsOf(idx.name, 0)) ++
+        rows4(bFeed.filter(col("change_type") === "insert")) --
+        rows4(bFeed.filter(col("change_type") === "delete"))
+      assert(bReplayed === rows4(bucketed.df(idx.name)), s"case $i bucketed ops=$ops")
+    }
+  }
+
   test("topk_by equals the window row_number spelling on random groups") {
     graft.functions.Sketches.register(spark)
     // unique ids, no nulls — the documented contract under which the two
