@@ -62,6 +62,16 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("EqualTo(emit_key"), s"emit_key lookup must push down:\n$p")
   }
 
+  test("mapindex_bucketed_get: one bucket read, key pushed into its scan") {
+    val df = SparkEntry.queries("mapindex_bucketed_get")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("EqualTo(emit_key"), s"point lookup must push down:\n$p")
+    // the single-bucket prune: exactly one kb=<i>/v<j> path in the scan
+    val kbPaths = "kb=\\d+".r.findAllIn(p).toSet
+    assert(kbPaths.size === 1, s"expected one bucket path, saw $kbPaths:\n$p")
+  }
+
   test("mapindex_bucketed_scan: range predicates push into the bucket files") {
     // hash layout cannot prune whole buckets by range, so the row-group
     // pruning inside each (emit_key, uid)-sorted bucket is the read bound
