@@ -50,7 +50,10 @@ final class StreamingMapIndex(
     // a full scan per batch, which defeats micro-batching at scale.)
     cascades.foreach { next =>
       (store.latestVersion(next.name), vBefore) match {
-        case (Some(_), Some(v0)) =>
+        // replay needs the (v0, v0+1] endpoints addressable — on a
+        // grace-0 store v0 is already reclaimed, so fall through to the
+        // full rebuild instead of failing the batch
+        case (Some(_), Some(v0)) if store.readableVersions(index.name).contains(v0) =>
           view.cascadeChangesInto(next, v0, v0 + 1)
         case _ => // downstream (or upstream) bootstrap: full snapshot feed
           next.materialize(view.cascadeSource, store)

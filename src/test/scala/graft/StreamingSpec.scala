@@ -52,6 +52,26 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     q.stop()
   }
 
+  test("streaming cascade falls back to a rebuild when grace retains no endpoints") {
+    // grace 0: the CDC replay's (v, v+1] endpoints are never both
+    // readable, so the cascade must rebuild instead of failing the batch
+    val store = new graft.engine.ViewStore(spark,
+      java.nio.file.Files.createTempDirectory("graft-g0-").toString,
+      graceVersions = 0)
+    val idx = primary("stream_g0_primary")
+    val secondary = MapIndex.columns("stream_g0_secondary")(col("key"),
+      array(emit(lit("test2"), col("value")(0)("emit_value"))))
+    val sm = new StreamingMapIndex(idx, store, cascades = Seq(secondary))
+    val input = MemoryStream[(String, Int)]
+    val q = sm.writer(input.toDF().toDF("key", "test")).start()
+    input.addData("asdf" -> 123)
+    q.processAllAvailable()
+    input.addData("asdf" -> 345)
+    q.processAllAvailable()
+    assert(store.load(secondary).get("test2").as[Int].collect().toSeq === Seq(345))
+    q.stop()
+  }
+
   test("streaming tombstone retracts downstream (O5 through the cascade)") {
     val store = ViewStore.temp(spark)
     val idx = primary("stream_del_primary")
