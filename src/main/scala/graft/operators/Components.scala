@@ -19,6 +19,15 @@ import org.apache.spark.storage.StorageLevel
  * labels are persisted per round and the previous round is unpersisted,
  * so lineage stays bounded. The convergence check moves ONE scalar to
  * the driver per round.
+ *
+ * Why not large-star/small-star (the alternating-star map-reduce CC
+ * algorithm): it converges in O(log² n) rounds by rewriting the EDGE
+ * relation each round, where min-label + pointer jumping converges in
+ * O(log diameter) rounds over a static, pre-partitioned edge relation —
+ * `maxIter = 30` therefore already covers diameters past 2^29, which IS
+ * the pathological-chain case. Star rounds would add an edge rewrite per
+ * round (a shuffle of the LARGEST relation in the computation) to speed
+ * up exactly the graphs pointer jumping already handles logarithmically.
  */
 object Components {
 
