@@ -436,6 +436,13 @@ final class BucketedViewStore(
 
     taggedOld.foreach(_.unpersist()); changed.unpersist()
     Checkpoints.free(newEmissions) // all three writes done — release the pin
+    // single-writer contract (the reference's level-mutex analog): a
+    // concurrent refresh that advanced the epoch while this one computed
+    // would be silently clobbered by the manifest swap — fail loudly
+    require(manifest(name).getOrElse((EpochKind, 0), -1) == epoch - 1,
+      s"concurrent writer detected on view '$name': expected to publish " +
+        s"epoch $epoch over ${epoch - 1}, but the manifest is now at " +
+        s"${manifest(name).getOrElse((EpochKind, 0), -1)}")
     // 6: atomic manifest swap — readers see old or new snapshot, never a mix
     val dropped = (affected.map((Emit, _)) ++ metaBuckets.map((Meta, _))) --
       mEmit.keySet -- mMeta.keySet

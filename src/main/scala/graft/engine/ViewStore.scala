@@ -141,6 +141,15 @@ final class ViewStore(
     changes.foreach(_.withColumn("change_version", lit(next))
       .write.mode("overwrite").option("compression", "zstd")
       .parquet(changesPath(name, next).toString))
+    // single-writer contract (the reference's level-mutex analog,
+    // index.js:114): if another writer advanced the pointer while this
+    // refresh was computing, fail loudly instead of publishing a version
+    // derived from a stale snapshot. (Best-effort pre-swap check — true
+    // multi-writer coordination belongs to an external commit service.)
+    require(latestVersion(name).getOrElse(-1) == next - 1,
+      s"concurrent writer detected on view '$name': expected to publish " +
+        s"v$next over v${next - 1}, but _LATEST is now " +
+        s"${latestVersion(name).getOrElse(-1)}")
     // atomic pointer swap: write sidecar then move over _LATEST
     Files.createDirectories(dir(name))
     val tmp = dir(name).resolve(s"_LATEST.tmp$next")
