@@ -42,6 +42,7 @@ object Bench {
     operators.LayoutQueries.prewarm(spark, sfDir)
     operators.SimilarityQueries.prewarm(spark, sfDir)
     operators.PipelineQueries.prewarm(spark, sfDir)
+    operators.RelationalQueries.prewarm(spark, sfDir)
     // Untimed warm-up AFTER prewarm: first-use JVM costs (janino compile of
     // generated code, parquet reader + broadcast machinery init) otherwise
     // land on whichever queries run first — r6's bench showed the

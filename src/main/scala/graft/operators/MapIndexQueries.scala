@@ -286,6 +286,21 @@ object MapIndexQueries {
         .orderBy("emit_key")
     }),
 
+    // aggregate-state time travel: the state relation is itself a bucketed
+    // view, so dfAsOf applies to it unchanged — epoch 0 must show the
+    // PRE-refresh aggregates (the unmodified source, grouped from scratch
+    // by the oracle)
+    "mapindex_bucketed_agg_asof" -> ((s, dir) => {
+      val v = bucketedAggView(s, dir)
+      v.store.dfAsOf("lineitem_byflag_agg_b__state", 0)
+        .select(col("emit_key"),
+          col("emit_value.cnt").as("cnt"),
+          round(col("emit_value.sum_value").cast("double"), 2).as("sum_value"),
+          col("emit_value.min_value").as("min_value"),
+          col("emit_value.max_value").as("max_value"))
+        .orderBy("emit_key")
+    }),
+
     // schema-free JSON values round-trip through the stored index and
     // project back to typed columns at read time (reference value model)
     "mapindex_json_values" -> ((s, dir) =>
@@ -469,6 +484,12 @@ object MapIndexQueries {
       """SELECT l_returnflag AS emit_key, round(sum(l_extendedprice), 2) AS sum_value,
         |       count(*) AS cnt
         |FROM lineitem GROUP BY l_returnflag ORDER BY emit_key""".stripMargin,
+    // pre-refresh aggregate state recomputed from the unmodified source
+    "mapindex_bucketed_agg_asof" ->
+      """SELECT l_returnflag AS emit_key, count(*) AS cnt,
+        |       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_value,
+        |       min(l_extendedprice) AS min_value, max(l_extendedprice) AS max_value
+        |FROM lineitem GROUP BY 1 ORDER BY emit_key""".stripMargin,
     "mapindex_cascade" ->
       """SELECT l_orderkey % 10 AS bucket,
         |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_rev,

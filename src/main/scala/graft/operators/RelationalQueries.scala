@@ -754,7 +754,53 @@ object RelationalQueries {
         .select(col("window.start").as("hour"), col("event_type"),
           col("cnt"), col("sum_value"))
         .orderBy("hour", "event_type")),
+
+    // the same windowed aggregation computed by an ACTUAL Structured
+    // Streaming query (file source → watermarked tumbling windows →
+    // memory sink, Trigger.AvailableNow): the streaming engine's answer
+    // goes under the same hash gate as the batch one. DECIMAL sums — the
+    // streaming state merge order differs from both batch engines, so
+    // float summation would drift off the oracle.
+    "events_hourly_streamed" -> ((s, dir) =>
+      s.table(streamedHourlyTable(s, dir)).orderBy("hour", "event_type")),
   )
+
+  /** Run the one-time streaming materialization up front (write-time
+    * cost, like every stored view) so bench timings measure the read. */
+  def prewarm(s: SparkSession, dir: String): Unit = { streamedHourlyTable(s, dir); () }
+
+  private val streamedHourly =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Run the streaming aggregation once per corpus (compute-on-write, like
+    * every other stored view) and serve the memory-sink table. Complete
+    * output mode: every window is emitted at the final trigger, so the
+    * result is exactly the batch recompute the oracle performs. */
+  private def streamedHourlyTable(s: SparkSession, dir: String): String =
+    streamedHourly.getOrElseUpdate(dir, {
+      if (!s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = s.read.parquet(s"$dir/events.parquet")
+      // the file source monitors a DIRECTORY; the testdata table is a bare
+      // file, so watch the sf dir with a glob pinned to it
+      val stream = s.readStream.schema(raw.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val tbl = "events_hourly_streamed_" + java.lang.Integer.toHexString(dir.hashCode)
+      val q = stream
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("value").cast("decimal(18,6)")).cast("double"), 2).as("sum_value"))
+        .select(col("window.start").as("hour"), col("event_type"),
+          col("cnt"), col("sum_value"))
+        .writeStream.outputMode("complete").format("memory").queryName(tbl)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      tbl
+    })
 
   val oracle: Map[String, String] = Map(
     "events_gapfill" ->
@@ -1125,6 +1171,12 @@ object RelationalQueries {
     "events_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,
         |       count(*) AS cnt, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    // exact-decimal twin of events_hourly — what the streaming engine must
+    // reproduce bit-for-bit
+    "events_hourly_streamed" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS cnt,
+        |       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
     "events_retention" ->
       """WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
