@@ -775,9 +775,16 @@ object RelationalQueries {
   /** Run the streaming aggregation once per corpus (compute-on-write, like
     * every other stored view) and serve the memory-sink table. Complete
     * output mode: every window is emitted at the final trigger, so the
-    * result is exactly the batch recompute the oracle performs. */
+    * result is exactly the batch recompute the oracle performs — the right
+    * mode for a bounded replay under an exactness gate. An unbounded
+    * production stream uses Append + watermark eviction instead
+    * ([[graft.streaming.StreamingEvents]]): complete mode re-emits all
+    * windows per trigger and holds all window state forever.
+    * Cache key includes the session: memory-sink tables are
+    * session-scoped, so a second session must rerun the stream, not
+    * resolve a name that only exists elsewhere. */
   private def streamedHourlyTable(s: SparkSession, dir: String): String =
-    streamedHourly.getOrElseUpdate(dir, {
+    streamedHourly.getOrElseUpdate(s"$dir#${System.identityHashCode(s)}", {
       if (!s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
         s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = s.read.parquet(s"$dir/events.parquet")
