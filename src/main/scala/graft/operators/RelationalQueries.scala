@@ -360,6 +360,16 @@ object RelationalQueries {
         .agg(count(lit(1)).as("cnt"))
         .orderBy("c_mktsegment")),
 
+    // explicit cartesian product (the NLJ shape): tiny×tiny only — at
+    // scale a cross join is legitimate exactly when one side is
+    // broadcast-small (plans as BroadcastNestedLoopJoin, no shuffle)
+    "join_cross" -> ((s, dir) =>
+      Tables.nation(s, dir).select(col("n_name"), col("n_regionkey"))
+        .crossJoin(Tables.region(s, dir).select(col("r_name"), col("r_regionkey")))
+        .withColumn("home", (col("n_regionkey") === col("r_regionkey")).cast("int").cast("long"))
+        .select(col("n_name"), col("r_name"), col("home"))
+        .orderBy("n_name", "r_name")),
+
     // anti join against a filtered build side (customers with no 'F' order)
     "join_anti" -> ((s, dir) =>
       Tables.customer(s, dir)
@@ -1014,6 +1024,11 @@ object RelationalQueries {
         |WHERE NOT EXISTS (SELECT 1 FROM orders o
         |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "join_cross" ->
+      """SELECT n_name, r_name,
+        |       CAST(CAST(n_regionkey = r_regionkey AS INT) AS BIGINT) AS home
+        |FROM nation CROSS JOIN region
+        |ORDER BY n_name, r_name""".stripMargin,
     "join_range" ->
       """SELECT o_orderpriority, count(*) AS cnt,
         |       round(sum(l_extendedprice), 2) AS sum_price
