@@ -206,6 +206,21 @@ class BucketedStoreSpec extends AnyFunSuite with SparkSpec {
     (0 until n).flatMap(i =>
       Seq((s"k$i", s"k$i", i), (s"k$i", s"k$i!", i * 2))).sorted
 
+  test("dfAsOf stays readable across a full re-materialize boundary") {
+    val store = BucketedViewStore.temp(spark, numBuckets = 4)
+    val one = MapIndex.columns("bstore_asof_rebuild")(col("key"),
+      array(emit(col("key"), col("v"))))
+    store.materialize(one, Seq("a" -> 1, "b" -> 2).toDF("key", "v"))
+    store.materialize(one, Seq("a" -> 10, "c" -> 3).toDF("key", "v")) // rebuild → e1
+    // epoch 0 still resolves through its retained manifest to the
+    // pre-rebuild bucket versions (grace copies)
+    assert(store.readableEpochs(one.name) === Seq(0, 1))
+    assert(snapshot(store.dfAsOf(one.name, 0)) ===
+      Seq(("a", "a", 1), ("b", "b", 2)))
+    assert(snapshot(store.dfAsOf(one.name, 1)) ===
+      Seq(("a", "a", 10), ("c", "c", 3)))
+  }
+
   test("scan returns the ordered [start, end) range across buckets") {
     val store = BucketedViewStore.temp(spark, numBuckets = 8)
     val one = MapIndex.columns("bstore_scan")(col("key"),
