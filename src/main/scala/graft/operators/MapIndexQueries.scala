@@ -314,6 +314,16 @@ object MapIndexQueries {
           count_distinct(col("user_id")).as("users"))
         .orderBy("emit_key")),
 
+    // O8's prefix variant: the reference's get() also serves prefix scans
+    // (['index', key]..['index', key, {}], index.js:159-160); here a
+    // StartsWith predicate pushes into the emit_key-sorted parquet scan
+    "mapindex_prefix" -> ((s, dir) =>
+      jsonView(s, dir).df
+        .filter(col("emit_key").startsWith("p"))
+        .groupBy(col("emit_key"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("emit_key")),
+
     // the stored index is a first-class SQL relation: register the view
     // snapshot and query it with text SQL (same engine, same storage)
     "mapindex_sql" -> ((s, dir) => {
@@ -479,6 +489,10 @@ object MapIndexQueries {
       """SELECT l_returnflag AS emit_key, l_extendedprice AS emit_value
         |FROM lineitem WHERE l_returnflag >= 'A' AND l_returnflag < 'N'
         |ORDER BY emit_key, emit_value""".stripMargin,
+    "mapindex_prefix" ->
+      """SELECT event_type AS emit_key, count(*) AS cnt
+        |FROM events WHERE event_type LIKE 'p%'
+        |GROUP BY 1 ORDER BY emit_key""".stripMargin,
     // the pre-refresh snapshot: the unmodified source, grouped
     "mapindex_bucketed_asof" ->
       """SELECT l_returnflag AS emit_key, round(sum(l_extendedprice), 2) AS sum_value,

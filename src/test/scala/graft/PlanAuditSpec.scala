@@ -72,6 +72,18 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(kbPaths.size === 1, s"expected one bucket path, saw $kbPaths:\n$p")
   }
 
+  test("join_cross plans as BroadcastNestedLoopJoin — no shuffle for tiny x tiny") {
+    val p = finalPlan("join_cross")
+    assert(p.contains("BroadcastNestedLoopJoin"), s"cartesian should broadcast:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"cross of broadcast-small sides must not shuffle:\n$p")
+  }
+
+  test("mapindex_prefix: the StartsWith predicate pushes into the scan") {
+    val p = finalPlan("mapindex_prefix")
+    assert(p.contains("StringStartsWith(emit_key,p"), s"prefix pushdown missing:\n$p")
+  }
+
   test("mapindex_bucketed_scan: range predicates push into the bucket files") {
     // hash layout cannot prune whole buckets by range, so the row-group
     // pruning inside each (emit_key, uid)-sorted bucket is the read bound
