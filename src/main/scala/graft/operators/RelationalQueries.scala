@@ -569,6 +569,21 @@ object RelationalQueries {
         .orderBy("o_orderpriority", "quartile")
     }),
 
+    // rank statistics over a total order: percent_rank/cume_dist are
+    // integer ratios of deterministic ranks, so the doubles agree across
+    // engines bit-for-bit
+    "window_rank_stats" -> ((s, dir) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, dir)
+        .withColumn("pr", round(percent_rank().over(w), 6))
+        .withColumn("cd", round(cume_dist().over(w), 6))
+        .withColumn("dr", dense_rank().over(w).cast("long"))
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("pr"), col("cd"), col("dr"))
+        .orderBy("o_orderkey")
+    }),
+
     // range-frame window (the last §2.2 window gap): a VALUE-bounded
     // rolling frame — each order summed with the same customer's orders in
     // the preceding 30 days — plus first_value/nth_value over a totally-
@@ -718,6 +733,20 @@ object RelationalQueries {
         .agg(max("sess").cast("long").as("n_sessions"), count(lit(1)).as("n_events"))
         .orderBy("user_id")
     }),
+
+    // the native session-window spelling of sessionization (the streaming-
+    // ready operator — identical code works under withWatermark on a
+    // stream). Boundary semantics differ from the lag spelling above:
+    // session_window merges events whose [ts, ts+gap) windows OVERLAP, so
+    // an event at exactly prev+gap starts a NEW session — the oracle
+    // mirrors that with a >= gap break
+    "events_session_window" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("evts"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"), sum("evts").as("n_events"))
+        .orderBy("user_id")),
 
     // time-series resample + gap fill: hourly event counts per user with
     // EVERY hour of the user's active span present (zero-filled). Scale
@@ -1119,6 +1148,14 @@ object RelationalQueries {
         |      FROM orders) t
         |GROUP BY o_orderpriority, quartile
         |ORDER BY o_orderpriority, quartile""".stripMargin,
+    "window_rank_stats" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |       round(percent_rank() OVER w, 6) AS pr,
+        |       round(cume_dist() OVER w, 6) AS cd,
+        |       CAST(dense_rank() OVER w AS BIGINT) AS dr
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
     "window_range" ->
       """SELECT o_custkey, o_orderkey,
         |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
@@ -1190,6 +1227,19 @@ object RelationalQueries {
         |  FROM x)
         |SELECT user_id, CAST(max(sess) AS BIGINT) AS n_sessions, count(*) AS n_events
         |FROM y GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // session_window semantics: new session when the gap is >= 30 min
+    // (touching [ts, ts+gap) windows do not merge)
+    "events_session_window" ->
+      """WITH x AS (
+        |  SELECT user_id,
+        |         CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |               OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |                  >= 1800000000
+        |              THEN 1 ELSE 0 END AS is_start
+        |  FROM events)
+        |SELECT user_id, CAST(sum(is_start) AS BIGINT) AS n_sessions,
+        |       count(*) AS n_events
+        |FROM x GROUP BY user_id ORDER BY user_id""".stripMargin,
     "events_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,
         |       count(*) AS cnt, round(sum(value), 2) AS sum_value
