@@ -569,6 +569,19 @@ object RelationalQueries {
         .orderBy("o_orderpriority", "quartile")
     }),
 
+    // unpivot (wide → long): the stack generator reshapes three measure
+    // columns into (metric, value) rows scan-locally — the inverse of
+    // agg_pivot, DECIMAL-summed for exact cross-engine aggregation
+    "agg_unpivot" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .select(col("l_returnflag"),
+          expr("stack(3, 'qty', l_quantity, 'price', l_extendedprice, " +
+            "'disc', l_discount) AS (metric, v)"))
+        .groupBy(col("l_returnflag"), col("metric"))
+        .agg(round(sum(col("v").cast("decimal(18,4)")).cast("double"), 2).as("sum_v"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag", "metric")),
+
     // rank statistics over a total order: percent_rank/cume_dist are
     // integer ratios of deterministic ranks, so the doubles agree across
     // engines bit-for-bit
@@ -1148,6 +1161,15 @@ object RelationalQueries {
         |      FROM orders) t
         |GROUP BY o_orderpriority, quartile
         |ORDER BY o_orderpriority, quartile""".stripMargin,
+    "agg_unpivot" ->
+      """WITH u AS (
+        |  SELECT l_returnflag, 'qty' AS metric, l_quantity AS v FROM lineitem
+        |  UNION ALL SELECT l_returnflag, 'price', l_extendedprice FROM lineitem
+        |  UNION ALL SELECT l_returnflag, 'disc', l_discount FROM lineitem)
+        |SELECT l_returnflag, metric,
+        |       round(CAST(sum(CAST(v AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_v,
+        |       count(*) AS cnt
+        |FROM u GROUP BY 1, 2 ORDER BY l_returnflag, metric""".stripMargin,
     "window_rank_stats" ->
       """SELECT o_orderkey, o_orderpriority,
         |       round(percent_rank() OVER w, 6) AS pr,
