@@ -49,15 +49,23 @@ object Bench {
     // alphabetically-first agg_* family inflated 2.5-4x on untouched code.
     // A few cheap representative shapes (scan+agg, broadcast join, window)
     // make JIT warmth uniform before the clock starts.
-    Seq("agg_rollup", "join_broadcast", "window_ntile").foreach { n =>
-      try SparkEntry.queries(n)(spark, sfDir).count()
-      catch { case _: Throwable => () }
+    val warmupNames = Seq("agg_rollup", "join_broadcast", "window_ntile")
+    // fail loudly if a warm-up query is renamed: silently skipping would
+    // re-introduce the first-alphabetical timing bias this warm-up exists
+    // to remove, with no visible signal that it happened
+    warmupNames.foreach { n =>
+      require(SparkEntry.queries.contains(n), s"warm-up query '$n' missing from SparkEntry.queries")
+      SparkEntry.queries(n)(spark, sfDir).count()
     }
     // dev loop: SPARK_GRAFT_ONLY=q1,q2 restricts the run to named queries;
     // SPARK_GRAFT_REPEATS=k reports each query's MIN over k runs (variance
-    // isolation — dedup_components swung 3.5↔7 s across single-run rounds)
+    // isolation — dedup_components swung 3.5↔7 s across single-run rounds).
+    // Default is 2: r7's driver-recorded total was 3.6x a quiet-machine run
+    // of the identical commit purely from head-of-run CPU contention, and
+    // min-of-2 absorbs that while keeping the full run inside the driver's
+    // budget (~2 x 70 s at sf0.1).
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    val repeats = sys.env.get("SPARK_GRAFT_REPEATS").map(_.toInt).getOrElse(1)
+    val repeats = sys.env.get("SPARK_GRAFT_REPEATS").map(_.toInt).getOrElse(2)
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val runs = (1 to repeats).map { _ =>
@@ -92,6 +100,13 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$nFailed,"errors":$errors,"sf":"$sfDir"}"""
     Files.writeString(Paths.get("bench_result.json"), json + "\n")
     println(json)
+    // slowest-10 on its own compact line: when the full per-query record
+    // overflows the driver's stdout tail from the head (r7 lost the first
+    // 45 queries' timings exactly when they were the inflated ones), this
+    // line still shows WHERE the time went
+    val slowest = results.filter(_._3.isEmpty).sortBy(-_._2).take(10)
+      .map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    println(s"""{"metric":"slowest10","queries":$slowest}""")
     // the driver captures a bounded TAIL of stdout, and at ~100 queries the
     // full record overflows it from the head (r1–r5 "parsed": null). The
     // FINAL line is therefore a compact summary that always fits; per-query

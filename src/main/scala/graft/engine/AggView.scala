@@ -82,13 +82,19 @@ final class AggView private[engine] (
       .persist()
     val untouched = tagged.filter(col("_chg").isNull).drop("_chg")
     val cols = untouched.columns.map(col).toIndexedSeq
+    // persist `updated` too: it feeds BOTH the snapshot union and the
+    // delta's insert half, and unlike the old-state scan it carries the
+    // whole maintenance subplan (preDf/postBase/state joins) — without the
+    // pin that delta-merge work executes twice per refresh. Deterministic
+    // aggregates, so cache-level persistence suffices (no uid pin needed).
+    val updatedP = updated.select(cols: _*).persist()
     val delta = tagged.filter(col("_chg")).drop("_chg")
       .withColumn("change_type", lit("delete"))
-      .unionByName(updated.select(cols: _*).withColumn("change_type", lit("insert")))
+      .unionByName(updatedP.withColumn("change_type", lit("insert")))
     store.writeClustered(name,
-      untouched.unionByName(updated.select(cols: _*)),
+      untouched.unionByName(updatedP),
       Seq("emit_key"), Some(delta))
-    tagged.unpersist()
+    tagged.unpersist(); updatedP.unpersist()
     (post, this)
   }
 }

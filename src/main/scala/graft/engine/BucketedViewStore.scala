@@ -251,11 +251,15 @@ final class BucketedViewStore(
 
   /** Epochs currently addressable by [[dfAsOf]]: the live epoch plus up
     * to [[graceVersions]] predecessors whose manifests are retained (the
-    * per-bucket grace copies guarantee their data paths still exist). */
+    * per-bucket grace copies guarantee their data paths still exist).
+    * The live epoch is always readable even without a history file — a
+    * store written before manifest history existed has no `e<N>` files
+    * until its next write, and its current state must still be
+    * addressable (dfAsOf falls back to the live `_MANIFEST`). */
   def readableEpochs(name: String): Seq[Int] = {
     val e = epoch(name)
     (math.max(0, e - graceVersions) to e)
-      .filter(k => Files.exists(manifestsRoot(name).resolve(s"e$k")))
+      .filter(k => k == e || Files.exists(manifestsRoot(name).resolve(s"e$k")))
   }
 
   /** Snapshot (time-travel) read of a retained epoch — the bucketed
@@ -266,11 +270,17 @@ final class BucketedViewStore(
     require(readableEpochs(name).contains(atEpoch),
       s"view '$name' epoch $atEpoch not readable " +
         s"(retained: ${readableEpochs(name).mkString(",")})")
-    val m = Files.readAllLines(manifestsRoot(name).resolve(s"e$atEpoch"))
-      .asScala.filter(_.nonEmpty).map { line =>
-        val Array(kind, b, v) = line.split(":")
-        (kind, b.toInt) -> v.toInt
-      }.toMap
+    val hist = manifestsRoot(name).resolve(s"e$atEpoch")
+    // readableEpochs admits the live epoch without a history file (a store
+    // from before manifest history gains one on its next write); for it,
+    // the live _MANIFEST is exactly the epoch's manifest
+    val m =
+      if (Files.exists(hist))
+        Files.readAllLines(hist).asScala.filter(_.nonEmpty).map { line =>
+          val Array(kind, b, v) = line.split(":")
+          (kind, b.toInt) -> v.toInt
+        }.toMap
+      else manifest(name)
     val paths = m.collect { case ((k, b), v) if k == Emit => bucketPath(name, k, b, v) }.toSeq
     paths.foreach(p => require(Files.exists(Paths.get(p)),
       s"view '$name' epoch $atEpoch references GC'd bucket data at $p"))
@@ -307,6 +317,41 @@ final class BucketedViewStore(
 
   // ---- writes ------------------------------------------------------------
 
+  /** Single-writer contract (the reference's level-mutex analog,
+    * `index.js:114`), enforced atomically and UP FRONT: the refresh epoch
+    * is acquired by `CREATE_NEW`-creating a per-epoch claim marker before
+    * any data bytes are written, so two racers computing the same epoch
+    * cannot both proceed — exactly one `createFile` succeeds, and the
+    * loser fails before it can interleave staged files or clobber the
+    * manifest. (The previous check compared the manifest after the full
+    * bucket + sidecar write — a TOCTOU where both racers could pass.) */
+  private def claimEpoch(name: String, e: Long): Unit = {
+    Files.createDirectories(root(name))
+    val marker = root(name).resolve(s"_CLAIM.e$e")
+    try Files.createFile(marker)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        val cur = manifest(name).get((EpochKind, 0)).getOrElse(-1)
+        throw new IllegalStateException(
+          s"concurrent writer detected on view '$name': epoch $e is " +
+            s"already claimed (manifest epoch $cur). If the claiming " +
+            s"writer crashed before publishing, remove $marker and retry.")
+    }
+  }
+
+  /** Drop claim markers past the sidecar retention horizon — once an
+    * epoch's sidecar is reclaimed, its claim has no remaining purpose. */
+  private def gcOldClaims(name: String, currentEpoch: Long): Unit = {
+    val stream = Files.list(root(name))
+    try stream.iterator().forEachRemaining { c =>
+      val n = c.getFileName.toString
+      if (n.startsWith("_CLAIM.e") && n.drop(8).nonEmpty &&
+          n.drop(8).forall(_.isDigit) &&
+          n.drop(8).toLong <= currentEpoch - changeRetention)
+        Files.deleteIfExists(c)
+    } finally stream.close()
+  }
+
   private def withBuckets(emissions: DataFrame): DataFrame =
     emissions.withColumn("kb", bucketExpr(col("emit_key")))
 
@@ -330,6 +375,7 @@ final class BucketedViewStore(
     val m0 = manifest(name)
     val prevEpoch = m0.get((EpochKind, 0))
     val nextEpoch = prevEpoch.map(_ + 1).getOrElse(0)
+    claimEpoch(name, nextEpoch.toLong)
     val raw = withBuckets(index.emissions(source, nextEpoch.toLong))
     // rebuild writes the emission set twice (buckets + sidecar): pin uids
     // with an eager localCheckpoint (see MaterializedView.refresh); the
@@ -351,8 +397,9 @@ final class BucketedViewStore(
     if (prevEpoch.isEmpty) emissions.unpersist()
     else Checkpoints.free(emissions)
     writeManifest(name, m + ((EpochKind, 0) -> nextEpoch))
-    gcOldVersions(name, m)
+    gcOldVersions(name, all.map((Emit, _)) ++ all.map((Meta, _)), m)
     gcOldSidecars(name, nextEpoch.toLong)
+    gcOldClaims(name, nextEpoch.toLong)
   }
 
   /**
@@ -365,6 +412,14 @@ final class BucketedViewStore(
     import spark.implicits.newLongEncoder
     val name = index.name
     val m0 = manifest(name)
+    // epoch for cross-refresh uid uniqueness: a dedicated monotone counter
+    // in the manifest. (Deriving it from the max bucket version is NOT
+    // monotone — a refresh that touches only low-version buckets leaves
+    // the max unchanged, and the next refresh would reuse the epoch.)
+    // Claimed atomically BEFORE any work: a racer computing the same
+    // epoch fails here, not after both have interleaved staged writes.
+    val epoch = (m0.getOrElse((EpochKind, 0), -1) + 1).toLong
+    claimEpoch(name, epoch)
     val changed = {
       val up = index.touchedKeys(upserts)
       deleteKeys.map(d => up.union(d.toDF("src_key"))).getOrElse(up).distinct()
@@ -383,11 +438,6 @@ final class BucketedViewStore(
         .select(explode(col("emit_buckets")).as("kb"))
         .distinct().as[Long].collect().map(_.toInt).toSet
 
-    // epoch for cross-refresh uid uniqueness: a dedicated monotone counter
-    // in the manifest. (Deriving it from the max bucket version is NOT
-    // monotone — a refresh that touches only low-version buckets leaves
-    // the max unchanged, and the next refresh would reuse the epoch.)
-    val epoch = (m0.getOrElse((EpochKind, 0), -1) + 1).toLong
     // localCheckpoint, not cache: the batch feeds THREE writes (emit
     // buckets, meta, CDC sidecar) and uid must be identical in all of
     // them — see MaterializedView.refresh
@@ -436,14 +486,9 @@ final class BucketedViewStore(
 
     taggedOld.foreach(_.unpersist()); changed.unpersist()
     Checkpoints.free(newEmissions) // all three writes done — release the pin
-    // single-writer contract (the reference's level-mutex analog): a
-    // concurrent refresh that advanced the epoch while this one computed
-    // would be silently clobbered by the manifest swap — fail loudly
-    require(manifest(name).getOrElse((EpochKind, 0), -1) == epoch - 1,
-      s"concurrent writer detected on view '$name': expected to publish " +
-        s"epoch $epoch over ${epoch - 1}, but the manifest is now at " +
-        s"${manifest(name).getOrElse((EpochKind, 0), -1)}")
-    // 6: atomic manifest swap — readers see old or new snapshot, never a mix
+    // 6: atomic manifest swap — readers see old or new snapshot, never a
+    // mix. (Single-writer safety was established up front by claimEpoch —
+    // no racer holding a different epoch can reach this swap.)
     val dropped = (affected.map((Emit, _)) ++ metaBuckets.map((Meta, _))) --
       mEmit.keySet -- mMeta.keySet
     writeManifest(name,
@@ -453,21 +498,44 @@ final class BucketedViewStore(
     // (v-1) for readers that resolved the previous manifest and are still
     // scanning; delete everything older. Sidecars past the retention
     // horizon go with them.
-    gcOldVersions(name, mEmit ++ mMeta)
+    gcOldVersions(name, affected.map((Emit, _)) ++ metaBuckets.map((Meta, _)),
+      mEmit ++ mMeta)
     gcOldSidecars(name, epoch)
+    gcOldClaims(name, epoch)
     RefreshStats(affected.size, metaBuckets.size, numBuckets)
   }
 
-  /** Delete bucket version dirs older than `live - graceVersions` (the
-    * grace versions stay for in-flight readers of older snapshots). */
-  private def gcOldVersions(name: String, live: Map[(String, Int), Int]): Unit =
-    live.foreach { case ((kind, b), v) =>
-      var old = v - 1 - graceVersions
-      var p = Paths.get(bucketPath(name, kind, b, math.max(old, 0)))
-      while (old >= 0 && Files.exists(p)) {
-        deleteRecursively(p)
-        old -= 1
-        if (old >= 0) p = Paths.get(bucketPath(name, kind, b, old))
+  /** Delete superseded version dirs for every TOUCHED bucket, keeping
+    * [[graceVersions]] trailing copies for in-flight readers of older
+    * snapshots. Sweeps each touched bucket's parent directory listing —
+    * NOT the live manifest entries — because a bucket dropped from the
+    * manifest (went empty on this refresh or rebuild) still has old
+    * `v<N>` dirs on disk; keying deletion off live entries (the previous
+    * implementation) leaked those forever, one slow disk leak per emptied
+    * bucket. For a dropped bucket the grace horizon is measured from its
+    * highest on-disk version (the copy the previous manifest references). */
+  private def gcOldVersions(name: String, touched: Set[(String, Int)],
+      live: Map[(String, Int), Int]): Unit =
+    touched.foreach { case (kind, b) =>
+      val parent = Paths.get(bucketPath(name, kind, b, 0)).getParent
+      if (Files.exists(parent)) {
+        val versions = {
+          val stream = Files.list(parent)
+          try stream.iterator().asScala
+            .map(_.getFileName.toString)
+            .collect { case s if s.startsWith("v") && s.drop(1).nonEmpty &&
+              s.drop(1).forall(_.isDigit) => s.drop(1).toInt }
+            .toList
+          finally stream.close()
+        }
+        if (versions.nonEmpty) {
+          val horizon = live.get((kind, b)) match {
+            case Some(v) => v - 1 - graceVersions
+            case None    => versions.max - graceVersions
+          }
+          versions.filter(_ <= horizon)
+            .foreach(v => deleteRecursively(parent.resolve(s"v$v")))
+        }
       }
     }
 }

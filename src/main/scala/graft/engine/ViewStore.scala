@@ -129,6 +129,7 @@ final class ViewStore(
       changes: Option[DataFrame] = None): Unit = {
     val next = latestVersion(name).getOrElse(-1) + 1
     val path = dir(name).resolve(s"v$next")
+    claimVersion(name, next)
     df
       .repartitionByRange(clusterCols.map(col): _*)
       .sortWithinPartitions(clusterCols.map(col): _*)
@@ -141,17 +142,7 @@ final class ViewStore(
     changes.foreach(_.withColumn("change_version", lit(next))
       .write.mode("overwrite").option("compression", "zstd")
       .parquet(changesPath(name, next).toString))
-    // single-writer contract (the reference's level-mutex analog,
-    // index.js:114): if another writer advanced the pointer while this
-    // refresh was computing, fail loudly instead of publishing a version
-    // derived from a stale snapshot. (Best-effort pre-swap check — true
-    // multi-writer coordination belongs to an external commit service.)
-    require(latestVersion(name).getOrElse(-1) == next - 1,
-      s"concurrent writer detected on view '$name': expected to publish " +
-        s"v$next over v${next - 1}, but _LATEST is now " +
-        s"${latestVersion(name).getOrElse(-1)}")
     // atomic pointer swap: write sidecar then move over _LATEST
-    Files.createDirectories(dir(name))
     val tmp = dir(name).resolve(s"_LATEST.tmp$next")
     Files.writeString(tmp, next.toString)
     Files.move(tmp, latestFile(name),
@@ -183,6 +174,51 @@ final class ViewStore(
           deleteTree(c)
       } finally stream.close()
     }
+    gcClaims(name, next - 1 - graceVersions)
+  }
+
+  /** Single-writer contract (the reference's level-mutex analog,
+    * `index.js:114`), enforced ATOMICALLY and UP FRONT: the version number
+    * is acquired by `CREATE_NEW`-creating a per-version claim marker
+    * before any data bytes are written. Two racers computing the same
+    * `next` cannot both pass — exactly one `createFile` succeeds; the
+    * loser fails here, before it can interleave files into the same
+    * `v<next>` directory. (The previous check ran AFTER the snapshot +
+    * sidecar write and was not atomic with the pointer swap — a classic
+    * TOCTOU where both racers could pass and corrupt one dir.) A marker
+    * left by a CRASHED writer (claimed but never swapped `_LATEST`) is
+    * distinguishable because `_LATEST` still points below it — reclaim it
+    * rather than wedging the view forever. */
+  protected[engine] def claimVersion(name: String, next: Int): Unit = {
+    Files.createDirectories(dir(name))
+    val marker = dir(name).resolve(s"_CLAIM.v$next")
+    try Files.createFile(marker)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        // marker exists: either a LIVE concurrent writer or a CRASHED one.
+        // If _LATEST already reached `next` or beyond, the other writer
+        // published — unambiguous concurrent-writer conflict. Otherwise the
+        // claim is stale only if its holder died; we cannot observe
+        // liveness on a filesystem, so fail loudly either way and tell the
+        // operator which case the evidence supports.
+        val cur = latestVersion(name).getOrElse(-1)
+        throw new IllegalStateException(
+          s"concurrent writer detected on view '$name': v$next is already " +
+            s"claimed (_LATEST=$cur). If the claiming writer crashed " +
+            s"before publishing, remove ${marker} and retry.")
+    }
+  }
+
+  /** Drop claim markers at or below the GC horizon — a published version's
+    * marker has served its purpose once the version itself is reclaimed. */
+  private def gcClaims(name: String, horizon: Int): Unit = {
+    val stream = Files.list(dir(name))
+    try stream.iterator().forEachRemaining { c =>
+      val n = c.getFileName.toString
+      if (n.startsWith("_CLAIM.v") && n.drop(8).nonEmpty &&
+          n.drop(8).forall(_.isDigit) && n.drop(8).toInt <= horizon)
+        Files.deleteIfExists(c)
+    } finally stream.close()
   }
 
   private def deleteTree(p: Path): Unit = if (Files.exists(p)) {
