@@ -27,7 +27,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     val all = functions.Hashes.builders ++
       functions.Sketches.builders ++
       functions.VectorFunctions.builders ++
-      functions.Bloom.builders
+      functions.Bloom.builders ++
+      functions.BytewiseKey.builders
     all.foreach { case (name, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),

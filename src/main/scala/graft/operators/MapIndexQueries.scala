@@ -203,9 +203,44 @@ object MapIndexQueries {
       store
     })
 
+  /** Mixed-type (bytewise) keys — the reference's schema-free key model:
+    * LevelDB keys are arbitrary JSON ordered ACROSS types, null < false <
+    * true < numbers < strings < arrays (`index.js:4,118` keyEncoding
+    * bytewise; SURVEY §1.2). One index emits a key of a DIFFERENT JSON
+    * type per source row class, encoded by
+    * [[graft.functions.BytewiseKey]] into an order-preserving binary —
+    * the view is clustered on those bytes, so cross-type iteration order
+    * and range pruning both come from plain unsigned byte comparison. */
+  private def mixedCls = pmod(col("event_id"), lit(5))
+  // signed number domain so the double sign-flip encoding is exercised
+  private def mixedNum = (col("user_id") % 1000) - 500
+  private def mixedKeyJson =
+    when(mixedCls === 0, lit("null"))
+      .when(mixedCls === 1,
+        when(col("user_id") % 2 === 0, lit("false")).otherwise(lit("true")))
+      .when(mixedCls === 2, mixedNum.cast("string"))
+      .when(mixedCls === 3, concat(lit("\""), col("event_type"), lit("\"")))
+      .otherwise(concat(lit("[\""), col("event_type"), lit("\","),
+        mixedNum.cast("string"), lit("]")))
+  private def mixedKeyType =
+    when(mixedCls === 0, "null").when(mixedCls === 1, "bool")
+      .when(mixedCls === 2, "number").when(mixedCls === 3, "string")
+      .otherwise("array")
+
+  private val byMixedKey = MapIndex.columns("events_mixed_keys")(
+    col("event_id").cast("string"),
+    array(emit(call_function("bytewise_key", mixedKeyJson),
+      struct(mixedKeyType.as("key_type"), mixedKeyJson.as("key_repr")))))
+
+  private def mixedView(s: SparkSession, dir: String) = {
+    graft.functions.BytewiseKey.register(s)
+    Views.materialized(s, dir, byMixedKey)(Tables.events(s, dir))
+  }
+
   /** Build the stored views eagerly (write-time cost, SURVEY.md §4.1) so
     * bench timings measure the read path the reference architecture pays. */
   def prewarm(s: SparkSession, dir: String): Unit = {
+    mixedView(s, dir)
     flagView(s, dir)
     bucketView(s, dir)
     bucketedFlag(s, dir)
@@ -438,6 +473,28 @@ object MapIndexQueries {
           count(lit(1)).as("cnt"))
         .orderBy("emit_key")),
 
+    // mixed-type (bytewise) key collation: one index whose emitted keys
+    // span null/bool/number/string/array, stored as the order-preserving
+    // binary encoding. The scan's rank column is row_number over the RAW
+    // BYTE ORDER of the encoded keys; the oracle recomputes the same rank
+    // from the SEMANTIC cross-type order (type class, then value) — a
+    // hash match proves the encoding collates exactly like the
+    // reference's bytewise keys (index.js:4,118)
+    "mapindex_mixed_keys" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      mixedView(s, dir).df
+        .groupBy(col("emit_key"))
+        .agg(first(col("emit_value.key_type")).as("key_type"),
+          first(col("emit_value.key_repr")).as("key_repr"),
+          count(lit(1)).as("cnt"))
+        // distinct-key relation is small; the single-partition window is
+        // over grouped output, not the emission scan
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("emit_key"))).cast("long"))
+        .select("rank", "key_type", "key_repr", "cnt")
+        .orderBy("rank")
+    }),
+
     // a downstream view caught up purely by replaying the upstream CDC
     // feed (bootstrap from v0, replay (0,1] — upstream never re-read):
     // must equal a from-scratch recompute of the modified source
@@ -624,6 +681,37 @@ object MapIndexQueries {
         |       round(sum(l_extendedprice), 2) AS sum_value, count(*) AS cnt
         |FROM lineitem WHERE l_orderkey % 89 <> 0
         |GROUP BY 1 ORDER BY emit_key""".stripMargin,
+    // semantic cross-type order (type class, then value within class)
+    // recomputed in plain SQL: the ranks only hash-match if the binary
+    // encoding's byte order equals this order exactly
+    "mapindex_mixed_keys" ->
+      """WITH src AS (
+        |  SELECT event_id % 5 AS cls,
+        |         (user_id % 1000) - 500 AS num,
+        |         user_id % 2 = 0 AS iseven,
+        |         event_type AS et
+        |  FROM events),
+        |keys AS (
+        |  SELECT CASE cls WHEN 0 THEN 'null' WHEN 1 THEN 'bool' WHEN 2 THEN 'number'
+        |                  WHEN 3 THEN 'string' ELSE 'array' END AS key_type,
+        |         CASE cls WHEN 0 THEN 'null'
+        |                  WHEN 1 THEN CASE WHEN iseven THEN 'false' ELSE 'true' END
+        |                  WHEN 2 THEN CAST(num AS VARCHAR)
+        |                  WHEN 3 THEN '"' || et || '"'
+        |                  ELSE '["' || et || '",' || CAST(num AS VARCHAR) || ']' END AS key_repr,
+        |         CASE cls WHEN 0 THEN 0
+        |                  WHEN 1 THEN CASE WHEN iseven THEN 1 ELSE 2 END
+        |                  WHEN 2 THEN 3 WHEN 3 THEN 4 ELSE 5 END AS tord,
+        |         CASE WHEN cls = 2 THEN num END AS nord,
+        |         CASE WHEN cls IN (3, 4) THEN et END AS sord,
+        |         CASE WHEN cls = 4 THEN num END AS aord
+        |  FROM src),
+        |grouped AS (
+        |  SELECT key_type, key_repr, tord, nord, sord, aord, count(*) AS cnt
+        |  FROM keys GROUP BY ALL)
+        |SELECT row_number() OVER (ORDER BY tord, nord, sord, aord) AS rank,
+        |       key_type, key_repr, cnt
+        |FROM grouped ORDER BY rank""".stripMargin,
     "mapindex_changefeed" ->
       """WITH del AS (
         |  SELECT l_returnflag AS emit_key, l_extendedprice AS v FROM lineitem

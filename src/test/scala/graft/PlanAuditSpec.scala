@@ -143,6 +143,33 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("ReusedExchange"), s"posting exchange must be shared:\n$p")
   }
 
+  test("bytewise-encoded mixed-type keys: binary range predicates push into the scan") {
+    import org.apache.spark.sql.functions._
+    import graft.engine.{MapIndex, Tables, ViewStore}
+    import graft.functions.BytewiseKey
+    BytewiseKey.register(spark)
+    val store = ViewStore.temp(spark)
+    val idx = MapIndex.columns("mixed_push_audit")(
+      col("event_id").cast("string"),
+      array(MapIndex.emit(
+        call_function("bytewise_key",
+          when(col("event_id") % 3 === 0, lit("null"))
+            .when(col("event_id") % 3 === 1, (col("user_id") % 100).cast("string"))
+            .otherwise(concat(lit("\""), col("event_type"), lit("\"")))),
+        lit(1L))))
+    val v = idx.materialize(Tables.events(spark, sf), store)
+    // cross-type range [first number, first string): numbers only — the
+    // predicates are plain binary comparisons on the clustered emit_key,
+    // so they must reach the parquet scan like any string/long range
+    val scanned = v.scan(Some(BytewiseKey.encode("-1e308")),
+      Some(BytewiseKey.encode("\"\"")))
+    val n = scanned.count()
+    assert(n > 0, "range should cover the numeric keys")
+    val p = scanned.queryExecution.executedPlan.toString
+    assert(p.contains("GreaterThanOrEqual(emit_key"), s"lower bound must push down:\n$p")
+    assert(p.contains("LessThan(emit_key"), s"upper bound must push down:\n$p")
+  }
+
   test("sample_stratified and pipeline_mixture stay scan-local before one aggregation") {
     for (q <- Seq("sample_stratified", "pipeline_mixture")) {
       val p = finalPlan(q)
