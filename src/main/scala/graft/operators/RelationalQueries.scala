@@ -815,11 +815,33 @@ object RelationalQueries {
     // float summation would drift off the oracle.
     "events_hourly_streamed" -> ((s, dir) =>
       s.table(streamedHourlyTable(s, dir)).orderBy("hour", "event_type")),
+
+    // gap-based sessionization computed by the STATEFUL streaming path
+    // (flatMapGroupsWithState over time-ordered micro-batches — per-user
+    // open-session state crosses batch boundaries): the emitted closed
+    // sessions must aggregate to exactly what the batch lag-spelling
+    // (events_sessionize) computes, under the same hash gate
+    "events_sessionize_streamed" -> ((s, dir) => {
+      val (tbl, maxRealUs) = streamedSessionsTable(s, dir)
+      s.table(tbl)
+        // belt-and-braces: sessions born of the sentinel flush batch are
+        // never closed (nothing follows them), but filter by start time
+        // anyway so a future refactor cannot leak them into the gate
+        .filter(col("start_us") <= maxRealUs)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum("n_events").cast("long").as("n_events"))
+        .orderBy("user_id")
+    }),
   )
 
   /** Run the one-time streaming materialization up front (write-time
     * cost, like every stored view) so bench timings measure the read. */
-  def prewarm(s: SparkSession, dir: String): Unit = { streamedHourlyTable(s, dir); () }
+  def prewarm(s: SparkSession, dir: String): Unit = {
+    streamedHourlyTable(s, dir)
+    streamedSessionsTable(s, dir)
+    ()
+  }
 
   private val streamedHourly =
     scala.collection.concurrent.TrieMap.empty[String, String]
@@ -859,6 +881,76 @@ object RelationalQueries {
         .start()
       q.awaitTermination()
       tbl
+    })
+
+  private val streamedSessions =
+    scala.collection.concurrent.TrieMap.empty[String, (String, Long)]
+
+  /** Run the stateful sessionizer ([[graft.streaming.StatefulSessionizer]])
+    * once per corpus as a REAL multi-batch stream and serve the
+    * memory-sink table of closed sessions. The staging layout forces the
+    * state machinery to do actual cross-batch work: events are split into
+    * three time-ordered files consumed one per micro-batch
+    * (`maxFilesPerTrigger=1`), so most users' sessions span batches and
+    * live in `GroupState` between triggers. A final sentinel batch (one
+    * event per user, gap + 1 day past the corpus) closes every open
+    * session — Append mode then emits the COMPLETE session set, which is
+    * what lets a bounded replay match the batch oracle exactly; the
+    * sentinel's own open sessions are never emitted. Returns
+    * `(table, max real ts in µs)` for the gate's sentinel guard. */
+  private def streamedSessionsTable(s: SparkSession, dir: String): (String, Long) =
+    streamedSessions.getOrElseUpdate(s"$dir#${System.identityHashCode(s)}", {
+      import s.implicits._
+      import scala.jdk.CollectionConverters._
+      import graft.streaming.StatefulSessionizer
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      val (t0, t1) = ev.agg(min("ts_us"), max("ts_us")).as[(Long, Long)].head()
+      val stage = java.nio.file.Files.createTempDirectory("graft-sess-stream-")
+      val cut1 = t0 + (t1 - t0) / 3
+      val cut2 = t0 + 2 * (t1 - t0) / 3
+      val sentinelUs = t1 + (1800L + 86400L) * 1000000L
+      val batches = Seq(
+        ev.filter(col("ts_us") <= cut1),
+        ev.filter(col("ts_us") > cut1 && col("ts_us") <= cut2),
+        ev.filter(col("ts_us") > cut2),
+        ev.select(col("user_id")).distinct().withColumn("ts_us", lit(sentinelUs)))
+      batches.zipWithIndex.foreach { case (df, i) =>
+        // flat single-file layout with explicit, strictly increasing mod
+        // times: FileStreamSource orders batches by modification time, and
+        // correctness of the gap logic needs per-user time-ordered ARRIVAL
+        // across batches (within a batch the sessionizer sorts)
+        val tmp = stage.resolve(s"_w$i")
+        df.coalesce(1).write.parquet(tmp.toString)
+        val part = java.nio.file.Files.list(tmp).iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet"))
+          .getOrElse(throw new IllegalStateException(s"no parquet part in $tmp"))
+        val dest = stage.resolve(f"b$i%02d.parquet")
+        java.nio.file.Files.move(part, dest)
+        java.nio.file.Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(1000000L + i * 60000L))
+        val walk = java.nio.file.Files.walk(tmp)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => java.nio.file.Files.deleteIfExists(f))
+        finally walk.close()
+      }
+      val stream = s.readStream
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("user_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("ts_us",
+            org.apache.spark.sql.types.LongType))))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage.toString)
+        .as[StatefulSessionizer.Event]
+      val tbl = "events_sessionize_streamed_" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      val q = StatefulSessionizer.sessions(stream)
+        .writeStream.outputMode("append").format("memory").queryName(tbl)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      (tbl, t1)
     })
 
   val oracle: Map[String, String] = Map(
@@ -1249,6 +1341,19 @@ object RelationalQueries {
         |  FROM x)
         |SELECT user_id, CAST(max(sess) AS BIGINT) AS n_sessions, count(*) AS n_events
         |FROM y GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // the stateful streaming sessionizer must land the SAME session set
+    // as the batch lag spelling (sessions break on gap > 30 min)
+    "events_sessionize_streamed" ->
+      """WITH x AS (
+        |  SELECT user_id, ts, event_id,
+        |         CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |               OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |                  > 1800000000
+        |              THEN 1 ELSE 0 END AS is_start
+        |  FROM events)
+        |SELECT user_id, CAST(sum(is_start) AS BIGINT) AS n_sessions,
+        |       count(*) AS n_events
+        |FROM x GROUP BY user_id ORDER BY user_id""".stripMargin,
     // session_window semantics: new session when the gap is >= 30 min
     // (touching [ts, ts+gap) windows do not merge)
     "events_session_window" ->
