@@ -48,10 +48,29 @@ final class BucketedViewStore(
       * version independently), so sidecar life is a consumer-lag budget,
       * not a snapshot tie-in: a cascaded consumer may lag up to this many
       * refreshes before its replay range is reclaimed (fail-loud). */
-    val changeRetention: Int = 8) extends Serializable {
+    val changeRetention: Int = 8,
+    /** RANGE-partitioned mode: `numBuckets - 1` sorted boundary keys.
+      * Bucket `i` holds keys in `[boundary(i-1), boundary(i))` (string
+      * order, first bucket unbounded below, last unbounded above), so an
+      * O6 range scan prunes to the COVERING buckets — the partition-level
+      * pruning hash layout structurally cannot give a range (it only
+      * prunes point/prefix lookups). Everything else — meta back-pointers
+      * (always hash-bucketed on src_key), staged writes, manifest, CDC
+      * sidecars, epochs, GC — is layout-independent and unchanged. At
+      * 100 TB the boundaries come from a sample quantile pass (the same
+      * way repartitionByRange picks them); they are fixed per store, so a
+      * drifting key distribution is rebalanced by re-materializing into a
+      * new store, not by splitting live buckets. */
+    val rangeBoundaries: Option[Seq[String]] = None) extends Serializable {
 
   require(graceVersions >= 0, s"graceVersions must be >= 0, got $graceVersions")
   require(changeRetention >= 1, s"changeRetention must be >= 1, got $changeRetention")
+  rangeBoundaries.foreach { bs =>
+    require(bs.size == numBuckets - 1,
+      s"range mode needs numBuckets - 1 = ${numBuckets - 1} boundaries, got ${bs.size}")
+    require(bs == bs.sorted && bs.distinct.size == bs.size,
+      s"range boundaries must be strictly increasing, got $bs")
+  }
 
   import BucketedViewStore._
 
@@ -78,8 +97,28 @@ final class BucketedViewStore(
     spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
   }
 
-  private def bucketExpr(key: Column): Column =
+  private def hashBucketExpr(key: Column): Column =
     pmod(xxhash64(key.cast("string")), lit(numBuckets))
+
+  /** Emit-bucket assignment: hash, or boundary count in range mode
+    * (`bucket = #{boundaries <= key}` — a short codegen'd add chain;
+    * string `>=` is UTF8 byte order, mirrored by [[rangeBucketOf]]). */
+  private def emitBucketExpr(key: Column): Column = rangeBoundaries match {
+    case None => hashBucketExpr(key)
+    case Some(bs) =>
+      bs.map(b => when(key.cast("string") >= lit(b), 1L).otherwise(0L))
+        .reduce(_ + _)
+  }
+
+  /** Meta back-pointers are ALWAYS hash-bucketed: src_key lookups are
+    * point-wise (the changed-key set of a refresh), never ranged. */
+  private def metaBucketExpr(key: Column): Column = hashBucketExpr(key)
+
+  /** JVM mirror of the emit-bucket assignment (scan pruning, get). */
+  private def emitBucketOf(key: Any): Int = rangeBoundaries match {
+    case None => bucketOf(key, numBuckets)
+    case Some(bs) => rangeBucketOf(key, bs)
+  }
 
   // ---- manifest ----------------------------------------------------------
 
@@ -290,22 +329,35 @@ final class BucketedViewStore(
 
   /** Ordered range scan with `[start, end)` semantics (O6 parity on the
     * bucketed layout). Hash bucketing cannot prune whole buckets by key
-    * range, but every bucket's files are sorted by `(emit_key, uid)`, so
-    * the pushed range predicates prune row groups inside each bucket. */
+    * range — every bucket is read and the pushed range predicates prune
+    * row groups inside each `(emit_key, uid)`-sorted bucket. RANGE
+    * bucketing ([[rangeBoundaries]]) additionally prunes to the COVERING
+    * buckets before any file is opened: the buckets from the one holding
+    * `start` through the one holding `end` (the end bucket still holds
+    * keys below the exclusive bound), so a narrow scan touches O(1)
+    * bucket directories instead of all of them. */
   def scan(name: String, start: Option[Any] = None, end: Option[Any] = None): DataFrame = {
+    val covering: Option[Set[Int]] = rangeBoundaries.map { _ =>
+      val lo = start.map(emitBucketOf).getOrElse(0)
+      val hi = end.map(emitBucketOf).getOrElse(numBuckets - 1)
+      (lo to hi).toSet
+    }
+    val paths = livePaths(name, Emit, covering)
+    val src = if (paths.isEmpty) emptyDf(name) else spark.read.parquet(paths: _*)
     val base = (start, end) match {
       case (Some(s), Some(e)) =>
-        df(name).filter(col("emit_key") >= lit(s) && col("emit_key") < lit(e))
-      case (Some(s), None) => df(name).filter(col("emit_key") >= lit(s))
-      case (None, Some(e)) => df(name).filter(col("emit_key") < lit(e))
-      case (None, None)    => df(name)
+        src.filter(col("emit_key") >= lit(s) && col("emit_key") < lit(e))
+      case (Some(s), None) => src.filter(col("emit_key") >= lit(s))
+      case (None, Some(e)) => src.filter(col("emit_key") < lit(e))
+      case (None, None)    => src
     }
     base.orderBy("emit_key", "uid")
   }
 
-  /** Point lookup pruned to the single bucket that can hold the key. */
+  /** Point lookup pruned to the single bucket that can hold the key
+    * (hash in hash mode; boundary binary-search in range mode). */
   def get(name: String, key: Any): DataFrame = {
-    val b = bucketOf(key, numBuckets)
+    val b = emitBucketOf(key)
     manifest(name).get((Emit, b)) match {
       case None => df(name).filter(lit(false)).select("emit_value")
       case Some(v) =>
@@ -353,12 +405,12 @@ final class BucketedViewStore(
   }
 
   private def withBuckets(emissions: DataFrame): DataFrame =
-    emissions.withColumn("kb", bucketExpr(col("emit_key")))
+    emissions.withColumn("kb", emitBucketExpr(col("emit_key")))
 
   private def metaOf(emissions: DataFrame): DataFrame =
     emissions.groupBy(col("src_key"))
       .agg(collect_set(col("kb")).as("emit_buckets"))
-      .withColumn("mb", bucketExpr(col("src_key")))
+      .withColumn("mb", metaBucketExpr(col("src_key")))
       // stagedWrite sorts on these; give meta rows compatible columns
       .withColumn("emit_key", col("src_key"))
       .withColumn("uid", lit(0L))
@@ -423,7 +475,7 @@ final class BucketedViewStore(
     val changed = {
       val up = index.touchedKeys(upserts)
       deleteKeys.map(d => up.union(d.toDF("src_key"))).getOrElse(up).distinct()
-        .withColumn("mb", bucketExpr(col("src_key"))).cache()
+        .withColumn("mb", metaBucketExpr(col("src_key"))).cache()
     }
     val changedKeys = changed.select("src_key")
 
@@ -469,7 +521,7 @@ final class BucketedViewStore(
       if (oldMetaPaths.isEmpty) metaOf(newEmissions).limit(0)
       else spark.read.parquet(oldMetaPaths: _*)
         .join(broadcast(changedKeys), Seq("src_key"), "left_anti")
-        .withColumn("mb", bucketExpr(col("src_key")))
+        .withColumn("mb", metaBucketExpr(col("src_key")))
     val mMeta = stagedWrite(name, Meta,
       oldMetaKept.unionByName(metaOf(newEmissions)), "mb", metaBuckets, m0)
 
@@ -558,7 +610,25 @@ object BucketedViewStore {
     (((h % numBuckets) + numBuckets) % numBuckets).toInt
   }
 
+  /** JVM-side mirror of the range bucket expression: the count of
+    * boundaries at or below the key, compared exactly as Spark compares
+    * StringType (UTF8 byte order) so JVM pruning and Spark assignment
+    * can never disagree. Linear over B-1 boundaries — B is small (a
+    * directory fan-out), and this runs once per scan, not per row. */
+  def rangeBucketOf(key: Any, boundaries: Seq[String]): Int = {
+    val k = org.apache.spark.unsafe.types.UTF8String.fromString(String.valueOf(key))
+    boundaries.count(b =>
+      org.apache.spark.unsafe.types.UTF8String.fromString(b).compareTo(k) <= 0)
+  }
+
   def temp(spark: SparkSession, numBuckets: Int = 16): BucketedViewStore =
     new BucketedViewStore(spark,
       Files.createTempDirectory("graft-bucketed-").toString, numBuckets)
+
+  /** Fresh throwaway RANGE-partitioned store (boundaries define the
+    * bucket count). */
+  def tempRange(spark: SparkSession, boundaries: Seq[String]): BucketedViewStore =
+    new BucketedViewStore(spark,
+      Files.createTempDirectory("graft-rangebucketed-").toString,
+      numBuckets = boundaries.size + 1, rangeBoundaries = Some(boundaries))
 }

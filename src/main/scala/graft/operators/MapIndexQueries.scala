@@ -46,6 +46,20 @@ object MapIndexQueries {
       st
     })
 
+  /** The same index RANGE-bucketed (boundaries on the flag domain): an O6
+    * range scan prunes to covering buckets — the partition-level pruning
+    * the hash layout cannot give a range. Boundaries N,R,S put each live
+    * flag (A/N/R) in its own bucket, so the [A,N) scan below provably
+    * skips R's bucket (PlanAuditSpec asserts the path count). */
+  private val rangeBucketedStores =
+    scala.collection.concurrent.TrieMap.empty[String, graft.engine.BucketedViewStore]
+  private def rangeBucketedFlag(s: SparkSession, dir: String): graft.engine.BucketedViewStore =
+    rangeBucketedStores.getOrElseUpdate(dir, {
+      val st = graft.engine.BucketedViewStore.tempRange(s, Seq("N", "R", "S"))
+      st.materialize(byFlag, Tables.lineitem(s, dir))
+      st
+    })
+
   private def bucketView(s: SparkSession, dir: String) =
     Views.cached(dir, byBucket.name) {
       Views.materialized(s, dir, byOrder)(Tables.lineitem(s, dir))
@@ -241,6 +255,7 @@ object MapIndexQueries {
     * bench timings measure the read path the reference architecture pays. */
   def prewarm(s: SparkSession, dir: String): Unit = {
     mixedView(s, dir)
+    rangeBucketedFlag(s, dir)
     flagView(s, dir)
     bucketView(s, dir)
     bucketedFlag(s, dir)
@@ -308,6 +323,19 @@ object MapIndexQueries {
       bucketedFlag(s, dir).scan(byFlag.name, Some("A"), Some("N"))
         .select("emit_key", "emit_value")
         .orderBy("emit_key", "emit_value")),
+
+    // O6 over the RANGE-bucketed store: same [start, end) answer as the
+    // hash-bucketed scan, but served from only the covering buckets —
+    // R's bucket is never opened (plan-asserted in PlanAuditSpec)
+    "mapindex_rangebucketed_scan" -> ((s, dir) =>
+      rangeBucketedFlag(s, dir).scan(byFlag.name, Some("A"), Some("N"))
+        .select("emit_key", "emit_value")
+        .orderBy("emit_key", "emit_value")),
+
+    // O8 on the range layout: the boundary binary-search prunes the point
+    // lookup to one bucket, like the hash layout's bucketOf
+    "mapindex_rangebucketed_get" -> ((s, dir) =>
+      rangeBucketedFlag(s, dir).get(byFlag.name, "R").orderBy("emit_value")),
 
     // snapshot read of the bucketed store one epoch back: the aggview
     // fixture's refresh moved the view to epoch 1, and dfAsOf(0) must
@@ -550,6 +578,13 @@ object MapIndexQueries {
       """SELECT event_type AS emit_key, count(*) AS cnt
         |FROM events WHERE event_type LIKE 'p%'
         |GROUP BY 1 ORDER BY emit_key""".stripMargin,
+    "mapindex_rangebucketed_scan" ->
+      """SELECT l_returnflag AS emit_key, l_extendedprice AS emit_value
+        |FROM lineitem WHERE l_returnflag >= 'A' AND l_returnflag < 'N'
+        |ORDER BY emit_key, emit_value""".stripMargin,
+    "mapindex_rangebucketed_get" ->
+      """SELECT l_extendedprice AS emit_value FROM lineitem
+        |WHERE l_returnflag = 'R' ORDER BY emit_value""".stripMargin,
     // the pre-refresh snapshot: the unmodified source, grouped
     "mapindex_bucketed_asof" ->
       """SELECT l_returnflag AS emit_key, round(sum(l_extendedprice), 2) AS sum_value,

@@ -234,6 +234,35 @@ class BucketedStoreSpec extends AnyFunSuite with SparkSpec {
     assert(store.scan(one.name, Some("c")).count() === 2)
   }
 
+  test("range-bucketed store: scan prunes to covering buckets; refresh/get/CDC unchanged") {
+    // boundaries c,e,g → buckets [<c], [c,e), [e,g), [>=g]
+    val store = BucketedViewStore.tempRange(spark, Seq("c", "e", "g"))
+    val one = MapIndex.columns("bstore_range")(col("key"),
+      array(emit(col("key"), col("v"))))
+    store.materialize(one,
+      Seq("a" -> 1, "b" -> 2, "d" -> 4, "f" -> 6, "h" -> 8).toDF("key", "v"))
+    // bucket assignment mirrors: the scan's path set is the covering range
+    assert(BucketedViewStore.rangeBucketOf("a", Seq("c", "e", "g")) === 0)
+    assert(BucketedViewStore.rangeBucketOf("d", Seq("c", "e", "g")) === 1)
+    assert(BucketedViewStore.rangeBucketOf("g", Seq("c", "e", "g")) === 3)
+    // [b, e) covers buckets 0..1 only — bucket 2 (f) and 3 (h) unopened
+    val scanned = store.scan(one.name, Some("b"), Some("e"))
+    assert(scanned.select("emit_key").as[String].collect().toSeq === Seq("b", "d"))
+    val files = scanned.queryExecution.executedPlan.toString
+    val kb = "kb=\\d+".r.findAllIn(files).map(_.drop(3).toInt).toSet
+    assert(kb.subsetOf(Set(0, 1)), s"scan must only open covering buckets, saw $kb")
+    // point lookup prunes to exactly one bucket via the boundary search
+    assert(store.get(one.name, "f").as[Int].collect().toSeq === Seq(6))
+    // the layout-independent machinery holds: partition-scoped refresh,
+    // overwrite semantics, CDC sidecar
+    val stats = store.refresh(one, Seq("d" -> 40).toDF("key", "v"))
+    assert(stats.emitBucketsRewritten === 1, "one key in one range bucket")
+    assert(store.get(one.name, "d").as[Int].collect().toSeq === Seq(40))
+    val feed = store.changesBetween(one.name, 0, 1)
+      .select("change_type", "emit_key").as[(String, String)].collect().toSet
+    assert(feed === Set("delete" -> "d", "insert" -> "d"))
+  }
+
   test("tombstone removes the key from data and meta; get returns empty") {
     val store = BucketedViewStore.temp(spark, numBuckets = 8)
     store.materialize(idx, rows(20).toDF("key", "v"))

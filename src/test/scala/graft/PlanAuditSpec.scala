@@ -84,6 +84,22 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("StringStartsWith(emit_key,p"), s"prefix pushdown missing:\n$p")
   }
 
+  test("mapindex_rangebucketed_scan: narrow range reads only covering buckets") {
+    val df = SparkEntry.queries("mapindex_rangebucketed_scan")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // lineitem flags are A/N/R in three separate range buckets; the [A,N)
+    // scan must open the A and N buckets and NEVER touch R's — fewer
+    // bucket paths than the view has live, the prune hash layout can't do
+    val kbPaths = "kb=\\d+".r.findAllIn(p).map(_.drop(3).toInt).toSet
+    assert(kbPaths.nonEmpty && kbPaths.size < 3,
+      s"expected a strict subset of the 3 live buckets, saw $kbPaths:\n$p")
+    assert(!kbPaths.contains(2), s"R's bucket (kb=2) must be pruned, saw $kbPaths:\n$p")
+    // and the row-group pruning predicates still reach the scan
+    assert(p.contains("GreaterThanOrEqual(emit_key"), s"range pushdown missing:\n$p")
+    assert(p.contains("LessThan(emit_key"), s"upper bound pushdown missing:\n$p")
+  }
+
   test("mapindex_bucketed_scan: range predicates push into the bucket files") {
     // hash layout cannot prune whole buckets by range, so the row-group
     // pruning inside each (emit_key, uid)-sorted bucket is the read bound
