@@ -61,10 +61,20 @@ final class BucketedViewStore(
       * way repartitionByRange picks them); they are fixed per store, so a
       * drifting key distribution is rebalanced by re-materializing into a
       * new store, not by splitting live buckets. */
-    val rangeBoundaries: Option[Seq[String]] = None) extends Serializable {
+    val rangeBoundaries: Option[Seq[String]] = None,
+    /** shuffle salt for staged writes: a bucket's rewrite is split across
+      * up to this many tasks (and files). Without it `repartition(bcol)`
+      * gives ONE task per touched bucket, so a single hot bucket
+      * serializes its whole rewrite — at large B with skewed keys that
+      * task is the refresh's critical path. Each salted task still sorts
+      * its slice by `(emit_key, uid)`, so per-file min/max pruning is
+      * unchanged; reads never see the salt (partitionBy folds the slices
+      * into one bucket directory). */
+    val writeSalt: Int = 4) extends Serializable {
 
   require(graceVersions >= 0, s"graceVersions must be >= 0, got $graceVersions")
   require(changeRetention >= 1, s"changeRetention must be >= 1, got $changeRetention")
+  require(writeSalt >= 1, s"writeSalt must be >= 1, got $writeSalt")
   rangeBoundaries.foreach { bs =>
     require(bs.size == numBuckets - 1,
       s"range mode needs numBuckets - 1 = ${numBuckets - 1} boundaries, got ${bs.size}")
@@ -176,7 +186,12 @@ final class BucketedViewStore(
   private def stagedWrite(name: String, kind: String, df: DataFrame, bcol: String,
       expected: Set[Int], prev: Map[(String, Int), Int]): Map[(String, Int), Int] = {
     val staging = root(name).resolve(s"_stage_${kind}_${System.nanoTime()}")
-    df.repartition(col(bcol))
+    // salt the shuffle so a hot bucket's rewrite parallelizes across up to
+    // writeSalt tasks instead of serializing in one; (uid, src_key) spreads
+    // even a single key's emissions (uid is per-row) and the uid=0 meta
+    // rows (src_key is per-row there)
+    df.repartition(col(bcol),
+        pmod(xxhash64(col("uid"), col("src_key")), lit(writeSalt)))
       .sortWithinPartitions(bcol, "emit_key", "uid")
       .write.partitionBy(bcol).option("compression", "zstd").parquet(staging.toString)
     val out = scala.collection.mutable.Map.empty[(String, Int), Int]
@@ -261,6 +276,12 @@ final class BucketedViewStore(
       spark.read.parquet(p.toString)
     }.reduce(_.unionByName(_))
   }
+
+  /** Netted change feed over `(fromEpoch, toEpoch]` — final-state-only
+    * consumers; see [[MaterializedView.netChanges]] for the telescoping
+    * argument. Cascaded consumers keep using [[changesBetween]]. */
+  def changesNetBetween(name: String, fromEpoch: Int, toEpoch: Int): DataFrame =
+    MaterializedView.netChanges(changesBetween(name, fromEpoch, toEpoch))
 
   /** Reclaim sidecars at or below the retention horizon. Sweeps the
     * `_changes/` listing independently of any other state, so a sidecar

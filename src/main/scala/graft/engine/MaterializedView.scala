@@ -28,6 +28,11 @@ final class MaterializedView(
   def changesBetween(fromVersion: Int, toVersion: Int): DataFrame =
     store.changesBetween(index.name, fromVersion, toVersion)
 
+  /** Netted change feed — final-state-only consumers; see
+    * [[MaterializedView.netChanges]]. */
+  def changesNetBetween(fromVersion: Int, toVersion: Int): DataFrame =
+    MaterializedView.netChanges(changesBetween(fromVersion, toVersion))
+
   /**
    * Ordered range scan (O6, `index.js:124-138`), with the reference's
    * *intended* `[start, end)` semantics — v0.5.1's `end` option is broken
@@ -183,6 +188,41 @@ object MaterializedView {
         sort_array(collect_list(struct(col("uid").as("u"),
           struct(col("emit_key"), col("emit_value")).as("e")))),
         x => x("e")).as("value"))
+
+  /**
+   * Net (last-writer-wins) resolution of a gross CDC range, for consumers
+   * that want FINAL state over a long range rather than every intermediate
+   * retraction: replaying the result against the range's starting snapshot
+   * lands exactly on its ending snapshot, in O(net delta) rows instead of
+   * O(Σ per-version deltas).
+   *
+   * Per source key the gross log telescopes — a refresh retracts a changed
+   * key WHOLESALE, so the deletes at the key's FIRST touching version are
+   * its start-of-range rows, the inserts at its LAST touching version are
+   * its end-of-range rows, and every intermediate insert is cancelled by
+   * the next touching version's delete. Keeping exactly those two slices
+   * nets the log: a key born mid-range contributes inserts only (no
+   * first-version delete exists), a key tombstoned at the end contributes
+   * deletes only, and a key born AND tombstoned inside the range vanishes
+   * entirely. Cascaded consumers must keep using the gross feed — netting
+   * loses the intermediate retractions they replay.
+   *
+   * Scale shape: ONE shuffle by `src_key` — the per-key version bounds are
+   * whole-partition window aggregates over the gross feed itself, so there
+   * is no second relation to join (a groupBy+join spelling would either
+   * broadcast an unbounded delta-sized bounds table or shuffle twice). No
+   * snapshot is read.
+   */
+  def netChanges(gross: DataFrame): DataFrame = {
+    val perKey = org.apache.spark.sql.expressions.Window.partitionBy("src_key")
+    gross
+      .withColumn("_first", min("change_version").over(perKey))
+      .withColumn("_last", max("change_version").over(perKey))
+      .filter(
+        (col("change_type") === "delete" && col("change_version") === col("_first")) ||
+        (col("change_type") === "insert" && col("change_version") === col("_last")))
+      .drop("_first", "_last")
+  }
 
   /** Resolve a gross CDC delta (`change_type`/`change_version`-tagged
     * emission rows from either store's `changesBetween`) into the inputs

@@ -104,6 +104,12 @@ final class ViewStore(
     }.reduce(_.unionByName(_))
   }
 
+  /** Netted change feed over `(fromVersion, toVersion]` — final-state-only
+    * consumers; see [[MaterializedView.netChanges]] for the telescoping
+    * argument. Cascaded consumers keep using [[changesBetween]]. */
+  def changesNetBetween(name: String, fromVersion: Int, toVersion: Int): DataFrame =
+    MaterializedView.netChanges(changesBetween(name, fromVersion, toVersion))
+
   /**
    * Write `emissions` as the next version of the view, clustered by
    * `emit_key`: `repartitionByRange` gives disjoint key ranges per file

@@ -263,6 +263,42 @@ class BucketedStoreSpec extends AnyFunSuite with SparkSpec {
     assert(feed === Set("delete" -> "d", "insert" -> "d"))
   }
 
+  test("salted staged write splits a hot bucket across tasks; reads unchanged") {
+    import scala.jdk.CollectionConverters._
+    val store = new BucketedViewStore(spark,
+      java.nio.file.Files.createTempDirectory("graft-salt-").toString,
+      numBuckets = 4, writeSalt = 8)
+    // every source key emits under ONE emit_key: the whole view lands in a
+    // single hot bucket, the shape where an unsalted write serializes
+    val hot = MapIndex.columns("bstore_hot")(col("key"),
+      array(emit(lit("hot"), col("v"))))
+    // test data is tiny, so AQE would (correctly) coalesce the salted
+    // shuffle back to one partition — at scale a hot bucket exceeds the
+    // advisory size and keeps its salted split; pin coalescing off here
+    // so that split is observable at test size
+    val coalesce0 = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try store.materialize(hot, (0 until 4000).map(i => s"k$i" -> i).toDF("key", "v"))
+    finally spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", coalesce0)
+    val b = BucketedViewStore.bucketOf("hot", 4)
+    val m = store.manifest(hot.name)
+    val dir = java.nio.file.Paths.get(store.baseDir, hot.name,
+      s"kb=$b", s"v${m(("emit", b))}")
+    val files = java.nio.file.Files.list(dir)
+    val parts = try files.iterator().asScala
+      .count(_.getFileName.toString.endsWith(".parquet"))
+    finally files.close()
+    assert(parts > 1, s"hot bucket must be written by >1 task, saw $parts file(s)")
+    // results identical to the unsalted contract: all rows, ordered get
+    assert(store.df(hot.name).count() === 4000)
+    assert(store.get(hot.name, "hot").count() === 4000)
+    assert(store.scan(hot.name, Some("hot"), None).count() === 4000)
+    // refresh through the salted path keeps overwrite semantics
+    store.refresh(hot, Seq("k7" -> 999999).toDF("key", "v"))
+    assert(store.get(hot.name, "hot").as[Int].collect().max === 999999)
+    assert(store.df(hot.name).count() === 4000)
+  }
+
   test("tombstone removes the key from data and meta; get returns empty") {
     val store = BucketedViewStore.temp(spark, numBuckets = 8)
     store.materialize(idx, rows(20).toDF("key", "v"))

@@ -185,6 +185,47 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("net change-feed replay equals the snapshot diff over random histories") {
+    import graft.engine.MaterializedView
+    // retain every version + sidecar for the whole history so the full
+    // (0, last] range stays addressable
+    val store = new ViewStore(spark,
+      java.nio.file.Files.createTempDirectory("graft-net-").toString,
+      graceVersions = 12)
+    val nidx = MapIndex.columns("net_replay")(col("key"),
+      array(emit(col("key"), col("v"))))
+    val batchGen = Gen.zip(
+      Gen.listOfN(4, Gen.zip(keyGen, Gen.choose(0, 99))), // upserts
+      Gen.someOf(Seq("a", "b", "c", "d")))                // tombstones
+    var view = nidx.materialize(
+      Seq("a" -> 1, "b" -> 2, "c" -> 3).toDF("key", "v"), store)
+    (1 to 5).foreach { i =>
+      val (ups, dels) = sample(batchGen, 900L + i)
+      // a key both upserted and tombstoned in one batch: tombstone wins
+      // in the refresh contract only if the upsert doesn't re-emit it —
+      // keep the history unambiguous by excluding tombstoned keys
+      val cleanUps = ups.filterNot { case (k, _) => dels.contains(k) }
+      view = view.refresh(cleanUps.toDF("key", "v"),
+        Some(dels.toSeq.toDF("src_key")))
+    }
+    val last = store.latestVersion(nidx.name).get
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(String, String, Int, Long)] =
+      df.select("src_key", "emit_key", "emit_value", "uid")
+        .as[(String, String, Int, Long)].collect().toSet
+    val s0 = rows(store.readVersion(nidx.name, 0))
+    val sN = rows(store.readVersion(nidx.name, last))
+    val net = store.changesNetBetween(nidx.name, 0, last)
+    val delUids = net.filter(col("change_type") === "delete")
+      .select("uid").as[Long].collect().toSet
+    val inserts = rows(net.filter(col("change_type") === "insert"))
+    // replay: start snapshot minus net deletes plus net inserts = end snapshot
+    assert(s0.filterNot(r => delUids.contains(r._4)) ++ inserts === sN)
+    // netting is real: no more rows than the gross feed, and a key touched
+    // twice contributes at most its first deletes + last inserts
+    val grossN = store.changesBetween(nidx.name, 0, last).count()
+    assert(net.count() <= grossN)
+  }
+
   test("error contracts: guards fail loud with actionable messages") {
     import graft.functions.{Sketches, VectorFunctions}
     Sketches.register(spark)
