@@ -1,9 +1,11 @@
 package graft.operators
 
+import scala.collection.concurrent.TrieMap
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.engine.Tables
+import graft.engine.{BucketedViewStore, MapIndex, Tables}
+import graft.engine.MapIndex.emit
 import graft.functions.VectorFunctions
 
 /**
@@ -159,7 +161,11 @@ object SimilarityQueries {
   /** Train the IVF quantizer up front — index-build cost, not query cost,
     * the same compute-on-write stance as the stored map views (an IVF
     * index in production is fit once at ingest and served thereafter). */
-  def prewarm(s: SparkSession, dir: String): Unit = { ivfCentroidsFor(s, dir); () }
+  def prewarm(s: SparkSession, dir: String): Unit = {
+    ivfCentroidsFor(s, dir)
+    ivfCellsView(s, dir)
+    ()
+  }
 
   /** Train the IVF coarse quantizer: Lloyd's algorithm with the centroid
     * model collected to the driver each round. This is the
@@ -218,6 +224,113 @@ object SimilarityQueries {
     * ties toward the lower cell id. */
   private def assignExpr(cents: Array[Array[Double]]): Column =
     array_min(cellScores(cents, col("v"))).getField("idx")
+
+  // ---------------------------------------------------------------------
+  // Persisted, incrementally-maintained IVF index
+  // ---------------------------------------------------------------------
+
+  /** Changed-corpus-fraction threshold above which the coarse quantizer is
+    * re-fit and the cell view fully re-materialized. Below it the
+    * centroids stay put and ONLY the changed vectors flow through the
+    * map-view refresh path — the quantizer is model parameters, not data,
+    * and a small corpus delta cannot move cell means enough to matter
+    * (each centroid is an average over ~n/cells vectors). This is what
+    * makes maintenance O(delta): a 100 TB corpus absorbing a 1 % daily
+    * change re-buckets 1 % of its vectors, not all of them. */
+  private val RefitDriftBound = 0.25
+
+  /** The IVF index PERSISTED as a bucketed map view: cell id = emit key,
+    * `(vec_id, v, norm)` = emit value. `get(cell)` is then a single-bucket
+    * pruned read of one posting list, and maintenance (reassigning changed
+    * vectors, dropping deleted ones) is the store's ordinary refresh —
+    * CDC sidecars, epoch snapshots and the concurrent-writer guard come
+    * for free. The assignment expression bakes the trained centroids in,
+    * so a refresh reassigns upserted vectors with EXACTLY the quantizer
+    * the stored cells were built with. */
+  private def ivfIdx(cents: Array[Array[Double]]): MapIndex =
+    MapIndex.columns("emb_ivf_cells")(
+      col("vec_id").cast("string"),
+      array(emit(assignExpr(cents).cast("string"),
+        struct(col("vec_id"), col("v"), col("norm")))))
+
+  /** Deterministic corpus change batch for the incremental-index query,
+    * mirrored exactly by the DuckDB oracle: `%37` vectors rewritten to
+    * their REVERSAL (norm-preserving, so the vector moves cells without
+    * changing length), `%41` tombstoned. Returns (upserts, deleteKeys). */
+  private def embChangeBatch(e: DataFrame): (DataFrame, DataFrame) = (
+    e.filter(col("vec_id") % 37 === 0 && col("vec_id") % 41 =!= 0)
+      .withColumn("v", reverse(col("v"))), // reversal preserves norm
+    e.filter(col("vec_id") % 41 === 0)
+      .select(col("vec_id").cast("string").as("src_key")).distinct())
+
+  /** The embeddings corpus AFTER the change batch — what a fresh (non-
+    * incremental) index would be built from; ground truth for the
+    * incremental query's recall invariant. */
+  private def modifiedEmb(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir)
+      .filter(col("vec_id") % 41 =!= 0)
+      .withColumn("v",
+        when(col("vec_id") % 37 === 0, reverse(col("v"))).otherwise(col("v")))
+
+  /** Per-JVM cache of the maintained IVF cell view and the centroids it
+    * is currently serving with (they diverge from [[ivfCentroidsFor]]'s
+    * train-time model only when a drift re-fit fired). */
+  private val ivfViews = TrieMap.empty[String, (BucketedViewStore, Array[Array[Double]])]
+
+  /** Build the persisted cell view on the ORIGINAL corpus, then push the
+    * deterministic change batch through it. Drift gate: if the batch
+    * touches more than [[RefitDriftBound]] of the corpus the quantizer is
+    * re-fit on the modified corpus and the view fully re-materialized
+    * (same store, next epoch — CDC stays contiguous); otherwise only the
+    * changed vectors are reassigned, through the ordinary refresh path. */
+  private def ivfCellsView(s: SparkSession, dir: String): (BucketedViewStore, Array[Array[Double]]) =
+    ivfViews.getOrElseUpdate(dir, {
+      val store = BucketedViewStore.temp(s, numBuckets = 16)
+      val e = emb(s, dir)
+      val cents = ivfCentroidsFor(s, dir)
+      store.materialize(ivfIdx(cents), e)
+      val (ups, dels) = embChangeBatch(e)
+      // two count() actions over delta-sized frames — refresh-time cost,
+      // same order as the refresh itself
+      val changed = ups.count() + dels.count()
+      if (changed > e.count() * RefitDriftBound) {
+        val m = modifiedEmb(s, dir)
+        val refit = ivfCentroids(m)
+        store.materialize(ivfIdx(refit), m)
+        (store, refit)
+      } else {
+        store.refresh(ivfIdx(cents), ups, Some(dels))
+        (store, cents)
+      }
+    })
+
+  /** IVF ANN top-k served from the PERSISTED, incrementally-maintained
+    * cell view (vs [[ivfTopKPairs]]'s per-session assignment). The probed
+    * cell ids are collected to the driver — bounded by the cell count
+    * (≤ [[MaxCells]]), model-sized like the centroids themselves — so the
+    * resulting In-filter is PUSHED to the stored cells' parquet scan and
+    * the search reads only the probed posting lists, not the corpus. */
+  def ivfTopKFromView(s: SparkSession, dir: String): DataFrame = {
+    val (store, cents) = ivfCellsView(s, dir)
+    val nProbe = probesFor(cents.length)
+    val probesWithCells = modifiedEmb(s, dir).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("norm").as("pn"))
+      .withColumn("pscored", array_sort(cellScores(cents, col("pv"))))
+      .withColumn("cid0", explode(expr(s"slice(transform(pscored, s -> s.idx), 1, $nProbe)")))
+      .withColumn("cid", col("cid0").cast("string"))
+      .drop("pscored", "cid0")
+    val cellIds = probesWithCells.select("cid").distinct()
+      .collect().map(_.getString(0)).toSeq
+    val corpus = store.df(ivfIdx(cents).name)
+      .filter(col("emit_key").isInCollection(cellIds))
+      .select(col("emit_key").as("cid"), col("emit_value.vec_id").as("vec_id"),
+        col("emit_value.v").as("v"), col("emit_value.norm").as("norm"))
+    val cand = corpus.join(broadcast(probesWithCells), Seq("cid"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("cos", round(dot(col("pv"), col("v")) / (col("pn") * col("norm")), 6))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("cos"))
+    rankTopK(cand)
+  }
 
   /** IVF ANN top-k `(probe_id, neighbor_id, cos, rank)`: corpus vectors
     * are bucketed by nearest centroid; a probe scans only its NProbe
@@ -329,6 +442,30 @@ object SimilarityQueries {
           (col("nf") >= col("n_pairs") * lit(IvfRecallBound)).as("recall_ok"))
     }),
 
+    // the IVF search served from the PERSISTED index after the corpus
+    // change batch went through the incremental refresh path — the oracle
+    // recomputes the exact top-k ground truth from the MODIFIED corpus,
+    // so a stale index (or a broken reassignment) shows up as lost recall
+    // and a hash mismatch on n_probes/n_pairs
+    "sim_ivf_incremental" -> ((s, dir) => {
+      val e = modifiedEmb(s, dir)
+      val probes = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("norm").as("pn"))
+      val brute = rankTopK(
+        e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+          .withColumn("cos", round(dot(col("pv"), col("v")) / (col("pn") * col("norm")), 6))
+          .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("cos")))
+        .select("probe_id", "neighbor_id")
+      val ivf = ivfTopKFromView(s, dir).select("probe_id", "neighbor_id")
+        .withColumn("f", lit(1L))
+      brute.join(ivf, Seq("probe_id", "neighbor_id"), "left_outer")
+        .agg(count_distinct(col("probe_id")).as("n_probes"),
+          count(lit(1)).as("n_pairs"),
+          coalesce(sum(col("f")), lit(0L)).as("nf"))
+        .select(col("n_probes"), col("n_pairs"),
+          (col("nf") >= col("n_pairs") * lit(IvfRecallBound)).as("recall_ok"))
+    }),
+
     // embedding near-dup with a driver-checkable invariant: the exact
     // cosine-threshold pair set over a sample frame (pairs touching
     // vec_id < SampleVecs) is recomputed by the DuckDB oracle;
@@ -360,15 +497,17 @@ object SimilarityQueries {
       | / (sqrt(list_sum([CAST(a.embedding[i+1] AS DOUBLE) * CAST(a.embedding[i+1] AS DOUBLE) for i in range(64)]))
       |   * sqrt(list_sum([CAST(b.embedding[i+1] AS DOUBLE) * CAST(b.embedding[i+1] AS DOUBLE) for i in range(64)]))))""".stripMargin
 
-  private val bruteTopkSql =
+  private def bruteTopkSqlOver(table: String) =
     s"""SELECT probe_id, neighbor_id, cos, rank FROM (
        |  SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
        |         round($cosSql, 6) AS cos,
        |         row_number() OVER (
        |           PARTITION BY a.vec_id
        |           ORDER BY round($cosSql, 6) DESC, b.vec_id) AS rank
-       |  FROM embeddings a JOIN embeddings b ON a.vec_id < 10 AND b.vec_id <> a.vec_id) t
+       |  FROM $table a JOIN $table b ON a.vec_id < 10 AND b.vec_id <> a.vec_id) t
        |WHERE rank <= $K ORDER BY probe_id, rank""".stripMargin
+
+  private val bruteTopkSql = bruteTopkSqlOver("embeddings")
 
   val oracle: Map[String, String] = Map(
     "embed_label_stats" ->
@@ -388,6 +527,18 @@ object SimilarityQueries {
       s"""SELECT count(DISTINCT probe_id) AS n_probes, count(*) AS n_pairs,
          |       true AS recall_ok
          |FROM ($bruteTopkSql)""".stripMargin,
+    // the exact top-k ground truth recomputed from the MODIFIED corpus
+    // (the same %37-reversal / %41-tombstone batch the engine pushed
+    // through the persisted index's refresh path)
+    "sim_ivf_incremental" ->
+      s"""WITH corpus AS (
+         |  SELECT vec_id,
+         |         CASE WHEN vec_id % 37 = 0 THEN list_reverse(embedding)
+         |              ELSE embedding END AS embedding
+         |  FROM embeddings WHERE vec_id % 41 <> 0)
+         |SELECT count(DISTINCT probe_id) AS n_probes, count(*) AS n_pairs,
+         |       true AS recall_ok
+         |FROM (${bruteTopkSqlOver("corpus")})""".stripMargin,
     "dedup_embedding" ->
       s"""WITH p AS (
          |  SELECT least(a.vec_id, b.vec_id) AS i, greatest(a.vec_id, b.vec_id) AS j

@@ -67,8 +67,10 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     df.collect()
     val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
     assert(p.contains("EqualTo(emit_key"), s"point lookup must push down:\n$p")
-    // the single-bucket prune: exactly one kb=<i>/v<j> path in the scan
-    val kbPaths = "kb=\\d+".r.findAllIn(p).toSet
+    // the single-bucket prune: exactly one kb=<i> directory feeds the scan
+    // (inputFiles, not the plan string — Spark truncates Location at ~100
+    // chars, so a long temp-dir name can elide the kb= ids from the plan)
+    val kbPaths = df.inputFiles.flatMap("kb=\\d+".r.findFirstIn(_)).toSet
     assert(kbPaths.size === 1, s"expected one bucket path, saw $kbPaths:\n$p")
   }
 
@@ -90,8 +92,11 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
     // lineitem flags are A/N/R in three separate range buckets; the [A,N)
     // scan must open the A and N buckets and NEVER touch R's — fewer
-    // bucket paths than the view has live, the prune hash layout can't do
-    val kbPaths = "kb=\\d+".r.findAllIn(p).map(_.drop(3).toInt).toSet
+    // bucket paths than the view has live, the prune hash layout can't do.
+    // inputFiles, not the plan string: Spark truncates Location at ~100
+    // chars, so a long temp-dir name can elide the kb= ids from the plan
+    val kbPaths = df.inputFiles
+      .flatMap("kb=(\\d+)".r.findFirstMatchIn(_)).map(_.group(1).toInt).toSet
     assert(kbPaths.nonEmpty && kbPaths.size < 3,
       s"expected a strict subset of the 3 live buckets, saw $kbPaths:\n$p")
     assert(!kbPaths.contains(2), s"R's bucket (kb=2) must be pruned, saw $kbPaths:\n$p")
@@ -114,6 +119,17 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       s"term filter must push into the postings scan:\n$p")
     assert(p.contains("BroadcastHashJoin"), s"df side must broadcast:\n$p")
     assert(p.contains("TakeOrderedAndProject"), s"top-20 must not global-sort:\n$p")
+  }
+
+  test("ivfTopKFromView: the probed-cell In-filter pushes into the stored cells scan") {
+    // the persisted IVF index must serve a probe by reading ONLY the
+    // probed posting lists: the (driver-bounded, ≤ MaxCells) cell-id set
+    // becomes an In predicate on the clustered emit_key
+    val df = operators.SimilarityQueries.ivfTopKFromView(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("In(emit_key"), s"probed-cell filter must push into the scan:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"probe side must broadcast:\n$p")
   }
 
   test("pipeline_pack_sequences: pack aggregation reuses the window's partitioning") {
