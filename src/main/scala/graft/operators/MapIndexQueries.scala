@@ -114,6 +114,32 @@ object MapIndexQueries {
       .select(concat_ws("-", col("l_orderkey"), col("l_linenumber")).as("src_key"))
       .distinct()
 
+  /** Fixture for the NET change feed: its own view taken through TWO
+    * refreshes with overlapping key sets, so netting genuinely differs
+    * from the gross feed. v1 = the shared batch (`%97` → 'X', `%89`
+    * tombstoned); v2 re-flags the surviving `%97` keys AGAIN to 'Y' and
+    * tombstones `%83` — a `%97` key's intermediate 'X' state must vanish
+    * from the net feed (its delete@v1 carries the ORIGINAL flag, its
+    * insert@v2 carries 'Y'), and a `%97∧%83` key contributes its original
+    * delete only. */
+  private val byFlagNet = MapIndex.columns("lineitem_byflag_net")(
+    concat_ws("-", col("l_orderkey"), col("l_linenumber")),
+    array(emit(col("l_returnflag"), col("l_extendedprice"))))
+
+  private def netFeedView(s: SparkSession, dir: String) =
+    Views.cached(dir, byFlagNet.name) {
+      val li = Tables.lineitem(s, dir)
+      val v1 = byFlagNet.materialize(li, Views.store(s, dir))
+        .refresh(reflaggedUpserts(li), Some(tombstoneKeys(li)))
+      val ups2 = li.filter(col("l_orderkey") % 97 === 0 &&
+          col("l_orderkey") % 89 =!= 0 && col("l_orderkey") % 83 =!= 0)
+        .withColumn("l_returnflag", lit("Y"))
+      val dels2 = li.filter(col("l_orderkey") % 83 === 0 && col("l_orderkey") % 89 =!= 0)
+        .select(concat_ws("-", col("l_orderkey"), col("l_linenumber")).as("src_key"))
+        .distinct()
+      v1.refresh(ups2, Some(dels2))
+    }
+
   /** The aggregate view in the bucket-partitioned (100 TB) layout —
     * [[graft.engine.BucketedAggView]]: same base index, same change
     * batch, state living as bucketed emissions. Its refresh also writes
@@ -261,6 +287,7 @@ object MapIndexQueries {
     bucketedFlag(s, dir)
     jsonView(s, dir)
     aggView(s, dir)
+    netFeedView(s, dir)
     bucketedAggView(s, dir)
     streamView(s, dir)
     bucketedStreamView(s, dir)
@@ -425,6 +452,19 @@ object MapIndexQueries {
     "mapindex_changefeed" -> ((s, dir) => {
       aggView(s, dir) // builds base v0, then the deterministic refresh → v1
       Views.store(s, dir).changesBetween(byFlagAgg.name, 0, 1)
+        .groupBy(col("change_type"), col("emit_key"))
+        .agg(count(lit(1)).as("cnt"), round(sum("emit_value"), 2).as("sum_value"))
+        .orderBy("change_type", "emit_key")
+    }),
+
+    // the NETTED feed over a two-refresh history (0, 2]: last-writer-wins
+    // per src_key, so the v1-era 'X' rows — inserted at v1, retracted at
+    // v2 — must not appear at all, while the gross feed carries both. The
+    // oracle recomputes the net delta straight from the source: deletes =
+    // original rows of every touched key, inserts = the final 'Y' rows.
+    "mapindex_net_changefeed" -> ((s, dir) => {
+      netFeedView(s, dir) // v0 build, then the two deterministic refreshes
+      Views.store(s, dir).changesNetBetween(byFlagNet.name, 0, 2)
         .groupBy(col("change_type"), col("emit_key"))
         .agg(count(lit(1)).as("cnt"), round(sum("emit_value"), 2).as("sum_value"))
         .orderBy("change_type", "emit_key")
@@ -754,6 +794,29 @@ object MapIndexQueries {
         |ins AS (
         |  SELECT 'X' AS emit_key, l_extendedprice AS v FROM lineitem
         |  WHERE l_orderkey % 97 = 0 AND l_orderkey % 89 <> 0)
+        |SELECT 'delete' AS change_type, emit_key, count(*) AS cnt,
+        |       round(sum(v), 2) AS sum_value
+        |FROM del GROUP BY 2
+        |UNION ALL
+        |SELECT 'insert' AS change_type, emit_key, count(*) AS cnt,
+        |       round(sum(v), 2) AS sum_value
+        |FROM ins GROUP BY 2
+        |ORDER BY change_type, emit_key""".stripMargin,
+    // net replay over (0, 2]: deletes are the ORIGINAL rows of every key
+    // touched anywhere in the range (first-touch retraction); inserts are
+    // only the final 'Y' rows — the intermediate 'X' generation appears
+    // nowhere. %89 keys were tombstoned at v1 (delete only); %83∧¬%89
+    // keys were tombstoned at v2 after the v1 reflag (delete only, and
+    // the delete still carries the v0 flag, not 'X').
+    "mapindex_net_changefeed" ->
+      """WITH del AS (
+        |  SELECT l_returnflag AS emit_key, l_extendedprice AS v FROM lineitem
+        |  WHERE l_orderkey % 89 = 0
+        |     OR (l_orderkey % 97 = 0 AND l_orderkey % 89 <> 0)
+        |     OR (l_orderkey % 83 = 0 AND l_orderkey % 89 <> 0)),
+        |ins AS (
+        |  SELECT 'Y' AS emit_key, l_extendedprice AS v FROM lineitem
+        |  WHERE l_orderkey % 97 = 0 AND l_orderkey % 89 <> 0 AND l_orderkey % 83 <> 0)
         |SELECT 'delete' AS change_type, emit_key, count(*) AS cnt,
         |       round(sum(v), 2) AS sum_value
         |FROM del GROUP BY 2
