@@ -78,8 +78,17 @@ final class BucketedViewStore(
   rangeBoundaries.foreach { bs =>
     require(bs.size == numBuckets - 1,
       s"range mode needs numBuckets - 1 = ${numBuckets - 1} boundaries, got ${bs.size}")
-    require(bs == bs.sorted && bs.distinct.size == bs.size,
-      s"range boundaries must be strictly increasing, got $bs")
+    // strict increase in UTF8String (UTF-8 byte) order — the SAME order
+    // the runtime bucket expression and [[rangeBucketOf]] compare in.
+    // Java String order (UTF-16 code units) disagrees for supplementary-
+    // plane characters (U+10000+ sort below U+E000..U+FFFF in UTF-16 but
+    // above in UTF-8), so validating with bs.sorted could reject a
+    // runtime-valid list or accept an effectively-unsorted one,
+    // silently mis-bucketing keys.
+    require(bs.lazyZip(bs.drop(1)).forall { (a, b) =>
+      org.apache.spark.unsafe.types.UTF8String.fromString(a)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b)) < 0
+    }, s"range boundaries must be strictly increasing in UTF-8 byte order, got $bs")
   }
 
   import BucketedViewStore._
@@ -449,30 +458,43 @@ final class BucketedViewStore(
     val prevEpoch = m0.get((EpochKind, 0))
     val nextEpoch = prevEpoch.map(_ + 1).getOrElse(0)
     claimEpoch(name, nextEpoch.toLong)
-    val raw = withBuckets(index.emissions(source, nextEpoch.toLong))
-    // rebuild writes the emission set twice (buckets + sidecar): pin uids
-    // with an eager localCheckpoint (see MaterializedView.refresh); the
-    // fresh path writes once per relation and a cache suffices (meta is
-    // uid-independent)
-    val emissions = if (prevEpoch.isDefined) raw.localCheckpoint(true) else raw.cache()
-    writeSchema(name, emissions)
-    val all = (0 until numBuckets).toSet
-    val m = stagedWrite(name, Emit, emissions, "kb", all, m0) ++
-      stagedWrite(name, Meta, metaOf(emissions), "mb", all, m0)
-    prevEpoch.foreach { _ =>
-      // prior snapshot read off the OLD manifest — not yet swapped
-      val delta = df(name).withColumn("change_type", lit("delete"))
-        .unionByName(emissions.drop("kb").withColumn("change_type", lit("insert")))
-        .withColumn("change_version", lit(nextEpoch.toLong))
-      delta.write.mode("overwrite").option("compression", "zstd")
-        .parquet(changesPath(name, nextEpoch.toLong).toString)
+    // A writer that FAILS before the manifest swap releases its own claim
+    // (see ViewStore.writeClustered): staged output lands under fresh
+    // nanoTime staging dirs and orphan bucket versions are skipped past by
+    // stagedWrite's onDisk max, so a retry recomputing the same epoch is
+    // safe. The claim survives a successful swap — only the genuine
+    // concurrent-racer case keeps failing loudly in claimEpoch.
+    var published = false
+    try {
+      val raw = withBuckets(index.emissions(source, nextEpoch.toLong))
+      // rebuild writes the emission set twice (buckets + sidecar): pin uids
+      // with an eager localCheckpoint (see MaterializedView.refresh); the
+      // fresh path writes once per relation and a cache suffices (meta is
+      // uid-independent)
+      val emissions = if (prevEpoch.isDefined) raw.localCheckpoint(true) else raw.cache()
+      writeSchema(name, emissions)
+      val all = (0 until numBuckets).toSet
+      val m = stagedWrite(name, Emit, emissions, "kb", all, m0) ++
+        stagedWrite(name, Meta, metaOf(emissions), "mb", all, m0)
+      prevEpoch.foreach { _ =>
+        // prior snapshot read off the OLD manifest — not yet swapped
+        val delta = df(name).withColumn("change_type", lit("delete"))
+          .unionByName(emissions.drop("kb").withColumn("change_type", lit("insert")))
+          .withColumn("change_version", lit(nextEpoch.toLong))
+        delta.write.mode("overwrite").option("compression", "zstd")
+          .parquet(changesPath(name, nextEpoch.toLong).toString)
+      }
+      if (prevEpoch.isEmpty) emissions.unpersist()
+      else Checkpoints.free(emissions)
+      writeManifest(name, m + ((EpochKind, 0) -> nextEpoch))
+      published = true
+      gcOldVersions(name, all.map((Emit, _)) ++ all.map((Meta, _)), m)
+      gcOldSidecars(name, nextEpoch.toLong)
+      gcOldClaims(name, nextEpoch.toLong)
+    } finally {
+      if (!published)
+        Files.deleteIfExists(root(name).resolve(s"_CLAIM.e$nextEpoch"))
     }
-    if (prevEpoch.isEmpty) emissions.unpersist()
-    else Checkpoints.free(emissions)
-    writeManifest(name, m + ((EpochKind, 0) -> nextEpoch))
-    gcOldVersions(name, all.map((Emit, _)) ++ all.map((Meta, _)), m)
-    gcOldSidecars(name, nextEpoch.toLong)
-    gcOldClaims(name, nextEpoch.toLong)
   }
 
   /**
@@ -493,6 +515,9 @@ final class BucketedViewStore(
     // epoch fails here, not after both have interleaved staged writes.
     val epoch = (m0.getOrElse((EpochKind, 0), -1) + 1).toLong
     claimEpoch(name, epoch)
+    // failed-writer claim release, same contract as [[materialize]]
+    var published = false
+    try {
     val changed = {
       val up = index.touchedKeys(upserts)
       deleteKeys.map(d => up.union(d.toDF("src_key"))).getOrElse(up).distinct()
@@ -566,6 +591,7 @@ final class BucketedViewStore(
       mEmit.keySet -- mMeta.keySet
     writeManifest(name,
       m0 -- dropped ++ mEmit ++ mMeta + ((EpochKind, 0) -> epoch.toInt))
+    published = true
     // 7: GC superseded versions — without this the streaming path leaks one
     // version per touched bucket per micro-batch. Keep one grace version
     // (v-1) for readers that resolved the previous manifest and are still
@@ -576,6 +602,10 @@ final class BucketedViewStore(
     gcOldSidecars(name, epoch)
     gcOldClaims(name, epoch)
     RefreshStats(affected.size, metaBuckets.size, numBuckets)
+    } finally {
+      if (!published)
+        Files.deleteIfExists(root(name).resolve(s"_CLAIM.e$epoch"))
+    }
   }
 
   /** Delete superseded version dirs for every TOUCHED bucket, keeping

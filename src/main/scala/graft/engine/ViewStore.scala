@@ -87,19 +87,26 @@ final class ViewStore(
   def changesBetween(name: String, fromVersion: Int, toVersion: Int): DataFrame = {
     require(fromVersion < toVersion,
       s"change feed range must be non-empty: ($fromVersion, $toVersion]")
-    // both endpoints must still be addressable snapshots, same contract as
-    // readVersion — and their sidecars outlive them by construction (GC
-    // reclaims sidecar v alongside snapshot v)
-    Seq(fromVersion, toVersion).foreach { v =>
-      require(readableVersions(name).contains(v),
-        s"view '$name' version $v not readable " +
-          s"(retained: ${readableVersions(name).mkString(",")})")
-    }
+    // The replay needs exactly the sidecars covering (from, to] — NOT the
+    // endpoint SNAPSHOTS. Requiring `readableVersions` to contain `from`
+    // (the previous precondition) tied feed availability to snapshot GC,
+    // so a grace-1 store that refreshed twice could never serve (0, 2]
+    // even though sidecars v1 and v2 were both on disk: snapshot life is
+    // a time-travel budget, sidecar life is a consumer-lag budget, and
+    // the two are independent (same contract as
+    // [[BucketedViewStore.changesBetween]]). `to` must not exceed the
+    // published version — a crashed writer's orphan sidecar (written
+    // before the _LATEST swap) must stay unreadable.
+    val latest = latestVersion(name).getOrElse(
+      throw new IllegalStateException(s"view '$name' not materialized in $baseDir"))
+    require(toVersion <= latest,
+      s"view '$name' is at version $latest; requested toVersion $toVersion does not exist")
     ((fromVersion + 1) to toVersion).map { v =>
       val p = changesPath(name, v)
       require(Files.exists(p),
-        s"change sidecar v$v missing for view '$name' — this version was " +
-          "not written through MaterializedView.refresh/MapIndex.materialize")
+        s"change sidecar v$v for view '$name' missing — either this version " +
+          "was not written through MaterializedView.refresh/MapIndex.materialize, " +
+          s"or the sidecar is past the graceVersions=$graceVersions GC horizon")
       spark.read.parquet(p.toString)
     }.reduce(_.unionByName(_))
   }
@@ -136,24 +143,39 @@ final class ViewStore(
     val next = latestVersion(name).getOrElse(-1) + 1
     val path = dir(name).resolve(s"v$next")
     claimVersion(name, next)
-    df
-      .repartitionByRange(clusterCols.map(col): _*)
-      .sortWithinPartitions(clusterCols.map(col): _*)
-      // zstd: ~30% smaller than snappy at comparable decode speed — at
-      // 100 TB the stored view's scan cost is IO-bound, so the ratio wins
-      .write.mode("overwrite").option("compression", "zstd").parquet(path.toString)
-    // CDC sidecar: delta-sized, written once at refresh time — the change
-    // feed's whole read cost. No re-clustering: a delta is small and its
-    // consumer replays it wholesale.
-    changes.foreach(_.withColumn("change_version", lit(next))
-      .write.mode("overwrite").option("compression", "zstd")
-      .parquet(changesPath(name, next).toString))
-    // atomic pointer swap: write sidecar then move over _LATEST
-    val tmp = dir(name).resolve(s"_LATEST.tmp$next")
-    Files.writeString(tmp, next.toString)
-    Files.move(tmp, latestFile(name),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    // A writer that FAILS between claiming and publishing (a Spark job
+    // exception mid-write) releases its own claim so a retry can recompute
+    // the same `next` and proceed — both writes below are mode("overwrite"),
+    // so partial output from the failed attempt is clobbered, and the
+    // unswapped _LATEST means no reader ever saw it. The marker survives
+    // only a SUCCESSFUL publish (the genuine concurrent-racer case keeps
+    // failing loudly in claimVersion); without this release, one failed
+    // write wedged the view until manual marker removal.
+    var published = false
+    try {
+      df
+        .repartitionByRange(clusterCols.map(col): _*)
+        .sortWithinPartitions(clusterCols.map(col): _*)
+        // zstd: ~30% smaller than snappy at comparable decode speed — at
+        // 100 TB the stored view's scan cost is IO-bound, so the ratio wins
+        .write.mode("overwrite").option("compression", "zstd").parquet(path.toString)
+      // CDC sidecar: delta-sized, written once at refresh time — the change
+      // feed's whole read cost. No re-clustering: a delta is small and its
+      // consumer replays it wholesale.
+      changes.foreach(_.withColumn("change_version", lit(next))
+        .write.mode("overwrite").option("compression", "zstd")
+        .parquet(changesPath(name, next).toString))
+      // atomic pointer swap: write sidecar then move over _LATEST
+      val tmp = dir(name).resolve(s"_LATEST.tmp$next")
+      Files.writeString(tmp, next.toString)
+      Files.move(tmp, latestFile(name),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      published = true
+    } finally {
+      if (!published)
+        Files.deleteIfExists(dir(name).resolve(s"_CLAIM.v$next"))
+    }
     // GC superseded versions (keep graceVersions copies for in-flight
     // readers of older snapshots) — otherwise every refresh leaks a view
     var old = next - 1 - graceVersions
@@ -163,13 +185,14 @@ final class ViewStore(
       old -= 1
       if (old >= 0) p = dir(name).resolve(s"v$old")
     }
-    // Sidecars are swept INDEPENDENTLY of snapshot presence: a sidecar is
-    // only reachable while its `from` endpoint v-1 is readable (≥ the GC
-    // horizon), so everything at or below `latest - graceVersions - 1`
-    // goes. Keying this sweep off the snapshot loop above (the previous
-    // implementation) left a permanent orphan if a crash landed between
-    // the two deletes — the snapshot-keyed loop breaks at the missing
-    // v<old> dir and never revisits its sidecar.
+    // Sidecars are swept INDEPENDENTLY of snapshot presence: retention
+    // keeps the sidecars covering `(latest - graceVersions - 1, latest]`,
+    // so [[changesBetween]] can serve any range starting at or above
+    // `latest - graceVersions - 1` — a consumer-lag budget decoupled from
+    // snapshot (time-travel) life. Keying this sweep off the snapshot
+    // loop above (the previous implementation) left a permanent orphan if
+    // a crash landed between the two deletes — the snapshot-keyed loop
+    // breaks at the missing v<old> dir and never revisits its sidecar.
     val changesDir = dir(name).resolve("_changes")
     if (Files.exists(changesDir)) {
       val stream = Files.list(changesDir)

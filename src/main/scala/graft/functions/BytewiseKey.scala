@@ -96,11 +96,19 @@ object BytewiseKey {
     var p = p0
     while (p < s.length && ("+-.eE".indexOf(s.charAt(p)) >= 0 ||
         (s.charAt(p) >= '0' && s.charAt(p) <= '9'))) p += 1
-    val d = try s.substring(p0, p).toDouble catch {
+    val d0 = try s.substring(p0, p).toDouble catch {
       case _: NumberFormatException => throw new IllegalArgumentException(
         s"malformed number '${s.substring(p0, p)}' in key JSON '$s'")
     }
-    require(!d.isNaN, s"NaN is not an orderable key: '$s'")
+    require(!d0.isNaN, s"NaN is not an orderable key: '$s'")
+    // an overflowing literal (1e999) parses as Infinity — encoding it
+    // would silently collapse every overflow onto one key; fail loudly
+    require(!d0.isInfinite,
+      s"number '${s.substring(p0, p)}' overflows double range in key '$s'")
+    // normalize -0.0 to 0.0: doubleToLongBits gives them different bit
+    // patterns (and the negative flip path would order -0.0 below 0.0),
+    // but they are EQUAL numbers and must encode identically
+    val d = if (d0 == 0.0) 0.0 else d0
     // monotone double→bytes: flip all bits for negatives, the sign bit
     // for non-negatives; unsigned byte order then equals numeric order
     val bits = java.lang.Double.doubleToLongBits(d)

@@ -31,30 +31,47 @@ import org.apache.spark.storage.StorageLevel
  */
 object Components {
 
-  /** Edge-count gate for the driver fast path: a pair graph at or under
-    * this many edges is collected and resolved by union-find on the
-    * driver (1M edges ≈ 16 MB of longs — trivially driver-resident),
-    * anything larger runs the distributed min-label loop. Near-dup pair
-    * graphs are orders of magnitude smaller than their corpus (pairs
-    * exist only where dedup signal exists), so at bench scale the fast
-    * path saves ~10 Spark jobs of per-round latency; at 100 TB a
-    * billions-of-edges graph takes the distributed path unchanged. */
-  private[operators] val DriverEdgeLimit = 1000000L
+  /** Conservative driver bytes per collected edge: a boxed
+    * `Tuple2[Long, Long]` (~56 B with two boxed longs) plus up to two
+    * `HashMap` entries in the union-find parent table (~100 B of node,
+    * key and value boxing between them), rounded up to absorb collection
+    * overhead. Deliberately pessimistic — the gate exists to keep the
+    * driver OUT of trouble, so overestimating cost only sends borderline
+    * graphs down the distributed path that also handles them. */
+  private[operators] val BytesPerEdge = 192L
+
+  /** Edge-count gate for the driver fast path, derived from the ACTUAL
+    * driver heap rather than a constant: a pair graph whose collected
+    * form fits in 1/8 of `Runtime.maxMemory` is resolved by union-find
+    * on the driver, anything larger runs the distributed min-label loop.
+    * 1/8 leaves the bulk of the heap to Spark's own driver-side state
+    * (broadcasts, listener bus, result serving). The floor keeps the
+    * fast path alive on tiny test heaps; near-dup pair graphs are orders
+    * of magnitude smaller than their corpus, so at bench scale the fast
+    * path saves ~10 Spark jobs of per-round latency, while at 100 TB a
+    * billions-of-edges graph exceeds any driver heap and takes the
+    * distributed path unchanged. */
+  private[operators] def limitFor(maxHeapBytes: Long): Long =
+    math.max(1L << 16, maxHeapBytes / 8 / BytesPerEdge)
+
+  private[operators] def driverEdgeLimit: Long =
+    limitFor(Runtime.getRuntime.maxMemory)
 
   /** `(doc_id, component)` for every node of `pairs` — the entry point
     * queries should use. Counts the edges once (persisting an un-cached
     * input so the count and the downstream resolution share one
     * materialization), then picks the resolution strategy by size:
-    * driver union-find under [[DriverEdgeLimit]], distributed
-    * [[minLabel]] above it. Both paths return the same labeling —
-    * component = minimum reachable doc_id — verified against each other
-    * in the property suite. */
-  def resolve(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
+    * driver union-find under [[driverEdgeLimit]] (memory-aware, override
+    * via `edgeLimit` for tests), distributed [[minLabel]] above it. Both
+    * paths return the same labeling — component = minimum reachable
+    * doc_id — verified against each other in the property suite. */
+  def resolve(pairs: DataFrame, maxIter: Int = 30,
+      edgeLimit: Long = driverEdgeLimit): DataFrame = {
     val inputCached = pairs.storageLevel != StorageLevel.NONE
     val p = if (inputCached) pairs.toDF("i", "j")
             else pairs.toDF("i", "j").persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      if (p.count() <= DriverEdgeLimit) driverUnionFind(p)
+      if (p.count() <= edgeLimit) driverUnionFind(p)
       else minLabel(p, maxIter) // sees a cached input; uses it as-is
     } finally {
       // safe on both paths: union-find output is a local relation and
@@ -65,7 +82,7 @@ object Components {
 
   /** Union-find with path halving over a collected edge list; component =
     * min member, matching [[minLabel]] exactly. One executor→driver
-    * transfer bounded by [[DriverEdgeLimit]], zero Spark jobs per round —
+    * transfer bounded by [[driverEdgeLimit]], zero Spark jobs per round —
     * the right tool when the pair graph is a sliver of the corpus. */
   private def driverUnionFind(pairs: DataFrame): DataFrame = {
     val spark = pairs.sparkSession

@@ -60,6 +60,27 @@ object MapIndexQueries {
       st
     })
 
+  /** The range layout MAINTAINED, not just read: its own view name (the
+    * scan/get fixture above stays pinned at epoch 0 for the pruning
+    * assertions) taken through the SAME shared upsert+tombstone batch as
+    * the flat and hash-bucketed fixtures — so staged writes, boundary
+    * routing of the new 'X' key (≥ 'S' → the last bucket) and the CDC
+    * sidecar are all graded against the identical from-scratch oracle. */
+  private val byFlagRangeM = MapIndex.columns("lineitem_byflag_range_m")(
+    concat_ws("-", col("l_orderkey"), col("l_linenumber")),
+    array(emit(col("l_returnflag"), col("l_extendedprice"))))
+
+  private val rangeMaintStores =
+    scala.collection.concurrent.TrieMap.empty[String, graft.engine.BucketedViewStore]
+  private def rangeMaintained(s: SparkSession, dir: String): graft.engine.BucketedViewStore =
+    rangeMaintStores.getOrElseUpdate(dir, {
+      val st = graft.engine.BucketedViewStore.tempRange(s, Seq("N", "R", "S"))
+      val li = Tables.lineitem(s, dir)
+      st.materialize(byFlagRangeM, li)
+      st.refresh(byFlagRangeM, reflaggedUpserts(li), Some(tombstoneKeys(li)))
+      st
+    })
+
   private def bucketView(s: SparkSession, dir: String) =
     Views.cached(dir, byBucket.name) {
       Views.materialized(s, dir, byOrder)(Tables.lineitem(s, dir))
@@ -282,6 +303,7 @@ object MapIndexQueries {
   def prewarm(s: SparkSession, dir: String): Unit = {
     mixedView(s, dir)
     rangeBucketedFlag(s, dir)
+    rangeMaintained(s, dir)
     flagView(s, dir)
     bucketView(s, dir)
     bucketedFlag(s, dir)
@@ -363,6 +385,28 @@ object MapIndexQueries {
     // lookup to one bucket, like the hash layout's bucketOf
     "mapindex_rangebucketed_get" -> ((s, dir) =>
       rangeBucketedFlag(s, dir).get(byFlag.name, "R").orderBy("emit_value")),
+
+    // O3/O4/O5 under the RANGE layout: the refreshed view read back after
+    // the shared upsert+tombstone batch went through the staged-write
+    // path — including the NEW 'X' key routed by the boundary search into
+    // the last bucket, which no pre-refresh manifest entry covered
+    "mapindex_rangebucketed_group" -> ((s, dir) =>
+      rangeMaintained(s, dir).df(byFlagRangeM.name)
+        .groupBy(col("emit_key"))
+        .agg(round(sum("emit_value"), 2).as("sum_value"),
+          count(lit(1)).as("cnt"))
+        .orderBy("emit_key")),
+
+    // the range layout's CDC sidecar over the same refresh: epoch 0 → 1,
+    // same exact-delta oracle as the flat and hash-bucketed feeds — the
+    // three layouts must emit byte-identical change semantics
+    "mapindex_rangebucketed_changefeed" -> ((s, dir) => {
+      val st = rangeMaintained(s, dir)
+      st.changesBetween(byFlagRangeM.name, 0, 1)
+        .groupBy(col("change_type"), col("emit_key"))
+        .agg(count(lit(1)).as("cnt"), round(sum("emit_value"), 2).as("sum_value"))
+        .orderBy("change_type", "emit_key")
+    }),
 
     // snapshot read of the bucketed store one epoch back: the aggview
     // fixture's refresh moved the view to epoch 1, and dfAsOf(0) must
@@ -625,6 +669,32 @@ object MapIndexQueries {
     "mapindex_rangebucketed_get" ->
       """SELECT l_extendedprice AS emit_value FROM lineitem
         |WHERE l_returnflag = 'R' ORDER BY emit_value""".stripMargin,
+    // the refreshed range-layout view: the same modified-source recompute
+    // the flat aggview and hash-bucketed reads are graded against
+    "mapindex_rangebucketed_group" ->
+      """WITH src AS (
+        |  SELECT CASE WHEN l_orderkey % 97 = 0 THEN 'X' ELSE l_returnflag END AS emit_key,
+        |         l_extendedprice AS v
+        |  FROM lineitem WHERE l_orderkey % 89 <> 0)
+        |SELECT emit_key, round(sum(v), 2) AS sum_value, count(*) AS cnt
+        |FROM src GROUP BY 1 ORDER BY emit_key""".stripMargin,
+    // the range layout's sidecar must carry the identical delta as the
+    // flat and hash-bucketed feeds
+    "mapindex_rangebucketed_changefeed" ->
+      """WITH del AS (
+        |  SELECT l_returnflag AS emit_key, l_extendedprice AS v FROM lineitem
+        |  WHERE l_orderkey % 89 = 0 OR (l_orderkey % 97 = 0 AND l_orderkey % 89 <> 0)),
+        |ins AS (
+        |  SELECT 'X' AS emit_key, l_extendedprice AS v FROM lineitem
+        |  WHERE l_orderkey % 97 = 0 AND l_orderkey % 89 <> 0)
+        |SELECT 'delete' AS change_type, emit_key, count(*) AS cnt,
+        |       round(sum(v), 2) AS sum_value
+        |FROM del GROUP BY 2
+        |UNION ALL
+        |SELECT 'insert' AS change_type, emit_key, count(*) AS cnt,
+        |       round(sum(v), 2) AS sum_value
+        |FROM ins GROUP BY 2
+        |ORDER BY change_type, emit_key""".stripMargin,
     // the pre-refresh snapshot: the unmodified source, grouped
     "mapindex_bucketed_asof" ->
       """SELECT l_returnflag AS emit_key, round(sum(l_extendedprice), 2) AS sum_value,

@@ -164,6 +164,7 @@ object SimilarityQueries {
   def prewarm(s: SparkSession, dir: String): Unit = {
     ivfCentroidsFor(s, dir)
     ivfCellsView(s, dir)
+    lshBandsView(s, dir)
     ()
   }
 
@@ -303,6 +304,81 @@ object SimilarityQueries {
         (store, cents)
       }
     })
+
+  // ---------------------------------------------------------------------
+  // Persisted, incrementally-maintained LSH band index
+  // ---------------------------------------------------------------------
+
+  /** The LSH band index PERSISTED as a bucketed map view — the same
+    * treatment [[ivfIdx]] gives the IVF cells. Emit key = `band:value`
+    * (each vector emits one row per hyperplane band, so a probe's 8 band
+    * keys select exactly its collision lists); emit value =
+    * `(vec_id, v, norm)` so candidates verify without a corpus join.
+    * Unlike the quantizer, the hyperplanes are data-independent (seeded
+    * splitmix64), so maintenance NEVER needs a re-fit: a corpus delta
+    * re-bands only itself through the store's ordinary refresh — strictly
+    * O(delta) at any scale, with CDC sidecars, epoch snapshots and the
+    * concurrent-writer guard inherited from the store. */
+  private val lshIdx: MapIndex =
+    MapIndex.columns("emb_lsh_bands")(
+      col("vec_id").cast("string"),
+      expr("""transform(hyperplane_bands(v), (bv, band) ->
+             |  named_struct(
+             |    'emit_key', concat(cast(band as string), ':', cast(bv as string)),
+             |    'emit_value', named_struct('vec_id', vec_id, 'v', v, 'norm', norm)))
+             |""".stripMargin))
+
+  /** Per-JVM cache of the maintained LSH band view (the [[ivfViews]]
+    * pattern; no model element — the hyperplanes are deterministic). */
+  private val lshViews = TrieMap.empty[String, BucketedViewStore]
+
+  /** Build the persisted band view on the ORIGINAL corpus, then push the
+    * SAME deterministic change batch as the IVF index through its refresh
+    * path — `%37` vectors re-banded at their reversal, `%41` retracted. */
+  private def lshBandsView(s: SparkSession, dir: String): BucketedViewStore =
+    lshViews.getOrElseUpdate(dir, {
+      val store = BucketedViewStore.temp(s, numBuckets = 16)
+      val e = emb(s, dir)
+      store.materialize(lshIdx, e)
+      val (ups, dels) = embChangeBatch(e)
+      store.refresh(lshIdx, ups, Some(dels))
+      store
+    })
+
+  /** LSH ANN top-k served from the PERSISTED, incrementally-maintained
+    * band view (vs [[lshTopKPairs]]'s per-session banding). The probe
+    * batch's band keys are collected to the driver — ≤ probes × bands
+    * short strings, model-sized — so the In-filter is PUSHED to the
+    * stored bands' parquet scan and the search reads only the probed
+    * collision lists, never the corpus. */
+  def lshTopKFromView(s: SparkSession, dir: String): DataFrame = {
+    val store = lshBandsView(s, dir)
+    val probes = modifiedEmb(s, dir).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("norm").as("pn"))
+    val probeBands = probes
+      .select(col("probe_id"), col("pv"), col("pn"),
+        posexplode(expr("hyperplane_bands(pv)")).as(Seq("band", "bv")))
+      .withColumn("bkey", concat(col("band").cast("string"), lit(":"), col("bv").cast("string")))
+      .drop("band", "bv")
+    val bandKeys = probeBands.select("bkey").distinct()
+      .collect().map(_.getString(0)).toSeq
+    val stored = store.df(lshIdx.name)
+      .filter(col("emit_key").isInCollection(bandKeys))
+      .select(col("emit_key").as("bkey"), col("emit_value.vec_id").as("neighbor_id"),
+        col("emit_value.v").as("v"), col("emit_value.norm").as("norm"))
+    // a (probe, neighbor) pair can collide in several bands: dedupe the
+    // candidate ids BEFORE the cosine so each pair scores once
+    val candIds = stored.join(broadcast(probeBands.select("probe_id", "bkey")), Seq("bkey"))
+      .filter(col("neighbor_id") =!= col("probe_id"))
+      .select("probe_id", "neighbor_id").distinct()
+    val scored = candIds
+      .join(stored.select(col("neighbor_id"), col("v"), col("norm")).distinct(),
+        Seq("neighbor_id"))
+      .join(broadcast(probes), Seq("probe_id"))
+      .withColumn("cos", round(dot(col("pv"), col("v")) / (col("pn") * col("norm")), 6))
+      .select(col("probe_id"), col("neighbor_id"), col("cos"))
+    rankTopK(scored)
+  }
 
   /** IVF ANN top-k served from the PERSISTED, incrementally-maintained
     * cell view (vs [[ivfTopKPairs]]'s per-session assignment). The probed
@@ -466,6 +542,30 @@ object SimilarityQueries {
           (col("nf") >= col("n_pairs") * lit(IvfRecallBound)).as("recall_ok"))
     }),
 
+    // the LSH search served from the PERSISTED band index after the same
+    // corpus change batch went through its refresh path — the oracle
+    // recomputes exact top-k ground truth from the MODIFIED corpus, so a
+    // stale band list (a %37 vector still banded at its old position, a
+    // %41 vector not retracted) shows up as lost recall / a wrong pair
+    "sim_lsh_incremental" -> ((s, dir) => {
+      val e = modifiedEmb(s, dir)
+      val probes = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("norm").as("pn"))
+      val brute = rankTopK(
+        e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+          .withColumn("cos", round(dot(col("pv"), col("v")) / (col("pn") * col("norm")), 6))
+          .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("cos")))
+        .select("probe_id", "neighbor_id")
+      val lsh = lshTopKFromView(s, dir).select("probe_id", "neighbor_id")
+        .withColumn("f", lit(1L))
+      brute.join(lsh, Seq("probe_id", "neighbor_id"), "left_outer")
+        .agg(count_distinct(col("probe_id")).as("n_probes"),
+          count(lit(1)).as("n_pairs"),
+          coalesce(sum(col("f")), lit(0L)).as("nf"))
+        .select(col("n_probes"), col("n_pairs"),
+          (col("nf") >= col("n_pairs") * lit(AnnRecallBound)).as("recall_ok"))
+    }),
+
     // embedding near-dup with a driver-checkable invariant: the exact
     // cosine-threshold pair set over a sample frame (pairs touching
     // vec_id < SampleVecs) is recomputed by the DuckDB oracle;
@@ -531,6 +631,17 @@ object SimilarityQueries {
     // (the same %37-reversal / %41-tombstone batch the engine pushed
     // through the persisted index's refresh path)
     "sim_ivf_incremental" ->
+      s"""WITH corpus AS (
+         |  SELECT vec_id,
+         |         CASE WHEN vec_id % 37 = 0 THEN list_reverse(embedding)
+         |              ELSE embedding END AS embedding
+         |  FROM embeddings WHERE vec_id % 41 <> 0)
+         |SELECT count(DISTINCT probe_id) AS n_probes, count(*) AS n_pairs,
+         |       true AS recall_ok
+         |FROM (${bruteTopkSqlOver("corpus")})""".stripMargin,
+    // same modified-corpus ground truth as sim_ivf_incremental — the two
+    // persisted indexes are graded against the identical change batch
+    "sim_lsh_incremental" ->
       s"""WITH corpus AS (
          |  SELECT vec_id,
          |         CASE WHEN vec_id % 37 = 0 THEN list_reverse(embedding)

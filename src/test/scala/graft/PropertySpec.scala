@@ -226,6 +226,75 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
     assert(net.count() <= grossN)
   }
 
+  test("feed reads survive snapshot GC at graceVersions = 1") {
+    import graft.engine.BucketedViewStore
+    // The r8 escape: every replay property ran at grace 10-12, so
+    // changesBetween's former from-SNAPSHOT precondition was never
+    // exercised against a GC'd endpoint — and the driver's two-refresh
+    // net-feed fixture on the default grace-1 store failed every run.
+    // Sidecar life is a consumer-lag budget DECOUPLED from snapshot
+    // (time-travel) life: after two refreshes on a grace-1 store the v0
+    // snapshot is gone but sidecars v1,v2 remain, and the (0, 2] feed —
+    // gross and net — must still replay onto the final snapshot.
+    val store = new ViewStore(spark,
+      java.nio.file.Files.createTempDirectory("graft-grace1-").toString,
+      graceVersions = 1)
+    val gidx = MapIndex.columns("grace1_feed")(col("key"),
+      array(emit(col("key"), col("v"))))
+    def rows4(df: org.apache.spark.sql.DataFrame): Set[(String, String, Int, Long)] =
+      df.select("src_key", "emit_key", "emit_value", "uid")
+        .as[(String, String, Int, Long)].collect().toSet
+    var view = gidx.materialize(
+      Seq("a" -> 1, "b" -> 2, "c" -> 3).toDF("key", "v"), store)
+    val s0 = rows4(view.df) // capture v0 rows BEFORE GC reclaims them
+    view = view.refresh(Seq("a" -> 10).toDF("key", "v"))                   // v1
+    view = view.refresh(Seq("a" -> 100, "d" -> 7).toDF("key", "v"),
+      Some(Seq("b").toDF("src_key")))                                      // v2
+    // snapshot v0 is reclaimed (time-travel horizon passed)...
+    assert(store.readableVersions(gidx.name) === Seq(1, 2))
+    intercept[IllegalArgumentException](store.readVersion(gidx.name, 0))
+    // ...but both feeds over (0, 2] still serve from sidecars and replay
+    // exactly onto the live snapshot (uid-exact, the CDC invariant)
+    val sN = rows4(view.df)
+    val gross = store.changesBetween(gidx.name, 0, 2)
+    val gDel = gross.filter(col("change_type") === "delete")
+      .select("uid").as[Long].collect().toSet
+    assert(s0.filterNot(r => gDel.contains(r._4)) ++
+      rows4(gross.filter(col("change_type") === "insert"))
+        .filterNot(r => gDel.contains(r._4)) === sN)
+    val net = store.changesNetBetween(gidx.name, 0, 2)
+    val nDel = net.filter(col("change_type") === "delete")
+      .select("uid").as[Long].collect().toSet
+    assert(s0.filterNot(r => nDel.contains(r._4)) ++
+      rows4(net.filter(col("change_type") === "insert")) === sN)
+    // a third refresh pushes sidecar v1 past the horizon: a range that
+    // needs it fails loudly naming the sidecar, while (1, 3] still serves
+    view = view.refresh(Seq("c" -> 30).toDF("key", "v"))                   // v3
+    val e = intercept[IllegalArgumentException](
+      store.changesBetween(gidx.name, 0, 3))
+    assert(e.getMessage.contains("sidecar v1"))
+    assert(store.changesBetween(gidx.name, 1, 3).count() > 0)
+    // a toVersion beyond the published head must stay unreadable (a
+    // crashed writer's orphan sidecar is not a feed)
+    intercept[IllegalArgumentException](store.changesBetween(gidx.name, 2, 4))
+    // bucketed analog at grace 1: epoch-0 manifest is past the grace
+    // horizon but the (0, 2] feed serves from its retention-governed
+    // sidecars (changeRetention default 8)
+    val bstore = new BucketedViewStore(spark,
+      java.nio.file.Files.createTempDirectory("graft-grace1b-").toString,
+      numBuckets = 4, graceVersions = 1)
+    bstore.materialize(gidx, Seq("a" -> 1, "b" -> 2).toDF("key", "v"))
+    val bs0 = rows4(bstore.df(gidx.name))
+    bstore.refresh(gidx, Seq("a" -> 10).toDF("key", "v"))
+    bstore.refresh(gidx, Seq("b" -> 20).toDF("key", "v"))
+    val bFeed = bstore.changesBetween(gidx.name, 0, 2)
+    val bDel = bFeed.filter(col("change_type") === "delete")
+      .select("uid").as[Long].collect().toSet
+    assert(bs0.filterNot(r => bDel.contains(r._4)) ++
+      rows4(bFeed.filter(col("change_type") === "insert")) ===
+      rows4(bstore.df(gidx.name)))
+  }
+
   test("error contracts: guards fail loud with actionable messages") {
     import graft.functions.{Sketches, VectorFunctions}
     Sketches.register(spark)
