@@ -363,13 +363,20 @@ final class BucketedViewStore(
     * row groups inside each `(emit_key, uid)`-sorted bucket. RANGE
     * bucketing ([[rangeBoundaries]]) additionally prunes to the COVERING
     * buckets before any file is opened: the buckets from the one holding
-    * `start` through the one holding `end` (the end bucket still holds
-    * keys below the exclusive bound), so a narrow scan touches O(1)
-    * bucket directories instead of all of them. */
+    * `start` through the one holding the largest key strictly below the
+    * exclusive `end`, so a narrow scan touches O(1) bucket directories
+    * instead of all of them. */
   def scan(name: String, start: Option[Any] = None, end: Option[Any] = None): DataFrame = {
-    val covering: Option[Set[Int]] = rangeBoundaries.map { _ =>
+    val covering: Option[Set[Int]] = rangeBoundaries.map { bs =>
       val lo = start.map(emitBucketOf).getOrElse(0)
-      val hi = end.map(emitBucketOf).getOrElse(numBuckets - 1)
+      // `end` is EXCLUSIVE: its covering bucket is the one holding the
+      // largest key strictly below it — the count of boundaries strictly
+      // below `end`. Counting with `<=` (emitBucketOf) is one bucket too
+      // wide exactly when `end` lands on a boundary: that bucket's keys
+      // are all >= end and can never qualify, yet its files would all be
+      // opened. An empty range ([x,x)) yields hi < lo → no buckets read.
+      val hi = end.map(e => BucketedViewStore.rangeBucketBelow(e, bs))
+        .getOrElse(numBuckets - 1)
       (lo to hi).toSet
     }
     val paths = livePaths(name, Emit, covering)
@@ -670,6 +677,17 @@ object BucketedViewStore {
     val k = org.apache.spark.unsafe.types.UTF8String.fromString(String.valueOf(key))
     boundaries.count(b =>
       org.apache.spark.unsafe.types.UTF8String.fromString(b).compareTo(k) <= 0)
+  }
+
+  /** Covering bucket for an EXCLUSIVE upper bound: the bucket of the
+    * largest key strictly below `end` = count of boundaries strictly
+    * below it (same UTF8 byte order as [[rangeBucketOf]]). Differs from
+    * [[rangeBucketOf]] only when `end` equals a boundary, where the
+    * inclusive count would open one whole extra bucket for nothing. */
+  def rangeBucketBelow(end: Any, boundaries: Seq[String]): Int = {
+    val k = org.apache.spark.unsafe.types.UTF8String.fromString(String.valueOf(end))
+    boundaries.count(b =>
+      org.apache.spark.unsafe.types.UTF8String.fromString(b).compareTo(k) < 0)
   }
 
   def temp(spark: SparkSession, numBuckets: Int = 16): BucketedViewStore =

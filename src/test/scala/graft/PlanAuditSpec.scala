@@ -91,15 +91,18 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     df.collect()
     val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
     // lineitem flags are A/N/R in three separate range buckets; the [A,N)
-    // scan must open the A and N buckets and NEVER touch R's — fewer
-    // bucket paths than the view has live, the prune hash layout can't do.
+    // scan qualifies only A's bucket — a whole-bucket prune the hash
+    // layout can't do.
     // inputFiles, not the plan string: Spark truncates Location at ~100
     // chars, so a long temp-dir name can elide the kb= ids from the plan
     val kbPaths = df.inputFiles
       .flatMap("kb=(\\d+)".r.findFirstMatchIn(_)).map(_.group(1).toInt).toSet
-    assert(kbPaths.nonEmpty && kbPaths.size < 3,
-      s"expected a strict subset of the 3 live buckets, saw $kbPaths:\n$p")
-    assert(!kbPaths.contains(2), s"R's bucket (kb=2) must be pruned, saw $kbPaths:\n$p")
+    // the covering set is EXACTLY {0}: the exclusive end N sits on the
+    // first boundary, so N's own bucket (kb=1) holds no key < N and must
+    // be pruned too — not just R's (the weaker assertion that once masked
+    // a boundary-aligned off-by-one in the covering computation)
+    assert(kbPaths === Set(0),
+      s"covering set for [A,N) over boundaries N,R,S must be exactly {0}, saw $kbPaths:\n$p")
     // and the row-group pruning predicates still reach the scan
     assert(p.contains("GreaterThanOrEqual(emit_key"), s"range pushdown missing:\n$p")
     assert(p.contains("LessThan(emit_key"), s"upper bound pushdown missing:\n$p")
