@@ -99,6 +99,12 @@ object Bench {
     val json =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$nFailed,"errors":$errors,"sf":"$sfDir"}"""
     Files.writeString(Paths.get("bench_result.json"), json + "\n")
+    // archive the full per-query record per round: bench_result.json is
+    // overwritten every run, so without this the only durable copy of a
+    // round's timings is whatever survived the driver's stdout tail
+    sys.env.get("SPARK_GRAFT_ROUND").foreach { r =>
+      Files.writeString(Paths.get(s"bench_result_r$r.json"), json + "\n")
+    }
     println(json)
     // slowest-10 on its own compact line: when the full per-query record
     // overflows the driver's stdout tail from the head (r7 lost the first

@@ -274,6 +274,12 @@ final class BucketedViewStore(
   def changesBetween(name: String, fromEpoch: Int, toEpoch: Int): DataFrame = {
     require(fromEpoch < toEpoch,
       s"change feed range must be non-empty: ($fromEpoch, $toEpoch]")
+    // reject nonsense lower bounds up front (0 = the initial materialize
+    // epoch, which writes no sidecar; -1 would ask for its delta) rather
+    // than failing later with a confusing "sidecar e-3 missing"
+    require(fromEpoch >= 0,
+      s"fromEpoch must be >= 0 (epoch 0 is the initial materialization), " +
+        s"got $fromEpoch")
     val cur = epoch(name)
     require(toEpoch <= cur,
       s"view '$name' is at epoch $cur; requested toEpoch $toEpoch does not exist")
@@ -500,7 +506,11 @@ final class BucketedViewStore(
       gcOldClaims(name, nextEpoch.toLong)
     } finally {
       if (!published)
-        Files.deleteIfExists(root(name).resolve(s"_CLAIM.e$nextEpoch"))
+        // best-effort: a throwing deleteIfExists in a finally would REPLACE
+        // the original write failure (see ViewStore.writeClustered)
+        try Files.deleteIfExists(root(name).resolve(s"_CLAIM.e$nextEpoch"))
+        catch { case _: java.io.IOException =>
+          System.err.println(s"warn: could not release claim e$nextEpoch on '$name'") }
     }
   }
 
@@ -611,7 +621,11 @@ final class BucketedViewStore(
     RefreshStats(affected.size, metaBuckets.size, numBuckets)
     } finally {
       if (!published)
-        Files.deleteIfExists(root(name).resolve(s"_CLAIM.e$epoch"))
+        // best-effort: a throwing deleteIfExists in a finally would REPLACE
+        // the original write failure (see ViewStore.writeClustered)
+        try Files.deleteIfExists(root(name).resolve(s"_CLAIM.e$epoch"))
+        catch { case _: java.io.IOException =>
+          System.err.println(s"warn: could not release claim e$epoch on '$name'") }
     }
   }
 

@@ -87,6 +87,13 @@ final class ViewStore(
   def changesBetween(name: String, fromVersion: Int, toVersion: Int): DataFrame = {
     require(fromVersion < toVersion,
       s"change feed range must be non-empty: ($fromVersion, $toVersion]")
+    // -1 = "from before the initial materialization" (version 0's sidecar
+    // is the first replayed); anything lower is a caller bug — reject it
+    // here rather than failing later with a confusing "sidecar v-4
+    // missing" once the per-version loop runs
+    require(fromVersion >= -1,
+      s"fromVersion must be >= -1 (-1 replays from the initial " +
+        s"materialization), got $fromVersion")
     // The replay needs exactly the sidecars covering (from, to] — NOT the
     // endpoint SNAPSHOTS. Requiring `readableVersions` to contain `from`
     // (the previous precondition) tied feed availability to snapshot GC,
@@ -151,6 +158,15 @@ final class ViewStore(
     // only a SUCCESSFUL publish (the genuine concurrent-racer case keeps
     // failing loudly in claimVersion); without this release, one failed
     // write wedged the view until manual marker removal.
+    //
+    // Assumption behind the auto-release: the retry happens only after the
+    // failed attempt's Spark job has fully terminated. Within one JVM that
+    // holds — the exception propagates only after job teardown and output
+    // commit coordination fences straggler tasks. Multi-PROCESS
+    // orchestration on shared storage that wants the strictly-safer
+    // wedge-until-operator behavior should treat a release-then-reclaim
+    // while the failed process may still have tasks in flight as its own
+    // coordination problem (e.g. fence on the scheduler, not this marker).
     var published = false
     try {
       df
@@ -174,7 +190,12 @@ final class ViewStore(
       published = true
     } finally {
       if (!published)
-        Files.deleteIfExists(dir(name).resolve(s"_CLAIM.v$next"))
+        // best-effort: deleteIfExists can itself throw (transient IO), and
+        // an exception from a finally block would REPLACE the original
+        // write failure — never let cleanup outrank the cause
+        try Files.deleteIfExists(dir(name).resolve(s"_CLAIM.v$next"))
+        catch { case _: java.io.IOException =>
+          System.err.println(s"warn: could not release claim v$next on '$name'") }
     }
     // GC superseded versions (keep graceVersions copies for in-flight
     // readers of older snapshots) — otherwise every refresh leaks a view

@@ -111,12 +111,52 @@ object PipelineQueries {
       base.refresh(ups, Some(dels))
     }
 
-  /** Materialize the stored postings eagerly (write-time cost) so bench
-    * timings measure the indexed read path. */
+  /** Materialize the stored postings + pair graph eagerly (write-time
+    * cost) so bench timings measure the indexed read path. */
   def prewarm(s: SparkSession, dir: String): Unit = {
     postingsView(s, dir)
     incPostingsView(s, dir)
+    pairsView(s, dir)
     ()
+  }
+
+  /** n-gram Jaccard near-dup pairs `(i, j, jaccard)` — the DERIVATION
+    * plan (see `dedup_ngram_jaccard`'s entry for the full shape
+    * commentary). Unordered; consumers sort or store. */
+  private[operators] def ngramJaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    Hashes.register(s)
+    val sh = docs(s, dir)
+      .select(col("doc_id"), explode(expr("shingle_hashes(text)")).as("sh"))
+    val (inter, sizes) = postingStats(sh, MaxShingleDf)
+    inter
+      .join(sizes.select(col("doc_id").as("i"), col("n").as("n_i")), Seq("i"))
+      .join(sizes.select(col("doc_id").as("j"), col("n").as("n_j")), Seq("j"))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / (col("n_i") + col("n_j") - col("inter")), 6))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .select(col("i"), col("j"), col("jaccard"))
+  }
+
+  /** The near-dup pair graph MATERIALIZED as a stored relation
+    * (compute-on-write, SURVEY §4.1): the shingle→posting→pair derivation
+    * is the most expensive plan in the dedup family, and FOUR consumers
+    * need the same pairs (the pair listing itself, the LSH recall
+    * invariant's exact arm, cluster resolution, end-to-end removal).
+    * Writing the pairs once and serving every consumer from the stored
+    * clustered relation is the engine's own compute-on-write thesis
+    * applied to its own operators — exactly what [[postingsIdx]] already
+    * does for search. Cross-query Spark caching is deliberately NOT the
+    * tool here (cache squatting, see [[postingStats]]); storage is. The
+    * relation is clustered by `(i, j)`, so per-doc pair lookups prune by
+    * file min/max like any other stored view. */
+  private val pairViewBuilt = scala.collection.concurrent.TrieMap.empty[String, Unit]
+  private val PairViewName = "dedup_pairs"
+  private[operators] def pairsView(s: SparkSession, dir: String): DataFrame = {
+    val store = Views.store(s, dir)
+    pairViewBuilt.getOrElseUpdate(dir, {
+      store.writeClustered(PairViewName, ngramJaccardPairs(s, dir), Seq("i", "j"))
+    })
+    s.read.parquet(store.latestPath(PairViewName))
   }
 
   /**
@@ -278,26 +318,20 @@ object PipelineQueries {
     // same exchange (ReusedExchange), so the corpus is scanned and
     // shingled exactly once. No all-pairs join anywhere; the pair stream
     // is Σ df² over capped buckets.
-    "dedup_ngram_jaccard" -> ((s, dir) => {
-      Hashes.register(s)
-      // one-pass native shingle hashing (no string shingles, no HOF
-      // re-evaluation); aggregating on the 64-bit hash gives the same
-      // counts at a fraction of the compute and shuffle bytes
-      val sh = docs(s, dir)
-        .select(col("doc_id"), explode(expr("shingle_hashes(text)")).as("sh"))
-      val (inter, sizes) = postingStats(sh, MaxShingleDf)
-      // no broadcast hint on `sizes`: it is one row per document, so a
-      // forced broadcast OOMs the driver at corpus scale — AQE broadcasts
-      // it anyway while it is actually small
-      inter
-        .join(sizes.select(col("doc_id").as("i"), col("n").as("n_i")), Seq("i"))
-        .join(sizes.select(col("doc_id").as("j"), col("n").as("n_j")), Seq("j"))
-        .withColumn("jaccard",
-          round(col("inter").cast("double") / (col("n_i") + col("n_j") - col("inter")), 6))
-        .filter(col("jaccard") >= JaccardThreshold)
-        .select(col("i"), col("j"), col("jaccard"))
-        .orderBy("i", "j")
-    }),
+    // one-pass native shingle hashing (no string shingles, no HOF
+    // re-evaluation); aggregating on the 64-bit hash gives the same
+    // counts at a fraction of the compute and shuffle bytes. No
+    // broadcast hint on the sizes side: it is one row per document, so
+    // a forced broadcast OOMs the driver at corpus scale — AQE
+    // broadcasts it anyway while it is actually small.
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      ngramJaccardPairs(s, dir).orderBy("i", "j")),
+
+    // the SAME pair relation served from storage ([[pairsView]]): the
+    // derivation above runs once at write time; this is the read path
+    // every downstream dedup consumer pays per query
+    "dedup_pairs_view" -> ((s, dir) =>
+      pairsView(s, dir).orderBy("i", "j")),
 
     // MinHash + LSH banding with a driver-checkable invariant: the exact
     // capped-shingle Jaccard pair set (same relation the DuckDB oracle
@@ -310,7 +344,7 @@ object PipelineQueries {
     // is the engine's promise (measured candidate recall is 1.0 at
     // sf0.001/0.01/0.1). Pair-level output for users: [[minhashLshPairs]].
     "dedup_minhash_lsh" -> ((s, dir) => {
-      val exact = queries("dedup_ngram_jaccard")(s, dir).select("i", "j")
+      val exact = pairsView(s, dir).select("i", "j")
       val found = minhashCandidates(s, dir).withColumn("f", lit(1L))
       exact.join(found, Seq("i", "j"), "left_outer")
         .agg(count(lit(1)).as("n_exact_pairs"),
@@ -391,11 +425,12 @@ object PipelineQueries {
     // clusters are shallow, so a handful of rounds; the per-round driver
     // work is a single scalar convergence count.
     "dedup_components" -> ((s, dir) =>
-      // resolve() materializes the pair set once (without that, every
-      // propagation round would re-derive the whole shingle→posting→pair
-      // plan inside its lineage — r2: 26 s), counts it, and picks driver
-      // union-find vs the distributed min-label loop by edge count
-      Components.resolve(queries("dedup_ngram_jaccard")(s, dir).select("i", "j"))
+      // pairs come from the STORED pair view — each propagation round
+      // reads a clustered parquet relation instead of re-deriving the
+      // shingle→posting→pair plan inside its lineage (r2: 26 s); resolve
+      // still persists it once and picks driver union-find vs the
+      // distributed min-label loop by edge count
+      Components.resolve(pairsView(s, dir).select("i", "j"))
         .orderBy("doc_id")),
 
     // deterministic content-hash train/valid split: assignment depends
@@ -534,7 +569,7 @@ object PipelineQueries {
     // the keeper set from scratch with a recursive CTE.
     "pipeline_dedup_removal" -> ((s, dir) => {
       val comp = Components.resolve( // (doc_id, component=min of cluster)
-        queries("dedup_ngram_jaccard")(s, dir).select("i", "j"))
+        pairsView(s, dir).select("i", "j"))
       val d = docs(s, dir)
       // keepers: each cluster's component id IS its minimum member, so
       // distinct components ∪ never-paired docs (anti-join) = keep set
@@ -800,6 +835,9 @@ object PipelineQueries {
         |       min(doc_id) AS keeper, count(*) AS cnt
         |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
     "dedup_ngram_jaccard" -> ngramJaccardSql,
+    // the stored pair view must serve byte-identical pairs to the
+    // from-scratch derivation the oracle recomputes
+    "dedup_pairs_view" -> ngramJaccardSql,
     "text_quality" ->
       s"""SELECT doc_id,
          |       len(string_split(text, ' ')) AS n_tokens,
