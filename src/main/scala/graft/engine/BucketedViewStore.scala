@@ -193,14 +193,17 @@ final class BucketedViewStore(
    * manifest). Returns the new (bucket → version) entries.
    */
   private def stagedWrite(name: String, kind: String, df: DataFrame, bcol: String,
-      expected: Set[Int], prev: Map[(String, Int), Int]): Map[(String, Int), Int] = {
+      expected: Set[Int], prev: Map[(String, Int), Int],
+      salt: Int = -1): Map[(String, Int), Int] = {
     val staging = root(name).resolve(s"_stage_${kind}_${System.nanoTime()}")
     // salt the shuffle so a hot bucket's rewrite parallelizes across up to
     // writeSalt tasks instead of serializing in one; (uid, src_key) spreads
     // even a single key's emissions (uid is per-row) and the uid=0 meta
-    // rows (src_key is per-row there)
+    // rows (src_key is per-row there). [[compact]] passes salt = 1: its
+    // whole point is folding a bucket's accreted slices into one file.
+    val s = if (salt > 0) salt else writeSalt
     df.repartition(col(bcol),
-        pmod(xxhash64(col("uid"), col("src_key")), lit(writeSalt)))
+        pmod(xxhash64(col("uid"), col("src_key")), lit(s)))
       .sortWithinPartitions(bcol, "emit_key", "uid")
       .write.partitionBy(bcol).option("compression", "zstd").parquet(staging.toString)
     val out = scala.collection.mutable.Map.empty[(String, Int), Int]
@@ -623,6 +626,95 @@ final class BucketedViewStore(
       if (!published)
         // best-effort: a throwing deleteIfExists in a finally would REPLACE
         // the original write failure (see ViewStore.writeClustered)
+        try Files.deleteIfExists(root(name).resolve(s"_CLAIM.e$epoch"))
+        catch { case _: java.io.IOException =>
+          System.err.println(s"warn: could not release claim e$epoch on '$name'") }
+    }
+  }
+
+  /** Live parquet file count of one manifest-live bucket — the
+    * fragmentation measure [[compact]] thresholds on. */
+  private def liveFileCount(name: String, kind: String, b: Int, v: Int): Int = {
+    val dir = Paths.get(bucketPath(name, kind, b, v))
+    if (!Files.exists(dir)) 0
+    else {
+      val stream = Files.list(dir)
+      try stream.iterator().asScala
+        .count(_.getFileName.toString.endsWith(".parquet"))
+      finally stream.close()
+    }
+  }
+
+  /**
+   * Compaction epoch: rewrite live buckets whose parquet file count
+   * exceeds `maxFilesPerBucket`, folding each one's accreted slices into
+   * a single file — a NO-CHANGE epoch. Long sequences of tiny refreshes
+   * leave up to [[writeSalt]] small files per touched bucket per epoch;
+   * at 100 TB that fragmentation taxes every subsequent read (per-file
+   * open + footer decode) until a bucket happens to be fully rewritten. Rows are preserved byte-identically (same uids, same
+   * values — the rewrite is read-then-write with no transformation), the
+   * epoch's CDC sidecar is EMPTY (a feed replay crossing a compaction
+   * sees nothing from it), and snapshot grace/retention semantics are
+   * unchanged — in-flight readers of the pre-compaction manifest keep
+   * their grace copies exactly as with any refresh.
+   *
+   * Buckets at or under the threshold are untouched; if nothing is over
+   * it, the call is a no-op (no epoch bump, no sidecar). Compaction uses
+   * an UNSALTED write (one task, one file per bucket) — parallelism
+   * across buckets, not within one; it is a background maintenance op,
+   * not a latency-critical refresh.
+   */
+  def compact(name: String, maxFilesPerBucket: Int = 1): RefreshStats = {
+    val m0 = manifest(name)
+    require(m0.nonEmpty, s"view '$name' not materialized in $baseDir")
+    // iterator, NOT m0.collect: collecting (kind, bucket) pairs straight
+    // off a Map rebuilds a Map keyed by KIND, silently keeping one bucket
+    // per kind — every other over-threshold bucket would be dropped
+    val needs: Set[(String, Int)] = m0.iterator.collect {
+      case ((k, b), v) if (k == Emit || k == Meta) &&
+        liveFileCount(name, k, b, v) > maxFilesPerBucket => (k, b)
+    }.toSet
+    if (needs.isEmpty) return RefreshStats(0, 0, numBuckets)
+    val epoch = (m0.getOrElse((EpochKind, 0), 0) + 1).toLong
+    claimEpoch(name, epoch)
+    var published = false
+    try {
+      val emitB = needs.collect { case (Emit, b) => b }
+      val metaB = needs.collect { case (Meta, b) => b }
+      val mEmit =
+        if (emitB.isEmpty) Map.empty[(String, Int), Int]
+        else stagedWrite(name, Emit,
+          withBuckets(spark.read.parquet(livePaths(name, Emit, Some(emitB)): _*)),
+          "kb", emitB, m0, salt = 1)
+      val mMeta =
+        if (metaB.isEmpty) Map.empty[(String, Int), Int]
+        else stagedWrite(name, Meta,
+          spark.read.parquet(livePaths(name, Meta, Some(metaB)): _*)
+            .withColumn("mb", metaBucketExpr(col("src_key"))),
+          "mb", metaB, m0, salt = 1)
+      // EMPTY CDC sidecar, written before the swap like any refresh's: the
+      // epoch participates in the feed (changesBetween ranges crossing it
+      // keep their fail-loud contiguity contract) but contributes no rows.
+      // repartition(1) forces one schema-bearing file — a zero-partition
+      // empty write would leave nothing for the sidecar read to infer from
+      df(name).limit(0)
+        .withColumn("change_type", lit("insert"))
+        .withColumn("change_version", lit(epoch))
+        .repartition(1)
+        .write.mode("overwrite").option("compression", "zstd")
+        .parquet(changesPath(name, epoch).toString)
+      // compaction preserves rows, so no bucket can go empty — but mirror
+      // refresh's dropped-bucket bookkeeping anyway (defense in depth)
+      val dropped = needs -- mEmit.keySet -- mMeta.keySet
+      writeManifest(name,
+        m0 -- dropped ++ mEmit ++ mMeta + ((EpochKind, 0) -> epoch.toInt))
+      published = true
+      gcOldVersions(name, needs, mEmit ++ mMeta)
+      gcOldSidecars(name, epoch)
+      gcOldClaims(name, epoch)
+      RefreshStats(emitB.size, metaB.size, numBuckets)
+    } finally {
+      if (!published)
         try Files.deleteIfExists(root(name).resolve(s"_CLAIM.e$epoch"))
         catch { case _: java.io.IOException =>
           System.err.println(s"warn: could not release claim e$epoch on '$name'") }

@@ -268,6 +268,60 @@ class BucketedStoreSpec extends AnyFunSuite with SparkSpec {
     assert(feed === Set("delete" -> "d", "insert" -> "d"))
   }
 
+  test("compact folds accreted bucket files into one; reads and feed replay unchanged") {
+    import scala.jdk.CollectionConverters._
+    val store = new BucketedViewStore(spark,
+      java.nio.file.Files.createTempDirectory("graft-compact-").toString,
+      numBuckets = 2, writeSalt = 8)
+    val one = MapIndex.columns("bstore_compact")(col("key"),
+      array(emit(col("key"), col("v"))))
+    // pin AQE coalescing off (see the salted-write test): at test size the
+    // salted slices would merge back into one partition and the fixture
+    // would have nothing to compact
+    val coalesce0 = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try {
+      store.materialize(one, (0 until 2000).map(i => f"k$i%04d" -> i).toDF("key", "v"))
+      store.refresh(one, Seq("k0001" -> 11).toDF("key", "v"))
+    } finally spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", coalesce0)
+
+    def emitFiles(): Map[Int, Int] = store.manifest(one.name).collect {
+      case (("emit", b), v) =>
+        val dir = java.nio.file.Paths.get(store.baseDir, one.name, s"kb=$b", s"v$v")
+        val files = java.nio.file.Files.list(dir)
+        val n = try files.iterator().asScala
+          .count(_.getFileName.toString.endsWith(".parquet")) finally files.close()
+        b -> n
+    }
+    val before = emitFiles()
+    assert(before.values.max > 1, s"fixture must accrete files, saw $before")
+    val snapBefore = snapshot(store.df(one.name))
+    val feedBefore = store.changesBetween(one.name, 0, 1)
+      .select("change_type", "emit_key", "emit_value")
+      .as[(String, String, Int)].collect().sorted.toSeq
+    val e0 = store.epoch(one.name)
+
+    val stats = store.compact(one.name, maxFilesPerBucket = 1)
+    assert(stats.emitBucketsRewritten === 2, s"both emit buckets were over threshold, $stats")
+    val after = emitFiles()
+    assert(after.values.forall(_ === 1),
+      s"compaction must leave one file per live bucket, saw $after")
+    // no-change epoch: epoch advanced, rows identical, the compaction
+    // sidecar is empty, and a feed replay crossing it is byte-identical
+    assert(store.epoch(one.name) === e0 + 1)
+    assert(snapshot(store.df(one.name)) === snapBefore)
+    assert(store.changesBetween(one.name, e0, e0 + 1).count() === 0)
+    val feedAfter = store.changesBetween(one.name, 0, e0 + 1)
+      .select("change_type", "emit_key", "emit_value")
+      .as[(String, String, Int)].collect().sorted.toSeq
+    assert(feedAfter === feedBefore)
+    assert(store.get(one.name, "k0001").as[Int].collect().toSeq === Seq(11))
+    // nothing over the threshold anymore → pure no-op, no epoch bump
+    val noop = store.compact(one.name, maxFilesPerBucket = 1)
+    assert(noop.emitBucketsRewritten === 0 && noop.metaBucketsRewritten === 0)
+    assert(store.epoch(one.name) === e0 + 1)
+  }
+
   test("salted staged write splits a hot bucket across tasks; reads unchanged") {
     import scala.jdk.CollectionConverters._
     val store = new BucketedViewStore(spark,
