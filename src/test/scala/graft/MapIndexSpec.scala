@@ -300,4 +300,32 @@ class MapIndexSpec extends AnyFunSuite with SparkSpec {
       array(emit(lit("test2"), col("value")(0)("emit_value")))))
     assert(values(recomputed.get("test2")) === Seq(9))
   }
+
+  test("durable store root: reopen reuses views on fingerprint match, rebuilds on roll") {
+    import java.nio.file.Files
+    val corpus = Files.createTempDirectory("graft-corpus-")
+    entries("a" -> 1, "b" -> 2).write.parquet(corpus.resolve("t.parquet").toString)
+    val root = Files.createTempDirectory("graft-durable-").toString
+    val idx = MapIndex.columns("durable_view")(col("key"),
+      array(emit(col("key"), col("test"))))
+
+    val s1 = graft.engine.Views.durableStore(spark, root, corpus.toString)
+    idx.materialize(spark.read.parquet(corpus.resolve("t.parquet").toString), s1)
+    assert(s1.latestVersion(idx.name).contains(0))
+
+    // a second store instance over the same root + unchanged corpus serves
+    // the existing materialization — no recompute, same rows
+    val s2 = graft.engine.Views.durableStore(spark, root, corpus.toString)
+    assert(s2.latestVersion(idx.name).contains(0),
+      "second open must reuse the on-disk materialization")
+    assert(s2.load(idx).df.count() === 2)
+
+    // rewriting the corpus under the same path rolls the fingerprint: the
+    // store restarts empty rather than serving views of the old data
+    entries("a" -> 1, "b" -> 2, "c" -> 3).write.mode("overwrite")
+      .parquet(corpus.resolve("t.parquet").toString)
+    val s3 = graft.engine.Views.durableStore(spark, root, corpus.toString)
+    assert(s3.latestVersion(idx.name).isEmpty,
+      "fingerprint roll must force a rebuild")
+  }
 }
