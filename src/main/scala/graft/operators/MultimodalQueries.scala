@@ -13,11 +13,14 @@ final case class MediaFeatures(
 /**
  * Multimodal-column plumbing: media payloads are opaque `binary` columns
  * with typed metadata; decode/feature-extraction runs per partition over
- * the raw bytes. The container has no image/audio codecs, so
- * [[MultimodalQueries.decodeStub]] is a clearly-marked deterministic fake
- * standing in for the real decoder — the Spark-side shape (binary column,
- * typed `Dataset` output, `mapPartitions` batching, per-partition codec
- * init) is the real, tested part.
+ * the raw bytes. Two codecs share the shape (binary column, typed
+ * `Dataset` output, `mapPartitions` batching, per-partition codec init):
+ * [[MultimodalQueries.decodePng]] is a REAL JDK-only image decoder
+ * (javax.imageio), exercised by the spec over generated PNG fixtures;
+ * [[MultimodalQueries.decodeStub]] is the deterministic md5-derived
+ * variant the driver-facing queries use, because the synthetic
+ * `documents` payloads are text, not images, and the DuckDB oracle must
+ * be able to recompute the features from SQL.
  *
  * Scale note: `mapPartitions` (not `map`) so a real decoder initializes
  * once per partition, and the binary payload column is projected alone —
@@ -25,9 +28,47 @@ final case class MediaFeatures(
  */
 object MultimodalQueries {
 
-  /** STUB — replace with a real codec (JPEG/PNG/PCM decode). Deterministic:
-    * features derive from the payload's md5, so the DuckDB oracle can
-    * reproduce them. A real implementation keeps this exact signature. */
+  /** REAL JDK-only codec: decode an image payload (PNG/GIF/BMP — whatever
+    * javax.imageio recognizes) into its actual dimensions and channel
+    * count. `None` for undecodable payloads — a production pipeline
+    * routes those to quarantine rather than failing the batch. ImageIO's
+    * reader is stateful, so like any real codec it is constructed per
+    * PARTITION by the caller, never per row. */
+  def decodePng(docId: Long, payload: Array[Byte], md: MessageDigest): Option[MediaFeatures] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: java.io.IOException => null }
+    Option(img).map { i =>
+      MediaFeatures(
+        doc_id = docId,
+        n_bytes = payload.length.toLong,
+        checksum = md.digest(payload).map("%02x".format(_)).mkString,
+        channels = i.getColorModel.getNumComponents,
+        width = i.getWidth,
+        height = i.getHeight)
+    }
+  }
+
+  /** The real-codec pipeline over a `(doc_id, payload)` binary relation:
+    * identical distributed shape to `multimodal_features` (payload column
+    * projected alone, per-partition codec init, typed output), with
+    * undecodable rows dropped. Spec-gated on generated PNG fixtures of
+    * known dimensions and channel counts. */
+  def decodeImages(s: SparkSession, payloads: DataFrame): DataFrame = {
+    import s.implicits._
+    payloads.select(col("doc_id").cast("long"), col("payload").cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val md = MessageDigest.getInstance("MD5") // per-partition codec init
+        it.flatMap { case (id, bytes) => decodePng(id, bytes, md) }
+      }
+      .toDF()
+  }
+
+  /** Deterministic md5-derived stand-in with the same signature class as
+    * [[decodePng]]: used by the DRIVER-facing queries because their
+    * payloads are synthetic text and the DuckDB oracle recomputes the
+    * features in SQL. The real codec above is the non-stub path. */
   def decodeStub(docId: Long, payload: Array[Byte], md: MessageDigest): MediaFeatures = {
     val hex = md.digest(payload).map("%02x".format(_)).mkString
     MediaFeatures(

@@ -22,6 +22,29 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(recall >= 0.9, s"LSH recall $recall over ${exact.size} strong pairs")
   }
 
+  test("PNG decode: the real javax.imageio codec reads true dimensions and channels") {
+    import java.awt.image.BufferedImage
+    def png(w: Int, h: Int, imgType: Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, imgType)
+      for (x <- 0 until w; y <- 0 until h) img.setRGB(x, y, (x * 31 + y * 17) & 0xffffff)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val rows = Seq(
+      (1L, png(16, 8, BufferedImage.TYPE_INT_RGB)),       // 3 channels
+      (2L, png(32, 32, BufferedImage.TYPE_INT_ARGB)),     // 4 channels
+      (3L, png(5, 7, BufferedImage.TYPE_BYTE_GRAY)),      // 1 channel
+      (4L, "definitely not an image".getBytes("UTF-8")))  // quarantine
+    val out = graft.operators.MultimodalQueries
+      .decodeImages(spark, rows.toDF("doc_id", "payload"))
+      .select("doc_id", "width", "height", "channels")
+      .as[(Long, Int, Int, Int)].collect().sortBy(_._1).toSeq
+    assert(out === Seq((1L, 16, 8, 3), (2L, 32, 32, 4), (3L, 5, 7, 1)),
+      "decoded dimensions/channels must match the generated fixtures; " +
+        "undecodable payloads are dropped")
+  }
+
   test("simhash64 is deterministic and near-dup-sensitive") {
     Hashes.register(spark)
     val df = Seq(
