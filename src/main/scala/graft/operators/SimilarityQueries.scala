@@ -350,7 +350,19 @@ object SimilarityQueries {
     * batch's band keys are collected to the driver — ≤ probes × bands
     * short strings, model-sized — so the In-filter is PUSHED to the
     * stored bands' parquet scan and the search reads only the probed
-    * collision lists, never the corpus. */
+    * collision lists, never the corpus.
+    *
+    * Probe-batch scaling: the driver collect is right for MODEL-SIZED
+    * probe batches (an online query set; tens to thousands of keys — the
+    * same cost class as broadcasting the probes themselves, which this
+    * plan also does). A BULK caller probing ~10⁶+ vectors should not
+    * build a 10⁶-element In list or broadcast the probe relation:
+    * replace both with a shuffle join — `stored.join(probeBands, "bkey")`
+    * un-broadcast (equi-join on the band key, i.e. a left-semi against
+    * the probe band set for the prune, then the same candidate dedupe +
+    * cosine) — trading the pushed scan filter for a shuffle that scales
+    * with probe volume. Same applies to [[ivfTopKFromView]]'s cell-id
+    * list. */
   def lshTopKFromView(s: SparkSession, dir: String): DataFrame = {
     val store = lshBandsView(s, dir)
     val probes = modifiedEmb(s, dir).filter(col("vec_id") < 10)
