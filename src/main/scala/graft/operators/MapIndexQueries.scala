@@ -81,6 +81,30 @@ object MapIndexQueries {
       st
     })
 
+  /** The maintained fixture taken through a COMPACTION epoch after its
+    * refresh — the no-change-epoch claim graded through the driver's
+    * from-scratch oracle: post-compaction reads must hash-match the same
+    * SQL as the uncompacted maintained view (any perturbed row fails),
+    * and a feed replay crossing the compaction must equal the refresh
+    * delta alone (the compaction sidecar is empty). `maxFilesPerBucket=0`
+    * forces every live bucket through the rewrite, so the epoch bump is
+    * deterministic regardless of how the refresh's files coalesced. */
+  private val byFlagCompact = MapIndex.columns("lineitem_byflag_compact")(
+    concat_ws("-", col("l_orderkey"), col("l_linenumber")),
+    array(emit(col("l_returnflag"), col("l_extendedprice"))))
+
+  private val compactStores =
+    scala.collection.concurrent.TrieMap.empty[String, graft.engine.BucketedViewStore]
+  private def compactedStore(s: SparkSession, dir: String): graft.engine.BucketedViewStore =
+    compactStores.getOrElseUpdate(dir, {
+      val st = graft.engine.BucketedViewStore.temp(s, numBuckets = 8)
+      val li = Tables.lineitem(s, dir)
+      st.materialize(byFlagCompact, li)
+      st.refresh(byFlagCompact, reflaggedUpserts(li), Some(tombstoneKeys(li)))
+      st.compact(byFlagCompact.name, maxFilesPerBucket = 0)
+      st
+    })
+
   private def bucketView(s: SparkSession, dir: String) =
     Views.cached(dir, byBucket.name) {
       Views.materialized(s, dir, byOrder)(Tables.lineitem(s, dir))
@@ -304,6 +328,7 @@ object MapIndexQueries {
     mixedView(s, dir)
     rangeBucketedFlag(s, dir)
     rangeMaintained(s, dir)
+    compactedStore(s, dir)
     flagView(s, dir)
     bucketView(s, dir)
     bucketedFlag(s, dir)
@@ -396,6 +421,27 @@ object MapIndexQueries {
         .agg(round(sum("emit_value"), 2).as("sum_value"),
           count(lit(1)).as("cnt"))
         .orderBy("emit_key")),
+
+    // post-COMPACTION read: refresh then compact(maxFilesPerBucket=0)
+    // rewrote every live bucket as a no-change epoch; the grouped read
+    // must still hash-match the identical from-scratch oracle
+    "mapindex_compacted_group" -> ((s, dir) =>
+      compactedStore(s, dir).df(byFlagCompact.name)
+        .groupBy(col("emit_key"))
+        .agg(round(sum("emit_value"), 2).as("sum_value"),
+          count(lit(1)).as("cnt"))
+        .orderBy("emit_key")),
+
+    // feed replay ACROSS the compaction epoch (0, 2]: the compaction
+    // sidecar is empty, so the replay equals the refresh delta alone —
+    // same oracle as the uncompacted feeds
+    "mapindex_compacted_changefeed" -> ((s, dir) => {
+      val st = compactedStore(s, dir)
+      st.changesBetween(byFlagCompact.name, 0, st.epoch(byFlagCompact.name))
+        .groupBy(col("change_type"), col("emit_key"))
+        .agg(count(lit(1)).as("cnt"), round(sum("emit_value"), 2).as("sum_value"))
+        .orderBy("change_type", "emit_key")
+    }),
 
     // the range layout's CDC sidecar over the same refresh: epoch 0 → 1,
     // same exact-delta oracle as the flat and hash-bucketed feeds — the
@@ -678,6 +724,31 @@ object MapIndexQueries {
         |  FROM lineitem WHERE l_orderkey % 89 <> 0)
         |SELECT emit_key, round(sum(v), 2) AS sum_value, count(*) AS cnt
         |FROM src GROUP BY 1 ORDER BY emit_key""".stripMargin,
+    // post-compaction reads recompute against the SAME modified-source
+    // SQL as the maintained views: compaction must not change a byte
+    "mapindex_compacted_group" ->
+      """WITH src AS (
+        |  SELECT CASE WHEN l_orderkey % 97 = 0 THEN 'X' ELSE l_returnflag END AS emit_key,
+        |         l_extendedprice AS v
+        |  FROM lineitem WHERE l_orderkey % 89 <> 0)
+        |SELECT emit_key, round(sum(v), 2) AS sum_value, count(*) AS cnt
+        |FROM src GROUP BY 1 ORDER BY emit_key""".stripMargin,
+    // the feed across the compaction epoch equals the refresh delta alone
+    "mapindex_compacted_changefeed" ->
+      """WITH del AS (
+        |  SELECT l_returnflag AS emit_key, l_extendedprice AS v FROM lineitem
+        |  WHERE l_orderkey % 89 = 0 OR (l_orderkey % 97 = 0 AND l_orderkey % 89 <> 0)),
+        |ins AS (
+        |  SELECT 'X' AS emit_key, l_extendedprice AS v FROM lineitem
+        |  WHERE l_orderkey % 97 = 0 AND l_orderkey % 89 <> 0)
+        |SELECT 'delete' AS change_type, emit_key, count(*) AS cnt,
+        |       round(sum(v), 2) AS sum_value
+        |FROM del GROUP BY 2
+        |UNION ALL
+        |SELECT 'insert' AS change_type, emit_key, count(*) AS cnt,
+        |       round(sum(v), 2) AS sum_value
+        |FROM ins GROUP BY 2
+        |ORDER BY change_type, emit_key""".stripMargin,
     // the range layout's sidecar must carry the identical delta as the
     // flat and hash-bucketed feeds
     "mapindex_rangebucketed_changefeed" ->
