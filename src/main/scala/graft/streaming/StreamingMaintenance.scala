@@ -124,7 +124,18 @@ final class StreamingAggMapIndex(
 final class BucketedStreamingMapIndex(
     index: MapIndex,
     store: graft.engine.BucketedViewStore,
-    cascades: Seq[MapIndex] = Nil) {
+    cascades: Seq[MapIndex] = Nil,
+    /** Run a compaction epoch ([[graft.engine.BucketedViewStore.compact]])
+      * after every N micro-batches (0 = never). A long-running stream of
+      * small batches is exactly the tiny-refresh workload that accretes
+      * salted file slices inside live buckets; periodic folding keeps the
+      * per-read file count bounded for the life of the stream, at the
+      * cost of one no-change epoch per N batches. The cascade's O(delta)
+      * catch-up is unaffected: it always replays exactly the latest
+      * refresh epoch, and a compaction epoch's sidecar is empty. */
+    compactEvery: Int = 0) {
+
+  private var batchesApplied = 0L
 
   def applyBatch(batch: DataFrame): Unit = {
     val hasTombstones = batch.columns.contains("deleted")
@@ -153,6 +164,11 @@ final class BucketedStreamingMapIndex(
           MaterializedView.replayDelta(store.changesBetween(index.name, e1 - 1, e1))
         store.refresh(next, changedSource, Some(touched))
       }
+    }
+    batchesApplied += 1
+    if (compactEvery > 0 && batchesApplied % compactEvery == 0) {
+      store.compact(index.name)
+      cascades.foreach(c => if (!store.manifest(c.name).isEmpty) store.compact(c.name))
     }
   }
 

@@ -143,6 +143,46 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(bumped <= 2, s"micro-batch of one key bumped $bumped buckets") // 1 emit + 1 meta
   }
 
+  test("streaming auto-compaction folds micro-batch file accretion; results unchanged") {
+    import graft.engine.BucketedViewStore
+    import graft.streaming.BucketedStreamingMapIndex
+    import scala.jdk.CollectionConverters._
+    val store = new BucketedViewStore(spark,
+      java.nio.file.Files.createTempDirectory("graft-scompact-").toString,
+      numBuckets = 2, writeSalt = 8)
+    val idx = MapIndex.columns("stream_autocompact")(col("key"),
+      array(emit(col("key"), col("test"))))
+    // every 2nd batch compacts (maxFilesPerBucket default 1)
+    val sm = new BucketedStreamingMapIndex(idx, store, compactEvery = 2)
+    val input = MemoryStream[(String, Int)]
+    // keep the salted slices observable (see the salted-write test)
+    val coalesce0 = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    val q = sm.writer(input.toDF().toDF("key", "test")).start()
+    try {
+      input.addData((1 to 400).map(i => s"k$i" -> i): _*)
+      q.processAllAvailable()
+      input.addData((1 to 100).map(i => s"k$i" -> (i * 10)): _*) // batch 2 → compact
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", coalesce0)
+    }
+    // post-compaction: every live emit bucket is back to one file
+    val files = store.manifest(idx.name).collect { case (("emit", b), v) =>
+      val dir = java.nio.file.Paths.get(store.baseDir, idx.name, s"kb=$b", s"v$v")
+      val s0 = java.nio.file.Files.list(dir)
+      try s0.iterator().asScala.count(_.getFileName.toString.endsWith(".parquet"))
+      finally s0.close()
+    }
+    assert(files.nonEmpty && files.forall(_ == 1),
+      s"auto-compaction must fold each live bucket to one file, saw $files")
+    // and the stream's results are exactly the upsert semantics
+    assert(store.df(idx.name).count() === 400)
+    assert(store.get(idx.name, "k7").as[Int].collect().toSeq === Seq(70))
+    assert(store.get(idx.name, "k300").as[Int].collect().toSeq === Seq(300))
+  }
+
   test("bucketed streaming cascade propagates incremental changes (O17 at scale)") {
     import graft.engine.BucketedViewStore
     import graft.streaming.BucketedStreamingMapIndex
