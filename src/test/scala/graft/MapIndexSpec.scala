@@ -328,4 +328,37 @@ class MapIndexSpec extends AnyFunSuite with SparkSpec {
     assert(s3.latestVersion(idx.name).isEmpty,
       "fingerprint roll must force a rebuild")
   }
+
+  test("durable bucketed store: reopen serves the manifest; roll rebuilds") {
+    import java.nio.file.Files
+    val corpus = Files.createTempDirectory("graft-corpus-")
+    entries("a" -> 1, "b" -> 2, "c" -> 3).write
+      .parquet(corpus.resolve("t.parquet").toString)
+    val root = Files.createTempDirectory("graft-durable-").toString
+    val idx = MapIndex.columns("durable_bucketed")(col("key"),
+      array(emit(col("key"), col("test"))))
+
+    val s1 = graft.engine.Views.durableBucketedStore(spark, root, corpus.toString,
+      numBuckets = 4)
+    s1.materialize(idx, spark.read.parquet(corpus.resolve("t.parquet").toString))
+    assert(s1.manifest(idx.name).nonEmpty)
+
+    // reopen over the unchanged corpus: manifest and data served as-is
+    val s2 = graft.engine.Views.durableBucketedStore(spark, root, corpus.toString,
+      numBuckets = 4)
+    assert(s2.manifest(idx.name).nonEmpty, "reopen must reuse the manifest")
+    assert(s2.get(idx.name, "b").as[Int].collect().toSeq === Seq(2))
+    // a DIFFERENT bucketing opens a different (empty) flavor, never
+    // misreads the existing layout
+    val sOther = graft.engine.Views.durableBucketedStore(spark, root, corpus.toString,
+      numBuckets = 8)
+    assert(sOther.manifest(idx.name).isEmpty)
+
+    // corpus rewrite rolls the fingerprint → the flavor restarts empty
+    entries("a" -> 9).write.mode("overwrite")
+      .parquet(corpus.resolve("t.parquet").toString)
+    val s3 = graft.engine.Views.durableBucketedStore(spark, root, corpus.toString,
+      numBuckets = 4)
+    assert(s3.manifest(idx.name).isEmpty, "fingerprint roll must force a rebuild")
+  }
 }
