@@ -400,6 +400,23 @@ final class BucketedViewStore(
     base.orderBy("emit_key", "uid")
   }
 
+  /** Batch keyed read — the set analog of [[get]] for consumers holding a
+    * key RELATION: prune to the buckets that can hold any requested key
+    * (the driver collects BUCKET IDS, at most [[numBuckets]] ints, never
+    * the key list itself), then semi-join the pruned rows down to exactly
+    * the requested keys. Reads O(|touched buckets|) of the view however
+    * large the view or the key set is. */
+  def getAll(name: String, keys: DataFrame): DataFrame = {
+    import spark.implicits.newLongEncoder
+    val k = keys.toDF("emit_key")
+    val kb = k.select(emitBucketExpr(col("emit_key")).as("kb")).distinct()
+      .as[Long].collect().map(_.toInt).toSet
+    val paths = livePaths(name, Emit, Some(kb))
+    if (paths.isEmpty) emptyDf(name)
+    else spark.read.parquet(paths: _*)
+      .join(k.distinct(), Seq("emit_key"), "left_semi")
+  }
+
   /** Point lookup pruned to the single bucket that can hold the key
     * (hash in hash mode; boundary binary-search in range mode). */
   def get(name: String, key: Any): DataFrame = {

@@ -1,0 +1,178 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.{BucketedViewStore, MapIndex, ViewStore}
+import graft.engine.MapIndex.emit
+import graft.functions.Hashes
+
+/**
+ * EXACT incremental maintenance of the n-gram-Jaccard near-dup pair graph
+ * — the engine's compute-on-write thesis (SURVEY §4.1) applied to the
+ * most expensive relation a curation pipeline owns. A document change
+ * batch updates the STORED pair graph in O(delta · df) work instead of
+ * re-deriving shingle→posting→pair over the whole corpus, and the result
+ * is byte-identical to a from-scratch rebuild over the post-batch corpus
+ * (driver-gated by `dedup_pairs_incremental` against the same SQL oracle
+ * as the batch derivation).
+ *
+ * State (all engine-maintained):
+ *   - shingle posting index: a bucketed map view `shingle → doc_id`
+ *     (delete-then-insert per changed doc, touched buckets only; its CDC
+ *     sidecar IS the delta this class consumes),
+ *   - `<name>_sizes`: per-doc live-shingle counts,
+ *   - `<name>_pairs`: the pair relation `(i, j, jaccard)`.
+ *
+ * Exactness argument. `inter(i,j)` counts shingles shared by i and j that
+ * are LIVE (document frequency ≤ [[maxDf]]); `n_i` counts i's live
+ * shingles. A change batch can affect a pair only through (a) a changed
+ * document on either side, or (b) a shared shingle whose CAP MEMBERSHIP
+ * flips — df drifting while staying on one side of the cap changes
+ * nothing, because only membership couples documents globally. So the
+ * DIRTY set = changed docs ∪ current members of every posting list that
+ * crossed the cap (either direction); every pair touching a dirty doc is
+ * recomputed from the maintained index, every clean-clean pair and clean
+ * size is provably unchanged and kept as stored. Crossings are detected
+ * from the refresh's own CDC delta: old df = new df − inserts + deletes
+ * per touched shingle, with new df read from the index via the
+ * bucket-pruned [[BucketedViewStore.getAll]].
+ *
+ * Scale shape: the posting-index refresh touches only the changed keys'
+ * buckets; dirty-pair recomputation reads only the dirty docs' shingle
+ * keys (bucket-pruned batch lookup) and joins posting lists bounded by
+ * the df cap — O(dirty · df) candidate rows. The pair/sizes rewrites
+ * scan those relations once (anti-join on dirty ids); both are sparse
+ * relative to the corpus (pairs: near-dups only; sizes: one short row
+ * per doc), the honest cost of serving them from flat clustered
+ * storage. `corpusNow` is consulted ONLY to fetch dirty documents' text
+ * (scan-local semi-join on their ids) — the corpus is never shuffled.
+ */
+final class PairGraphIndex(
+    val spark: SparkSession,
+    /** shingle posting index lives here (bucketed, partition-scoped refresh) */
+    val store: BucketedViewStore,
+    /** pair + sizes relations live here (flat versioned store) */
+    val flat: ViewStore,
+    val name: String,
+    val maxDf: Int = 1000,
+    val threshold: Double = 0.5) {
+
+  /** doc_id → one emission per distinct shingle hash (set semantics —
+    * `shingle_hashes` dedupes within a document). */
+  private[operators] val shingleIdx = MapIndex.columns(s"${name}_sh")(
+    col("doc_id").cast("string"),
+    transform(expr("shingle_hashes(text)"), h => emit(h, col("doc_id"))))
+
+  private val pairsName = s"${name}_pairs"
+  private val sizesName = s"${name}_sizes"
+
+  /** The maintained pair relation `(i, j, jaccard)`. */
+  def pairs: DataFrame = spark.read.parquet(flat.latestPath(pairsName))
+
+  /** The maintained per-doc live-shingle counts `(doc_id, n)`. */
+  def sizes: DataFrame = spark.read.parquet(flat.latestPath(sizesName))
+
+  /** Full build: materialize the posting index, then derive pairs and
+    * sizes from the STORED postings (one aggregation — the corpus is
+    * shingled exactly once, at index-write time). */
+  def build(corpus: DataFrame): Unit = {
+    Hashes.register(spark)
+    store.materialize(shingleIdx, corpus.select(col("doc_id").cast("long"), col("text")))
+    val postings = store.df(shingleIdx.name)
+      .select(col("emit_key").as("sh"), col("emit_value").as("doc"))
+    val lists = postings.groupBy("sh").agg(collect_list(col("doc")).as("docs"))
+      .filter(size(col("docs")) <= maxDf)
+    val sz = lists.select(explode(col("docs")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = lists
+      .select(explode(col("docs")).as("i"), col("docs"))
+      .select(col("i"), explode(col("docs")).as("j"))
+      .filter(col("i") < col("j"))
+      .groupBy("i", "j").agg(count(lit(1)).as("inter"))
+    flat.writeClustered(pairsName, jaccardJoin(inter, sz), Seq("i", "j"))
+    flat.writeClustered(sizesName, sz, Seq("doc_id"))
+  }
+
+  /**
+   * Apply one document change batch (upserts + deletes). `corpusNow` is
+   * the POST-batch corpus (upserts applied, deleted docs absent); it is
+   * read only to fetch dirty documents' text. Exact per the class doc.
+   */
+  def refresh(corpusNow: DataFrame, upserts: DataFrame,
+      deleteIds: Option[DataFrame] = None): Unit = {
+    Hashes.register(spark)
+    val ups = upserts.select(col("doc_id").cast("long"), col("text"))
+    val dels = deleteIds.map(_.select(col("doc_id").cast("long")))
+    // 1. the ENGINE maintains the posting index; its CDC sidecar is the
+    //    shingle-level delta everything below derives from
+    store.refresh(shingleIdx, ups,
+      dels.map(_.select(col("doc_id").cast("string").as("src_key"))))
+    val e = store.epoch(shingleIdx.name)
+    val delta = store.changesBetween(shingleIdx.name, e - 1, e)
+    // 2. cap crossings among touched shingles: old df = new df - ins + del
+    val touched = delta.groupBy(col("emit_key")).agg(
+      sum(when(col("change_type") === "insert", 1L).otherwise(0L)).as("ins"),
+      sum(when(col("change_type") === "delete", 1L).otherwise(0L)).as("del"))
+    val newDf = store.getAll(shingleIdx.name, touched.select("emit_key"))
+      .groupBy(col("emit_key")).agg(count(lit(1)).as("new_df"))
+    val crossing = touched
+      .join(newDf, Seq("emit_key"), "left_outer")
+      .withColumn("new_df", coalesce(col("new_df"), lit(0L)))
+      .withColumn("old_df", col("new_df") - col("ins") + col("del"))
+      .filter((col("old_df") <= maxDf) =!= (col("new_df") <= maxDf))
+      .select("emit_key")
+    // 3. dirty docs = changed ids ∪ current members of crossing lists
+    val changedIds = ups.select("doc_id")
+      .unionByName(dels.getOrElse(ups.select("doc_id").limit(0))).distinct()
+    val crossingDocs = store.getAll(shingleIdx.name, crossing)
+      .select(col("emit_value").as("doc_id")).distinct()
+    val dirty = changedIds.unionByName(crossingDocs).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // 4. dirty docs' shingle sets (deleted ids are simply absent from
+      //    corpusNow) and the CURRENT df of every shingle they touch,
+      //    read bucket-pruned from the maintained index
+      val ds = corpusNow.select(col("doc_id").cast("long"), col("text"))
+        .join(dirty, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), explode(expr("shingle_hashes(text)")).as("sh"))
+      val lists = store.getAll(shingleIdx.name, ds.select(col("sh").as("emit_key")).distinct())
+        .select(col("emit_key").as("sh"), col("emit_value").as("other"))
+      val liveKeys = lists.groupBy("sh").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxDf).select("sh")
+      val listsLive = lists.join(liveKeys, Seq("sh"), "left_semi")
+      // 5. dirty sizes: live shingles per dirty doc
+      val dirtySizes = ds.join(liveKeys, Seq("sh"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n"))
+      // 6. dirty-pair intersections. distinct on (i, j, sh) BEFORE the
+      //    count: a dirty-dirty pair reaches here from both sides' rows,
+      //    and counting the canonicalized duplicates would double inter
+      val inter = ds.join(listsLive, Seq("sh"))
+        .filter(col("other") =!= col("doc_id"))
+        .select(least(col("doc_id"), col("other")).as("i"),
+          greatest(col("doc_id"), col("other")).as("j"), col("sh"))
+        .distinct()
+        .groupBy("i", "j").agg(count(lit(1)).as("inter"))
+      // 7. sizes: clean docs keep their stored row (provably unchanged —
+      //    any doc whose shingle crossed the cap is dirty by construction)
+      val sizesNow = sizes.join(dirty, Seq("doc_id"), "left_anti")
+        .unionByName(dirtySizes)
+      // 8. pairs: clean-clean kept as stored, dirty recomputed
+      val keep = pairs
+        .join(dirty.select(col("doc_id").as("i")), Seq("i"), "left_anti")
+        .join(dirty.select(col("doc_id").as("j")), Seq("j"), "left_anti")
+        .select("i", "j", "jaccard")
+      flat.writeClustered(pairsName,
+        keep.unionByName(jaccardJoin(inter, sizesNow)), Seq("i", "j"))
+      flat.writeClustered(sizesName, sizesNow, Seq("doc_id"))
+    } finally { dirty.unpersist(); () }
+  }
+
+  private def jaccardJoin(inter: DataFrame, sz: DataFrame): DataFrame =
+    inter
+      .join(sz.select(col("doc_id").as("i"), col("n").as("n_i")), Seq("i"))
+      .join(sz.select(col("doc_id").as("j"), col("n").as("n_j")), Seq("j"))
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (col("n_i") + col("n_j") - col("inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("i"), col("j"), col("jaccard"))
+}

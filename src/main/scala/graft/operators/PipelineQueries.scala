@@ -117,6 +117,7 @@ object PipelineQueries {
     postingsView(s, dir)
     incPostingsView(s, dir)
     pairsView(s, dir)
+    incPairGraph(s, dir)
     ()
   }
 
@@ -158,6 +159,33 @@ object PipelineQueries {
     })
     s.read.parquet(store.latestPath(PairViewName))
   }
+
+  /** The pair graph MAINTAINED, not just stored ([[PairGraphIndex]]):
+    * built on the base corpus, then taken through the same deterministic
+    * document change batch as the incremental postings fixture (`%37`
+    * docs rewritten, `%41` tombstoned) via ONE incremental refresh. The
+    * oracle re-derives every pair from the modified corpus from scratch,
+    * so a stale pair, a missed retraction, or a wrong df-cap membership
+    * after the batch is a hash mismatch. */
+  private val pairGraphs =
+    scala.collection.concurrent.TrieMap.empty[String, PairGraphIndex]
+  private def incPairGraph(s: SparkSession, dir: String): PairGraphIndex =
+    pairGraphs.getOrElseUpdate(dir, {
+      val g = new PairGraphIndex(s, graft.engine.BucketedViewStore.temp(s, 16),
+        Views.store(s, dir), "pairgraph_inc", MaxShingleDf, JaccardThreshold)
+      val d = docs(s, dir)
+      g.build(d)
+      val ups = d.filter(col("doc_id") % 37 === 0 && col("doc_id") % 41 =!= 0)
+        .withColumn("text", lit("spark join spark stream"))
+        .select("doc_id", "text")
+      val dels = d.filter(col("doc_id") % 41 === 0).select("doc_id")
+      val corpusNow = d.filter(col("doc_id") % 41 =!= 0)
+        .withColumn("text", when(col("doc_id") % 37 === 0,
+          lit("spark join spark stream")).otherwise(col("text")))
+        .select("doc_id", "text")
+      g.refresh(corpusNow, ups, Some(dels))
+      g
+    })
 
   /**
    * Shared candidate-generation core for set-overlap dedup: aggregate a
@@ -332,6 +360,12 @@ object PipelineQueries {
     // every downstream dedup consumer pays per query
     "dedup_pairs_view" -> ((s, dir) =>
       pairsView(s, dir).orderBy("i", "j")),
+
+    // the pair graph after an INCREMENTAL document change batch
+    // ([[incPairGraph]]): O(delta·df) maintenance must reproduce the
+    // from-scratch derivation over the modified corpus exactly
+    "dedup_pairs_incremental" -> ((s, dir) =>
+      incPairGraph(s, dir).pairs.orderBy("i", "j")),
 
     // MinHash + LSH banding with a driver-checkable invariant: the exact
     // capped-shingle Jaccard pair set (same relation the DuckDB oracle
@@ -757,8 +791,12 @@ object PipelineQueries {
 
   private val stopListSql = T.stopwords.map(w => s"'$w'").mkString(", ")
 
-  private val ngramJaccardSql: String =
-    s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+  /** The from-scratch pair derivation in DuckDB SQL, over any relation
+    * exposing `(doc_id, text)` — `src` is a table name or parenthesized
+    * subquery. Shared by the batch query, the stored view, and the
+    * incrementally-maintained pair graph (over the modified corpus). */
+  private def ngramJaccardSqlFrom(src: String): String =
+    s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM $src),
        |sh AS (SELECT DISTINCT doc_id, t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS s
        |       FROM tok, UNNEST(range(len(t) - 2)) AS u(i)),
        |rare AS (SELECT * FROM sh
@@ -774,7 +812,19 @@ object PipelineQueries {
        |WHERE round(t.inter * 1.0 / (sa.n + sb.n - t.inter), 6) >= $JaccardThreshold
        |ORDER BY i, j""".stripMargin
 
+  private val ngramJaccardSql: String = ngramJaccardSqlFrom("documents")
+
+  /** The incremental fixture's post-batch corpus, as a SQL relation. */
+  private val modifiedDocsSql: String =
+    """(SELECT doc_id,
+      |        CASE WHEN doc_id % 37 = 0 THEN 'spark join spark stream'
+      |             ELSE text END AS text
+      | FROM documents WHERE doc_id % 41 <> 0)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    // the incrementally-maintained pair graph must equal the from-scratch
+    // derivation over the MODIFIED corpus
+    "dedup_pairs_incremental" -> ngramJaccardSqlFrom(modifiedDocsSql),
     // n_exact_pairs is recomputed from scratch by DuckDB; recall_ok is the
     // engine's asserted invariant (see the query's Scaladoc for measured
     // values behind the bound)

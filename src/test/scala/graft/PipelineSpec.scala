@@ -22,6 +22,55 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(recall >= 0.9, s"LSH recall $recall over ${exact.size} strong pairs")
   }
 
+  test("pair graph index: incremental refresh equals from-scratch rebuild incl. cap crossings") {
+    import graft.engine.{BucketedViewStore, ViewStore}
+    import graft.operators.PairGraphIndex
+    def corpus(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("i", "j", "jaccard").as[(Long, Long, Double)].collect().toSet
+    def scratch(n: String, c: org.apache.spark.sql.DataFrame) = {
+      val g = new PairGraphIndex(spark, BucketedViewStore.temp(spark, 4),
+        ViewStore.temp(spark), n, maxDf = 3, threshold = 0.3)
+      g.build(c); pairSet(g.pairs)
+    }
+    // tiny cap (3) so the shared shingle "a b c" sits exactly AT the cap
+    // and batch 1 pushes it over — the global coupling case: untouched
+    // docs 1..3 must have their pairs recomputed
+    val g = new PairGraphIndex(spark, BucketedViewStore.temp(spark, 4),
+      ViewStore.temp(spark), "pg_inc", maxDf = 3, threshold = 0.3)
+    val base = corpus(
+      1L -> "a b c d e", 2L -> "a b c d f", 3L -> "a b c g h",
+      4L -> "x y z w v")
+    g.build(base)
+    assert(pairSet(g.pairs) === scratch("pg_s0", base))
+    assert(pairSet(g.pairs).exists(p => p._1 == 1L && p._2 == 2L),
+      "fixture must start with a (1,2) pair through the at-cap shingle")
+
+    // batch 1: two new docs push df("a b c") to 5 > 3 (upward crossing)
+    // and doc 4 is rewritten (plain dirty); deleted doc 3 exercises the
+    // delete path in the same batch
+    val now1 = corpus(
+      1L -> "a b c d e", 2L -> "a b c d f",
+      4L -> "a b c d e x", 5L -> "a b c q r", 6L -> "a b c s t")
+    g.refresh(now1,
+      corpus(4L -> "a b c d e x", 5L -> "a b c q r", 6L -> "a b c s t"),
+      Some(Seq(3L).toDF("doc_id")))
+    assert(pairSet(g.pairs) === scratch("pg_s1", now1))
+
+    // batch 2: deleting 5 and 6 drops df("a b c") back under the cap
+    // (downward crossing) — pairs through it must REAPPEAR for docs that
+    // were not themselves touched
+    val now2 = corpus(1L -> "a b c d e", 2L -> "a b c d f", 4L -> "a b c d e x")
+    g.refresh(now2, corpus(), Some(Seq(5L, 6L).toDF("doc_id")))
+    assert(pairSet(g.pairs) === scratch("pg_s2", now2))
+    // sizes agree with a recompute too (clean rows kept, dirty rebuilt)
+    val sz = g.sizes.as[(Long, Long)].collect().toSet
+    val g2 = new PairGraphIndex(spark, BucketedViewStore.temp(spark, 4),
+      ViewStore.temp(spark), "pg_s2b", maxDf = 3, threshold = 0.3)
+    g2.build(now2)
+    assert(sz === g2.sizes.as[(Long, Long)].collect().toSet)
+  }
+
   test("PNG decode: the real javax.imageio codec reads true dimensions and channels") {
     import java.awt.image.BufferedImage
     def png(w: Int, h: Int, imgType: Int): Array[Byte] = {
