@@ -268,6 +268,24 @@ class BucketedStoreSpec extends AnyFunSuite with SparkSpec {
     assert(feed === Set("delete" -> "d", "insert" -> "d"))
   }
 
+  test("getAll prunes to the requested keys' buckets and returns exactly their rows") {
+    val store = BucketedViewStore.temp(spark, numBuckets = 16)
+    val one = MapIndex.columns("bstore_getall")(col("key"),
+      array(emit(col("key"), col("v"))))
+    store.materialize(one, (0 until 500).map(i => s"k$i" -> i).toDF("key", "v"))
+    val got = store.getAll(one.name, Seq("k1", "k2", "k3").toDF("emit_key"))
+    assert(got.select("emit_value").as[Int].collect().sorted.toSeq === Seq(1, 2, 3))
+    // the scan opens only the buckets the keys hash to — the driver
+    // collects bucket IDS, never the key list (inputFiles, not the plan
+    // string: Location truncates at ~100 chars)
+    val expectedKb = Seq("k1", "k2", "k3")
+      .map(BucketedViewStore.bucketOf(_, 16)).toSet
+    val kb = got.inputFiles.toSeq
+      .flatMap("kb=(\\d+)".r.findFirstMatchIn(_)).map(_.group(1).toInt).toSet
+    assert(kb.nonEmpty && kb.subsetOf(expectedKb),
+      s"getAll must open only the keys' buckets, saw $kb vs $expectedKb")
+  }
+
   test("compact folds accreted bucket files into one; reads and feed replay unchanged") {
     import scala.jdk.CollectionConverters._
     val store = new BucketedViewStore(spark,

@@ -378,4 +378,43 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
       assert(viaGet === viaScan, s"case $i rows=$rows k=$k")
     }
   }
+
+  test("pair graph: random change histories equal from-scratch rebuilds") {
+    import graft.engine.BucketedViewStore
+    import graft.operators.PairGraphIndex
+    // tiny vocabulary → shared shingles everywhere; cap 3 → cap
+    // membership flips constantly across batches, the global-coupling
+    // case the incremental maintenance must track exactly
+    val word = Gen.oneOf("a", "b", "c", "d", "e")
+    val text = Gen.listOfN(6, word).map(_.mkString(" "))
+    val docGen = Gen.zip(Gen.choose(1L, 12L), text)
+    def corpusOf(m: Map[Long, String]) =
+      m.toSeq.map { case (id, t) => (id, t) }.toDF("doc_id", "text")
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("i", "j", "jaccard").as[(Long, Long, Double)].collect().toSet
+    (1 to 3).foreach { trial =>
+      val g = new PairGraphIndex(spark, BucketedViewStore.temp(spark, 4),
+        ViewStore.temp(spark), s"pg_prop$trial", maxDf = 3, threshold = 0.2)
+      var state = sample(Gen.listOfN(6, docGen), 900L + trial)
+        .toMap // dup ids collapse: last write wins, like an upsert batch
+      g.build(corpusOf(state))
+      (1 to 3).foreach { round =>
+        val ups = sample(Gen.listOfN(3, docGen), 1000L * trial + round).toMap
+        val delIds = sample(Gen.listOfN(2, Gen.choose(1L, 12L)),
+          2000L * trial + round).toSet -- ups.keySet // upsert wins over delete
+        state = (state ++ ups) -- delIds
+        val dels = if (delIds.isEmpty) None
+          else Some(delIds.toSeq.toDF("doc_id"))
+        g.refresh(corpusOf(state), corpusOf(ups), dels)
+        val scratch = new PairGraphIndex(spark, BucketedViewStore.temp(spark, 4),
+          ViewStore.temp(spark), s"pg_prop${trial}_$round", maxDf = 3, threshold = 0.2)
+        scratch.build(corpusOf(state))
+        assert(pairSet(g.pairs) === pairSet(scratch.pairs),
+          s"trial $trial round $round state=$state")
+        assert(g.sizes.as[(Long, Long)].collect().toSet ===
+          scratch.sizes.as[(Long, Long)].collect().toSet,
+          s"sizes diverged: trial $trial round $round state=$state")
+      }
+    }
+  }
 }
