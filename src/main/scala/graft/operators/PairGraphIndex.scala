@@ -40,12 +40,17 @@ import graft.functions.Hashes
  * Scale shape: the posting-index refresh touches only the changed keys'
  * buckets; dirty-pair recomputation reads only the dirty docs' shingle
  * keys (bucket-pruned batch lookup) and joins posting lists bounded by
- * the df cap — O(dirty · df) candidate rows. The pair/sizes rewrites
- * scan those relations once (anti-join on dirty ids); both are sparse
- * relative to the corpus (pairs: near-dups only; sizes: one short row
- * per doc), the honest cost of serving them from flat clustered
- * storage. `corpusNow` is consulted ONLY to fetch dirty documents' text
- * (scan-local semi-join on their ids) — the corpus is never shuffled.
+ * the df cap — O(dirty · df) candidate rows. SIZES are themselves a
+ * bucketed map view keyed by doc_id: maintenance is delete-then-insert
+ * for the dirty docs (touched buckets only) and the jaccard join reads
+ * exactly the candidate ids back via [[BucketedViewStore.getAll]] — no
+ * O(corpus) sizes rewrite or scan anywhere. The PAIR relation is
+ * rewritten per refresh (keep clean-clean ∪ recomputed dirty) — an
+ * honest O(|pairs|) scan of the near-dup pair set, which is sparse
+ * relative to the corpus; a pair retracts by either endpoint, which a
+ * single-owner keyed store cannot express directly. `corpusNow` is
+ * consulted ONLY to fetch dirty documents' text (scan-local semi-join
+ * on their ids) — the corpus is never shuffled.
  */
 final class PairGraphIndex(
     val spark: SparkSession,
@@ -66,11 +71,19 @@ final class PairGraphIndex(
   private val pairsName = s"${name}_pairs"
   private val sizesName = s"${name}_sizes"
 
+  /** Sizes as a bucketed map view `doc_id → n`, so refreshing dirty docs
+    * touches only their buckets and lookups are bucket-pruned. */
+  private val sizesIdx = MapIndex.columns(sizesName)(
+    col("doc_id").cast("string"),
+    array(emit(col("doc_id"), col("n"))))
+
   /** The maintained pair relation `(i, j, jaccard)`. */
   def pairs: DataFrame = spark.read.parquet(flat.latestPath(pairsName))
 
   /** The maintained per-doc live-shingle counts `(doc_id, n)`. */
-  def sizes: DataFrame = spark.read.parquet(flat.latestPath(sizesName))
+  def sizes: DataFrame = store.df(sizesName)
+    .select(col("emit_key").cast("long").as("doc_id"),
+      col("emit_value").cast("long").as("n"))
 
   /** Full build: materialize the posting index, then derive pairs and
     * sizes from the STORED postings (one aggregation — the corpus is
@@ -89,8 +102,8 @@ final class PairGraphIndex(
       .select(col("i"), explode(col("docs")).as("j"))
       .filter(col("i") < col("j"))
       .groupBy("i", "j").agg(count(lit(1)).as("inter"))
-    flat.writeClustered(pairsName, jaccardJoin(inter, sz), Seq("i", "j"))
-    flat.writeClustered(sizesName, sz, Seq("doc_id"))
+    store.materialize(sizesIdx, sz)
+    flat.writeClustered(pairsName, jaccardJoin(inter, sizes), Seq("i", "j"))
   }
 
   /**
@@ -140,9 +153,15 @@ final class PairGraphIndex(
       val liveKeys = lists.groupBy("sh").agg(count(lit(1)).as("df"))
         .filter(col("df") <= maxDf).select("sh")
       val listsLive = lists.join(liveKeys, Seq("sh"), "left_semi")
-      // 5. dirty sizes: live shingles per dirty doc
+      // 5. dirty sizes: live shingles per dirty doc — then maintain the
+      //    sizes VIEW: delete-then-insert for every dirty doc (deleted
+      //    docs tombstone out), touching only the dirty docs' buckets.
+      //    Clean rows are untouched on disk — provably unchanged, since
+      //    any doc whose shingle crossed the cap is dirty by construction
       val dirtySizes = ds.join(liveKeys, Seq("sh"), "left_semi")
         .groupBy("doc_id").agg(count(lit(1)).as("n"))
+      store.refresh(sizesIdx, dirtySizes,
+        Some(dirty.select(col("doc_id").cast("string").as("src_key"))))
       // 6. dirty-pair intersections. distinct on (i, j, sh) BEFORE the
       //    count: a dirty-dirty pair reaches here from both sides' rows,
       //    and counting the canonicalized duplicates would double inter
@@ -152,18 +171,22 @@ final class PairGraphIndex(
           greatest(col("doc_id"), col("other")).as("j"), col("sh"))
         .distinct()
         .groupBy("i", "j").agg(count(lit(1)).as("inter"))
-      // 7. sizes: clean docs keep their stored row (provably unchanged —
-      //    any doc whose shingle crossed the cap is dirty by construction)
-      val sizesNow = sizes.join(dirty, Seq("doc_id"), "left_anti")
-        .unionByName(dirtySizes)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // 7. sizes for the jaccard join: exactly the candidate endpoints,
+      //    read bucket-pruned from the just-refreshed sizes view
+      val candIds = inter.select(col("i").as("emit_key"))
+        .unionByName(inter.select(col("j").as("emit_key"))).distinct()
+      val candSizes = store.getAll(sizesName, candIds)
+        .select(col("emit_key").cast("long").as("doc_id"),
+          col("emit_value").cast("long").as("n"))
       // 8. pairs: clean-clean kept as stored, dirty recomputed
       val keep = pairs
         .join(dirty.select(col("doc_id").as("i")), Seq("i"), "left_anti")
         .join(dirty.select(col("doc_id").as("j")), Seq("j"), "left_anti")
         .select("i", "j", "jaccard")
       flat.writeClustered(pairsName,
-        keep.unionByName(jaccardJoin(inter, sizesNow)), Seq("i", "j"))
-      flat.writeClustered(sizesName, sizesNow, Seq("doc_id"))
+        keep.unionByName(jaccardJoin(inter, candSizes)), Seq("i", "j"))
+      inter.unpersist()
     } finally { dirty.unpersist(); () }
   }
 
