@@ -44,13 +44,14 @@ import graft.functions.Hashes
  * bucketed map view keyed by doc_id: maintenance is delete-then-insert
  * for the dirty docs (touched buckets only) and the jaccard join reads
  * exactly the candidate ids back via [[BucketedViewStore.getAll]] — no
- * O(corpus) sizes rewrite or scan anywhere. The PAIR relation is
- * rewritten per refresh (keep clean-clean ∪ recomputed dirty) — an
- * honest O(|pairs|) scan of the near-dup pair set, which is sparse
- * relative to the corpus; a pair retracts by either endpoint, which a
- * single-owner keyed store cannot express directly. `corpusNow` is
- * consulted ONLY to fetch dirty documents' text (scan-local semi-join
- * on their ids) — the corpus is never shuffled.
+ * O(corpus) sizes rewrite or scan anywhere. Document TEXT is likewise a
+ * maintained map view, so dirty texts are fetched bucket-pruned — the
+ * refresh never touches the source corpus at all; its total I/O is
+ * O(dirty · df) plus the PAIR relation rewrite (keep clean-clean ∪
+ * recomputed dirty) — an honest O(|pairs|) scan of the near-dup pair
+ * set, which is sparse relative to the corpus; a pair retracts by
+ * either endpoint, which a single-owner keyed store cannot express
+ * directly.
  */
 final class PairGraphIndex(
     val spark: SparkSession,
@@ -77,6 +78,16 @@ final class PairGraphIndex(
     col("doc_id").cast("string"),
     array(emit(col("doc_id"), col("n"))))
 
+  /** Document text as a map view `doc_id → text`: the refresh's only
+    * text source, read bucket-pruned for the dirty ids. */
+  private val docsIdx = MapIndex.columns(s"${name}_docs")(
+    col("doc_id").cast("string"),
+    array(emit(col("doc_id"), col("text"))))
+
+  /** Whether [[build]] has run (the streaming wrapper bootstraps on the
+    * first micro-batch). */
+  def isBuilt: Boolean = flat.latestVersion(pairsName).isDefined
+
   /** The maintained pair relation `(i, j, jaccard)`. */
   def pairs: DataFrame = spark.read.parquet(flat.latestPath(pairsName))
 
@@ -90,7 +101,9 @@ final class PairGraphIndex(
     * shingled exactly once, at index-write time). */
   def build(corpus: DataFrame): Unit = {
     Hashes.register(spark)
-    store.materialize(shingleIdx, corpus.select(col("doc_id").cast("long"), col("text")))
+    val docs = corpus.select(col("doc_id").cast("long"), col("text"))
+    store.materialize(docsIdx, docs)
+    store.materialize(shingleIdx, docs)
     val postings = store.df(shingleIdx.name)
       .select(col("emit_key").as("sh"), col("emit_value").as("doc"))
     val lists = postings.groupBy("sh").agg(collect_list(col("doc")).as("docs"))
@@ -107,19 +120,21 @@ final class PairGraphIndex(
   }
 
   /**
-   * Apply one document change batch (upserts + deletes). `corpusNow` is
-   * the POST-batch corpus (upserts applied, deleted docs absent); it is
-   * read only to fetch dirty documents' text. Exact per the class doc.
+   * Apply one document change batch (upserts + deletes). Exact per the
+   * class doc; no corpus relation is consulted — dirty texts come from
+   * the maintained doc view.
    */
-  def refresh(corpusNow: DataFrame, upserts: DataFrame,
+  def refresh(upserts: DataFrame,
       deleteIds: Option[DataFrame] = None): Unit = {
     Hashes.register(spark)
     val ups = upserts.select(col("doc_id").cast("long"), col("text"))
     val dels = deleteIds.map(_.select(col("doc_id").cast("long")))
-    // 1. the ENGINE maintains the posting index; its CDC sidecar is the
-    //    shingle-level delta everything below derives from
-    store.refresh(shingleIdx, ups,
-      dels.map(_.select(col("doc_id").cast("string").as("src_key"))))
+    val delKeys = dels.map(_.select(col("doc_id").cast("string").as("src_key")))
+    // 1. the ENGINE maintains the doc-text and posting indexes; the
+    //    posting CDC sidecar is the shingle-level delta everything below
+    //    derives from
+    store.refresh(docsIdx, ups, delKeys)
+    store.refresh(shingleIdx, ups, delKeys)
     val e = store.epoch(shingleIdx.name)
     val delta = store.changesBetween(shingleIdx.name, e - 1, e)
     // 2. cap crossings among touched shingles: old df = new df - ins + del
@@ -142,11 +157,12 @@ final class PairGraphIndex(
     val dirty = changedIds.unionByName(crossingDocs).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // 4. dirty docs' shingle sets (deleted ids are simply absent from
-      //    corpusNow) and the CURRENT df of every shingle they touch,
-      //    read bucket-pruned from the maintained index
-      val ds = corpusNow.select(col("doc_id").cast("long"), col("text"))
-        .join(dirty, Seq("doc_id"), "left_semi")
+      // 4. dirty docs' shingle sets — text fetched bucket-pruned from the
+      //    maintained doc view (deleted ids are simply absent) — and the
+      //    CURRENT df of every shingle they touch, from the posting index
+      val ds = store.getAll(docsIdx.name, dirty.select(col("doc_id").as("emit_key")))
+        .select(col("emit_key").cast("long").as("doc_id"),
+          col("emit_value").as("text"))
         .select(col("doc_id"), explode(expr("shingle_hashes(text)")).as("sh"))
       val lists = store.getAll(shingleIdx.name, ds.select(col("sh").as("emit_key")).distinct())
         .select(col("emit_key").as("sh"), col("emit_value").as("other"))

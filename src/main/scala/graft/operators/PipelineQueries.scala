@@ -179,11 +179,7 @@ object PipelineQueries {
         .withColumn("text", lit("spark join spark stream"))
         .select("doc_id", "text")
       val dels = d.filter(col("doc_id") % 41 === 0).select("doc_id")
-      val corpusNow = d.filter(col("doc_id") % 41 =!= 0)
-        .withColumn("text", when(col("doc_id") % 37 === 0,
-          lit("spark join spark stream")).otherwise(col("text")))
-        .select("doc_id", "text")
-      g.refresh(corpusNow, ups, Some(dels))
+      g.refresh(ups, Some(dels))
       g
     })
 

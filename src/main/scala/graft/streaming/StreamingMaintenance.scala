@@ -178,6 +178,37 @@ final class BucketedStreamingMapIndex(
       .foreachBatch { (batch: DataFrame, _: Long) => applyBatch(batch) }
 }
 
+/**
+ * Streaming maintenance of the EXACT incremental near-dup pair graph
+ * ([[graft.operators.PairGraphIndex]]): each micro-batch of documents
+ * (optional `deleted` tombstones) updates the stored text/posting/size
+ * views and the pair relation in O(batch · df); the pair graph after ANY
+ * batch split equals the one-shot batch build over the same final corpus
+ * — the dedup-index analog of the engine's view-maintenance contract.
+ * First batch bootstraps via [[graft.operators.PairGraphIndex.build]].
+ */
+final class StreamingPairGraph(graph: graft.operators.PairGraphIndex) {
+  def applyBatch(batch: DataFrame): Unit = {
+    val hasTombstones = batch.columns.contains("deleted")
+    val upserts =
+      if (hasTombstones) batch.filter(!coalesce(col("deleted"), lit(false))) else batch
+    val dels =
+      if (hasTombstones)
+        Some(batch.filter(coalesce(col("deleted"), lit(false))).select("doc_id"))
+      else None
+    val ups = upserts.select("doc_id", "text")
+    if (!graph.isBuilt) {
+      graph.build(ups)
+      dels.foreach(d => graph.refresh(ups.limit(0), Some(d)))
+    } else graph.refresh(ups, dels)
+  }
+
+  def writer(docs: DataFrame): DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, _: Long) => applyBatch(batch) }
+}
+
 /** Streaming exact deduplication for an ingest pipeline: keep the
   * first-ARRIVING document per content hash within the watermark window.
   * With out-of-order arrival the kept doc may not be the

@@ -52,7 +52,7 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     val now1 = corpus(
       1L -> "a b c d e", 2L -> "a b c d f",
       4L -> "a b c d e x", 5L -> "a b c q r", 6L -> "a b c s t")
-    g.refresh(now1,
+    g.refresh(
       corpus(4L -> "a b c d e x", 5L -> "a b c q r", 6L -> "a b c s t"),
       Some(Seq(3L).toDF("doc_id")))
     assert(pairSet(g.pairs) === scratch("pg_s1", now1))
@@ -61,7 +61,7 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     // (downward crossing) — pairs through it must REAPPEAR for docs that
     // were not themselves touched
     val now2 = corpus(1L -> "a b c d e", 2L -> "a b c d f", 4L -> "a b c d e x")
-    g.refresh(now2, corpus(), Some(Seq(5L, 6L).toDF("doc_id")))
+    g.refresh(corpus(), Some(Seq(5L, 6L).toDF("doc_id")))
     assert(pairSet(g.pairs) === scratch("pg_s2", now2))
     // sizes agree with a recompute too (clean rows kept, dirty rebuilt)
     val sz = g.sizes.as[(Long, Long)].collect().toSet

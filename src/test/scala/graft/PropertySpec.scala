@@ -405,7 +405,7 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
         state = (state ++ ups) -- delIds
         val dels = if (delIds.isEmpty) None
           else Some(delIds.toSeq.toDF("doc_id"))
-        g.refresh(corpusOf(state), corpusOf(ups), dels)
+        g.refresh(corpusOf(ups), dels)
         val scratch = new PairGraphIndex(spark, BucketedViewStore.temp(spark, 4),
           ViewStore.temp(spark), s"pg_prop${trial}_$round", maxDf = 3, threshold = 0.2)
         scratch.build(corpusOf(state))

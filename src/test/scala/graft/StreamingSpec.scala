@@ -143,6 +143,29 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(bumped <= 2, s"micro-batch of one key bumped $bumped buckets") // 1 emit + 1 meta
   }
 
+  test("streaming pair graph: micro-batched maintenance equals the one-shot build") {
+    import graft.engine.{BucketedViewStore, ViewStore}
+    import graft.operators.PairGraphIndex
+    val g = new PairGraphIndex(spark, BucketedViewStore.temp(spark, 4),
+      ViewStore.temp(spark), "pg_stream")
+    val sm = new graft.streaming.StreamingPairGraph(g)
+    val input = MemoryStream[(Long, String)]
+    val q = sm.writer(input.toDF().toDF("doc_id", "text")).start()
+    input.addData(1L -> "a b c d e", 2L -> "a b c d f", 3L -> "x y z w v")
+    q.processAllAvailable()
+    input.addData(4L -> "a b c d e q", 3L -> "a b c d g") // add 4, upsert 3
+    q.processAllAvailable()
+    q.stop()
+    val scratch = new PairGraphIndex(spark, BucketedViewStore.temp(spark, 4),
+      ViewStore.temp(spark), "pg_stream_scratch")
+    scratch.build(Seq(1L -> "a b c d e", 2L -> "a b c d f",
+      3L -> "a b c d g", 4L -> "a b c d e q").toDF("doc_id", "text"))
+    def ps(df: org.apache.spark.sql.DataFrame) =
+      df.select("i", "j", "jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(ps(g.pairs).nonEmpty, "fixture must produce near-dup pairs")
+    assert(ps(g.pairs) === ps(scratch.pairs))
+  }
+
   test("streaming auto-compaction folds micro-batch file accretion; results unchanged") {
     import graft.engine.BucketedViewStore
     import graft.streaming.BucketedStreamingMapIndex
