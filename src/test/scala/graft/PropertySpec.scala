@@ -392,7 +392,10 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
       m.toSeq.map { case (id, t) => (id, t) }.toDF("doc_id", "text")
     def pairSet(df: org.apache.spark.sql.DataFrame) =
       df.select("i", "j", "jaccard").as[(Long, Long, Double)].collect().toSet
-    (1 to 3).foreach { trial =>
+    // 2 trials × 3 rounds: each round runs three store refreshes plus a
+    // full scratch rebuild, so trials are expensive — the directed
+    // cap-crossing unit test covers the deterministic cases
+    (1 to 2).foreach { trial =>
       val g = new PairGraphIndex(spark, BucketedViewStore.temp(spark, 4),
         ViewStore.temp(spark), s"pg_prop$trial", maxDf = 3, threshold = 0.2)
       var state = sample(Gen.listOfN(6, docGen), 900L + trial)
