@@ -668,7 +668,8 @@ final class BucketedViewStore(
    * a single file — a NO-CHANGE epoch. Long sequences of tiny refreshes
    * leave up to [[writeSalt]] small files per touched bucket per epoch;
    * at 100 TB that fragmentation taxes every subsequent read (per-file
-   * open + footer decode) until a bucket happens to be fully rewritten. Rows are preserved byte-identically (same uids, same
+   * open + footer decode) until a bucket happens to be fully rewritten.
+   * Rows are preserved byte-identically (same uids, same
    * values — the rewrite is read-then-write with no transformation), the
    * epoch's CDC sidecar is EMPTY (a feed replay crossing a compaction
    * sees nothing from it), and snapshot grace/retention semantics are

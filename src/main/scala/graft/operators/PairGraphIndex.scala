@@ -17,11 +17,13 @@ import graft.functions.Hashes
  * as the batch derivation).
  *
  * State (all engine-maintained):
- *   - shingle posting index: a bucketed map view `shingle → doc_id`
- *     (delete-then-insert per changed doc, touched buckets only; its CDC
- *     sidecar IS the delta this class consumes),
- *   - `<name>_sizes`: per-doc live-shingle counts,
- *   - `<name>_pairs`: the pair relation `(i, j, jaccard)`.
+ *   - `<name>_sh`: shingle posting index, a bucketed map view
+ *     `shingle → doc_id` (delete-then-insert per changed doc, touched
+ *     buckets only; its CDC sidecar IS the delta this class consumes),
+ *   - `<name>_docs`: doc text as a bucketed map view `doc_id → text`
+ *     (dirty texts are fetched from here, bucket-pruned),
+ *   - `<name>_sizes`: per-doc live-shingle counts, bucketed likewise,
+ *   - `<name>_pairs`: the pair relation `(i, j, jaccard)` (flat store).
  *
  * Exactness argument. `inter(i,j)` counts shingles shared by i and j that
  * are LIVE (document frequency ≤ [[maxDf]]); `n_i` counts i's live
