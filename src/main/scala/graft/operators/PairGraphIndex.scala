@@ -63,13 +63,24 @@ final class PairGraphIndex(
     val flat: ViewStore,
     val name: String,
     val maxDf: Int = 1000,
-    val threshold: Double = 0.5) {
+    val threshold: Double = 0.5,
+    /** key extractor over `text` — any expression yielding `array<long>`
+      * with SET semantics per document (`shingle_hashes` for token
+      * shingles, `winnow_hashes` for rolling-hash fingerprints, …); the
+      * maintenance machinery is agnostic to what the keys mean, because
+      * the exactness argument only uses set membership and the df cap. */
+    val keysExpr: String = "shingle_hashes(text)",
+    /** similarity from `(inter, n_i, n_j)`: Jaccard (default) or
+      * containment overlap `inter / min(n_i, n_j)` — winnowing's measure. */
+    val containment: Boolean = false,
+    /** output score column name, matching the measure. */
+    val scoreCol: String = "jaccard") {
 
-  /** doc_id → one emission per distinct shingle hash (set semantics —
-    * `shingle_hashes` dedupes within a document). */
+  /** doc_id → one emission per distinct key hash (set semantics —
+    * the key extractors dedupe within a document). */
   private[operators] val shingleIdx = MapIndex.columns(s"${name}_sh")(
     col("doc_id").cast("string"),
-    transform(expr("shingle_hashes(text)"), h => emit(h, col("doc_id"))))
+    transform(expr(keysExpr), h => emit(h, col("doc_id"))))
 
   private val pairsName = s"${name}_pairs"
   private val sizesName = s"${name}_sizes"
@@ -165,7 +176,7 @@ final class PairGraphIndex(
       val ds = store.getAll(docsIdx.name, dirty.select(col("doc_id").as("emit_key")))
         .select(col("emit_key").cast("long").as("doc_id"),
           col("emit_value").as("text"))
-        .select(col("doc_id"), explode(expr("shingle_hashes(text)")).as("sh"))
+        .select(col("doc_id"), explode(expr(keysExpr)).as("sh"))
       val lists = store.getAll(shingleIdx.name, ds.select(col("sh").as("emit_key")).distinct())
         .select(col("emit_key").as("sh"), col("emit_value").as("other"))
       val liveKeys = lists.groupBy("sh").agg(count(lit(1)).as("df"))
@@ -201,19 +212,23 @@ final class PairGraphIndex(
       val keep = pairs
         .join(dirty.select(col("doc_id").as("i")), Seq("i"), "left_anti")
         .join(dirty.select(col("doc_id").as("j")), Seq("j"), "left_anti")
-        .select("i", "j", "jaccard")
+        .select("i", "j", scoreCol)
       flat.writeClustered(pairsName,
         keep.unionByName(jaccardJoin(inter, candSizes)), Seq("i", "j"))
       inter.unpersist()
     } finally { dirty.unpersist(); () }
   }
 
-  private def jaccardJoin(inter: DataFrame, sz: DataFrame): DataFrame =
-    inter
+  private def jaccardJoin(inter: DataFrame, sz: DataFrame): DataFrame = {
+    val joined = inter
       .join(sz.select(col("doc_id").as("i"), col("n").as("n_i")), Seq("i"))
       .join(sz.select(col("doc_id").as("j"), col("n").as("n_j")), Seq("j"))
-      .withColumn("jaccard", round(col("inter").cast("double") /
-        (col("n_i") + col("n_j") - col("inter")), 6))
-      .filter(col("jaccard") >= threshold)
-      .select(col("i"), col("j"), col("jaccard"))
+    val denom =
+      if (containment) least(col("n_i"), col("n_j"))
+      else col("n_i") + col("n_j") - col("inter")
+    joined
+      .withColumn(scoreCol, round(col("inter").cast("double") / denom, 6))
+      .filter(col(scoreCol) >= threshold)
+      .select(col("i"), col("j"), col(scoreCol))
+  }
 }

@@ -118,6 +118,7 @@ object PipelineQueries {
     incPostingsView(s, dir)
     pairsView(s, dir)
     incPairGraph(s, dir)
+    incWinnowGraph(s, dir)
     ()
   }
 
@@ -173,6 +174,27 @@ object PipelineQueries {
     pairGraphs.getOrElseUpdate(dir, {
       val g = new PairGraphIndex(s, graft.engine.BucketedViewStore.temp(s, 16),
         Views.store(s, dir), "pairgraph_inc", MaxShingleDf, JaccardThreshold)
+      val d = docs(s, dir)
+      g.build(d)
+      val ups = d.filter(col("doc_id") % 37 === 0 && col("doc_id") % 41 =!= 0)
+        .withColumn("text", lit("spark join spark stream"))
+        .select("doc_id", "text")
+      val dels = d.filter(col("doc_id") % 41 === 0).select("doc_id")
+      g.refresh(ups, Some(dels))
+      g
+    })
+
+  /** The same incremental machinery instantiated for WINNOW fingerprints
+    * (containment overlap instead of Jaccard) — one parameterization of
+    * [[PairGraphIndex]], same change batch, graded against the exhaustive
+    * substring-containment oracle over the modified corpus. */
+  private val winnowGraphs =
+    scala.collection.concurrent.TrieMap.empty[String, PairGraphIndex]
+  private def incWinnowGraph(s: SparkSession, dir: String): PairGraphIndex =
+    winnowGraphs.getOrElseUpdate(dir, {
+      val g = new PairGraphIndex(s, graft.engine.BucketedViewStore.temp(s, 16),
+        Views.store(s, dir), "winnowgraph_inc", MaxBandDf, JaccardThreshold,
+        keysExpr = "winnow_hashes(text)", containment = true, scoreCol = "overlap")
       val d = docs(s, dir)
       g.build(d)
       val ups = d.filter(col("doc_id") % 37 === 0 && col("doc_id") % 41 =!= 0)
@@ -362,6 +384,26 @@ object PipelineQueries {
     // from-scratch derivation over the modified corpus exactly
     "dedup_pairs_incremental" -> ((s, dir) =>
       incPairGraph(s, dir).pairs.orderBy("i", "j")),
+
+    // winnowing over the INCREMENTALLY maintained fingerprint graph
+    // ([[incWinnowGraph]]): candidates from the stored pairs after the
+    // change batch, exact substring verify — must reproduce the
+    // exhaustive containment pair set of the MODIFIED corpus (the %37
+    // rewrites fall under the length floor, the %41 docs are gone; the
+    // deletions also un-hot df-capped fingerprints, exercising the
+    // downward cap crossing at driver scale)
+    "dedup_winnow_incremental" -> ((s, dir) => {
+      val d = docs(s, dir).filter(col("doc_id") % 41 =!= 0)
+        .withColumn("text", when(col("doc_id") % 37 === 0,
+          lit("spark join spark stream")).otherwise(col("text")))
+      incWinnowGraph(s, dir).pairs.filter(col("overlap") === 1.0)
+        .join(d.select(col("doc_id").as("i"), col("text").as("ti")), Seq("i"))
+        .join(d.select(col("doc_id").as("j"), col("text").as("tj")), Seq("j"))
+        .filter(least(length(col("ti")), length(col("tj"))) >= ContainMinLen &&
+          (col("tj").contains(col("ti")) || col("ti").contains(col("tj"))))
+        .select(col("i"), col("j"), col("overlap"))
+        .orderBy("i", "j")
+    }),
 
     // MinHash + LSH banding with a driver-checkable invariant: the exact
     // capped-shingle Jaccard pair set (same relation the DuckDB oracle
@@ -821,6 +863,14 @@ object PipelineQueries {
     // the incrementally-maintained pair graph must equal the from-scratch
     // derivation over the MODIFIED corpus
     "dedup_pairs_incremental" -> ngramJaccardSqlFrom(modifiedDocsSql),
+    // the incrementally-maintained winnow graph must reproduce the
+    // exhaustive containment pair set of the MODIFIED corpus
+    "dedup_winnow_incremental" ->
+      s"""SELECT a.doc_id AS i, b.doc_id AS j, CAST(1.0 AS DOUBLE) AS overlap
+         |FROM $modifiedDocsSql a JOIN $modifiedDocsSql b ON a.doc_id < b.doc_id
+         |WHERE least(length(a.text), length(b.text)) >= $ContainMinLen
+         |  AND (contains(a.text, b.text) OR contains(b.text, a.text))
+         |ORDER BY i, j""".stripMargin,
     // n_exact_pairs is recomputed from scratch by DuckDB; recall_ok is the
     // engine's asserted invariant (see the query's Scaladoc for measured
     // values behind the bound)
