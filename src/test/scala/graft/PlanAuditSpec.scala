@@ -20,6 +20,18 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
   }
 
+  test("stored pair reads never re-derive the shingle pipeline in-plan") {
+    // the whole point of materializing the pair graph: a consumer's plan
+    // is a parquet read of the stored relation — no shingling, no
+    // posting aggregation, no join anywhere in the executed plan
+    for (q <- Seq("dedup_pairs_view", "dedup_pairs_incremental")) {
+      val p = finalPlan(q)
+      assert(!p.contains("shingle_hashes"),
+        s"$q must serve the STORED pairs, not re-derive them:\n$p")
+      assert(!p.contains("Join"), s"$q must be a pure stored read:\n$p")
+    }
+  }
+
   test("topk_orders: global top-k plans as TakeOrderedAndProject, not a full sort") {
     val p = finalPlan("topk_orders")
     assert(p.contains("TakeOrderedAndProject"), s"plan:\n$p")
