@@ -17,16 +17,34 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "part")
   def nation(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "region")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects outright
-    * (PARQUET_TYPE_ILLEGAL); read nanos as long and convert to a
-    * microsecond timestamp (the synthetic data has no sub-µs precision). */
+  /** events.ts has shipped in two parquet spellings across corpus
+    * generations: TIMESTAMP(NANOS), which Spark 4 rejects outright
+    * (PARQUET_TYPE_ILLEGAL — read nanos as long and convert; the
+    * synthetic data has no sub-µs precision), and native
+    * TIMESTAMP(MICROS) without the UTC flag, which Spark reads as
+    * TIMESTAMP_NTZ. [[normalizeTs]] folds both to one session-TZ
+    * TimestampType column so every consumer (window, unix_micros,
+    * to_date) sees a single type regardless of corpus vintage. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     // set-once guard: an unconditional conf.set per call invalidates state
     // keyed on the conf (and races concurrent query threads) for no reason
     if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    apply(spark, sfDir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    normalizeTs(apply(spark, sfDir, "events"))
+  }
+
+  /** See [[events]]: long (nanos) → µs timestamp; TIMESTAMP_NTZ → a
+    * session-TZ cast (the engine pins the session to UTC, so the cast is
+    * value-identical and keeps the pre-existing downstream semantics). */
+  def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "embeddings")

@@ -864,10 +864,10 @@ object RelationalQueries {
       val raw = s.read.parquet(s"$dir/events.parquet")
       // the file source monitors a DIRECTORY; the testdata table is a bare
       // file, so watch the sf dir with a glob pinned to it
-      val stream = s.readStream.schema(raw.schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val stream = Tables.normalizeTs(
+        s.readStream.schema(raw.schema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(dir))
       val tbl = "events_hourly_streamed_" + java.lang.Integer.toHexString(dir.hashCode)
       val q = stream
         .withWatermark("ts", "10 minutes")
