@@ -104,6 +104,21 @@ final class PairGraphIndex(
   /** The maintained pair relation `(i, j, jaccard)`. */
   def pairs: DataFrame = spark.read.parquet(flat.latestPath(pairsName))
 
+  /** Current version of the stored pair relation (0 = the [[build]]). */
+  def pairsVersion: Int = flat.latestVersion(pairsName).getOrElse(
+    throw new IllegalStateException(s"pair graph '$name' not built"))
+
+  /** The pair relation as of a retained `version` (time travel). */
+  def pairsAt(version: Int): DataFrame = flat.readVersion(pairsName, version)
+
+  /** EDGE-level CDC: the retracted (`delete`) and written (`insert`)
+    * pairs of every refresh in `(from, to]` — each [[build]]/[[refresh]]
+    * persists its pair delta as a sidecar, so downstream consumers of
+    * the pair graph (e.g. [[ComponentsIndex]]) maintain THEIR state from
+    * an O(delta) read instead of diffing pair snapshots. */
+  def pairsChanges(fromVersion: Int, toVersion: Int): DataFrame =
+    flat.changesBetween(pairsName, fromVersion, toVersion)
+
   /** The maintained per-doc live-shingle counts `(doc_id, n)`. */
   def sizes: DataFrame = store.df(sizesName)
     .select(col("emit_key").cast("long").as("doc_id"),
@@ -129,7 +144,13 @@ final class PairGraphIndex(
       .filter(col("i") < col("j"))
       .groupBy("i", "j").agg(count(lit(1)).as("inter"))
     store.materialize(sizesIdx, sz)
-    flat.writeClustered(pairsName, jaccardJoin(inter, sizes), Seq("i", "j"))
+    // persisted: the snapshot write and its CDC sidecar (the full pair
+    // set as `insert`s — a build IS its own delta) share one computation
+    val built = jaccardJoin(inter, sizes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try flat.writeClustered(pairsName, built, Seq("i", "j"),
+      Some(built.withColumn("change_type", lit("insert"))))
+    finally { built.unpersist(blocking = false); () }
   }
 
   /**
@@ -208,13 +229,30 @@ final class PairGraphIndex(
       val candSizes = store.getAll(sizesName, candIds)
         .select(col("emit_key").cast("long").as("doc_id"),
           col("emit_value").cast("long").as("n"))
-      // 8. pairs: clean-clean kept as stored, dirty recomputed
-      val keep = pairs
-        .join(dirty.select(col("doc_id").as("i")), Seq("i"), "left_anti")
-        .join(dirty.select(col("doc_id").as("j")), Seq("j"), "left_anti")
-        .select("i", "j", scoreCol)
+      // 8. pairs: clean-clean kept as stored, dirty recomputed. ONE
+      //    tagged scan of the stored pairs yields both the kept rows and
+      //    the retracted ones (the CDC's `delete` side); the dirty set is
+      //    small, so AQE broadcasts both membership joins
+      val tagged = pairs
+        .join(dirty.select(col("doc_id").as("i"), lit(1).as("d_i")), Seq("i"), "left_outer")
+        .join(dirty.select(col("doc_id").as("j"), lit(1).as("d_j")), Seq("j"), "left_outer")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val keep = tagged.filter(col("d_i").isNull && col("d_j").isNull)
+        .select(col("i"), col("j"), col(scoreCol))
+      val retracted = tagged.filter(col("d_i").isNotNull || col("d_j").isNotNull)
+        .select(col("i"), col("j"), col(scoreCol))
+      val recomputed = jaccardJoin(inter, candSizes)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // pair-level CDC sidecar: every pair touching a dirty doc retracts,
+      // every recomputed dirty pair inserts (gross feed — an unchanged
+      // dirty pair appears as delete+insert of the same row); written
+      // before the pointer swap like every other sidecar in the engine
+      val cdc = retracted.withColumn("change_type", lit("delete"))
+        .unionByName(recomputed.withColumn("change_type", lit("insert")))
       flat.writeClustered(pairsName,
-        keep.unionByName(jaccardJoin(inter, candSizes)), Seq("i", "j"))
+        keep.unionByName(recomputed), Seq("i", "j"), Some(cdc))
+      tagged.unpersist(blocking = false)
+      recomputed.unpersist(blocking = false)
       inter.unpersist()
     } finally { dirty.unpersist(); () }
   }

@@ -392,6 +392,44 @@ object SimilarityQueries {
     rankTopK(scored)
   }
 
+  /** The BULK-probe spelling of [[lshTopKFromView]] — the variant its
+    * Scaladoc promises for probe batches too large for an In-list or a
+    * probe broadcast. NOTHING moves to the driver: the stored bands are
+    * pruned by a left-semi join against the probe band-key set, and
+    * candidates come from a shuffle equi-join on the band key (hinted
+    * SHUFFLE_HASH so a small test batch exercises the same physical
+    * shape a 10⁶-probe batch would get), so cost scales with probe
+    * volume and collision-list size, never with an In-list length.
+    * Trade vs the model-sized path: the stored-band scan is pruned by a
+    * runtime semi-join instead of a pushed parquet filter — the right
+    * trade exactly when the probe batch is itself data-sized. Both paths
+    * read the same maintained view, so their results are identical. */
+  def lshTopKBulk(s: SparkSession, dir: String): DataFrame = {
+    val store = lshBandsView(s, dir)
+    val probes = modifiedEmb(s, dir).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("norm").as("pn"))
+    val probeBands = probes
+      .select(col("probe_id"), col("pv"), col("pn"),
+        posexplode(expr("hyperplane_bands(pv)")).as(Seq("band", "bv")))
+      .withColumn("bkey", concat(col("band").cast("string"), lit(":"), col("bv").cast("string")))
+      .drop("band", "bv")
+    val stored = store.df(lshIdx.name)
+      .select(col("emit_key").as("bkey"), col("emit_value.vec_id").as("neighbor_id"),
+        col("emit_value.v").as("v"), col("emit_value.norm").as("norm"))
+      .join(probeBands.select("bkey").distinct().hint("shuffle_hash"), Seq("bkey"), "left_semi")
+    val candIds = stored
+      .join(probeBands.select("probe_id", "bkey").hint("shuffle_hash"), Seq("bkey"))
+      .filter(col("neighbor_id") =!= col("probe_id"))
+      .select("probe_id", "neighbor_id").distinct()
+    val scored = candIds
+      .join(stored.select(col("neighbor_id"), col("v"), col("norm")).distinct()
+        .hint("shuffle_hash"), Seq("neighbor_id"))
+      .join(probes.hint("shuffle_hash"), Seq("probe_id"))
+      .withColumn("cos", round(dot(col("pv"), col("v")) / (col("pn") * col("norm")), 6))
+      .select(col("probe_id"), col("neighbor_id"), col("cos"))
+    rankTopK(scored)
+  }
+
   /** IVF ANN top-k served from the PERSISTED, incrementally-maintained
     * cell view (vs [[ivfTopKPairs]]'s per-session assignment). The probed
     * cell ids are collected to the driver — bounded by the cell count
@@ -578,6 +616,30 @@ object SimilarityQueries {
           (col("nf") >= col("n_pairs") * lit(AnnRecallBound)).as("recall_ok"))
     }),
 
+    // the SAME persisted band view probed through the BULK plan
+    // ([[lshTopKBulk]]): no driver In-list, no probe broadcast — shuffle
+    // semi-join prune + equi-join, the shape a data-sized probe batch
+    // needs. Graded against the identical modified-corpus ground truth
+    // as the model-sized path (both read one maintained view)
+    "sim_lsh_bulk" -> ((s, dir) => {
+      val e = modifiedEmb(s, dir)
+      val probes = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("norm").as("pn"))
+      val brute = rankTopK(
+        e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+          .withColumn("cos", round(dot(col("pv"), col("v")) / (col("pn") * col("norm")), 6))
+          .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("cos")))
+        .select("probe_id", "neighbor_id")
+      val lsh = lshTopKBulk(s, dir).select("probe_id", "neighbor_id")
+        .withColumn("f", lit(1L))
+      brute.join(lsh, Seq("probe_id", "neighbor_id"), "left_outer")
+        .agg(count_distinct(col("probe_id")).as("n_probes"),
+          count(lit(1)).as("n_pairs"),
+          coalesce(sum(col("f")), lit(0L)).as("nf"))
+        .select(col("n_probes"), col("n_pairs"),
+          (col("nf") >= col("n_pairs") * lit(AnnRecallBound)).as("recall_ok"))
+    }),
+
     // embedding near-dup with a driver-checkable invariant: the exact
     // cosine-threshold pair set over a sample frame (pairs touching
     // vec_id < SampleVecs) is recomputed by the DuckDB oracle;
@@ -654,6 +716,17 @@ object SimilarityQueries {
     // same modified-corpus ground truth as sim_ivf_incremental — the two
     // persisted indexes are graded against the identical change batch
     "sim_lsh_incremental" ->
+      s"""WITH corpus AS (
+         |  SELECT vec_id,
+         |         CASE WHEN vec_id % 37 = 0 THEN list_reverse(embedding)
+         |              ELSE embedding END AS embedding
+         |  FROM embeddings WHERE vec_id % 41 <> 0)
+         |SELECT count(DISTINCT probe_id) AS n_probes, count(*) AS n_pairs,
+         |       true AS recall_ok
+         |FROM (${bruteTopkSqlOver("corpus")})""".stripMargin,
+    // the bulk plan reads the same maintained view as the model-sized
+    // path, so the identical ground truth grades it
+    "sim_lsh_bulk" ->
       s"""WITH corpus AS (
          |  SELECT vec_id,
          |         CASE WHEN vec_id % 37 = 0 THEN list_reverse(embedding)

@@ -187,8 +187,21 @@ final class BucketedStreamingMapIndex(
  * — the dedup-index analog of the engine's view-maintenance contract.
  * First batch bootstraps via [[graft.operators.PairGraphIndex.build]].
  */
-final class StreamingPairGraph(graph: graft.operators.PairGraphIndex) {
+final class StreamingPairGraph(graph: graft.operators.PairGraphIndex,
+    /** optionally maintain the components LABELING one relation further
+      * downstream: after each batch's pair refresh, the labeling is
+      * updated from the pair graph's own edge CDC
+      * ([[graft.operators.ComponentsIndex]]) — the full maintenance
+      * chain docs → pairs → clusters runs per micro-batch, each stage
+      * consuming the previous stage's O(delta) feed. */
+    components: Option[graft.operators.ComponentsIndex] = None) {
   def applyBatch(batch: DataFrame): Unit = {
+    // foreachBatch hands a DataFrame rooted in the STREAM's cloned
+    // session (cloned at start, possibly before the graph ever
+    // registered its key-extraction functions) — register on the
+    // batch's own session so `shingle_hashes`/`winnow_hashes` resolve
+    // regardless of what ran before the stream started
+    graft.functions.Hashes.register(batch.sparkSession)
     val hasTombstones = batch.columns.contains("deleted")
     val upserts =
       if (hasTombstones) batch.filter(!coalesce(col("deleted"), lit(false))) else batch
@@ -197,10 +210,26 @@ final class StreamingPairGraph(graph: graft.operators.PairGraphIndex) {
         Some(batch.filter(coalesce(col("deleted"), lit(false))).select("doc_id"))
       else None
     val ups = upserts.select("doc_id", "text")
+    val before = if (graph.isBuilt) Some(graph.pairsVersion) else None
     if (!graph.isBuilt) {
       graph.build(ups)
       dels.foreach(d => graph.refresh(ups.limit(0), Some(d)))
     } else graph.refresh(ups, dels)
+    components.foreach { ci =>
+      before match {
+        case None =>
+          // a labeling that predates its own pair graph can hold rows no
+          // feed will ever retract — refuse rather than serve them stale
+          require(!ci.isBuilt,
+            "components index predates its pair graph; rebuild it against this graph")
+          ci.build(graph.pairs) // bootstrap on the current pairs
+        case Some(v0) =>
+          if (!ci.isBuilt) ci.build(graph.pairs)
+          else ci.refresh( // the batch's whole edge delta (one refresh =
+            // one pair version; sidecar retention covers it)
+            graph.pairsChanges(v0, graph.pairsVersion), graph.pairs)
+      }
+    }
   }
 
   def writer(docs: DataFrame): DataStreamWriter[org.apache.spark.sql.Row] =

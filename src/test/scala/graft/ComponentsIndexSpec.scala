@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.engine.ViewStore
+import graft.operators.{Components, ComponentsIndex}
+
+/**
+ * The incrementally-maintained components labeling (ComponentsIndex) must
+ * equal a from-scratch resolution after EVERY change batch — merges
+ * (an inserted edge joins two components), splits (a deleted bridge
+ * breaks one apart), vanishing nodes (all edges gone → unlabeled), and
+ * arbitrary seeded histories of mixed batches.
+ */
+class ComponentsIndexSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def edgesDf(es: Seq[(Long, Long)]): DataFrame = es.toDF("i", "j")
+
+  private def deltaDf(old: Seq[(Long, Long)], nw: Seq[(Long, Long)]): DataFrame = {
+    val del = (old.toSet -- nw.toSet).toSeq.map { case (i, j) => (i, j, "delete") }
+    val ins = (nw.toSet -- old.toSet).toSeq.map { case (i, j) => (i, j, "insert") }
+    (del ++ ins).toDF("i", "j", "change_type")
+  }
+
+  private def labelsOf(df: DataFrame): Map[Long, Long] =
+    df.select(col("doc_id").cast("long"), col("component").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  private def fresh(name: String): ComponentsIndex =
+    new ComponentsIndex(spark, ViewStore.temp(spark), name)
+
+  private def check(ci: ComponentsIndex, nw: Seq[(Long, Long)]): Unit =
+    assert(labelsOf(ci.components) === labelsOf(Components.resolve(edgesDf(nw))))
+
+  test("insert merges two components; the merged labeling is exact") {
+    val p0 = Seq((1L, 2L), (3L, 4L))
+    val p1 = p0 :+ (2L, 3L)
+    val ci = fresh("cis_merge")
+    ci.build(edgesDf(p0))
+    ci.refresh(deltaDf(p0, p1), edgesDf(p1))
+    check(ci, p1)
+    assert(labelsOf(ci.components) ===
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+  }
+
+  test("deleting a bridge splits a component into two") {
+    val p0 = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    val p1 = Seq((1L, 2L), (3L, 4L)) // bridge (2,3) gone
+    val ci = fresh("cis_split")
+    ci.build(edgesDf(p0))
+    ci.refresh(deltaDf(p0, p1), edgesDf(p1))
+    check(ci, p1)
+    assert(labelsOf(ci.components) ===
+      Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("a node losing its every edge drops out of the labeling") {
+    val p0 = Seq((1L, 2L), (1L, 5L), (3L, 4L))
+    val p1 = Seq((3L, 4L)) // 1, 2, 5 all edgeless now
+    val ci = fresh("cis_vanish")
+    ci.build(edgesDf(p0))
+    ci.refresh(deltaDf(p0, p1), edgesDf(p1))
+    check(ci, p1)
+    assert(labelsOf(ci.components).keySet === Set(3L, 4L))
+  }
+
+  test("gross feed tolerated: delete+insert of an unchanged edge is a no-op") {
+    val p0 = Seq((1L, 2L), (3L, 4L), (7L, 8L))
+    val ci = fresh("cis_gross")
+    ci.build(edgesDf(p0))
+    // the pair-graph CDC retracts and reinserts every dirty pair even
+    // when its row is unchanged — the labeling must come back identical
+    val delta = Seq((1L, 2L, "delete"), (1L, 2L, "insert")).toDF("i", "j", "change_type")
+    ci.refresh(delta, edgesDf(p0))
+    check(ci, p0)
+  }
+
+  test("refresh CDC sidecar replays the old labeling to the new one") {
+    val p0 = Seq((1L, 2L), (2L, 3L))
+    val p1 = Seq((1L, 2L), (4L, 5L))
+    val ci = fresh("cis_cdc")
+    ci.build(edgesDf(p0))
+    ci.refresh(deltaDf(p0, p1), edgesDf(p1))
+    val v0 = ci.flat.readVersion("cis_cdc_comp", 0).select("doc_id", "component")
+    val feed = ci.changes(0, 1)
+    val deletes = feed.filter(col("change_type") === "delete")
+      .select("doc_id", "component")
+    val inserts = feed.filter(col("change_type") === "insert")
+      .select("doc_id", "component")
+    val replayed = v0.exceptAll(deletes).unionByName(inserts)
+    assert(labelsOf(replayed) === labelsOf(ci.components))
+  }
+
+  test("seeded random histories: maintained labeling equals from-scratch after every batch") {
+    val rnd = new scala.util.Random(42)
+    (1 to 3).foreach { trial =>
+      val nodes = 16
+      def randomEdges(): Seq[(Long, Long)] = {
+        val es = for {
+          i <- 0 until nodes; j <- (i + 1) until nodes
+          if rnd.nextDouble() < 0.12
+        } yield (i.toLong, j.toLong)
+        es
+      }
+      var cur = randomEdges()
+      val ci = fresh(s"cis_rand_$trial")
+      ci.build(edgesDf(cur))
+      check(ci, cur)
+      (1 to 3).foreach { _ =>
+        // mutate: drop ~1/3 of current edges, add a fresh random set
+        val kept = cur.filter(_ => rnd.nextDouble() > 0.33)
+        val nw = (kept ++ randomEdges().filter(_ => rnd.nextDouble() < 0.5)).distinct
+        ci.refresh(deltaDf(cur, nw), edgesDf(nw))
+        check(ci, nw)
+        cur = nw
+      }
+    }
+  }
+}

@@ -23,13 +23,30 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
   test("stored pair reads never re-derive the shingle pipeline in-plan") {
     // the whole point of materializing the pair graph: a consumer's plan
     // is a parquet read of the stored relation — no shingling, no
-    // posting aggregation, no join anywhere in the executed plan
-    for (q <- Seq("dedup_pairs_view", "dedup_pairs_incremental")) {
+    // posting aggregation, no join anywhere in the executed plan. The
+    // maintained components labeling earns the same contract: serving it
+    // must be a stored read, not a per-query resolution loop
+    for (q <- Seq("dedup_pairs_view", "dedup_pairs_incremental",
+        "dedup_components_incremental")) {
       val p = finalPlan(q)
       assert(!p.contains("shingle_hashes"),
         s"$q must serve the STORED pairs, not re-derive them:\n$p")
       assert(!p.contains("Join"), s"$q must be a pure stored read:\n$p")
     }
+  }
+
+  test("lshTopKBulk: no driver In-list, no broadcast — shuffle joins throughout") {
+    // the bulk-probe contract: nothing scales with an In-list and no
+    // probe relation is broadcast; every candidate/score join is a
+    // shuffle join, so the same plan survives a data-sized probe batch
+    val df = graft.operators.SimilarityQueries.lshTopKBulk(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("ShuffledHashJoin"), s"expected hinted shuffle joins:\n$p")
+    assert(!p.contains("BroadcastHashJoin"),
+      s"bulk path must not broadcast probes or bands:\n$p")
+    assert(!p.contains("isInCollection") && !p.contains(" In(emit_key"),
+      s"bulk path must not collect band keys to the driver:\n$p")
   }
 
   test("topk_orders: global top-k plans as TakeOrderedAndProject, not a full sort") {

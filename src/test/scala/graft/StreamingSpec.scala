@@ -166,6 +166,29 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(ps(g.pairs) === ps(scratch.pairs))
   }
 
+  test("streaming components: per-batch labeling equals from-scratch resolution") {
+    import graft.engine.{BucketedViewStore, ViewStore}
+    import graft.operators.{Components, ComponentsIndex, PairGraphIndex}
+    val g = new PairGraphIndex(spark, BucketedViewStore.temp(spark, 4),
+      ViewStore.temp(spark), "pgc_stream")
+    val ci = new ComponentsIndex(spark, ViewStore.temp(spark), "pgc_stream")
+    val sm = new graft.streaming.StreamingPairGraph(g, Some(ci))
+    val input = MemoryStream[(Long, String)]
+    val q = sm.writer(input.toDF().toDF("doc_id", "text")).start()
+    // batch 1: {1,2} near-dups, 3 alone — bootstrap both stages
+    input.addData(1L -> "a b c d e", 2L -> "a b c d f", 3L -> "x y z w v")
+    q.processAllAvailable()
+    // batch 2: 4 joins the {1,2} cluster, 3 rewritten INTO the cluster
+    input.addData(4L -> "a b c d e q", 3L -> "a b c d g")
+    q.processAllAvailable()
+    q.stop()
+    def labels(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "component").as[(Long, Long)].collect().toMap
+    val scratch = labels(Components.resolve(g.pairs.select("i", "j")))
+    assert(scratch.nonEmpty, "fixture must produce a near-dup cluster")
+    assert(labels(ci.components) === scratch)
+  }
+
   test("streaming auto-compaction folds micro-batch file accretion; results unchanged") {
     import graft.engine.BucketedViewStore
     import graft.streaming.BucketedStreamingMapIndex
