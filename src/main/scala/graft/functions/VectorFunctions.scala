@@ -107,11 +107,86 @@ object VectorFunctions {
     override def prettyName: String = "hyperplane_bands"
   }
 
+  /** vec_quantize(v, scale): symmetric int8 scalar quantization (SQ8) —
+    * `round(v_i · 127 / scale)` clamped to [-127, 127], as
+    * `array<tinyint>`: a 4× smaller spelling of the vector whose integer
+    * dot preserves cosine ORDER well enough for candidate generation
+    * (exact float rerank restores correctness). Runs once per stored row
+    * at index-write time and once per probe — not the pair hot path — so
+    * interpreted eval suffices (CodegenFallback). */
+  case class VecQuantize(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(ByteType, containsNull = false)
+    override def nullSafeEval(a: Any, sc: Any): Any = {
+      val v = a.asInstanceOf[ArrayData]
+      val scale = sc.asInstanceOf[Double]
+      if (scale <= 0)
+        throw new IllegalArgumentException(s"vec_quantize: scale must be positive, got $scale")
+      val n = v.numElements()
+      val out = new Array[Byte](n)
+      var i = 0
+      while (i < n) {
+        val q = math.rint(v.getDouble(i) * 127.0 / scale)
+        out(i) = math.max(-127.0, math.min(127.0, q)).toByte
+        i += 1
+      }
+      ArrayData.toArrayData(out)
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): VecQuantize =
+      copy(left = l, right = r)
+    override def prettyName: String = "vec_quantize"
+  }
+
+  /** vec_dot_q(a, b): integer dot product over two `array<tinyint>`
+    * (SQ8) vectors. Long accumulator: 64 dims × 127² ≈ 10⁶ per vector
+    * pair fits easily, and wider dims stay safe. Codegen'd like
+    * [[VecDot]] — this IS the quantized candidate-generation hot path,
+    * running once per (probe, corpus vector). */
+  case class VecDotQ(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = x.numElements()
+      if (n != y.numElements())
+        throw new IllegalArgumentException(
+          s"vec_dot_q: dimension mismatch ($n vs ${y.numElements()})")
+      var acc = 0L
+      var i = 0
+      while (i < n) { acc += x.getByte(i).toLong * y.getByte(i).toLong; i += 1 }
+      acc
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n")
+        val i = ctx.freshName("i")
+        val acc = ctx.freshName("acc")
+        s"""
+           |final int $n = $a.numElements();
+           |if ($n != $b.numElements()) {
+           |  throw new IllegalArgumentException(
+           |    "vec_dot_q: dimension mismatch (" + $n + " vs " + $b.numElements() + ")");
+           |}
+           |long $acc = 0L;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $acc += (long) $a.getByte($i) * (long) $b.getByte($i);
+           |}
+           |${ev.value} = $acc;
+         """.stripMargin
+      })
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): VecDotQ =
+      copy(left = l, right = r)
+    override def prettyName: String = "vec_dot_q"
+  }
+
   /** Name → expression builders, the single source for both per-session
     * [[register]] and builder-time [[graft.GraftExtensions]] injection. */
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "vec_dot" -> (es => VecDot(es(0), es(1))),
-    "hyperplane_bands" -> (es => HyperplaneBands(es.head)))
+    "hyperplane_bands" -> (es => HyperplaneBands(es.head)),
+    "vec_quantize" -> (es => VecQuantize(es(0), es(1))),
+    "vec_dot_q" -> (es => VecDotQ(es(0), es(1))))
 
   /** Register in the session's function registry (idempotent). */
   def register(spark: SparkSession): Unit = {

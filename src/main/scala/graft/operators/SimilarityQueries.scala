@@ -392,6 +392,166 @@ object SimilarityQueries {
     rankTopK(scored)
   }
 
+  /** Refine factor for SQ8 search: exact-rerank the top `K · SqRefine`
+    * quantized candidates per probe. */
+  private val SqRefine = 4
+
+  // ---------------------------------------------------------------------
+  // Persisted, incrementally-maintained SQ8 (int8) corpus
+  // ---------------------------------------------------------------------
+
+  /** The SQ8 corpus as an engine-maintained bucketed map view, keyed by
+    * vec_id (refresh = delete-then-insert of the changed vectors'
+    * buckets, strictly O(delta)). Emit value = `(q, qn)` — the int8
+    * vector and its quantized norm, so the candidate scan needs no
+    * corpus join. The quantize expression appears three times in the
+    * emission; that cost is paid once per STORED row at write time, not
+    * in the per-pair search path. */
+  private def sqIncIdx(scale: Double): MapIndex = {
+    val quant = call_function("vec_quantize", col("v"), lit(scale))
+    MapIndex.columns("emb_sq8_inc")(
+      col("vec_id").cast("string"),
+      array(emit(col("vec_id"), struct(
+        quant.as("q"),
+        sqrt(call_function("vec_dot_q", quant, quant).cast("double")).as("qn")))))
+  }
+
+  private def maxAbsComponent(e: DataFrame): Double =
+    e.agg(coalesce(max(expr(
+      "aggregate(v, cast(0.0 as double), (m, x) -> greatest(m, abs(x)))")), lit(0.0)))
+      .head().getDouble(0)
+
+  /** Per-JVM cache of the maintained SQ8 view and the scale it serves
+    * with (diverges from the build-time scale only after a re-fit). */
+  private val sqIncViews = TrieMap.empty[String, (BucketedViewStore, Double)]
+
+  /** Build the persisted SQ8 view on the ORIGINAL corpus, then push the
+    * deterministic change batch through its refresh path. The scale is
+    * the view's one model parameter, and unlike IVF's centroids it can
+    * only go stale UPWARD: an incoming component beyond it would CLAMP
+    * (distorting that vector's direction), while deletions and
+    * within-range rewrites leave every stored code exact. So the re-fit
+    * gate is exact, not drift-bounded — re-materialize iff the batch's
+    * own max |component| exceeds the stored scale; otherwise the
+    * ordinary O(delta) refresh. (The fixture's reversal batch is
+    * component-preserving, so it exercises the refresh arm.) */
+  private def sqIncView(s: SparkSession, dir: String): (BucketedViewStore, Double) =
+    sqIncViews.getOrElseUpdate(dir, {
+      val store = BucketedViewStore.temp(s, numBuckets = 16)
+      val e = emb(s, dir)
+      val scale = maxAbsComponent(e)
+      store.materialize(sqIncIdx(scale), e)
+      val (ups, dels) = embChangeBatch(e)
+      if (maxAbsComponent(ups) > scale) {
+        val m = modifiedEmb(s, dir)
+        val refit = maxAbsComponent(m)
+        store.materialize(sqIncIdx(refit), m) // next epoch; CDC contiguous
+        (store, refit)
+      } else {
+        store.refresh(sqIncIdx(scale), ups, Some(dels))
+        (store, scale)
+      }
+    })
+
+  /** SQ8 search served from the PERSISTED, incrementally-maintained int8
+    * view: integer-dot candidate scan over the stored `(q, qn)` rows
+    * (4-8× less I/O than the float corpus), exact float rerank of the
+    * `K · SqRefine` best per probe against the post-batch corpus. */
+  def sqTopKFromView(s: SparkSession, dir: String): DataFrame = {
+    val (store, scale) = sqIncView(s, dir)
+    val m = modifiedEmb(s, dir)
+    val probes = m.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("norm").as("pn"))
+      .withColumn("pq", call_function("vec_quantize", col("pv"), lit(scale)))
+      .withColumn("pqn", sqrt(call_function("vec_dot_q", col("pq"), col("pq")).cast("double")))
+      .filter(col("pqn") > 0)
+    val qcorpus = store.df("emb_sq8_inc")
+      .select(col("emit_key").cast("long").as("vec_id"),
+        col("emit_value.q").as("q"), col("emit_value.qn").as("qn"))
+      .filter(col("qn") > 0)
+    val approx = qcorpus
+      .join(broadcast(probes.select("probe_id", "pq", "pqn")),
+        col("vec_id") =!= col("probe_id"))
+      .withColumn("qcos",
+        call_function("vec_dot_q", col("pq"), col("q")).cast("double") / (col("pqn") * col("qn")))
+    val w = Window.partitionBy("probe_id").orderBy(col("qcos").desc, col("vec_id"))
+    val cands = approx.withColumn("r", row_number().over(w))
+      .filter(col("r") <= K * SqRefine)
+      .select("probe_id", "vec_id")
+    val scored = cands
+      .join(m.select(col("vec_id"), col("v"), col("norm")), Seq("vec_id"))
+      .join(broadcast(probes.select("probe_id", "pv", "pn")), Seq("probe_id"))
+      .withColumn("cos", round(dot(col("pv"), col("v")) / (col("pn") * col("norm")), 6))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("cos"))
+    rankTopK(scored)
+  }
+
+  /** Per-(corpus) cache of the stored SQ8 relation + its scale. */
+  private val sqViews = TrieMap.empty[String, Double]
+  private val SqViewName = "emb_sq8"
+
+  /** Materialize the SQ8 (symmetric int8) spelling of the corpus ONCE as
+    * a stored clustered relation `(vec_id, q, qn)` and return the
+    * quantization scale. The scan that generates candidates reads 1-byte
+    * components instead of 8-byte doubles — at 100 TB that is the whole
+    * point: 4-8× less candidate-scan I/O for the same recall (with exact
+    * rerank on the float vectors restoring exact scores). The scale (the
+    * corpus max |component|) is ONE driver scalar, the same model-sized
+    * cost class as the IVF centroids. */
+  private def sqView(s: SparkSession, dir: String): (DataFrame, Double) = {
+    val store = graft.engine.Views.store(s, dir)
+    val scale = sqViews.getOrElseUpdate(dir, {
+      val e = emb(s, dir)
+      val sc = e.agg(max(expr(
+        "aggregate(v, cast(0.0 as double), (m, x) -> greatest(m, abs(x)))")))
+        .head().getDouble(0)
+      val q = e
+        .withColumn("q", call_function("vec_quantize", col("v"), lit(sc)))
+        .withColumn("qn", sqrt(call_function("vec_dot_q", col("q"), col("q")).cast("double")))
+        // a vector that vanishes under quantization (all |v_i| ≪ scale)
+        // has no quantized direction — it can never be a candidate; the
+        // refine margin and the recall bound absorb the (empty, here)
+        // residue rather than a divide-by-zero
+        .filter(col("qn") > 0)
+        .select("vec_id", "q", "qn")
+      store.writeClustered(SqViewName, q, Seq("vec_id"))
+      sc
+    })
+    (s.read.parquet(store.latestPath(SqViewName)), scale)
+  }
+
+  /** SQ8 ANN top-k `(probe_id, neighbor_id, cos, rank)`: candidates from
+    * an integer-dot scan of the STORED int8 corpus (reads only the
+    * 1-byte-per-component columns), exact float rerank on the top
+    * `K · SqRefine` per probe. The brute-force shape with a 4-8× smaller
+    * scan — the right ANN when recall must be near-exact and the corpus
+    * layout can't assume clusterability (SQ8 has no training step to go
+    * stale, unlike IVF's quantizer). */
+  def sqTopKPairs(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val (qcorpus, scale) = sqView(s, dir)
+    val probes = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("norm").as("pn"))
+      .withColumn("pq", call_function("vec_quantize", col("pv"), lit(scale)))
+      .withColumn("pqn", sqrt(call_function("vec_dot_q", col("pq"), col("pq")).cast("double")))
+      .filter(col("pqn") > 0)
+    val approx = qcorpus
+      .join(broadcast(probes.select("probe_id", "pq", "pqn")),
+        col("vec_id") =!= col("probe_id"))
+      .withColumn("qcos",
+        call_function("vec_dot_q", col("pq"), col("q")).cast("double") / (col("pqn") * col("qn")))
+    val w = Window.partitionBy("probe_id").orderBy(col("qcos").desc, col("vec_id"))
+    val cands = approx.withColumn("r", row_number().over(w))
+      .filter(col("r") <= K * SqRefine)
+      .select("probe_id", "vec_id")
+    val scored = cands
+      .join(e.select(col("vec_id"), col("v"), col("norm")), Seq("vec_id"))
+      .join(broadcast(probes.select("probe_id", "pv", "pn")), Seq("probe_id"))
+      .withColumn("cos", round(dot(col("pv"), col("v")) / (col("pn") * col("norm")), 6))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("cos"))
+    rankTopK(scored)
+  }
+
   /** The BULK-probe spelling of [[lshTopKFromView]] — the variant its
     * Scaladoc promises for probe batches too large for an In-list or a
     * probe broadcast. NOTHING moves to the driver: the stored bands are
@@ -458,6 +618,33 @@ object SimilarityQueries {
     rankTopK(cand)
   }
 
+  /** The BULK-probe spelling of [[ivfTopKFromView]] — same contract as
+    * [[lshTopKBulk]]: no driver cell-id In-list, no probe broadcast. The
+    * stored cells are pruned by a semi-join against the probe batch's
+    * cell set and candidates come from a shuffle equi-join on the cell
+    * id, so the plan scales with probe volume and probed-cell mass. */
+  def ivfTopKBulk(s: SparkSession, dir: String): DataFrame = {
+    val (store, cents) = ivfCellsView(s, dir)
+    val nProbe = probesFor(cents.length)
+    val probesWithCells = modifiedEmb(s, dir).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("norm").as("pn"))
+      .withColumn("pscored", array_sort(cellScores(cents, col("pv"))))
+      .withColumn("cid0", explode(expr(s"slice(transform(pscored, s -> s.idx), 1, $nProbe)")))
+      .withColumn("cid", col("cid0").cast("string"))
+      .drop("pscored", "cid0")
+    val corpus = store.df(ivfIdx(cents).name)
+      .select(col("emit_key").as("cid"), col("emit_value.vec_id").as("vec_id"),
+        col("emit_value.v").as("v"), col("emit_value.norm").as("norm"))
+      .join(probesWithCells.select("cid").distinct().hint("shuffle_hash"),
+        Seq("cid"), "left_semi")
+    val cand = corpus
+      .join(probesWithCells.hint("shuffle_hash"), Seq("cid"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("cos", round(dot(col("pv"), col("v")) / (col("pn") * col("norm")), 6))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("cos"))
+    rankTopK(cand)
+  }
+
   /** IVF ANN top-k `(probe_id, neighbor_id, cos, rank)`: corpus vectors
     * are bucketed by nearest centroid; a probe scans only its NProbe
     * nearest cells, then exact cosine ranks the candidates. The
@@ -501,6 +688,11 @@ object SimilarityQueries {
     * exact top-5 even on weakly-clustered random vectors; real embedding
     * corpora cluster far harder. */
   private val IvfRecallBound = 0.7
+  /** SQ8 measured recall 1.0 at sf0.001/0.01/0.1: int8 rounding on
+    * 64-dim vectors perturbs cosine order far less than the K·SqRefine
+    * refine margin — the conservative bound still leaves room for an
+    * adversarially flat corpus. */
+  private val SqRecallBound = 0.9
   /** brute-force ground truth inside the dedup_embedding invariant is
     * restricted to pairs touching vec_id < this (full brute is O(n²)). */
   private val SampleVecs = 50
@@ -550,6 +742,22 @@ object SimilarityQueries {
           coalesce(sum(col("f")), lit(0L)).as("nf"))
         .select(col("n_probes"), col("n_pairs"),
           (col("nf") >= col("n_pairs") * lit(AnnRecallBound)).as("recall_ok"))
+    }),
+
+    // SQ8 (scalar-quantized) ANN under the same invariant: candidates
+    // from the stored int8 corpus's integer-dot scan (4-8× less scan
+    // I/O than the float relation), exact float rerank on the refine
+    // set. Top-k output for users: [[sqTopKPairs]].
+    "sim_sq_topk" -> ((s, dir) => {
+      val brute = queries("sim_brute_topk")(s, dir).select("probe_id", "neighbor_id")
+      val sq = sqTopKPairs(s, dir).select("probe_id", "neighbor_id")
+        .withColumn("f", lit(1L))
+      brute.join(sq, Seq("probe_id", "neighbor_id"), "left_outer")
+        .agg(count_distinct(col("probe_id")).as("n_probes"),
+          count(lit(1)).as("n_pairs"),
+          coalesce(sum(col("f")), lit(0L)).as("nf"))
+        .select(col("n_probes"), col("n_pairs"),
+          (col("nf") >= col("n_pairs") * lit(SqRecallBound)).as("recall_ok"))
     }),
 
     // IVF ANN with the same invariant pattern as sim_lsh_topk: n_probes
@@ -614,6 +822,52 @@ object SimilarityQueries {
           coalesce(sum(col("f")), lit(0L)).as("nf"))
         .select(col("n_probes"), col("n_pairs"),
           (col("nf") >= col("n_pairs") * lit(AnnRecallBound)).as("recall_ok"))
+    }),
+
+    // the IVF view probed through the BULK plan ([[ivfTopKBulk]]): no
+    // driver In-list, no probe broadcast — graded against the identical
+    // modified-corpus ground truth as the model-sized path
+    "sim_ivf_bulk" -> ((s, dir) => {
+      val e = modifiedEmb(s, dir)
+      val probes = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("norm").as("pn"))
+      val brute = rankTopK(
+        e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+          .withColumn("cos", round(dot(col("pv"), col("v")) / (col("pn") * col("norm")), 6))
+          .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("cos")))
+        .select("probe_id", "neighbor_id")
+      val ivf = ivfTopKBulk(s, dir).select("probe_id", "neighbor_id")
+        .withColumn("f", lit(1L))
+      brute.join(ivf, Seq("probe_id", "neighbor_id"), "left_outer")
+        .agg(count_distinct(col("probe_id")).as("n_probes"),
+          count(lit(1)).as("n_pairs"),
+          coalesce(sum(col("f")), lit(0L)).as("nf"))
+        .select(col("n_probes"), col("n_pairs"),
+          (col("nf") >= col("n_pairs") * lit(IvfRecallBound)).as("recall_ok"))
+    }),
+
+    // the SQ8 search served from the PERSISTED int8 view after the
+    // corpus change batch went through its O(delta) refresh path — the
+    // oracle recomputes exact top-k from the MODIFIED corpus, so a stale
+    // code (a %37 vector still quantized at its old orientation, a %41
+    // vector not retracted) shows up as lost recall / a wrong pair
+    "sim_sq_incremental" -> ((s, dir) => {
+      val e = modifiedEmb(s, dir)
+      val probes = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("norm").as("pn"))
+      val brute = rankTopK(
+        e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+          .withColumn("cos", round(dot(col("pv"), col("v")) / (col("pn") * col("norm")), 6))
+          .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("cos")))
+        .select("probe_id", "neighbor_id")
+      val sq = sqTopKFromView(s, dir).select("probe_id", "neighbor_id")
+        .withColumn("f", lit(1L))
+      brute.join(sq, Seq("probe_id", "neighbor_id"), "left_outer")
+        .agg(count_distinct(col("probe_id")).as("n_probes"),
+          count(lit(1)).as("n_pairs"),
+          coalesce(sum(col("f")), lit(0L)).as("nf"))
+        .select(col("n_probes"), col("n_pairs"),
+          (col("nf") >= col("n_pairs") * lit(SqRecallBound)).as("recall_ok"))
     }),
 
     // the SAME persisted band view probed through the BULK plan
@@ -701,6 +955,10 @@ object SimilarityQueries {
       s"""SELECT count(DISTINCT probe_id) AS n_probes, count(*) AS n_pairs,
          |       true AS recall_ok
          |FROM ($bruteTopkSql)""".stripMargin,
+    "sim_sq_topk" ->
+      s"""SELECT count(DISTINCT probe_id) AS n_probes, count(*) AS n_pairs,
+         |       true AS recall_ok
+         |FROM ($bruteTopkSql)""".stripMargin,
     // the exact top-k ground truth recomputed from the MODIFIED corpus
     // (the same %37-reversal / %41-tombstone batch the engine pushed
     // through the persisted index's refresh path)
@@ -716,6 +974,27 @@ object SimilarityQueries {
     // same modified-corpus ground truth as sim_ivf_incremental — the two
     // persisted indexes are graded against the identical change batch
     "sim_lsh_incremental" ->
+      s"""WITH corpus AS (
+         |  SELECT vec_id,
+         |         CASE WHEN vec_id % 37 = 0 THEN list_reverse(embedding)
+         |              ELSE embedding END AS embedding
+         |  FROM embeddings WHERE vec_id % 41 <> 0)
+         |SELECT count(DISTINCT probe_id) AS n_probes, count(*) AS n_pairs,
+         |       true AS recall_ok
+         |FROM (${bruteTopkSqlOver("corpus")})""".stripMargin,
+    // the IVF bulk plan reads the same maintained view as the model-sized
+    // path, so the identical ground truth grades it
+    "sim_ivf_bulk" ->
+      s"""WITH corpus AS (
+         |  SELECT vec_id,
+         |         CASE WHEN vec_id % 37 = 0 THEN list_reverse(embedding)
+         |              ELSE embedding END AS embedding
+         |  FROM embeddings WHERE vec_id % 41 <> 0)
+         |SELECT count(DISTINCT probe_id) AS n_probes, count(*) AS n_pairs,
+         |       true AS recall_ok
+         |FROM (${bruteTopkSqlOver("corpus")})""".stripMargin,
+    // same modified-corpus ground truth as the other incremental indexes
+    "sim_sq_incremental" ->
       s"""WITH corpus AS (
          |  SELECT vec_id,
          |         CASE WHEN vec_id % 37 = 0 THEN list_reverse(embedding)

@@ -35,18 +35,22 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
-  test("lshTopKBulk: no driver In-list, no broadcast — shuffle joins throughout") {
+  test("bulk ANN paths: no driver In-list, no broadcast — shuffle joins throughout") {
     // the bulk-probe contract: nothing scales with an In-list and no
     // probe relation is broadcast; every candidate/score join is a
     // shuffle join, so the same plan survives a data-sized probe batch
-    val df = graft.operators.SimilarityQueries.lshTopKBulk(spark, sf)
-    df.collect()
-    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
-    assert(p.contains("ShuffledHashJoin"), s"expected hinted shuffle joins:\n$p")
-    assert(!p.contains("BroadcastHashJoin"),
-      s"bulk path must not broadcast probes or bands:\n$p")
-    assert(!p.contains("isInCollection") && !p.contains(" In(emit_key"),
-      s"bulk path must not collect band keys to the driver:\n$p")
+    import graft.operators.SimilarityQueries
+    for ((name, df) <- Seq(
+        "lshTopKBulk" -> SimilarityQueries.lshTopKBulk(spark, sf),
+        "ivfTopKBulk" -> SimilarityQueries.ivfTopKBulk(spark, sf))) {
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      assert(p.contains("ShuffledHashJoin"), s"$name: expected hinted shuffle joins:\n$p")
+      assert(!p.contains("BroadcastHashJoin"),
+        s"$name: bulk path must not broadcast probes or index rows:\n$p")
+      assert(!p.contains("isInCollection") && !p.contains(" In(emit_key"),
+        s"$name: bulk path must not collect keys to the driver:\n$p")
+    }
   }
 
   test("topk_orders: global top-k plans as TakeOrderedAndProject, not a full sort") {

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.VectorFunctions
+
+/** SQ8 scalar quantization: the vec_quantize/vec_dot_q expressions and
+  * the quantize→integer-scan→exact-rerank search built on them. */
+class QuantizeSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  VectorFunctions.register(spark)
+
+  test("vec_quantize rounds to nearest and clamps to [-127, 127]") {
+    val q = Seq(Tuple1(Seq(1.0, -1.0, 0.5, -0.5, 0.0, 2.0))).toDF("v")
+      .select(call_function("vec_quantize",
+        col("v").cast("array<double>"), lit(1.0)).cast("array<int>").as("q"))
+      .as[Seq[Int]].head()
+    // 0.5·127 = 63.5 → rint (half-even) → 64; 2.0 overshoots → clamp
+    assert(q === Seq(127, -127, 64, -64, 0, 127))
+  }
+
+  test("vec_dot_q matches the integer dot computed in Scala") {
+    val a = Seq(1, -2, 3, 100)
+    val b = Seq(4, 5, -6, 100)
+    val expected = a.zip(b).map { case (x, y) => x.toLong * y.toLong }.sum
+    val got = Seq((a, b)).toDF("a", "b")
+      .select(call_function("vec_dot_q",
+        col("a").cast("array<tinyint>"), col("b").cast("array<tinyint>")).as("d"))
+      .as[Long].head()
+    assert(got === expected)
+  }
+
+  test("vec_dot_q fails loud on a dimension mismatch") {
+    val ex = intercept[Exception] {
+      Seq((Seq(1, 2), Seq(1))).toDF("a", "b")
+        .select(call_function("vec_dot_q",
+          col("a").cast("array<tinyint>"), col("b").cast("array<tinyint>")))
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("dimension mismatch")))
+  }
+
+  test("vec_quantize refuses a non-positive scale") {
+    val ex = intercept[Exception] {
+      Seq(Tuple1(Seq(1.0))).toDF("v")
+        .select(call_function("vec_quantize",
+          col("v").cast("array<double>"), lit(0.0)))
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("scale must be positive")))
+  }
+
+  test("incrementally-maintained SQ8 view: post-batch search recall at sf0.001") {
+    val dir = "/root/testdata/sf0.001"
+    import org.apache.spark.sql.functions.{broadcast, call_function, round => rnd}
+    // ground truth: exact top-k over the MODIFIED corpus (the %37
+    // reversal / %41 tombstone batch the view's refresh path consumed)
+    val e = graft.engine.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .filter(col("vec_id") % 41 =!= 0)
+      .withColumn("v", when(col("vec_id") % 37 === 0, reverse(col("v"))).otherwise(col("v")))
+      .withColumn("norm", sqrt(call_function("vec_dot", col("v"), col("v"))))
+      .filter(col("norm") > 0)
+    val probes = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("norm").as("pn"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("probe_id").orderBy(col("cos").desc, col("neighbor_id"))
+    val brute = e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .withColumn("cos", rnd(call_function("vec_dot", col("pv"), col("v")) / (col("pn") * col("norm")), 6))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("cos"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val served = graft.operators.SimilarityQueries.sqTopKFromView(spark, dir)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(brute.nonEmpty)
+    val recall = (brute & served).size.toDouble / brute.size
+    assert(recall >= 0.95, s"maintained-SQ8 recall $recall below 0.95")
+  }
+
+  test("SQ8 top-k recall vs brute force at sf0.001") {
+    val dir = "/root/testdata/sf0.001"
+    val brute = SparkEntry.queries("sim_brute_topk")(spark, dir)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val sq = graft.operators.SimilarityQueries.sqTopKPairs(spark, dir)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(brute.nonEmpty)
+    val recall = (brute & sq).size.toDouble / brute.size
+    // int8 rounding barely perturbs cosine order at 64 dims, and the
+    // K·SqRefine refine margin absorbs what it does perturb
+    assert(recall >= 0.95, s"SQ8 recall $recall below 0.95")
+  }
+}
