@@ -165,6 +165,8 @@ object SimilarityQueries {
     ivfCentroidsFor(s, dir)
     ivfCellsView(s, dir)
     lshBandsView(s, dir)
+    sqView(s, dir)
+    sqIncView(s, dir)
     ()
   }
 
