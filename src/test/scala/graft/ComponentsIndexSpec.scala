@@ -93,6 +93,38 @@ class ComponentsIndexSpec extends AnyFunSuite with SparkSpec {
     assert(labelsOf(replayed) === labelsOf(ci.components))
   }
 
+  test("end-to-end chain: components maintained from the REAL pair-graph CDC under random doc histories") {
+    import graft.engine.BucketedViewStore
+    import graft.operators.PairGraphIndex
+    val rnd = new scala.util.Random(7)
+    val words = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+    def randText(): String =
+      Seq.fill(6 + rnd.nextInt(5))(words(rnd.nextInt(words.size))).mkString(" ")
+    // low threshold + tiny vocabulary → a dense, churning pair graph
+    val g = new PairGraphIndex(spark, BucketedViewStore.temp(spark, 4),
+      ViewStore.temp(spark), "pgc_e2e", maxDf = 50, threshold = 0.3)
+    val ci = fresh("pgc_e2e")
+    var corpus = (1L to 20L).map(id => id -> randText()).toMap
+    g.build(corpus.toSeq.toDF("doc_id", "text"))
+    ci.build(g.pairs)
+    (1 to 3).foreach { _ =>
+      val upIds = corpus.keys.filter(_ => rnd.nextDouble() < 0.3).toSeq
+      val newIds = Seq(corpus.keys.max + 1, corpus.keys.max + 2)
+      val delIds = (corpus.keys.filter(_ => rnd.nextDouble() < 0.15).toSet -- upIds).toSeq
+      val ups = (upIds ++ newIds).map(id => id -> randText())
+      corpus = (corpus -- delIds) ++ ups
+      val v0 = g.pairsVersion
+      g.refresh(ups.toDF("doc_id", "text"),
+        Some(delIds.toDF("doc_id")))
+      ci.refresh(g.pairsChanges(v0, g.pairsVersion), g.pairs)
+      // the maintained labeling must equal a from-scratch resolution of
+      // the maintained pair relation — this pins the CDC contract BETWEEN
+      // the two classes, not just each class against synthetic inputs
+      assert(labelsOf(ci.components) ===
+        labelsOf(Components.resolve(g.pairs.select("i", "j"))))
+    }
+  }
+
   test("seeded random histories: maintained labeling equals from-scratch after every batch") {
     val rnd = new scala.util.Random(42)
     (1 to 3).foreach { trial =>
