@@ -546,6 +546,24 @@ object PipelineQueries {
     "dedup_components_incremental" -> ((s, dir) =>
       incComponentsIdx(s, dir).components.orderBy("doc_id")),
 
+    // the pair graph's OWN change feed, driver-gated directly: the batch
+    // refresh's CDC sidecar, netted (a pair retracted and re-inserted at
+    // the same score is no change), must equal the logical diff between
+    // the from-scratch pair derivations over the original and modified
+    // corpora — DuckDB recomputes both sides and takes the symmetric
+    // difference, so an over- or under-retraction in the sidecar is a
+    // hash mismatch
+    "dedup_pairs_changefeed" -> ((s, dir) => {
+      val g = incPairGraph(s, dir)
+      val feed = g.pairsChanges(g.pairsVersion - 1, g.pairsVersion)
+        .select(col("i"), col("j"), col("jaccard"), col("change_type"))
+      val dels = feed.filter(col("change_type") === "delete").drop("change_type")
+      val ins = feed.filter(col("change_type") === "insert").drop("change_type")
+      dels.exceptAll(ins).withColumn("change_type", lit("delete"))
+        .unionByName(ins.exceptAll(dels).withColumn("change_type", lit("insert")))
+        .orderBy("change_type", "i", "j")
+    }),
+
     // deterministic content-hash train/valid split: assignment depends
     // only on the document bytes (stable across runs, partitionings, and
     // re-ingestion — unlike rand()-based sampling), ~1/16 to valid
@@ -952,6 +970,17 @@ object PipelineQueries {
     // resolution over the MODIFIED corpus's pair graph
     "dedup_components_incremental" ->
       componentsSqlFrom(ngramJaccardSqlFrom(modifiedDocsSql)),
+    // the netted pair CDC must equal the symmetric difference of the
+    // from-scratch derivations over the original and modified corpora
+    "dedup_pairs_changefeed" ->
+      s"""WITH before AS (SELECT * FROM ($ngramJaccardSql)),
+         |after AS (SELECT * FROM (${ngramJaccardSqlFrom(modifiedDocsSql)}))
+         |SELECT i, j, jaccard, 'delete' AS change_type
+         |FROM (SELECT * FROM before EXCEPT SELECT * FROM after)
+         |UNION ALL
+         |SELECT i, j, jaccard, 'insert' AS change_type
+         |FROM (SELECT * FROM after EXCEPT SELECT * FROM before)
+         |ORDER BY change_type, i, j""".stripMargin,
     "pipeline_dedup_removal" ->
       s"""WITH RECURSIVE pairs AS (SELECT i, j FROM ($ngramJaccardSql)),
          |edges AS (SELECT i AS a, j AS b FROM pairs UNION SELECT j, i FROM pairs),
