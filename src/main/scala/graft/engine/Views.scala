@@ -26,6 +26,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  */
 object Views {
   private val stores = TrieMap.empty[String, ViewStore]
+  private val bstores = TrieMap.empty[String, BucketedViewStore]
   private val cache = TrieMap.empty[(String, String), MaterializedView]
 
   /** Durable root directory, when configured. */
@@ -38,6 +39,59 @@ object Views {
       case Some(root) => durableStore(spark, root, sfDir)
       case None       => ViewStore.temp(spark)
     })
+
+  /** Bucketed-store selection mirror of [[store]]: temp by default,
+    * durable under the configured root. This is the route the persisted
+    * ANN indexes (IVF cells, LSH bands, SQ8 codes) and the pair-graph /
+    * components stores take — precisely the most expensive indexes the
+    * engine maintains, so they are the ones that survive a JVM when
+    * durability is on (previously they were hardwired to temp stores and
+    * never did). One shared store per corpus; view names namespace it. */
+  def bucketedStore(spark: SparkSession, sfDir: String,
+      numBuckets: Int = 16): BucketedViewStore =
+    bstores.getOrElseUpdate(s"$sfDir#$numBuckets", durableRoot match {
+      case Some(root) => durableBucketedStore(spark, root, sfDir, numBuckets)
+      case None       => BucketedViewStore.temp(spark, numBuckets)
+    })
+
+  /** Completion marker for a multi-step BUILD UNIT — an engine-maintained
+    * index whose on-disk state is the product of several store calls (a
+    * pair graph's build + change batch, an ANN view's materialize +
+    * refresh). A reopening JVM over a durable, fingerprint-matching store
+    * must not serve a unit that crashed halfway (e.g. materialized but
+    * never refreshed): [[markUnitDone]] is written only after the whole
+    * unit completed, so [[unitDone]] = serve as-is, otherwise rebuild
+    * through the stores' ordinary rebuild (full-retraction CDC) path.
+    * The marker lives inside the store dir, so a corpus-fingerprint roll
+    * wipes it with the views it gates. */
+  def unitDone(storeDir: String, unit: String): Boolean =
+    Files.exists(Paths.get(storeDir, s"_UNIT_$unit"))
+
+  def markUnitDone(storeDir: String, unit: String): Unit = {
+    Files.createDirectories(Paths.get(storeDir))
+    Files.writeString(Paths.get(storeDir, s"_UNIT_$unit"), "done")
+    ()
+  }
+
+  /** Persist a small numeric model next to a store's views (IVF
+    * centroids, SQ8 scale): a reopening JVM must probe with EXACTLY the
+    * model the stored index was built with — re-fitting would silently
+    * disagree with the stored assignment/codes. Full-precision text
+    * round-trip (`java.lang.Double.toString` is exact under
+    * `parseDouble`); model-sized by definition, so one tiny file. */
+  def writeModel(storeDir: String, name: String, rows: Seq[Seq[Double]]): Unit = {
+    Files.createDirectories(Paths.get(storeDir))
+    Files.writeString(Paths.get(storeDir, s"_MODEL_$name"),
+      rows.map(_.map(java.lang.Double.toString).mkString(",")).mkString("\n"))
+    ()
+  }
+
+  def readModel(storeDir: String, name: String): Option[Seq[Seq[Double]]] = {
+    val p = Paths.get(storeDir, s"_MODEL_$name")
+    if (!Files.exists(p)) None
+    else Some(Files.readString(p).split("\n").toSeq
+      .map(_.split(",").toSeq.map(java.lang.Double.parseDouble)))
+  }
 
   def materialized(spark: SparkSession, sfDir: String, index: MapIndex)
       (source: => DataFrame): MaterializedView =
@@ -82,6 +136,16 @@ object Views {
     }
     new BucketedViewStore(spark, durableDir(root, corpusDir, flavor).toString,
       numBuckets = numBuckets, rangeBoundaries = rangeBoundaries)
+  }
+
+  /** Drop the cached store handles for one corpus — lets a spec simulate
+    * a fresh process reopening the same durable root (the reuse decision
+    * itself is disk-gated, never cached). */
+  private[graft] def dropStoresForTest(sfDir: String): Unit = {
+    stores.remove(sfDir)
+    bstores.keySet.filter(_.startsWith(s"$sfDir#")).foreach(bstores.remove)
+    cache.keySet.filter(_._1 == sfDir).foreach(cache.remove)
+    ()
   }
 
   /** Shared staleness gate: resolve `<root>/corpus-<key>/<flavor>`, reuse

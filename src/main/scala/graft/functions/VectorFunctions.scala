@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -26,7 +26,12 @@ object VectorFunctions {
     * `doGenCode` — the loop inlines into whole-stage codegen with no
     * boxing and no interpreted-eval bridge. */
   case class VecDot(left: Expression, right: Expression)
-      extends BinaryExpression {
+      extends BinaryExpression with ImplicitCastInputTypes {
+    // declared input types make misuse an ANALYSIS error (and let a
+    // float-array argument coerce) instead of ArrayData.getDouble
+    // silently misreading another element width at runtime
+    override def inputTypes =
+      Seq(ArrayType(DoubleType), ArrayType(DoubleType))
     override def dataType: DataType = DoubleType
     override def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]
@@ -75,7 +80,8 @@ object VectorFunctions {
    * per plane (32×) through interpreted HOFs.
    */
   case class HyperplaneBands(child: Expression, bands: Int = 8, bitsPerBand: Int = 4)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with CodegenFallback with ImplicitCastInputTypes {
+    override def inputTypes = Seq(ArrayType(DoubleType))
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullSafeEval(input: Any): Any = {
       val v = input.asInstanceOf[ArrayData]
@@ -115,7 +121,9 @@ object VectorFunctions {
     * at index-write time and once per probe — not the pair hot path — so
     * interpreted eval suffices (CodegenFallback). */
   case class VecQuantize(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression with CodegenFallback with ImplicitCastInputTypes {
+    override def inputTypes =
+      Seq(ArrayType(DoubleType), DoubleType)
     override def dataType: DataType = ArrayType(ByteType, containsNull = false)
     override def nullSafeEval(a: Any, sc: Any): Any = {
       val v = a.asInstanceOf[ArrayData]
@@ -143,7 +151,12 @@ object VectorFunctions {
     * [[VecDot]] — this IS the quantized candidate-generation hot path,
     * running once per (probe, corpus vector). */
   case class VecDotQ(left: Expression, right: Expression)
-      extends BinaryExpression {
+      extends BinaryExpression with ImplicitCastInputTypes {
+    // array<tinyint> only: implicit casts never NARROW, so e.g. an
+    // array<int> argument is an analysis error rather than getByte
+    // reading the wrong stride and returning garbage
+    override def inputTypes =
+      Seq(ArrayType(ByteType), ArrayType(ByteType))
     override def dataType: DataType = LongType
     override def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]

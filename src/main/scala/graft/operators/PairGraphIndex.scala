@@ -2,7 +2,8 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.engine.{BucketedViewStore, MapIndex, ViewStore}
+import graft.engine.{BucketedViewStore, MapIndex}
+import graft.engine.BucketedViewStore.RefreshStats
 import graft.engine.MapIndex.emit
 import graft.functions.Hashes
 
@@ -16,14 +17,15 @@ import graft.functions.Hashes
  * (driver-gated by `dedup_pairs_incremental` against the same SQL oracle
  * as the batch derivation).
  *
- * State (all engine-maintained):
+ * State (all engine-maintained, all bucketed — partition-scoped refresh):
  *   - `<name>_sh`: shingle posting index, a bucketed map view
  *     `shingle → doc_id` (delete-then-insert per changed doc, touched
  *     buckets only; its CDC sidecar IS the delta this class consumes),
  *   - `<name>_docs`: doc text as a bucketed map view `doc_id → text`
  *     (dirty texts are fetched from here, bucket-pruned),
  *   - `<name>_sizes`: per-doc live-shingle counts, bucketed likewise,
- *   - `<name>_pairs`: the pair relation `(i, j, jaccard)` (flat store).
+ *   - `<name>_pairs`: the pair relation `(i, j, score)` as a DUAL-KEYED
+ *     bucketed map view — see [[pairsIdx]].
  *
  * Exactness argument. `inter(i,j)` counts shingles shared by i and j that
  * are LIVE (document frequency ≤ [[maxDf]]); `n_i` counts i's live
@@ -34,33 +36,29 @@ import graft.functions.Hashes
  * DIRTY set = changed docs ∪ current members of every posting list that
  * crossed the cap (either direction); every pair touching a dirty doc is
  * recomputed from the maintained index, every clean-clean pair and clean
- * size is provably unchanged and kept as stored. Crossings are detected
- * from the refresh's own CDC delta: old df = new df − inserts + deletes
- * per touched shingle, with new df read from the index via the
+ * size is provably unchanged and untouched on disk. Crossings are
+ * detected from the refresh's own CDC delta: old df = new df − inserts +
+ * deletes per touched shingle, with new df read from the index via the
  * bucket-pruned [[BucketedViewStore.getAll]].
  *
  * Scale shape: the posting-index refresh touches only the changed keys'
  * buckets; dirty-pair recomputation reads only the dirty docs' shingle
  * keys (bucket-pruned batch lookup) and joins posting lists bounded by
- * the df cap — O(dirty · df) candidate rows. SIZES are themselves a
- * bucketed map view keyed by doc_id: maintenance is delete-then-insert
- * for the dirty docs (touched buckets only) and the jaccard join reads
- * exactly the candidate ids back via [[BucketedViewStore.getAll]] — no
- * O(corpus) sizes rewrite or scan anywhere. Document TEXT is likewise a
- * maintained map view, so dirty texts are fetched bucket-pruned — the
- * refresh never touches the source corpus at all; its total I/O is
- * O(dirty · df) plus the PAIR relation rewrite (keep clean-clean ∪
- * recomputed dirty) — an honest O(|pairs|) scan of the near-dup pair
- * set, which is sparse relative to the corpus; a pair retracts by
- * either endpoint, which a single-owner keyed store cannot express
- * directly.
+ * the df cap — O(dirty · df) candidate rows. SIZES and TEXT are bucketed
+ * map views keyed by doc_id: maintenance is delete-then-insert for the
+ * dirty docs (touched buckets only), and the refresh never consults the
+ * source corpus at all. The PAIR relation is dual-keyed (each pair
+ * emitted under both endpoints, owned by one `i:j` source key), so
+ * retraction-by-either-endpoint is the store's ordinary partition-scoped
+ * delete-then-insert: total refresh I/O is proportional to the dirty
+ * endpoints' buckets, never to |pairs| — the flat-store O(|pairs|)
+ * snapshot rewrite this layout replaces is gone.
  */
 final class PairGraphIndex(
     val spark: SparkSession,
-    /** shingle posting index lives here (bucketed, partition-scoped refresh) */
+    /** every relation the graph owns lives here — postings, docs, sizes,
+      * and the dual-keyed pair view (bucketed, partition-scoped refresh) */
     val store: BucketedViewStore,
-    /** pair + sizes relations live here (flat versioned store) */
-    val flat: ViewStore,
     val name: String,
     val maxDf: Int = 1000,
     val threshold: Double = 0.5,
@@ -82,7 +80,7 @@ final class PairGraphIndex(
     col("doc_id").cast("string"),
     transform(expr(keysExpr), h => emit(h, col("doc_id"))))
 
-  private val pairsName = s"${name}_pairs"
+  val pairsName = s"${name}_pairs"
   private val sizesName = s"${name}_sizes"
 
   /** Sizes as a bucketed map view `doc_id → n`, so refreshing dirty docs
@@ -97,27 +95,72 @@ final class PairGraphIndex(
     col("doc_id").cast("string"),
     array(emit(col("doc_id"), col("text"))))
 
+  /** The pair relation as a DUAL-KEYED bucketed map view. Source key =
+    * the canonical pair id `i:j` (a pair is owned by exactly one source
+    * key); emissions = the full `(i, j, score)` row under BOTH endpoint
+    * keys. The two sides buy the two accesses a maintained graph needs:
+    *   - retract-by-either-endpoint: deleting source key `i:j` removes
+    *     both mirror rows through the store's meta back-pointers —
+    *     rewriting only the two endpoints' buckets, which is what makes
+    *     refresh I/O O(delta) instead of the flat store's O(|pairs|)
+    *     snapshot rewrite;
+    *   - incident-edge lookup ([[incidentPairs]]): every pair touching a
+    *     doc set is a bucket-pruned [[BucketedViewStore.getAll]] on the
+    *     endpoint keys — the read [[ComponentsIndex.refresh]] uses to
+    *     collect its dirty-region edges without scanning the pair set.
+    * The mirror invariant (both sides project the identical pair
+    * relation) is structural — one source row produces both emissions
+    * atomically — and property-tested over random change histories. */
+  private[operators] val pairsIdx = MapIndex.columns(pairsName)(
+    concat_ws(":", col("i"), col("j")),
+    array(
+      emit(col("i").cast("string"),
+        struct(col("i"), col("j"), col(scoreCol).as("score"))),
+      emit(col("j").cast("string"),
+        struct(col("i"), col("j"), col(scoreCol).as("score")))))
+
+  /** One row per pair from the dual-keyed emissions: keep the i-major
+    * mirror (emit_key = i side). */
+  private def primary(rows: DataFrame): DataFrame =
+    rows.filter(col("emit_key") === col("emit_value.i").cast("string"))
+      .select(col("emit_value.i").as("i"), col("emit_value.j").as("j"),
+        col("emit_value.score").as(scoreCol))
+
   /** Whether [[build]] has run (the streaming wrapper bootstraps on the
     * first micro-batch). */
-  def isBuilt: Boolean = flat.latestVersion(pairsName).isDefined
+  def isBuilt: Boolean = store.manifest(pairsName).nonEmpty
 
-  /** The maintained pair relation `(i, j, jaccard)`. */
-  def pairs: DataFrame = spark.read.parquet(flat.latestPath(pairsName))
+  /** The maintained pair relation `(i, j, score)`. */
+  def pairs: DataFrame = primary(store.df(pairsName))
 
-  /** Current version of the stored pair relation (0 = the [[build]]). */
-  def pairsVersion: Int = flat.latestVersion(pairsName).getOrElse(
-    throw new IllegalStateException(s"pair graph '$name' not built"))
+  /** Current refresh epoch of the stored pair relation (0 = [[build]]). */
+  def pairsVersion: Int = store.epoch(pairsName)
 
   /** The pair relation as of a retained `version` (time travel). */
-  def pairsAt(version: Int): DataFrame = flat.readVersion(pairsName, version)
+  def pairsAt(version: Int): DataFrame = primary(store.dfAsOf(pairsName, version))
 
   /** EDGE-level CDC: the retracted (`delete`) and written (`insert`)
-    * pairs of every refresh in `(from, to]` — each [[build]]/[[refresh]]
-    * persists its pair delta as a sidecar, so downstream consumers of
-    * the pair graph (e.g. [[ComponentsIndex]]) maintain THEIR state from
-    * an O(delta) read instead of diffing pair snapshots. */
+    * pairs of every refresh in `(from, to]` — each refresh's pair delta
+    * is the store's own CDC sidecar, so downstream consumers of the pair
+    * graph (e.g. [[ComponentsIndex]]) maintain THEIR state from an
+    * O(delta) read instead of diffing pair snapshots. */
   def pairsChanges(fromVersion: Int, toVersion: Int): DataFrame =
-    flat.changesBetween(pairsName, fromVersion, toVersion)
+    store.changesBetween(pairsName, fromVersion, toVersion)
+      .filter(col("emit_key") === col("emit_value.i").cast("string"))
+      .select(col("emit_value.i").as("i"), col("emit_value.j").as("j"),
+        col("emit_value.score").as(scoreCol),
+        col("change_type"), col("change_version"))
+
+  /** Every stored pair incident to a doc in `ids` (single column, any
+    * name) — a bucket-pruned endpoint read, the dual-keyed layout's
+    * payoff for consumers that need a dirty region's edges without
+    * scanning the pair relation. */
+  def incidentPairs(ids: DataFrame): DataFrame =
+    store.getAll(pairsName,
+        ids.select(col(ids.columns.head).cast("string")))
+      .select(col("emit_value.i").as("i"), col("emit_value.j").as("j"),
+        col("emit_value.score").as(scoreCol))
+      .distinct()
 
   /** The maintained per-doc live-shingle counts `(doc_id, n)`. */
   def sizes: DataFrame = store.df(sizesName)
@@ -126,7 +169,13 @@ final class PairGraphIndex(
 
   /** Full build: materialize the posting index, then derive pairs and
     * sizes from the STORED postings (one aggregation — the corpus is
-    * shingled exactly once, at index-write time). */
+    * shingled exactly once, at index-write time). Rebuilding over an
+    * existing graph goes through [[BucketedViewStore.materialize]]'s
+    * rebuild path: the pair sidecar is a full retraction of the prior
+    * snapshot plus inserts of the new one, so a CDC replay range
+    * spanning the rebuild never double-counts (the store's rebuild
+    * convention, which the previous flat layout's insert-only build
+    * sidecar violated). */
   def build(corpus: DataFrame): Unit = {
     Hashes.register(spark)
     val docs = corpus.select(col("doc_id").cast("long"), col("text"))
@@ -144,22 +193,18 @@ final class PairGraphIndex(
       .filter(col("i") < col("j"))
       .groupBy("i", "j").agg(count(lit(1)).as("inter"))
     store.materialize(sizesIdx, sz)
-    // persisted: the snapshot write and its CDC sidecar (the full pair
-    // set as `insert`s — a build IS its own delta) share one computation
-    val built = jaccardJoin(inter, sizes)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try flat.writeClustered(pairsName, built, Seq("i", "j"),
-      Some(built.withColumn("change_type", lit("insert"))))
-    finally { built.unpersist(blocking = false); () }
+    store.materialize(pairsIdx, jaccardJoin(inter, sizes))
   }
 
   /**
    * Apply one document change batch (upserts + deletes). Exact per the
    * class doc; no corpus relation is consulted — dirty texts come from
-   * the maintained doc view.
+   * the maintained doc view. Returns the PAIR view's refresh stats (how
+   * many of its buckets the batch actually rewrote — the partition-scoped
+   * I/O claim, spec-asserted).
    */
   def refresh(upserts: DataFrame,
-      deleteIds: Option[DataFrame] = None): Unit = {
+      deleteIds: Option[DataFrame] = None): RefreshStats = {
     Hashes.register(spark)
     val ups = upserts.select(col("doc_id").cast("long"), col("text"))
     val dels = deleteIds.map(_.select(col("doc_id").cast("long")))
@@ -190,6 +235,7 @@ final class PairGraphIndex(
       .select(col("emit_value").as("doc_id")).distinct()
     val dirty = changedIds.unionByName(crossingDocs).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var inter: DataFrame = null
     try {
       // 4. dirty docs' shingle sets — text fetched bucket-pruned from the
       //    maintained doc view (deleted ids are simply absent) — and the
@@ -215,7 +261,7 @@ final class PairGraphIndex(
       // 6. dirty-pair intersections. distinct on (i, j, sh) BEFORE the
       //    count: a dirty-dirty pair reaches here from both sides' rows,
       //    and counting the canonicalized duplicates would double inter
-      val inter = ds.join(listsLive, Seq("sh"))
+      inter = ds.join(listsLive, Seq("sh"))
         .filter(col("other") =!= col("doc_id"))
         .select(least(col("doc_id"), col("other")).as("i"),
           greatest(col("doc_id"), col("other")).as("j"), col("sh"))
@@ -229,32 +275,24 @@ final class PairGraphIndex(
       val candSizes = store.getAll(sizesName, candIds)
         .select(col("emit_key").cast("long").as("doc_id"),
           col("emit_value").cast("long").as("n"))
-      // 8. pairs: clean-clean kept as stored, dirty recomputed. ONE
-      //    tagged scan of the stored pairs yields both the kept rows and
-      //    the retracted ones (the CDC's `delete` side); the dirty set is
-      //    small, so AQE broadcasts both membership joins
-      val tagged = pairs
-        .join(dirty.select(col("doc_id").as("i"), lit(1).as("d_i")), Seq("i"), "left_outer")
-        .join(dirty.select(col("doc_id").as("j"), lit(1).as("d_j")), Seq("j"), "left_outer")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val keep = tagged.filter(col("d_i").isNull && col("d_j").isNull)
-        .select(col("i"), col("j"), col(scoreCol))
-      val retracted = tagged.filter(col("d_i").isNotNull || col("d_j").isNotNull)
-        .select(col("i"), col("j"), col(scoreCol))
-      val recomputed = jaccardJoin(inter, candSizes)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // pair-level CDC sidecar: every pair touching a dirty doc retracts,
-      // every recomputed dirty pair inserts (gross feed — an unchanged
-      // dirty pair appears as delete+insert of the same row); written
-      // before the pointer swap like every other sidecar in the engine
-      val cdc = retracted.withColumn("change_type", lit("delete"))
-        .unionByName(recomputed.withColumn("change_type", lit("insert")))
-      flat.writeClustered(pairsName,
-        keep.unionByName(recomputed), Seq("i", "j"), Some(cdc))
-      tagged.unpersist(blocking = false)
-      recomputed.unpersist(blocking = false)
-      inter.unpersist()
-    } finally { dirty.unpersist(); () }
+      // 8. pair view refresh, dual-keyed: every stored pair incident to a
+      //    dirty doc retracts (its `i:j` source key deletes — the meta
+      //    back-pointers remove both mirror rows), every recomputed dirty
+      //    pair inserts. The store's own sidecar IS the edge-level CDC
+      //    (gross feed — an unchanged dirty pair appears as delete+insert
+      //    of the same row), and the rewrite touches only the dirty
+      //    endpoints' buckets: clean-clean pairs are never read or
+      //    rewritten. Any recomputed pair has a dirty endpoint, so its
+      //    prior version (if any) is always in the retraction set.
+      val retractKeys = store.getAll(pairsName,
+          dirty.select(col("doc_id").cast("string")))
+        .select("src_key").distinct()
+      store.refresh(pairsIdx, jaccardJoin(inter, candSizes), Some(retractKeys))
+    } finally {
+      if (inter != null) inter.unpersist(blocking = false)
+      dirty.unpersist(blocking = false)
+      ()
+    }
   }
 
   private def jaccardJoin(inter: DataFrame, sz: DataFrame): DataFrame = {

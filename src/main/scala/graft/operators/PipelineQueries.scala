@@ -158,7 +158,9 @@ object PipelineQueries {
   private[operators] def pairsView(s: SparkSession, dir: String): DataFrame = {
     val store = Views.store(s, dir)
     pairViewBuilt.getOrElseUpdate(dir, {
-      store.writeClustered(PairViewName, ngramJaccardPairs(s, dir), Seq("i", "j"))
+      // durable reopen over an unchanged corpus serves the stored pairs
+      if (store.latestVersion(PairViewName).isEmpty)
+        store.writeClustered(PairViewName, ngramJaccardPairs(s, dir), Seq("i", "j"))
     })
     s.read.parquet(store.latestPath(PairViewName))
   }
@@ -174,15 +176,19 @@ object PipelineQueries {
     scala.collection.concurrent.TrieMap.empty[String, PairGraphIndex]
   private def incPairGraph(s: SparkSession, dir: String): PairGraphIndex =
     pairGraphs.getOrElseUpdate(dir, {
-      val g = new PairGraphIndex(s, graft.engine.BucketedViewStore.temp(s, 16),
-        Views.store(s, dir), "pairgraph_inc", MaxShingleDf, JaccardThreshold)
-      val d = docs(s, dir)
-      g.build(d)
-      val ups = d.filter(col("doc_id") % 37 === 0 && col("doc_id") % 41 =!= 0)
-        .withColumn("text", lit("spark join spark stream"))
-        .select("doc_id", "text")
-      val dels = d.filter(col("doc_id") % 41 === 0).select("doc_id")
-      g.refresh(ups, Some(dels))
+      val store = Views.bucketedStore(s, dir)
+      val g = new PairGraphIndex(s, store,
+        "pairgraph_inc", MaxShingleDf, JaccardThreshold)
+      if (!Views.unitDone(store.baseDir, "pairgraph_inc")) {
+        val d = docs(s, dir)
+        g.build(d)
+        val ups = d.filter(col("doc_id") % 37 === 0 && col("doc_id") % 41 =!= 0)
+          .withColumn("text", lit("spark join spark stream"))
+          .select("doc_id", "text")
+        val dels = d.filter(col("doc_id") % 41 === 0).select("doc_id")
+        g.refresh(ups, Some(dels))
+        Views.markUnitDone(store.baseDir, "pairgraph_inc")
+      }
       g
     })
 
@@ -194,17 +200,38 @@ object PipelineQueries {
     scala.collection.concurrent.TrieMap.empty[String, PairGraphIndex]
   private def incWinnowGraph(s: SparkSession, dir: String): PairGraphIndex =
     winnowGraphs.getOrElseUpdate(dir, {
-      val g = new PairGraphIndex(s, graft.engine.BucketedViewStore.temp(s, 16),
-        Views.store(s, dir), "winnowgraph_inc", MaxBandDf, JaccardThreshold,
+      val store = Views.bucketedStore(s, dir)
+      val g = new PairGraphIndex(s, store,
+        "winnowgraph_inc", MaxBandDf, JaccardThreshold,
         keysExpr = "winnow_hashes(text)", containment = true, scoreCol = "overlap")
-      val d = docs(s, dir)
-      g.build(d)
-      val ups = d.filter(col("doc_id") % 37 === 0 && col("doc_id") % 41 =!= 0)
-        .withColumn("text", lit("spark join spark stream"))
-        .select("doc_id", "text")
-      val dels = d.filter(col("doc_id") % 41 === 0).select("doc_id")
-      g.refresh(ups, Some(dels))
+      if (!Views.unitDone(store.baseDir, "winnowgraph_inc")) {
+        val d = docs(s, dir)
+        g.build(d)
+        val ups = d.filter(col("doc_id") % 37 === 0 && col("doc_id") % 41 =!= 0)
+          .withColumn("text", lit("spark join spark stream"))
+          .select("doc_id", "text")
+        val dels = d.filter(col("doc_id") % 41 === 0).select("doc_id")
+        g.refresh(ups, Some(dels))
+        Views.markUnitDone(store.baseDir, "winnowgraph_inc")
+      }
       g
+    })
+
+  /** The BASE corpus's cluster labeling materialized once
+    * (compute-on-write): `pipeline_dedup_removal` and any other
+    * keeper-set consumer read the stored `(doc_id, component)` relation
+    * instead of re-resolving the pair graph per query. */
+  private val baseComps =
+    scala.collection.concurrent.TrieMap.empty[String, ComponentsIndex]
+  private[operators] def baseComponentsView(s: SparkSession, dir: String): ComponentsIndex =
+    baseComps.getOrElseUpdate(dir, {
+      val store = Views.bucketedStore(s, dir)
+      val ci = new ComponentsIndex(s, store, "comp_base")
+      if (!Views.unitDone(store.baseDir, "comp_base")) {
+        ci.build(pairsView(s, dir).select("i", "j"))
+        Views.markUnitDone(store.baseDir, "comp_base")
+      }
+      ci
     })
 
   /** The components LABELING maintained one relation downstream of the
@@ -214,28 +241,21 @@ object PipelineQueries {
     * change touches are re-resolved. The oracle recomputes the labeling
     * from the modified corpus from scratch (recursive CTE), so a stale
     * label, a missed merge, or an unsplit component is a hash mismatch. */
-  /** The BASE corpus's cluster labeling materialized once
-    * (compute-on-write): `pipeline_dedup_removal` and any other
-    * keeper-set consumer read the stored `(doc_id, component)` relation
-    * instead of re-resolving the pair graph per query. */
-  private val baseComps =
-    scala.collection.concurrent.TrieMap.empty[String, ComponentsIndex]
-  private[operators] def baseComponentsView(s: SparkSession, dir: String): ComponentsIndex =
-    baseComps.getOrElseUpdate(dir, {
-      val ci = new ComponentsIndex(s, Views.store(s, dir), "comp_base")
-      ci.build(pairsView(s, dir).select("i", "j"))
-      ci
-    })
-
   private val compGraphs =
     scala.collection.concurrent.TrieMap.empty[String, ComponentsIndex]
   private def incComponentsIdx(s: SparkSession, dir: String): ComponentsIndex =
     compGraphs.getOrElseUpdate(dir, {
-      val g = incPairGraph(s, dir) // built at v0, refreshed to v1
-      val ci = new ComponentsIndex(s, Views.store(s, dir), "compgraph_inc")
-      val v = g.pairsVersion
-      ci.build(g.pairsAt(v - 1))
-      ci.refresh(g.pairsChanges(v - 1, v), g.pairs)
+      val g = incPairGraph(s, dir) // built at epoch 0, refreshed to 1
+      val store = Views.bucketedStore(s, dir)
+      val ci = new ComponentsIndex(s, store, "compgraph_inc")
+      if (!Views.unitDone(store.baseDir, "compgraph_inc")) {
+        val v = g.pairsVersion
+        ci.build(g.pairsAt(v - 1))
+        // dirty-region edges read bucket-pruned from the dual-keyed pair
+        // view — the labeling refresh never scans the pair relation
+        ci.refresh(g.pairsChanges(v - 1, v), g.incidentPairs _)
+        Views.markUnitDone(store.baseDir, "compgraph_inc")
+      }
       ci
     })
 
@@ -373,6 +393,13 @@ object PipelineQueries {
       .filter(col("overlap") >= JaccardThreshold)
       .select(col("i"), col("j"), col("overlap"))
       .orderBy("i", "j")
+  }
+
+  /** Drop every per-JVM cache — lets a spec simulate a fresh process
+    * against a durable store root (the reuse path is disk-gated). */
+  private[graft] def resetCachesForTest(): Unit = {
+    pairGraphs.clear(); winnowGraphs.clear(); baseComps.clear()
+    compGraphs.clear(); pairViewBuilt.clear()
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -4,7 +4,7 @@ import scala.collection.concurrent.TrieMap
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.engine.{BucketedViewStore, MapIndex, Tables}
+import graft.engine.{BucketedViewStore, MapIndex, Tables, Views}
 import graft.engine.MapIndex.emit
 import graft.functions.VectorFunctions
 
@@ -285,25 +285,39 @@ object SimilarityQueries {
     * touches more than [[RefitDriftBound]] of the corpus the quantizer is
     * re-fit on the modified corpus and the view fully re-materialized
     * (same store, next epoch — CDC stays contiguous); otherwise only the
-    * changed vectors are reassigned, through the ordinary refresh path. */
+    * changed vectors are reassigned, through the ordinary refresh path.
+    * The store comes from [[Views.bucketedStore]] (temp by default,
+    * durable under `graft.views.root`); a durable reopen over an
+    * unchanged corpus serves the completed unit as-is, probing with the
+    * PERSISTED centroid model the stored cells were assigned under. */
   private def ivfCellsView(s: SparkSession, dir: String): (BucketedViewStore, Array[Array[Double]]) =
     ivfViews.getOrElseUpdate(dir, {
-      val store = BucketedViewStore.temp(s, numBuckets = 16)
-      val e = emb(s, dir)
-      val cents = ivfCentroidsFor(s, dir)
-      store.materialize(ivfIdx(cents), e)
-      val (ups, dels) = embChangeBatch(e)
-      // two count() actions over delta-sized frames — refresh-time cost,
-      // same order as the refresh itself
-      val changed = ups.count() + dels.count()
-      if (changed > e.count() * RefitDriftBound) {
-        val m = modifiedEmb(s, dir)
-        val refit = ivfCentroids(m)
-        store.materialize(ivfIdx(refit), m)
-        (store, refit)
-      } else {
-        store.refresh(ivfIdx(cents), ups, Some(dels))
+      val store = Views.bucketedStore(s, dir)
+      val unit = "emb_ivf_cells"
+      if (Views.unitDone(store.baseDir, unit)) {
+        val cents = Views.readModel(store.baseDir, unit).get.map(_.toArray).toArray
         (store, cents)
+      } else {
+        val e = emb(s, dir)
+        val cents = ivfCentroidsFor(s, dir)
+        store.materialize(ivfIdx(cents), e)
+        val (ups, dels) = embChangeBatch(e)
+        // two count() actions over delta-sized frames — refresh-time cost,
+        // same order as the refresh itself
+        val changed = ups.count() + dels.count()
+        val served =
+          if (changed > e.count() * RefitDriftBound) {
+            val m = modifiedEmb(s, dir)
+            val refit = ivfCentroids(m)
+            store.materialize(ivfIdx(refit), m)
+            refit
+          } else {
+            store.refresh(ivfIdx(cents), ups, Some(dels))
+            cents
+          }
+        Views.writeModel(store.baseDir, unit, served.map(_.toSeq).toSeq)
+        Views.markUnitDone(store.baseDir, unit)
+        (store, served)
       }
     })
 
@@ -336,14 +350,21 @@ object SimilarityQueries {
 
   /** Build the persisted band view on the ORIGINAL corpus, then push the
     * SAME deterministic change batch as the IVF index through its refresh
-    * path — `%37` vectors re-banded at their reversal, `%41` retracted. */
+    * path — `%37` vectors re-banded at their reversal, `%41` retracted.
+    * No model element (the hyperplanes are seeded-deterministic), so a
+    * durable reopen needs only the completion marker to serve as-is. */
   private def lshBandsView(s: SparkSession, dir: String): BucketedViewStore =
     lshViews.getOrElseUpdate(dir, {
-      val store = BucketedViewStore.temp(s, numBuckets = 16)
-      val e = emb(s, dir)
-      store.materialize(lshIdx, e)
-      val (ups, dels) = embChangeBatch(e)
-      store.refresh(lshIdx, ups, Some(dels))
+      val store = Views.bucketedStore(s, dir)
+      val unit = "emb_lsh_bands"
+      if (!Views.unitDone(store.baseDir, unit)) {
+        VectorFunctions.register(s)
+        val e = emb(s, dir)
+        store.materialize(lshIdx, e)
+        val (ups, dels) = embChangeBatch(e)
+        store.refresh(lshIdx, ups, Some(dels))
+        Views.markUnitDone(store.baseDir, unit)
+      }
       store
     })
 
@@ -427,6 +448,37 @@ object SimilarityQueries {
     * with (diverges from the build-time scale only after a re-fit). */
   private val sqIncViews = TrieMap.empty[String, (BucketedViewStore, Double)]
 
+  /** Build the SQ8 view over `corpus` at its own max-|component| scale;
+    * returns that scale (the view's one model parameter). */
+  private[graft] def sqBuild(store: BucketedViewStore, corpus: DataFrame): Double = {
+    val scale = maxAbsComponent(corpus)
+    store.materialize(sqIncIdx(scale), corpus)
+    scale
+  }
+
+  /** The SQ8 change-batch gate, factored for direct testing: apply one
+    * corpus batch to a stored SQ8 view. The scale can only go stale
+    * UPWARD (an incoming component beyond it would CLAMP, distorting that
+    * vector's direction; deletions and within-range rewrites leave every
+    * stored code exact), so the gate is exact, not drift-bounded:
+    * re-materialize at the re-fit scale iff the batch's own max
+    * |component| exceeds the stored scale — the rebuild goes through
+    * [[BucketedViewStore.materialize]]'s full-retraction path, keeping
+    * the CDC feed contiguous across it — otherwise the ordinary O(delta)
+    * refresh. Returns the scale the view now serves with. */
+  private[graft] def sqApplyBatch(store: BucketedViewStore, scale: Double,
+      ups: DataFrame, dels: Option[DataFrame],
+      corpusAfter: => DataFrame): Double =
+    if (maxAbsComponent(ups) > scale) {
+      val m = corpusAfter
+      val refit = maxAbsComponent(m)
+      store.materialize(sqIncIdx(refit), m) // next epoch; CDC contiguous
+      refit
+    } else {
+      store.refresh(sqIncIdx(scale), ups, dels)
+      scale
+    }
+
   /** Build the persisted SQ8 view on the ORIGINAL corpus, then push the
     * deterministic change batch through its refresh path. The scale is
     * the view's one model parameter, and unlike IVF's centroids it can
@@ -439,19 +491,19 @@ object SimilarityQueries {
     * component-preserving, so it exercises the refresh arm.) */
   private def sqIncView(s: SparkSession, dir: String): (BucketedViewStore, Double) =
     sqIncViews.getOrElseUpdate(dir, {
-      val store = BucketedViewStore.temp(s, numBuckets = 16)
-      val e = emb(s, dir)
-      val scale = maxAbsComponent(e)
-      store.materialize(sqIncIdx(scale), e)
-      val (ups, dels) = embChangeBatch(e)
-      if (maxAbsComponent(ups) > scale) {
-        val m = modifiedEmb(s, dir)
-        val refit = maxAbsComponent(m)
-        store.materialize(sqIncIdx(refit), m) // next epoch; CDC contiguous
-        (store, refit)
+      val store = Views.bucketedStore(s, dir)
+      val unit = "emb_sq8_inc"
+      if (Views.unitDone(store.baseDir, unit)) {
+        VectorFunctions.register(s)
+        (store, Views.readModel(store.baseDir, unit).get.head.head)
       } else {
-        store.refresh(sqIncIdx(scale), ups, Some(dels))
-        (store, scale)
+        val e = emb(s, dir)
+        val scale = sqBuild(store, e)
+        val (ups, dels) = embChangeBatch(e)
+        val served = sqApplyBatch(store, scale, ups, Some(dels), modifiedEmb(s, dir))
+        Views.writeModel(store.baseDir, unit, Seq(Seq(served)))
+        Views.markUnitDone(store.baseDir, unit)
+        (store, served)
       }
     })
 
@@ -501,23 +553,31 @@ object SimilarityQueries {
     * corpus max |component|) is ONE driver scalar, the same model-sized
     * cost class as the IVF centroids. */
   private def sqView(s: SparkSession, dir: String): (DataFrame, Double) = {
-    val store = graft.engine.Views.store(s, dir)
+    val store = Views.store(s, dir)
     val scale = sqViews.getOrElseUpdate(dir, {
-      val e = emb(s, dir)
-      val sc = e.agg(max(expr(
-        "aggregate(v, cast(0.0 as double), (m, x) -> greatest(m, abs(x)))")))
-        .head().getDouble(0)
-      val q = e
-        .withColumn("q", call_function("vec_quantize", col("v"), lit(sc)))
-        .withColumn("qn", sqrt(call_function("vec_dot_q", col("q"), col("q")).cast("double")))
-        // a vector that vanishes under quantization (all |v_i| ≪ scale)
-        // has no quantized direction — it can never be a candidate; the
-        // refine margin and the recall bound absorb the (empty, here)
-        // residue rather than a divide-by-zero
-        .filter(col("qn") > 0)
-        .select("vec_id", "q", "qn")
-      store.writeClustered(SqViewName, q, Seq("vec_id"))
-      sc
+      // durable reopen: serve the stored codes with their persisted scale
+      // (quantizing probes under a re-fit scale would disagree with them)
+      Views.readModel(store.baseDir, SqViewName) match {
+        case Some(m) if store.latestVersion(SqViewName).isDefined => m.head.head
+        case _ =>
+          VectorFunctions.register(s)
+          val e = emb(s, dir)
+          val sc = e.agg(max(expr(
+            "aggregate(v, cast(0.0 as double), (m, x) -> greatest(m, abs(x)))")))
+            .head().getDouble(0)
+          val q = e
+            .withColumn("q", call_function("vec_quantize", col("v"), lit(sc)))
+            .withColumn("qn", sqrt(call_function("vec_dot_q", col("q"), col("q")).cast("double")))
+            // a vector that vanishes under quantization (all |v_i| ≪ scale)
+            // has no quantized direction — it can never be a candidate; the
+            // refine margin and the recall bound absorb the (empty, here)
+            // residue rather than a divide-by-zero
+            .filter(col("qn") > 0)
+            .select("vec_id", "q", "qn")
+          store.writeClustered(SqViewName, q, Seq("vec_id"))
+          Views.writeModel(store.baseDir, SqViewName, Seq(Seq(sc)))
+          sc
+      }
     })
     (s.read.parquet(store.latestPath(SqViewName)), scale)
   }
@@ -673,6 +733,13 @@ object SimilarityQueries {
       // each (probe, neighbor) pair joins at most once
       .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("cos"))
     rankTopK(cand)
+  }
+
+  /** Drop every per-JVM cache — lets a spec simulate a fresh process
+    * against a durable store root (the reuse path is disk-gated). */
+  private[graft] def resetCachesForTest(): Unit = {
+    ivfViews.clear(); lshViews.clear(); sqIncViews.clear(); sqViews.clear()
+    centroidCache.clear()
   }
 
   /** recall bounds asserted by the invariant queries below — measured at

@@ -226,8 +226,9 @@ final class StreamingPairGraph(graph: graft.operators.PairGraphIndex,
         case Some(v0) =>
           if (!ci.isBuilt) ci.build(graph.pairs)
           else ci.refresh( // the batch's whole edge delta (one refresh =
-            // one pair version; sidecar retention covers it)
-            graph.pairsChanges(v0, graph.pairsVersion), graph.pairs)
+            // one pair version; sidecar retention covers it); dirty-region
+            // edges come bucket-pruned from the dual-keyed pair view
+            graph.pairsChanges(v0, graph.pairsVersion), graph.incidentPairs _)
       }
     }
   }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.engine.ViewStore
+import graft.engine.BucketedViewStore
 import graft.operators.{Components, ComponentsIndex}
 
 /**
@@ -29,7 +29,7 @@ class ComponentsIndexSpec extends AnyFunSuite with SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
   private def fresh(name: String): ComponentsIndex =
-    new ComponentsIndex(spark, ViewStore.temp(spark), name)
+    new ComponentsIndex(spark, BucketedViewStore.temp(spark, 4), name)
 
   private def check(ci: ComponentsIndex, nw: Seq[(Long, Long)]): Unit =
     assert(labelsOf(ci.components) === labelsOf(Components.resolve(edgesDf(nw))))
@@ -83,7 +83,7 @@ class ComponentsIndexSpec extends AnyFunSuite with SparkSpec {
     val ci = fresh("cis_cdc")
     ci.build(edgesDf(p0))
     ci.refresh(deltaDf(p0, p1), edgesDf(p1))
-    val v0 = ci.flat.readVersion("cis_cdc_comp", 0).select("doc_id", "component")
+    val v0 = ci.componentsAt(0).select("doc_id", "component")
     val feed = ci.changes(0, 1)
     val deletes = feed.filter(col("change_type") === "delete")
       .select("doc_id", "component")
@@ -94,7 +94,6 @@ class ComponentsIndexSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("end-to-end chain: components maintained from the REAL pair-graph CDC under random doc histories") {
-    import graft.engine.BucketedViewStore
     import graft.operators.PairGraphIndex
     val rnd = new scala.util.Random(7)
     val words = Vector("a", "b", "c", "d", "e", "f", "g", "h")
@@ -102,7 +101,7 @@ class ComponentsIndexSpec extends AnyFunSuite with SparkSpec {
       Seq.fill(6 + rnd.nextInt(5))(words(rnd.nextInt(words.size))).mkString(" ")
     // low threshold + tiny vocabulary → a dense, churning pair graph
     val g = new PairGraphIndex(spark, BucketedViewStore.temp(spark, 4),
-      ViewStore.temp(spark), "pgc_e2e", maxDf = 50, threshold = 0.3)
+      "pgc_e2e", maxDf = 50, threshold = 0.3)
     val ci = fresh("pgc_e2e")
     var corpus = (1L to 20L).map(id => id -> randText()).toMap
     g.build(corpus.toSeq.toDF("doc_id", "text"))
@@ -123,6 +122,41 @@ class ComponentsIndexSpec extends AnyFunSuite with SparkSpec {
       assert(labelsOf(ci.components) ===
         labelsOf(Components.resolve(g.pairs.select("i", "j"))))
     }
+  }
+
+  test("a small change batch rewrites only touched buckets of pairs and labeling") {
+    import graft.operators.PairGraphIndex
+    // 20 two-doc clusters with disjoint vocabularies: docs (2k, 2k+1)
+    // share a unique text, so the base pair set is exactly those 20 pairs
+    // and their emissions spread across the 16 emit buckets
+    val g = new PairGraphIndex(spark, BucketedViewStore.temp(spark, 16),
+      "pg_bstats", maxDf = 1000, threshold = 0.5)
+    val corpus = (0L until 40L).map { id =>
+      val k = id / 2
+      (id, s"w${k}a w${k}b w${k}c w${k}d w${k}e")
+    }
+    g.build(corpus.toDF("doc_id", "text"))
+    val ci = new ComponentsIndex(spark, BucketedViewStore.temp(spark, 16), "pg_bstats")
+    ci.build(g.pairs)
+    assert(g.pairs.count() === 20)
+    // rewrite ONE doc to an unrelated text: pair (0,1) retracts, nothing
+    // else changes — the dirty region is docs {0, 1} and the refresh I/O
+    // must stay inside their buckets (the O(delta) claim of the
+    // dual-keyed pair layout and the d:/c:-keyed labeling; the flat
+    // layout this replaced rewrote the ENTIRE relation here)
+    val v0 = g.pairsVersion
+    val stats = g.refresh(Seq((0L, "zz yy xx ww vv")).toDF("doc_id", "text"), None)
+    assert(stats.emitBucketsRewritten > 0)
+    assert(stats.emitBucketsRewritten < stats.totalBuckets,
+      s"pair refresh must not rewrite the whole pair view: $stats")
+    val cstats = ci.refresh(g.pairsChanges(v0, g.pairsVersion), g.incidentPairs _)
+    assert(cstats.emitBucketsRewritten > 0)
+    assert(cstats.emitBucketsRewritten < cstats.totalBuckets,
+      s"labeling refresh must not rewrite the whole labeling: $cstats")
+    // and the maintained state is still exact after the pruned rewrite
+    assert(g.pairs.count() === 19)
+    assert(labelsOf(ci.components) ===
+      labelsOf(Components.resolve(g.pairs.select("i", "j"))))
   }
 
   test("seeded random histories: maintained labeling equals from-scratch after every batch") {

@@ -329,6 +329,74 @@ class MapIndexSpec extends AnyFunSuite with SparkSpec {
       "fingerprint roll must force a rebuild")
   }
 
+  test("durable routing: ANN + pair-graph units serve on reopen; roll wipes them") {
+    import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+    import graft.engine.Views
+    import graft.operators.{PipelineQueries, SimilarityQueries}
+    def copyTree(from: Path, to: Path): Unit = {
+      val stream = Files.walk(from)
+      try stream.forEach { p =>
+        val dest = to.resolve(from.relativize(p).toString)
+        if (Files.isDirectory(p)) Files.createDirectories(dest)
+        else Files.copy(p, dest, StandardCopyOption.REPLACE_EXISTING)
+      } finally stream.close()
+    }
+    // private corpus copy: the durable key is the corpus dir, so this
+    // test never touches the shared testdata stores
+    val corpus = Files.createTempDirectory("graft-durcorpus-")
+    copyTree(Paths.get("/root/testdata/sf0.001/embeddings.parquet"),
+      corpus.resolve("embeddings.parquet"))
+    copyTree(Paths.get("/root/testdata/sf0.001/documents.parquet"),
+      corpus.resolve("documents.parquet"))
+    val root = Files.createTempDirectory("graft-durroot-").toString
+    sys.props("graft.views.root") = root
+    try {
+      SimilarityQueries.sqTopKFromView(spark, corpus.toString).collect()
+      PipelineQueries.queries("dedup_pairs_incremental")(spark, corpus.toString).collect()
+      val store = Views.bucketedStore(spark, corpus.toString)
+      val sqE = store.epoch("emb_sq8_inc")
+      val pgE = store.epoch("pairgraph_inc_pairs")
+      assert(Views.unitDone(store.baseDir, "emb_sq8_inc"))
+      assert(Views.unitDone(store.baseDir, "pairgraph_inc"))
+      // fresh-process simulation: per-JVM caches dropped, same root —
+      // the reopened store must SERVE both units (same epochs, no
+      // re-materialization, probe scale read from the persisted model)
+      SimilarityQueries.resetCachesForTest()
+      PipelineQueries.resetCachesForTest()
+      Views.dropStoresForTest(corpus.toString)
+      SimilarityQueries.sqTopKFromView(spark, corpus.toString).collect()
+      PipelineQueries.queries("dedup_pairs_incremental")(spark, corpus.toString).collect()
+      val store2 = Views.bucketedStore(spark, corpus.toString)
+      assert(store2.epoch("emb_sq8_inc") === sqE,
+        "reopen must serve the SQ8 unit, not rebuild it")
+      assert(store2.epoch("pairgraph_inc_pairs") === pgE,
+        "reopen must serve the pair-graph unit, not rebuild it")
+      // corpus rewrite rolls the fingerprint: the store restarts empty,
+      // taking the unit markers (and models) with it. (The fingerprint
+      // walks regular FILES — touch a part file, whether the table is a
+      // single parquet file or a directory of parts.)
+      val table = corpus.resolve("documents.parquet")
+      val part =
+        if (Files.isRegularFile(table)) table
+        else {
+          val s = Files.list(table)
+          try s.filter(Files.isRegularFile(_)).findFirst().get finally s.close()
+        }
+      Files.setLastModifiedTime(part,
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() + 5000))
+      Views.dropStoresForTest(corpus.toString)
+      val store3 = Views.bucketedStore(spark, corpus.toString)
+      assert(!Views.unitDone(store3.baseDir, "pairgraph_inc"),
+        "fingerprint roll must wipe the unit markers")
+      assert(store3.manifest("pairgraph_inc_pairs").isEmpty)
+    } finally {
+      sys.props -= "graft.views.root"
+      SimilarityQueries.resetCachesForTest()
+      PipelineQueries.resetCachesForTest()
+      Views.dropStoresForTest(corpus.toString)
+    }
+  }
+
   test("durable bucketed store: reopen serves the manifest; roll rebuilds") {
     import java.nio.file.Files
     val corpus = Files.createTempDirectory("graft-corpus-")

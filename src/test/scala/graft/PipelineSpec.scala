@@ -23,21 +23,21 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("pair graph index: incremental refresh equals from-scratch rebuild incl. cap crossings") {
-    import graft.engine.{BucketedViewStore, ViewStore}
+    import graft.engine.BucketedViewStore
     import graft.operators.PairGraphIndex
     def corpus(rows: (Long, String)*) = rows.toDF("doc_id", "text")
     def pairSet(df: org.apache.spark.sql.DataFrame) =
       df.select("i", "j", "jaccard").as[(Long, Long, Double)].collect().toSet
     def scratch(n: String, c: org.apache.spark.sql.DataFrame) = {
       val g = new PairGraphIndex(spark, BucketedViewStore.temp(spark, 4),
-        ViewStore.temp(spark), n, maxDf = 3, threshold = 0.3)
+        n, maxDf = 3, threshold = 0.3)
       g.build(c); pairSet(g.pairs)
     }
     // tiny cap (3) so the shared shingle "a b c" sits exactly AT the cap
     // and batch 1 pushes it over — the global coupling case: untouched
     // docs 1..3 must have their pairs recomputed
     val g = new PairGraphIndex(spark, BucketedViewStore.temp(spark, 4),
-      ViewStore.temp(spark), "pg_inc", maxDf = 3, threshold = 0.3)
+      "pg_inc", maxDf = 3, threshold = 0.3)
     val base = corpus(
       1L -> "a b c d e", 2L -> "a b c d f", 3L -> "a b c g h",
       4L -> "x y z w v")
@@ -66,7 +66,7 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     // sizes agree with a recompute too (clean rows kept, dirty rebuilt)
     val sz = g.sizes.as[(Long, Long)].collect().toSet
     val g2 = new PairGraphIndex(spark, BucketedViewStore.temp(spark, 4),
-      ViewStore.temp(spark), "pg_s2b", maxDf = 3, threshold = 0.3)
+      "pg_s2b", maxDf = 3, threshold = 0.3)
     g2.build(now2)
     assert(sz === g2.sizes.as[(Long, Long)].collect().toSet)
   }

@@ -397,7 +397,7 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
     // cap-crossing unit test covers the deterministic cases
     (1 to 2).foreach { trial =>
       val g = new PairGraphIndex(spark, BucketedViewStore.temp(spark, 4),
-        ViewStore.temp(spark), s"pg_prop$trial", maxDf = 3, threshold = 0.2)
+        s"pg_prop$trial", maxDf = 3, threshold = 0.2)
       var state = sample(Gen.listOfN(6, docGen), 900L + trial)
         .toMap // dup ids collapse: last write wins, like an upsert batch
       g.build(corpusOf(state))
@@ -410,13 +410,23 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
           else Some(delIds.toSeq.toDF("doc_id"))
         g.refresh(corpusOf(ups), dels)
         val scratch = new PairGraphIndex(spark, BucketedViewStore.temp(spark, 4),
-          ViewStore.temp(spark), s"pg_prop${trial}_$round", maxDf = 3, threshold = 0.2)
+          s"pg_prop${trial}_$round", maxDf = 3, threshold = 0.2)
         scratch.build(corpusOf(state))
         assert(pairSet(g.pairs) === pairSet(scratch.pairs),
           s"trial $trial round $round state=$state")
         assert(g.sizes.as[(Long, Long)].collect().toSet ===
           scratch.sizes.as[(Long, Long)].collect().toSet,
           s"sizes diverged: trial $trial round $round state=$state")
+        // dual-keyed mirror invariant: the j-major side of the stored
+        // emissions projects the IDENTICAL pair relation as the i-major
+        // side `pairs` serves — one source row emits both mirrors
+        // atomically, and no history of refreshes may ever skew them
+        val jSide = g.store.df(g.pairsName)
+          .filter(col("emit_key") === col("emit_value.j").cast("string"))
+          .select(col("emit_value.i").as("i"), col("emit_value.j").as("j"),
+            col("emit_value.score").as("jaccard"))
+        assert(pairSet(jSide) === pairSet(g.pairs),
+          s"mirror skew: trial $trial round $round state=$state")
       }
     }
   }

@@ -82,6 +82,41 @@ class QuantizeSpec extends AnyFunSuite with SparkSpec {
     assert(recall >= 0.95, s"maintained-SQ8 recall $recall below 0.95")
   }
 
+  test("SQ8 refit gate: an out-of-range upsert re-materializes at the new scale, CDC contiguous") {
+    import graft.engine.BucketedViewStore
+    import graft.operators.SimilarityQueries
+    val store = BucketedViewStore.temp(spark, 4)
+    def vecs(rows: (Long, Seq[Double])*) = rows.toSeq.toDF("vec_id", "v")
+      .select(col("vec_id"), col("v").cast("array<double>").as("v"))
+    val base = vecs(1L -> Seq(1.0, 0.5), 2L -> Seq(-0.5, 0.25))
+    val scale0 = SimilarityQueries.sqBuild(store, base)
+    assert(scale0 === 1.0)
+    assert(store.epoch("emb_sq8_inc") === 0)
+    // a component beyond the stored scale would CLAMP under refresh —
+    // the exact gate must take the refit arm: full re-materialization at
+    // the post-batch corpus's own scale, as the store's next epoch
+    val ups = vecs(3L -> Seq(3.0, 1.0))
+    val served = SimilarityQueries.sqApplyBatch(store, scale0, ups, None,
+      base.unionByName(ups))
+    assert(served === 3.0, s"refit must serve the post-batch scale, got $served")
+    assert(store.epoch("emb_sq8_inc") === 1, "refit must be the next epoch")
+    // CDC contiguity across the rebuild: the feed over (0, 1] is the full
+    // retraction of the old snapshot + insertion of the new one — a
+    // lagging consumer replays across the refit without a hole
+    val feed = store.changesBetween("emb_sq8_inc", 0, 1)
+    assert(feed.filter(col("change_type") === "delete").count() === 2)
+    assert(feed.filter(col("change_type") === "insert").count() === 3)
+    // stored codes decode at the REFIT scale: q(1.0 @ scale 3) = rint(127/3) = 42
+    val q1 = store.get("emb_sq8_inc", 1L)
+      .select(col("emit_value.q").cast("array<int>")).as[Seq[Int]].head()
+    assert(q1 === Seq(42, 21))
+    // and a within-range batch on the refit view takes the O(delta) arm
+    val served2 = SimilarityQueries.sqApplyBatch(store, served,
+      vecs(2L -> Seq(2.9, 0.0)), None, null)
+    assert(served2 === served)
+    assert(store.epoch("emb_sq8_inc") === 2)
+  }
+
   test("SQ8 top-k recall vs brute force at sf0.001") {
     val dir = "/root/testdata/sf0.001"
     val brute = SparkEntry.queries("sim_brute_topk")(spark, dir)

@@ -144,10 +144,10 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("streaming pair graph: micro-batched maintenance equals the one-shot build") {
-    import graft.engine.{BucketedViewStore, ViewStore}
+    import graft.engine.BucketedViewStore
     import graft.operators.PairGraphIndex
     val g = new PairGraphIndex(spark, BucketedViewStore.temp(spark, 4),
-      ViewStore.temp(spark), "pg_stream")
+      "pg_stream")
     val sm = new graft.streaming.StreamingPairGraph(g)
     val input = MemoryStream[(Long, String)]
     val q = sm.writer(input.toDF().toDF("doc_id", "text")).start()
@@ -157,7 +157,7 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     q.processAllAvailable()
     q.stop()
     val scratch = new PairGraphIndex(spark, BucketedViewStore.temp(spark, 4),
-      ViewStore.temp(spark), "pg_stream_scratch")
+      "pg_stream_scratch")
     scratch.build(Seq(1L -> "a b c d e", 2L -> "a b c d f",
       3L -> "a b c d g", 4L -> "a b c d e q").toDF("doc_id", "text"))
     def ps(df: org.apache.spark.sql.DataFrame) =
@@ -167,11 +167,11 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("streaming components: per-batch labeling equals from-scratch resolution") {
-    import graft.engine.{BucketedViewStore, ViewStore}
+    import graft.engine.BucketedViewStore
     import graft.operators.{Components, ComponentsIndex, PairGraphIndex}
     val g = new PairGraphIndex(spark, BucketedViewStore.temp(spark, 4),
-      ViewStore.temp(spark), "pgc_stream")
-    val ci = new ComponentsIndex(spark, ViewStore.temp(spark), "pgc_stream")
+      "pgc_stream")
+    val ci = new ComponentsIndex(spark, BucketedViewStore.temp(spark, 4), "pgc_stream")
     val sm = new graft.streaming.StreamingPairGraph(g, Some(ci))
     val input = MemoryStream[(Long, String)]
     val q = sm.writer(input.toDF().toDF("doc_id", "text")).start()
