@@ -121,6 +121,8 @@ object PipelineQueries {
     incWinnowGraph(s, dir)
     incComponentsIdx(s, dir)
     baseComponentsView(s, dir)
+    keeperView(s, dir)
+    streamedComponentsIdx(s, dir)
     ()
   }
 
@@ -255,6 +257,79 @@ object PipelineQueries {
         // view — the labeling refresh never scans the pair relation
         ci.refresh(g.pairsChanges(v - 1, v), g.incidentPairs _)
         Views.markUnitDone(store.baseDir, "compgraph_inc")
+      }
+      ci
+    })
+
+  /** The KEEPER MAP maintained one relation further downstream of the
+    * labeling: a [[graft.engine.BucketedAggView]] whose base map view
+    * emits `component → doc_id` per labeled doc, so the state's
+    * `min_value` per component IS the keeper choice (the cluster's
+    * minimum member). Built on the PRE-batch labeling, then maintained
+    * from the labeling's own CDC feed ([[ComponentsIndex.changes]]) —
+    * closing the chain docs → pairs → labeling → keeper map, each stage
+    * consuming the previous stage's O(delta) feed with partition-scoped
+    * state rewrites at every layer. A dedup-removal pass then reads the
+    * keeper set instead of re-aggregating the corpus-sized labeling. */
+  private val keeperBaseIdx = MapIndex.columns("keeper_base")(
+    col("doc_id").cast("string"),
+    array(emit(col("component").cast("string"), col("doc_id"))))
+  private val keeperViews =
+    scala.collection.concurrent.TrieMap.empty[String, graft.engine.BucketedAggView]
+  private def keeperView(s: SparkSession, dir: String): graft.engine.BucketedAggView =
+    keeperViews.getOrElseUpdate(dir, {
+      val ci = incComponentsIdx(s, dir) // labeling built at e0, refreshed to e1
+      val store = Views.bucketedStore(s, dir)
+      val unit = "keeper_inc"
+      if (Views.unitDone(store.baseDir, unit))
+        graft.engine.BucketedAggView.attach(store, "keeper_state")
+      else {
+        val e = ci.epoch
+        val v = graft.engine.BucketedAggView.build(
+          store, keeperBaseIdx, ci.componentsAt(e - 1), "keeper_state")
+        // catch up from the labeling's O(delta) CDC: inserts are the
+        // upserts, every touched doc is a delete key (the map-view
+        // delete-then-insert contract — tombstoned docs simply re-insert
+        // nothing)
+        val delta = ci.changes(e - 1, e)
+        val ups = delta.filter(col("change_type") === "insert")
+          .select("doc_id", "component")
+        val delKeys = delta.select(col("doc_id").cast("string").as("src_key")).distinct()
+        v.refresh(keeperBaseIdx, ups, Some(delKeys))
+        Views.markUnitDone(store.baseDir, unit)
+        v
+      }
+    })
+
+  /** The components labeling built PURELY through streaming micro-batches
+    * ([[graft.streaming.StreamingPairGraph]] with the labeling chained):
+    * three insert batches partitioning the corpus (bootstrap + two
+    * incremental refreshes), then the deterministic upsert+tombstone
+    * change batch — the full docs → pairs → clusters maintenance chain
+    * running per micro-batch, each stage off the previous stage's CDC.
+    * The final labeling must hash-match the from-scratch resolution over
+    * the modified corpus (same oracle as the batch-incremental path). */
+  private val streamedComps =
+    scala.collection.concurrent.TrieMap.empty[String, ComponentsIndex]
+  private def streamedComponentsIdx(s: SparkSession, dir: String): ComponentsIndex =
+    streamedComps.getOrElseUpdate(dir, {
+      val store = Views.bucketedStore(s, dir)
+      val ci = new ComponentsIndex(s, store, "compgraph_stream")
+      if (!Views.unitDone(store.baseDir, "compgraph_stream")) {
+        val g = new PairGraphIndex(s, store,
+          "pairgraph_stream", MaxShingleDf, JaccardThreshold)
+        val spg = new graft.streaming.StreamingPairGraph(g, Some(ci))
+        val d = docs(s, dir)
+        (0 to 2).foreach(r =>
+          spg.applyBatch(d.filter(col("doc_id") % 3 === r)
+            .select("doc_id", "text")))
+        val ups = d.filter(col("doc_id") % 37 === 0 && col("doc_id") % 41 =!= 0)
+          .select(col("doc_id"), lit("spark join spark stream").as("text"),
+            lit(false).as("deleted"))
+        val dels = d.filter(col("doc_id") % 41 === 0)
+          .select(col("doc_id"), lit("").as("text"), lit(true).as("deleted"))
+        spg.applyBatch(ups.unionByName(dels))
+        Views.markUnitDone(store.baseDir, "compgraph_stream")
       }
       ci
     })
@@ -400,6 +475,7 @@ object PipelineQueries {
   private[graft] def resetCachesForTest(): Unit = {
     pairGraphs.clear(); winnowGraphs.clear(); baseComps.clear()
     compGraphs.clear(); pairViewBuilt.clear()
+    keeperViews.clear(); streamedComps.clear()
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -572,6 +648,38 @@ object PipelineQueries {
     // the from-scratch resolution over the modified corpus exactly
     "dedup_components_incremental" -> ((s, dir) =>
       incComponentsIdx(s, dir).components.orderBy("doc_id")),
+
+    // the labeling built PURELY through streaming micro-batches
+    // ([[streamedComponentsIdx]]): bootstrap + two incremental thirds +
+    // the upsert/tombstone change batch, the whole docs → pairs →
+    // clusters chain maintained per batch — the final state must equal
+    // the same from-scratch resolution the batch-incremental path is
+    // graded against
+    "dedup_components_streamed" -> ((s, dir) =>
+      streamedComponentsIdx(s, dir).components.orderBy("doc_id")),
+
+    // end-to-end removal served from the MAINTAINED chain after the
+    // change batch: keepers = the keeper-map aggregate's min-member per
+    // live cluster ([[keeperView]], maintained from the labeling CDC)
+    // ∪ never-paired docs (anti-join against the maintained labeling).
+    // The oracle recomputes keepers from scratch over the modified
+    // corpus with a recursive CTE — a stale keeper row, a missed
+    // cluster merge, or an unretracted component is a hash mismatch
+    "pipeline_dedup_removal_incremental" -> ((s, dir) => {
+      val ci = incComponentsIdx(s, dir)
+      val kv = keeperView(s, dir)
+      val d = docs(s, dir).filter(col("doc_id") % 41 =!= 0)
+        .withColumn("text", when(col("doc_id") % 37 === 0,
+          lit("spark join spark stream")).otherwise(col("text")))
+      val keepers = d.join(ci.components.select("doc_id"), Seq("doc_id"), "left_anti")
+        .select("doc_id")
+        .union(kv.state.select(col("min_value").cast("long").as("doc_id")))
+      d.join(keepers, Seq("doc_id"), "left_semi")
+        .withColumn("n_tokens", size(T.tokens(col("text"))).cast("long"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"))
+        .orderBy("lang")
+    }),
 
     // the pair graph's OWN change feed, driver-gated directly: the batch
     // refresh's CDC sidecar, netted (a pair retracted and re-inserted at
@@ -997,6 +1105,35 @@ object PipelineQueries {
     // resolution over the MODIFIED corpus's pair graph
     "dedup_components_incremental" ->
       componentsSqlFrom(ngramJaccardSqlFrom(modifiedDocsSql)),
+    // the streaming-built labeling is graded against the identical
+    // from-scratch ground truth as the batch-incremental path
+    "dedup_components_streamed" ->
+      componentsSqlFrom(ngramJaccardSqlFrom(modifiedDocsSql)),
+    // keepers recomputed from scratch over the MODIFIED corpus — what the
+    // CDC-maintained keeper map must serve
+    "pipeline_dedup_removal_incremental" ->
+      s"""WITH RECURSIVE docs_m AS (
+         |  SELECT doc_id, lang,
+         |         CASE WHEN doc_id % 37 = 0 THEN 'spark join spark stream'
+         |              ELSE text END AS text
+         |  FROM documents WHERE doc_id % 41 <> 0),
+         |pairs AS (SELECT i, j FROM (${ngramJaccardSqlFrom(modifiedDocsSql)})),
+         |edges AS (SELECT i AS a, j AS b FROM pairs UNION SELECT j, i FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |comp AS (SELECT a AS doc_id, least(a, min(b)) AS component
+         |         FROM reach GROUP BY a),
+         |keepers AS (
+         |  SELECT DISTINCT component AS doc_id FROM comp
+         |  UNION
+         |  SELECT doc_id FROM docs_m
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM comp))
+         |SELECT lang, count(*) AS n_docs,
+         |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+         |FROM docs_m JOIN keepers USING (doc_id)
+         |GROUP BY lang ORDER BY lang""".stripMargin,
     // the netted pair CDC must equal the symmetric difference of the
     // from-scratch derivations over the original and modified corpora
     "dedup_pairs_changefeed" ->

@@ -167,6 +167,7 @@ object SimilarityQueries {
     lshBandsView(s, dir)
     sqView(s, dir)
     sqIncView(s, dir)
+    ivfsqCellsView(s, dir)
     ()
   }
 
@@ -540,6 +541,173 @@ object SimilarityQueries {
     rankTopK(scored)
   }
 
+  // ---------------------------------------------------------------------
+  // IVF-SQ8: the pruning tier composed with the compression tier
+  // ---------------------------------------------------------------------
+
+  /** The IVF-SQ8 index: int8 codes stored INSIDE the cell posting lists.
+    * Emit key = cell id (the [[ivfIdx]] prune); emit value =
+    * `(vec_id, q, qn)` (the [[sqIncIdx]] compression) — the stored view
+    * holds NO float vector at all. A probe then scans only its nProbe
+    * cells' lists AND reads 1-byte components inside them: prune × 4-8×
+    * compression multiply, the standard IVF-SQ composition from the
+    * public ANN literature, and what finally makes the SQ tier scale
+    * past "scan the whole corpus 4× cheaper". Model parameters are the
+    * centroids AND the quantization scale, persisted together so a
+    * reopening process probes with exactly the model the stored codes
+    * were assigned and quantized under. */
+  private def ivfsqIdx(cents: Array[Array[Double]], scale: Double): MapIndex = {
+    val quant = call_function("vec_quantize", col("v"), lit(scale))
+    MapIndex.columns("emb_ivfsq_cells")(
+      col("vec_id").cast("string"),
+      array(emit(assignExpr(cents).cast("string"),
+        struct(col("vec_id"), quant.as("q"),
+          sqrt(call_function("vec_dot_q", quant, quant).cast("double")).as("qn")))))
+  }
+
+  /** Per-JVM cache of the maintained IVF-SQ8 view and the (centroids,
+    * scale) model it serves with. */
+  private val ivfsqViews =
+    TrieMap.empty[String, (BucketedViewStore, Array[Array[Double]], Double)]
+
+  /** Build the persisted IVF-SQ8 view on the ORIGINAL corpus, then push
+    * the deterministic change batch through its refresh path. BOTH model
+    * staleness gates compose: the IVF drift bound (a batch touching more
+    * than [[RefitDriftBound]] of the corpus re-fits the quantizer) and
+    * the SQ clamp gate (a component beyond the stored scale would clamp
+    * — exact, not drift-bounded). Either firing re-materializes on the
+    * modified corpus through the store's full-retraction rebuild path
+    * (CDC stays contiguous); otherwise only the changed vectors re-cell
+    * and re-quantize through the ordinary O(delta) refresh. Model rows
+    * persist as centroids ++ one trailing `[scale]` row. */
+  private def ivfsqCellsView(s: SparkSession, dir: String): (BucketedViewStore, Array[Array[Double]], Double) =
+    ivfsqViews.getOrElseUpdate(dir, {
+      val store = Views.bucketedStore(s, dir)
+      val unit = "emb_ivfsq_cells"
+      if (Views.unitDone(store.baseDir, unit)) {
+        VectorFunctions.register(s)
+        val rows = Views.readModel(store.baseDir, unit).get
+        (store, rows.init.map(_.toArray).toArray, rows.last.head)
+      } else {
+        val e = emb(s, dir)
+        val cents = ivfCentroidsFor(s, dir)
+        val scale = maxAbsComponent(e)
+        store.materialize(ivfsqIdx(cents, scale), e)
+        val (ups, dels) = embChangeBatch(e)
+        val changed = ups.count() + dels.count()
+        val (servedC, servedS) =
+          if (changed > e.count() * RefitDriftBound || maxAbsComponent(ups) > scale) {
+            val m = modifiedEmb(s, dir)
+            val refitC = ivfCentroids(m)
+            val refitS = maxAbsComponent(m)
+            store.materialize(ivfsqIdx(refitC, refitS), m)
+            (refitC, refitS)
+          } else {
+            store.refresh(ivfsqIdx(cents, scale), ups, Some(dels))
+            (cents, scale)
+          }
+        Views.writeModel(store.baseDir, unit,
+          servedC.map(_.toSeq).toSeq :+ Seq(servedS))
+        Views.markUnitDone(store.baseDir, unit)
+        (store, servedC, servedS)
+      }
+    })
+
+  /** IVF-SQ8 search from the PERSISTED composed index: the probe's
+    * nProbe cell ids prune the stored scan (pushed In-filter —
+    * model-sized, like [[ivfTopKFromView]]), the candidate scoring pass
+    * reads ONLY int8 codes (`vec_dot_q` over `array<tinyint>` — no
+    * float vector exists in the view to read), and the top `K·SqRefine`
+    * quantized candidates per probe exact-rerank against the float
+    * corpus. Recall = IVF's cell recall × the SQ refine margin's
+    * (measured 1.0) rank fidelity, so the [[IvfRecallBound]] carries. */
+  def ivfsqTopKFromView(s: SparkSession, dir: String): DataFrame = {
+    val (store, cents, scale) = ivfsqCellsView(s, dir)
+    val nProbe = probesFor(cents.length)
+    val m = modifiedEmb(s, dir)
+    val probes = m.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("norm").as("pn"))
+      .withColumn("pq", call_function("vec_quantize", col("pv"), lit(scale)))
+      .withColumn("pqn", sqrt(call_function("vec_dot_q", col("pq"), col("pq")).cast("double")))
+      .filter(col("pqn") > 0)
+    val probeCells = probes
+      .withColumn("pscored", array_sort(cellScores(cents, col("pv"))))
+      .withColumn("cid0", explode(expr(s"slice(transform(pscored, s -> s.idx), 1, $nProbe)")))
+      .withColumn("cid", col("cid0").cast("string"))
+      .select("probe_id", "cid", "pq", "pqn")
+    val cellIds = probeCells.select("cid").distinct()
+      .collect().map(_.getString(0)).toSeq
+    val qcells = store.df("emb_ivfsq_cells")
+      .filter(col("emit_key").isInCollection(cellIds))
+      .select(col("emit_key").as("cid"), col("emit_value.vec_id").as("vec_id"),
+        col("emit_value.q").as("q"), col("emit_value.qn").as("qn"))
+      .filter(col("qn") > 0)
+    // a vector lives in exactly one cell — no candidate dedupe needed
+    val approx = qcells.join(broadcast(probeCells), Seq("cid"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("qcos",
+        call_function("vec_dot_q", col("pq"), col("q")).cast("double") / (col("pqn") * col("qn")))
+    val w = Window.partitionBy("probe_id").orderBy(col("qcos").desc, col("vec_id"))
+    val cands = approx.withColumn("r", row_number().over(w))
+      .filter(col("r") <= K * SqRefine)
+      .select("probe_id", "vec_id")
+    val scored = cands
+      .join(m.select(col("vec_id"), col("v"), col("norm")), Seq("vec_id"))
+      .join(broadcast(probes.select("probe_id", "pv", "pn")), Seq("probe_id"))
+      .withColumn("cos", round(dot(col("pv"), col("v")) / (col("pn") * col("norm")), 6))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("cos"))
+    rankTopK(scored)
+  }
+
+  /** The BULK-probe spelling of [[sqTopKFromView]] — the SQ twin of the
+    * LSH/IVF bulk contract ([[lshTopKBulk]]/[[ivfTopKBulk]]): no probe
+    * broadcast, no driver In-list, and ZERO windows — per-probe
+    * selection (both the quantized candidate cut and the final exact
+    * rank) runs through the bounded-heap `topk_by` aggregate, whose
+    * partial aggregation ships at most K·SqRefine pairs per probe per
+    * map task through the shuffle where a window would shuffle every
+    * scored row. SQ8 is the compression tier with no pruning key, so the
+    * scoring scan IS corpus × probes (spelled as a hinted
+    * shuffle-replicated cartesian — both sides partitioned, nothing
+    * broadcast); the bulk contract is about everything AROUND that scan
+    * scaling with probe volume. A data-sized probe batch wanting a
+    * pruned scan composes tiers: [[ivfsqTopKFromView]]'s cell prune. */
+  def sqTopKBulk(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.Sketches.register(s)
+    val (store, scale) = sqIncView(s, dir)
+    val m = modifiedEmb(s, dir)
+    val probes = m.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("norm").as("pn"))
+      .withColumn("pq", call_function("vec_quantize", col("pv"), lit(scale)))
+      .withColumn("pqn", sqrt(call_function("vec_dot_q", col("pq"), col("pq")).cast("double")))
+      .filter(col("pqn") > 0)
+    val qcorpus = store.df("emb_sq8_inc")
+      .select(col("emit_key").cast("long").as("vec_id"),
+        col("emit_value.q").as("q"), col("emit_value.qn").as("qn"))
+      .filter(col("qn") > 0)
+    val approx = qcorpus
+      .join(probes.select("probe_id", "pq", "pqn").hint("shuffle_replicate_nl"),
+        col("vec_id") =!= col("probe_id"))
+      .withColumn("qcos",
+        call_function("vec_dot_q", col("pq"), col("q")).cast("double") / (col("pqn") * col("qn")))
+    val cands = approx.groupBy("probe_id")
+      .agg(expr(s"topk_by(qcos, vec_id, ${K * SqRefine})").as("top"))
+      .select(col("probe_id"), explode(expr("transform(top, t -> t.id)")).as("vec_id"))
+    val scored = cands
+      .join(m.select(col("vec_id"), col("v"), col("norm")).hint("shuffle_hash"), Seq("vec_id"))
+      .join(probes.select("probe_id", "pv", "pn").hint("shuffle_hash"), Seq("probe_id"))
+      .withColumn("cos", round(dot(col("pv"), col("v")) / (col("pn") * col("norm")), 6))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("cos"))
+    // final exact rank through the same bounded heap (score DESC, id ASC
+    // — identical tie-break to [[rankTopK]]'s window ordering)
+    scored.groupBy("probe_id")
+      .agg(expr(s"topk_by(cos, neighbor_id, $K)").as("top"))
+      .select(col("probe_id"), posexplode(col("top")).as(Seq("r0", "t")))
+      .select(col("probe_id"), col("t.id").as("neighbor_id"),
+        col("t.score").as("cos"), (col("r0") + 1).cast("long").as("rank"))
+      .orderBy("probe_id", "rank")
+  }
+
   /** Per-(corpus) cache of the stored SQ8 relation + its scale. */
   private val sqViews = TrieMap.empty[String, Double]
   private val SqViewName = "emb_sq8"
@@ -739,7 +907,7 @@ object SimilarityQueries {
     * against a durable store root (the reuse path is disk-gated). */
   private[graft] def resetCachesForTest(): Unit = {
     ivfViews.clear(); lshViews.clear(); sqIncViews.clear(); sqViews.clear()
-    centroidCache.clear()
+    ivfsqViews.clear(); centroidCache.clear()
   }
 
   /** recall bounds asserted by the invariant queries below — measured at
@@ -939,6 +1107,54 @@ object SimilarityQueries {
           (col("nf") >= col("n_pairs") * lit(SqRecallBound)).as("recall_ok"))
     }),
 
+    // the composed IVF-SQ8 index ([[ivfsqTopKFromView]]): cell-pruned
+    // scan over stored int8 codes + exact rerank, after the corpus
+    // change batch went through the view's refresh path — same
+    // modified-corpus exact-top-k ground truth as sim_ivf_incremental,
+    // so a stale cell, a stale code, or a broken composition is lost
+    // recall / a wrong pair
+    "sim_ivfsq_topk" -> ((s, dir) => {
+      val e = modifiedEmb(s, dir)
+      val probes = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("norm").as("pn"))
+      val brute = rankTopK(
+        e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+          .withColumn("cos", round(dot(col("pv"), col("v")) / (col("pn") * col("norm")), 6))
+          .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("cos")))
+        .select("probe_id", "neighbor_id")
+      val ivfsq = ivfsqTopKFromView(s, dir).select("probe_id", "neighbor_id")
+        .withColumn("f", lit(1L))
+      brute.join(ivfsq, Seq("probe_id", "neighbor_id"), "left_outer")
+        .agg(count_distinct(col("probe_id")).as("n_probes"),
+          count(lit(1)).as("n_pairs"),
+          coalesce(sum(col("f")), lit(0L)).as("nf"))
+        .select(col("n_probes"), col("n_pairs"),
+          (col("nf") >= col("n_pairs") * lit(IvfRecallBound)).as("recall_ok"))
+    }),
+
+    // the SQ8 view probed through the BULK plan ([[sqTopKBulk]]): no
+    // probe broadcast, no driver In-list, bounded-heap selection instead
+    // of windows — graded against the identical modified-corpus ground
+    // truth as sim_sq_incremental (both read one maintained view)
+    "sim_sq_bulk" -> ((s, dir) => {
+      val e = modifiedEmb(s, dir)
+      val probes = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("norm").as("pn"))
+      val brute = rankTopK(
+        e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+          .withColumn("cos", round(dot(col("pv"), col("v")) / (col("pn") * col("norm")), 6))
+          .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("cos")))
+        .select("probe_id", "neighbor_id")
+      val sq = sqTopKBulk(s, dir).select("probe_id", "neighbor_id")
+        .withColumn("f", lit(1L))
+      brute.join(sq, Seq("probe_id", "neighbor_id"), "left_outer")
+        .agg(count_distinct(col("probe_id")).as("n_probes"),
+          count(lit(1)).as("n_pairs"),
+          coalesce(sum(col("f")), lit(0L)).as("nf"))
+        .select(col("n_probes"), col("n_pairs"),
+          (col("nf") >= col("n_pairs") * lit(SqRecallBound)).as("recall_ok"))
+    }),
+
     // the SAME persisted band view probed through the BULK plan
     // ([[lshTopKBulk]]): no driver In-list, no probe broadcast — shuffle
     // semi-join prune + equi-join, the shape a data-sized probe batch
@@ -1054,6 +1270,28 @@ object SimilarityQueries {
     // the IVF bulk plan reads the same maintained view as the model-sized
     // path, so the identical ground truth grades it
     "sim_ivf_bulk" ->
+      s"""WITH corpus AS (
+         |  SELECT vec_id,
+         |         CASE WHEN vec_id % 37 = 0 THEN list_reverse(embedding)
+         |              ELSE embedding END AS embedding
+         |  FROM embeddings WHERE vec_id % 41 <> 0)
+         |SELECT count(DISTINCT probe_id) AS n_probes, count(*) AS n_pairs,
+         |       true AS recall_ok
+         |FROM (${bruteTopkSqlOver("corpus")})""".stripMargin,
+    // the composed IVF-SQ8 index graded against the same modified-corpus
+    // ground truth as the other maintained indexes
+    "sim_ivfsq_topk" ->
+      s"""WITH corpus AS (
+         |  SELECT vec_id,
+         |         CASE WHEN vec_id % 37 = 0 THEN list_reverse(embedding)
+         |              ELSE embedding END AS embedding
+         |  FROM embeddings WHERE vec_id % 41 <> 0)
+         |SELECT count(DISTINCT probe_id) AS n_probes, count(*) AS n_pairs,
+         |       true AS recall_ok
+         |FROM (${bruteTopkSqlOver("corpus")})""".stripMargin,
+    // the SQ8 bulk plan reads the same maintained view as the model-sized
+    // path, so the identical ground truth grades it
+    "sim_sq_bulk" ->
       s"""WITH corpus AS (
          |  SELECT vec_id,
          |         CASE WHEN vec_id % 37 = 0 THEN list_reverse(embedding)

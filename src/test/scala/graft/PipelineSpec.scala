@@ -399,6 +399,8 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
         "dedup_simhash" -> Seq("sample_recall_ok", "pairs_valid"),
         "sim_lsh_topk" -> Seq("recall_ok"),
         "sim_ivf_topk" -> Seq("recall_ok"),
+        "sim_ivfsq_topk" -> Seq("recall_ok"),
+        "sim_sq_bulk" -> Seq("recall_ok"),
         "dedup_embedding" -> Seq("recall_ok"))) {
       val df = SparkEntry.queries(name)(spark, sf)
       val rows = df.collect()
@@ -416,6 +418,42 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     val recall = brute.count(ivf.contains).toDouble / brute.size
     assert(recall >= 0.7, s"IVF recall $recall")
     assert(ivf.forall { case (p, n) => p < 10 && n != p })
+  }
+
+  test("streamed components labeling equals the batch-incremental labeling") {
+    // both paths are graded against the identical from-scratch oracle at
+    // the driver; pinning them to each other here catches a divergence
+    // between the streaming and batch maintenance chains at a second SF
+    val streamed = SparkEntry.queries("dedup_components_streamed")(spark, sf)
+      .as[(Long, Long)].collect().toSeq
+    val batch = SparkEntry.queries("dedup_components_incremental")(spark, sf)
+      .as[(Long, Long)].collect().toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed === batch)
+  }
+
+  test("CDC-maintained keeper map serves the same removal as a labeling recompute") {
+    val got = SparkEntry.queries("pipeline_dedup_removal_incremental")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // recompute keepers directly from the maintained labeling (itself
+    // oracle-gated): distinct components ∪ never-paired docs — the keeper
+    // aggregate's min-member state must reduce to exactly this set
+    val labeling = SparkEntry.queries("dedup_components_incremental")(spark, sf)
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id") % 41 =!= 0)
+      .withColumn("text", when(col("doc_id") % 37 === 0,
+        lit("spark join spark stream")).otherwise(col("text")))
+    val keepers = d.join(labeling.select("doc_id"), Seq("doc_id"), "left_anti")
+      .select("doc_id")
+      .union(labeling.select(col("component").as("doc_id")).distinct())
+    val expected = d.join(keepers, Seq("doc_id"), "left_semi")
+      .withColumn("n_tokens", size(T.tokens(col("text"))).cast("long"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"))
+      .orderBy("lang")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got.nonEmpty)
+    assert(got === expected)
   }
 
   test("banded hyperplane LSH ANN achieves recall >= 0.4 of brute-force top-5") {

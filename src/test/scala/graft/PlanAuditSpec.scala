@@ -53,6 +53,43 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("sqTopKBulk: no probe broadcast, no windows — bounded-heap selection throughout") {
+    import graft.operators.SimilarityQueries
+    val df = SimilarityQueries.sqTopKBulk(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the corpus × probes scoring scan is a shuffle-replicated cartesian,
+    // never a broadcast of either side
+    assert(p.contains("CartesianProduct"), s"expected the hinted cartesian scan:\n$p")
+    assert(!p.contains("BroadcastHashJoin") && !p.contains("BroadcastNestedLoopJoin"),
+      s"bulk SQ path must not broadcast probes or corpus:\n$p")
+    assert(!p.contains("isInCollection") && !p.contains(" In(emit_key"),
+      s"bulk SQ path must not collect keys to the driver:\n$p")
+    // per-probe selection is the bounded-heap aggregate (partial-merge
+    // ObjectHashAggregate), not a window over every scored row
+    assert(!p.contains("Window"), s"bulk SQ path must not window-sort:\n$p")
+    assert(p.contains("ObjectHashAggregate"), s"expected topk_by heap aggregation:\n$p")
+  }
+
+  test("IVF-SQ8: stored scan is cell-pruned and reads int8 codes, no floats") {
+    import graft.operators.SimilarityQueries
+    val df = SimilarityQueries.ivfsqTopKFromView(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the probed cell ids reach the stored parquet scan as a pushed
+    // In-filter — the search reads only the probed posting lists
+    assert(p.contains("In(emit_key"), s"cell prune must push to the stored scan:\n$p")
+    // the composed view stores int8 codes; the candidate scoring pass
+    // reads array<tinyint>, and the ONLY float-vector reads left are the
+    // probe relation and the K·refine rerank against the corpus table
+    assert(p.contains("array<tinyint>"), s"quantized codes must be read:\n$p")
+    assert(!p.contains("emb_ivfsq_cells") || {
+      val scanLines = p.linesIterator.filter(l =>
+        l.contains("emb_ivfsq_cells") && l.contains("ReadSchema")).toSeq
+      scanLines.forall(!_.contains("array<double>"))
+    }, s"the stored IVF-SQ8 scan must not read float vectors:\n$p")
+  }
+
   test("topk_orders: global top-k plans as TakeOrderedAndProject, not a full sort") {
     val p = finalPlan("topk_orders")
     assert(p.contains("TakeOrderedAndProject"), s"plan:\n$p")
