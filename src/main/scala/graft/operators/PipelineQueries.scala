@@ -123,6 +123,7 @@ object PipelineQueries {
     baseComponentsView(s, dir)
     keeperView(s, dir)
     streamedComponentsIdx(s, dir)
+    exactDedupView(s, dir)
     ()
   }
 
@@ -334,6 +335,40 @@ object PipelineQueries {
       ci
     })
 
+  /** EXACT dedup as a MAINTAINED index: a [[graft.engine.BucketedAggView]]
+    * over `content_hash → doc_id` emissions, whose state rows ARE the
+    * dedup decisions — `min_value` = the keeper, `cnt` = the duplicate
+    * count per content hash. A document change batch flows through the
+    * ordinary joint base+state refresh: counts delta-merge, keepers
+    * recompute only for touched hashes (bucket-pruned), vanished hashes
+    * tombstone out — so a 100 TB corpus absorbing a daily delta
+    * maintains its exact-dedup index in O(delta) instead of re-hashing
+    * the corpus (the `dedup_exact` derivation) per run. */
+  private val exactDedupIdx = MapIndex.columns("exact_dedup_base")(
+    col("doc_id").cast("string"),
+    array(emit(md5(col("text")), col("doc_id"))))
+  private val exactDedupViews =
+    scala.collection.concurrent.TrieMap.empty[String, graft.engine.BucketedAggView]
+  private def exactDedupView(s: SparkSession, dir: String): graft.engine.BucketedAggView =
+    exactDedupViews.getOrElseUpdate(dir, {
+      val store = Views.bucketedStore(s, dir)
+      val unit = "exact_dedup"
+      if (Views.unitDone(store.baseDir, unit))
+        graft.engine.BucketedAggView.attach(store, "exact_dedup_state")
+      else {
+        val d = docs(s, dir).select(col("doc_id").cast("long"), col("text"))
+        val v = graft.engine.BucketedAggView.build(
+          store, exactDedupIdx, d, "exact_dedup_state")
+        val ups = d.filter(col("doc_id") % 37 === 0 && col("doc_id") % 41 =!= 0)
+          .withColumn("text", lit("spark join spark stream"))
+        val dels = d.filter(col("doc_id") % 41 === 0)
+          .select(col("doc_id").cast("string").as("src_key"))
+        v.refresh(exactDedupIdx, ups, Some(dels))
+        Views.markUnitDone(store.baseDir, unit)
+        v
+      }
+    })
+
   /**
    * Shared candidate-generation core for set-overlap dedup: aggregate a
    * `(doc_id, key)` stream into per-key posting lists (df-capped — a hot
@@ -475,7 +510,7 @@ object PipelineQueries {
   private[graft] def resetCachesForTest(): Unit = {
     pairGraphs.clear(); winnowGraphs.clear(); baseComps.clear()
     compGraphs.clear(); pairViewBuilt.clear()
-    keeperViews.clear(); streamedComps.clear()
+    keeperViews.clear(); streamedComps.clear(); exactDedupViews.clear()
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -485,6 +520,18 @@ object PipelineQueries {
       docs(s, dir)
         .groupBy(md5(col("text")).as("content_hash"))
         .agg(min("doc_id").as("keeper"), count(lit(1)).as("cnt"))
+        .orderBy("content_hash")),
+
+    // the exact-dedup decisions served from the MAINTAINED index
+    // ([[exactDedupView]]) after the change batch: state rows must equal
+    // a from-scratch group-by over the modified corpus — keepers (min
+    // doc per hash), counts, and hash membership all exact, including
+    // hashes that vanished (every doc tombstoned) or merged (the %37
+    // rewrites all collapse onto one text)
+    "dedup_exact_incremental" -> ((s, dir) =>
+      exactDedupView(s, dir).state
+        .select(col("emit_key").as("content_hash"),
+          col("min_value").cast("long").as("keeper"), col("cnt"))
         .orderBy("content_hash")),
 
     // normalization-fingerprint dedup: order-insensitive token-set key
@@ -1173,6 +1220,11 @@ object PipelineQueries {
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keeper, count(*) AS cnt
         |FROM documents GROUP BY md5(text) ORDER BY content_hash""".stripMargin,
+    // the maintained exact-dedup index must equal the from-scratch
+    // group-by over the MODIFIED corpus
+    "dedup_exact_incremental" ->
+      s"""SELECT md5(text) AS content_hash, min(doc_id) AS keeper, count(*) AS cnt
+         |FROM $modifiedDocsSql GROUP BY md5(text) ORDER BY content_hash""".stripMargin,
     "dedup_fingerprint" ->
       """SELECT md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fp,
         |       min(doc_id) AS keeper, count(*) AS cnt

@@ -659,6 +659,55 @@ object SimilarityQueries {
     rankTopK(scored)
   }
 
+  /** The BULK-probe spelling of [[ivfsqTopKFromView]] — the full
+    * composition under the bulk contract: the cell PRUNE is a shuffle
+    * semi-join against the probe batch's cell set (no driver In-list),
+    * the pruned scan reads int8 CODES only, candidate selection and the
+    * final exact rank are both the bounded-heap `topk_by` aggregate (no
+    * windows), and nothing is broadcast. This is the plan a data-sized
+    * probe batch runs at 100 TB: cost scales with probe volume × probed
+    * cell mass ÷ compression, never with an In-list or a broadcast. */
+  def ivfsqTopKBulk(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.Sketches.register(s)
+    val (store, cents, scale) = ivfsqCellsView(s, dir)
+    val nProbe = probesFor(cents.length)
+    val m = modifiedEmb(s, dir)
+    val probes = m.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("norm").as("pn"))
+      .withColumn("pq", call_function("vec_quantize", col("pv"), lit(scale)))
+      .withColumn("pqn", sqrt(call_function("vec_dot_q", col("pq"), col("pq")).cast("double")))
+      .filter(col("pqn") > 0)
+    val probeCells = probes
+      .withColumn("pscored", array_sort(cellScores(cents, col("pv"))))
+      .withColumn("cid0", explode(expr(s"slice(transform(pscored, s -> s.idx), 1, $nProbe)")))
+      .withColumn("cid", col("cid0").cast("string"))
+      .select("probe_id", "cid", "pq", "pqn")
+    val qcells = store.df("emb_ivfsq_cells")
+      .select(col("emit_key").as("cid"), col("emit_value.vec_id").as("vec_id"),
+        col("emit_value.q").as("q"), col("emit_value.qn").as("qn"))
+      .filter(col("qn") > 0)
+      .join(probeCells.select("cid").distinct().hint("shuffle_hash"),
+        Seq("cid"), "left_semi")
+    val approx = qcells.join(probeCells.hint("shuffle_hash"), Seq("cid"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("qcos",
+        call_function("vec_dot_q", col("pq"), col("q")).cast("double") / (col("pqn") * col("qn")))
+    val cands = approx.groupBy("probe_id")
+      .agg(expr(s"topk_by(qcos, vec_id, ${K * SqRefine})").as("top"))
+      .select(col("probe_id"), explode(expr("transform(top, t -> t.id)")).as("vec_id"))
+    val scored = cands
+      .join(m.select(col("vec_id"), col("v"), col("norm")).hint("shuffle_hash"), Seq("vec_id"))
+      .join(probes.select("probe_id", "pv", "pn").hint("shuffle_hash"), Seq("probe_id"))
+      .withColumn("cos", round(dot(col("pv"), col("v")) / (col("pn") * col("norm")), 6))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("cos"))
+    scored.groupBy("probe_id")
+      .agg(expr(s"topk_by(cos, neighbor_id, $K)").as("top"))
+      .select(col("probe_id"), posexplode(col("top")).as(Seq("r0", "t")))
+      .select(col("probe_id"), col("t.id").as("neighbor_id"),
+        col("t.score").as("cos"), (col("r0") + 1).cast("long").as("rank"))
+      .orderBy("probe_id", "rank")
+  }
+
   /** The BULK-probe spelling of [[sqTopKFromView]] — the SQ twin of the
     * LSH/IVF bulk contract ([[lshTopKBulk]]/[[ivfTopKBulk]]): no probe
     * broadcast, no driver In-list, and ZERO windows — per-probe
@@ -1132,6 +1181,29 @@ object SimilarityQueries {
           (col("nf") >= col("n_pairs") * lit(IvfRecallBound)).as("recall_ok"))
     }),
 
+    // the composed index probed through the BULK plan ([[ivfsqTopKBulk]]):
+    // shuffle semi-join cell prune over int8 codes, bounded-heap
+    // selection, nothing broadcast — graded against the identical
+    // modified-corpus ground truth as the model-sized composed path
+    "sim_ivfsq_bulk" -> ((s, dir) => {
+      val e = modifiedEmb(s, dir)
+      val probes = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("norm").as("pn"))
+      val brute = rankTopK(
+        e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+          .withColumn("cos", round(dot(col("pv"), col("v")) / (col("pn") * col("norm")), 6))
+          .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("cos")))
+        .select("probe_id", "neighbor_id")
+      val ivfsq = ivfsqTopKBulk(s, dir).select("probe_id", "neighbor_id")
+        .withColumn("f", lit(1L))
+      brute.join(ivfsq, Seq("probe_id", "neighbor_id"), "left_outer")
+        .agg(count_distinct(col("probe_id")).as("n_probes"),
+          count(lit(1)).as("n_pairs"),
+          coalesce(sum(col("f")), lit(0L)).as("nf"))
+        .select(col("n_probes"), col("n_pairs"),
+          (col("nf") >= col("n_pairs") * lit(IvfRecallBound)).as("recall_ok"))
+    }),
+
     // the SQ8 view probed through the BULK plan ([[sqTopKBulk]]): no
     // probe broadcast, no driver In-list, bounded-heap selection instead
     // of windows — graded against the identical modified-corpus ground
@@ -1281,6 +1353,17 @@ object SimilarityQueries {
     // the composed IVF-SQ8 index graded against the same modified-corpus
     // ground truth as the other maintained indexes
     "sim_ivfsq_topk" ->
+      s"""WITH corpus AS (
+         |  SELECT vec_id,
+         |         CASE WHEN vec_id % 37 = 0 THEN list_reverse(embedding)
+         |              ELSE embedding END AS embedding
+         |  FROM embeddings WHERE vec_id % 41 <> 0)
+         |SELECT count(DISTINCT probe_id) AS n_probes, count(*) AS n_pairs,
+         |       true AS recall_ok
+         |FROM (${bruteTopkSqlOver("corpus")})""".stripMargin,
+    // the composed bulk plan reads the same maintained view as the
+    // model-sized composed path, so the identical ground truth grades it
+    "sim_ivfsq_bulk" ->
       s"""WITH corpus AS (
          |  SELECT vec_id,
          |         CASE WHEN vec_id % 37 = 0 THEN list_reverse(embedding)

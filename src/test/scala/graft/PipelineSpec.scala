@@ -400,6 +400,7 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
         "sim_lsh_topk" -> Seq("recall_ok"),
         "sim_ivf_topk" -> Seq("recall_ok"),
         "sim_ivfsq_topk" -> Seq("recall_ok"),
+        "sim_ivfsq_bulk" -> Seq("recall_ok"),
         "sim_sq_bulk" -> Seq("recall_ok"),
         "dedup_embedding" -> Seq("recall_ok"))) {
       val df = SparkEntry.queries(name)(spark, sf)
@@ -418,6 +419,21 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     val recall = brute.count(ivf.contains).toDouble / brute.size
     assert(recall >= 0.7, s"IVF recall $recall")
     assert(ivf.forall { case (p, n) => p < 10 && n != p })
+  }
+
+  test("maintained exact-dedup index equals a from-scratch group-by after the change batch") {
+    val got = SparkEntry.queries("dedup_exact_incremental")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id") % 41 =!= 0)
+      .withColumn("text", when(col("doc_id") % 37 === 0,
+        lit("spark join spark stream")).otherwise(col("text")))
+    val expected = d.groupBy(md5(col("text")).as("content_hash"))
+      .agg(min("doc_id").as("keeper"), count(lit(1)).as("cnt"))
+      .orderBy("content_hash")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got.nonEmpty)
+    assert(got === expected)
   }
 
   test("streamed components labeling equals the batch-incremental labeling") {

@@ -71,6 +71,21 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("ObjectHashAggregate"), s"expected topk_by heap aggregation:\n$p")
   }
 
+  test("ivfsqTopKBulk: semi-join cell prune, heap selection, nothing broadcast") {
+    import graft.operators.SimilarityQueries
+    val df = SimilarityQueries.ivfsqTopKBulk(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("ShuffledHashJoin"), s"expected hinted shuffle joins:\n$p")
+    assert(!p.contains("BroadcastHashJoin") && !p.contains("BroadcastNestedLoopJoin"),
+      s"bulk composed path must not broadcast probes or index rows:\n$p")
+    assert(!p.contains("isInCollection") && !p.contains(" In(emit_key"),
+      s"bulk composed path must not collect cell ids to the driver:\n$p")
+    assert(!p.contains("Window"), s"bulk composed path must not window-sort:\n$p")
+    assert(p.contains("ObjectHashAggregate"), s"expected topk_by heap aggregation:\n$p")
+    assert(p.contains("array<tinyint>"), s"quantized codes must be read:\n$p")
+  }
+
   test("IVF-SQ8: stored scan is cell-pruned and reads int8 codes, no floats") {
     import graft.operators.SimilarityQueries
     val df = SimilarityQueries.ivfsqTopKFromView(spark, sf)
