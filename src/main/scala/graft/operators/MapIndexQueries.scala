@@ -185,6 +185,40 @@ object MapIndexQueries {
       v1.refresh(ups2, Some(dels2))
     }
 
+  /** The NET-feed fixture in the bucket-partitioned (100 TB) layout: the
+    * SAME two-refresh overlapping-key history as [[netFeedView]], so the
+    * netted O(delta) feed — last-writer-wins per source key across the
+    * replay range — is driver-gated in BOTH storage layouts against one
+    * oracle ([[graft.engine.BucketedViewStore.changesNetBetween]] shares
+    * the flat store's telescoping netting; this pins the sidecar
+    * plumbing underneath it too). */
+  private val byFlagNetB = MapIndex.columns("lineitem_byflag_net_b")(
+    concat_ws("-", col("l_orderkey"), col("l_linenumber")),
+    array(emit(col("l_returnflag"), col("l_extendedprice"))))
+
+  private val netFeedBBuilt =
+    scala.collection.concurrent.TrieMap.empty[String, Unit]
+
+  private def netFeedBView(s: SparkSession, dir: String): graft.engine.BucketedViewStore = {
+    val store = Views.bucketedStore(s, dir)
+    netFeedBBuilt.getOrElseUpdate(dir, {
+      if (!Views.unitDone(store.baseDir, byFlagNetB.name)) {
+        val li = Tables.lineitem(s, dir)
+        store.materialize(byFlagNetB, li)
+        store.refresh(byFlagNetB, reflaggedUpserts(li), Some(tombstoneKeys(li)))
+        val ups2 = li.filter(col("l_orderkey") % 97 === 0 &&
+            col("l_orderkey") % 89 =!= 0 && col("l_orderkey") % 83 =!= 0)
+          .withColumn("l_returnflag", lit("Y"))
+        val dels2 = li.filter(col("l_orderkey") % 83 === 0 && col("l_orderkey") % 89 =!= 0)
+          .select(concat_ws("-", col("l_orderkey"), col("l_linenumber")).as("src_key"))
+          .distinct()
+        store.refresh(byFlagNetB, ups2, Some(dels2))
+        Views.markUnitDone(store.baseDir, byFlagNetB.name)
+      }
+    })
+    store
+  }
+
   /** The aggregate view in the bucket-partitioned (100 TB) layout —
     * [[graft.engine.BucketedAggView]]: same base index, same change
     * batch, state living as bucketed emissions. Its refresh also writes
@@ -335,6 +369,7 @@ object MapIndexQueries {
     jsonView(s, dir)
     aggView(s, dir)
     netFeedView(s, dir)
+    netFeedBView(s, dir)
     bucketedAggView(s, dir)
     streamView(s, dir)
     bucketedStreamView(s, dir)
@@ -555,6 +590,18 @@ object MapIndexQueries {
     "mapindex_net_changefeed" -> ((s, dir) => {
       netFeedView(s, dir) // v0 build, then the two deterministic refreshes
       Views.store(s, dir).changesNetBetween(byFlagNet.name, 0, 2)
+        .groupBy(col("change_type"), col("emit_key"))
+        .agg(count(lit(1)).as("cnt"), round(sum("emit_value"), 2).as("sum_value"))
+        .orderBy("change_type", "emit_key")
+    }),
+
+    // the SAME netted two-refresh history off the bucket-partitioned
+    // layout: last-writer-wins netting over the bucketed sidecars must
+    // produce the identical delta the flat store nets — one oracle
+    // grades both layouts' net feeds
+    "mapindex_bucketed_net_changefeed" -> ((s, dir) => {
+      val store = netFeedBView(s, dir)
+      store.changesNetBetween(byFlagNetB.name, 0, 2)
         .groupBy(col("change_type"), col("emit_key"))
         .agg(count(lit(1)).as("cnt"), round(sum("emit_value"), 2).as("sum_value"))
         .orderBy("change_type", "emit_key")
@@ -949,6 +996,25 @@ object MapIndexQueries {
     // nowhere. %89 keys were tombstoned at v1 (delete only); %83∧¬%89
     // keys were tombstoned at v2 after the v1 reflag (delete only, and
     // the delete still carries the v0 flag, not 'X').
+    // identical history, identical netting contract → identical oracle
+    // as the flat-layout net feed
+    "mapindex_bucketed_net_changefeed" ->
+      """WITH del AS (
+        |  SELECT l_returnflag AS emit_key, l_extendedprice AS v FROM lineitem
+        |  WHERE l_orderkey % 89 = 0
+        |     OR (l_orderkey % 97 = 0 AND l_orderkey % 89 <> 0)
+        |     OR (l_orderkey % 83 = 0 AND l_orderkey % 89 <> 0)),
+        |ins AS (
+        |  SELECT 'Y' AS emit_key, l_extendedprice AS v FROM lineitem
+        |  WHERE l_orderkey % 97 = 0 AND l_orderkey % 89 <> 0 AND l_orderkey % 83 <> 0)
+        |SELECT 'delete' AS change_type, emit_key, count(*) AS cnt,
+        |       round(sum(v), 2) AS sum_value
+        |FROM del GROUP BY 2
+        |UNION ALL
+        |SELECT 'insert' AS change_type, emit_key, count(*) AS cnt,
+        |       round(sum(v), 2) AS sum_value
+        |FROM ins GROUP BY 2
+        |ORDER BY change_type, emit_key""".stripMargin,
     "mapindex_net_changefeed" ->
       """WITH del AS (
         |  SELECT l_returnflag AS emit_key, l_extendedprice AS v FROM lineitem
