@@ -934,6 +934,37 @@ object PipelineQueries {
         .orderBy("lang")
     }),
 
+    // n-gram-overlap decontamination: remove from the train split every
+    // doc sharing ANY token shingle with the valid split — the
+    // "n-gram decontamination" rule training pipelines run against eval
+    // sets (exact-fingerprint removal catches only verbatim copies; a
+    // doc QUOTING an eval answer shares its n-grams without matching its
+    // fingerprint). Scale shape: one equi-join on the 64-bit shingle
+    // hash — the eval shingle set is deduped and the train side
+    // semi-joins against it, so the shuffle is on the shingle key space
+    // and the probe never materializes pairs. Shingle width is the
+    // sensitivity knob (3-token here for the synthetic corpus; a
+    // production run uses 13-grams, which make collisions rare enough
+    // that the contaminated set stays small).
+    "pipeline_decontaminate_ngram" -> ((s, dir) => {
+      Hashes.register(s)
+      val d = docs(s, dir)
+        .withColumn("split",
+          when(substring(md5(col("text")), 1, 1) === "0", "valid").otherwise("train"))
+      val evalShingles = d.filter(col("split") === "valid")
+        .select(explode(expr("shingle_hashes(text)")).as("sh")).distinct()
+      val train = d.filter(col("split") === "train")
+      val contaminated = train
+        .select(col("doc_id"), explode(expr("shingle_hashes(text)")).as("sh"))
+        .join(evalShingles, Seq("sh"), "left_semi")
+        .select("doc_id").distinct()
+      train.join(contaminated, Seq("doc_id"), "left_anti")
+        .withColumn("n_tokens", size(T.tokens(col("text"))).cast("long"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"))
+        .orderBy("lang")
+    }),
+
     // ---- text analysis ---------------------------------------------------
     "text_quality" -> ((s, dir) => {
       val t = T.tokens(col("text"))
@@ -1334,6 +1365,27 @@ object PipelineQueries {
         |FROM t
         |WHERE split = 'train'
         |  AND fp NOT IN (SELECT fp FROM t WHERE split = 'valid')
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    // the engine joins on 64-bit shingle hashes; the oracle recomputes
+    // the SAME shingle sets as strings (the dedup_ngram_jaccard mirror),
+    // so a dropped/spurious contamination hit is a hash mismatch
+    "pipeline_decontaminate_ngram" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, text,
+        |         CASE WHEN substr(md5(text), 1, 1) = '0' THEN 'valid' ELSE 'train' END AS split
+        |  FROM documents),
+        |tok AS (SELECT doc_id, split, string_split(text, ' ') AS t FROM d),
+        |sh AS (SELECT DISTINCT doc_id, split, t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS s
+        |       FROM tok, UNNEST(range(len(t) - 2)) AS u(i)),
+        |contaminated AS (
+        |  SELECT DISTINCT doc_id FROM sh
+        |  WHERE split = 'train'
+        |    AND s IN (SELECT s FROM sh WHERE split = 'valid'))
+        |SELECT lang, count(*) AS n_docs,
+        |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+        |FROM d
+        |WHERE split = 'train'
+        |  AND doc_id NOT IN (SELECT doc_id FROM contaminated)
         |GROUP BY lang ORDER BY lang""".stripMargin,
     "text_chunks" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

@@ -168,6 +168,7 @@ object SimilarityQueries {
     sqView(s, dir)
     sqIncView(s, dir)
     ivfsqCellsView(s, dir)
+    lshStreamedView(s, dir)
     ()
   }
 
@@ -391,6 +392,14 @@ object SimilarityQueries {
     val store = lshBandsView(s, dir)
     val probes = modifiedEmb(s, dir).filter(col("vec_id") < 10)
       .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("norm").as("pn"))
+    lshTopKFromStored(store.df(lshIdx.name), probes)
+  }
+
+  /** The stored-band search core shared by every LSH serving path (the
+    * maintained view, its pre-batch epoch, the streaming-built view):
+    * probe band keys collected (model-sized) → pushed In-filter on the
+    * stored emissions → candidate dedupe → exact cosine. */
+  private def lshTopKFromStored(stored0: DataFrame, probes: DataFrame): DataFrame = {
     val probeBands = probes
       .select(col("probe_id"), col("pv"), col("pn"),
         posexplode(expr("hyperplane_bands(pv)")).as(Seq("band", "bv")))
@@ -398,7 +407,7 @@ object SimilarityQueries {
       .drop("band", "bv")
     val bandKeys = probeBands.select("bkey").distinct()
       .collect().map(_.getString(0)).toSeq
-    val stored = store.df(lshIdx.name)
+    val stored = stored0
       .filter(col("emit_key").isInCollection(bandKeys))
       .select(col("emit_key").as("bkey"), col("emit_value.vec_id").as("neighbor_id"),
         col("emit_value.v").as("v"), col("emit_value.norm").as("norm"))
@@ -414,6 +423,69 @@ object SimilarityQueries {
       .withColumn("cos", round(dot(col("pv"), col("v")) / (col("pn") * col("norm")), 6))
       .select(col("probe_id"), col("neighbor_id"), col("cos"))
     rankTopK(scored)
+  }
+
+  /** The maintained band view served AS OF its pre-batch epoch (the
+    * store's ordinary time travel, [[BucketedViewStore.dfAsOf]]): the
+    * search result over epoch `e-1` must equal what the ORIGINAL corpus's
+    * index serves — a historical ANN query against a maintained index,
+    * with no model-staleness caveat because the hyperplanes are
+    * data-independent. */
+  def lshTopKAsOf(s: SparkSession, dir: String): DataFrame = {
+    val store = lshBandsView(s, dir)
+    val e = store.epoch(lshIdx.name)
+    val probes = emb(s, dir).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("norm").as("pn"))
+    lshTopKFromStored(store.dfAsOf(lshIdx.name, e - 1), probes)
+  }
+
+  /** The band index built PURELY through streaming micro-batches
+    * ([[graft.streaming.BucketedStreamingMapIndex]] — three insert
+    * thirds bootstrapping + incrementally refreshing the view, then the
+    * deterministic upsert/tombstone change batch): per-batch
+    * partition-scoped maintenance of an ANN index, the ingest shape a
+    * production embedding pipeline runs. The served result must match
+    * the batch-maintained view's exactly (same ground truth grades
+    * both). */
+  private val lshStreamIdx: MapIndex =
+    MapIndex.columns("emb_lsh_stream")(
+      col("vec_id").cast("string"),
+      expr("""transform(hyperplane_bands(v), (bv, band) ->
+             |  named_struct(
+             |    'emit_key', concat(cast(band as string), ':', cast(bv as string)),
+             |    'emit_value', named_struct('vec_id', vec_id, 'v', v, 'norm', norm)))
+             |""".stripMargin))
+
+  private val lshStreamViews = TrieMap.empty[String, BucketedViewStore]
+
+  private def lshStreamedView(s: SparkSession, dir: String): BucketedViewStore =
+    lshStreamViews.getOrElseUpdate(dir, {
+      val store = Views.bucketedStore(s, dir)
+      val unit = "emb_lsh_stream"
+      if (!Views.unitDone(store.baseDir, unit)) {
+        VectorFunctions.register(s)
+        val smi = new graft.streaming.BucketedStreamingMapIndex(lshStreamIdx, store)
+        val e = emb(s, dir)
+        (0 to 2).foreach(r => smi.applyBatch(e.filter(col("vec_id") % 3 === r)))
+        val (ups, dels) = embChangeBatch(e)
+        val batch = ups
+          .withColumn("key", col("vec_id").cast("string"))
+          .withColumn("deleted", lit(false))
+          .unionByName(
+            dels.select(col("src_key").as("key")).withColumn("deleted", lit(true)),
+            allowMissingColumns = true)
+        smi.applyBatch(batch)
+        Views.markUnitDone(store.baseDir, unit)
+      }
+      store
+    })
+
+  /** LSH ANN served from the STREAMING-built band view. */
+  def lshTopKStreamed(s: SparkSession, dir: String): DataFrame = {
+    val store = lshStreamedView(s, dir)
+    val probes = modifiedEmb(s, dir).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("norm").as("pn"))
+    lshTopKFromStored(store.df(lshStreamIdx.name), probes)
   }
 
   /** Refine factor for SQ8 search: exact-rerank the top `K · SqRefine`
@@ -956,7 +1028,7 @@ object SimilarityQueries {
     * against a durable store root (the reuse path is disk-gated). */
   private[graft] def resetCachesForTest(): Unit = {
     ivfViews.clear(); lshViews.clear(); sqIncViews.clear(); sqViews.clear()
-    ivfsqViews.clear(); centroidCache.clear()
+    ivfsqViews.clear(); lshStreamViews.clear(); centroidCache.clear()
   }
 
   /** recall bounds asserted by the invariant queries below — measured at
@@ -1156,6 +1228,46 @@ object SimilarityQueries {
           (col("nf") >= col("n_pairs") * lit(SqRecallBound)).as("recall_ok"))
     }),
 
+    // the maintained band view served AS OF its pre-batch epoch
+    // ([[lshTopKAsOf]]): time travel on an ANN index — the historical
+    // search must reproduce the ORIGINAL corpus's recall invariant (the
+    // same ground truth as sim_lsh_topk), proving the refresh left the
+    // prior epoch intact and addressable
+    "sim_lsh_asof" -> ((s, dir) => {
+      val brute = queries("sim_brute_topk")(s, dir).select("probe_id", "neighbor_id")
+      val lsh = lshTopKAsOf(s, dir).select("probe_id", "neighbor_id")
+        .withColumn("f", lit(1L))
+      brute.join(lsh, Seq("probe_id", "neighbor_id"), "left_outer")
+        .agg(count_distinct(col("probe_id")).as("n_probes"),
+          count(lit(1)).as("n_pairs"),
+          coalesce(sum(col("f")), lit(0L)).as("nf"))
+        .select(col("n_probes"), col("n_pairs"),
+          (col("nf") >= col("n_pairs") * lit(AnnRecallBound)).as("recall_ok"))
+    }),
+
+    // the band index built PURELY through streaming micro-batches
+    // ([[lshTopKStreamed]]): per-batch partition-scoped maintenance must
+    // land the same index state the batch path maintains — identical
+    // modified-corpus ground truth grades both
+    "sim_lsh_streamed" -> ((s, dir) => {
+      val e = modifiedEmb(s, dir)
+      val probes = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("norm").as("pn"))
+      val brute = rankTopK(
+        e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+          .withColumn("cos", round(dot(col("pv"), col("v")) / (col("pn") * col("norm")), 6))
+          .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("cos")))
+        .select("probe_id", "neighbor_id")
+      val lsh = lshTopKStreamed(s, dir).select("probe_id", "neighbor_id")
+        .withColumn("f", lit(1L))
+      brute.join(lsh, Seq("probe_id", "neighbor_id"), "left_outer")
+        .agg(count_distinct(col("probe_id")).as("n_probes"),
+          count(lit(1)).as("n_pairs"),
+          coalesce(sum(col("f")), lit(0L)).as("nf"))
+        .select(col("n_probes"), col("n_pairs"),
+          (col("nf") >= col("n_pairs") * lit(AnnRecallBound)).as("recall_ok"))
+    }),
+
     // the composed IVF-SQ8 index ([[ivfsqTopKFromView]]): cell-pruned
     // scan over stored int8 codes + exact rerank, after the corpus
     // change batch went through the view's refresh path — same
@@ -1342,6 +1454,23 @@ object SimilarityQueries {
     // the IVF bulk plan reads the same maintained view as the model-sized
     // path, so the identical ground truth grades it
     "sim_ivf_bulk" ->
+      s"""WITH corpus AS (
+         |  SELECT vec_id,
+         |         CASE WHEN vec_id % 37 = 0 THEN list_reverse(embedding)
+         |              ELSE embedding END AS embedding
+         |  FROM embeddings WHERE vec_id % 41 <> 0)
+         |SELECT count(DISTINCT probe_id) AS n_probes, count(*) AS n_pairs,
+         |       true AS recall_ok
+         |FROM (${bruteTopkSqlOver("corpus")})""".stripMargin,
+    // the pre-batch epoch must serve the ORIGINAL corpus's ground truth
+    // — same oracle as sim_lsh_topk
+    "sim_lsh_asof" ->
+      s"""SELECT count(DISTINCT probe_id) AS n_probes, count(*) AS n_pairs,
+         |       true AS recall_ok
+         |FROM ($bruteTopkSql)""".stripMargin,
+    // the streaming-built band view serves the same modified-corpus
+    // ground truth as the batch-maintained one
+    "sim_lsh_streamed" ->
       s"""WITH corpus AS (
          |  SELECT vec_id,
          |         CASE WHEN vec_id % 37 = 0 THEN list_reverse(embedding)

@@ -398,6 +398,8 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
         "dedup_minhash_lsh" -> Seq("recall_ok"),
         "dedup_simhash" -> Seq("sample_recall_ok", "pairs_valid"),
         "sim_lsh_topk" -> Seq("recall_ok"),
+        "sim_lsh_asof" -> Seq("recall_ok"),
+        "sim_lsh_streamed" -> Seq("recall_ok"),
         "sim_ivf_topk" -> Seq("recall_ok"),
         "sim_ivfsq_topk" -> Seq("recall_ok"),
         "sim_ivfsq_bulk" -> Seq("recall_ok"),
