@@ -94,18 +94,28 @@ class ComponentsIndexSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("end-to-end chain: components maintained from the REAL pair-graph CDC under random doc histories") {
+    import graft.engine.{BucketedAggView, MapIndex}
+    import graft.engine.MapIndex.emit
     import graft.operators.PairGraphIndex
     val rnd = new scala.util.Random(7)
     val words = Vector("a", "b", "c", "d", "e", "f", "g", "h")
     def randText(): String =
       Seq.fill(6 + rnd.nextInt(5))(words(rnd.nextInt(words.size))).mkString(" ")
     // low threshold + tiny vocabulary → a dense, churning pair graph
-    val g = new PairGraphIndex(spark, BucketedViewStore.temp(spark, 4),
-      "pgc_e2e", maxDf = 50, threshold = 0.3)
-    val ci = fresh("pgc_e2e")
+    val store = BucketedViewStore.temp(spark, 4)
+    val g = new PairGraphIndex(spark, store, "pgc_e2e", maxDf = 50, threshold = 0.3)
+    val ci = new ComponentsIndex(spark, store, "pgc_e2e")
+    // one relation further downstream: the keeper map (component → min
+    // member) as a BucketedAggView whose base emits component → doc_id,
+    // maintained from the LABELING's CDC — the full chain docs → pairs →
+    // labeling → keeper map, every stage off the previous stage's feed
+    val keeperIdx = MapIndex.columns("pgc_e2e_keeper")(
+      col("doc_id").cast("string"),
+      array(emit(col("component").cast("string"), col("doc_id"))))
     var corpus = (1L to 20L).map(id => id -> randText()).toMap
     g.build(corpus.toSeq.toDF("doc_id", "text"))
     ci.build(g.pairs)
+    val kv = BucketedAggView.build(store, keeperIdx, ci.components, "pgc_e2e_keeper_state")
     (1 to 3).foreach { _ =>
       val upIds = corpus.keys.filter(_ => rnd.nextDouble() < 0.3).toSeq
       val newIds = Seq(corpus.keys.max + 1, corpus.keys.max + 2)
@@ -115,12 +125,29 @@ class ComponentsIndexSpec extends AnyFunSuite with SparkSpec {
       val v0 = g.pairsVersion
       g.refresh(ups.toDF("doc_id", "text"),
         Some(delIds.toDF("doc_id")))
+      val e0 = ci.epoch
       ci.refresh(g.pairsChanges(v0, g.pairsVersion), g.pairs)
       // the maintained labeling must equal a from-scratch resolution of
       // the maintained pair relation — this pins the CDC contract BETWEEN
       // the two classes, not just each class against synthetic inputs
       assert(labelsOf(ci.components) ===
         labelsOf(Components.resolve(g.pairs.select("i", "j"))))
+      // keeper stage: catch up from the labeling's own CDC and require
+      // the state to equal a from-scratch keeper recompute (component =
+      // min member, cnt = cluster size) — the third stage of the chain
+      val delta = ci.changes(e0, ci.epoch)
+      val kUps = delta.filter(col("change_type") === "insert")
+        .select("doc_id", "component")
+      val kDels = delta.select(col("doc_id").cast("string").as("src_key")).distinct()
+      kv.refresh(keeperIdx, kUps, Some(kDels))
+      val gotKeepers = kv.state
+        .select(col("emit_key").cast("long"), col("min_value").cast("long"),
+          col("cnt").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val wantKeepers = ci.components.groupBy("component")
+        .agg(min("doc_id").as("keeper"), count(lit(1)).as("cnt"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(gotKeepers === wantKeepers)
     }
   }
 
