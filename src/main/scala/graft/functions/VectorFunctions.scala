@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -193,13 +193,78 @@ object VectorFunctions {
     override def prettyName: String = "vec_dot_q"
   }
 
+  /** pq_adc(codes, lut, ks): asymmetric distance computation for product
+    * quantization — `Σ_m lut[m·ks + codes[m]]`, the probe-side lookup-table
+    * read that approximates `dot(probe, x)` from x's M-byte PQ code alone.
+    * `codes` is `array<tinyint>` (one sub-quantizer code per subspace, in
+    * `[0, ks)`), `lut` is the probe's flattened `M × ks` table of
+    * `dot(probe_sub_m, codebook[m][k])` values. Codegen'd like [[VecDot]]:
+    * this is the PQ candidate-generation hot path, one evaluation per
+    * (probe, candidate) pair, and the whole point of PQ is that it reads
+    * M bytes + M table entries instead of D floats. */
+  case class PqAdc(first: Expression, second: Expression, third: Expression)
+      extends TernaryExpression with ImplicitCastInputTypes {
+    // declared types: a non-tinyint code array or non-int ks is an
+    // analysis error, not a silent ArrayData misread
+    override def inputTypes =
+      Seq(ArrayType(ByteType), ArrayType(DoubleType), IntegerType)
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(c: Any, l: Any, k: Any): Any = {
+      val codes = c.asInstanceOf[ArrayData]
+      val lut = l.asInstanceOf[ArrayData]
+      val ks = k.asInstanceOf[Int]
+      val m = codes.numElements()
+      if (lut.numElements() != m * ks)
+        throw new IllegalArgumentException(
+          s"pq_adc: lut size ${lut.numElements()} != m·ks = ${m * ks}")
+      var acc = 0.0
+      var i = 0
+      while (i < m) {
+        val code = codes.getByte(i).toInt
+        if (code < 0 || code >= ks)
+          throw new IllegalArgumentException(s"pq_adc: code $code out of [0, $ks)")
+        acc += lut.getDouble(i * ks + code)
+        i += 1
+      }
+      acc
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (c, l, k) => {
+        val m = ctx.freshName("m")
+        val i = ctx.freshName("i")
+        val code = ctx.freshName("code")
+        val acc = ctx.freshName("acc")
+        s"""
+           |final int $m = $c.numElements();
+           |if ($l.numElements() != $m * $k) {
+           |  throw new IllegalArgumentException(
+           |    "pq_adc: lut size " + $l.numElements() + " != m*ks = " + ($m * $k));
+           |}
+           |double $acc = 0.0;
+           |for (int $i = 0; $i < $m; $i++) {
+           |  final int $code = (int) $c.getByte($i);
+           |  if ($code < 0 || $code >= $k) {
+           |    throw new IllegalArgumentException("pq_adc: code " + $code + " out of [0, " + $k + ")");
+           |  }
+           |  $acc += $l.getDouble($i * $k + $code);
+           |}
+           |${ev.value} = $acc;
+         """.stripMargin
+      })
+    override protected def withNewChildrenInternal(
+        f: Expression, s: Expression, t: Expression): PqAdc =
+      copy(first = f, second = s, third = t)
+    override def prettyName: String = "pq_adc"
+  }
+
   /** Name → expression builders, the single source for both per-session
     * [[register]] and builder-time [[graft.GraftExtensions]] injection. */
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "vec_dot" -> (es => VecDot(es(0), es(1))),
     "hyperplane_bands" -> (es => HyperplaneBands(es.head)),
     "vec_quantize" -> (es => VecQuantize(es(0), es(1))),
-    "vec_dot_q" -> (es => VecDotQ(es(0), es(1))))
+    "vec_dot_q" -> (es => VecDotQ(es(0), es(1))),
+    "pq_adc" -> (es => PqAdc(es(0), es(1), es(2))))
 
   /** Register in the session's function registry (idempotent). */
   def register(spark: SparkSession): Unit = {

@@ -43,6 +43,33 @@ class QuantizeSpec extends AnyFunSuite with SparkSpec {
     assert(msgs(ex).exists(_.contains("dimension mismatch")))
   }
 
+  test("pq_adc sums the code-indexed LUT entries") {
+    // m = 2 subspaces, ks = 3: codes (1, 2) pick lut[0*3+1] and lut[1*3+2]
+    val lut = Seq(10.0, 20.0, 30.0, 40.0, 50.0, 60.0)
+    val got = Seq((Seq(1, 2), lut)).toDF("codes", "lut")
+      .select(call_function("pq_adc",
+        col("codes").cast("array<tinyint>"), col("lut"), lit(3)).as("s"))
+      .as[Double].head()
+    assert(got === 20.0 + 60.0)
+  }
+
+  test("pq_adc fails loud on a lut/code size mismatch and an out-of-range code") {
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    val exSize = intercept[Exception] {
+      Seq((Seq(0, 1), Seq(1.0, 2.0, 3.0))).toDF("codes", "lut")
+        .select(call_function("pq_adc",
+          col("codes").cast("array<tinyint>"), col("lut"), lit(2))).collect()
+    }
+    assert(msgs(exSize).exists(_.contains("lut size")))
+    val exRange = intercept[Exception] {
+      Seq((Seq(0, 5), Seq(1.0, 2.0, 3.0, 4.0))).toDF("codes", "lut")
+        .select(call_function("pq_adc",
+          col("codes").cast("array<tinyint>"), col("lut"), lit(2))).collect()
+    }
+    assert(msgs(exRange).exists(_.contains("out of")))
+  }
+
   test("vec_quantize refuses a non-positive scale") {
     val ex = intercept[Exception] {
       Seq(Tuple1(Seq(1.0))).toDF("v")
