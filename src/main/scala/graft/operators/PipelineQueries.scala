@@ -50,6 +50,9 @@ object PipelineQueries {
     * band self-join — df² candidate pairs for near-zero signal; a real
     * near-dup pair still collides in its other bands. */
   private val MaxBandDf = 200
+  /** exact-substring span dedup window width (tokens): a run of SpanW
+    * tokens shared verbatim across documents marks a duplicated span. */
+  private val SpanW = 8
 
   private def docs(s: SparkSession, dir: String): DataFrame = Tables.documents(s, dir)
 
@@ -232,6 +235,43 @@ object PipelineQueries {
     streamedComponentsIdx(s, dir)
     exactDedupView(s, dir)
     ()
+  }
+
+  /** The SpanW-token window relation for exact-substring span dedup:
+    * `(doc_id, pos, win)`, one row per window start position (1-based).
+    * Documents shorter than SpanW contribute nothing (and the guard also
+    * keeps `sequence` ascending). */
+  private def spanWindows(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(lower(col("text")), " ")
+    docs(s, dir).select(col("doc_id"), toks.as("toks"))
+      .filter(size(col("toks")) >= SpanW)
+      .select(col("doc_id"), posexplode(expr(
+          s"transform(sequence(1, size(toks) - ${SpanW - 1}), p -> array_join(slice(toks, p, $SpanW), ' '))"))
+          .as(Seq("p0", "win")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("win"))
+  }
+
+  /** Token counts of the span-eligible documents (length ≥ SpanW). */
+  private def spanDocLengths(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"),
+        size(split(lower(col("text")), " ")).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") >= SpanW)
+
+  /** Merge marked window-start positions `(doc_id, pos)` into maximal
+    * token spans `[st, en]` (each window covers SpanW tokens):
+    * gaps-and-islands over the per-doc position order — a window pass,
+    * no join. */
+  private def mergeWindowSpans(hits: DataFrame): DataFrame = {
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    hits
+      .withColumn("prev_end", max(col("pos") + lit(SpanW - 1))
+        .over(byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("ni",
+        when(col("prev_end").isNull || col("pos") > col("prev_end") + 1, 1).otherwise(0))
+      .withColumn("g", sum("ni").over(byDoc))
+      .groupBy("doc_id", "g")
+      .agg(min("pos").as("st"), max(col("pos") + lit(SpanW - 1)).as("en"))
   }
 
   /** n-gram Jaccard near-dup pairs `(i, j, jaccard)` — the DERIVATION
@@ -647,6 +687,55 @@ object PipelineQueries {
         .groupBy(T.fingerprint(col("text")).as("fp"))
         .agg(min("doc_id").as("keeper"), count(lit(1)).as("cnt"))
         .orderBy("fp")),
+
+    // exact-substring span dedup (the span-level formulation from the
+    // public training-data dedup literature): every SpanW-token window
+    // shared VERBATIM across ≥2 documents marks its positions, and
+    // overlapping/adjacent marked windows merge into maximal spans per
+    // document (gaps-and-islands over a per-doc sort window). Shape: one
+    // position-exploded window relation, a linear groupBy on the window,
+    // a semi-join back, and a per-doc window pass — no pairwise join
+    // anywhere, so cost is corpus tokens + duplicated-window volume, not
+    // doc pairs. At 100 TB the groupBy/semi-join key would be a 64-bit
+    // rolling hash of the window (content-identical shape, 8-byte
+    // shuffle keys); the string key here keeps the oracle mirror exact.
+    "dedup_substring_spans" -> ((s, dir) => {
+      val wins = spanWindows(s, dir)
+      val dup = wins.groupBy("win")
+        .agg(count_distinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 2)
+      val hits = wins.join(dup.select("win"), Seq("win"), "left_semi")
+        .select("doc_id", "pos")
+      mergeWindowSpans(hits)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_spans"), sum(col("en") - col("st") + 1).as("dup_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    // the REMOVAL accounting downstream of span detection: for every
+    // cross-doc duplicated window, the globally-first occurrence (min
+    // (doc_id, pos)) survives and every other occurrence is marked;
+    // merged marked spans give the tokens a span-level trim pass would
+    // cut per document. Same linear shape as the detection query — the
+    // keeper choice rides the window groupBy that already exists.
+    "dedup_substring_removal" -> ((s, dir) => {
+      val wins = spanWindows(s, dir)
+      // (doc_id, pos) packed into one orderable key: pos < 1e6 always
+      // (documents are ~100s of tokens; a longer corpus widens the pack)
+      val occ = col("doc_id") * lit(1000000L) + col("pos")
+      val dup = wins.groupBy("win")
+        .agg(count_distinct(col("doc_id")).as("nd"), min(occ).as("firstk"))
+        .filter(col("nd") >= 2)
+      val marked = wins.join(dup.select("win", "firstk"), Seq("win"))
+        .filter(occ =!= col("firstk"))
+        .select("doc_id", "pos")
+      mergeWindowSpans(marked)
+        .groupBy("doc_id")
+        .agg(sum(col("en") - col("st") + 1).as("removed_tokens"))
+        .join(spanDocLengths(s, dir), Seq("doc_id"))
+        .select(col("doc_id"), col("n_tokens"), col("removed_tokens"))
+        .orderBy("doc_id")
+    }),
 
     // n-gram Jaccard near-dup over pruned shingle sets. Shape: ONE
     // aggregation of the shingle stream into per-shingle posting lists
@@ -1381,6 +1470,65 @@ object PipelineQueries {
       """SELECT md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fp,
         |       min(doc_id) AS keeper, count(*) AS cnt
         |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
+    // spans recomputed from scratch: same window width, same
+    // gaps-and-islands merge over window start positions
+    "dedup_substring_spans" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |win AS (
+        |  SELECT doc_id, pos, array_to_string(toks[pos:pos+7], ' ') AS win
+        |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 6)) AS pos FROM tok)),
+        |dup AS (
+        |  SELECT win FROM win GROUP BY win HAVING count(DISTINCT doc_id) >= 2),
+        |hit AS (SELECT doc_id, pos FROM win JOIN dup USING (win)),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |         max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        |  FROM hit),
+        |num AS (
+        |  SELECT doc_id, pos,
+        |         CASE WHEN prev_end IS NULL OR pos > prev_end + 1 THEN 1 ELSE 0 END AS ni
+        |  FROM isl),
+        |sp AS (
+        |  SELECT doc_id, pos, sum(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+        |  FROM num),
+        |spans AS (
+        |  SELECT doc_id, g, min(pos) AS st, max(pos + 7) AS en FROM sp GROUP BY 1, 2)
+        |SELECT doc_id, count(*) AS n_spans, CAST(sum(en - st + 1) AS BIGINT) AS dup_tokens
+        |FROM spans GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    // keep-first removal accounting: the occurrence with the smallest
+    // (doc_id, pos) — packed as doc_id·1e6 + pos — survives per window
+    "dedup_substring_removal" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |win AS (
+        |  SELECT doc_id, pos, array_to_string(toks[pos:pos+7], ' ') AS win
+        |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 6)) AS pos FROM tok)),
+        |dup AS (
+        |  SELECT win, min(doc_id * 1000000 + pos) AS firstk
+        |  FROM win GROUP BY win HAVING count(DISTINCT doc_id) >= 2),
+        |hit AS (
+        |  SELECT doc_id, pos FROM win JOIN dup USING (win)
+        |  WHERE doc_id * 1000000 + pos <> firstk),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |         max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        |  FROM hit),
+        |num AS (
+        |  SELECT doc_id, pos,
+        |         CASE WHEN prev_end IS NULL OR pos > prev_end + 1 THEN 1 ELSE 0 END AS ni
+        |  FROM isl),
+        |sp AS (
+        |  SELECT doc_id, pos, sum(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+        |  FROM num),
+        |spans AS (
+        |  SELECT doc_id, g, min(pos) AS st, max(pos + 7) AS en FROM sp GROUP BY 1, 2)
+        |SELECT s.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+        |       CAST(sum(s.en - s.st + 1) AS BIGINT) AS removed_tokens
+        |FROM spans s JOIN tok t ON s.doc_id = t.doc_id
+        |GROUP BY 1, 2 ORDER BY s.doc_id""".stripMargin,
     "dedup_ngram_jaccard" -> ngramJaccardSql,
     // the stored pair view must serve byte-identical pairs to the
     // from-scratch derivation the oracle recomputes
