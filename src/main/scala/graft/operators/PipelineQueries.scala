@@ -226,6 +226,7 @@ object PipelineQueries {
     incBm25View(s, dir)
     lenAgg(s, dir)
     incLenAgg(s, dir)
+    incSpanWinView(s, dir)
     pairsView(s, dir)
     incPairGraph(s, dir)
     incWinnowGraph(s, dir)
@@ -257,6 +258,38 @@ object PipelineQueries {
       .select(col("doc_id"),
         size(split(lower(col("text")), " ")).cast("long").as("n_tokens"))
       .filter(col("n_tokens") >= SpanW)
+
+  /** The window relation AS A MAINTAINED MAP VIEW: src_key = doc_id, one
+    * emission per window position carrying `(doc_id, pos)` under the
+    * window text key. Because the document is the source entry, span
+    * dedup inherits the engine's incremental maintenance whole — a
+    * rewrite delete-then-inserts exactly that document's windows and a
+    * tombstone retracts them; the `%37` rewrite text is SHORTER than
+    * SpanW, so rewritten docs exercise the empty-emission path (all old
+    * windows must vanish, no new ones appear). */
+  private def spanWinMapIndex(name: String): MapIndex = {
+    val toks = split(lower(col("text")), " ")
+    val emits = when(size(toks) >= SpanW,
+      transform(sequence(lit(1), size(toks) - lit(SpanW - 1)),
+        p => emit(array_join(slice(toks, p, lit(SpanW)), " "),
+          struct(col("doc_id"), p.as("pos")))))
+      .otherwise(array().cast(
+        "array<struct<emit_key:string,emit_value:struct<doc_id:bigint,pos:int>>>"))
+    MapIndex.columns(name)(col("doc_id").cast("string"), emits)
+  }
+
+  private val spanWinIncIdx = spanWinMapIndex("doc_spanwins_inc")
+
+  private def incSpanWinView(s: SparkSession, dir: String) =
+    Views.cached(dir, spanWinIncIdx.name) {
+      val base = spanWinIncIdx.materialize(docs(s, dir), Views.store(s, dir))
+      val ups = docs(s, dir)
+        .filter(col("doc_id") % 37 === 0 && col("doc_id") % 41 =!= 0)
+        .withColumn("text", lit("spark join spark stream"))
+      val dels = docs(s, dir).filter(col("doc_id") % 41 === 0)
+        .select(col("doc_id").cast("string").as("src_key")).distinct()
+      base.refresh(ups, Some(dels))
+    }
 
   /** Merge marked window-start positions `(doc_id, pos)` into maximal
     * token spans `[st, en]` (each window covers SpanW tokens):
@@ -701,6 +734,26 @@ object PipelineQueries {
     // shuffle keys); the string key here keeps the oracle mirror exact.
     "dedup_substring_spans" -> ((s, dir) => {
       val wins = spanWindows(s, dir)
+      val dup = wins.groupBy("win")
+        .agg(count_distinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 2)
+      val hits = wins.join(dup.select("win"), Seq("win"), "left_semi")
+        .select("doc_id", "pos")
+      mergeWindowSpans(hits)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_spans"), sum(col("en") - col("st") + 1).as("dup_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    // span detection served from the MAINTAINED window-posting view
+    // after the shared document change batch went through its refresh
+    // path — the oracle recomputes spans from the modified corpus, so
+    // stale windows (a rewritten doc's old windows, a tombstoned doc's
+    // any windows) hash-mismatch
+    "dedup_substring_incremental" -> ((s, dir) => {
+      val wins = incSpanWinView(s, dir).df
+        .select(col("emit_key").as("win"),
+          col("emit_value.doc_id").as("doc_id"), col("emit_value.pos").as("pos"))
       val dup = wins.groupBy("win")
         .agg(count_distinct(col("doc_id")).as("nd"))
         .filter(col("nd") >= 2)
@@ -1475,6 +1528,38 @@ object PipelineQueries {
     "dedup_substring_spans" ->
       """WITH tok AS (
         |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |win AS (
+        |  SELECT doc_id, pos, array_to_string(toks[pos:pos+7], ' ') AS win
+        |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 6)) AS pos FROM tok)),
+        |dup AS (
+        |  SELECT win FROM win GROUP BY win HAVING count(DISTINCT doc_id) >= 2),
+        |hit AS (SELECT doc_id, pos FROM win JOIN dup USING (win)),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |         max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        |  FROM hit),
+        |num AS (
+        |  SELECT doc_id, pos,
+        |         CASE WHEN prev_end IS NULL OR pos > prev_end + 1 THEN 1 ELSE 0 END AS ni
+        |  FROM isl),
+        |sp AS (
+        |  SELECT doc_id, pos, sum(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+        |  FROM num),
+        |spans AS (
+        |  SELECT doc_id, g, min(pos) AS st, max(pos + 7) AS en FROM sp GROUP BY 1, 2)
+        |SELECT doc_id, count(*) AS n_spans, CAST(sum(en - st + 1) AS BIGINT) AS dup_tokens
+        |FROM spans GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    // spans recomputed from the MODIFIED corpus (the %37 rewrite is
+    // 4 tokens — below the window width, so those docs contribute none)
+    "dedup_substring_incremental" ->
+      """WITH corpus AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 37 = 0 THEN 'spark join spark stream'
+        |              ELSE lower(text) END AS text
+        |  FROM documents WHERE doc_id % 41 <> 0),
+        |tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
         |win AS (
         |  SELECT doc_id, pos, array_to_string(toks[pos:pos+7], ' ') AS win
         |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 6)) AS pos FROM tok)),

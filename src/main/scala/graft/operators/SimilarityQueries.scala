@@ -1080,6 +1080,53 @@ object SimilarityQueries {
     rankTopK(scored)
   }
 
+  /** The BULK-probe spelling of [[ivfpqTopKFromView]] — the IVF-PQ twin
+    * of the bulk contract: cell prune via shuffle semi-join (no driver
+    * In-list), ADC scoring over stored M-byte codes with the probe's
+    * table carried through the equi-join (no broadcast), and both the
+    * refine cut and the exact final rank through the bounded-heap
+    * `topk_by` aggregate (no windows). The plan a data-sized probe batch
+    * runs: cost scales with probe volume × probed cell mass ÷ 64×
+    * compression. */
+  def ivfpqTopKBulk(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.Sketches.register(s)
+    val (store, cents, books) = ivfpqCellsView(s, dir)
+    val nProbe = probesFor(cents.length)
+    val m = modifiedEmb(s, dir)
+    val probes = m.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("norm").as("pn"))
+      .withColumn("lut", pqLutExpr(books, col("pv")))
+    val probeCells = probes
+      .withColumn("pscored", array_sort(cellScores(cents, col("pv"))))
+      .withColumn("cid0", explode(expr(s"slice(transform(pscored, s -> s.idx), 1, $nProbe)")))
+      .withColumn("cid", col("cid0").cast("string"))
+      .select("probe_id", "cid", "lut")
+    val qcells = store.df("emb_ivfpq_cells")
+      .select(col("emit_key").as("cid"), col("emit_value.vec_id").as("vec_id"),
+        col("emit_value.codes").as("codes"), col("emit_value.qn").as("qn"))
+      .filter(col("qn") > 0)
+      .join(probeCells.select("cid").distinct().hint("shuffle_hash"),
+        Seq("cid"), "left_semi")
+    val approx = qcells.join(probeCells.hint("shuffle_hash"), Seq("cid"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("adc",
+        call_function("pq_adc", col("codes"), col("lut"), lit(PqKs)) / col("qn"))
+    val cands = approx.groupBy("probe_id")
+      .agg(expr(s"topk_by(adc, vec_id, ${K * PqRefine})").as("top"))
+      .select(col("probe_id"), explode(expr("transform(top, t -> t.id)")).as("vec_id"))
+    val scored = cands
+      .join(m.select(col("vec_id"), col("v"), col("norm")).hint("shuffle_hash"), Seq("vec_id"))
+      .join(probes.select("probe_id", "pv", "pn").hint("shuffle_hash"), Seq("probe_id"))
+      .withColumn("cos", round(dot(col("pv"), col("v")) / (col("pn") * col("norm")), 6))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("cos"))
+    scored.groupBy("probe_id")
+      .agg(expr(s"topk_by(cos, neighbor_id, $K)").as("top"))
+      .select(col("probe_id"), posexplode(col("top")).as(Seq("r0", "t")))
+      .select(col("probe_id"), col("t.id").as("neighbor_id"),
+        col("t.score").as("cos"), (col("r0") + 1).cast("long").as("rank"))
+      .orderBy("probe_id", "rank")
+  }
+
   /** Per-(corpus) cache of the stored SQ8 relation + its scale. */
   private val sqViews = TrieMap.empty[String, Double]
   private val SqViewName = "emb_sq8"
@@ -1617,6 +1664,29 @@ object SimilarityQueries {
           (col("nf") >= col("n_pairs") * lit(IvfPqRecallBound)).as("recall_ok"))
     }),
 
+    // the composed IVF-PQ index probed through the BULK plan
+    // ([[ivfpqTopKBulk]]): shuffle semi-join cell prune over 8-byte
+    // codes, bounded-heap selection, nothing broadcast — identical
+    // modified-corpus ground truth as the model-sized composed path
+    "sim_ivfpq_bulk" -> ((s, dir) => {
+      val e = modifiedEmb(s, dir)
+      val probes = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("norm").as("pn"))
+      val brute = rankTopK(
+        e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+          .withColumn("cos", round(dot(col("pv"), col("v")) / (col("pn") * col("norm")), 6))
+          .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("cos")))
+        .select("probe_id", "neighbor_id")
+      val ivfpq = ivfpqTopKBulk(s, dir).select("probe_id", "neighbor_id")
+        .withColumn("f", lit(1L))
+      brute.join(ivfpq, Seq("probe_id", "neighbor_id"), "left_outer")
+        .agg(count_distinct(col("probe_id")).as("n_probes"),
+          count(lit(1)).as("n_pairs"),
+          coalesce(sum(col("f")), lit(0L)).as("nf"))
+        .select(col("n_probes"), col("n_pairs"),
+          (col("nf") >= col("n_pairs") * lit(IvfPqRecallBound)).as("recall_ok"))
+    }),
+
     // the SQ8 view probed through the BULK plan ([[sqTopKBulk]]): no
     // probe broadcast, no driver In-list, bounded-heap selection instead
     // of windows — graded against the identical modified-corpus ground
@@ -1810,6 +1880,17 @@ object SimilarityQueries {
     // the composed IVF-PQ index graded against the same modified-corpus
     // ground truth as the other maintained indexes
     "sim_ivfpq_topk" ->
+      s"""WITH corpus AS (
+         |  SELECT vec_id,
+         |         CASE WHEN vec_id % 37 = 0 THEN list_reverse(embedding)
+         |              ELSE embedding END AS embedding
+         |  FROM embeddings WHERE vec_id % 41 <> 0)
+         |SELECT count(DISTINCT probe_id) AS n_probes, count(*) AS n_pairs,
+         |       true AS recall_ok
+         |FROM (${bruteTopkSqlOver("corpus")})""".stripMargin,
+    // the IVF-PQ bulk plan reads the same maintained view as the
+    // model-sized composed path, so the identical ground truth grades it
+    "sim_ivfpq_bulk" ->
       s"""WITH corpus AS (
          |  SELECT vec_id,
          |         CASE WHEN vec_id % 37 = 0 THEN list_reverse(embedding)

@@ -86,6 +86,34 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("array<tinyint>"), s"quantized codes must be read:\n$p")
   }
 
+  test("ivfpqTopKBulk: semi-join cell prune, heap selection, nothing broadcast") {
+    import graft.operators.SimilarityQueries
+    val df = SimilarityQueries.ivfpqTopKBulk(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("ShuffledHashJoin"), s"expected hinted shuffle joins:\n$p")
+    assert(!p.contains("BroadcastHashJoin") && !p.contains("BroadcastNestedLoopJoin"),
+      s"bulk composed path must not broadcast probes or index rows:\n$p")
+    assert(!p.contains("isInCollection") && !p.contains(" In(emit_key"),
+      s"bulk composed path must not collect cell ids to the driver:\n$p")
+    assert(!p.contains("Window"), s"bulk composed path must not window-sort:\n$p")
+    assert(p.contains("ObjectHashAggregate"), s"expected topk_by heap aggregation:\n$p")
+    assert(p.contains("array<tinyint>"), s"PQ codes must be read:\n$p")
+  }
+
+  test("IVF-PQ: stored scan is cell-pruned and reads M-byte codes") {
+    import graft.operators.SimilarityQueries
+    val df = SimilarityQueries.ivfpqTopKFromView(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the probed cell ids reach the stored parquet scan as a pushed
+    // In-filter, and candidate scoring reads array<tinyint> codes — the
+    // only float-vector reads are the probe relation and the exact rerank
+    assert(p.contains("In(emit_key"), s"cell prune must push to the stored scan:\n$p")
+    assert(p.contains("array<tinyint>"), s"PQ codes must be read:\n$p")
+    assert(p.contains("pq_adc"), s"ADC scoring must run on the stored codes:\n$p")
+  }
+
   test("IVF-SQ8: stored scan is cell-pruned and reads int8 codes, no floats") {
     import graft.operators.SimilarityQueries
     val df = SimilarityQueries.ivfsqTopKFromView(spark, sf)
