@@ -726,18 +726,23 @@ object PipelineQueries {
     // shared VERBATIM across ≥2 documents marks its positions, and
     // overlapping/adjacent marked windows merge into maximal spans per
     // document (gaps-and-islands over a per-doc sort window). Shape: one
-    // position-exploded window relation, a linear groupBy on the window,
-    // a semi-join back, and a per-doc window pass — no pairwise join
-    // anywhere, so cost is corpus tokens + duplicated-window volume, not
-    // doc pairs. At 100 TB the groupBy/semi-join key would be a 64-bit
-    // rolling hash of the window (content-identical shape, 8-byte
-    // shuffle keys); the string key here keeps the oracle mirror exact.
+    // position-exploded window relation, TWO-PHASE dup detection — the
+    // corpus-wide shuffle groups on the 64-bit window hash (8-byte keys,
+    // not ~50-char strings), then the duplicated-hash candidate subset
+    // re-groups on the exact window text (collision-proof, and that
+    // subset is duplicated-window-sized, not corpus-sized) — a semi-join
+    // back, and a per-doc window pass. No pairwise join anywhere: cost
+    // is corpus tokens + duplicated-window volume, not doc pairs.
     "dedup_substring_spans" -> ((s, dir) => {
-      val wins = spanWindows(s, dir)
-      val dup = wins.groupBy("win")
+      val wins = spanWindows(s, dir).withColumn("h", xxhash64(col("win")))
+      val dupH = wins.groupBy("h")
+        .agg(count_distinct(col("doc_id")).as("ndh"))
+        .filter(col("ndh") >= 2)
+      val cand = wins.join(dupH.select("h"), Seq("h"), "left_semi")
+      val dup = cand.groupBy("win")
         .agg(count_distinct(col("doc_id")).as("nd"))
         .filter(col("nd") >= 2)
-      val hits = wins.join(dup.select("win"), Seq("win"), "left_semi")
+      val hits = cand.join(dup.select("win"), Seq("win"), "left_semi")
         .select("doc_id", "pos")
       mergeWindowSpans(hits)
         .groupBy("doc_id")
@@ -772,14 +777,20 @@ object PipelineQueries {
     // cut per document. Same linear shape as the detection query — the
     // keeper choice rides the window groupBy that already exists.
     "dedup_substring_removal" -> ((s, dir) => {
-      val wins = spanWindows(s, dir)
+      val wins = spanWindows(s, dir).withColumn("h", xxhash64(col("win")))
+      // same two-phase prune as the detection query: hash keys through
+      // the corpus-wide shuffle, exact string keys on the candidates
+      val dupH = wins.groupBy("h")
+        .agg(count_distinct(col("doc_id")).as("ndh"))
+        .filter(col("ndh") >= 2)
+      val cand = wins.join(dupH.select("h"), Seq("h"), "left_semi")
       // (doc_id, pos) packed into one orderable key: pos < 1e6 always
       // (documents are ~100s of tokens; a longer corpus widens the pack)
       val occ = col("doc_id") * lit(1000000L) + col("pos")
-      val dup = wins.groupBy("win")
+      val dup = cand.groupBy("win")
         .agg(count_distinct(col("doc_id")).as("nd"), min(occ).as("firstk"))
         .filter(col("nd") >= 2)
-      val marked = wins.join(dup.select("win", "firstk"), Seq("win"))
+      val marked = cand.join(dup.select("win", "firstk"), Seq("win"))
         .filter(occ =!= col("firstk"))
         .select("doc_id", "pos")
       mergeWindowSpans(marked)

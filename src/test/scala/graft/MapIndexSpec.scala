@@ -352,11 +352,14 @@ class MapIndexSpec extends AnyFunSuite with SparkSpec {
     sys.props("graft.views.root") = root
     try {
       SimilarityQueries.sqTopKFromView(spark, corpus.toString).collect()
+      SimilarityQueries.ivfpqTopKFromView(spark, corpus.toString).collect()
       PipelineQueries.queries("dedup_pairs_incremental")(spark, corpus.toString).collect()
       val store = Views.bucketedStore(spark, corpus.toString)
       val sqE = store.epoch("emb_sq8_inc")
+      val pqE = store.epoch("emb_ivfpq_cells")
       val pgE = store.epoch("pairgraph_inc_pairs")
       assert(Views.unitDone(store.baseDir, "emb_sq8_inc"))
+      assert(Views.unitDone(store.baseDir, "emb_ivfpq_cells"))
       assert(Views.unitDone(store.baseDir, "pairgraph_inc"))
       // fresh-process simulation: per-JVM caches dropped, same root —
       // the reopened store must SERVE both units (same epochs, no
@@ -365,10 +368,15 @@ class MapIndexSpec extends AnyFunSuite with SparkSpec {
       PipelineQueries.resetCachesForTest()
       Views.dropStoresForTest(corpus.toString)
       SimilarityQueries.sqTopKFromView(spark, corpus.toString).collect()
+      // the IVF-PQ reopen additionally parses the persisted mixed model
+      // (64-dim centroid rows ++ 8-dim codebook rows, split by length)
+      SimilarityQueries.ivfpqTopKFromView(spark, corpus.toString).collect()
       PipelineQueries.queries("dedup_pairs_incremental")(spark, corpus.toString).collect()
       val store2 = Views.bucketedStore(spark, corpus.toString)
       assert(store2.epoch("emb_sq8_inc") === sqE,
         "reopen must serve the SQ8 unit, not rebuild it")
+      assert(store2.epoch("emb_ivfpq_cells") === pqE,
+        "reopen must serve the IVF-PQ unit from its persisted model")
       assert(store2.epoch("pairgraph_inc_pairs") === pgE,
         "reopen must serve the pair-graph unit, not rebuild it")
       // corpus rewrite rolls the fingerprint: the store restarts empty,
