@@ -1,6 +1,6 @@
 package graft.engine
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
@@ -65,4 +65,32 @@ object Layout {
       .agg(sum(valueCol).as("_partial"), count(lit(1)).as("_n"))
       .groupBy(col(key))
       .agg(sum("_partial").as(out), sum("_n").as("cnt"))
+
+  /** Morton (Z-order) value of two non-negative keys: their low `bits`
+    * bits interleaved (a's bit i at position 2i+1, b's at 2i). Built from
+    * plain bit-op columns — 3·bits codegen'd integer ops per row, no UDF. */
+  def zValue(a: Column, b: Column, bits: Int = 16): Column =
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i + 1))
+        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i))
+    }
+
+  /** Write `df` Z-ORDERED on two columns: rows range-partitioned and
+    * sorted by the interleaved key, so every output file (= row group at
+    * this scale) covers one compact 2-D tile. Parquet min/max stats on
+    * BOTH columns then tighten together and a 2-D box predicate prunes
+    * most of the table at the reader — where a 1-D sort leaves the second
+    * column's stats full-range in every file and an unsorted layout
+    * leaves both. The multi-dimensional clustering trick every large
+    * lakehouse layout uses, spelled with stock Spark: no custom writer,
+    * just repartitionByRange + sortWithinPartitions on the z column. */
+  def saveZOrdered(df: DataFrame, path: String,
+      a: String, b: String, files: Int): Unit = {
+    df.withColumn("_z", zValue(col(a).cast("long"), col(b).cast("long")))
+      .repartitionByRange(files, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+      .write.mode("overwrite").parquet(path)
+  }
 }

@@ -85,6 +85,45 @@ class LayoutSpec extends AnyFunSuite with SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("z-ordered layout: a 2-D box scan reads a fraction of what an unsorted copy reads") {
+    import java.nio.file.Files
+    val sf = "/root/testdata/sf0.001"
+    val li = Tables.lineitem(spark, sf)
+      .select("l_partkey", "l_suppkey", "l_quantity", "l_extendedprice")
+    val total = li.count()
+    val zPath = Files.createTempDirectory("graft-z-").toString + "/z"
+    val flatPath = Files.createTempDirectory("graft-z-").toString + "/flat"
+    Layout.saveZOrdered(li, zPath, "l_partkey", "l_suppkey", 64)
+    // unsorted contrast copy in the same number of files: every file's
+    // min/max stats cover the whole key range, so nothing prunes
+    li.repartition(64).write.parquet(flatPath)
+    // AQE wraps the executed plan in adaptive stages that hide the scan
+    // leaf; this test inspects scan metrics, so run it non-adaptive
+    def scanRows(path: String): (Long, Long) = {
+      val df = spark.read.parquet(path)
+        .filter(col("l_partkey").between(50, 80) && col("l_suppkey").between(2, 4))
+        .agg(count(lit(1)))
+      val matched = df.collect()(0).getLong(0)
+      val scan = df.queryExecution.executedPlan.collectLeaves()
+        .collectFirst { case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+        .getOrElse(fail("no FileSourceScanExec leaf"))
+      (matched, scan.metrics("numOutputRows").value)
+    }
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val ((zMatched, zRead), (fMatched, fRead)) =
+      try (scanRows(zPath), scanRows(flatPath))
+      finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    assert(zMatched === fMatched, "layout must never change results")
+    // unsorted: every row group survives the pushed box predicate
+    assert(fRead === total, s"unsorted copy should read everything, read $fRead of $total")
+    // z-ordered: only tiles intersecting the box survive — the stats
+    // prune must cut the scan to a fraction of the table
+    assert(zRead <= total / 2,
+      s"z-ordered scan should prune most row groups: read $zRead of $total")
+    assert(zRead >= zMatched, "sanity: scan output covers the matches")
+  }
+
   test("salted aggregation equals direct aggregation on skewed data") {
     // 10k rows where one key holds 90% of the data
     val skewed = spark.range(10000)
