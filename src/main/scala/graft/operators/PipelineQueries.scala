@@ -226,7 +226,9 @@ object PipelineQueries {
     incBm25View(s, dir)
     lenAgg(s, dir)
     incLenAgg(s, dir)
+    spanWinView(s, dir)
     incSpanWinView(s, dir)
+    streamedSpanWinView(s, dir)
     pairsView(s, dir)
     incPairGraph(s, dir)
     incWinnowGraph(s, dir)
@@ -278,6 +280,16 @@ object PipelineQueries {
     MapIndex.columns(name)(col("doc_id").cast("string"), emits)
   }
 
+  /** Base-corpus window view, materialized once at prewarm (compute-on-
+    * write): span-removal and any other span consumer read the stored
+    * postings instead of re-tokenizing the corpus per query. */
+  private val spanWinIdx = spanWinMapIndex("doc_spanwins")
+
+  private def spanWinView(s: SparkSession, dir: String) =
+    Views.cached(dir, spanWinIdx.name) {
+      spanWinIdx.materialize(docs(s, dir), Views.store(s, dir))
+    }
+
   private val spanWinIncIdx = spanWinMapIndex("doc_spanwins_inc")
 
   private def incSpanWinView(s: SparkSession, dir: String) =
@@ -290,6 +302,66 @@ object PipelineQueries {
         .select(col("doc_id").cast("string").as("src_key")).distinct()
       base.refresh(ups, Some(dels))
     }
+
+  /** The window view built PURELY through streaming micro-batches: three
+    * bootstrap thirds, then the shared upsert+tombstone batch through the
+    * streaming contract's `deleted` split — the driver's hash gate then
+    * grades the streaming write path against the same modified-corpus
+    * recompute that grades the batch-incremental view. */
+  private val spanWinStreamIdx = spanWinMapIndex("doc_spanwins_stream")
+  private val spanStreamViews =
+    scala.collection.concurrent.TrieMap.empty[String, graft.engine.MaterializedView]
+
+  private def streamedSpanWinView(s: SparkSession, dir: String): graft.engine.MaterializedView =
+    spanStreamViews.getOrElseUpdate(dir, {
+      val store = Views.store(s, dir)
+      val smi = new graft.streaming.StreamingMapIndex(spanWinStreamIdx, store)
+      val d = docs(s, dir)
+      (0 to 2).foreach(r =>
+        smi.applyBatch(d.filter(col("doc_id") % 3 === r).select("doc_id", "text")))
+      val ups = d.filter(col("doc_id") % 37 === 0 && col("doc_id") % 41 =!= 0)
+        .withColumn("text", lit("spark join spark stream"))
+        .select("doc_id", "text").withColumn("deleted", lit(false))
+      val dels = d.filter(col("doc_id") % 41 === 0)
+        .select(col("doc_id").cast("string").as("key"))
+        .withColumn("deleted", lit(true))
+      smi.applyBatch(ups.unionByName(dels, allowMissingColumns = true))
+      store.load(spanWinStreamIdx)
+    })
+
+  /** Span detection recomputed from the MODIFIED corpus — the shared
+    * ground truth for both maintained-window-view spellings (batch
+    * incremental and streaming-built). */
+  private val substringModifiedSql =
+    """WITH corpus AS (
+      |  SELECT doc_id,
+      |         CASE WHEN doc_id % 37 = 0 THEN 'spark join spark stream'
+      |              ELSE lower(text) END AS text
+      |  FROM documents WHERE doc_id % 41 <> 0),
+      |tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
+      |win AS (
+      |  SELECT doc_id, pos, array_to_string(toks[pos:pos+7], ' ') AS win
+      |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 6)) AS pos FROM tok)),
+      |dup AS (
+      |  SELECT win FROM win GROUP BY win HAVING count(DISTINCT doc_id) >= 2),
+      |hit AS (SELECT doc_id, pos FROM win JOIN dup USING (win)),
+      |isl AS (
+      |  SELECT doc_id, pos,
+      |         max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+      |  FROM hit),
+      |num AS (
+      |  SELECT doc_id, pos,
+      |         CASE WHEN prev_end IS NULL OR pos > prev_end + 1 THEN 1 ELSE 0 END AS ni
+      |  FROM isl),
+      |sp AS (
+      |  SELECT doc_id, pos, sum(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+      |  FROM num),
+      |spans AS (
+      |  SELECT doc_id, g, min(pos) AS st, max(pos + 7) AS en FROM sp GROUP BY 1, 2)
+      |SELECT doc_id, count(*) AS n_spans, CAST(sum(en - st + 1) AS BIGINT) AS dup_tokens
+      |FROM spans GROUP BY 1 ORDER BY doc_id""".stripMargin
 
   /** Merge marked window-start positions `(doc_id, pos)` into maximal
     * token spans `[st, en]` (each window covers SpanW tokens):
@@ -770,6 +842,24 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // the same detection from the view built ONLY through streaming
+    // micro-batches — identical modified-corpus oracle, so the streaming
+    // write path must land exactly the state the batch paths land
+    "dedup_substring_streamed" -> ((s, dir) => {
+      val wins = streamedSpanWinView(s, dir).df
+        .select(col("emit_key").as("win"),
+          col("emit_value.doc_id").as("doc_id"), col("emit_value.pos").as("pos"))
+      val dup = wins.groupBy("win")
+        .agg(count_distinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 2)
+      val hits = wins.join(dup.select("win"), Seq("win"), "left_semi")
+        .select("doc_id", "pos")
+      mergeWindowSpans(hits)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_spans"), sum(col("en") - col("st") + 1).as("dup_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // the REMOVAL accounting downstream of span detection: for every
     // cross-doc duplicated window, the globally-first occurrence (min
     // (doc_id, pos)) survives and every other occurrence is marked;
@@ -777,7 +867,14 @@ object PipelineQueries {
     // cut per document. Same linear shape as the detection query — the
     // keeper choice rides the window groupBy that already exists.
     "dedup_substring_removal" -> ((s, dir) => {
-      val wins = spanWindows(s, dir).withColumn("h", xxhash64(col("win")))
+      // served from the STORED window view (materialized at prewarm) —
+      // the removal pass is a consumer of the maintained index, not a
+      // re-derivation; only the oracle-mirrored detection query above
+      // re-tokenizes the corpus
+      val wins = spanWinView(s, dir).df
+        .select(col("emit_value.doc_id").as("doc_id"),
+          col("emit_value.pos").as("pos"), col("emit_key").as("win"))
+        .withColumn("h", xxhash64(col("win")))
       // same two-phase prune as the detection query: hash keys through
       // the corpus-wide shuffle, exact string keys on the candidates
       val dupH = wins.groupBy("h")
@@ -1563,36 +1660,10 @@ object PipelineQueries {
         |FROM spans GROUP BY 1 ORDER BY doc_id""".stripMargin,
     // spans recomputed from the MODIFIED corpus (the %37 rewrite is
     // 4 tokens — below the window width, so those docs contribute none)
-    "dedup_substring_incremental" ->
-      """WITH corpus AS (
-        |  SELECT doc_id,
-        |         CASE WHEN doc_id % 37 = 0 THEN 'spark join spark stream'
-        |              ELSE lower(text) END AS text
-        |  FROM documents WHERE doc_id % 41 <> 0),
-        |tok AS (
-        |  SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
-        |win AS (
-        |  SELECT doc_id, pos, array_to_string(toks[pos:pos+7], ' ') AS win
-        |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 6)) AS pos FROM tok)),
-        |dup AS (
-        |  SELECT win FROM win GROUP BY win HAVING count(DISTINCT doc_id) >= 2),
-        |hit AS (SELECT doc_id, pos FROM win JOIN dup USING (win)),
-        |isl AS (
-        |  SELECT doc_id, pos,
-        |         max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
-        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
-        |  FROM hit),
-        |num AS (
-        |  SELECT doc_id, pos,
-        |         CASE WHEN prev_end IS NULL OR pos > prev_end + 1 THEN 1 ELSE 0 END AS ni
-        |  FROM isl),
-        |sp AS (
-        |  SELECT doc_id, pos, sum(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS g
-        |  FROM num),
-        |spans AS (
-        |  SELECT doc_id, g, min(pos) AS st, max(pos + 7) AS en FROM sp GROUP BY 1, 2)
-        |SELECT doc_id, count(*) AS n_spans, CAST(sum(en - st + 1) AS BIGINT) AS dup_tokens
-        |FROM spans GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "dedup_substring_incremental" -> substringModifiedSql,
+    // the streaming-built window view serves the same modified-corpus
+    // ground truth as the batch-refreshed one
+    "dedup_substring_streamed" -> substringModifiedSql,
     // keep-first removal accounting: the occurrence with the smallest
     // (doc_id, pos) — packed as doc_id·1e6 + pos — survives per window
     "dedup_substring_removal" ->
