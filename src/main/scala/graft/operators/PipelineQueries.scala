@@ -1357,6 +1357,43 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // composite rule-based quality gate (the C4/Gopher-style filter
+    // chain a pretraining pipeline actually ships): length window, mean
+    // token length, stopword floor, single-token repetition cap, distinct
+    // -token floor — every rule scan-local, the verdict one boolean AND,
+    // reported per source with a per-rule failure breakdown (the
+    // operational view: WHICH rule is eating a source's docs)
+    "text_c4_filters" -> ((s, dir) => {
+      val toks = split(lower(col("text")), " ")
+      val base = docs(s, dir).select(col("doc_id"), col("source"),
+        size(toks).cast("long").as("n_tokens"),
+        aggregate(toks, lit(0), (a, x) => a + length(x)).cast("long").as("sum_len"),
+        T.stopwordCount(col("text")).cast("long").as("n_stop"),
+        array_max(transform(array_distinct(toks),
+          t => size(filter(toks, x => x === t)))).cast("long").as("max_rep"),
+        size(array_distinct(toks)).cast("long").as("n_distinct"))
+      val meanLen = col("sum_len").cast("double") / col("n_tokens")
+      val flagged = base
+        .withColumn("ok_len", col("n_tokens").between(20, 400))
+        .withColumn("ok_mean", meanLen >= 3.0 && meanLen <= 6.0)
+        .withColumn("ok_stop", col("n_stop") >= 1)
+        .withColumn("ok_rep",
+          col("max_rep").cast("double") / col("n_tokens") <= 0.2)
+        .withColumn("ok_dist",
+          col("n_distinct").cast("double") / col("n_tokens") >= 0.4)
+        .withColumn("pass", col("ok_len") && col("ok_mean") && col("ok_stop") &&
+          col("ok_rep") && col("ok_dist"))
+      flagged.groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("pass"), 1L).otherwise(0L)).as("n_pass"),
+          sum(when(!col("ok_len"), 1L).otherwise(0L)).as("n_fail_len"),
+          sum(when(!col("ok_mean"), 1L).otherwise(0L)).as("n_fail_meanlen"),
+          sum(when(!col("ok_rep"), 1L).otherwise(0L)).as("n_fail_rep"),
+          sum(when(!col("ok_dist"), 1L).otherwise(0L)).as("n_fail_distinct"),
+          sum(when(col("pass"), col("n_tokens")).otherwise(0L)).as("pass_tokens"))
+        .orderBy("source")
+    }),
+
     // language-ID heuristic (marker-token argmax) vs the labeled lang:
     // confusion-matrix counts
     "text_langid" -> ((s, dir) =>
@@ -1714,6 +1751,40 @@ object PipelineQueries {
          |                   / len(string_split(text, ' ')), 6) * 0.4
          |             + least(len(string_split(text, ' ')), 100) * 0.006, 6) AS quality_score
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_c4_filters" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source, string_split(lower(text), ' ') AS toks
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id, source,
+         |         len(toks) AS n_tokens,
+         |         list_sum(list_transform(toks, x -> length(x))) AS sum_len,
+         |         len(list_filter(toks, x -> x IN ($stopListSql))) AS n_stop,
+         |         list_max(list_transform(list_distinct(toks),
+         |           t2 -> len(list_filter(toks, x -> x = t2)))) AS max_rep,
+         |         len(list_distinct(toks)) AS n_distinct
+         |  FROM t),
+         |f AS (
+         |  SELECT source, n_tokens,
+         |         (n_tokens BETWEEN 20 AND 400) AS ok_len,
+         |         (CAST(sum_len AS DOUBLE) / n_tokens >= 3.0
+         |          AND CAST(sum_len AS DOUBLE) / n_tokens <= 6.0) AS ok_mean,
+         |         (n_stop >= 1) AS ok_stop,
+         |         (CAST(max_rep AS DOUBLE) / n_tokens <= 0.2) AS ok_rep,
+         |         (CAST(n_distinct AS DOUBLE) / n_tokens >= 0.4) AS ok_dist
+         |  FROM m),
+         |g AS (
+         |  SELECT source, n_tokens, ok_len, ok_mean, ok_rep, ok_dist,
+         |         (ok_len AND ok_mean AND ok_stop AND ok_rep AND ok_dist) AS pass
+         |  FROM f)
+         |SELECT source, count(*) AS n_docs,
+         |       CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+         |       CAST(sum(CASE WHEN NOT ok_len THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_len,
+         |       CAST(sum(CASE WHEN NOT ok_mean THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_meanlen,
+         |       CAST(sum(CASE WHEN NOT ok_rep THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_rep,
+         |       CAST(sum(CASE WHEN NOT ok_dist THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_distinct,
+         |       CAST(sum(CASE WHEN pass THEN n_tokens ELSE 0 END) AS BIGINT) AS pass_tokens
+         |FROM g GROUP BY source ORDER BY source""".stripMargin,
     "text_langid" ->
       s"""SELECT lang, $langCaseSql AS pred_lang, count(*) AS cnt
          |FROM documents GROUP BY 1, 2 ORDER BY lang, pred_lang""".stripMargin,
