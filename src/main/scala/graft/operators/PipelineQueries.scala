@@ -198,7 +198,7 @@ object PipelineQueries {
     * the matched postings only, `N`/`avgdl` from the one-row stats state.
     * The idf/score arithmetic is written operation-for-operation like the
     * DuckDB oracle so the `round(…, 4)` hashes agree. */
-  private def bm25Search(post0: DataFrame, stats0: DataFrame): DataFrame = {
+  private def bm25Scores(post0: DataFrame, stats0: DataFrame): DataFrame = {
     val post = post0
       .filter(col("emit_key").isInCollection(SearchTerms))
       .select(col("emit_key").as("w"), col("emit_value.doc_id").as("doc_id"),
@@ -214,8 +214,10 @@ object PipelineQueries {
         col("idf") * (col("tf") * lit(Bm25K1 + 1.0)) /
           (col("tf") + lit(Bm25K1) * (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl"))))
       .groupBy("doc_id").agg(round(sum("contrib"), 4).as("score"))
-      .orderBy(col("score").desc, col("doc_id")).limit(20)
   }
+
+  private def bm25Search(post0: DataFrame, stats0: DataFrame): DataFrame =
+    bm25Scores(post0, stats0).orderBy(col("score").desc, col("doc_id")).limit(20)
 
   /** Materialize the stored postings + pair graph eagerly (write-time
     * cost) so bench timings measure the indexed read path. */
@@ -1227,6 +1229,42 @@ object PipelineQueries {
     "search_bm25_incremental" -> ((s, dir) =>
       bm25Search(incBm25View(s, dir).df, incLenAgg(s, dir).state)),
 
+    // hybrid retrieval: reciprocal-rank fusion (k=60) of the BM25 arm
+    // (maintained postings + stats) and the dense arm (cosine against a
+    // fixed probe embedding, doc_id ↔ vec_id) — the keyword ∪ vector
+    // union a modern retrieval stack serves. Each arm contributes
+    // 1/(60+rank) over its top-50; ranks are total orders (rounded
+    // score desc, id asc) so the fusion is exactly reproducible. The
+    // dense arm here is the exact tier; any ANN tier (LSH/IVF/SQ/PQ)
+    // plugs into the same fusion shape when recall<1 is acceptable.
+    "search_hybrid_rrf" -> ((s, dir) => {
+      graft.functions.VectorFunctions.register(s)
+      val bmScored = bm25Scores(bm25View(s, dir).df, lenAgg(s, dir).state)
+      // single-partition windows: both arms are top-50 model-sized lists
+      // (a data-sized variant would TakeOrdered per arm instead)
+      val wB = Window.orderBy(col("score").desc, col("doc_id"))
+      val bm50 = bmScored.withColumn("r", row_number().over(wB))
+        .filter(col("r") <= 50)
+        .select(col("doc_id"), (lit(1.0) / (col("r") + 60)).as("s_bm"))
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("norm", sqrt(expr("vec_dot(v, v)")))
+        .filter(col("norm") > 0)
+      val probe = e.filter(col("vec_id") === 0)
+        .select(col("v").as("pv"), col("norm").as("pn"))
+      val cosd = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(probe))
+        .withColumn("c", round(expr("vec_dot(pv, v)") / (col("pn") * col("norm")), 6))
+        .select(col("vec_id").as("doc_id"), col("c"))
+      val wV = Window.orderBy(col("c").desc, col("doc_id"))
+      val v50 = cosd.withColumn("r", row_number().over(wV))
+        .filter(col("r") <= 50)
+        .select(col("doc_id"), (lit(1.0) / (col("r") + 60)).as("s_v"))
+      bm50.join(v50, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          round(coalesce(col("s_bm"), lit(0.0)) + coalesce(col("s_v"), lit(0.0)), 6).as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id")).limit(10)
+    }),
+
     // end-to-end curation: fingerprint-dedup keepers ∩ language-ID
     // agreement ∩ minimum length — the composed filter chain a training
     // data pipeline actually ships, in one declarative plan (semi-join on
@@ -1891,6 +1929,42 @@ object PipelineQueries {
         |                * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) ), 4) AS score
         |FROM tf JOIN dfq USING (w) CROSS JOIN stats
         |GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    // both arms recomputed from scratch: BM25 exactly as search_bm25,
+    // dense cosine exactly as the similarity oracles (double math
+    // spelled out), fused by rank only — so the engine's maintained-view
+    // arms must land the identical ordering
+    "search_hybrid_rrf" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |stats AS (
+        |  SELECT count(*) AS n, CAST(sum(len(toks)) AS DOUBLE) / count(*) AS avgdl
+        |  FROM tok),
+        |tf AS (
+        |  SELECT doc_id, len(toks) AS dl, w, count(*) AS tf
+        |  FROM (SELECT doc_id, toks, unnest(toks) AS w FROM tok) u
+        |  WHERE w IN ('spark', 'vector', 'join', 'stream')
+        |  GROUP BY 1, 2, 3),
+        |dfq AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+        |bm AS (
+        |  SELECT tf.doc_id,
+        |         round(sum( ln(1 + (n - df + 0.5) / (df + 0.5))
+        |                  * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) ), 4) AS score
+        |  FROM tf JOIN dfq USING (w) CROSS JOIN stats GROUP BY 1),
+        |bmr AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r FROM bm),
+        |bm50 AS (SELECT doc_id, CAST(1.0 AS DOUBLE) / (r + 60) AS s_bm FROM bmr WHERE r <= 50),
+        |cosc AS (
+        |  SELECT e.vec_id AS doc_id,
+        |         round((list_sum([CAST(p.embedding[i+1] AS DOUBLE) * CAST(e.embedding[i+1] AS DOUBLE) for i in range(64)])
+        |          / (sqrt(list_sum([CAST(p.embedding[i+1] AS DOUBLE) * CAST(p.embedding[i+1] AS DOUBLE) for i in range(64)]))
+        |             * sqrt(list_sum([CAST(e.embedding[i+1] AS DOUBLE) * CAST(e.embedding[i+1] AS DOUBLE) for i in range(64)])))), 6) AS c
+        |  FROM embeddings e, embeddings p
+        |  WHERE p.vec_id = 0 AND e.vec_id <> 0),
+        |vr AS (SELECT doc_id, row_number() OVER (ORDER BY c DESC, doc_id) AS r FROM cosc),
+        |v50 AS (SELECT doc_id, CAST(1.0 AS DOUBLE) / (r + 60) AS s_v FROM vr WHERE r <= 50)
+        |SELECT COALESCE(b.doc_id, v.doc_id) AS doc_id,
+        |       round(COALESCE(s_bm, 0) + COALESCE(s_v, 0), 6) AS rrf
+        |FROM bm50 b FULL OUTER JOIN v50 v ON b.doc_id = v.doc_id
+        |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
     "pipeline_curate" ->
       s"""WITH k AS (
          |  SELECT min(doc_id) AS doc_id FROM documents
