@@ -844,9 +844,9 @@ object SimilarityQueries {
     * native codegen'd expression). This is the standard PQ design from
     * the public ANN literature — the far-compression tier below SQ8's
     * 4×, paid for with a wider exact-rerank margin ([[PqRefine]]). */
-  private val PqM = 8
-  private val PqSubDim = 8
-  private val PqKs = 16
+  private[graft] val PqM = 8
+  private[graft] val PqSubDim = 8
+  private[graft] val PqKs = 16
   /** Exact-rerank the top `K · PqRefine` ADC candidates: PQ reconstruction
     * error is far larger than SQ8's, so the refine margin is wider. */
   private val PqRefine = 8
@@ -855,7 +855,7 @@ object SimilarityQueries {
     * dist² ranking trick as [[cellScores]] (`-2·sub·c + |c|²`; `|sub|²`
     * is rank-constant), shared by training, encoding and (through the
     * LUT) probing so all three agree on code boundaries. */
-  private def pqNearestExpr(book: Array[Array[Double]], sub: Column): Column = {
+  private[graft] def pqNearestExpr(book: Array[Array[Double]], sub: Column): Column = {
     import org.apache.spark.sql.functions.typedlit
     array_min(array(book.zipWithIndex.map { case (c, i) =>
       val c2 = c.map(x => x * x).sum
@@ -867,7 +867,7 @@ object SimilarityQueries {
   /** PQ code of a full vector: `array<tinyint>` of the M nearest
     * sub-centroid indices. One pass over the row; 128 small dot
     * expressions in the plan (M·Ks), index-write cost only. */
-  private def pqEncodeExpr(books: Array[Array[Array[Double]]], v: Column): Column =
+  private[graft] def pqEncodeExpr(books: Array[Array[Array[Double]]], v: Column): Column =
     array((0 until PqM).map { m =>
       pqNearestExpr(books(m), slice(v, m * PqSubDim + 1, PqSubDim)).cast("byte")
     }: _*)
@@ -875,7 +875,7 @@ object SimilarityQueries {
   /** The probe's flattened ADC lookup table: `lut[m·Ks + k] =
     * dot(probe_sub_m, books[m][k])` — M·Ks doubles computed ONCE per
     * probe, then every candidate is scored from its code alone. */
-  private def pqLutExpr(books: Array[Array[Array[Double]]], v: Column): Column = {
+  private[graft] def pqLutExpr(books: Array[Array[Array[Double]]], v: Column): Column = {
     import org.apache.spark.sql.functions.typedlit
     array((for { m <- 0 until PqM; k <- 0 until PqKs } yield
       call_function("vec_dot",
@@ -895,7 +895,7 @@ object SimilarityQueries {
     * fits). Same broadcast-model iteration shape as [[ivfCentroids]]:
     * the collected model is M·Ks·SubDim doubles — parameters, not data.
     * Init = sub-slices of the first Ks vectors by vec_id (deterministic). */
-  private[operators] def pqCodebooks(e0: DataFrame): Array[Array[Array[Double]]] = {
+  private[graft] def pqCodebooks(e0: DataFrame): Array[Array[Array[Double]]] = {
     val subs = e0.select(col("vec_id"),
         posexplode(expr(
           s"transform(sequence(0, ${PqM - 1}), m -> slice(v, m * $PqSubDim + 1, $PqSubDim))"))

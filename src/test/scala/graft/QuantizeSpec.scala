@@ -70,6 +70,44 @@ class QuantizeSpec extends AnyFunSuite with SparkSpec {
     assert(msgs(exRange).exists(_.contains("out of")))
   }
 
+  test("PQ plumbing identity: encode + LUT + pq_adc equals the reconstructed sub-dot") {
+    // pins the three index conventions against each other exactly:
+    // encode's code := nearest book index, LUT flattening := m-major
+    // k-minor, ADC read := lut[m·Ks + code[m]]. For ANY x, y:
+    //   pq_adc(codes(x), lut(y)) == Σ_m dot(books[m][code_m(x)], sub_m(y))
+    // — computed driver-side in the same summation order, so equality is
+    // bit-exact, not approximate.
+    import graft.operators.SimilarityQueries
+    import graft.engine.Tables
+    val sf = "/root/testdata/sf0.001"
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .filter(col("vec_id") < 40)
+    val books = SimilarityQueries.pqCodebooks(e)
+    val m = SimilarityQueries.PqM
+    val sub = SimilarityQueries.PqSubDim
+    val ks = SimilarityQueries.PqKs
+    val probe = e.filter(col("vec_id") === 3).select(col("v").as("pv"))
+    val pv = probe.collect()(0).getSeq[Double](0).toArray
+    val rows = e
+      .select(col("vec_id"), SimilarityQueries.pqEncodeExpr(books, col("v")).as("codes"))
+      .crossJoin(broadcast(probe))
+      .withColumn("adc", call_function("pq_adc",
+        col("codes"), SimilarityQueries.pqLutExpr(books, col("pv")), lit(ks)))
+      .select("vec_id", "codes", "adc").collect()
+    assert(rows.length === 40)
+    rows.foreach { r =>
+      val codes = r.getSeq[Byte](1)
+      assert(codes.length === m)
+      assert(codes.forall(c => c >= 0 && c < ks))
+      val expected = (0 until m).map { mi =>
+        (0 until sub).map(i => pv(mi * sub + i) * books(mi)(codes(mi))(i)).sum
+      }.sum
+      assert(math.abs(r.getDouble(2) - expected) <= 1e-12 * math.max(1.0, math.abs(expected)),
+        s"vec ${r.getLong(0)}: adc ${r.getDouble(2)} != reconstructed $expected")
+    }
+  }
+
   test("vec_quantize refuses a non-positive scale") {
     val ex = intercept[Exception] {
       Seq(Tuple1(Seq(1.0))).toDF("v")
