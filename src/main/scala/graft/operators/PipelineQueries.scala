@@ -231,6 +231,7 @@ object PipelineQueries {
     spanWinView(s, dir)
     incSpanWinView(s, dir)
     streamedSpanWinView(s, dir)
+    spanAggView(s, dir)
     pairsView(s, dir)
     incPairGraph(s, dir)
     incWinnowGraph(s, dir)
@@ -329,6 +330,48 @@ object PipelineQueries {
         .withColumn("deleted", lit(true))
       smi.applyBatch(ups.unionByName(dels, allowMissingColumns = true))
       store.load(spanWinStreamIdx)
+    })
+
+  /** Window OCCURRENCE emissions for the maintained removal decisions:
+    * emit key = window text, emit value = the packed occurrence
+    * `doc_id·1e6 + pos` — so a [[graft.engine.BucketedAggView]] over it
+    * holds, per window, EXACTLY the removal-decision inputs: `cnt` = how
+    * many times the window occurs anywhere in the corpus (the full
+    * repeated-substring rule — within-doc repeats count, unlike the
+    * cross-doc detection queries) and `min_value` = the occurrence that
+    * survives. A document change batch maintains both through the joint
+    * base+state refresh in O(delta). */
+  private def spanOccMapIndex(name: String): MapIndex = {
+    val toks = split(lower(col("text")), " ")
+    val emits = when(size(toks) >= SpanW,
+      transform(sequence(lit(1), size(toks) - lit(SpanW - 1)),
+        p => emit(array_join(slice(toks, p, lit(SpanW)), " "),
+          (col("doc_id") * lit(1000000L) + p).cast("long"))))
+      .otherwise(array().cast("array<struct<emit_key:string,emit_value:bigint>>"))
+    MapIndex.columns(name)(col("doc_id").cast("string"), emits)
+  }
+
+  private val spanOccIdx = spanOccMapIndex("doc_spanocc")
+  private val spanAggViews =
+    scala.collection.concurrent.TrieMap.empty[String, graft.engine.BucketedAggView]
+
+  private def spanAggView(s: SparkSession, dir: String): graft.engine.BucketedAggView =
+    spanAggViews.getOrElseUpdate(dir, {
+      val store = Views.bucketedStore(s, dir)
+      val unit = "span_occ"
+      if (Views.unitDone(store.baseDir, unit))
+        graft.engine.BucketedAggView.attach(store, "span_occ_state")
+      else {
+        val d = docs(s, dir)
+        val v = graft.engine.BucketedAggView.build(store, spanOccIdx, d, "span_occ_state")
+        val ups = d.filter(col("doc_id") % 37 === 0 && col("doc_id") % 41 =!= 0)
+          .withColumn("text", lit("spark join spark stream"))
+        val dels = d.filter(col("doc_id") % 41 === 0)
+          .select(col("doc_id").cast("string").as("src_key")).distinct()
+        v.refresh(spanOccIdx, ups, Some(dels))
+        Views.markUnitDone(store.baseDir, unit)
+        v
+      }
     })
 
   /** Span detection recomputed from the MODIFIED corpus — the shared
@@ -859,6 +902,37 @@ object PipelineQueries {
       mergeWindowSpans(hits)
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_spans"), sum(col("en") - col("st") + 1).as("dup_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    // removal decisions served from the MAINTAINED window aggregate
+    // after the change batch: per window, cnt (occurrences anywhere —
+    // the full repeated-substring rule, within-doc repeats included)
+    // and min_value (the surviving occurrence) come from the
+    // BucketedAggView state, marked occurrences from the jointly-
+    // refreshed base emissions — both O(delta)-maintained, so query
+    // time is a stored read + the per-doc merge. The oracle recomputes
+    // the decisions from the modified corpus from scratch.
+    "dedup_substring_removal_incremental" -> ((s, dir) => {
+      val v = spanAggView(s, dir)
+      val wins = v.store.df("doc_spanocc")
+        .select(col("emit_key").as("win"), col("emit_value").cast("long").as("occ"))
+      val dup = v.state.filter(col("cnt") >= 2)
+        .select(col("emit_key").as("win"), col("min_value").cast("long").as("firstk"))
+      val marked = wins.join(dup, Seq("win"))
+        .filter(col("occ") =!= col("firstk"))
+        .select(expr("occ div 1000000").as("doc_id"),
+          expr("cast(occ % 1000000 as int)").as("pos"))
+      val modLens = docs(s, dir).filter(col("doc_id") % 41 =!= 0)
+        .withColumn("text", when(col("doc_id") % 37 === 0,
+          lit("spark join spark stream")).otherwise(col("text")))
+        .select(col("doc_id"),
+          size(split(lower(col("text")), " ")).cast("long").as("n_tokens"))
+      mergeWindowSpans(marked)
+        .groupBy("doc_id")
+        .agg(sum(col("en") - col("st") + 1).as("removed_tokens"))
+        .join(modLens, Seq("doc_id"))
+        .select(col("doc_id"), col("n_tokens"), col("removed_tokens"))
         .orderBy("doc_id")
     }),
 
@@ -1750,6 +1824,44 @@ object PipelineQueries {
         |dup AS (
         |  SELECT win, min(doc_id * 1000000 + pos) AS firstk
         |  FROM win GROUP BY win HAVING count(DISTINCT doc_id) >= 2),
+        |hit AS (
+        |  SELECT doc_id, pos FROM win JOIN dup USING (win)
+        |  WHERE doc_id * 1000000 + pos <> firstk),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |         max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        |  FROM hit),
+        |num AS (
+        |  SELECT doc_id, pos,
+        |         CASE WHEN prev_end IS NULL OR pos > prev_end + 1 THEN 1 ELSE 0 END AS ni
+        |  FROM isl),
+        |sp AS (
+        |  SELECT doc_id, pos, sum(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+        |  FROM num),
+        |spans AS (
+        |  SELECT doc_id, g, min(pos) AS st, max(pos + 7) AS en FROM sp GROUP BY 1, 2)
+        |SELECT s.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+        |       CAST(sum(s.en - s.st + 1) AS BIGINT) AS removed_tokens
+        |FROM spans s JOIN tok t ON s.doc_id = t.doc_id
+        |GROUP BY 1, 2 ORDER BY s.doc_id""".stripMargin,
+    // the maintained-decision variant: OCCURRENCE-based rule (a window
+    // repeated anywhere ≥2 times, within-doc included), recomputed from
+    // the MODIFIED corpus from scratch
+    "dedup_substring_removal_incremental" ->
+      """WITH corpus AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 37 = 0 THEN 'spark join spark stream'
+        |              ELSE lower(text) END AS text
+        |  FROM documents WHERE doc_id % 41 <> 0),
+        |tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
+        |win AS (
+        |  SELECT doc_id, pos, array_to_string(toks[pos:pos+7], ' ') AS win
+        |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 6)) AS pos FROM tok)),
+        |dup AS (
+        |  SELECT win, min(doc_id * 1000000 + pos) AS firstk
+        |  FROM win GROUP BY win HAVING count(*) >= 2),
         |hit AS (
         |  SELECT doc_id, pos FROM win JOIN dup USING (win)
         |  WHERE doc_id * 1000000 + pos <> firstk),
