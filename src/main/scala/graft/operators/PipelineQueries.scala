@@ -180,6 +180,72 @@ object PipelineQueries {
       agg
     })
 
+  /** Unigram language-model counts: one emission per DISTINCT token per
+    * doc, value = term frequency — the [[graft.engine.AggView]] over it
+    * maintains the corpus-wide collection term frequency per token
+    * (`sum_value` = Σtf) at O(delta) under document change batches, the
+    * model state a CCNet/KenLM-style perplexity quality filter needs.
+    * Token vocabulary scales sublinearly with the corpus, and the state
+    * join in [[lmScores]] is an equi-join on the token key — co-keyed
+    * shuffle, never a broadcast of the corpus side. */
+  private def unigramMapIndex(name: String): MapIndex = {
+    val toks = split(lower(col("text")), " ")
+    MapIndex.columns(name)(
+      col("doc_id").cast("string"),
+      transform(array_distinct(toks),
+        t => emit(t, size(filter(toks, x => x === t)).cast("long"))))
+  }
+
+  private val unigramAggs =
+    scala.collection.concurrent.TrieMap.empty[String, graft.engine.AggView]
+
+  /** Base-corpus token-count state. */
+  private def unigramAgg(s: SparkSession, dir: String): graft.engine.AggView =
+    unigramAggs.getOrElseUpdate(dir, {
+      val base = unigramMapIndex("doc_unigrams").materialize(docs(s, dir), Views.store(s, dir))
+      graft.engine.AggView.build(base, "doc_unigrams__state")
+    })
+
+  /** Post-change-batch token-count state: the shared `%37`-rewrite /
+    * `%41`-tombstone batch through the aggregate refresh path. */
+  private def incUnigramAgg(s: SparkSession, dir: String): graft.engine.AggView =
+    unigramAggs.getOrElseUpdate(s"$dir#inc", {
+      val idx = unigramMapIndex("doc_unigrams_inc")
+      val base = idx.materialize(docs(s, dir), Views.store(s, dir))
+      val agg0 = graft.engine.AggView.build(base, "doc_unigrams_inc__state")
+      val ups = docs(s, dir)
+        .filter(col("doc_id") % 37 === 0 && col("doc_id") % 41 =!= 0)
+        .withColumn("text", lit("spark join spark stream"))
+      val dels = docs(s, dir).filter(col("doc_id") % 41 === 0)
+        .select(col("doc_id").cast("string").as("src_key")).distinct()
+      val (_, agg) = agg0.refresh(base, ups, Some(dels))
+      agg
+    })
+
+  /** Per-doc average unigram log-probability — the perplexity-proxy
+    * quality score — served ENTIRELY from maintained state: per-doc
+    * `(token, tf, dl)` from the stored BM25 postings, collection term
+    * frequencies from the token-count aggregate state, and the total
+    * token count from the SAME single-row length stats BM25 reads
+    * (Σdl ≡ Σctf). No corpus scan, no model-training pass at query time;
+    * the arithmetic is written op-for-op like the DuckDB oracle so the
+    * `round(…, 4)` hashes agree. */
+  private def lmScores(post0: DataFrame, tokState: DataFrame, lenState: DataFrame): DataFrame = {
+    val post = post0.select(col("emit_value.doc_id").as("doc_id"),
+      col("emit_key").as("w"), col("emit_value.tf").as("tf"),
+      col("emit_value.dl").as("dl"))
+    val ctf = tokState.select(col("emit_key").as("w"),
+      col("sum_value").cast("double").as("ctf"))
+    val total = lenState.select(col("sum_value").cast("double").as("total"))
+    post.join(ctf, Seq("w"))
+      .crossJoin(broadcast(total))
+      .withColumn("lp", col("tf") * log(col("ctf") / col("total")))
+      .groupBy("doc_id", "dl")
+      .agg(round(sum(col("lp")) / col("dl"), 4).as("avg_logprob"))
+      .select(col("doc_id"), col("dl").as("n_tokens"), col("avg_logprob"))
+      .orderBy("doc_id")
+  }
+
   private val bm25IncIdx = bm25MapIndex("doc_postings_bm25_inc")
 
   private def incBm25View(s: SparkSession, dir: String) =
@@ -240,6 +306,8 @@ object PipelineQueries {
     keeperView(s, dir)
     streamedComponentsIdx(s, dir)
     exactDedupView(s, dir)
+    unigramAgg(s, dir)
+    incUnigramAgg(s, dir)
     ()
   }
 
@@ -1303,6 +1371,23 @@ object PipelineQueries {
     "search_bm25_incremental" -> ((s, dir) =>
       bm25Search(incBm25View(s, dir).df, incLenAgg(s, dir).state)),
 
+    // unigram-LM quality scoring (the CCNet/KenLM perplexity-filter
+    // shape): per-doc average token log-probability under the corpus's
+    // own unigram model, every input a maintained view — postings for
+    // per-doc (token, tf, dl), the token-count aggregate state for the
+    // collection frequencies, the one-row length stats for the total
+    "text_lm_score" -> ((s, dir) =>
+      lmScores(bm25View(s, dir).df, unigramAgg(s, dir).state,
+        lenAgg(s, dir).state)),
+
+    // the same scores after the shared document change batch went through
+    // ALL THREE maintained inputs' refresh paths — the oracle recomputes
+    // the model and the scores from the modified corpus, so a stale
+    // posting list, token count, or total is a hash mismatch
+    "text_lm_score_incremental" -> ((s, dir) =>
+      lmScores(incBm25View(s, dir).df, incUnigramAgg(s, dir).state,
+        incLenAgg(s, dir).state)),
+
     // hybrid retrieval: reciprocal-rank fusion (k=60) of the BM25 arm
     // (maintained postings + stats) and the dense arm (cosine against a
     // fixed probe embedding, doc_id ↔ vec_id) — the keyword ∪ vector
@@ -2041,6 +2126,39 @@ object PipelineQueries {
         |                * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) ), 4) AS score
         |FROM tf JOIN dfq USING (w) CROSS JOIN stats
         |GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    // unigram model + scores recomputed from scratch: ctf/total as
+    // doubles, ln(ctf/total) in the same operation order as the engine
+    "text_lm_score" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |tf AS (
+        |  SELECT doc_id, len(toks) AS dl, w, count(*) AS tf
+        |  FROM (SELECT doc_id, toks, unnest(toks) AS w FROM tok) u
+        |  GROUP BY 1, 2, 3),
+        |ctf AS (SELECT w, CAST(sum(tf) AS DOUBLE) AS ctf FROM tf GROUP BY 1),
+        |tot AS (SELECT CAST(sum(tf) AS DOUBLE) AS total FROM tf)
+        |SELECT doc_id, dl AS n_tokens,
+        |       round(sum(tf * ln(ctf / total)) / dl, 4) AS avg_logprob
+        |FROM tf JOIN ctf USING (w) CROSS JOIN tot
+        |GROUP BY doc_id, dl ORDER BY doc_id""".stripMargin,
+    "text_lm_score_incremental" ->
+      """WITH corpus AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 37 = 0 THEN 'spark join spark stream'
+        |              ELSE lower(text) END AS text
+        |  FROM documents WHERE doc_id % 41 <> 0),
+        |tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
+        |tf AS (
+        |  SELECT doc_id, len(toks) AS dl, w, count(*) AS tf
+        |  FROM (SELECT doc_id, toks, unnest(toks) AS w FROM tok) u
+        |  GROUP BY 1, 2, 3),
+        |ctf AS (SELECT w, CAST(sum(tf) AS DOUBLE) AS ctf FROM tf GROUP BY 1),
+        |tot AS (SELECT CAST(sum(tf) AS DOUBLE) AS total FROM tf)
+        |SELECT doc_id, dl AS n_tokens,
+        |       round(sum(tf * ln(ctf / total)) / dl, 4) AS avg_logprob
+        |FROM tf JOIN ctf USING (w) CROSS JOIN tot
+        |GROUP BY doc_id, dl ORDER BY doc_id""".stripMargin,
     // both arms recomputed from scratch: BM25 exactly as search_bm25,
     // dense cosine exactly as the similarity oracles (double math
     // spelled out), fused by rank only — so the engine's maintained-view

@@ -1394,6 +1394,28 @@ object SimilarityQueries {
       rankTopK(scored)
     }),
 
+    // hard-negative mining for contrastive training: for each probe, the
+    // top-k nearest CORPUS vectors whose label differs from the probe's —
+    // high-similarity cross-label examples, the negatives an embedding /
+    // retrieval model trains against. Exact tier (broadcast probes, one
+    // corpus scan); the label predicate composes with any ANN tier the
+    // same way — it filters candidates BEFORE the exact rerank, so the
+    // IVF/LSH bulk plans serve the data-sized-anchor mining run (every
+    // training example is a probe) with the same semi-join-prune shape.
+    "sim_hard_negatives" -> ((s, dir) => {
+      val lab = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label").cast("long").as("label"))
+      val el = emb(s, dir).join(lab, Seq("vec_id"))
+      val probes = el.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+          col("norm").as("pn"), col("label").as("plabel"))
+      val scored = el.join(broadcast(probes),
+          col("vec_id") =!= col("probe_id") && col("label") =!= col("plabel"))
+        .withColumn("cos", round(dot(col("pv"), col("v")) / (col("pn") * col("norm")), 6))
+        .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("cos"))
+      rankTopK(scored)
+    }),
+
     // ANN with a driver-checkable invariant: n_probes and n_pairs are
     // recomputed exactly by the DuckDB oracle from the brute-force top-k;
     // recall_ok asserts the banded LSH found ≥ AnnRecallBound of those
@@ -1785,6 +1807,18 @@ object SimilarityQueries {
         |  CAST(min(len(embedding)) AS BIGINT) AS dim
         |FROM embeddings GROUP BY 1 ORDER BY label""".stripMargin,
     "sim_brute_topk" -> bruteTopkSql,
+    // exact cross-label top-k: the brute ground truth with the label
+    // exclusion inside the join predicate
+    "sim_hard_negatives" ->
+      s"""SELECT probe_id, neighbor_id, cos, rank FROM (
+         |  SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
+         |         round($cosSql, 6) AS cos,
+         |         row_number() OVER (
+         |           PARTITION BY a.vec_id
+         |           ORDER BY round($cosSql, 6) DESC, b.vec_id) AS rank
+         |  FROM embeddings a JOIN embeddings b
+         |    ON a.vec_id < 10 AND b.vec_id <> a.vec_id AND b.label <> a.label) t
+         |WHERE rank <= $K ORDER BY probe_id, rank""".stripMargin,
     // the oracle recomputes the exact top-k ground truth the invariant
     // counts; recall_ok is the engine's asserted bound
     "sim_lsh_topk" ->
