@@ -246,6 +246,48 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** All three LM-score inputs built PURELY through streaming
+    * micro-batches — postings via [[graft.streaming.StreamingMapIndex]],
+    * token counts and length stats via the joint base+state
+    * [[graft.streaming.StreamingAggMapIndex]] refresh (zero-batch-lag
+    * aggregate maintenance): three bootstrap thirds, then the shared
+    * upsert+tombstone batch through the streaming contract's `deleted`
+    * split. The driver's hash gate grades the streamed model against the
+    * same modified-corpus recompute that grades the batch-incremental
+    * one, so a batch-boundary effect in ANY of the three states is a
+    * hash mismatch. */
+  private val lmStreamViews = scala.collection.concurrent.TrieMap.empty[
+    String, (graft.engine.MaterializedView, graft.engine.AggView, graft.engine.AggView)]
+  private val bm25StreamIdx = bm25MapIndex("doc_postings_bm25_stream")
+  private val unigramStreamIdx = unigramMapIndex("doc_unigrams_stream")
+  private val docLenStreamIdx = docLenMapIndex("doc_lengths_stream")
+
+  private def streamedLmViews(s: SparkSession, dir: String): (graft.engine.MaterializedView, graft.engine.AggView, graft.engine.AggView) =
+    lmStreamViews.getOrElseUpdate(dir, {
+      val store = Views.store(s, dir)
+      val post = new graft.streaming.StreamingMapIndex(bm25StreamIdx, store)
+      val toks = new graft.streaming.StreamingAggMapIndex(
+        unigramStreamIdx, store, "doc_unigrams_stream__state")
+      val lens = new graft.streaming.StreamingAggMapIndex(
+        docLenStreamIdx, store, "doc_lengths_stream__state")
+      def push(b: DataFrame): Unit = {
+        post.applyBatch(b); toks.applyBatch(b); lens.applyBatch(b)
+      }
+      val d = docs(s, dir)
+      (0 to 2).foreach(r =>
+        push(d.filter(col("doc_id") % 3 === r).select("doc_id", "text")))
+      val ups = d.filter(col("doc_id") % 37 === 0 && col("doc_id") % 41 =!= 0)
+        .withColumn("text", lit("spark join spark stream"))
+        .select("doc_id", "text").withColumn("deleted", lit(false))
+      val dels = d.filter(col("doc_id") % 41 === 0)
+        .select(col("doc_id").cast("string").as("key"))
+        .withColumn("deleted", lit(true))
+      push(ups.unionByName(dels, allowMissingColumns = true))
+      (store.load(bm25StreamIdx),
+        graft.engine.AggView.attach(s, store, "doc_unigrams_stream__state"),
+        graft.engine.AggView.attach(s, store, "doc_lengths_stream__state"))
+    })
+
   private val bm25IncIdx = bm25MapIndex("doc_postings_bm25_inc")
 
   private def incBm25View(s: SparkSession, dir: String) =
@@ -308,6 +350,7 @@ object PipelineQueries {
     exactDedupView(s, dir)
     unigramAgg(s, dir)
     incUnigramAgg(s, dir)
+    streamedLmViews(s, dir)
     ()
   }
 
@@ -1388,6 +1431,16 @@ object PipelineQueries {
       lmScores(incBm25View(s, dir).df, incUnigramAgg(s, dir).state,
         incLenAgg(s, dir).state)),
 
+    // the same scores with every maintained input built PURELY through
+    // streaming micro-batches (postings + token counts + length stats;
+    // bootstrap thirds then the shared upsert/tombstone batch) — the
+    // streaming write path graded against the identical modified-corpus
+    // recompute as the batch-incremental query
+    "text_lm_score_streamed" -> ((s, dir) => {
+      val (post, toks, lens) = streamedLmViews(s, dir)
+      lmScores(post.df, toks.state, lens.state)
+    }),
+
     // hybrid retrieval: reciprocal-rank fusion (k=60) of the BM25 arm
     // (maintained postings + stats) and the dense arm (cosine against a
     // fixed probe embedding, doc_id ↔ vec_id) — the keyword ∪ vector
@@ -2142,6 +2195,25 @@ object PipelineQueries {
         |FROM tf JOIN ctf USING (w) CROSS JOIN tot
         |GROUP BY doc_id, dl ORDER BY doc_id""".stripMargin,
     "text_lm_score_incremental" ->
+      """WITH corpus AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 37 = 0 THEN 'spark join spark stream'
+        |              ELSE lower(text) END AS text
+        |  FROM documents WHERE doc_id % 41 <> 0),
+        |tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
+        |tf AS (
+        |  SELECT doc_id, len(toks) AS dl, w, count(*) AS tf
+        |  FROM (SELECT doc_id, toks, unnest(toks) AS w FROM tok) u
+        |  GROUP BY 1, 2, 3),
+        |ctf AS (SELECT w, CAST(sum(tf) AS DOUBLE) AS ctf FROM tf GROUP BY 1),
+        |tot AS (SELECT CAST(sum(tf) AS DOUBLE) AS total FROM tf)
+        |SELECT doc_id, dl AS n_tokens,
+        |       round(sum(tf * ln(ctf / total)) / dl, 4) AS avg_logprob
+        |FROM tf JOIN ctf USING (w) CROSS JOIN tot
+        |GROUP BY doc_id, dl ORDER BY doc_id""".stripMargin,
+    // the streamed model must land the identical modified-corpus scores
+    "text_lm_score_streamed" ->
       """WITH corpus AS (
         |  SELECT doc_id,
         |         CASE WHEN doc_id % 37 = 0 THEN 'spark join spark stream'
