@@ -87,6 +87,27 @@ object SimilarityQueries {
     rankTopK(scored)
   }
 
+  /** SemDeDup-style within-cell near-dup pairs `(i, j, cos)`: the corpus
+    * k-means-cell assignment bounds the quadratic pair scan to
+    * within-cell blocks — an EQUI-join on the cell id (plan-asserted:
+    * never a corpus-wide cartesian), with exact-cosine verification on
+    * the co-cell pairs only. The user-facing API behind `dedup_semantic`;
+    * cluster granularity k ∝ n keeps per-cell populations bounded, so
+    * the scan is O(n · cell_size) at any corpus size. */
+  def semanticDupPairs(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val cents = ivfCentroidsFor(s, dir)
+    val cells = e.withColumn("cell", assignExpr(cents))
+    val a = cells.select(col("cell"), col("vec_id").as("i"),
+      col("v").as("vi"), col("norm").as("ni"))
+    val b = cells.select(col("cell"), col("vec_id").as("j"),
+      col("v").as("vj"), col("norm").as("nj"))
+    a.join(b, Seq("cell")).filter(col("i") < col("j"))
+      .withColumn("cos", round(dot(col("vi"), col("vj")) / (col("ni") * col("nj")), 6))
+      .filter(col("cos") >= EmbDupThreshold)
+      .select(col("i"), col("j"), col("cos"))
+  }
+
   /** Embedding-cosine near-dup pairs `(i, j, cos)` over the whole corpus:
     * hyperplane-band candidate pairs (df-capped buckets) + exact cosine
     * verify — the all-pairs analog of the probe search. Dense exact
@@ -1417,16 +1438,7 @@ object SimilarityQueries {
     // calibrated to the measured floor across SFs with margin.
     "dedup_semantic" -> ((s, dir) => {
       val e = emb(s, dir)
-      val cents = ivfCentroidsFor(s, dir)
-      val cells = e.withColumn("cell", assignExpr(cents))
-      val a = cells.select(col("cell"), col("vec_id").as("i"),
-        col("v").as("vi"), col("norm").as("ni"))
-      val b = cells.select(col("cell"), col("vec_id").as("j"),
-        col("v").as("vj"), col("norm").as("nj"))
-      val within = a.join(b, Seq("cell")).filter(col("i") < col("j"))
-        .withColumn("cos", round(dot(col("vi"), col("vj")) / (col("ni") * col("nj")), 6))
-        .filter(col("cos") >= EmbDupThreshold)
-        .select("i", "j")
+      val within = semanticDupPairs(s, dir).select("i", "j")
       val sample = e.filter(col("vec_id") < SampleVecs)
         .select(col("vec_id").as("a"), col("v").as("va"), col("norm").as("na"))
         .join(e.select(col("vec_id").as("b"), col("v").as("vb"), col("norm").as("nb")),

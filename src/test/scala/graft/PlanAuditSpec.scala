@@ -71,6 +71,36 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("ObjectHashAggregate"), s"expected topk_by heap aggregation:\n$p")
   }
 
+  test("LM scoring is served from maintained state — no corpus scan, no re-tokenization") {
+    // the scale promise of text_lm_score: per-doc (token, tf, dl) from
+    // the STORED postings, collection frequencies from the token-count
+    // aggregate state, total from the one-row length stats — the
+    // executed plan reads exactly those three stored relations and never
+    // touches documents.parquet or re-tokenizes anything
+    val p = finalPlan("text_lm_score")
+    assert(!p.contains("documents.parquet"),
+      s"LM scoring must not scan the corpus at query time:\n$p")
+    for (v <- Seq("doc_postings_bm25", "doc_unigrams__state", "doc_lengths__state"))
+      assert(p.contains(v), s"expected a stored read of $v:\n$p")
+    assert(!p.contains("array_distinct") && !p.contains("split("),
+      s"tokenization happens at view-write time, never in the serving plan:\n$p")
+    // column pruning reaches the state scans: the token state reads only
+    // (emit_key, sum_value), never cnt/min/max
+    assert(p.contains("ReadSchema: struct<emit_key:string,sum_value:decimal(28,4)>"),
+      s"token-count state scan must prune to key + sum:\n$p")
+  }
+
+  test("semanticDupPairs: within-cell equi-join, never a corpus-wide cartesian") {
+    // SemDeDup's scale shape: the pair scan is an equi-join on the cell
+    // id, so the quadratic work is bounded by cell populations — a plan
+    // regression to a cartesian/theta-join would be O(n²) corpus-wide
+    val df = graft.operators.SimilarityQueries.semanticDupPairs(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"within-cell pair scan must stay an equi-join on the cell id:\n$p")
+  }
+
   test("ivfsqTopKBulk: semi-join cell prune, heap selection, nothing broadcast") {
     import graft.operators.SimilarityQueries
     val df = SimilarityQueries.ivfsqTopKBulk(spark, sf)
