@@ -1364,9 +1364,10 @@ object SimilarityQueries {
   /** `dedup_semantic` co-cell recall floor: measured 0.46/0.42/0.85 at
     * sf0.001/0.01/0.1 on the RANDOM synthetic vectors (τ = 0.4 pairs
     * co-cluster far less reliably than the ≥ 0.9 near-copies SemDeDup
-    * targets in practice), bounded at 0.25 with margin for FP-drift
-    * cell-boundary flips in the deterministic-up-to-summation-order
-    * quantizer. */
+    * targets in practice), and 0.50/0.42/0.82 for the incremental twin
+    * served from the maintained cell view over the modified corpus;
+    * bounded at 0.25 with margin for FP-drift cell-boundary flips in
+    * the deterministic-up-to-summation-order quantizer. */
   private val SemRecallBound = 0.25
   /** IVF measured recall 0.90/0.94/0.96 at sf0.001/0.01/0.1 (√n cells,
     * quarter-of-cells probes) — ~25% of the corpus scanned finds ≥90% of
@@ -1442,6 +1443,44 @@ object SimilarityQueries {
       val sample = e.filter(col("vec_id") < SampleVecs)
         .select(col("vec_id").as("a"), col("v").as("va"), col("norm").as("na"))
         .join(e.select(col("vec_id").as("b"), col("v").as("vb"), col("norm").as("nb")),
+          col("a") =!= col("b"))
+        .withColumn("cos", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+        .filter(col("cos") >= EmbDupThreshold)
+        .select(least(col("a"), col("b")).as("i"), greatest(col("a"), col("b")).as("j"))
+        .distinct()
+      val found = within.withColumn("f", lit(1L))
+      sample.join(found, Seq("i", "j"), "left_outer")
+        .agg(count(lit(1)).as("n_sample_pairs"),
+          coalesce(sum(col("f")), lit(0L)).as("nf"))
+        .select(col("n_sample_pairs"),
+          (col("nf") >= col("n_sample_pairs") * lit(SemRecallBound)).as("recall_ok"))
+    }),
+
+    // the same semantic dedup served from the MAINTAINED IVF cell view
+    // after the corpus change batch: the within-cell scan reads the
+    // stored posting lists (which the engine refreshed O(delta) — moved
+    // vectors re-celled, tombstoned ones dropped), so the dedup pass
+    // needs no assignment recompute at all; the oracle recomputes the
+    // exact sample pair set over the MODIFIED corpus, so a stale cell
+    // (a reversed vector still serving its old posting list) shifts the
+    // co-cell pair set and recall against the fresh ground truth
+    "dedup_semantic_incremental" -> ((s, dir) => {
+      val (store, _) = ivfCellsView(s, dir)
+      val cellsDf = store.df("emb_ivf_cells")
+        .select(col("emit_key").as("cell"), col("emit_value.vec_id").as("vec_id"),
+          col("emit_value.v").as("v"), col("emit_value.norm").as("norm"))
+      val a = cellsDf.select(col("cell"), col("vec_id").as("i"),
+        col("v").as("vi"), col("norm").as("ni"))
+      val b = cellsDf.select(col("cell"), col("vec_id").as("j"),
+        col("v").as("vj"), col("norm").as("nj"))
+      val within = a.join(b, Seq("cell")).filter(col("i") < col("j"))
+        .withColumn("cos", round(dot(col("vi"), col("vj")) / (col("ni") * col("nj")), 6))
+        .filter(col("cos") >= EmbDupThreshold)
+        .select("i", "j")
+      val m = modifiedEmb(s, dir)
+      val sample = m.filter(col("vec_id") < SampleVecs)
+        .select(col("vec_id").as("a"), col("v").as("va"), col("norm").as("na"))
+        .join(m.select(col("vec_id").as("b"), col("v").as("vb"), col("norm").as("nb")),
           col("a") =!= col("b"))
         .withColumn("cos", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
         .filter(col("cos") >= EmbDupThreshold)
@@ -1874,6 +1913,20 @@ object SimilarityQueries {
       s"""WITH p AS (
          |  SELECT least(a.vec_id, b.vec_id) AS i, greatest(a.vec_id, b.vec_id) AS j
          |  FROM embeddings a JOIN embeddings b
+         |    ON a.vec_id < $SampleVecs AND b.vec_id <> a.vec_id
+         |  WHERE round($cosSql, 6) >= $EmbDupThreshold
+         |  GROUP BY 1, 2)
+         |SELECT count(*) AS n_sample_pairs, true AS recall_ok FROM p""".stripMargin,
+    // the incremental twin's ground truth is the MODIFIED corpus
+    "dedup_semantic_incremental" ->
+      s"""WITH corpus AS (
+         |  SELECT vec_id,
+         |         CASE WHEN vec_id % 37 = 0 THEN list_reverse(embedding)
+         |              ELSE embedding END AS embedding
+         |  FROM embeddings WHERE vec_id % 41 <> 0),
+         |p AS (
+         |  SELECT least(a.vec_id, b.vec_id) AS i, greatest(a.vec_id, b.vec_id) AS j
+         |  FROM corpus a JOIN corpus b
          |    ON a.vec_id < $SampleVecs AND b.vec_id <> a.vec_id
          |  WHERE round($cosSql, 6) >= $EmbDupThreshold
          |  GROUP BY 1, 2)
