@@ -246,6 +246,26 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** TARGET-distribution unigram model for importance weighting: the
+    * same token-count aggregate state, fit only on the target subset
+    * (lang = 'en' — stand-in for "high-quality reference corpus").
+    * Both models are maintained views; a target-corpus change batch
+    * flows through the ordinary aggregate refresh. */
+  private def unigramTgtAgg(s: SparkSession, dir: String): graft.engine.AggView =
+    unigramAggs.getOrElseUpdate(s"$dir#tgt", {
+      val base = unigramMapIndex("doc_unigrams_tgt").materialize(
+        docs(s, dir).filter(col("lang") === "en"), Views.store(s, dir))
+      graft.engine.AggView.build(base, "doc_unigrams_tgt__state")
+    })
+
+  /** Target-subset token total (one-row stats state, like [[lenAgg]]). */
+  private def lenTgtAgg(s: SparkSession, dir: String): graft.engine.AggView =
+    lenAggs.getOrElseUpdate(s"$dir#tgt", {
+      val base = docLenMapIndex("doc_lengths_tgt").materialize(
+        docs(s, dir).filter(col("lang") === "en"), Views.store(s, dir))
+      graft.engine.AggView.build(base, "doc_lengths_tgt__state")
+    })
+
   /** All three LM-score inputs built PURELY through streaming
     * micro-batches — postings via [[graft.streaming.StreamingMapIndex]],
     * token counts and length stats via the joint base+state
@@ -351,6 +371,8 @@ object PipelineQueries {
     unigramAgg(s, dir)
     incUnigramAgg(s, dir)
     streamedLmViews(s, dir)
+    unigramTgtAgg(s, dir)
+    lenTgtAgg(s, dir)
     ()
   }
 
@@ -1441,6 +1463,43 @@ object PipelineQueries {
       lmScores(post.df, toks.state, lens.state)
     }),
 
+    // DSIR-style importance weighting for data selection (public recipe:
+    // "importance resampling" — score every raw document by the
+    // log-likelihood RATIO between a target-distribution LM and the raw
+    // LM, then sample by weight): avg per-token log(p_target/p_raw)
+    // under add-1-smoothed unigram models, target = the lang='en'
+    // subset. Every model input is a maintained view (raw + target
+    // token-count states, raw + target totals, stored postings); the
+    // vocabulary size for smoothing is an aggregate over the
+    // vocabulary-sized state relation, never a corpus scan
+    "pipeline_importance_weights" -> ((s, dir) => {
+      val post = bm25View(s, dir).df
+        .select(col("emit_value.doc_id").as("doc_id"), col("emit_key").as("w"),
+          col("emit_value.tf").as("tf"), col("emit_value.dl").as("dl"))
+      val raw = unigramAgg(s, dir).state
+        .select(col("emit_key").as("w"), col("sum_value").cast("double").as("cr"))
+      val tgt = unigramTgtAgg(s, dir).state
+        .select(col("emit_key").as("w"), col("sum_value").cast("double").as("ct"))
+      val totalR = lenAgg(s, dir).state
+        .select(col("sum_value").cast("double").as("total_r"))
+      val totalT = lenTgtAgg(s, dir).state
+        .select(col("sum_value").cast("double").as("total_t"))
+      val vocab = raw.agg(count(lit(1)).as("v"))
+      post.join(raw, Seq("w")).join(tgt, Seq("w"), "left_outer")
+        .crossJoin(broadcast(totalR)).crossJoin(broadcast(totalT))
+        .crossJoin(broadcast(vocab))
+        .withColumn("lr", col("tf") *
+          (log((coalesce(col("ct"), lit(0.0)) + lit(1.0)) / (col("total_t") + col("v"))) -
+           log((col("cr") + lit(1.0)) / (col("total_r") + col("v")))))
+        .groupBy("doc_id", "dl")
+        // + 0.0 collapses IEEE −0.0 to +0.0 (a near-zero ratio can round
+        // to either sign of zero depending on summation order; the
+        // oracle does the same `+ 0`, so both sides serialize as 0.0)
+        .agg((round(sum(col("lr")) / col("dl"), 4) + lit(0.0)).as("avg_logratio"))
+        .select(col("doc_id"), col("dl").as("n_tokens"), col("avg_logratio"))
+        .orderBy("doc_id")
+    }),
+
     // hybrid retrieval: reciprocal-rank fusion (k=60) of the BM25 arm
     // (maintained postings + stats) and the dense arm (cosine against a
     // fixed probe embedding, doc_id ↔ vec_id) — the keyword ∪ vector
@@ -2212,6 +2271,31 @@ object PipelineQueries {
         |       round(sum(tf * ln(ctf / total)) / dl, 4) AS avg_logprob
         |FROM tf JOIN ctf USING (w) CROSS JOIN tot
         |GROUP BY doc_id, dl ORDER BY doc_id""".stripMargin,
+    // both smoothed unigram models recomputed from scratch; the ratio
+    // arithmetic mirrors the engine op-for-op (add-1 numerators,
+    // total+V denominators as doubles, ln of the quotient)
+    "pipeline_importance_weights" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |tf AS (
+        |  SELECT doc_id, len(toks) AS dl, w, count(*) AS tf
+        |  FROM (SELECT doc_id, toks, unnest(toks) AS w FROM tok) u
+        |  GROUP BY 1, 2, 3),
+        |raw AS (SELECT w, CAST(sum(tf) AS DOUBLE) AS cr FROM tf GROUP BY 1),
+        |tgt AS (
+        |  SELECT w, CAST(sum(tf) AS DOUBLE) AS ct
+        |  FROM tf JOIN documents USING (doc_id) WHERE lang = 'en' GROUP BY 1),
+        |tots AS (SELECT CAST(sum(tf) AS DOUBLE) AS total_r,
+        |                (SELECT count(*) FROM raw) AS v FROM tf),
+        |tott AS (
+        |  SELECT CAST(coalesce(sum(tf), 0) AS DOUBLE) AS total_t
+        |  FROM tf JOIN documents USING (doc_id) WHERE lang = 'en')
+        |SELECT tf.doc_id, dl AS n_tokens,
+        |       round(sum(tf * (ln((coalesce(ct, 0) + 1) / (total_t + v))
+        |                     - ln((cr + 1) / (total_r + v)))) / dl, 4) + 0 AS avg_logratio
+        |FROM tf JOIN raw USING (w) LEFT JOIN tgt USING (w)
+        |     CROSS JOIN tots CROSS JOIN tott
+        |GROUP BY tf.doc_id, dl ORDER BY tf.doc_id""".stripMargin,
     // the streamed model must land the identical modified-corpus scores
     "text_lm_score_streamed" ->
       """WITH corpus AS (
