@@ -266,6 +266,74 @@ object PipelineQueries {
       graft.engine.AggView.build(base, "doc_lengths_tgt__state")
     })
 
+  /** Post-change-batch TARGET states: the shared `%37`-rewrite / `%41`-
+    * tombstone batch restricted to the target subset for upserts
+    * (rewrites of non-English docs don't touch the target model); delete
+    * keys apply unrestricted — a tombstone for a doc the target never
+    * indexed is a no-op by the refresh contract. */
+  private def incUnigramTgtAgg(s: SparkSession, dir: String): graft.engine.AggView =
+    unigramAggs.getOrElseUpdate(s"$dir#tgt-inc", {
+      val idx = unigramMapIndex("doc_unigrams_tgt_inc")
+      val base = idx.materialize(
+        docs(s, dir).filter(col("lang") === "en"), Views.store(s, dir))
+      val agg0 = graft.engine.AggView.build(base, "doc_unigrams_tgt_inc__state")
+      val ups = docs(s, dir)
+        .filter(col("doc_id") % 37 === 0 && col("doc_id") % 41 =!= 0 &&
+          col("lang") === "en")
+        .withColumn("text", lit("spark join spark stream"))
+      val dels = docs(s, dir).filter(col("doc_id") % 41 === 0)
+        .select(col("doc_id").cast("string").as("src_key")).distinct()
+      val (_, agg) = agg0.refresh(base, ups, Some(dels))
+      agg
+    })
+
+  private def incLenTgtAgg(s: SparkSession, dir: String): graft.engine.AggView =
+    lenAggs.getOrElseUpdate(s"$dir#tgt-inc", {
+      val idx = docLenMapIndex("doc_lengths_tgt_inc")
+      val base = idx.materialize(
+        docs(s, dir).filter(col("lang") === "en"), Views.store(s, dir))
+      val agg0 = graft.engine.AggView.build(base, "doc_lengths_tgt_inc__state")
+      val ups = docs(s, dir)
+        .filter(col("doc_id") % 37 === 0 && col("doc_id") % 41 =!= 0 &&
+          col("lang") === "en")
+        .withColumn("text", lit("spark join spark stream"))
+      val dels = docs(s, dir).filter(col("doc_id") % 41 === 0)
+        .select(col("doc_id").cast("string").as("src_key")).distinct()
+      val (_, agg) = agg0.refresh(base, ups, Some(dels))
+      agg
+    })
+
+  /** The importance-weight scoring join over any (postings, raw state,
+    * target state, raw total, target total) quintuple — shared by the
+    * base and incremental queries so both serve the identical
+    * arithmetic. */
+  private def importanceWeights(post0: DataFrame, rawState: DataFrame,
+      tgtState: DataFrame, lenState: DataFrame, lenTgtState: DataFrame): DataFrame = {
+    val post = post0
+      .select(col("emit_value.doc_id").as("doc_id"), col("emit_key").as("w"),
+        col("emit_value.tf").as("tf"), col("emit_value.dl").as("dl"))
+    val raw = rawState
+      .select(col("emit_key").as("w"), col("sum_value").cast("double").as("cr"))
+    val tgt = tgtState
+      .select(col("emit_key").as("w"), col("sum_value").cast("double").as("ct"))
+    val totalR = lenState.select(col("sum_value").cast("double").as("total_r"))
+    val totalT = lenTgtState.select(col("sum_value").cast("double").as("total_t"))
+    val vocab = raw.agg(count(lit(1)).as("v"))
+    post.join(raw, Seq("w")).join(tgt, Seq("w"), "left_outer")
+      .crossJoin(broadcast(totalR)).crossJoin(broadcast(totalT))
+      .crossJoin(broadcast(vocab))
+      .withColumn("lr", col("tf") *
+        (log((coalesce(col("ct"), lit(0.0)) + lit(1.0)) / (col("total_t") + col("v"))) -
+         log((col("cr") + lit(1.0)) / (col("total_r") + col("v")))))
+      .groupBy("doc_id", "dl")
+      // + 0.0 collapses IEEE −0.0 to +0.0 (a near-zero ratio can round
+      // to either sign of zero depending on summation order; the
+      // oracle does the same `+ 0`, so both sides serialize as 0.0)
+      .agg((round(sum(col("lr")) / col("dl"), 4) + lit(0.0)).as("avg_logratio"))
+      .select(col("doc_id"), col("dl").as("n_tokens"), col("avg_logratio"))
+      .orderBy("doc_id")
+  }
+
   /** All three LM-score inputs built PURELY through streaming
     * micro-batches — postings via [[graft.streaming.StreamingMapIndex]],
     * token counts and length stats via the joint base+state
@@ -373,6 +441,8 @@ object PipelineQueries {
     streamedLmViews(s, dir)
     unigramTgtAgg(s, dir)
     lenTgtAgg(s, dir)
+    incUnigramTgtAgg(s, dir)
+    incLenTgtAgg(s, dir)
     ()
   }
 
@@ -1472,33 +1542,21 @@ object PipelineQueries {
     // token-count states, raw + target totals, stored postings); the
     // vocabulary size for smoothing is an aggregate over the
     // vocabulary-sized state relation, never a corpus scan
-    "pipeline_importance_weights" -> ((s, dir) => {
-      val post = bm25View(s, dir).df
-        .select(col("emit_value.doc_id").as("doc_id"), col("emit_key").as("w"),
-          col("emit_value.tf").as("tf"), col("emit_value.dl").as("dl"))
-      val raw = unigramAgg(s, dir).state
-        .select(col("emit_key").as("w"), col("sum_value").cast("double").as("cr"))
-      val tgt = unigramTgtAgg(s, dir).state
-        .select(col("emit_key").as("w"), col("sum_value").cast("double").as("ct"))
-      val totalR = lenAgg(s, dir).state
-        .select(col("sum_value").cast("double").as("total_r"))
-      val totalT = lenTgtAgg(s, dir).state
-        .select(col("sum_value").cast("double").as("total_t"))
-      val vocab = raw.agg(count(lit(1)).as("v"))
-      post.join(raw, Seq("w")).join(tgt, Seq("w"), "left_outer")
-        .crossJoin(broadcast(totalR)).crossJoin(broadcast(totalT))
-        .crossJoin(broadcast(vocab))
-        .withColumn("lr", col("tf") *
-          (log((coalesce(col("ct"), lit(0.0)) + lit(1.0)) / (col("total_t") + col("v"))) -
-           log((col("cr") + lit(1.0)) / (col("total_r") + col("v")))))
-        .groupBy("doc_id", "dl")
-        // + 0.0 collapses IEEE −0.0 to +0.0 (a near-zero ratio can round
-        // to either sign of zero depending on summation order; the
-        // oracle does the same `+ 0`, so both sides serialize as 0.0)
-        .agg((round(sum(col("lr")) / col("dl"), 4) + lit(0.0)).as("avg_logratio"))
-        .select(col("doc_id"), col("dl").as("n_tokens"), col("avg_logratio"))
-        .orderBy("doc_id")
-    }),
+    "pipeline_importance_weights" -> ((s, dir) =>
+      importanceWeights(bm25View(s, dir).df,
+        unigramAgg(s, dir).state, unigramTgtAgg(s, dir).state,
+        lenAgg(s, dir).state, lenTgtAgg(s, dir).state)),
+
+    // the same data-selection scores after the shared document change
+    // batch went through EVERY model input's refresh path — postings,
+    // both token-count states (raw and target), both totals. The oracle
+    // recomputes both smoothed models over the modified corpus, so any
+    // stale state (e.g. a target model still counting a rewritten
+    // English document's old tokens) is a hash mismatch
+    "pipeline_importance_weights_incremental" -> ((s, dir) =>
+      importanceWeights(incBm25View(s, dir).df,
+        incUnigramAgg(s, dir).state, incUnigramTgtAgg(s, dir).state,
+        incLenAgg(s, dir).state, incLenTgtAgg(s, dir).state)),
 
     // hybrid retrieval: reciprocal-rank fusion (k=60) of the BM25 arm
     // (maintained postings + stats) and the dense arm (cosine against a
@@ -2290,6 +2348,35 @@ object PipelineQueries {
         |tott AS (
         |  SELECT CAST(coalesce(sum(tf), 0) AS DOUBLE) AS total_t
         |  FROM tf JOIN documents USING (doc_id) WHERE lang = 'en')
+        |SELECT tf.doc_id, dl AS n_tokens,
+        |       round(sum(tf * (ln((coalesce(ct, 0) + 1) / (total_t + v))
+        |                     - ln((cr + 1) / (total_r + v)))) / dl, 4) + 0 AS avg_logratio
+        |FROM tf JOIN raw USING (w) LEFT JOIN tgt USING (w)
+        |     CROSS JOIN tots CROSS JOIN tott
+        |GROUP BY tf.doc_id, dl ORDER BY tf.doc_id""".stripMargin,
+    // both smoothed models recomputed over the MODIFIED corpus (lang
+    // rides along from documents — rewrites don't change it)
+    "pipeline_importance_weights_incremental" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, lang,
+        |         CASE WHEN doc_id % 37 = 0 THEN 'spark join spark stream'
+        |              ELSE lower(text) END AS text
+        |  FROM documents WHERE doc_id % 41 <> 0),
+        |tok AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS toks FROM corpus),
+        |tf AS (
+        |  SELECT doc_id, lang, len(toks) AS dl, w, count(*) AS tf
+        |  FROM (SELECT doc_id, lang, toks, unnest(toks) AS w FROM tok) u
+        |  GROUP BY 1, 2, 3, 4),
+        |raw AS (SELECT w, CAST(sum(tf) AS DOUBLE) AS cr FROM tf GROUP BY 1),
+        |tgt AS (
+        |  SELECT w, CAST(sum(tf) AS DOUBLE) AS ct
+        |  FROM tf WHERE lang = 'en' GROUP BY 1),
+        |tots AS (SELECT CAST(sum(tf) AS DOUBLE) AS total_r,
+        |                (SELECT count(*) FROM raw) AS v FROM tf),
+        |tott AS (
+        |  SELECT CAST(coalesce(sum(tf), 0) AS DOUBLE) AS total_t
+        |  FROM tf WHERE lang = 'en')
         |SELECT tf.doc_id, dl AS n_tokens,
         |       round(sum(tf * (ln((coalesce(ct, 0) + 1) / (total_t + v))
         |                     - ln((cr + 1) / (total_r + v)))) / dl, 4) + 0 AS avg_logratio
