@@ -1343,6 +1343,36 @@ object SimilarityQueries {
     rankTopK(cand)
   }
 
+  /** IVF-tier hard-negative mining: candidates from the probe's nProbe
+    * nearest cells (the same coarse-quantizer prune as [[ivfTopKPairs]]),
+    * with the cross-label exclusion applied to the candidate stream
+    * BEFORE the exact scoring/top-k — the ANN-tier composition
+    * `sim_hard_negatives` documents. At mining scale (every training
+    * example a probe) the same filter drops into the bulk plans
+    * unchanged, because it is a per-candidate predicate, not a
+    * post-selection pass. */
+  def hardNegativesIvfPairs(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val lab = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label").cast("long").as("label"))
+    val el = e.join(lab, Seq("vec_id"))
+    val cents = ivfCentroidsFor(s, dir)
+    val corpus = el.withColumn("cid", assignExpr(cents))
+      .select(col("vec_id"), col("v"), col("norm"), col("label"), col("cid"))
+    val nProbe = probesFor(cents.length)
+    val probesWithCells = el.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+        col("norm").as("pn"), col("label").as("plabel"))
+      .withColumn("pscored", array_sort(cellScores(cents, col("pv"))))
+      .withColumn("cid", explode(expr(s"slice(transform(pscored, s -> s.idx), 1, $nProbe)")))
+      .drop("pscored")
+    val cand = corpus.join(broadcast(probesWithCells), Seq("cid"))
+      .filter(col("vec_id") =!= col("probe_id") && col("label") =!= col("plabel"))
+      .withColumn("cos", round(dot(col("pv"), col("v")) / (col("pn") * col("norm")), 6))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("cos"))
+    rankTopK(cand)
+  }
+
   /** Drop every per-JVM cache — lets a spec simulate a fresh process
     * against a durable store root (the reuse path is disk-gated). */
   private[graft] def resetCachesForTest(): Unit = {
@@ -1514,6 +1544,23 @@ object SimilarityQueries {
         .withColumn("cos", round(dot(col("pv"), col("v")) / (col("pn") * col("norm")), 6))
         .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("cos"))
       rankTopK(scored)
+    }),
+
+    // the ANN-tier spelling of hard-negative mining: IVF cell prune +
+    // per-candidate label exclusion + exact top-k; graded like the other
+    // ANN invariants — the oracle recomputes the exact cross-label
+    // ground truth, recall_ok asserts the pruned mine found enough of it
+    "sim_hard_negatives_ivf" -> ((s, dir) => {
+      val exact = queries("sim_hard_negatives")(s, dir)
+        .select("probe_id", "neighbor_id")
+      val ivf = hardNegativesIvfPairs(s, dir).select("probe_id", "neighbor_id")
+        .withColumn("f", lit(1L))
+      exact.join(ivf, Seq("probe_id", "neighbor_id"), "left_outer")
+        .agg(count_distinct(col("probe_id")).as("n_probes"),
+          count(lit(1)).as("n_pairs"),
+          coalesce(sum(col("f")), lit(0L)).as("nf"))
+        .select(col("n_probes"), col("n_pairs"),
+          (col("nf") >= col("n_pairs") * lit(IvfRecallBound)).as("recall_ok"))
     }),
 
     // ANN with a driver-checkable invariant: n_probes and n_pairs are
@@ -1917,6 +1964,20 @@ object SimilarityQueries {
          |  WHERE round($cosSql, 6) >= $EmbDupThreshold
          |  GROUP BY 1, 2)
          |SELECT count(*) AS n_sample_pairs, true AS recall_ok FROM p""".stripMargin,
+    // the oracle recomputes the exact cross-label ground truth the
+    // IVF-pruned mine is graded against
+    "sim_hard_negatives_ivf" ->
+      s"""SELECT count(DISTINCT probe_id) AS n_probes, count(*) AS n_pairs,
+         |       true AS recall_ok
+         |FROM (
+         |  SELECT probe_id, neighbor_id FROM (
+         |    SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
+         |           row_number() OVER (
+         |             PARTITION BY a.vec_id
+         |             ORDER BY round($cosSql, 6) DESC, b.vec_id) AS rank
+         |    FROM embeddings a JOIN embeddings b
+         |      ON a.vec_id < 10 AND b.vec_id <> a.vec_id AND b.label <> a.label) t
+         |  WHERE rank <= $K)""".stripMargin,
     // the incremental twin's ground truth is the MODIFIED corpus
     "dedup_semantic_incremental" ->
       s"""WITH corpus AS (
