@@ -1433,6 +1433,70 @@ object PipelineQueries {
           sum("toks").as("total_tokens"))
         .orderBy("source")),
 
+    // temperature-rebalanced mixture (the multilingual/domain resampling
+    // rule from public multilingual-pretraining recipes: sample source d
+    // with probability ∝ n_d^τ, τ = 1/2, up-weighting rare sources
+    // relative to their natural share). Unlike pipeline_mixture the rates
+    // are DERIVED from corpus statistics, not hand-fixed: a #sources-row
+    // aggregate computes integer weights w_d = floor(sqrt(n_d)), and the
+    // acceptance threshold floor(65536·w_d·N / (Σw·n_d)) (clamped to the
+    // full hash space) is EXACT integer arithmetic end-to-end — no
+    // float-sum association at the keep boundary, so any engine
+    // re-deriving the rates agrees bit-for-bit. The keep decision is the
+    // same scan-local hex-threshold hash as sample_stratified; the rates
+    // relation is #sources-sized → broadcast, so at 100 TB this is two
+    // corpus scans (stats + apply) and zero data-sized shuffles
+    "pipeline_mixture_temperature" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val w = d.groupBy("source").agg(count(lit(1)).as("n"))
+        .withColumn("w", floor(sqrt(col("n"))))
+      val tot = w.agg(sum("n").as("total"), sum("w").as("wsum"))
+      val rates = w.crossJoin(broadcast(tot))
+        .withColumn("thr_i",
+          expr("least(65536L, (65536L * w * total) div (wsum * n))"))
+        .select(col("source"), col("thr_i"))
+      d.join(broadcast(rates), "source")
+        .withColumn("kept",
+          (col("thr_i") >= 65536L ||
+            substring(md5(col("text")), 1, 4) <
+              format_string("%04x", col("thr_i"))).cast("long"))
+        .withColumn("toks", size(T.tokens(col("text"))).cast("long"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          max(col("thr_i")).as("thr"),
+          sum("kept").as("n_sampled"),
+          sum(when(col("kept") === 1, col("toks")).otherwise(0L)).as("sampled_tokens"))
+        .orderBy("source")
+    }),
+
+    // per-domain token-budget cap with quality-ranked keep (the "cap how
+    // much any one crawl domain contributes" curation rule): within each
+    // source, documents are ranked best-first (n_chars as the quality
+    // key, doc_id tiebreak) and kept while the budget lasts — a doc is
+    // kept iff the tokens BEFORE it (exclusive prefix sum) are under the
+    // cap, the same belongs-where-it-starts convention as
+    // pipeline_pack_sequences, so every source keeps ≥ 1 doc. Scale
+    // shape: one hash shuffle on source + a per-source sort window —
+    // embarrassingly parallel across domains, no global coordination;
+    // the 100 TB caveat is a single mega-domain serializing its own
+    // window, which the cap itself bounds (ranking stops mattering past
+    // the budget, so a pre-filter on a per-domain approx quantile of the
+    // quality key can shrink the sorted set before the exact window)
+    "pipeline_domain_cap" -> ((s, dir) => {
+      val win = Window.partitionBy("source")
+        .orderBy(col("n_chars").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      docs(s, dir)
+        .withColumn("toks", size(T.tokens(col("text"))).cast("long"))
+        .withColumn("strt", coalesce(sum("toks").over(win), lit(0L)))
+        .withColumn("kept", (col("strt") < lit(10000L)).cast("long"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum("kept").as("n_kept"),
+          sum(when(col("kept") === 1, col("toks")).otherwise(0L)).as("kept_tokens"))
+        .orderBy("source")
+    }),
+
     // concat-and-chunk sequence packing (the standard LLM-pretraining
     // packing): per source shard, documents are laid end-to-end in doc_id
     // order and the token stream is cut every PackBudget tokens; a doc
@@ -2216,6 +2280,43 @@ object PipelineQueries {
         |    THEN len(string_split(text, ' ')) ELSE 0 END) AS BIGINT) AS sampled_tokens,
         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "pipeline_mixture_temperature" ->
+      """WITH s AS (
+        |  SELECT source, count(*) AS n,
+        |         CAST(floor(sqrt(count(*))) AS BIGINT) AS w
+        |  FROM documents GROUP BY source),
+        |t AS (SELECT sum(n) AS total, sum(w) AS wsum FROM s),
+        |r AS (
+        |  SELECT source,
+        |         least(65536, (65536 * w * total) // (wsum * n)) AS thr
+        |  FROM s, t)
+        |SELECT d.source, count(*) AS n_docs, max(r.thr) AS thr,
+        |  CAST(sum(CASE WHEN r.thr >= 65536
+        |                  OR substr(md5(d.text), 1, 4) < printf('%04x', r.thr)
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+        |  CAST(sum(CASE WHEN r.thr >= 65536
+        |                  OR substr(md5(d.text), 1, 4) < printf('%04x', r.thr)
+        |           THEN len(string_split(d.text, ' ')) ELSE 0 END) AS BIGINT)
+        |    AS sampled_tokens
+        |FROM documents d JOIN r ON d.source = r.source
+        |GROUP BY d.source ORDER BY d.source""".stripMargin,
+    "pipeline_domain_cap" ->
+      """WITH t AS (
+        |  SELECT source, doc_id, n_chars,
+        |         len(string_split(text, ' ')) AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, toks,
+        |         COALESCE(sum(toks) OVER (PARTITION BY source
+        |             ORDER BY n_chars DESC, doc_id
+        |             ROWS UNBOUNDED PRECEDING) - toks, 0) AS strt
+        |  FROM t)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN strt < 10000 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_kept,
+        |  CAST(sum(CASE WHEN strt < 10000 THEN toks ELSE 0 END) AS BIGINT)
+        |    AS kept_tokens
+        |FROM c GROUP BY source ORDER BY source""".stripMargin,
     "pipeline_pack_sequences" ->
       """WITH t AS (
         |  SELECT source, doc_id, len(string_split(text, ' ')) AS toks FROM documents),
