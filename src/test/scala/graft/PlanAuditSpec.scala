@@ -357,4 +357,30 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       assert(!p.contains("Join"), s"$q must be join-free:\n$p")
     }
   }
+
+  test("pipeline_mixture_temperature: derived rates broadcast back; corpus never shuffles pre-agg") {
+    // the rates relation is #sources-sized — it must come back to the
+    // corpus as a broadcast join, and the corpus side must reach its
+    // per-source aggregation without any data-sized hash exchange (the
+    // only hash exchanges allowed are over the #sources-row stats/agg
+    // relations, never over documents)
+    val p = finalPlan("pipeline_mixture_temperature")
+    assert(p.contains("BroadcastHashJoin"),
+      s"derived rates must broadcast to the corpus scan:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"the corpus must not shuffle to meet the rates:\n$p")
+  }
+
+  test("pipeline_domain_cap: one hash exchange on source feeds window and aggregation") {
+    // the cap is a per-source window + per-source agg — both consume the
+    // SAME hashpartitioning(source), so the executed plan has exactly one
+    // hash exchange (the orderBy adds a range exchange); a second hash
+    // exchange would mean the agg re-shuffled what the window already
+    // co-located
+    val p = finalPlan("pipeline_domain_cap")
+    val hashEx = p.split("Exchange hashpartitioning").length - 1
+    assert(hashEx === 1,
+      s"window partitioning must be reused by the aggregation, got $hashEx:\n$p")
+    assert(!p.contains("Join"), s"pipeline_domain_cap must be join-free:\n$p")
+  }
 }
