@@ -869,6 +869,31 @@ object PipelineQueries {
       }
     })
 
+  /** Per-document mixture inputs as a MAINTAINED map view: one emission
+    * per doc keyed by its source, carrying exactly what the
+    * temperature-mixture accounting needs (the 4-hex md5 prefix that
+    * decides inclusion and the token count the budget is denominated
+    * in). A doc change batch flows through the ordinary refresh, so the
+    * rebalancing pass over a 100 TB corpus reads this compact state
+    * relation — clustered by source, two small columns — instead of
+    * re-hashing and re-tokenizing every document per run. */
+  private val mixtureIdx = MapIndex.columns("mixture_base")(
+    col("doc_id").cast("string"),
+    array(emit(col("source"), struct(
+      substring(md5(col("text")), 1, 4).as("h4"),
+      size(split(col("text"), " ")).cast("long").as("toks")))))
+
+  private def mixtureView(s: SparkSession, dir: String) =
+    Views.cached(dir, mixtureIdx.name) {
+      val base = mixtureIdx.materialize(docs(s, dir), Views.store(s, dir))
+      val ups = docs(s, dir)
+        .filter(col("doc_id") % 37 === 0 && col("doc_id") % 41 =!= 0)
+        .withColumn("text", lit("spark join spark stream"))
+      val dels = docs(s, dir).filter(col("doc_id") % 41 === 0)
+        .select(col("doc_id").cast("string").as("src_key")).distinct()
+      base.refresh(ups, Some(dels))
+    }
+
   /**
    * Shared candidate-generation core for set-overlap dedup: aggregate a
    * `(doc_id, key)` stream into per-key posting lists (df-capped — a hot
@@ -1461,6 +1486,38 @@ object PipelineQueries {
             substring(md5(col("text")), 1, 4) <
               format_string("%04x", col("thr_i"))).cast("long"))
         .withColumn("toks", size(T.tokens(col("text"))).cast("long"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          max(col("thr_i")).as("thr"),
+          sum("kept").as("n_sampled"),
+          sum(when(col("kept") === 1, col("toks")).otherwise(0L)).as("sampled_tokens"))
+        .orderBy("source")
+    }),
+
+    // the SAME temperature rebalancing served from maintained state after
+    // the shared change batch: per-doc hash prefix + token count come
+    // from [[mixtureView]] (refreshed through the %37-rewrite/%41-
+    // tombstone batch), per-source counts — and therefore the thresholds
+    // themselves — are re-derived from that state, never from the
+    // corpus. The oracle recomputes rates AND accounting from the
+    // modified corpus, so a stale count, hash, or token sum anywhere in
+    // the maintained state shifts a threshold or a sum and fails the
+    // hash gate
+    "pipeline_mixture_temperature_incremental" -> ((s, dir) => {
+      val st = mixtureView(s, dir).df
+        .select(col("emit_key").as("source"),
+          col("emit_value.h4").as("h4"), col("emit_value.toks").as("toks"))
+      val w = st.groupBy("source").agg(count(lit(1)).as("n"))
+        .withColumn("w", floor(sqrt(col("n"))))
+      val tot = w.agg(sum("n").as("total"), sum("w").as("wsum"))
+      val rates = w.crossJoin(broadcast(tot))
+        .withColumn("thr_i",
+          expr("least(65536L, (65536L * w * total) div (wsum * n))"))
+        .select(col("source"), col("thr_i"))
+      st.join(broadcast(rates), "source")
+        .withColumn("kept",
+          (col("thr_i") >= 65536L ||
+            col("h4") < format_string("%04x", col("thr_i"))).cast("long"))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
           max(col("thr_i")).as("thr"),
@@ -2288,7 +2345,8 @@ object PipelineQueries {
         |t AS (SELECT sum(n) AS total, sum(w) AS wsum FROM s),
         |r AS (
         |  SELECT source,
-        |         least(65536, (65536 * w * total) // (wsum * n)) AS thr
+        |         CAST(least(65536, (65536 * w * total) // (wsum * n))
+        |              AS BIGINT) AS thr
         |  FROM s, t)
         |SELECT d.source, count(*) AS n_docs, max(r.thr) AS thr,
         |  CAST(sum(CASE WHEN r.thr >= 65536
@@ -2299,6 +2357,34 @@ object PipelineQueries {
         |           THEN len(string_split(d.text, ' ')) ELSE 0 END) AS BIGINT)
         |    AS sampled_tokens
         |FROM documents d JOIN r ON d.source = r.source
+        |GROUP BY d.source ORDER BY d.source""".stripMargin,
+    // rates AND accounting re-derived from the MODIFIED corpus — the
+    // incremental path must land on exactly this
+    "pipeline_mixture_temperature_incremental" ->
+      """WITH m AS (
+        |  SELECT doc_id, source,
+        |         CASE WHEN doc_id % 37 = 0 THEN 'spark join spark stream'
+        |              ELSE text END AS text
+        |  FROM documents WHERE doc_id % 41 <> 0),
+        |s AS (
+        |  SELECT source, count(*) AS n,
+        |         CAST(floor(sqrt(count(*))) AS BIGINT) AS w
+        |  FROM m GROUP BY source),
+        |t AS (SELECT sum(n) AS total, sum(w) AS wsum FROM s),
+        |r AS (
+        |  SELECT source,
+        |         CAST(least(65536, (65536 * w * total) // (wsum * n))
+        |              AS BIGINT) AS thr
+        |  FROM s, t)
+        |SELECT d.source, count(*) AS n_docs, max(r.thr) AS thr,
+        |  CAST(sum(CASE WHEN r.thr >= 65536
+        |                  OR substr(md5(d.text), 1, 4) < printf('%04x', r.thr)
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+        |  CAST(sum(CASE WHEN r.thr >= 65536
+        |                  OR substr(md5(d.text), 1, 4) < printf('%04x', r.thr)
+        |           THEN len(string_split(d.text, ' ')) ELSE 0 END) AS BIGINT)
+        |    AS sampled_tokens
+        |FROM m d JOIN r ON d.source = r.source
         |GROUP BY d.source ORDER BY d.source""".stripMargin,
     "pipeline_domain_cap" ->
       """WITH t AS (
