@@ -883,16 +883,24 @@ object PipelineQueries {
       substring(md5(col("text")), 1, 4).as("h4"),
       size(split(col("text"), " ")).cast("long").as("toks")))))
 
-  private def mixtureView(s: SparkSession, dir: String) =
-    Views.cached(dir, mixtureIdx.name) {
-      val base = mixtureIdx.materialize(docs(s, dir), Views.store(s, dir))
-      val ups = docs(s, dir)
-        .filter(col("doc_id") % 37 === 0 && col("doc_id") % 41 =!= 0)
+  private def mixtureState(s: SparkSession, dir: String): DataFrame = {
+    // BUCKETED (keyed by source), not flat: a change batch rewrites only
+    // the touched sources' buckets — the partition-scoped I/O contract
+    // the store's own incremental thesis demands of corpus-sized state
+    val store = Views.bucketedStore(s, dir)
+    val unit = "mixture"
+    if (!Views.unitDone(store.baseDir, unit)) {
+      val d = docs(s, dir)
+      store.materialize(mixtureIdx, d)
+      val ups = d.filter(col("doc_id") % 37 === 0 && col("doc_id") % 41 =!= 0)
         .withColumn("text", lit("spark join spark stream"))
-      val dels = docs(s, dir).filter(col("doc_id") % 41 === 0)
+      val dels = d.filter(col("doc_id") % 41 === 0)
         .select(col("doc_id").cast("string").as("src_key")).distinct()
-      base.refresh(ups, Some(dels))
+      store.refresh(mixtureIdx, ups, Some(dels))
+      Views.markUnitDone(store.baseDir, unit)
     }
+    store.df(mixtureIdx.name)
+  }
 
   /**
    * Shared candidate-generation core for set-overlap dedup: aggregate a
@@ -1504,7 +1512,7 @@ object PipelineQueries {
     // the maintained state shifts a threshold or a sum and fails the
     // hash gate
     "pipeline_mixture_temperature_incremental" -> ((s, dir) => {
-      val st = mixtureView(s, dir).df
+      val st = mixtureState(s, dir)
         .select(col("emit_key").as("source"),
           col("emit_value.h4").as("h4"), col("emit_value.toks").as("toks"))
       val w = st.groupBy("source").agg(count(lit(1)).as("n"))
