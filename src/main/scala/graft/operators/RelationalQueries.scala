@@ -230,6 +230,39 @@ object RelationalQueries {
           col("promo_revenue"), col("total_revenue"))
     }),
 
+    // TPC-H Q6-shaped forecast-revenue check: the purest scan query in
+    // the suite — every predicate (date range, discount band, quantity
+    // cap) pushes into the parquet scan, no join, no shuffle before the
+    // single global aggregate. Discounts are stored hundredths, so the
+    // band compares the same double literals in both engines; the
+    // revenue sum is round(2)-gated per the FP-parity convention
+    "q6_forecast" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= to_timestamp(lit("1997-01-01 00:00:00")) &&
+          col("l_shipdate") < to_timestamp(lit("1998-01-01 00:00:00")) &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+          count(lit(1)).as("cnt"))),
+
+    // TPC-H Q4-shaped order-priority check: EXISTS over the fact table —
+    // a semi-join with a RESIDUAL non-equi condition (shipped > 90 days
+    // after the order date) riding on the equi key, the shape Catalyst
+    // plans as one shuffled semi-join with the residual evaluated inside
+    // the join, never a per-order subquery re-execution
+    "q4_order_priority" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= to_timestamp(lit("1997-01-01 00:00:00")) &&
+          col("o_orderdate") < to_timestamp(lit("1997-04-01 00:00:00")))
+      val l = Tables.lineitem(s, dir)
+      o.join(l, col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }),
+
     // TPC-H Q17-shaped: correlated scalar subquery (per-part average
     // threshold). Catalyst decorrelates this into an aggregate + join —
     // the scale shape — rather than per-row re-execution. FP-safe oracle:
@@ -1011,6 +1044,25 @@ object RelationalQueries {
         |SELECT round(100.0 * promo_revenue / total_revenue, 4) AS promo_pct,
         |       promo_revenue, total_revenue
         |FROM s""".stripMargin,
+    "q6_forecast" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+        |       count(*) AS cnt
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_discount >= CAST(0.05 AS DOUBLE)
+        |  AND l_discount <= CAST(0.07 AS DOUBLE)
+        |  AND l_quantity < 24""".stripMargin,
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey
+        |      AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q17_small_qty" ->
       """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
         |       count(*) AS cnt
