@@ -257,6 +257,134 @@ object VectorFunctions {
     override def prettyName: String = "pq_adc"
   }
 
+  /**
+   * nearest_cells(v): indices of the `nSelect` nearest coarse-quantizer
+   * centroids of `v`, ranked by `dist² − |v|² = −2·v·c + |c|²` (the
+   * rank-equivalent score that drops the per-row constant), ties toward
+   * the lower cell id — ascending-score order, so element 1 is the
+   * assignment argmin and the first `nProbe` are a probe's cells.
+   *
+   * The centroid matrix rides as ONE codegen reference object
+   * (`ctx.addReferenceObj`), NOT as parsed literal expressions: the
+   * per-centroid-literal spelling compiles O(nCells) expression nodes
+   * into the plan, which bounds how many cells a quantizer can have
+   * before codegen blows up (and forced the engine's old `MaxCells = 64`
+   * clamp — a ~4× prune cap at any corpus size). With the matrix as a
+   * reference, codegen is O(1) in nCells — a tight two-level loop — and
+   * the model ships with the task binary exactly once per stage (Spark
+   * broadcasts task binaries), so `nCells ∝ √n` can grow unclamped: at
+   * 10¹⁰ vectors that is ~10⁵ cells ≈ 50 MB of model — executor-memory
+   * noise, but ~10⁸ Janino AST nodes if spelled as literals.
+   */
+  case class NearestCells(child: Expression, flat: Array[Double],
+      norms2: Array[Double], dim: Int, nSelect: Int)
+      extends UnaryExpression with ImplicitCastInputTypes {
+    private def nCells: Int = norms2.length
+    override def inputTypes = Seq(ArrayType(DoubleType))
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val v = input.asInstanceOf[ArrayData]
+      if (v.numElements() != dim)
+        throw new IllegalArgumentException(
+          s"nearest_cells: dimension mismatch (${v.numElements()} vs $dim)")
+      val k = math.min(nSelect, nCells)
+      val bestS = new Array[Double](k)
+      val bestI = new Array[Int](k)
+      var filled = 0
+      var c = 0
+      while (c < nCells) {
+        var dot = 0.0
+        val off = c * dim
+        var i = 0
+        while (i < dim) { dot += flat(off + i) * v.getDouble(i); i += 1 }
+        val score = -2.0 * dot + norms2(c)
+        // strict <: an equal score keeps the earlier (lower) cell id,
+        // matching array_min / array_sort struct ordering on (score, idx)
+        if (filled < k || score < bestS(k - 1)) {
+          var pos = if (filled < k) { filled += 1; filled - 1 } else k - 1
+          while (pos > 0 && bestS(pos - 1) > score) {
+            bestS(pos) = bestS(pos - 1); bestI(pos) = bestI(pos - 1); pos -= 1
+          }
+          bestS(pos) = score; bestI(pos) = c
+        }
+        c += 1
+      }
+      ArrayData.toArrayData(java.util.Arrays.copyOf(bestI, filled))
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val mat = ctx.addReferenceObj("centMatrix", flat, "double[]")
+      val n2 = ctx.addReferenceObj("centNorms2", norms2, "double[]")
+      nullSafeCodeGen(ctx, ev, v => {
+        val k = math.min(nSelect, nCells)
+        val bestS = ctx.freshName("bestS")
+        val bestI = ctx.freshName("bestI")
+        val filled = ctx.freshName("filled")
+        val c = ctx.freshName("c")
+        val i = ctx.freshName("i")
+        val off = ctx.freshName("off")
+        val dot = ctx.freshName("dot")
+        val score = ctx.freshName("score")
+        val pos = ctx.freshName("pos")
+        s"""
+           |if ($v.numElements() != $dim) {
+           |  throw new IllegalArgumentException(
+           |    "nearest_cells: dimension mismatch (" + $v.numElements() + " vs $dim)");
+           |}
+           |double[] $bestS = new double[$k];
+           |int[] $bestI = new int[$k];
+           |int $filled = 0;
+           |for (int $c = 0; $c < $nCells; $c++) {
+           |  double $dot = 0.0;
+           |  final int $off = $c * $dim;
+           |  for (int $i = 0; $i < $dim; $i++) {
+           |    $dot += $mat[$off + $i] * $v.getDouble($i);
+           |  }
+           |  final double $score = -2.0 * $dot + $n2[$c];
+           |  if ($filled < $k || $score < $bestS[$k - 1]) {
+           |    int $pos = ($filled < $k) ? $filled++ : $k - 1;
+           |    while ($pos > 0 && $bestS[$pos - 1] > $score) {
+           |      $bestS[$pos] = $bestS[$pos - 1]; $bestI[$pos] = $bestI[$pos - 1]; $pos--;
+           |    }
+           |    $bestS[$pos] = $score; $bestI[$pos] = $c;
+           |  }
+           |}
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+           |  java.util.Arrays.copyOf($bestI, $filled));
+         """.stripMargin
+      })
+    }
+    override protected def withNewChildInternal(newChild: Expression): NearestCells =
+      copy(child = newChild)
+    override def prettyName: String = "nearest_cells"
+    // the default toString would render the model arrays into every plan
+    // string; keep plans model-size-independent
+    override def toString: String = s"nearest_cells($child, cells=$nCells, k=$nSelect)"
+  }
+
+  /** Column wrapper for [[NearestCells]]: flattens the centroid rows and
+    * precomputes `|c|²` per centroid (left-to-right summation — the same
+    * order the driver-side model fit uses, so scores are bit-identical to
+    * the literal-expression spelling this replaces). */
+  def nearestCells(v: org.apache.spark.sql.Column, cents: Array[Array[Double]],
+      k: Int): org.apache.spark.sql.Column = {
+    require(cents.nonEmpty, "nearestCells: empty centroid model")
+    val dim = cents(0).length
+    val flat = new Array[Double](cents.length * dim)
+    var c = 0
+    while (c < cents.length) {
+      require(cents(c).length == dim, "nearestCells: ragged centroid model")
+      System.arraycopy(cents(c), 0, flat, c * dim, dim)
+      c += 1
+    }
+    val norms2 = cents.map { a =>
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * a(i); i += 1 }
+      s
+    }
+    org.apache.spark.sql.graftshim.Shims.column(
+      NearestCells(org.apache.spark.sql.graftshim.Shims.expression(v), flat, norms2, dim, k))
+  }
+
   /** Name → expression builders, the single source for both per-session
     * [[register]] and builder-time [[graft.GraftExtensions]] injection. */
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(

@@ -62,6 +62,28 @@ object PipelineQueries {
   /** Fixed keyword-search query terms (mid-frequency corpus words). */
   private val SearchTerms = Seq("spark", "vector", "join", "stream")
 
+  /** One emission per DISTINCT token with its term frequency, derived in
+    * O(dl log dl) per document: sort the token array once, mark run
+    * STARTS and run ENDS by neighbor comparison (the k-th start pairs
+    * with the k-th end), tf = run length. The `array_distinct` +
+    * per-token `filter` spelling this replaces re-scans the token array
+    * once per distinct token — O(dl²) at index-write time, quadratic on
+    * long documents. `valueSql` builds the emission value; `si`/`ei`
+    * (1-based run bounds) and `$ts` (the sorted array) are in scope —
+    * tf = `ei - si + 1`. `split` never returns an empty array (worst
+    * case one empty-string token), so `sequence(1, size)` is always
+    * ascending; a null text propagates to a null emission array, which
+    * [[MapIndex]] treats as the empty emission. */
+  private def tokenTfEmits(valueSql: String): org.apache.spark.sql.Column = {
+    val ts = "array_sort(split(lower(text), ' '))"
+    expr(s"""zip_with(
+      |  filter(sequence(1, size($ts)), i -> i = 1 OR element_at($ts, i) != element_at($ts, i - 1)),
+      |  filter(sequence(1, size($ts)), i -> i = size($ts) OR element_at($ts, i) != element_at($ts, i + 1)),
+      |  (si, ei) -> named_struct(
+      |    'emit_key', element_at($ts, si),
+      |    'emit_value', ${valueSql.replace("$ts", ts)}))""".stripMargin)
+  }
+
   /** The inverted index as a stored map view OF THE DOCUMENTS TABLE:
     * src_key = doc_id, one emission per distinct term carrying
     * `(doc_id, tf)`, clustered by term — a query-time term filter reaches
@@ -73,14 +95,10 @@ object PipelineQueries {
     * delete-then-inserts exactly its postings (terms it dropped vanish),
     * and a tombstone retracts them — no side pipeline to keep in sync
     * (spec: "inverted index is an incrementally-maintained map view"). */
-  private[graft] val postingsIdx: MapIndex = {
-    val toks = split(lower(col("text")), " ")
+  private[graft] val postingsIdx: MapIndex =
     MapIndex.columns("doc_postings")(
       col("doc_id").cast("string"),
-      transform(array_distinct(toks),
-        t => emit(t, struct(col("doc_id"),
-          size(filter(toks, x => x === t)).cast("long").as("tf")))))
-  }
+      tokenTfEmits("named_struct('doc_id', doc_id, 'tf', cast(ei - si + 1 as bigint))"))
 
   private def postingsView(s: SparkSession, dir: String) =
     Views.cached(dir, postingsIdx.name) {
@@ -94,14 +112,10 @@ object PipelineQueries {
     * reads the refreshed postings; the oracle re-derives them from the
     * modified corpus, so a stale or partially-updated index is a hash
     * mismatch. */
-  private val postingsIncIdx: MapIndex = {
-    val toks = split(lower(col("text")), " ")
+  private val postingsIncIdx: MapIndex =
     MapIndex.columns("doc_postings_inc")(
       col("doc_id").cast("string"),
-      transform(array_distinct(toks),
-        t => emit(t, struct(col("doc_id"),
-          size(filter(toks, x => x === t)).cast("long").as("tf")))))
-  }
+      tokenTfEmits("named_struct('doc_id', doc_id, 'tf', cast(ei - si + 1 as bigint))"))
 
   private def incPostingsView(s: SparkSession, dir: String) =
     Views.cached(dir, postingsIncIdx.name) {
@@ -125,15 +139,11 @@ object PipelineQueries {
     * per-(term, doc) score term needs no join back to the corpus — at
     * 100 TB the scorer touches only the matched terms' posting lists
     * plus one single-row stats relation, never a document. */
-  private def bm25MapIndex(name: String): MapIndex = {
-    val toks = split(lower(col("text")), " ")
+  private def bm25MapIndex(name: String): MapIndex =
     MapIndex.columns(name)(
       col("doc_id").cast("string"),
-      transform(array_distinct(toks),
-        t => emit(t, struct(col("doc_id"),
-          size(filter(toks, x => x === t)).cast("long").as("tf"),
-          size(toks).cast("long").as("dl")))))
-  }
+      tokenTfEmits("""named_struct('doc_id', doc_id,
+        'tf', cast(ei - si + 1 as bigint), 'dl', cast(size($ts) as bigint))"""))
   private val bm25Idx = bm25MapIndex("doc_postings_bm25")
 
   private def bm25View(s: SparkSession, dir: String) =
@@ -188,13 +198,10 @@ object PipelineQueries {
     * Token vocabulary scales sublinearly with the corpus, and the state
     * join in [[lmScores]] is an equi-join on the token key — co-keyed
     * shuffle, never a broadcast of the corpus side. */
-  private def unigramMapIndex(name: String): MapIndex = {
-    val toks = split(lower(col("text")), " ")
+  private def unigramMapIndex(name: String): MapIndex =
     MapIndex.columns(name)(
       col("doc_id").cast("string"),
-      transform(array_distinct(toks),
-        t => emit(t, size(filter(toks, x => x === t)).cast("long"))))
-  }
+      tokenTfEmits("cast(ei - si + 1 as bigint)"))
 
   private val unigramAggs =
     scala.collection.concurrent.TrieMap.empty[String, graft.engine.AggView]
@@ -430,6 +437,7 @@ object PipelineQueries {
     spanAggView(s, dir)
     pairsView(s, dir)
     incPairGraph(s, dir)
+    compactedPairGraph(s, dir)
     incWinnowGraph(s, dir)
     incComponentsIdx(s, dir)
     baseComponentsView(s, dir)
@@ -469,21 +477,43 @@ object PipelineQueries {
 
   /** The window relation AS A MAINTAINED MAP VIEW: src_key = doc_id, one
     * emission per window position carrying `(doc_id, pos)` under the
-    * window text key. Because the document is the source entry, span
-    * dedup inherits the engine's incremental maintenance whole — a
-    * rewrite delete-then-inserts exactly that document's windows and a
-    * tombstone retracts them; the `%37` rewrite text is SHORTER than
-    * SpanW, so rewritten docs exercise the empty-emission path (all old
-    * windows must vanish, no new ones appear). */
+    * window's 64-bit HASH key (8 bytes, `xxhash64(win)`), never the
+    * window text itself — a text-keyed store would hold ~SpanW× the
+    * corpus bytes (every token appears in SpanW stored keys), where the
+    * hash key makes the stored state O(corpus positions × ~8 bytes)
+    * regardless of SpanW. Exactness is preserved by the candidate-verify
+    * tier ([[verifySpanWindows]]): consumers prune on the stored hash,
+    * then re-extract the exact text for the (duplicate-sized) candidate
+    * set only — the same two-phase shape the detection query uses
+    * in-plan. Because the document is the source entry, span dedup
+    * inherits the engine's incremental maintenance whole — a rewrite
+    * delete-then-inserts exactly that document's windows and a tombstone
+    * retracts them; the `%37` rewrite text is SHORTER than SpanW, so
+    * rewritten docs exercise the empty-emission path (all old windows
+    * must vanish, no new ones appear). */
   private def spanWinMapIndex(name: String): MapIndex = {
     val toks = split(lower(col("text")), " ")
     val emits = when(size(toks) >= SpanW,
       transform(sequence(lit(1), size(toks) - lit(SpanW - 1)),
-        p => emit(array_join(slice(toks, p, lit(SpanW)), " "),
+        p => emit(unhex(lpad(hex(xxhash64(array_join(slice(toks, p, lit(SpanW)), " "))), 16, "0")),
           struct(col("doc_id"), p.as("pos")))))
       .otherwise(array().cast(
-        "array<struct<emit_key:string,emit_value:struct<doc_id:bigint,pos:int>>>"))
+        "array<struct<emit_key:binary,emit_value:struct<doc_id:bigint,pos:int>>>"))
     MapIndex.columns(name)(col("doc_id").cast("string"), emits)
+  }
+
+  /** The candidate-verify tier shared by every hash-keyed span-store
+    * consumer: re-extract the exact window text at each candidate
+    * `(doc_id, pos)` from the corpus — `cands` is the hash-pruned
+    * (duplicate-sized) occurrence set, so the corpus join ships only
+    * duplicate-involved documents' tokens, never the corpus. Tokenization
+    * matches the emission side exactly (`split(lower(text), ' ')`), so
+    * the re-extracted text is bit-identical to what was hashed. */
+  private def verifySpanWindows(cands: DataFrame, corpus: DataFrame): DataFrame = {
+    val toks = split(lower(col("text")), " ")
+    cands.join(corpus.select(col("doc_id"), toks.as("toks")), Seq("doc_id"))
+      .withColumn("win", array_join(expr(s"slice(toks, pos, $SpanW)"), " "))
+      .drop("toks")
   }
 
   /** Base-corpus window view, materialized once at prewarm (compute-on-
@@ -536,21 +566,26 @@ object PipelineQueries {
     })
 
   /** Window OCCURRENCE emissions for the maintained removal decisions:
-    * emit key = window text, emit value = the packed occurrence
-    * `doc_id·1e6 + pos` — so a [[graft.engine.BucketedAggView]] over it
-    * holds, per window, EXACTLY the removal-decision inputs: `cnt` = how
-    * many times the window occurs anywhere in the corpus (the full
-    * repeated-substring rule — within-doc repeats count, unlike the
-    * cross-doc detection queries) and `min_value` = the occurrence that
-    * survives. A document change batch maintains both through the joint
-    * base+state refresh in O(delta). */
+    * emit key = the window's 64-bit hash (8 bytes, like [[spanWinMapIndex]]
+    * — text-keyed state would be ~SpanW× corpus bytes), emit value = the
+    * packed occurrence `doc_id·1e6 + pos` — so a
+    * [[graft.engine.BucketedAggView]] over it holds, per window hash,
+    * the removal-decision PRUNE inputs: `cnt` = how many times the
+    * window occurs anywhere in the corpus (the full repeated-substring
+    * rule — within-doc repeats count, unlike the cross-doc detection
+    * queries) and `min_value` = the candidate surviving occurrence. The
+    * consumer re-verifies candidates on exact re-extracted text
+    * ([[verifySpanWindows]]), so a hash collision can only ADD a
+    * candidate that the verify tier rejects, never corrupt a decision.
+    * A document change batch maintains both through the joint base+state
+    * refresh in O(delta). */
   private def spanOccMapIndex(name: String): MapIndex = {
     val toks = split(lower(col("text")), " ")
     val emits = when(size(toks) >= SpanW,
       transform(sequence(lit(1), size(toks) - lit(SpanW - 1)),
-        p => emit(array_join(slice(toks, p, lit(SpanW)), " "),
+        p => emit(unhex(lpad(hex(xxhash64(array_join(slice(toks, p, lit(SpanW)), " "))), 16, "0")),
           (col("doc_id") * lit(1000000L) + p).cast("long"))))
-      .otherwise(array().cast("array<struct<emit_key:string,emit_value:bigint>>"))
+      .otherwise(array().cast("array<struct<emit_key:binary,emit_value:bigint>>"))
     MapIndex.columns(name)(col("doc_id").cast("string"), emits)
   }
 
@@ -625,6 +660,45 @@ object PipelineQueries {
       .withColumn("g", sum("ni").over(byDoc))
       .groupBy("doc_id", "g")
       .agg(min("pos").as("st"), max(col("pos") + lit(SpanW - 1)).as("en"))
+  }
+
+  /** Per-domain token-budget cap over `(source, doc_id, n_chars, toks)`
+    * rows (the `pipeline_domain_cap` engine — factored so a spec can
+    * drive the prune path against the unfiltered spelling on a fixture
+    * whose mega-domain actually exceeds the cap).
+    *
+    * `cut` = per-source approx 90th percentile of the quality key; it
+    * applies only when the strictly-above-cut token mass ≥ cap (exact
+    * aggregate check — see the query comment for the safety proof),
+    * else the source admits everything (`cut = -1`; n_chars ≥ 0). The
+    * exact prefix-sum window then sorts only the admitted candidates. */
+  private[operators] def domainCapped(base0: DataFrame, cap: Long): DataFrame = {
+    val base = base0
+    // #sources-sized: the approx quantile of each source's quality key
+    val cuts = base.groupBy("source")
+      .agg(expr("approx_percentile(n_chars, 0.9)").cast("long").as("q90"))
+    // exact keep-safety: the cut holds iff the strictly-above mass
+    // already exhausts the cap (aggregate-only — no window, no sort)
+    val safety = base.join(broadcast(cuts), Seq("source"))
+      .groupBy("source")
+      .agg(max(col("q90")).as("q90"),
+        sum(when(col("n_chars") > col("q90"), col("toks")).otherwise(0L)).as("above_toks"),
+        count(lit(1)).as("n_docs"))
+      .select(col("source"), col("n_docs"),
+        when(col("above_toks") >= cap, col("q90")).otherwise(lit(-1L)).as("cut"))
+    val admitted = base.join(broadcast(safety), Seq("source"))
+      .filter(col("n_chars") >= col("cut"))
+    val win = Window.partitionBy("source")
+      .orderBy(col("n_chars").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    admitted
+      .withColumn("strt", coalesce(sum("toks").over(win), lit(0L)))
+      .withColumn("kept", (col("strt") < lit(cap)).cast("long"))
+      .groupBy(col("source"))
+      .agg(max(col("n_docs")).as("n_docs"),
+        sum("kept").as("n_kept"),
+        sum(when(col("kept") === 1, col("toks")).otherwise(0L)).as("kept_tokens"))
+      .orderBy("source")
   }
 
   /** n-gram Jaccard near-dup pairs `(i, j, jaccard)` — the DERIVATION
@@ -716,6 +790,39 @@ object PipelineQueries {
         val dels = d.filter(col("doc_id") % 41 === 0).select("doc_id")
         g.refresh(ups, Some(dels))
         Views.markUnitDone(store.baseDir, "winnowgraph_inc")
+      }
+      g
+    })
+
+  /** The pair graph COMPACTED mid-history: own instance + view names
+    * ("pairgraph_compact") in the shared bucketed store, so the shared
+    * incremental graph stays untouched — build on the base corpus,
+    * refresh through the shared change batch, then run the store's
+    * no-change-epoch compaction over the pair view with
+    * `maxFilesPerBucket = 0` (every live bucket rewrites, so the epoch
+    * bump is deterministic). Two driver gates read it: serving must
+    * still equal the modified-corpus from-scratch derivation, and a CDC
+    * replay CROSSING the compaction epoch must equal the refresh delta
+    * alone — the compaction epoch participates in the feed but
+    * contributes no rows (the empty-sidecar property, also asserted
+    * directly in PipelineSpec). */
+  private val compactPairGraphs =
+    scala.collection.concurrent.TrieMap.empty[String, PairGraphIndex]
+  private[graft] def compactedPairGraph(s: SparkSession, dir: String): PairGraphIndex =
+    compactPairGraphs.getOrElseUpdate(dir, {
+      val store = Views.bucketedStore(s, dir)
+      val g = new PairGraphIndex(s, store,
+        "pairgraph_compact", MaxShingleDf, JaccardThreshold)
+      if (!Views.unitDone(store.baseDir, "pairgraph_compact")) {
+        val d = docs(s, dir)
+        g.build(d)
+        val ups = d.filter(col("doc_id") % 37 === 0 && col("doc_id") % 41 =!= 0)
+          .withColumn("text", lit("spark join spark stream"))
+          .select("doc_id", "text")
+        val dels = d.filter(col("doc_id") % 41 === 0).select("doc_id")
+        g.refresh(ups, Some(dels))
+        store.compact(g.pairsName, maxFilesPerBucket = 0)
+        Views.markUnitDone(store.baseDir, "pairgraph_compact")
       }
       g
     })
@@ -1042,8 +1149,11 @@ object PipelineQueries {
     * against a durable store root (the reuse path is disk-gated). */
   private[graft] def resetCachesForTest(): Unit = {
     pairGraphs.clear(); winnowGraphs.clear(); baseComps.clear()
+    compactPairGraphs.clear()
     compGraphs.clear(); pairViewBuilt.clear()
     keeperViews.clear(); streamedComps.clear(); exactDedupViews.clear()
+    lenAggs.clear(); unigramAggs.clear(); lmStreamViews.clear()
+    spanStreamViews.clear(); spanAggViews.clear()
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1109,13 +1219,23 @@ object PipelineQueries {
     // stale windows (a rewritten doc's old windows, a tombstoned doc's
     // any windows) hash-mismatch
     "dedup_substring_incremental" -> ((s, dir) => {
-      val wins = incSpanWinView(s, dir).df
-        .select(col("emit_key").as("win"),
+      // hash-keyed store: prune on the stored 64-bit key, then the
+      // verify tier re-extracts exact text for the candidate subset only
+      val occs = incSpanWinView(s, dir).df
+        .select(col("emit_key").as("h"),
           col("emit_value.doc_id").as("doc_id"), col("emit_value.pos").as("pos"))
-      val dup = wins.groupBy("win")
+      val dupH = occs.groupBy("h")
+        .agg(count_distinct(col("doc_id")).as("ndh"))
+        .filter(col("ndh") >= 2)
+      val cand = occs.join(dupH.select("h"), Seq("h"), "left_semi")
+      val mod = docs(s, dir).filter(col("doc_id") % 41 =!= 0)
+        .withColumn("text", when(col("doc_id") % 37 === 0,
+          lit("spark join spark stream")).otherwise(col("text")))
+      val withWin = verifySpanWindows(cand, mod)
+      val dup = withWin.groupBy("win")
         .agg(count_distinct(col("doc_id")).as("nd"))
         .filter(col("nd") >= 2)
-      val hits = wins.join(dup.select("win"), Seq("win"), "left_semi")
+      val hits = withWin.join(dup.select("win"), Seq("win"), "left_semi")
         .select("doc_id", "pos")
       mergeWindowSpans(hits)
         .groupBy("doc_id")
@@ -1127,13 +1247,21 @@ object PipelineQueries {
     // micro-batches — identical modified-corpus oracle, so the streaming
     // write path must land exactly the state the batch paths land
     "dedup_substring_streamed" -> ((s, dir) => {
-      val wins = streamedSpanWinView(s, dir).df
-        .select(col("emit_key").as("win"),
+      val occs = streamedSpanWinView(s, dir).df
+        .select(col("emit_key").as("h"),
           col("emit_value.doc_id").as("doc_id"), col("emit_value.pos").as("pos"))
-      val dup = wins.groupBy("win")
+      val dupH = occs.groupBy("h")
+        .agg(count_distinct(col("doc_id")).as("ndh"))
+        .filter(col("ndh") >= 2)
+      val cand = occs.join(dupH.select("h"), Seq("h"), "left_semi")
+      val mod = docs(s, dir).filter(col("doc_id") % 41 =!= 0)
+        .withColumn("text", when(col("doc_id") % 37 === 0,
+          lit("spark join spark stream")).otherwise(col("text")))
+      val withWin = verifySpanWindows(cand, mod)
+      val dup = withWin.groupBy("win")
         .agg(count_distinct(col("doc_id")).as("nd"))
         .filter(col("nd") >= 2)
-      val hits = wins.join(dup.select("win"), Seq("win"), "left_semi")
+      val hits = withWin.join(dup.select("win"), Seq("win"), "left_semi")
         .select("doc_id", "pos")
       mergeWindowSpans(hits)
         .groupBy("doc_id")
@@ -1142,28 +1270,39 @@ object PipelineQueries {
     }),
 
     // removal decisions served from the MAINTAINED window aggregate
-    // after the change batch: per window, cnt (occurrences anywhere —
-    // the full repeated-substring rule, within-doc repeats included)
-    // and min_value (the surviving occurrence) come from the
-    // BucketedAggView state, marked occurrences from the jointly-
-    // refreshed base emissions — both O(delta)-maintained, so query
-    // time is a stored read + the per-doc merge. The oracle recomputes
-    // the decisions from the modified corpus from scratch.
+    // after the change batch: the hash-keyed state holds, per window
+    // hash, cnt (occurrences anywhere — the full repeated-substring
+    // rule, within-doc repeats included) as the candidate PRUNE; the
+    // verify tier re-extracts exact text for the candidate occurrences
+    // and recomputes (cnt, first occurrence) per exact window. Both
+    // stored relations are O(delta)-maintained, so query time is a
+    // stored read + a duplicate-sized verify + the per-doc merge. The
+    // oracle recomputes the decisions from the modified corpus from
+    // scratch.
     "dedup_substring_removal_incremental" -> ((s, dir) => {
       val v = spanAggView(s, dir)
-      val wins = v.store.df("doc_spanocc")
-        .select(col("emit_key").as("win"), col("emit_value").cast("long").as("occ"))
-      val dup = v.state.filter(col("cnt") >= 2)
-        .select(col("emit_key").as("win"), col("min_value").cast("long").as("firstk"))
-      val marked = wins.join(dup, Seq("win"))
-        .filter(col("occ") =!= col("firstk"))
+      // the state prunes on the stored hash key (cnt >= 2 candidates);
+      // the verify tier re-extracts exact text for those occurrences and
+      // recomputes the (cnt, first-occurrence) decision per exact window
+      // — collision-proof, and the recompute is duplicate-sized
+      val candH = v.state.filter(col("cnt") >= 2).select(col("emit_key").as("h"))
+      val occs = v.store.df("doc_spanocc")
+        .select(col("emit_key").as("h"), col("emit_value").cast("long").as("occ"))
+        .join(candH, Seq("h"), "left_semi")
         .select(expr("occ div 1000000").as("doc_id"),
-          expr("cast(occ % 1000000 as int)").as("pos"))
-      val modLens = docs(s, dir).filter(col("doc_id") % 41 =!= 0)
+          expr("cast(occ % 1000000 as int)").as("pos"), col("occ"))
+      val mod = docs(s, dir).filter(col("doc_id") % 41 =!= 0)
         .withColumn("text", when(col("doc_id") % 37 === 0,
           lit("spark join spark stream")).otherwise(col("text")))
-        .select(col("doc_id"),
-          size(split(lower(col("text")), " ")).cast("long").as("n_tokens"))
+      val withWin = verifySpanWindows(occs, mod)
+      val dup = withWin.groupBy("win")
+        .agg(count(lit(1)).as("nocc"), min("occ").as("firstk"))
+        .filter(col("nocc") >= 2)
+      val marked = withWin.join(dup.select("win", "firstk"), Seq("win"))
+        .filter(col("occ") =!= col("firstk"))
+        .select("doc_id", "pos")
+      val modLens = mod.select(col("doc_id"),
+        size(split(lower(col("text")), " ")).cast("long").as("n_tokens"))
       mergeWindowSpans(marked)
         .groupBy("doc_id")
         .agg(sum(col("en") - col("st") + 1).as("removed_tokens"))
@@ -1183,16 +1322,18 @@ object PipelineQueries {
       // the removal pass is a consumer of the maintained index, not a
       // re-derivation; only the oracle-mirrored detection query above
       // re-tokenizes the corpus
-      val wins = spanWinView(s, dir).df
+      val occs = spanWinView(s, dir).df
         .select(col("emit_value.doc_id").as("doc_id"),
-          col("emit_value.pos").as("pos"), col("emit_key").as("win"))
-        .withColumn("h", xxhash64(col("win")))
-      // same two-phase prune as the detection query: hash keys through
-      // the corpus-wide shuffle, exact string keys on the candidates
-      val dupH = wins.groupBy("h")
+          col("emit_value.pos").as("pos"), col("emit_key").as("h"))
+      // same two-phase prune as the detection query — except the first
+      // phase is FREE here: the stored key IS the 64-bit hash, so the
+      // corpus-wide shuffle groups 8-byte keys and only the candidate
+      // subset re-extracts exact text from the corpus
+      val dupH = occs.groupBy("h")
         .agg(count_distinct(col("doc_id")).as("ndh"))
         .filter(col("ndh") >= 2)
-      val cand = wins.join(dupH.select("h"), Seq("h"), "left_semi")
+      val cand0 = occs.join(dupH.select("h"), Seq("h"), "left_semi")
+      val cand = verifySpanWindows(cand0, docs(s, dir))
       // (doc_id, pos) packed into one orderable key: pos < 1e6 always
       // (documents are ~100s of tokens; a longer corpus widens the pack)
       val occ = col("doc_id") * lit(1000000L) + col("pos")
@@ -1415,6 +1556,29 @@ object PipelineQueries {
         .orderBy("change_type", "i", "j")
     }),
 
+    // the pair graph served ACROSS a compaction epoch: after build +
+    // incremental refresh, the store compacted every pair bucket (a
+    // no-change epoch) — the served relation must still equal the
+    // modified-corpus from-scratch derivation exactly (any row the
+    // rewrite perturbed fails the hash gate)
+    "dedup_pairs_compacted" -> ((s, dir) =>
+      compactedPairGraph(s, dir).pairs.orderBy("i", "j")),
+
+    // CDC replay CROSSING the compaction epoch: (build, latest] covers
+    // the refresh AND the compaction, and must net to the refresh delta
+    // alone because the compaction epoch contributes no rows — the same
+    // before/after oracle as dedup_pairs_changefeed grades it
+    "dedup_pairs_compacted_changefeed" -> ((s, dir) => {
+      val g = compactedPairGraph(s, dir)
+      val feed = g.pairsChanges(0, g.pairsVersion)
+        .select(col("i"), col("j"), col("jaccard"), col("change_type"))
+      val dels = feed.filter(col("change_type") === "delete").drop("change_type")
+      val ins = feed.filter(col("change_type") === "insert").drop("change_type")
+      dels.exceptAll(ins).withColumn("change_type", lit("delete"))
+        .unionByName(ins.exceptAll(dels).withColumn("change_type", lit("insert")))
+        .orderBy("change_type", "i", "j")
+    }),
+
     // deterministic content-hash train/valid split: assignment depends
     // only on the document bytes (stable across runs, partitionings, and
     // re-ingestion — unlike rand()-based sampling), ~1/16 to valid
@@ -1541,26 +1705,21 @@ object PipelineQueries {
     // kept iff the tokens BEFORE it (exclusive prefix sum) are under the
     // cap, the same belongs-where-it-starts convention as
     // pipeline_pack_sequences, so every source keeps ≥ 1 doc. Scale
-    // shape: one hash shuffle on source + a per-source sort window —
-    // embarrassingly parallel across domains, no global coordination;
-    // the 100 TB caveat is a single mega-domain serializing its own
-    // window, which the cap itself bounds (ranking stops mattering past
-    // the budget, so a pre-filter on a per-domain approx quantile of the
-    // quality key can shrink the sorted set before the exact window)
-    "pipeline_domain_cap" -> ((s, dir) => {
-      val win = Window.partitionBy("source")
-        .orderBy(col("n_chars").desc, col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      docs(s, dir)
-        .withColumn("toks", size(T.tokens(col("text"))).cast("long"))
-        .withColumn("strt", coalesce(sum("toks").over(win), lit(0L)))
-        .withColumn("kept", (col("strt") < lit(10000L)).cast("long"))
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum("kept").as("n_kept"),
-          sum(when(col("kept") === 1, col("toks")).otherwise(0L)).as("kept_tokens"))
-        .orderBy("source")
-    }),
+    // shape: a per-domain approx-quantile PRE-FILTER shrinks the exact
+    // sort window to ~cap-sized candidates — without it a single
+    // mega-domain serializes its whole doc set through one sort task
+    // even though ranking stops mattering past the budget. Keep-safety
+    // is exact, not probabilistic: a source's cut applies ONLY if the
+    // strictly-above-cut token mass already exhausts the cap (so every
+    // excluded doc's exclusive prefix provably ≥ cap → never kept, and
+    // boundary ties are admitted); a source failing that check admits
+    // everything. The output is therefore bit-identical to the
+    // unfiltered spelling for ANY cut value. All pre-filter inputs are
+    // #sources-sized aggregates broadcast back to the scan.
+    "pipeline_domain_cap" -> ((s, dir) => domainCapped(
+      docs(s, dir).withColumn("toks", size(T.tokens(col("text"))).cast("long"))
+        .select(col("source"), col("doc_id"), col("n_chars"), col("toks")),
+      10000L)),
 
     // concat-and-chunk sequence packing (the standard LLM-pretraining
     // packing): per source shard, documents are laid end-to-end in doc_id
@@ -1635,6 +1794,18 @@ object PipelineQueries {
     "search_bm25_incremental" -> ((s, dir) =>
       bm25Search(incBm25View(s, dir).df, incLenAgg(s, dir).state)),
 
+    // BM25 with every maintained input built PURELY through streaming
+    // micro-batches ([[streamedLmViews]] — the postings map view AND the
+    // N/avgdl length state bootstrap through three insert thirds, then
+    // the shared upsert/tombstone batch through the streaming contract's
+    // `deleted` split): the streaming write path must land exactly the
+    // state the batch-incremental path lands, so the SAME modified-
+    // corpus oracle as search_bm25_incremental grades it
+    "search_bm25_streamed" -> ((s, dir) => {
+      val (post, _, lens) = streamedLmViews(s, dir)
+      bm25Search(post.df, lens.state)
+    }),
+
     // unigram-LM quality scoring (the CCNet/KenLM perplexity-filter
     // shape): per-doc average token log-probability under the corpus's
     // own unigram model, every input a maintained view — postings for
@@ -1698,11 +1869,15 @@ object PipelineQueries {
     "search_hybrid_rrf" -> ((s, dir) => {
       graft.functions.VectorFunctions.register(s)
       val bmScored = bm25Scores(bm25View(s, dir).df, lenAgg(s, dir).state)
-      // single-partition windows: both arms are top-50 model-sized lists
-      // (a data-sized variant would TakeOrdered per arm instead)
+      // per-arm top-50 via orderBy().limit() — TakeOrderedAndProject, the
+      // search_tfidf shape: per-partition heaps, 50·partitions rows to
+      // the driver, NEVER every scored row through one task. The rank
+      // number is assigned AFTER the limit: TakeOrderedAndProject emits
+      // one already-sorted partition, so the row_number window over the
+      // 50-row result needs no exchange and no sort (plan-asserted)
       val wB = Window.orderBy(col("score").desc, col("doc_id"))
-      val bm50 = bmScored.withColumn("r", row_number().over(wB))
-        .filter(col("r") <= 50)
+      val bm50 = bmScored.orderBy(col("score").desc, col("doc_id")).limit(50)
+        .withColumn("r", row_number().over(wB))
         .select(col("doc_id"), (lit(1.0) / (col("r") + 60)).as("s_bm"))
       val e = Tables.embeddings(s, dir)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
@@ -1714,8 +1889,8 @@ object PipelineQueries {
         .withColumn("c", round(expr("vec_dot(pv, v)") / (col("pn") * col("norm")), 6))
         .select(col("vec_id").as("doc_id"), col("c"))
       val wV = Window.orderBy(col("c").desc, col("doc_id"))
-      val v50 = cosd.withColumn("r", row_number().over(wV))
-        .filter(col("r") <= 50)
+      val v50 = cosd.orderBy(col("c").desc, col("doc_id")).limit(50)
+        .withColumn("r", row_number().over(wV))
         .select(col("doc_id"), (lit(1.0) / (col("r") + 60)).as("s_v"))
       bm50.join(v50, Seq("doc_id"), "full_outer")
         .select(col("doc_id"),
@@ -2056,6 +2231,18 @@ object PipelineQueries {
     // the incrementally-maintained pair graph must equal the from-scratch
     // derivation over the MODIFIED corpus
     "dedup_pairs_incremental" -> ngramJaccardSqlFrom(modifiedDocsSql),
+    // post-compaction serving: identical ground truth as the
+    // uncompacted maintained graph
+    "dedup_pairs_compacted" -> ngramJaccardSqlFrom(modifiedDocsSql),
+    "dedup_pairs_compacted_changefeed" ->
+      s"""WITH before AS (SELECT * FROM ($ngramJaccardSql)),
+         |after AS (SELECT * FROM (${ngramJaccardSqlFrom(modifiedDocsSql)}))
+         |SELECT i, j, jaccard, 'delete' AS change_type
+         |FROM (SELECT * FROM before EXCEPT SELECT * FROM after)
+         |UNION ALL
+         |SELECT i, j, jaccard, 'insert' AS change_type
+         |FROM (SELECT * FROM after EXCEPT SELECT * FROM before)
+         |ORDER BY change_type, i, j""".stripMargin,
     // the incrementally-maintained winnow graph must reproduce the
     // exhaustive containment pair set of the MODIFIED corpus
     "dedup_winnow_incremental" ->
@@ -2470,6 +2657,30 @@ object PipelineQueries {
         |FROM tf JOIN dfq USING (w) CROSS JOIN stats
         |GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
     "search_bm25_incremental" ->
+      """WITH corpus AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 37 = 0 THEN 'spark join spark stream'
+        |              ELSE lower(text) END AS text
+        |  FROM documents WHERE doc_id % 41 <> 0),
+        |tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
+        |stats AS (
+        |  SELECT count(*) AS n, CAST(sum(len(toks)) AS DOUBLE) / count(*) AS avgdl
+        |  FROM tok),
+        |tf AS (
+        |  SELECT doc_id, len(toks) AS dl, w, count(*) AS tf
+        |  FROM (SELECT doc_id, toks, unnest(toks) AS w FROM tok) u
+        |  WHERE w IN ('spark', 'vector', 'join', 'stream')
+        |  GROUP BY 1, 2, 3),
+        |dfq AS (SELECT w, count(*) AS df FROM tf GROUP BY 1)
+        |SELECT tf.doc_id,
+        |       round(sum( ln(1 + (n - df + 0.5) / (df + 0.5))
+        |                * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) ), 4) AS score
+        |FROM tf JOIN dfq USING (w) CROSS JOIN stats
+        |GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    // the streaming-built postings + stats must serve the identical
+    // modified-corpus recompute as the batch-incremental pair
+    "search_bm25_streamed" ->
       """WITH corpus AS (
         |  SELECT doc_id,
         |         CASE WHEN doc_id % 37 = 0 THEN 'spark join spark stream'

@@ -337,6 +337,71 @@ object RelationalQueries {
           |ORDER BY c_nationkey""".stripMargin)
     }),
 
+    // TPC-H Q15-shaped: max-revenue supplier via a revenue view compared
+    // against its own global max — an uncorrelated scalar subquery over a
+    // derived aggregate. Spark executes the revenue aggregation once as a
+    // subquery stage whose max becomes a runtime literal filtering the
+    // SAME aggregated relation — never a per-row re-aggregation. FP
+    // parity: per-supplier revenue rounds to 2 BEFORE the max equality,
+    // so both engines compare identical doubles.
+    "q15_top_supplier" -> ((s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_q15")
+      Tables.supplier(s, dir).createOrReplaceTempView("supplier_q15")
+      s.sql(
+        """WITH revenue AS (
+          |  SELECT l_suppkey AS supplier_no,
+          |         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+          |  FROM lineitem_q15
+          |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          |    AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+          |  GROUP BY l_suppkey)
+          |SELECT s_suppkey, s_name, total_revenue
+          |FROM supplier_q15 JOIN revenue ON s_suppkey = supplier_no
+          |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+          |ORDER BY s_suppkey""".stripMargin)
+    }),
+
+    // TPC-H Q11-shaped (adapted: this schema has no partsupp, so the
+    // "value" relation is shipped quantity per part): a group aggregate
+    // HAVING against a GLOBAL-aggregate scalar subquery — the
+    // significant-share filter. Quantities are integral, so both sums
+    // are exact in both engines and the threshold is one multiply of
+    // identical doubles — no FP-association risk at the boundary.
+    // Catalyst executes the global sum once as a scalar subquery (a
+    // runtime literal), never per group.
+    "q11_significant_parts" -> ((s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_q11")
+      s.sql(
+        """SELECT l_partkey, CAST(sum(l_quantity) AS BIGINT) AS total_qty
+          |FROM lineitem_q11
+          |GROUP BY l_partkey
+          |HAVING sum(l_quantity) > (SELECT sum(l_quantity) * 0.001 FROM lineitem_q11)
+          |ORDER BY total_qty DESC, l_partkey""".stripMargin)
+    }),
+
+    // TPC-H Q2-shaped (adapted: no partsupp — lineitem is the offer
+    // relation): for each part of one brand, the supplier(s) that shipped
+    // it at the MINIMUM extended price — the correlated scalar-min
+    // subquery. Catalyst decorrelates into a per-part aggregate + join
+    // (the scale shape), never per-row re-execution; the price equality
+    // compares STORED doubles (no arithmetic), so cross-engine parity is
+    // exact.
+    "q2_min_cost" -> ((s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_q2")
+      Tables.part(s, dir).createOrReplaceTempView("part_q2")
+      Tables.supplier(s, dir).createOrReplaceTempView("supplier_q2")
+      s.sql(
+        """SELECT DISTINCT p_partkey, p_name, s_suppkey, s_name,
+          |       l_extendedprice AS min_price
+          |FROM part_q2, lineitem_q2, supplier_q2
+          |WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+          |  AND p_brand = 'Brand#1'
+          |  AND l_extendedprice = (SELECT min(l2.l_extendedprice)
+          |                         FROM lineitem_q2 l2
+          |                         WHERE l2.l_partkey = p_partkey)
+          |ORDER BY p_partkey, s_suppkey""".stripMargin)
+    }),
+
     // TPC-H Q19-shaped: join with disjunctive multi-attribute predicate
     // groups. Catalyst extracts the common conjuncts it can push
     // (p_partkey join key both sides); the OR-of-ANDs residual runs
@@ -1097,6 +1162,34 @@ object RelationalQueries {
         |                    AND o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
         |GROUP BY c_nationkey
         |ORDER BY c_nationkey""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q11_significant_parts" ->
+      """SELECT l_partkey, CAST(sum(l_quantity) AS BIGINT) AS total_qty
+        |FROM lineitem
+        |GROUP BY l_partkey
+        |HAVING sum(l_quantity) > (SELECT sum(l_quantity) * 0.001 FROM lineitem)
+        |ORDER BY total_qty DESC, l_partkey""".stripMargin,
+    "q2_min_cost" ->
+      """SELECT DISTINCT p_partkey, p_name, s_suppkey, s_name,
+        |       l_extendedprice AS min_price
+        |FROM part, lineitem, supplier
+        |WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+        |  AND p_brand = 'Brand#1'
+        |  AND l_extendedprice = (SELECT min(l2.l_extendedprice)
+        |                         FROM lineitem l2
+        |                         WHERE l2.l_partkey = p_partkey)
+        |ORDER BY p_partkey, s_suppkey""".stripMargin,
     "q19_discount" ->
       """SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
         |       count(*) AS cnt

@@ -132,19 +132,24 @@ object SimilarityQueries {
   }
 
   /** IVF coarse-quantizer parameters: the cell count follows the standard
-    * √n rule (so per-cell list size and cell count grow together as the
-    * corpus scales), clamped to [MinCells, MaxCells] — the upper clamp
-    * bounds the codegen'd per-row scoring array; past it a production
-    * deployment shards the quantizer rather than widening one expression.
-    * Probes scan the nearest quarter of the cells, so the expected scanned
-    * fraction stays ~25% of the corpus at every scale. Training runs a
-    * fixed number of Lloyd iterations (deterministic round count — no
-    * data-dependent convergence). */
+    * √n rule UNCLAMPED (per-cell list size and cell count grow together
+    * as the corpus scales — the rule any public IVF design uses), and a
+    * probe scans its √nCells nearest cells, so the scanned fraction
+    * nProbe/nCells = n^(-1/4) SHRINKS as the corpus grows: ~18% at 10³
+    * vectors, ~3% at 10⁶, ~0.3% at 10¹⁰. Nothing bounds nCells anymore:
+    * assignment rides the centroid matrix as one codegen reference
+    * object ([[graft.functions.VectorFunctions.NearestCells]]), not
+    * per-centroid literal expressions, so a 10⁵-cell quantizer costs a
+    * ~50 MB broadcast-with-the-task-binary model — not a plan-size or
+    * Janino explosion (the old `MaxCells = 64` clamp existed only to
+    * bound that literal spelling, and capped the prune at ~4× forever).
+    * Training runs a fixed number of Lloyd iterations (deterministic
+    * round count — no data-dependent convergence). */
   private val MinCells = 16
-  private val MaxCells = 64
-  private def cellsFor(n: Long): Int =
-    math.max(MinCells, math.min(MaxCells, math.round(math.sqrt(n.toDouble)).toInt))
-  private def probesFor(nCells: Int): Int = math.max(4, nCells / 4)
+  private[graft] def cellsFor(n: Long): Int =
+    math.max(MinCells, math.round(math.sqrt(n.toDouble)).toInt)
+  private[graft] def probesFor(nCells: Int): Int =
+    math.max(4, math.ceil(math.sqrt(nCells.toDouble)).toInt)
   private val KmeansIters = 5
 
   /** Per-JVM quantizer cache: like a real IVF index, the model is trained
@@ -190,6 +195,7 @@ object SimilarityQueries {
     sqIncView(s, dir)
     ivfsqCellsView(s, dir)
     ivfpqCellsView(s, dir)
+    pqIncView(s, dir)
     lshStreamedView(s, dir)
     ()
   }
@@ -233,24 +239,20 @@ object SimilarityQueries {
     } finally e.unpersist(blocking = false)
   }
 
-  /** Per-cell ranking scores as a codegen-friendly array over the
-    * collected centroid model: dist² = |v|² − 2·v·c + |c|², and |v|² is
-    * constant per row, so ranking uses `−2·v·c + |c|²` only. Shared by
-    * corpus assignment and probe cell selection — the two MUST rank with
-    * the same formula or they silently disagree on cell boundaries. */
-  private def cellScores(cents: Array[Array[Double]], v: Column): Column = {
-    import org.apache.spark.sql.functions.typedlit
-    array(cents.zipWithIndex.map { case (c, i) =>
-      val c2 = c.map(x => x * x).sum
-      struct((lit(-2.0) * dot(v, typedlit(c)) + lit(c2)).as("score"),
-        lit(i).as("idx"))
-    }: _*)
-  }
-
-  /** `argmin_c dist²(v, c)`: array_min over `struct<score, idx>` breaks
-    * ties toward the lower cell id. */
+  /** `argmin_c dist²(v, c)` over the collected centroid model: dist² =
+    * |v|² − 2·v·c + |c|², and |v|² is constant per row, so ranking uses
+    * `−2·v·c + |c|²` only. One [[VectorFunctions.NearestCells]] node —
+    * the matrix is a codegen reference object, NEVER literal expressions,
+    * so codegen and plan size are O(1) in the cell count. Shared formula
+    * with [[probeCellsCol]] — corpus assignment and probe cell selection
+    * MUST rank identically or they silently disagree on cell boundaries. */
   private def assignExpr(cents: Array[Array[Double]]): Column =
-    array_min(cellScores(cents, col("v"))).getField("idx")
+    element_at(VectorFunctions.nearestCells(col("v"), cents, 1), 1)
+
+  /** A probe's `nProbe` nearest cell ids, ascending by the same score as
+    * [[assignExpr]] — `explode` it for one row per (probe, cell). */
+  private def probeCellsCol(cents: Array[Array[Double]], nProbe: Int, v: Column): Column =
+    VectorFunctions.nearestCells(v, cents, nProbe)
 
   // ---------------------------------------------------------------------
   // Persisted, incrementally-maintained IVF index
@@ -725,8 +727,7 @@ object SimilarityQueries {
       .withColumn("pqn", sqrt(call_function("vec_dot_q", col("pq"), col("pq")).cast("double")))
       .filter(col("pqn") > 0)
     val probeCells = probes
-      .withColumn("pscored", array_sort(cellScores(cents, col("pv"))))
-      .withColumn("cid0", explode(expr(s"slice(transform(pscored, s -> s.idx), 1, $nProbe)")))
+      .withColumn("cid0", explode(probeCellsCol(cents, nProbe, col("pv"))))
       .withColumn("cid", col("cid0").cast("string"))
       .select("probe_id", "cid", "pq", "pqn")
     val cellIds = probeCells.select("cid").distinct()
@@ -772,8 +773,7 @@ object SimilarityQueries {
       .withColumn("pqn", sqrt(call_function("vec_dot_q", col("pq"), col("pq")).cast("double")))
       .filter(col("pqn") > 0)
     val probeCells = probes
-      .withColumn("pscored", array_sort(cellScores(cents, col("pv"))))
-      .withColumn("cid0", explode(expr(s"slice(transform(pscored, s -> s.idx), 1, $nProbe)")))
+      .withColumn("cid0", explode(probeCellsCol(cents, nProbe, col("pv"))))
       .withColumn("cid", col("cid0").cast("string"))
       .select("probe_id", "cid", "pq", "pqn")
     val qcells = store.df("emb_ivfsq_cells")
@@ -873,17 +873,15 @@ object SimilarityQueries {
   private val PqRefine = 8
 
   /** Nearest sub-centroid of `sub` in one subspace's codebook — same
-    * dist² ranking trick as [[cellScores]] (`-2·sub·c + |c|²`; `|sub|²`
+    * dist² ranking trick as [[assignExpr]] (`-2·sub·c + |c|²`; `|sub|²`
     * is rank-constant), shared by training, encoding and (through the
-    * LUT) probing so all three agree on code boundaries. */
-  private[graft] def pqNearestExpr(book: Array[Array[Double]], sub: Column): Column = {
-    import org.apache.spark.sql.functions.typedlit
-    array_min(array(book.zipWithIndex.map { case (c, i) =>
-      val c2 = c.map(x => x * x).sum
-      struct((lit(-2.0) * call_function("vec_dot", sub, typedlit(c)) + lit(c2)).as("score"),
-        lit(i).as("idx"))
-    }: _*)).getField("idx")
-  }
+    * LUT) probing so all three agree on code boundaries. Unlike the
+    * coarse quantizer, Ks is bounded by DESIGN (codes are bytes, so
+    * Ks ≤ 256 at any corpus size) — but the codebook still rides as a
+    * [[VectorFunctions.NearestCells]] reference object, not literals,
+    * so the encode expression stays M small nodes. */
+  private[graft] def pqNearestExpr(book: Array[Array[Double]], sub: Column): Column =
+    element_at(VectorFunctions.nearestCells(sub, book, 1), 1)
 
   /** PQ code of a full vector: `array<tinyint>` of the M nearest
     * sub-centroid indices. One pass over the row; 128 small dot
@@ -990,6 +988,148 @@ object SimilarityQueries {
     rankTopK(scored)
   }
 
+  // ---------------------------------------------------------------------
+  // Persisted, incrementally-maintained flat-PQ corpus
+  // ---------------------------------------------------------------------
+
+  /** Codebook-staleness gate factor: a change batch whose mean squared
+    * reconstruction error under the STORED codebooks exceeds this
+    * multiple of the build-time corpus error forces a codebook re-fit +
+    * re-materialization — the PQ analog of the SQ scale clamp gate.
+    * Unlike the SQ gate it cannot be exact (a codebook never "clamps";
+    * it just reconstructs worse), so the gate is the measurable quantity
+    * that actually degrades recall: reconstruction error. The norm-
+    * preserving reversal fixture reconstructs like any other random
+    * vector, so it exercises the refresh arm; a spec drives the re-fit
+    * arm with deliberately out-of-distribution vectors. */
+  private val PqRefitErrFactor = 2.0
+
+  /** Mean squared PQ reconstruction error of `corpus` under `books`:
+    * `|v|² − 2·v·recon(v) + |recon(v)|²` per vector via the ADC
+    * machinery (encode → LUT dot → code-norm LUT), averaged — ONE scan,
+    * model-sized output. */
+  private[graft] def pqMeanSqError(
+      corpus: DataFrame, books: Array[Array[Array[Double]]]): Double = {
+    import org.apache.spark.sql.functions.typedlit
+    val codes = pqEncodeExpr(books, col("v"))
+    corpus.select(
+        (call_function("vec_dot", col("v"), col("v"))
+          - lit(2.0) * call_function("pq_adc", codes, pqLutExpr(books, col("v")), lit(PqKs))
+          + call_function("pq_adc", codes, typedlit(pqNormLut(books)), lit(PqKs))).as("e"))
+      .agg(coalesce(avg("e"), lit(0.0))).head().getDouble(0)
+  }
+
+  /** The flat-PQ corpus as an engine-maintained bucketed map view keyed
+    * by vec_id (the [[sqIncIdx]] treatment at 8 bytes per vector):
+    * emit value = `(codes, qn)` — no float vector in the stored view.
+    * Refresh re-encodes changed vectors under EXACTLY the codebooks the
+    * stored codes carry. */
+  private def pqIncIdx(books: Array[Array[Array[Double]]]): MapIndex = {
+    import org.apache.spark.sql.functions.typedlit
+    val codes = pqEncodeExpr(books, col("v"))
+    MapIndex.columns("emb_pq_inc")(
+      col("vec_id").cast("string"),
+      array(emit(col("vec_id"), struct(codes.as("codes"),
+        sqrt(call_function("pq_adc", codes, typedlit(pqNormLut(books)), lit(PqKs)))
+          .as("qn")))))
+  }
+
+  /** Build the flat-PQ view over `corpus`; returns (codebooks, base
+    * mean-sq reconstruction error) — the view's model parameters. */
+  private[graft] def pqIncBuild(store: BucketedViewStore,
+      corpus: DataFrame): (Array[Array[Array[Double]]], Double) = {
+    val books = pqCodebooks(corpus)
+    store.materialize(pqIncIdx(books), corpus)
+    (books, pqMeanSqError(corpus, books))
+  }
+
+  /** The PQ change-batch gate, factored for direct testing (the
+    * [[sqApplyBatch]] shape): apply one corpus batch to a stored flat-PQ
+    * view. Re-fit + re-materialize (through the store's full-retraction
+    * rebuild — CDC stays contiguous) iff the batch's mean reconstruction
+    * error under the STORED codebooks exceeds [[PqRefitErrFactor]] × the
+    * recorded base error; otherwise the ordinary O(delta) refresh
+    * re-encodes only the changed vectors. Returns the (books, baseErr)
+    * the view now serves with. */
+  private[graft] def pqApplyBatch(store: BucketedViewStore,
+      books: Array[Array[Array[Double]]], baseErr: Double,
+      ups: DataFrame, dels: Option[DataFrame],
+      corpusAfter: => DataFrame): (Array[Array[Array[Double]]], Double) = {
+    val batchErr = pqMeanSqError(ups, books)
+    if (batchErr > PqRefitErrFactor * baseErr && baseErr > 0) {
+      val m = corpusAfter
+      val refit = pqCodebooks(m)
+      store.materialize(pqIncIdx(refit), m)
+      (refit, pqMeanSqError(m, refit))
+    } else {
+      store.refresh(pqIncIdx(books), ups, dels)
+      (books, baseErr)
+    }
+  }
+
+  /** Per-JVM cache of the maintained flat-PQ view + its served model. */
+  private val pqIncViews =
+    TrieMap.empty[String, (BucketedViewStore, Array[Array[Array[Double]]])]
+
+  /** Build the flat-PQ view on the ORIGINAL corpus, then push the shared
+    * deterministic change batch through [[pqApplyBatch]]'s gate. Model
+    * rows persist as 8-dim codebook rows (m-major) ++ one trailing
+    * `[baseErr]` row (length separates the families on reopen). */
+  private def pqIncView(s: SparkSession, dir: String): (BucketedViewStore, Array[Array[Array[Double]]]) =
+    pqIncViews.getOrElseUpdate(dir, {
+      val store = Views.bucketedStore(s, dir)
+      val unit = "emb_pq_inc"
+      if (Views.unitDone(store.baseDir, unit)) {
+        VectorFunctions.register(s)
+        val rows = Views.readModel(store.baseDir, unit).get
+        val flat = rows.filter(_.length == PqSubDim).map(_.toArray).toArray
+        val books = Array.tabulate(PqM)(m => Array.tabulate(PqKs)(k => flat(m * PqKs + k)))
+        (store, books)
+      } else {
+        val e = emb(s, dir)
+        val (books, baseErr) = pqIncBuild(store, e)
+        val (ups, dels) = embChangeBatch(e)
+        val (servedB, servedErr) =
+          pqApplyBatch(store, books, baseErr, ups, Some(dels), modifiedEmb(s, dir))
+        Views.writeModel(store.baseDir, unit,
+          servedB.flatten.map(_.toSeq).toSeq :+ Seq(servedErr))
+        Views.markUnitDone(store.baseDir, unit)
+        (store, servedB)
+      }
+    })
+
+  /** Flat-PQ search served from the PERSISTED, incrementally-maintained
+    * code view: ADC scan over the stored 8-byte codes (the probe's LUT
+    * broadcast with it), exact float rerank of the top `K · PqRefine`
+    * per probe against the post-batch corpus — [[sqTopKFromView]] with
+    * 64× compression instead of 4×. */
+  def pqTopKFromView(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.typedlit
+    val (store, books) = pqIncView(s, dir)
+    val m = modifiedEmb(s, dir)
+    val probes = m.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("norm").as("pn"))
+      .withColumn("lut", pqLutExpr(books, col("pv")))
+    val qcorpus = store.df("emb_pq_inc")
+      .select(col("emit_key").cast("long").as("vec_id"),
+        col("emit_value.codes").as("codes"), col("emit_value.qn").as("qn"))
+      .filter(col("qn") > 0)
+    val approx = qcorpus
+      .join(broadcast(probes.select("probe_id", "lut")), col("vec_id") =!= col("probe_id"))
+      .withColumn("adc",
+        call_function("pq_adc", col("codes"), col("lut"), lit(PqKs)) / col("qn"))
+    val w = Window.partitionBy("probe_id").orderBy(col("adc").desc, col("vec_id"))
+    val cands = approx.withColumn("r", row_number().over(w))
+      .filter(col("r") <= K * PqRefine)
+      .select("probe_id", "vec_id")
+    val scored = cands
+      .join(m.select(col("vec_id"), col("v"), col("norm")), Seq("vec_id"))
+      .join(broadcast(probes.select("probe_id", "pv", "pn")), Seq("probe_id"))
+      .withColumn("cos", round(dot(col("pv"), col("v")) / (col("pn") * col("norm")), 6))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("cos"))
+    rankTopK(scored)
+  }
+
   /** The composed IVF-PQ index: PQ codes stored INSIDE the cell posting
     * lists — emit key = cell id, emit value = `(vec_id, codes, qn)`, no
     * float vector in the view at all. A probe scans nProbe cells' lists
@@ -1039,11 +1179,18 @@ object SimilarityQueries {
         val e = emb(s, dir)
         val cents = ivfCentroidsFor(s, dir)
         val books = pqBooksFor(s, dir)
+        val baseErr = pqMeanSqError(e, books)
         store.materialize(ivfpqIdx(cents, books), e)
         val (ups, dels) = embChangeBatch(e)
         val changed = ups.count() + dels.count()
+        // BOTH staleness gates compose: the IVF drift bound AND the
+        // codebook reconstruction-error gate ([[PqRefitErrFactor]] — the
+        // PQ analog of the SQ clamp gate); either firing re-fits both
+        // model families and re-materializes through the store's
+        // full-retraction rebuild (CDC stays contiguous)
         val (servedC, servedB) =
-          if (changed > e.count() * RefitDriftBound) {
+          if (changed > e.count() * RefitDriftBound ||
+              (baseErr > 0 && pqMeanSqError(ups, books) > PqRefitErrFactor * baseErr)) {
             val m = modifiedEmb(s, dir)
             val refitC = ivfCentroids(m)
             val refitB = pqCodebooks(m)
@@ -1067,19 +1214,42 @@ object SimilarityQueries {
     * K·PqRefine refine set exact-reranks against the float corpus. */
   def ivfpqTopKFromView(s: SparkSession, dir: String): DataFrame = {
     val (store, cents, books) = ivfpqCellsView(s, dir)
+    ivfpqSearchStored(store.df("emb_ivfpq_cells"), modifiedEmb(s, dir), cents, books)
+  }
+
+  /** The IVF-PQ view served AS OF its pre-batch epoch — time travel on
+    * the composed index ([[lshTopKAsOf]]'s pattern): the epoch `e-1`
+    * cells were assigned/encoded under the BUILD-time model, and the
+    * fixture's change batch takes the refresh arm (neither gate fires),
+    * so the served model IS that build-time model — the historical probe
+    * is consistent by construction. (A batch that re-fit would need the
+    * pre-refit model persisted per epoch to probe history — the store
+    * keeps the epochs; versioning the model rows alongside is the
+    * production spelling.) Must reproduce the ORIGINAL corpus's ground
+    * truth. */
+  def ivfpqTopKAsOf(s: SparkSession, dir: String): DataFrame = {
+    val (store, cents, books) = ivfpqCellsView(s, dir)
+    val e = store.epoch("emb_ivfpq_cells")
+    ivfpqSearchStored(store.dfAsOf("emb_ivfpq_cells", e - 1), emb(s, dir), cents, books)
+  }
+
+  /** The IVF-PQ search core shared by the live and as-of serving paths:
+    * nProbe cell ids prune the stored scan (pushed In-filter,
+    * model-sized), ADC scoring over stored M-byte codes, exact rerank
+    * against `corpus`. */
+  private def ivfpqSearchStored(stored: DataFrame, corpus: DataFrame,
+      cents: Array[Array[Double]], books: Array[Array[Array[Double]]]): DataFrame = {
     val nProbe = probesFor(cents.length)
-    val m = modifiedEmb(s, dir)
-    val probes = m.filter(col("vec_id") < 10)
+    val probes = corpus.filter(col("vec_id") < 10)
       .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("norm").as("pn"))
       .withColumn("lut", pqLutExpr(books, col("pv")))
     val probeCells = probes
-      .withColumn("pscored", array_sort(cellScores(cents, col("pv"))))
-      .withColumn("cid0", explode(expr(s"slice(transform(pscored, s -> s.idx), 1, $nProbe)")))
+      .withColumn("cid0", explode(probeCellsCol(cents, nProbe, col("pv"))))
       .withColumn("cid", col("cid0").cast("string"))
       .select("probe_id", "cid", "lut")
     val cellIds = probeCells.select("cid").distinct()
       .collect().map(_.getString(0)).toSeq
-    val qcells = store.df("emb_ivfpq_cells")
+    val qcells = stored
       .filter(col("emit_key").isInCollection(cellIds))
       .select(col("emit_key").as("cid"), col("emit_value.vec_id").as("vec_id"),
         col("emit_value.codes").as("codes"), col("emit_value.qn").as("qn"))
@@ -1094,7 +1264,7 @@ object SimilarityQueries {
       .filter(col("r") <= K * PqRefine)
       .select("probe_id", "vec_id")
     val scored = cands
-      .join(m.select(col("vec_id"), col("v"), col("norm")), Seq("vec_id"))
+      .join(corpus.select(col("vec_id"), col("v"), col("norm")), Seq("vec_id"))
       .join(broadcast(probes.select("probe_id", "pv", "pn")), Seq("probe_id"))
       .withColumn("cos", round(dot(col("pv"), col("v")) / (col("pn") * col("norm")), 6))
       .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("cos"))
@@ -1118,8 +1288,7 @@ object SimilarityQueries {
       .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("norm").as("pn"))
       .withColumn("lut", pqLutExpr(books, col("pv")))
     val probeCells = probes
-      .withColumn("pscored", array_sort(cellScores(cents, col("pv"))))
-      .withColumn("cid0", explode(expr(s"slice(transform(pscored, s -> s.idx), 1, $nProbe)")))
+      .withColumn("cid0", explode(probeCellsCol(cents, nProbe, col("pv"))))
       .withColumn("cid", col("cid0").cast("string"))
       .select("probe_id", "cid", "lut")
     val qcells = store.df("emb_ivfpq_cells")
@@ -1263,7 +1432,7 @@ object SimilarityQueries {
   /** IVF ANN top-k served from the PERSISTED, incrementally-maintained
     * cell view (vs [[ivfTopKPairs]]'s per-session assignment). The probed
     * cell ids are collected to the driver — bounded by the cell count
-    * (≤ [[MaxCells]]), model-sized like the centroids themselves — so the
+    * (nProbe·probes cells — model-sized like the centroids) — so the
     * resulting In-filter is PUSHED to the stored cells' parquet scan and
     * the search reads only the probed posting lists, not the corpus. */
   def ivfTopKFromView(s: SparkSession, dir: String): DataFrame = {
@@ -1271,10 +1440,9 @@ object SimilarityQueries {
     val nProbe = probesFor(cents.length)
     val probesWithCells = modifiedEmb(s, dir).filter(col("vec_id") < 10)
       .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("norm").as("pn"))
-      .withColumn("pscored", array_sort(cellScores(cents, col("pv"))))
-      .withColumn("cid0", explode(expr(s"slice(transform(pscored, s -> s.idx), 1, $nProbe)")))
+      .withColumn("cid0", explode(probeCellsCol(cents, nProbe, col("pv"))))
       .withColumn("cid", col("cid0").cast("string"))
-      .drop("pscored", "cid0")
+      .drop("cid0")
     val cellIds = probesWithCells.select("cid").distinct()
       .collect().map(_.getString(0)).toSeq
     val corpus = store.df(ivfIdx(cents).name)
@@ -1298,10 +1466,9 @@ object SimilarityQueries {
     val nProbe = probesFor(cents.length)
     val probesWithCells = modifiedEmb(s, dir).filter(col("vec_id") < 10)
       .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("norm").as("pn"))
-      .withColumn("pscored", array_sort(cellScores(cents, col("pv"))))
-      .withColumn("cid0", explode(expr(s"slice(transform(pscored, s -> s.idx), 1, $nProbe)")))
+      .withColumn("cid0", explode(probeCellsCol(cents, nProbe, col("pv"))))
       .withColumn("cid", col("cid0").cast("string"))
-      .drop("pscored", "cid0")
+      .drop("cid0")
     val corpus = store.df(ivfIdx(cents).name)
       .select(col("emit_key").as("cid"), col("emit_value.vec_id").as("vec_id"),
         col("emit_value.v").as("v"), col("emit_value.norm").as("norm"))
@@ -1325,15 +1492,13 @@ object SimilarityQueries {
     val cents = ivfCentroidsFor(s, dir)
     val corpus = e.withColumn("cid", assignExpr(cents))
       .select(col("vec_id"), col("v"), col("norm"), col("cid"))
-    // probe side: rank cells with the SAME scoring array as corpus
-    // assignment (cellScores), keep the nearest quarter of them, one row
-    // per (probe, cell)
+    // probe side: rank cells with the SAME scoring loop as corpus
+    // assignment (nearest_cells), keep the √nCells nearest, one row per
+    // (probe, cell)
     val nProbe = probesFor(cents.length)
     val probesWithCells = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("norm").as("pn"))
-      .withColumn("pscored", array_sort(cellScores(cents, col("pv"))))
-      .withColumn("cid", explode(expr(s"slice(transform(pscored, s -> s.idx), 1, $nProbe)")))
-      .drop("pscored")
+      .withColumn("cid", explode(probeCellsCol(cents, nProbe, col("pv"))))
     val cand = corpus.join(broadcast(probesWithCells), Seq("cid"))
       .filter(col("vec_id") =!= col("probe_id"))
       .withColumn("cos", round(dot(col("pv"), col("v")) / (col("pn") * col("norm")), 6))
@@ -1363,9 +1528,7 @@ object SimilarityQueries {
     val probesWithCells = el.filter(col("vec_id") < 10)
       .select(col("vec_id").as("probe_id"), col("v").as("pv"),
         col("norm").as("pn"), col("label").as("plabel"))
-      .withColumn("pscored", array_sort(cellScores(cents, col("pv"))))
-      .withColumn("cid", explode(expr(s"slice(transform(pscored, s -> s.idx), 1, $nProbe)")))
-      .drop("pscored")
+      .withColumn("cid", explode(probeCellsCol(cents, nProbe, col("pv"))))
     val cand = corpus.join(broadcast(probesWithCells), Seq("cid"))
       .filter(col("vec_id") =!= col("probe_id") && col("label") =!= col("plabel"))
       .withColumn("cos", round(dot(col("pv"), col("v")) / (col("pn") * col("norm")), 6))
@@ -1378,7 +1541,7 @@ object SimilarityQueries {
   private[graft] def resetCachesForTest(): Unit = {
     ivfViews.clear(); lshViews.clear(); sqIncViews.clear(); sqViews.clear()
     ivfsqViews.clear(); lshStreamViews.clear(); centroidCache.clear()
-    ivfpqViews.clear(); pqBookCache.clear()
+    ivfpqViews.clear(); pqBookCache.clear(); pqIncViews.clear()
   }
 
   /** recall bounds asserted by the invariant queries below — measured at
@@ -1399,10 +1562,11 @@ object SimilarityQueries {
     * bounded at 0.25 with margin for FP-drift cell-boundary flips in
     * the deterministic-up-to-summation-order quantizer. */
   private val SemRecallBound = 0.25
-  /** IVF measured recall 0.90/0.94/0.96 at sf0.001/0.01/0.1 (√n cells,
-    * quarter-of-cells probes) — ~25% of the corpus scanned finds ≥90% of
-    * exact top-5 even on weakly-clustered random vectors; real embedding
-    * corpora cluster far harder. */
+  /** IVF measured recall 0.90/0.94/0.88 at sf0.001/0.01/0.1 (√n cells,
+    * √nCells probes — 5/22, 5/22, 7/45 cells scanned) — ≤23% of the
+    * corpus scanned finds ~90% of exact top-5 even on weakly-clustered
+    * random vectors, and the scanned fraction keeps SHRINKING as n grows
+    * (n^(-1/4)); real embedding corpora cluster far harder. */
   private val IvfRecallBound = 0.7
   /** SQ8 measured recall 1.0 at sf0.001/0.01/0.1: int8 rounding on
     * 64-dim vectors perturbs cosine order far less than the K·SqRefine
@@ -1458,8 +1622,10 @@ object SimilarityQueries {
     // the cluster granularity k ∝ n keeps per-cell populations bounded,
     // so the pairwise scan is O(n · cell_size), never O(n²) corpus-wide).
     // Cells come from the SAME deterministic Lloyd quantizer the IVF
-    // tier serves; within-cell pairs verify by exact cosine, and the
-    // removal rule is keep-lowest-id per pair. The invariant follows
+    // tier serves; within-cell pairs verify by exact cosine (a removal
+    // pass composes downstream exactly like dedup_embedding's: feed the
+    // pair set to the components labeling + keeper selection the
+    // pipeline_dedup_removal chain already exercises). The invariant follows
     // dedup_embedding: the oracle recomputes the exact corpus-wide
     // sample pair set (every cos ≥ τ pair anchored on a sample vector),
     // and recall_ok asserts the within-cell scan captured ≥
@@ -1808,6 +1974,47 @@ object SimilarityQueries {
           (col("nf") >= col("n_pairs") * lit(PqRecallBound)).as("recall_ok"))
     }),
 
+    // the flat-PQ corpus served from its PERSISTED, incrementally-
+    // maintained code view ([[pqTopKFromView]]) after the change batch
+    // went through the codebook-gated refresh path — the oracle
+    // recomputes exact top-k from the MODIFIED corpus, so a stale code
+    // (a reversed vector still encoded at its old orientation, a
+    // tombstoned one not retracted) is lost recall / a wrong pair
+    "sim_pq_incremental" -> ((s, dir) => {
+      val e = modifiedEmb(s, dir)
+      val probes = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("norm").as("pn"))
+      val brute = rankTopK(
+        e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+          .withColumn("cos", round(dot(col("pv"), col("v")) / (col("pn") * col("norm")), 6))
+          .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("cos")))
+        .select("probe_id", "neighbor_id")
+      val pq = pqTopKFromView(s, dir).select("probe_id", "neighbor_id")
+        .withColumn("f", lit(1L))
+      brute.join(pq, Seq("probe_id", "neighbor_id"), "left_outer")
+        .agg(count_distinct(col("probe_id")).as("n_probes"),
+          count(lit(1)).as("n_pairs"),
+          coalesce(sum(col("f")), lit(0L)).as("nf"))
+        .select(col("n_probes"), col("n_pairs"),
+          (col("nf") >= col("n_pairs") * lit(PqRecallBound)).as("recall_ok"))
+    }),
+
+    // the composed IVF-PQ index served AS OF its pre-batch epoch
+    // ([[ivfpqTopKAsOf]]): time travel on the composed index must
+    // reproduce the ORIGINAL corpus's recall invariant, proving the
+    // refresh left the prior epoch intact and addressable
+    "sim_ivfpq_asof" -> ((s, dir) => {
+      val brute = queries("sim_brute_topk")(s, dir).select("probe_id", "neighbor_id")
+      val ivfpq = ivfpqTopKAsOf(s, dir).select("probe_id", "neighbor_id")
+        .withColumn("f", lit(1L))
+      brute.join(ivfpq, Seq("probe_id", "neighbor_id"), "left_outer")
+        .agg(count_distinct(col("probe_id")).as("n_probes"),
+          count(lit(1)).as("n_pairs"),
+          coalesce(sum(col("f")), lit(0L)).as("nf"))
+        .select(col("n_probes"), col("n_pairs"),
+          (col("nf") >= col("n_pairs") * lit(IvfPqRecallBound)).as("recall_ok"))
+    }),
+
     // the composed IVF-PQ index ([[ivfpqTopKFromView]]): cell-pruned scan
     // over stored 8-byte codes + ADC tables + exact rerank, after the
     // corpus change batch went through the view's refresh path — same
@@ -2093,6 +2300,21 @@ object SimilarityQueries {
          |FROM (${bruteTopkSqlOver("corpus")})""".stripMargin,
     // flat PQ graded against the exact base-corpus top-k
     "sim_pq_topk" ->
+      s"""SELECT count(DISTINCT probe_id) AS n_probes, count(*) AS n_pairs,
+         |       true AS recall_ok
+         |FROM ($bruteTopkSql)""".stripMargin,
+    // the maintained flat-PQ view graded against the modified corpus
+    "sim_pq_incremental" ->
+      s"""WITH corpus AS (
+         |  SELECT vec_id,
+         |         CASE WHEN vec_id % 37 = 0 THEN list_reverse(embedding)
+         |              ELSE embedding END AS embedding
+         |  FROM embeddings WHERE vec_id % 41 <> 0)
+         |SELECT count(DISTINCT probe_id) AS n_probes, count(*) AS n_pairs,
+         |       true AS recall_ok
+         |FROM (${bruteTopkSqlOver("corpus")})""".stripMargin,
+    // the pre-batch epoch must serve the ORIGINAL corpus's ground truth
+    "sim_ivfpq_asof" ->
       s"""SELECT count(DISTINCT probe_id) AS n_probes, count(*) AS n_pairs,
          |       true AS recall_ok
          |FROM ($bruteTopkSql)""".stripMargin,

@@ -71,6 +71,21 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(sz === g2.sizes.as[(Long, Long)].collect().toSet)
   }
 
+  test("pair-store compaction is a no-change epoch: empty sidecar, replay-transparent") {
+    val sf = "/root/testdata/sf0.001"
+    val g = graft.operators.PipelineQueries.compactedPairGraph(spark, sf)
+    // build (epoch 0) -> refresh (1) -> compaction (2)
+    assert(g.pairsVersion === 2, "compaction must be the store's next epoch")
+    // the compaction epoch participates in the feed but contributes no
+    // rows — a lagging CDC consumer replays across it transparently
+    assert(g.store.changesBetween(g.pairsName, 1, 2).count() === 0,
+      "compaction sidecar must be empty")
+    val across = g.store.changesBetween(g.pairsName, 0, 2).count()
+    val refresh = g.store.changesBetween(g.pairsName, 0, 1).count()
+    assert(across === refresh,
+      "replay across the compaction must equal the refresh delta alone")
+  }
+
   test("PNG decode: the real javax.imageio codec reads true dimensions and channels") {
     import java.awt.image.BufferedImage
     def png(w: Int, h: Int, imgType: Int): Array[Byte] = {

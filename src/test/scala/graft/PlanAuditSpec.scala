@@ -259,6 +259,21 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("LessThan(emit_key"), s"upper bound pushdown missing:\n$p")
   }
 
+  test("search_hybrid_rrf: per-arm top-50 is TakeOrderedAndProject; no single-partition sort") {
+    // each fusion arm must select its top-50 with per-partition heaps
+    // (TakeOrderedAndProject — 50·partitions rows move), never by pulling
+    // every scored row through one task; the rank number is assigned
+    // AFTER the limit, over the already-single-sorted-partition result,
+    // so no Exchange SinglePartition and no global sort exist anywhere
+    val p = finalPlan("search_hybrid_rrf")
+    val takes = p.split("TakeOrderedAndProject").length - 1
+    assert(takes >= 2, s"both arms must TakeOrdered their top-50, saw $takes:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"no data-sized relation may funnel through one partition:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"no arm may global-sort its scored relation:\n$p")
+  }
+
   test("search_tfidf: the term filter reaches the postings scan; df broadcasts; top-k") {
     val p = finalPlan("search_tfidf")
     assert(p.contains("In(emit_key, [join,spark,stream,vector])"),
@@ -269,13 +284,47 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
 
   test("ivfTopKFromView: the probed-cell In-filter pushes into the stored cells scan") {
     // the persisted IVF index must serve a probe by reading ONLY the
-    // probed posting lists: the (driver-bounded, ≤ MaxCells) cell-id set
-    // becomes an In predicate on the clustered emit_key
+    // probed posting lists: the (driver-bounded, nProbe·probes) cell-id
+    // set becomes an In predicate on the clustered emit_key
     val df = operators.SimilarityQueries.ivfTopKFromView(spark, sf)
     df.collect()
     val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
     assert(p.contains("In(emit_key"), s"probed-cell filter must push into the scan:\n$p")
     assert(p.contains("BroadcastHashJoin"), s"probe side must broadcast:\n$p")
+  }
+
+  test("IVF assignment rides the centroid model as a reference object, never literals; probe scan is cell-pruned") {
+    // the scale-true quantizer contract: nCells ∝ √n UNCLAMPED, which is
+    // only possible because centroid assignment is ONE nearest_cells node
+    // holding the matrix as a codegen reference — the per-centroid
+    // literal spelling (array_min over nCells struct literals) bounds
+    // nCells by Janino limits and once forced a MaxCells=64 clamp that
+    // capped the prune at ~4x at any corpus size
+    import graft.operators.SimilarityQueries
+    val df = SimilarityQueries.ivfTopKFromView(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("nearest_cells"),
+      s"probe cell ranking must be the reference-object expression:\n$p")
+    // no literal-array assignment shape anywhere in the plan: the old
+    // spelling rendered one `-2.0 * vec_dot(v, [..64 doubles..])` term
+    // per centroid; the reference spelling renders none
+    assert(!p.contains("array_min(array(struct") && !p.contains("-2.0"),
+      s"assignment must not compile centroid literals into the plan:\n$p")
+    // the pushed In-list enumerates at most nProbe cells per probe, and
+    // strictly fewer cells than the store holds — the probe batch reads
+    // a pruned subset, not the corpus
+    val inList = "In\\(emit_key, \\[([^\\]]*)\\]".r.findFirstMatchIn(p)
+    assert(inList.isDefined, s"expected a pushed In(emit_key, [...]) filter:\n$p")
+    val probedCells = inList.get.group(1).split(",").length
+    val totalCells = graft.engine.Views.bucketedStore(spark, sf)
+      .df("emb_ivf_cells").select("emit_key").distinct().count()
+    val nProbe = SimilarityQueries.probesFor(
+      SimilarityQueries.cellsFor(spark.read.parquet(s"$sf/embeddings.parquet").count()))
+    assert(probedCells <= 10 * nProbe,
+      s"10 probes x nProbe=$nProbe cells bound the In-list, saw $probedCells")
+    assert(probedCells < totalCells,
+      s"probe scan must read a strict subset of the $totalCells stored cells, saw $probedCells")
   }
 
   test("pipeline_pack_sequences: pack aggregation reuses the window's partitioning") {
@@ -371,16 +420,17 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       s"the corpus must not shuffle to meet the rates:\n$p")
   }
 
-  test("pipeline_domain_cap: one hash exchange on source feeds window and aggregation") {
-    // the cap is a per-source window + per-source agg — both consume the
-    // SAME hashpartitioning(source), so the executed plan has exactly one
-    // hash exchange (the orderBy adds a range exchange); a second hash
-    // exchange would mean the agg re-shuffled what the window already
-    // co-located
+  test("pipeline_domain_cap: quantile pre-filter broadcasts back; the corpus never shuffle-joins") {
+    // the mega-domain pre-filter's inputs (per-source quantile cut +
+    // keep-safety verdict) are #sources-sized aggregates that must come
+    // back to the corpus as BROADCAST joins — a shuffle join here would
+    // move the corpus to meet a model-sized relation; the exact
+    // prefix-sum window then sorts only the admitted candidate set
     val p = finalPlan("pipeline_domain_cap")
-    val hashEx = p.split("Exchange hashpartitioning").length - 1
-    assert(hashEx === 1,
-      s"window partitioning must be reused by the aggregation, got $hashEx:\n$p")
-    assert(!p.contains("Join"), s"pipeline_domain_cap must be join-free:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"cut/safety relations must broadcast back to the corpus:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"the corpus must never shuffle to meet the pre-filter:\n$p")
+    assert(p.split("Window").length - 1 >= 1, s"exact window must remain:\n$p")
   }
 }

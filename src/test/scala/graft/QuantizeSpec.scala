@@ -182,6 +182,40 @@ class QuantizeSpec extends AnyFunSuite with SparkSpec {
     assert(store.epoch("emb_sq8_inc") === 2)
   }
 
+  test("PQ codebook refit gate: out-of-distribution batch re-fits; in-distribution refreshes O(delta)") {
+    import graft.engine.BucketedViewStore
+    import graft.operators.SimilarityQueries
+    graft.functions.VectorFunctions.register(spark)
+    val store = BucketedViewStore.temp(spark, 4)
+    val base = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .filter(col("vec_id") < 100)
+    val (books0, err0) = SimilarityQueries.pqIncBuild(store, base)
+    assert(err0 > 0)
+    assert(store.epoch("emb_pq_inc") === 0)
+    // in-distribution batch (norm-preserving reversal — reconstructs like
+    // any random vector under these codebooks): the O(delta) refresh arm
+    val ups1 = base.filter(col("vec_id") < 5).withColumn("v", reverse(col("v")))
+    val (books1, err1) = SimilarityQueries.pqApplyBatch(store, books0, err0, ups1, None,
+      sys.error("refresh arm must not touch the full corpus"))
+    assert(books1 eq books0, "in-distribution batch must keep the codebooks")
+    assert(err1 === err0)
+    assert(store.epoch("emb_pq_inc") === 1)
+    // out-of-distribution batch (100x components): mean reconstruction
+    // error explodes past PqRefitErrFactor x base — the re-fit arm, as
+    // the store's next epoch with a contiguous CDC feed
+    val ups2 = base.filter(col("vec_id") < 5)
+      .withColumn("v", expr("transform(v, x -> x * 100.0)"))
+    val after = base.filter(col("vec_id") >= 5).unionByName(ups2)
+    val (books2, _) = SimilarityQueries.pqApplyBatch(store, books1, err1, ups2, None, after)
+    assert(!(books2 eq books1), "gate must re-fit the codebooks")
+    assert(store.epoch("emb_pq_inc") === 2, "re-fit must be the next epoch")
+    // CDC contiguity across the rebuild: full retraction + reinsertion
+    val feed = store.changesBetween("emb_pq_inc", 1, 2)
+    assert(feed.filter(col("change_type") === "delete").count() === 100)
+    assert(feed.filter(col("change_type") === "insert").count() === 100)
+  }
+
   test("SQ8 top-k recall vs brute force at sf0.001") {
     val dir = "/root/testdata/sf0.001"
     val brute = SparkEntry.queries("sim_brute_topk")(spark, dir)
