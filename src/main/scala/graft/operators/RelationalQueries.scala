@@ -337,46 +337,190 @@ object RelationalQueries {
           |ORDER BY c_nationkey""".stripMargin)
     }),
 
+    // TPC-H Q7-shaped: bilateral shipping volume between two nations —
+    // the supplier-side and customer-side nation dims both broadcast
+    // (tiny), the two fact joins shuffle on their keys once each, and
+    // the symmetric nation-pair predicate rides the joined row. Revenue
+    // per (supp_nation, cust_nation, year) rounds to 2 (FP-parity).
+    "q7_nation_volume" -> ((s, dir) => {
+      val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      val n1 = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val n2 = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= to_timestamp(lit("1997-01-01 00:00:00")) &&
+          col("l_shipdate") < to_timestamp(lit("1999-01-01 00:00:00")))
+        .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+        .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(round(sum(rev), 2).as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+
+    // TPC-H Q8-shaped market share: one nation's suppliers' slice of a
+    // region's customer revenue per order year. The share divides the
+    // ROUNDED conditional sum by the ROUNDED total (the q14 FP-parity
+    // pattern), so both engines divide identical doubles.
+    "q8_market_share" -> ((s, dir) => {
+      val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      val asiaCust = Tables.customer(s, dir)
+        .join(Tables.nation(s, dir), col("c_nationkey") === col("n_nationkey"))
+        .join(Tables.region(s, dir), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .select(col("c_custkey"))
+      val suppNation = Tables.supplier(s, dir)
+        .join(Tables.nation(s, dir), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+          col("o_orderdate") < to_timestamp(lit("1998-01-01 00:00:00")))
+        .join(asiaCust, col("o_custkey") === col("c_custkey"), "left_semi")
+        .join(Tables.lineitem(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(
+          round(sum(when(col("supp_nation") === "NATION_3", rev).otherwise(lit(0.0))), 2)
+            .as("nation_revenue"),
+          round(sum(rev), 2).as("total_revenue"))
+        .select(col("o_year"),
+          round(col("nation_revenue") / col("total_revenue"), 6).as("mkt_share"),
+          col("nation_revenue"), col("total_revenue"))
+        .orderBy("o_year")
+    }),
+
+    // TPC-H Q10-shaped returned-item report: customers ranked by the
+    // revenue of their returned (l_returnflag = 'R') lineitems over one
+    // quarter — fact-to-fact shuffle join on orderkey, customer + nation
+    // dims broadcast, top-20 as TakeOrderedAndProject on the rounded
+    // revenue (custkey tiebreak keeps the cut deterministic).
+    "q10_returned_items" -> ((s, dir) => {
+      val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= to_timestamp(lit("1997-01-01 00:00:00")) &&
+          col("o_orderdate") < to_timestamp(lit("1997-04-01 00:00:00")))
+      val cust = Tables.customer(s, dir)
+        .join(Tables.nation(s, dir), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(round(sum(rev), 2).as("revenue"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("revenue"),
+          col("c_acctbal"), col("n_name"))
+        .orderBy(col("revenue").desc, col("c_custkey")).limit(20)
+    }),
+
+    // TPC-H Q12-shaped shipping-priority check (adapted: no shipmode
+    // column — the group key is l_returnflag, lateness = shipped > 60
+    // days after the order date): one fact-fact equi-join with the
+    // lateness residual inside it, then conditional counts by order
+    // priority — integral, so cross-engine exact.
+    "q12_priority_shipping" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= to_timestamp(lit("1997-01-01 00:00:00")) &&
+          col("l_shipdate") < to_timestamp(lit("1998-01-01 00:00:00")))
+        .join(Tables.orders(s, dir),
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(when(col("o_orderpriority") === "1-URGENT" ||
+            col("o_orderpriority") === "2-HIGH", 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(col("o_orderpriority") =!= "1-URGENT" &&
+            col("o_orderpriority") =!= "2-HIGH", 1L).otherwise(0L)).as("low_line_count"))
+        .orderBy("l_returnflag")
+    }),
+
+    // TPC-H Q13-shaped customer order-count distribution: LEFT outer
+    // join so zero-order customers land in the c_count = 0 bucket, a
+    // priority filter standing in for Q13's comment filter, then the
+    // count-of-counts histogram — two aggregations, both integral.
+    "q13_order_distribution" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).filter(col("o_orderpriority") =!= "5-LOW")
+        .select(col("o_custkey"), col("o_orderkey"))
+      Tables.customer(s, dir)
+        .join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // TPC-H Q18-shaped large-quantity orders: the group-HAVING semi
+    // pattern — per-order quantity totals filter the big orders, then
+    // order + customer detail joins back in; quantities are integral so
+    // the HAVING threshold and the reported totals are exact.
+    "q18_large_orders" -> ((s, dir) => {
+      val big = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).cast("long").as("total_qty"))
+        .filter(col("total_qty") > 300)
+      big.join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(100)
+    }),
+
     // TPC-H Q15-shaped: max-revenue supplier via a revenue view compared
-    // against its own global max — an uncorrelated scalar subquery over a
-    // derived aggregate. Spark executes the revenue aggregation once as a
-    // subquery stage whose max becomes a runtime literal filtering the
-    // SAME aggregated relation — never a per-row re-aggregation. FP
-    // parity: per-supplier revenue rounds to 2 BEFORE the max equality,
-    // so both engines compare identical doubles.
+    // against its own global max. NOT spelled as a scalar subquery: under
+    // AQE a subquery plans as its own adaptive plan, so the revenue
+    // aggregation (a full fact scan) would run TWICE. Instead the 1-row
+    // max relation derives from the SAME aggregate subtree and joins
+    // back broadcast — the fact is scanned once (ReusedExchange,
+    // plan-asserted) and the scalar reaches every row as a broadcast.
+    // FP parity: per-supplier revenue rounds to 2 BEFORE the max
+    // equality, so both engines compare identical doubles.
     "q15_top_supplier" -> ((s, dir) => {
-      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_q15")
-      Tables.supplier(s, dir).createOrReplaceTempView("supplier_q15")
-      s.sql(
-        """WITH revenue AS (
-          |  SELECT l_suppkey AS supplier_no,
-          |         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
-          |  FROM lineitem_q15
-          |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
-          |    AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
-          |  GROUP BY l_suppkey)
-          |SELECT s_suppkey, s_name, total_revenue
-          |FROM supplier_q15 JOIN revenue ON s_suppkey = supplier_no
-          |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
-          |ORDER BY s_suppkey""".stripMargin)
+      val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      // the explicit isnotnull mirrors the filter the outer equi-join
+      // pushes into its build of the main arm — with it in BOTH arms the
+      // two revenue subtrees canonicalize identically and AQE reuses one
+      // shuffle stage for them (the single-fact-scan property the audit
+      // asserts)
+      val revenue = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= to_timestamp(lit("1997-01-01 00:00:00")) &&
+          col("l_shipdate") < to_timestamp(lit("1997-04-01 00:00:00")) &&
+          col("l_suppkey").isNotNull)
+        .groupBy(col("l_suppkey"))
+        .agg(round(sum(rev), 2).as("total_revenue"))
+      val mx = revenue.agg(max(col("total_revenue")).as("mx"))
+      revenue.join(broadcast(mx), col("total_revenue") === col("mx"))
+        .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+        .orderBy("s_suppkey")
     }),
 
     // TPC-H Q11-shaped (adapted: this schema has no partsupp, so the
     // "value" relation is shipped quantity per part): a group aggregate
     // HAVING against a GLOBAL-aggregate scalar subquery — the
-    // significant-share filter. Quantities are integral, so both sums
-    // are exact in both engines and the threshold is one multiply of
-    // identical doubles — no FP-association risk at the boundary.
-    // Catalyst executes the global sum once as a scalar subquery (a
-    // runtime literal), never per group.
+    // significant-share filter (share bar = 1.5x the average part's
+    // total, so the cut is scale-free). Quantities are integral, so both
+    // sums are exact in both engines and the bar is one multiply + divide
+    // of identical values — no FP-association risk at the boundary. Like
+    // q15, the bar is NOT a scalar subquery (AQE would re-scan the fact):
+    // it aggregates the per-part aggregate itself and broadcasts back.
     "q11_significant_parts" -> ((s, dir) => {
-      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_q11")
-      s.sql(
-        """SELECT l_partkey, CAST(sum(l_quantity) AS BIGINT) AS total_qty
-          |FROM lineitem_q11
-          |GROUP BY l_partkey
-          |HAVING sum(l_quantity) > (SELECT sum(l_quantity) * 0.001 FROM lineitem_q11)
-          |ORDER BY total_qty DESC, l_partkey""".stripMargin)
+      val value = Tables.lineitem(s, dir)
+        .groupBy(col("l_partkey"))
+        .agg(sum(col("l_quantity")).cast("long").as("total_qty"))
+      // the share bar derives from the SAME per-part aggregate (sum of
+      // per-part sums = the global sum; integral-exact), so the fact is
+      // scanned once and the bar joins back as a broadcast 1-row relation
+      val bar = value.agg(
+        (lit(1.5) * sum(col("total_qty")) / count(lit(1))).as("bar"))
+      value.join(broadcast(bar), col("total_qty") > col("bar"))
+        .select(col("l_partkey"), col("total_qty"))
+        .orderBy(col("total_qty").desc, col("l_partkey"))
     }),
 
     // TPC-H Q2-shaped (adapted: no partsupp — lineitem is the offer
@@ -1162,6 +1306,87 @@ object RelationalQueries {
         |                    AND o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
         |GROUP BY c_nationkey
         |ORDER BY c_nationkey""".stripMargin,
+    "q7_nation_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |       year(l_shipdate) AS l_year,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1999-01-01 00:00:00'
+        |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q8_market_share" ->
+      """SELECT o_year,
+        |       round(nation_revenue / total_revenue, 6) AS mkt_share,
+        |       nation_revenue, total_revenue
+        |FROM (
+        |  SELECT year(o_orderdate) AS o_year,
+        |         round(sum(CASE WHEN n2.n_name = 'NATION_3'
+        |                        THEN l_extendedprice * (1 - l_discount)
+        |                        ELSE 0.0 END), 2) AS nation_revenue,
+        |         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+        |  FROM orders
+        |  JOIN lineitem ON l_orderkey = o_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+        |    AND o_custkey IN (
+        |      SELECT c_custkey FROM customer
+        |      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |      JOIN region ON n1.n_regionkey = r_regionkey
+        |      WHERE r_name = 'ASIA')
+        |  GROUP BY 1)
+        |ORDER BY o_year""".stripMargin,
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, revenue, c_acctbal, n_name
+        |FROM (
+        |  SELECT o_custkey,
+        |         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_returnflag = 'R'
+        |    AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+        |  GROUP BY 1) r
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q12_priority_shipping" ->
+      """SELECT l_returnflag,
+        |       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                THEN 1 ELSE 0 END) AS high_line_count,
+        |       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |                THEN 1 ELSE 0 END) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q13_order_distribution" ->
+      """SELECT c_count, count(*) AS custdist
+        |FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer
+        |  LEFT JOIN (SELECT o_custkey, o_orderkey FROM orders
+        |             WHERE o_orderpriority <> '5-LOW') o
+        |  ON c_custkey = o_custkey
+        |  GROUP BY 1)
+        |GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q18_large_orders" ->
+      """SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, total_qty
+        |FROM (
+        |  SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) AS total_qty
+        |  FROM lineitem GROUP BY 1
+        |  HAVING CAST(sum(l_quantity) AS BIGINT) > 300) b
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
     "q15_top_supplier" ->
       """WITH revenue AS (
         |  SELECT l_suppkey AS supplier_no,
@@ -1178,7 +1403,7 @@ object RelationalQueries {
       """SELECT l_partkey, CAST(sum(l_quantity) AS BIGINT) AS total_qty
         |FROM lineitem
         |GROUP BY l_partkey
-        |HAVING sum(l_quantity) > (SELECT sum(l_quantity) * 0.001 FROM lineitem)
+        |HAVING sum(l_quantity) > (SELECT 1.5 * sum(l_quantity) / count(DISTINCT l_partkey) FROM lineitem)
         |ORDER BY total_qty DESC, l_partkey""".stripMargin,
     "q2_min_cost" ->
       """SELECT DISTINCT p_partkey, p_name, s_suppkey, s_name,

@@ -327,6 +327,33 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       s"probe scan must read a strict subset of the $totalCells stored cells, saw $probedCells")
   }
 
+  test("correlated/scalar-subquery TPC-H shapes decorrelate and reuse their aggregates") {
+    // q2's correlated min MUST decorrelate into an aggregate + join —
+    // a per-row subquery re-execution would be O(rows × corpus)
+    val p2 = finalPlan("q2_min_cost", "/root/testdata/sf0.01")
+    assert(!p2.contains("Subquery"),
+      s"correlated min must decorrelate, not re-execute per row:\n$p2")
+    // q15's global max derives from the SAME revenue aggregate (AQE
+    // plans a scalar subquery as its own adaptive plan, which would scan
+    // the fact twice): the fact scans once, the revenue exchange is
+    // reused by the max arm, and the 1-row max broadcasts back
+    val p15 = finalPlan("q15_top_supplier", "/root/testdata/sf0.01")
+    assert(p15.split("lineitem.parquet").length - 1 == 1,
+      s"q15 must scan the fact exactly once:\n$p15")
+    assert(p15.contains("ReusedExchange"),
+      s"the revenue aggregate must be shared between arm and max:\n$p15")
+    assert(p15.contains("BroadcastHashJoin"),
+      s"the 1-row max must broadcast back:\n$p15")
+    // q11's share bar likewise aggregates the per-part aggregate itself
+    val p11 = finalPlan("q11_significant_parts", "/root/testdata/sf0.01")
+    assert(p11.split("lineitem.parquet").length - 1 == 1,
+      s"q11 must scan the fact exactly once:\n$p11")
+    assert(p11.contains("ReusedExchange"),
+      s"the per-part aggregate must be shared between arm and bar:\n$p11")
+    assert(p11.contains("BroadcastNestedLoopJoin"),
+      s"the 1-row bar must broadcast back:\n$p11")
+  }
+
   test("pipeline_pack_sequences: pack aggregation reuses the window's partitioning") {
     // window partitions by source; the (source, pack_id) groupBy must not
     // add another exchange — hash(source) already clusters it
