@@ -358,7 +358,47 @@ object MapIndexQueries {
 
   /** Build the stored views eagerly (write-time cost, SURVEY.md §4.1) so
     * bench timings measure the read path the reference architecture pays. */
+  /** Maintained orders⋈customer equi-join view ([[graft.engine.JoinView]]
+    * — delta-join IVM): built on the base tables, then one change batch
+    * to EACH side through the partition-scoped delta-join refresh —
+    * orders `%37` repriced / `%41` tombstoned, then customers `%13`
+    * re-balanced / `%17` tombstoned. The serving query's oracle is the
+    * plain SQL join of both modified tables, so any stale join row (a
+    * repriced order still carrying its old total, a deleted customer's
+    * orders not retracted) is a hash mismatch. */
+  private val joinViews =
+    scala.collection.concurrent.TrieMap.empty[String, graft.engine.JoinView]
+  private def ordersCustomerView(s: SparkSession, dir: String): graft.engine.JoinView =
+    joinViews.getOrElseUpdate(dir, {
+      val store = Views.bucketedStore(s, dir)
+      val jv = new graft.engine.JoinView(store, "orders_customer",
+        "o_orderkey", "o_custkey",
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate", "o_orderpriority"),
+        "c_custkey", "c_custkey",
+        Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"))
+      val unit = "orders_customer"
+      if (!Views.unitDone(store.baseDir, unit)) {
+        val o = Tables.orders(s, dir)
+        val c = Tables.customer(s, dir)
+        jv.build(o, c)
+        val upsL = o.filter(col("o_orderkey") % 37 === 0 && col("o_orderkey") % 41 =!= 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000)
+        val delsL = o.filter(col("o_orderkey") % 41 === 0)
+          .select(col("o_orderkey").cast("string")).distinct()
+        jv.refreshLeft(upsL, Some(delsL))
+        val upsR = c.filter(col("c_custkey") % 13 === 0 && col("c_custkey") % 17 =!= 0)
+          .withColumn("c_acctbal", col("c_acctbal") + 100)
+        val delsR = c.filter(col("c_custkey") % 17 === 0)
+          .select(col("c_custkey").cast("string")).distinct()
+        jv.refreshRight(upsR, Some(delsR))
+        Views.markUnitDone(store.baseDir, unit)
+      }
+      jv
+    })
+
   def prewarm(s: SparkSession, dir: String): Unit = {
+    ordersCustomerView(s, dir)
     mixedView(s, dir)
     rangeBucketedFlag(s, dir)
     rangeMaintained(s, dir)
@@ -377,6 +417,35 @@ object MapIndexQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // the maintained orders⋈customer join view after a change batch to
+    // EACH side ([[ordersCustomerView]] — delta-join IVM): serving is a
+    // stored read; the oracle joins both modified base tables from
+    // scratch, so stale rows on either side are a hash mismatch
+    "mapindex_joinview" -> ((s, dir) =>
+      ordersCustomerView(s, dir).df
+        .select(col("o_orderkey"), col("o_custkey"), col("c_name"),
+          round(col("o_totalprice"), 2).as("o_totalprice"),
+          round(col("c_acctbal"), 2).as("c_acctbal"))
+        .orderBy("o_orderkey")),
+
+    // the join view's NET CDC across both refresh epochs: gross feed over
+    // (build, latest], insert/delete multisets cancelled — must equal the
+    // from-scratch diff of the post-batch join vs the build-time join
+    "mapindex_joinview_changefeed" -> ((s, dir) => {
+      val jv = ordersCustomerView(s, dir)
+      val feed = jv.changes(0, jv.epoch)
+        .select(col("emit_value.o_orderkey").as("o_orderkey"),
+          col("emit_value.o_custkey").as("o_custkey"),
+          round(col("emit_value.o_totalprice"), 2).as("o_totalprice"),
+          round(col("emit_value.c_acctbal"), 2).as("c_acctbal"),
+          col("change_type"))
+      val dels = feed.filter(col("change_type") === "delete").drop("change_type")
+      val ins = feed.filter(col("change_type") === "insert").drop("change_type")
+      dels.exceptAll(ins).withColumn("change_type", lit("delete"))
+        .unionByName(ins.exceptAll(dels).withColumn("change_type", lit("insert")))
+        .orderBy("change_type", "o_orderkey")
+    }),
+
     // O14 grouped aggregation over the materialized view (+ O16 count)
     "mapindex_group" -> ((s, dir) =>
       flagView(s, dir).df
@@ -712,6 +781,53 @@ object MapIndexQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // the from-scratch join of both MODIFIED base tables
+    "mapindex_joinview" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey,
+        |         CASE WHEN o_orderkey % 37 = 0 THEN o_totalprice + 1000
+        |              ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 41 <> 0),
+        |c AS (
+        |  SELECT c_custkey, c_name,
+        |         CASE WHEN c_custkey % 13 = 0 THEN c_acctbal + 100
+        |              ELSE c_acctbal END AS c_acctbal
+        |  FROM customer WHERE c_custkey % 17 <> 0)
+        |SELECT o_orderkey, o_custkey, c_name,
+        |       round(o_totalprice, 2) AS o_totalprice,
+        |       round(c_acctbal, 2) AS c_acctbal
+        |FROM o JOIN c ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+    // net CDC = from-scratch diff of the post-batch join vs the original
+    "mapindex_joinview_changefeed" ->
+      """WITH before AS (
+        |  SELECT o_orderkey, o_custkey,
+        |         round(o_totalprice, 2) AS o_totalprice,
+        |         round(c_acctbal, 2) AS c_acctbal
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |o AS (
+        |  SELECT o_orderkey, o_custkey,
+        |         CASE WHEN o_orderkey % 37 = 0 THEN o_totalprice + 1000
+        |              ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 41 <> 0),
+        |c AS (
+        |  SELECT c_custkey,
+        |         CASE WHEN c_custkey % 13 = 0 THEN c_acctbal + 100
+        |              ELSE c_acctbal END AS c_acctbal
+        |  FROM customer WHERE c_custkey % 17 <> 0),
+        |after AS (
+        |  SELECT o_orderkey, o_custkey,
+        |         round(o_totalprice, 2) AS o_totalprice,
+        |         round(c_acctbal, 2) AS c_acctbal
+        |  FROM o JOIN c ON o_custkey = c_custkey)
+        |SELECT o_orderkey, o_custkey, o_totalprice, c_acctbal,
+        |       'delete' AS change_type
+        |FROM (SELECT * FROM before EXCEPT ALL SELECT * FROM after)
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_totalprice, c_acctbal,
+        |       'insert' AS change_type
+        |FROM (SELECT * FROM after EXCEPT ALL SELECT * FROM before)
+        |ORDER BY change_type, o_orderkey""".stripMargin,
     "mapindex_group" ->
       """SELECT l_returnflag AS emit_key, round(sum(l_extendedprice), 2) AS sum_value,
         |       count(*) AS cnt

@@ -504,14 +504,22 @@ object PipelineQueries {
 
   /** The candidate-verify tier shared by every hash-keyed span-store
     * consumer: re-extract the exact window text at each candidate
-    * `(doc_id, pos)` from the corpus — `cands` is the hash-pruned
-    * (duplicate-sized) occurrence set, so the corpus join ships only
-    * duplicate-involved documents' tokens, never the corpus. Tokenization
-    * matches the emission side exactly (`split(lower(text), ' ')`), so
-    * the re-extracted text is bit-identical to what was hashed. */
+    * `(doc_id, pos)` from the corpus. The corpus side is PRUNED by a
+    * semi-join on the candidate doc-id set BEFORE tokenizing — the id
+    * set is duplicate-involved-docs-sized, so AQE broadcasts it and the
+    * corpus is never shuffled; only the pruned docs' token arrays ship
+    * into the extraction join. (A naive single equi-join would hash-
+    * shuffle EVERY document's token array to meet the small candidate
+    * set — the difference between a duplicate-sized verify and moving
+    * the corpus at 100 TB.) Tokenization matches the emission side
+    * exactly (`split(lower(text), ' ')`), so the re-extracted text is
+    * bit-identical to what was hashed. */
   private def verifySpanWindows(cands: DataFrame, corpus: DataFrame): DataFrame = {
     val toks = split(lower(col("text")), " ")
-    cands.join(corpus.select(col("doc_id"), toks.as("toks")), Seq("doc_id"))
+    val candDocs = cands.select("doc_id").distinct()
+    val pruned = corpus.join(candDocs, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), toks.as("toks"))
+    cands.join(pruned, Seq("doc_id"))
       .withColumn("win", array_join(expr(s"slice(toks, pos, $SpanW)"), " "))
       .drop("toks")
   }
@@ -672,7 +680,7 @@ object PipelineQueries {
     * aggregate check — see the query comment for the safety proof),
     * else the source admits everything (`cut = -1`; n_chars ≥ 0). The
     * exact prefix-sum window then sorts only the admitted candidates. */
-  private[operators] def domainCapped(base0: DataFrame, cap: Long): DataFrame = {
+  private[graft] def domainCapped(base0: DataFrame, cap: Long): DataFrame = {
     val base = base0
     // #sources-sized: the approx quantile of each source's quality key
     val cuts = base.groupBy("source")

@@ -546,6 +546,75 @@ object RelationalQueries {
           |ORDER BY p_partkey, s_suppkey""".stripMargin)
     }),
 
+    // TPC-H Q9-shaped product-type profit (adapted: no partsupp, so
+    // profit is revenue only — no supplycost term): a part-name substring
+    // filter prunes the fact through a BROADCAST join, then the
+    // supplier→nation and orders joins attribute each line to
+    // (nation, order year). Dims broadcast; the fact is scanned once and
+    // aggregated once. Revenue rounds identically on both engines.
+    "q9_profit" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val parts = Tables.part(s, dir)
+        .filter(col("p_name").contains("bolt")).select("p_partkey")
+      val sup = Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
+      val nat = Tables.nation(s, dir).select("n_nationkey", "n_name")
+      val ord = Tables.orders(s, dir).select(col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+      li.join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name").as("nation"), col("o_year"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    }),
+
+    // TPC-H Q16-shaped supplier-relationship count (adapted: the
+    // part-supplier relation is DISTINCT (l_partkey, l_suppkey) from
+    // lineitem): count distinct suppliers per (brand, type, size) bucket,
+    // excluding one brand and excluding negative-balance suppliers via
+    // NOT IN — the null-aware anti-join shape. The exclusion list is
+    // #suppliers-sized, so it broadcasts.
+    "q16_supplier_cnt" -> ((s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_q16")
+      Tables.part(s, dir).createOrReplaceTempView("part_q16")
+      Tables.supplier(s, dir).createOrReplaceTempView("supplier_q16")
+      s.sql(
+        """SELECT p_brand, p_type, p_size,
+          |       count(DISTINCT l_suppkey) AS supplier_cnt
+          |FROM lineitem_q16 JOIN part_q16 ON l_partkey = p_partkey
+          |WHERE p_brand <> 'Brand#1'
+          |  AND p_size IN (1, 4, 7, 10, 13, 16, 19)
+          |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier_q16
+          |                        WHERE s_acctbal < 0)
+          |GROUP BY p_brand, p_type, p_size
+          |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin)
+    }),
+
+    // TPC-H Q20-shaped potential-promotion suppliers (adapted: the
+    // availability bar is shipped quantity, not partsupp availqty):
+    // semi-join the supplier dim against a grouped-HAVING subquery — the
+    // per-supplier promo-part quantity in a ship-date window. Quantity
+    // sums are integral, so the `> 288` bar is exact in both engines;
+    // the qualifying-supplier set is dim-sized and broadcasts back.
+    "q20_promo_suppliers" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val promo = Tables.part(s, dir)
+        .filter(col("p_name").startsWith("red")).select("p_partkey")
+      val qualified = li
+        .filter(col("l_shipdate") >= to_timestamp(lit("1997-01-01 00:00:00")) &&
+          col("l_shipdate") < to_timestamp(lit("1998-01-01 00:00:00")))
+        .join(broadcast(promo), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(col("l_quantity")).cast("long").as("promo_qty"))
+        .filter(col("promo_qty") > 288)
+      Tables.supplier(s, dir)
+        .join(broadcast(qualified), col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+        .orderBy("s_suppkey")
+    }),
+
     // TPC-H Q19-shaped: join with disjunctive multi-attribute predicate
     // groups. Catalyst extracts the common conjuncts it can push
     // (p_partkey join key both sides); the OR-of-ANDs residual runs
@@ -989,6 +1058,32 @@ object RelationalQueries {
         .orderBy("user_id")
     }),
 
+    // ordered conversion funnel (view → click-after-view →
+    // purchase-after-that-click): the sequential dependency is expressed
+    // as CASCADED strictly-preceding windows — each stage's "reached"
+    // flag is a running max over the previous stage's flag — so ALL
+    // three windows share one hash partitioning on user_id and the plan
+    // carries exactly ONE exchange for the whole funnel (plan-audited;
+    // the alternative per-stage self-joins would shuffle the fact three
+    // times). Ties broken by event_id identically in both engines.
+    "events_funnel" -> ((s, dir) => {
+      val prev = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.events(s, dir)
+        .withColumn("seen_view",
+          max(when(col("event_type") === "view", 1).otherwise(0)).over(prev))
+        .withColumn("s2",
+          when(col("event_type") === "click" && col("seen_view") === 1, 1).otherwise(0))
+        .withColumn("seen_s2", max(col("s2")).over(prev))
+        .withColumn("s3",
+          when(col("event_type") === "purchase" && col("seen_s2") === 1, 1).otherwise(0))
+        .agg(
+          count_distinct(when(col("event_type") === "view", col("user_id")))
+            .as("n_view"),
+          count_distinct(when(col("s2") === 1, col("user_id"))).as("n_click_after_view"),
+          count_distinct(when(col("s3") === 1, col("user_id"))).as("n_purchase_after_click"))
+    }),
+
     // the native session-window spelling of sessionization (the streaming-
     // ready operator — identical code works under withWatermark on a
     // stream). Boundary semantics differ from the lag spelling above:
@@ -1415,6 +1510,40 @@ object RelationalQueries {
         |                         FROM lineitem l2
         |                         WHERE l2.l_partkey = p_partkey)
         |ORDER BY p_partkey, s_suppkey""".stripMargin,
+    "q9_profit" ->
+      """SELECT n_name AS nation,
+        |       CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE p_name LIKE '%bolt%'
+        |GROUP BY n_name, year(o_orderdate)
+        |ORDER BY nation, o_year DESC""".stripMargin,
+    "q16_supplier_cnt" ->
+      """SELECT p_brand, p_type, p_size,
+        |       count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1'
+        |  AND p_size IN (1, 4, 7, 10, 13, 16, 19)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+        |                        WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "q20_promo_suppliers" ->
+      """SELECT s_suppkey, s_name, s_acctbal
+        |FROM supplier
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_name LIKE 'red%'
+        |    AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        |  GROUP BY l_suppkey
+        |  HAVING sum(l_quantity) > 288)
+        |ORDER BY s_suppkey""".stripMargin,
     "q19_discount" ->
       """SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
         |       count(*) AS cnt
@@ -1696,6 +1825,29 @@ object RelationalQueries {
     "json_extract" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events ORDER BY event_id""".stripMargin,
+    "events_funnel" ->
+      """WITH a AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |         max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS seen_view
+        |  FROM events),
+        |b AS (
+        |  SELECT *, CASE WHEN event_type = 'click' AND seen_view = 1
+        |                 THEN 1 ELSE 0 END AS s2
+        |  FROM a),
+        |c AS (
+        |  SELECT *, max(s2) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS seen_s2
+        |  FROM b),
+        |d AS (
+        |  SELECT *, CASE WHEN event_type = 'purchase' AND seen_s2 = 1
+        |                 THEN 1 ELSE 0 END AS s3
+        |  FROM c)
+        |SELECT count(DISTINCT CASE WHEN event_type = 'view' THEN user_id END) AS n_view,
+        |       count(DISTINCT CASE WHEN s2 = 1 THEN user_id END) AS n_click_after_view,
+        |       count(DISTINCT CASE WHEN s3 = 1 THEN user_id END) AS n_purchase_after_click
+        |FROM d""".stripMargin,
     "events_sessionize" ->
       """WITH x AS (
         |  SELECT user_id, ts, event_id,

@@ -197,6 +197,9 @@ object SimilarityQueries {
     ivfpqCellsView(s, dir)
     pqIncView(s, dir)
     lshStreamedView(s, dir)
+    ivfStreamedView(s, dir)
+    ivfpqIncView(s, dir)
+    ivfCmpView(s, dir)
     ()
   }
 
@@ -510,6 +513,60 @@ object SimilarityQueries {
     val probes = modifiedEmb(s, dir).filter(col("vec_id") < 10)
       .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("norm").as("pn"))
     lshTopKFromStored(store.df(lshStreamIdx.name), probes)
+  }
+
+  /** The IVF cell view built PURELY through streaming micro-batches —
+    * the [[lshStreamedView]] pattern with a MODEL: the coarse quantizer
+    * trains once at ingest start on the FIRST micro-batch (the only data
+    * that exists yet), then each later batch is assigned under that
+    * frozen model through the bucketed streaming refresh. The trained
+    * centroids persist with the view so a durable reopen probes with
+    * exactly the model the stored cells were assigned under. */
+  private val ivfStreamViews =
+    TrieMap.empty[String, (BucketedViewStore, Array[Array[Double]])]
+
+  private def ivfStreamedView(s: SparkSession, dir: String): (BucketedViewStore, Array[Array[Double]]) =
+    ivfStreamViews.getOrElseUpdate(dir, {
+      val store = Views.bucketedStore(s, dir)
+      val unit = "emb_ivf_stream"
+      if (Views.unitDone(store.baseDir, unit)) {
+        VectorFunctions.register(s)
+        (store, Views.readModel(store.baseDir, unit).get.map(_.toArray).toArray)
+      } else {
+        VectorFunctions.register(s)
+        val e = emb(s, dir)
+        // the quantizer trains on the FIRST micro-batch ONLY — at stream
+        // start the rest of the corpus has not arrived, so training on it
+        // would be time travel; k-means on a uniform first sample is the
+        // standard streaming-ingest fit (cells ∝ √sample), and every later
+        // batch is assigned under that frozen model
+        val cents = ivfCentroids(e.filter(col("vec_id") % 3 === 0))
+        val idx = MapIndex.columns(unit)(
+          col("vec_id").cast("string"),
+          array(emit(assignExpr(cents).cast("string"),
+            struct(col("vec_id"), col("v"), col("norm")))))
+        val smi = new graft.streaming.BucketedStreamingMapIndex(idx, store)
+        (0 to 2).foreach(r => smi.applyBatch(e.filter(col("vec_id") % 3 === r)))
+        val (ups, dels) = embChangeBatch(e)
+        val batch = ups
+          .withColumn("key", col("vec_id").cast("string"))
+          .withColumn("deleted", lit(false))
+          .unionByName(
+            dels.select(col("src_key").as("key")).withColumn("deleted", lit(true)),
+            allowMissingColumns = true)
+        smi.applyBatch(batch)
+        Views.writeModel(store.baseDir, unit, cents.map(_.toSeq).toSeq)
+        Views.markUnitDone(store.baseDir, unit)
+        (store, cents)
+      }
+    })
+
+  /** IVF ANN served from the STREAMING-built cell view (the
+    * [[ivfTopKFromView]] read path over the streamed store). */
+  def ivfTopKStreamed(s: SparkSession, dir: String): DataFrame = {
+    val (store, cents) = ivfStreamedView(s, dir)
+    ivfSearchStored(store.df("emb_ivf_stream"), modifiedEmb(s, dir), cents,
+      probeBoost = 2)
   }
 
   /** Refine factor for SQ8 search: exact-rerank the top `K · SqRefine`
@@ -1130,6 +1187,47 @@ object SimilarityQueries {
     rankTopK(scored)
   }
 
+  /** The BULK-probe spelling of [[pqTopKFromView]] — the flat-PQ twin of
+    * [[sqTopKBulk]]'s contract: no probe broadcast, no driver In-list,
+    * and ZERO windows — both the ADC candidate cut and the final exact
+    * rank run through the bounded-heap `topk_by` aggregate. Flat PQ has
+    * no pruning key, so the ADC scan IS corpus × probes (the hinted
+    * shuffle-replicated cartesian, nothing broadcast) reading M-byte
+    * codes; everything around the scan scales with probe volume. A
+    * data-sized probe batch wanting a pruned scan composes tiers:
+    * [[ivfpqTopKBulk]]. */
+  def pqTopKBulk(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.Sketches.register(s)
+    val (store, books) = pqIncView(s, dir)
+    val m = modifiedEmb(s, dir)
+    val probes = m.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("norm").as("pn"))
+      .withColumn("lut", pqLutExpr(books, col("pv")))
+    val qcorpus = store.df("emb_pq_inc")
+      .select(col("emit_key").cast("long").as("vec_id"),
+        col("emit_value.codes").as("codes"), col("emit_value.qn").as("qn"))
+      .filter(col("qn") > 0)
+    val approx = qcorpus
+      .join(probes.select("probe_id", "lut").hint("shuffle_replicate_nl"),
+        col("vec_id") =!= col("probe_id"))
+      .withColumn("adc",
+        call_function("pq_adc", col("codes"), col("lut"), lit(PqKs)) / col("qn"))
+    val cands = approx.groupBy("probe_id")
+      .agg(expr(s"topk_by(adc, vec_id, ${K * PqRefine})").as("top"))
+      .select(col("probe_id"), explode(expr("transform(top, t -> t.id)")).as("vec_id"))
+    val scored = cands
+      .join(m.select(col("vec_id"), col("v"), col("norm")).hint("shuffle_hash"), Seq("vec_id"))
+      .join(probes.select("probe_id", "pv", "pn").hint("shuffle_hash"), Seq("probe_id"))
+      .withColumn("cos", round(dot(col("pv"), col("v")) / (col("pn") * col("norm")), 6))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("cos"))
+    scored.groupBy("probe_id")
+      .agg(expr(s"topk_by(cos, neighbor_id, $K)").as("top"))
+      .select(col("probe_id"), posexplode(col("top")).as(Seq("r0", "t")))
+      .select(col("probe_id"), col("t.id").as("neighbor_id"),
+        col("t.score").as("cos"), (col("r0") + 1).cast("long").as("rank"))
+      .orderBy("probe_id", "rank")
+  }
+
   /** The composed IVF-PQ index: PQ codes stored INSIDE the cell posting
     * lists — emit key = cell id, emit value = `(vec_id, codes, qn)`, no
     * float vector in the view at all. A probe scans nProbe cells' lists
@@ -1140,15 +1238,60 @@ object SimilarityQueries {
     * exactly the model the stored codes carry. */
   private def ivfpqIdx(
       cents: Array[Array[Double]],
+      books: Array[Array[Array[Double]]]): MapIndex =
+    ivfpqIdxNamed("emb_ivfpq_cells", cents, books)
+
+  private def ivfpqIdxNamed(name: String,
+      cents: Array[Array[Double]],
       books: Array[Array[Array[Double]]]): MapIndex = {
     import org.apache.spark.sql.functions.typedlit
     val codes = pqEncodeExpr(books, col("v"))
-    MapIndex.columns("emb_ivfpq_cells")(
+    MapIndex.columns(name)(
       col("vec_id").cast("string"),
       array(emit(assignExpr(cents).cast("string"),
         struct(col("vec_id"), codes.as("codes"),
           sqrt(call_function("pq_adc", codes, typedlit(pqNormLut(books)), lit(PqKs)))
             .as("qn")))))
+  }
+
+  /** Build a composed IVF-PQ view over `corpus` under freshly-trained
+    * models; returns (centroids, codebooks, base reconstruction error) —
+    * the [[pqIncBuild]] shape for the composed index. */
+  private[graft] def ivfpqIncBuild(store: BucketedViewStore, unit: String,
+      corpus: DataFrame): (Array[Array[Double]], Array[Array[Array[Double]]], Double) = {
+    val cents = ivfCentroids(corpus)
+    val books = pqCodebooks(corpus)
+    store.materialize(ivfpqIdxNamed(unit, cents, books), corpus)
+    (cents, books, pqMeanSqError(corpus, books))
+  }
+
+  /** The composed IVF-PQ change-batch gate, factored for direct testing
+    * (the [[pqApplyBatch]] shape, both model families at once): apply one
+    * corpus batch to a stored composed view. Re-fit BOTH tiers +
+    * re-materialize (through the store's full-retraction rebuild — CDC
+    * stays contiguous) iff the batch trips EITHER staleness gate — the
+    * IVF drift bound ([[RefitDriftBound]] of `corpusSize`) or the
+    * codebook reconstruction-error gate ([[PqRefitErrFactor]] × recorded
+    * base error); otherwise the ordinary O(delta) refresh re-cells and
+    * re-encodes only the changed vectors under the stored models. Returns
+    * the (cents, books, baseErr) the view now serves with. */
+  private[graft] def ivfpqApplyBatch(store: BucketedViewStore, unit: String,
+      cents: Array[Array[Double]], books: Array[Array[Array[Double]]],
+      baseErr: Double, ups: DataFrame, dels: Option[DataFrame],
+      corpusAfter: => DataFrame, corpusSize: Long)
+      : (Array[Array[Double]], Array[Array[Array[Double]]], Double) = {
+    val changed = ups.count() + dels.map(_.count()).getOrElse(0L)
+    if (changed > corpusSize * RefitDriftBound ||
+        (baseErr > 0 && pqMeanSqError(ups, books) > PqRefitErrFactor * baseErr)) {
+      val m = corpusAfter
+      val refitC = ivfCentroids(m)
+      val refitB = pqCodebooks(m)
+      store.materialize(ivfpqIdxNamed(unit, refitC, refitB), m)
+      (refitC, refitB, pqMeanSqError(m, refitB))
+    } else {
+      store.refresh(ivfpqIdxNamed(unit, cents, books), ups, dels)
+      (cents, books, baseErr)
+    }
   }
 
   /** Per-JVM cache of the maintained IVF-PQ view + the model it serves. */
@@ -1182,30 +1325,96 @@ object SimilarityQueries {
         val baseErr = pqMeanSqError(e, books)
         store.materialize(ivfpqIdx(cents, books), e)
         val (ups, dels) = embChangeBatch(e)
-        val changed = ups.count() + dels.count()
-        // BOTH staleness gates compose: the IVF drift bound AND the
-        // codebook reconstruction-error gate ([[PqRefitErrFactor]] — the
-        // PQ analog of the SQ clamp gate); either firing re-fits both
-        // model families and re-materializes through the store's
+        // BOTH staleness gates compose in [[ivfpqApplyBatch]]: the IVF
+        // drift bound AND the codebook reconstruction-error gate (the PQ
+        // analog of the SQ clamp gate); either firing re-fits both model
+        // families and re-materializes through the store's
         // full-retraction rebuild (CDC stays contiguous)
-        val (servedC, servedB) =
-          if (changed > e.count() * RefitDriftBound ||
-              (baseErr > 0 && pqMeanSqError(ups, books) > PqRefitErrFactor * baseErr)) {
-            val m = modifiedEmb(s, dir)
-            val refitC = ivfCentroids(m)
-            val refitB = pqCodebooks(m)
-            store.materialize(ivfpqIdx(refitC, refitB), m)
-            (refitC, refitB)
-          } else {
-            store.refresh(ivfpqIdx(cents, books), ups, Some(dels))
-            (cents, books)
-          }
+        val (servedC, servedB, _) = ivfpqApplyBatch(store, unit,
+          cents, books, baseErr, ups, Some(dels), modifiedEmb(s, dir), e.count())
         Views.writeModel(store.baseDir, unit,
           servedC.map(_.toSeq).toSeq ++ servedB.flatten.map(_.toSeq).toSeq)
         Views.markUnitDone(store.baseDir, unit)
         (store, servedC, servedB)
       }
     })
+
+  /** The SECOND deterministic corpus change batch, applied on top of
+    * [[embChangeBatch]]'s result (`m1` = the once-modified corpus):
+    * `%31` survivors rewritten to the reversal OF THEIR CURRENT vector
+    * (a `%37∧%31` vector reverses back to its original — the oracle's
+    * XOR), `%29` survivors tombstoned. Returns (upserts, deleteKeys). */
+  private def embChangeBatch2(m1: DataFrame): (DataFrame, DataFrame) = (
+    m1.filter(col("vec_id") % 31 === 0 && col("vec_id") % 29 =!= 0)
+      .withColumn("v", reverse(col("v"))),
+    m1.filter(col("vec_id") % 29 === 0)
+      .select(col("vec_id").cast("string").as("src_key")).distinct())
+
+  /** The embeddings corpus after BOTH change batches — ground truth for
+    * the multi-epoch incremental query: alive iff neither `%41` (batch 1)
+    * nor `%29` (batch 2) divides, reversed iff EXACTLY ONE of `%37`
+    * (batch 1) / `%31` (batch 2) divides (two reversals compose to the
+    * identity). */
+  private def modifiedEmb2(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir)
+      .filter(col("vec_id") % 41 =!= 0 && col("vec_id") % 29 =!= 0)
+      .withColumn("v",
+        when((col("vec_id") % 37 === 0) =!= (col("vec_id") % 31 === 0),
+          reverse(col("v"))).otherwise(col("v")))
+
+  /** Per-JVM cache of the TWICE-maintained IVF-PQ view + its model. */
+  private val ivfpqIncViews =
+    TrieMap.empty[String, (BucketedViewStore, Array[Array[Double]], Array[Array[Array[Double]]])]
+
+  /** The multi-epoch maintenance gate for the composed index: build the
+    * view on the ORIGINAL corpus (epoch 0), then push TWO successive
+    * change batches through [[ivfpqApplyBatch]] (epochs 1 and 2). Both
+    * fixtures are norm-preserving reversals, so both take the O(delta)
+    * refresh arm — what this isolates beyond `sim_ivfpq_topk` is that
+    * the refresh path COMPOSES: epoch 2's delete-then-insert runs against
+    * state epoch 1 wrote, under the build-time model both epochs encode
+    * with, and the CDC feed stays one contiguous history. A separate
+    * store unit from [[ivfpqCellsView]] so the single-batch queries keep
+    * their epoch arithmetic. */
+  private def ivfpqIncView(
+      s: SparkSession, dir: String): (BucketedViewStore, Array[Array[Double]], Array[Array[Array[Double]]]) =
+    ivfpqIncViews.getOrElseUpdate(dir, {
+      val store = Views.bucketedStore(s, dir)
+      val unit = "emb_ivfpq_inc"
+      if (Views.unitDone(store.baseDir, unit)) {
+        VectorFunctions.register(s)
+        val rows = Views.readModel(store.baseDir, unit).get
+        val cents = rows.filter(_.length == 64).map(_.toArray).toArray
+        val flat = rows.filter(_.length == PqSubDim).map(_.toArray).toArray
+        val books = Array.tabulate(PqM)(m => Array.tabulate(PqKs)(k => flat(m * PqKs + k)))
+        (store, cents, books)
+      } else {
+        val e = emb(s, dir)
+        val cents = ivfCentroidsFor(s, dir)
+        val books = pqBooksFor(s, dir)
+        val baseErr = pqMeanSqError(e, books)
+        store.materialize(ivfpqIdxNamed(unit, cents, books), e)
+        val (ups1, dels1) = embChangeBatch(e)
+        val (c1, b1, err1) = ivfpqApplyBatch(store, unit,
+          cents, books, baseErr, ups1, Some(dels1), modifiedEmb(s, dir), e.count())
+        val m1 = modifiedEmb(s, dir)
+        val (ups2, dels2) = embChangeBatch2(m1)
+        val (c2, b2, _) = ivfpqApplyBatch(store, unit,
+          c1, b1, err1, ups2, Some(dels2), modifiedEmb2(s, dir), m1.count())
+        Views.writeModel(store.baseDir, unit,
+          c2.map(_.toSeq).toSeq ++ b2.flatten.map(_.toSeq).toSeq)
+        Views.markUnitDone(store.baseDir, unit)
+        (store, c2, b2)
+      }
+    })
+
+  /** IVF-PQ search from the twice-maintained view — the serving path
+    * behind `sim_ivfpq_incremental`, graded against exact top-k on the
+    * TWICE-modified corpus. */
+  def ivfpqTopKIncremental(s: SparkSession, dir: String): DataFrame = {
+    val (store, cents, books) = ivfpqIncView(s, dir)
+    ivfpqSearchStored(store.df("emb_ivfpq_inc"), modifiedEmb2(s, dir), cents, books)
+  }
 
   /** IVF-PQ search from the PERSISTED composed index: nProbe cell ids
     * prune the stored scan (pushed In-filter, model-sized), candidate
@@ -1437,23 +1646,81 @@ object SimilarityQueries {
     * the search reads only the probed posting lists, not the corpus. */
   def ivfTopKFromView(s: SparkSession, dir: String): DataFrame = {
     val (store, cents) = ivfCellsView(s, dir)
-    val nProbe = probesFor(cents.length)
-    val probesWithCells = modifiedEmb(s, dir).filter(col("vec_id") < 10)
+    ivfSearchStored(store.df(ivfIdx(cents).name), modifiedEmb(s, dir), cents)
+  }
+
+  /** The float-IVF search core shared by the maintained, streaming-built
+    * and compacted serving paths: probe cell selection under the stored
+    * model, driver In-list cell prune (model-sized — the bulk spelling
+    * is [[ivfTopKBulk]]), exact cosine within the probed cells.
+    * `probeBoost` widens the probe set for models trained on a SAMPLE of
+    * the corpus (the streaming ingest fit): sample-trained centroids
+    * carry higher assignment variance at cell boundaries, and the
+    * standard remedy is more probes — a constant factor, so the scanned
+    * fraction still shrinks as n^(-1/4). */
+  private def ivfSearchStored(stored: DataFrame, corpus: DataFrame,
+      cents: Array[Array[Double]], probeBoost: Int = 1): DataFrame = {
+    val nProbe = math.min(cents.length, probesFor(cents.length) * probeBoost)
+    val probesWithCells = corpus.filter(col("vec_id") < 10)
       .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("norm").as("pn"))
       .withColumn("cid0", explode(probeCellsCol(cents, nProbe, col("pv"))))
       .withColumn("cid", col("cid0").cast("string"))
       .drop("cid0")
     val cellIds = probesWithCells.select("cid").distinct()
       .collect().map(_.getString(0)).toSeq
-    val corpus = store.df(ivfIdx(cents).name)
+    val cells = stored
       .filter(col("emit_key").isInCollection(cellIds))
       .select(col("emit_key").as("cid"), col("emit_value.vec_id").as("vec_id"),
         col("emit_value.v").as("v"), col("emit_value.norm").as("norm"))
-    val cand = corpus.join(broadcast(probesWithCells), Seq("cid"))
+    val cand = cells.join(broadcast(probesWithCells), Seq("cid"))
       .filter(col("vec_id") =!= col("probe_id"))
       .withColumn("cos", round(dot(col("pv"), col("v")) / (col("pn") * col("norm")), 6))
       .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("cos"))
     rankTopK(cand)
+  }
+
+  /** Per-JVM cache of the compacted IVF view + the model it serves. */
+  private val ivfCmpViews = TrieMap.empty[String, (BucketedViewStore, Array[Array[Double]])]
+
+  /** The [[ivfCellsView]] history with a COMPACTION epoch on top — the
+    * ANN twin of the pair store's `dedup_pairs_compacted` gate: build
+    * (epoch 0) → change-batch refresh (epoch 1) → `compact` (epoch 2 —
+    * bin-packs each bucket's accreted delta fragments into one file per
+    * bucket and contributes NO CDC rows). A long-lived index accreting
+    * daily deltas degrades into many small files per bucket without
+    * this; serving afterwards must observe nothing but faster scans. */
+  private def ivfCmpView(s: SparkSession, dir: String): (BucketedViewStore, Array[Array[Double]]) =
+    ivfCmpViews.getOrElseUpdate(dir, {
+      val store = Views.bucketedStore(s, dir)
+      val unit = "emb_ivf_cmp"
+      if (Views.unitDone(store.baseDir, unit)) {
+        VectorFunctions.register(s)
+        (store, Views.readModel(store.baseDir, unit).get.map(_.toArray).toArray)
+      } else {
+        val e = emb(s, dir)
+        val cents = ivfCentroidsFor(s, dir)
+        val idx = MapIndex.columns(unit)(
+          col("vec_id").cast("string"),
+          array(emit(assignExpr(cents).cast("string"),
+            struct(col("vec_id"), col("v"), col("norm")))))
+        store.materialize(idx, e)
+        val (ups, dels) = embChangeBatch(e)
+        store.refresh(idx, ups, Some(dels))
+        // maxFilesPerBucket = 0 forces every live bucket through the
+        // fold (this fixture's buckets are single-file already; the gate
+        // is about the epoch semantics, not the file counts)
+        store.compact(unit, maxFilesPerBucket = 0)
+        Views.writeModel(store.baseDir, unit, cents.map(_.toSeq).toSeq)
+        Views.markUnitDone(store.baseDir, unit)
+        (store, cents)
+      }
+    })
+
+  /** IVF ANN served from the COMPACTED store — the serving path behind
+    * `sim_ivf_compacted`. */
+  def ivfTopKCompacted(s: SparkSession, dir: String): DataFrame = {
+    val (store, cents) = ivfCmpView(s, dir)
+    ivfSearchStored(store.df("emb_ivf_cmp"), modifiedEmb(s, dir), cents)
   }
 
   /** The BULK-probe spelling of [[ivfTopKFromView]] — same contract as
@@ -1542,6 +1809,7 @@ object SimilarityQueries {
     ivfViews.clear(); lshViews.clear(); sqIncViews.clear(); sqViews.clear()
     ivfsqViews.clear(); lshStreamViews.clear(); centroidCache.clear()
     ivfpqViews.clear(); pqBookCache.clear(); pqIncViews.clear()
+    ivfStreamViews.clear(); ivfpqIncViews.clear(); ivfCmpViews.clear()
   }
 
   /** recall bounds asserted by the invariant queries below — measured at
@@ -1911,6 +2179,53 @@ object SimilarityQueries {
           (col("nf") >= col("n_pairs") * lit(AnnRecallBound)).as("recall_ok"))
     }),
 
+    // the IVF cell view built PURELY through streaming micro-batches
+    // ([[ivfTopKStreamed]]): per-batch partition-scoped maintenance under
+    // a once-trained quantizer must land the same index state the batch
+    // path maintains — identical modified-corpus ground truth grades both
+    "sim_ivf_streamed" -> ((s, dir) => {
+      val e = modifiedEmb(s, dir)
+      val probes = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("norm").as("pn"))
+      val brute = rankTopK(
+        e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+          .withColumn("cos", round(dot(col("pv"), col("v")) / (col("pn") * col("norm")), 6))
+          .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("cos")))
+        .select("probe_id", "neighbor_id")
+      val ivf = ivfTopKStreamed(s, dir).select("probe_id", "neighbor_id")
+        .withColumn("f", lit(1L))
+      brute.join(ivf, Seq("probe_id", "neighbor_id"), "left_outer")
+        .agg(count_distinct(col("probe_id")).as("n_probes"),
+          count(lit(1)).as("n_pairs"),
+          coalesce(sum(col("f")), lit(0L)).as("nf"))
+        .select(col("n_probes"), col("n_pairs"),
+          (col("nf") >= col("n_pairs") * lit(IvfRecallBound)).as("recall_ok"))
+    }),
+
+    // the maintained cell view with a COMPACTION epoch on top
+    // ([[ivfTopKCompacted]]): bin-packing each bucket's accreted delta
+    // fragments must be invisible to the search — same modified-corpus
+    // ground truth as sim_ivf_incremental (the spec asserts the
+    // empty-sidecar epoch and file-count collapse; this gates serving)
+    "sim_ivf_compacted" -> ((s, dir) => {
+      val e = modifiedEmb(s, dir)
+      val probes = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("norm").as("pn"))
+      val brute = rankTopK(
+        e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+          .withColumn("cos", round(dot(col("pv"), col("v")) / (col("pn") * col("norm")), 6))
+          .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("cos")))
+        .select("probe_id", "neighbor_id")
+      val ivf = ivfTopKCompacted(s, dir).select("probe_id", "neighbor_id")
+        .withColumn("f", lit(1L))
+      brute.join(ivf, Seq("probe_id", "neighbor_id"), "left_outer")
+        .agg(count_distinct(col("probe_id")).as("n_probes"),
+          count(lit(1)).as("n_pairs"),
+          coalesce(sum(col("f")), lit(0L)).as("nf"))
+        .select(col("n_probes"), col("n_pairs"),
+          (col("nf") >= col("n_pairs") * lit(IvfRecallBound)).as("recall_ok"))
+    }),
+
     // the composed IVF-SQ8 index ([[ivfsqTopKFromView]]): cell-pruned
     // scan over stored int8 codes + exact rerank, after the corpus
     // change batch went through the view's refresh path — same
@@ -1999,6 +2314,29 @@ object SimilarityQueries {
           (col("nf") >= col("n_pairs") * lit(PqRecallBound)).as("recall_ok"))
     }),
 
+    // the maintained flat-PQ view probed through the BULK plan
+    // ([[pqTopKBulk]]): shuffle-replicated ADC scan over stored M-byte
+    // codes, bounded-heap selection, nothing broadcast — identical
+    // modified-corpus ground truth as the model-sized path
+    "sim_pq_bulk" -> ((s, dir) => {
+      val e = modifiedEmb(s, dir)
+      val probes = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("norm").as("pn"))
+      val brute = rankTopK(
+        e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+          .withColumn("cos", round(dot(col("pv"), col("v")) / (col("pn") * col("norm")), 6))
+          .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("cos")))
+        .select("probe_id", "neighbor_id")
+      val pq = pqTopKBulk(s, dir).select("probe_id", "neighbor_id")
+        .withColumn("f", lit(1L))
+      brute.join(pq, Seq("probe_id", "neighbor_id"), "left_outer")
+        .agg(count_distinct(col("probe_id")).as("n_probes"),
+          count(lit(1)).as("n_pairs"),
+          coalesce(sum(col("f")), lit(0L)).as("nf"))
+        .select(col("n_probes"), col("n_pairs"),
+          (col("nf") >= col("n_pairs") * lit(PqRecallBound)).as("recall_ok"))
+    }),
+
     // the composed IVF-PQ index served AS OF its pre-batch epoch
     // ([[ivfpqTopKAsOf]]): time travel on the composed index must
     // reproduce the ORIGINAL corpus's recall invariant, proving the
@@ -2031,6 +2369,31 @@ object SimilarityQueries {
           .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("cos")))
         .select("probe_id", "neighbor_id")
       val ivfpq = ivfpqTopKFromView(s, dir).select("probe_id", "neighbor_id")
+        .withColumn("f", lit(1L))
+      brute.join(ivfpq, Seq("probe_id", "neighbor_id"), "left_outer")
+        .agg(count_distinct(col("probe_id")).as("n_probes"),
+          count(lit(1)).as("n_pairs"),
+          coalesce(sum(col("f")), lit(0L)).as("nf"))
+        .select(col("n_probes"), col("n_pairs"),
+          (col("nf") >= col("n_pairs") * lit(IvfPqRecallBound)).as("recall_ok"))
+    }),
+
+    // the composed index after TWO successive change batches through its
+    // refresh path ([[ivfpqTopKIncremental]]): epoch 2's partition-scoped
+    // delete-then-insert runs against state epoch 1 wrote — a stale cell
+    // from EITHER batch (a %31 vector still celled at its pre-reversal
+    // position, a %29 vector not retracted) is lost recall / a wrong pair
+    // against exact top-k on the twice-modified corpus
+    "sim_ivfpq_incremental" -> ((s, dir) => {
+      val e = modifiedEmb2(s, dir)
+      val probes = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("norm").as("pn"))
+      val brute = rankTopK(
+        e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+          .withColumn("cos", round(dot(col("pv"), col("v")) / (col("pn") * col("norm")), 6))
+          .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("cos")))
+        .select("probe_id", "neighbor_id")
+      val ivfpq = ivfpqTopKIncremental(s, dir).select("probe_id", "neighbor_id")
         .withColumn("f", lit(1L))
       brute.join(ivfpq, Seq("probe_id", "neighbor_id"), "left_outer")
         .agg(count_distinct(col("probe_id")).as("n_probes"),
@@ -2276,6 +2639,28 @@ object SimilarityQueries {
          |SELECT count(DISTINCT probe_id) AS n_probes, count(*) AS n_pairs,
          |       true AS recall_ok
          |FROM (${bruteTopkSqlOver("corpus")})""".stripMargin,
+    // compaction is invisible to the search: same modified-corpus ground
+    // truth as the incremental gate
+    "sim_ivf_compacted" ->
+      s"""WITH corpus AS (
+         |  SELECT vec_id,
+         |         CASE WHEN vec_id % 37 = 0 THEN list_reverse(embedding)
+         |              ELSE embedding END AS embedding
+         |  FROM embeddings WHERE vec_id % 41 <> 0)
+         |SELECT count(DISTINCT probe_id) AS n_probes, count(*) AS n_pairs,
+         |       true AS recall_ok
+         |FROM (${bruteTopkSqlOver("corpus")})""".stripMargin,
+    // the streaming-built cell view serves the same modified-corpus
+    // ground truth as the batch-maintained one
+    "sim_ivf_streamed" ->
+      s"""WITH corpus AS (
+         |  SELECT vec_id,
+         |         CASE WHEN vec_id % 37 = 0 THEN list_reverse(embedding)
+         |              ELSE embedding END AS embedding
+         |  FROM embeddings WHERE vec_id % 41 <> 0)
+         |SELECT count(DISTINCT probe_id) AS n_probes, count(*) AS n_pairs,
+         |       true AS recall_ok
+         |FROM (${bruteTopkSqlOver("corpus")})""".stripMargin,
     // the composed IVF-SQ8 index graded against the same modified-corpus
     // ground truth as the other maintained indexes
     "sim_ivfsq_topk" ->
@@ -2313,6 +2698,17 @@ object SimilarityQueries {
          |SELECT count(DISTINCT probe_id) AS n_probes, count(*) AS n_pairs,
          |       true AS recall_ok
          |FROM (${bruteTopkSqlOver("corpus")})""".stripMargin,
+    // the flat-PQ bulk plan reads the same maintained view as the
+    // model-sized path, so the identical ground truth grades it
+    "sim_pq_bulk" ->
+      s"""WITH corpus AS (
+         |  SELECT vec_id,
+         |         CASE WHEN vec_id % 37 = 0 THEN list_reverse(embedding)
+         |              ELSE embedding END AS embedding
+         |  FROM embeddings WHERE vec_id % 41 <> 0)
+         |SELECT count(DISTINCT probe_id) AS n_probes, count(*) AS n_pairs,
+         |       true AS recall_ok
+         |FROM (${bruteTopkSqlOver("corpus")})""".stripMargin,
     // the pre-batch epoch must serve the ORIGINAL corpus's ground truth
     "sim_ivfpq_asof" ->
       s"""SELECT count(DISTINCT probe_id) AS n_probes, count(*) AS n_pairs,
@@ -2331,6 +2727,19 @@ object SimilarityQueries {
          |FROM (${bruteTopkSqlOver("corpus")})""".stripMargin,
     // the IVF-PQ bulk plan reads the same maintained view as the
     // model-sized composed path, so the identical ground truth grades it
+    // the twice-modified corpus: alive iff neither %41 nor %29 divides,
+    // reversed iff exactly one of %37 / %31 divides (XOR — a second
+    // reversal composes to the identity)
+    "sim_ivfpq_incremental" ->
+      s"""WITH corpus AS (
+         |  SELECT vec_id,
+         |         CASE WHEN (vec_id % 37 = 0) <> (vec_id % 31 = 0)
+         |              THEN list_reverse(embedding)
+         |              ELSE embedding END AS embedding
+         |  FROM embeddings WHERE vec_id % 41 <> 0 AND vec_id % 29 <> 0)
+         |SELECT count(DISTINCT probe_id) AS n_probes, count(*) AS n_pairs,
+         |       true AS recall_ok
+         |FROM (${bruteTopkSqlOver("corpus")})""".stripMargin,
     "sim_ivfpq_bulk" ->
       s"""WITH corpus AS (
          |  SELECT vec_id,

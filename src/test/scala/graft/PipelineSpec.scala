@@ -86,6 +86,55 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
       "replay across the compaction must equal the refresh delta alone")
   }
 
+  test("ANN store compaction is a no-change epoch: empty sidecar, replay-transparent") {
+    val sf = "/root/testdata/sf0.001"
+    // building the query's view runs build (epoch 0) -> change-batch
+    // refresh (1) -> compact (2) on the shared bucketed store
+    SparkEntry.queries("sim_ivf_compacted")(spark, sf).collect()
+    val store = graft.engine.Views.bucketedStore(spark, sf)
+    assert(store.epoch("emb_ivf_cmp") === 2, "compaction must be the store's next epoch")
+    assert(store.changesBetween("emb_ivf_cmp", 1, 2).count() === 0,
+      "compaction sidecar must be empty")
+    assert(store.changesBetween("emb_ivf_cmp", 0, 2).count() ===
+        store.changesBetween("emb_ivf_cmp", 0, 1).count(),
+      "replay across the compaction must equal the refresh delta alone")
+  }
+
+  test("domain cap pre-filter: mega-domain output is bit-identical to the unfiltered spelling") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    // a fat source whose budget binds hard (2000 docs, ~12-token docs,
+    // cap 1000 -> ~85 keepers; the 0.9-quantile cut holds because the
+    // above-cut mass alone exhausts the cap) and a thin source where the
+    // keep-safety check must fall back to admit-everything
+    val rows = (1L to 2000L).map(i => ("fat", i, (i % 997).toInt, 10L + (i % 7))) ++
+      (1L to 10L).map(i => ("thin", 10000L + i, 5, 10L))
+    val base = rows.toDF("source", "doc_id", "n_chars", "toks")
+    val got = graft.operators.PipelineQueries.domainCapped(base, 1000L)
+      .collect().map(_.toSeq)
+    // the unfiltered reference spelling: exact window over EVERY doc
+    val win = Window.partitionBy("source")
+      .orderBy(col("n_chars").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ref = base
+      .withColumn("strt", coalesce(sum("toks").over(win), lit(0L)))
+      .withColumn("kept", (col("strt") < lit(1000L)).cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum("kept").as("n_kept"),
+        sum(when(col("kept") === 1, col("toks")).otherwise(0L)).as("kept_tokens"))
+      .orderBy("source")
+      .collect().map(_.toSeq)
+    assert(got.toSeq === ref.toSeq,
+      "pre-filtered cap must be bit-identical to the unfiltered computation")
+    // the thin source's above-cut mass cannot reach the cap -> fallback
+    // admits everything and the budget keeps all 10 docs
+    val thin = got.find(_.head == "thin").get
+    assert(thin(1) === 10L && thin(2) === 10L)
+    // the fat source's budget binds: far fewer keepers than docs
+    val fat = got.find(_.head == "fat").get
+    assert(fat(1) === 2000L && fat(2).asInstanceOf[Long] < 200L)
+  }
+
   test("PNG decode: the real javax.imageio codec reads true dimensions and channels") {
     import java.awt.image.BufferedImage
     def png(w: Int, h: Int, imgType: Int): Array[Byte] = {

@@ -101,6 +101,34 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       s"within-cell pair scan must stay an equi-join on the cell id:\n$p")
   }
 
+  test("pqTopKBulk: no probe broadcast, no windows — bounded-heap selection over stored codes") {
+    import graft.operators.SimilarityQueries
+    val df = SimilarityQueries.pqTopKBulk(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("CartesianProduct"), s"expected the hinted ADC cartesian scan:\n$p")
+    assert(!p.contains("BroadcastHashJoin") && !p.contains("BroadcastNestedLoopJoin"),
+      s"bulk flat-PQ path must not broadcast probes or corpus:\n$p")
+    assert(!p.contains("isInCollection") && !p.contains(" In(emit_key"),
+      s"bulk flat-PQ path must not collect keys to the driver:\n$p")
+    assert(!p.contains("Window"), s"bulk flat-PQ path must not window-sort:\n$p")
+    assert(p.contains("ObjectHashAggregate"), s"expected topk_by heap aggregation:\n$p")
+    assert(p.contains("array<tinyint>"), s"PQ codes must be read:\n$p")
+  }
+
+  test("span verify tier: the corpus is semi-join pruned, never shuffled to meet candidates") {
+    // the hash-keyed span stores' exactness rests on re-extracting text
+    // for the candidate set — the corpus side must reach that join
+    // through a BROADCAST semi prune on candidate doc ids (duplicate-
+    // sized), not a full hash shuffle of every document's token array
+    val p = finalPlan("dedup_substring_removal")
+    assert(!p.contains("SortMergeJoin") ||
+      !p.linesIterator.exists(l => l.contains("SortMergeJoin") && l.contains("LeftSemi")),
+      s"the corpus prune must not sort-merge-shuffle the corpus:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"candidate doc ids must broadcast into the corpus prune:\n$p")
+  }
+
   test("ivfsqTopKBulk: semi-join cell prune, heap selection, nothing broadcast") {
     import graft.operators.SimilarityQueries
     val df = SimilarityQueries.ivfsqTopKBulk(spark, sf)
@@ -325,6 +353,53 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       s"10 probes x nProbe=$nProbe cells bound the In-list, saw $probedCells")
     assert(probedCells < totalCells,
       s"probe scan must read a strict subset of the $totalCells stored cells, saw $probedCells")
+  }
+
+  test("mapindex_joinview serves as a stored read: no join in the executed plan") {
+    // the whole point of the delta-join view: consumers read the
+    // materialized relation — the join ran at maintenance time, never at
+    // query time
+    val p = finalPlan("mapindex_joinview")
+    assert(!p.contains("Join"), s"join-view serving must not re-join:\n$p")
+    assert(p.contains("parquet"), s"serving must be a parquet read:\n$p")
+  }
+
+  test("events_funnel: the cascaded stage windows share ONE user_id exchange") {
+    // the funnel's sequential dependency is two strictly-preceding
+    // windows + derived flags — all over the same (user_id, ts) spec, so
+    // the fact must shuffle exactly once and both Window operators run
+    // on that one partitioning (per-stage self-joins would shuffle it
+    // three times)
+    val p = finalPlan("events_funnel")
+    assert(p.split("Window").length - 1 >= 2,
+      s"expected the two cascaded window operators:\n$p")
+    // exactly one user_id exchange feeds both windows (the only other
+    // hash exchange is the count-DISTINCT Expand re-aggregation, which
+    // runs over the distinct user sets, not the fact)
+    assert(p.split(java.util.regex.Pattern.quote("Exchange hashpartitioning(user_id")).length - 1 == 1,
+      s"the funnel must shuffle the fact on user_id exactly once:\n$p")
+    assert(!p.contains("Join"), s"the funnel must be join-free:\n$p")
+  }
+
+  test("q9/q16/q20: dims broadcast; the fact is scanned once per query") {
+    // q9: the name-filtered part list, supplier and nation are dim-sized
+    // and must broadcast; lineitem (the fact) is scanned exactly once
+    val p9 = finalPlan("q9_profit", "/root/testdata/sf0.01")
+    assert(p9.contains("BroadcastHashJoin"), s"q9 dims must broadcast:\n$p9")
+    assert(p9.split("lineitem.parquet").length - 1 == 1,
+      s"q9 must scan the fact exactly once:\n$p9")
+    // q16: the negative-balance exclusion list is #suppliers-sized — the
+    // null-aware NOT IN must execute as a broadcast anti join, never a
+    // shuffle of the fact against it
+    val p16 = finalPlan("q16_supplier_cnt", "/root/testdata/sf0.01")
+    assert(p16.contains("BroadcastNestedLoopJoin") || p16.contains("BroadcastHashJoin"),
+      s"q16 NOT-IN exclusion must broadcast:\n$p16")
+    // q20: the qualifying-supplier set (grouped HAVING over the promo
+    // window) is dim-bounded and must come back as a broadcast semi join
+    val p20 = finalPlan("q20_promo_suppliers", "/root/testdata/sf0.01")
+    assert(p20.linesIterator.exists(l =>
+        l.contains("BroadcastHashJoin") && l.contains("LeftSemi")),
+      s"q20 qualification must be a broadcast semi join:\n$p20")
   }
 
   test("correlated/scalar-subquery TPC-H shapes decorrelate and reuse their aggregates") {

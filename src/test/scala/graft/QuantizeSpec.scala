@@ -216,6 +216,53 @@ class QuantizeSpec extends AnyFunSuite with SparkSpec {
     assert(feed.filter(col("change_type") === "insert").count() === 100)
   }
 
+  test("IVF-PQ composed refit gate: out-of-distribution batch re-fits BOTH tiers; in-distribution refreshes O(delta)") {
+    import graft.engine.BucketedViewStore
+    import graft.operators.SimilarityQueries
+    graft.functions.VectorFunctions.register(spark)
+    val store = BucketedViewStore.temp(spark, 4)
+    val unit = "emb_ivfpq_gate"
+    val base = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .filter(col("vec_id") < 100)
+    val (cents0, books0, err0) = SimilarityQueries.ivfpqIncBuild(store, unit, base)
+    assert(err0 > 0)
+    assert(store.epoch(unit) === 0)
+    // in-distribution batch (norm-preserving reversal): the O(delta)
+    // refresh arm — both model families stay put, next epoch written
+    val ups1 = base.filter(col("vec_id") < 5).withColumn("v", reverse(col("v")))
+    val (cents1, books1, err1) = SimilarityQueries.ivfpqApplyBatch(store, unit,
+      cents0, books0, err0, ups1, None,
+      sys.error("refresh arm must not touch the full corpus"), 100L)
+    assert((cents1 eq cents0) && (books1 eq books0),
+      "in-distribution batch must keep both model families")
+    assert(err1 === err0)
+    assert(store.epoch(unit) === 1)
+    // out-of-distribution batch (100x components): the reconstruction-
+    // error gate fires — BOTH tiers re-fit, re-materialized as the next
+    // epoch with a contiguous CDC feed
+    val ups2 = base.filter(col("vec_id") < 5)
+      .withColumn("v", expr("transform(v, x -> x * 100.0)"))
+    val after = base.filter(col("vec_id") >= 5).unionByName(ups2)
+    val (cents2, books2, _) = SimilarityQueries.ivfpqApplyBatch(store, unit,
+      cents1, books1, err1, ups2, None, after, 100L)
+    assert(!(books2 eq books1), "gate must re-fit the codebooks")
+    assert(!(cents2 eq cents1), "gate must re-fit the coarse quantizer")
+    assert(store.epoch(unit) === 2, "re-fit must be the next epoch")
+    val feed = store.changesBetween(unit, 1, 2)
+    assert(feed.filter(col("change_type") === "delete").count() === 100)
+    assert(feed.filter(col("change_type") === "insert").count() === 100)
+    // and the drift gate alone also forces the re-fit arm: a batch over
+    // RefitDriftBound x corpusSize re-fits even though it reconstructs
+    // fine under the stored codebooks
+    val ups3 = base.filter(col("vec_id") >= 5).limit(60)
+      .withColumn("v", reverse(col("v")))
+    val (cents3, _, _) = SimilarityQueries.ivfpqApplyBatch(store, unit,
+      cents2, books2, err0, ups3, None, after, 100L)
+    assert(!(cents3 eq cents2), "drift gate must re-fit")
+    assert(store.epoch(unit) === 3)
+  }
+
   test("SQ8 top-k recall vs brute force at sf0.001") {
     val dir = "/root/testdata/sf0.001"
     val brute = SparkEntry.queries("sim_brute_topk")(spark, dir)
