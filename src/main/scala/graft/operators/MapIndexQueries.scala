@@ -397,8 +397,56 @@ object MapIndexQueries {
       jv
     })
 
+  /** The join view built through INTERLEAVED two-sided micro-batches —
+    * the streaming-ingest reality delta-join IVM has to survive: orders
+    * and customers arrive out of order (an order can land BEFORE its
+    * customer), each batch goes through the ordinary delta-join refresh,
+    * and a late right arrival HEALS the pending join rows (its dirty key
+    * re-reads the waiting left bucket). After full arrival the view must
+    * equal the one-shot join; the same change batches as
+    * [[ordersCustomerView]] then run on top, so the identical oracle
+    * grades the whole history. */
+  private def streamedOrdersCustomerView(s: SparkSession, dir: String): graft.engine.JoinView =
+    joinViews.getOrElseUpdate(s"$dir#stream", {
+      val store = Views.bucketedStore(s, dir)
+      val jv = new graft.engine.JoinView(store, "orders_customer_s",
+        "o_orderkey", "o_custkey",
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate", "o_orderpriority"),
+        "c_custkey", "c_custkey",
+        Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"))
+      val unit = "orders_customer_s"
+      if (!Views.unitDone(store.baseDir, unit)) {
+        val o = Tables.orders(s, dir)
+        val c = Tables.customer(s, dir)
+        def oB(r: Int) = o.filter(col("o_orderkey") % 3 === r)
+        def cB(r: Int) = c.filter(col("c_custkey") % 3 === r)
+        // bootstrap on the first slices, then interleave arrivals with
+        // the LEFT always one slice ahead of its customers
+        jv.build(oB(0), cB(0))
+        jv.refreshLeft(oB(1), None)   // some of these orders' customers
+        jv.refreshRight(cB(1), None)  // ...arrive only here: heal
+        jv.refreshLeft(oB(2), None)
+        jv.refreshRight(cB(2), None)
+        // the shared deterministic change batches on top
+        val upsL = o.filter(col("o_orderkey") % 37 === 0 && col("o_orderkey") % 41 =!= 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000)
+        val delsL = o.filter(col("o_orderkey") % 41 === 0)
+          .select(col("o_orderkey").cast("string")).distinct()
+        jv.refreshLeft(upsL, Some(delsL))
+        val upsR = c.filter(col("c_custkey") % 13 === 0 && col("c_custkey") % 17 =!= 0)
+          .withColumn("c_acctbal", col("c_acctbal") + 100)
+        val delsR = c.filter(col("c_custkey") % 17 === 0)
+          .select(col("c_custkey").cast("string")).distinct()
+        jv.refreshRight(upsR, Some(delsR))
+        Views.markUnitDone(store.baseDir, unit)
+      }
+      jv
+    })
+
   def prewarm(s: SparkSession, dir: String): Unit = {
     ordersCustomerView(s, dir)
+    streamedOrdersCustomerView(s, dir)
     mixedView(s, dir)
     rangeBucketedFlag(s, dir)
     rangeMaintained(s, dir)
@@ -445,6 +493,34 @@ object MapIndexQueries {
         .unionByName(ins.exceptAll(dels).withColumn("change_type", lit("insert")))
         .orderBy("change_type", "o_orderkey")
     }),
+
+    // the join view served AS OF the epoch BETWEEN its two refreshes —
+    // time travel on the delta-join store: the historical read must
+    // reproduce modified-orders ⋈ ORIGINAL-customers, proving the
+    // right-side batch left the prior epoch intact and addressable
+    // (epoch 0 has aged past the store's retention horizon, like the
+    // other as-of gates)
+    "mapindex_joinview_asof" -> ((s, dir) => {
+      val jv = ordersCustomerView(s, dir)
+      jv.store.dfAsOf("orders_customer", jv.epoch - 1)
+        .select(col("emit_value.o_orderkey").as("o_orderkey"),
+          col("emit_value.o_custkey").as("o_custkey"),
+          col("emit_value.c_name").as("c_name"),
+          round(col("emit_value.o_totalprice"), 2).as("o_totalprice"),
+          round(col("emit_value.c_acctbal"), 2).as("c_acctbal"))
+        .orderBy("o_orderkey")
+    }),
+
+    // the join view built through INTERLEAVED two-sided micro-batches
+    // with out-of-order arrival ([[streamedOrdersCustomerView]]): late
+    // right rows heal pending joins, then the shared change batches run
+    // on top — the SAME oracle as mapindex_joinview grades the history
+    "mapindex_joinview_streamed" -> ((s, dir) =>
+      streamedOrdersCustomerView(s, dir).df
+        .select(col("o_orderkey"), col("o_custkey"), col("c_name"),
+          round(col("o_totalprice"), 2).as("o_totalprice"),
+          round(col("c_acctbal"), 2).as("c_acctbal"))
+        .orderBy("o_orderkey")),
 
     // O14 grouped aggregation over the materialized view (+ O16 count)
     "mapindex_group" -> ((s, dir) =>
@@ -828,6 +904,36 @@ object MapIndexQueries {
         |       'insert' AS change_type
         |FROM (SELECT * FROM after EXCEPT ALL SELECT * FROM before)
         |ORDER BY change_type, o_orderkey""".stripMargin,
+    // out-of-order two-sided arrival must converge to the same final
+    // join as the one-shot build + batches
+    "mapindex_joinview_streamed" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey,
+        |         CASE WHEN o_orderkey % 37 = 0 THEN o_totalprice + 1000
+        |              ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 41 <> 0),
+        |c AS (
+        |  SELECT c_custkey, c_name,
+        |         CASE WHEN c_custkey % 13 = 0 THEN c_acctbal + 100
+        |              ELSE c_acctbal END AS c_acctbal
+        |  FROM customer WHERE c_custkey % 17 <> 0)
+        |SELECT o_orderkey, o_custkey, c_name,
+        |       round(o_totalprice, 2) AS o_totalprice,
+        |       round(c_acctbal, 2) AS c_acctbal
+        |FROM o JOIN c ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+    // the inter-refresh epoch = modified orders ⋈ original customers
+    "mapindex_joinview_asof" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey,
+        |         CASE WHEN o_orderkey % 37 = 0 THEN o_totalprice + 1000
+        |              ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 41 <> 0)
+        |SELECT o_orderkey, o_custkey, c_name,
+        |       round(o_totalprice, 2) AS o_totalprice,
+        |       round(c_acctbal, 2) AS c_acctbal
+        |FROM o JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
     "mapindex_group" ->
       """SELECT l_returnflag AS emit_key, round(sum(l_extendedprice), 2) AS sum_value,
         |       count(*) AS cnt
