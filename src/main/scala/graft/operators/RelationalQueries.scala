@@ -1153,6 +1153,23 @@ object RelationalQueries {
     "events_hourly_streamed" -> ((s, dir) =>
       s.table(streamedHourlyTable(s, dir)).orderBy("hour", "event_type")),
 
+    // the conversion funnel computed by the STATEFUL streaming path
+    // (mapGroupsWithState over time-ordered micro-batches — per-user
+    // stage flags cross batch boundaries): monotone Update-mode
+    // emissions OR-aggregate per user to exactly what the batch
+    // cascaded-window spelling (events_funnel) computes, same oracle
+    "events_funnel_streamed" -> ((s, dir) => {
+      val perUser = s.table(streamedFunnelTable(s, dir))
+        .groupBy(col("user_id"))
+        .agg(max(col("seen_view").cast("int")).as("v"),
+          max(col("seen_s2").cast("int")).as("c"),
+          max(col("seen_s3").cast("int")).as("p"))
+      perUser.agg(
+        count_distinct(when(col("v") === 1, col("user_id"))).as("n_view"),
+        count_distinct(when(col("c") === 1, col("user_id"))).as("n_click_after_view"),
+        count_distinct(when(col("p") === 1, col("user_id"))).as("n_purchase_after_click"))
+    }),
+
     // gap-based sessionization computed by the STATEFUL streaming path
     // (flatMapGroupsWithState over time-ordered micro-batches — per-user
     // open-session state crosses batch boundaries): the emitted closed
@@ -1177,8 +1194,75 @@ object RelationalQueries {
   def prewarm(s: SparkSession, dir: String): Unit = {
     streamedHourlyTable(s, dir)
     streamedSessionsTable(s, dir)
+    streamedFunnelTable(s, dir)
     ()
   }
+
+  private val streamedFunnels =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Run the stateful funnel ([[graft.streaming.StatefulFunnel]]) once per
+    * corpus as a real multi-batch stream (three time-ordered files, one
+    * per trigger — per-user stage flags live in `GroupState` between
+    * triggers) and serve the memory-sink table of Update-mode flag
+    * emissions. Flags are monotone, so the serving aggregate ORs each
+    * user's emissions — no sentinel batch. */
+  private def streamedFunnelTable(s: SparkSession, dir: String): String =
+    streamedFunnels.getOrElseUpdate(s"$dir#${System.identityHashCode(s)}", {
+      import s.implicits._
+      import scala.jdk.CollectionConverters._
+      import graft.streaming.StatefulFunnel
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"), col("event_type"))
+      val (t0, t1) = ev.agg(min("ts_us"), max("ts_us")).as[(Long, Long)].head()
+      val stage = java.nio.file.Files.createTempDirectory("graft-funnel-stream-")
+      val cut1 = t0 + (t1 - t0) / 3
+      val cut2 = t0 + 2 * (t1 - t0) / 3
+      val batches = Seq(
+        ev.filter(col("ts_us") <= cut1),
+        ev.filter(col("ts_us") > cut1 && col("ts_us") <= cut2),
+        ev.filter(col("ts_us") > cut2))
+      batches.zipWithIndex.foreach { case (df, i) =>
+        // single-file layout with strictly increasing mod times: the file
+        // source orders batches by modification time, and the funnel's
+        // exactness needs time-ordered per-user ARRIVAL across batches
+        val tmp = stage.resolve(s"_w$i")
+        df.coalesce(1).write.parquet(tmp.toString)
+        val part = java.nio.file.Files.list(tmp).iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet"))
+          .getOrElse(throw new IllegalStateException(s"no parquet part in $tmp"))
+        val dest = stage.resolve(f"b$i%02d.parquet")
+        java.nio.file.Files.move(part, dest)
+        java.nio.file.Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(1000000L + i * 60000L))
+        val walk = java.nio.file.Files.walk(tmp)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => java.nio.file.Files.deleteIfExists(f))
+        finally walk.close()
+      }
+      val stream = s.readStream
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("user_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("ts_us",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("event_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("event_type",
+            org.apache.spark.sql.types.StringType))))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage.toString)
+        .as[StatefulFunnel.Event]
+      val tbl = "events_funnel_streamed_" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      val q = StatefulFunnel.flags(stream)
+        .writeStream.outputMode("update").format("memory").queryName(tbl)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      tbl
+    })
 
   private val streamedHourly =
     scala.collection.concurrent.TrieMap.empty[String, String]
@@ -1826,6 +1910,30 @@ object RelationalQueries {
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events ORDER BY event_id""".stripMargin,
     "events_funnel" ->
+      """WITH a AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |         max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS seen_view
+        |  FROM events),
+        |b AS (
+        |  SELECT *, CASE WHEN event_type = 'click' AND seen_view = 1
+        |                 THEN 1 ELSE 0 END AS s2
+        |  FROM a),
+        |c AS (
+        |  SELECT *, max(s2) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS seen_s2
+        |  FROM b),
+        |d AS (
+        |  SELECT *, CASE WHEN event_type = 'purchase' AND seen_s2 = 1
+        |                 THEN 1 ELSE 0 END AS s3
+        |  FROM c)
+        |SELECT count(DISTINCT CASE WHEN event_type = 'view' THEN user_id END) AS n_view,
+        |       count(DISTINCT CASE WHEN s2 = 1 THEN user_id END) AS n_click_after_view,
+        |       count(DISTINCT CASE WHEN s3 = 1 THEN user_id END) AS n_purchase_after_click
+        |FROM d""".stripMargin,
+    // the streaming state machine must land the batch windows' answer
+    "events_funnel_streamed" ->
       """WITH a AS (
         |  SELECT user_id, event_type, ts, event_id,
         |         max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)

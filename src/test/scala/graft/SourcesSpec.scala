@@ -58,4 +58,27 @@ class SourcesSpec extends AnyFunSuite with SparkSpec {
     val view = idx.materialize(src, store)
     assert(view.get("test").as[Long].collect().sorted === Array(7L, 123L))
   }
+
+  test("binary payloads ingest from raw files via the binaryFile source") {
+    // the multimodal ingest path at 100 TB: opaque image/audio blobs land
+    // as files; `binaryFile` reads (path, length, content) so the
+    // engine's binary-column machinery (MultimodalQueries) starts from
+    // the same shape a parquet-packed corpus provides
+    val path = tmp("graft-bin-")
+    val payload = Array[Byte](0x89.toByte, 0x50, 0x4e, 0x47, 1, 2, 3)
+    Files.write(java.nio.file.Paths.get(path, "blob1.bin"), payload)
+    Files.write(java.nio.file.Paths.get(path, "blob2.bin"), Array[Byte](9, 8))
+    val src = spark.read.format("binaryFile").load(path)
+      .select(regexp_extract(col("path"), "([^/]+)$", 1).as("name"),
+        col("length"), col("content"))
+    val rows = src.as[(String, Long, Array[Byte])].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq === Seq("blob1.bin", "blob2.bin"))
+    assert(rows(0)._2 === 7L && rows(0)._3.toSeq === payload.toSeq)
+    // and the blob round-trips into a stored map view as an opaque value
+    val store = ViewStore.temp(spark)
+    val idx = MapIndex.columns("io_bin")(col("name"),
+      array(emit(col("name"), col("content"))))
+    val view = idx.materialize(src, store)
+    assert(view.get("blob1.bin").as[Array[Byte]].head().toSeq === payload.toSeq)
+  }
 }

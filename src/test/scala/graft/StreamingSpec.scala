@@ -297,6 +297,35 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     q.stop()
   }
 
+  test("stateful funnel carries stage flags across micro-batches; order respected") {
+    import graft.streaming.StatefulFunnel
+    import graft.streaming.StatefulFunnel.{Event, Flags}
+    val input = MemoryStream[Event]
+    val q = StatefulFunnel.flags(input.toDS()).writeStream
+      .outputMode(OutputMode.Update())
+      .format("memory").queryName("funnel_out")
+      .start()
+    def latest(u: Long): Flags = spark.table("funnel_out").as[Flags]
+      .collect().filter(_.user_id == u)
+      .foldLeft(Flags(u, false, false, false))((a, b) => Flags(u,
+        a.seen_view || b.seen_view, a.seen_s2 || b.seen_s2, a.seen_s3 || b.seen_s3))
+    // user 1: click BEFORE view (same batch, out of order in arrival —
+    // the fold sorts) must NOT count as click-after-view
+    input.addData(Event(1, 20, 2, "view"), Event(1, 10, 1, "click"))
+    q.processAllAvailable()
+    assert(latest(1) === Flags(1, true, false, false))
+    // next batch: click now follows the view (state crossed the batch);
+    // purchase in the same batch follows that click
+    input.addData(Event(1, 30, 3, "click"), Event(1, 40, 4, "purchase"))
+    q.processAllAvailable()
+    assert(latest(1) === Flags(1, true, true, true))
+    // user 2: purchase before any click-after-view stays un-reached
+    input.addData(Event(2, 10, 5, "purchase"), Event(2, 20, 6, "view"))
+    q.processAllAvailable()
+    assert(latest(2) === Flags(2, true, false, false))
+    q.stop()
+  }
+
   test("streaming exact dedup keeps first doc per content hash, bounded state") {
     import graft.streaming.StreamingDedup
     val input = MemoryStream[(Timestamp, String, String)]
