@@ -444,9 +444,45 @@ object MapIndexQueries {
       jv
     })
 
+  /** The join view with a COMPACTION epoch on top — the delta-join twin
+    * of the pair/ANN compaction gates: build → both change batches →
+    * `compact` (a no-change epoch folding the two refreshes' bucket
+    * fragments). Serving afterwards must equal [[ordersCustomerView]]'s
+    * answer exactly. */
+  private def compactedOrdersCustomerView(s: SparkSession, dir: String): graft.engine.JoinView =
+    joinViews.getOrElseUpdate(s"$dir#compact", {
+      val store = Views.bucketedStore(s, dir)
+      val jv = new graft.engine.JoinView(store, "orders_customer_c",
+        "o_orderkey", "o_custkey",
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate", "o_orderpriority"),
+        "c_custkey", "c_custkey",
+        Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"))
+      val unit = "orders_customer_c"
+      if (!Views.unitDone(store.baseDir, unit)) {
+        val o = Tables.orders(s, dir)
+        val c = Tables.customer(s, dir)
+        jv.build(o, c)
+        val upsL = o.filter(col("o_orderkey") % 37 === 0 && col("o_orderkey") % 41 =!= 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000)
+        val delsL = o.filter(col("o_orderkey") % 41 === 0)
+          .select(col("o_orderkey").cast("string")).distinct()
+        jv.refreshLeft(upsL, Some(delsL))
+        val upsR = c.filter(col("c_custkey") % 13 === 0 && col("c_custkey") % 17 =!= 0)
+          .withColumn("c_acctbal", col("c_acctbal") + 100)
+        val delsR = c.filter(col("c_custkey") % 17 === 0)
+          .select(col("c_custkey").cast("string")).distinct()
+        jv.refreshRight(upsR, Some(delsR))
+        store.compact(unit, maxFilesPerBucket = 0)
+        Views.markUnitDone(store.baseDir, unit)
+      }
+      jv
+    })
+
   def prewarm(s: SparkSession, dir: String): Unit = {
     ordersCustomerView(s, dir)
     streamedOrdersCustomerView(s, dir)
+    compactedOrdersCustomerView(s, dir)
     mixedView(s, dir)
     rangeBucketedFlag(s, dir)
     rangeMaintained(s, dir)
@@ -510,6 +546,17 @@ object MapIndexQueries {
           round(col("emit_value.c_acctbal"), 2).as("c_acctbal"))
         .orderBy("o_orderkey")
     }),
+
+    // the join store compacted after both refreshes
+    // ([[compactedOrdersCustomerView]]): bin-packing the accreted bucket
+    // fragments must be invisible to serving — same oracle as the
+    // uncompacted twin
+    "mapindex_joinview_compacted" -> ((s, dir) =>
+      compactedOrdersCustomerView(s, dir).df
+        .select(col("o_orderkey"), col("o_custkey"), col("c_name"),
+          round(col("o_totalprice"), 2).as("o_totalprice"),
+          round(col("c_acctbal"), 2).as("c_acctbal"))
+        .orderBy("o_orderkey")),
 
     // the join view built through INTERLEAVED two-sided micro-batches
     // with out-of-order arrival ([[streamedOrdersCustomerView]]): late
@@ -904,6 +951,24 @@ object MapIndexQueries {
         |       'insert' AS change_type
         |FROM (SELECT * FROM after EXCEPT ALL SELECT * FROM before)
         |ORDER BY change_type, o_orderkey""".stripMargin,
+    // compaction is invisible to join-view serving: same oracle as the
+    // uncompacted twin
+    "mapindex_joinview_compacted" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey,
+        |         CASE WHEN o_orderkey % 37 = 0 THEN o_totalprice + 1000
+        |              ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 41 <> 0),
+        |c AS (
+        |  SELECT c_custkey, c_name,
+        |         CASE WHEN c_custkey % 13 = 0 THEN c_acctbal + 100
+        |              ELSE c_acctbal END AS c_acctbal
+        |  FROM customer WHERE c_custkey % 17 <> 0)
+        |SELECT o_orderkey, o_custkey, c_name,
+        |       round(o_totalprice, 2) AS o_totalprice,
+        |       round(c_acctbal, 2) AS c_acctbal
+        |FROM o JOIN c ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
     // out-of-order two-sided arrival must converge to the same final
     // join as the one-shot build + batches
     "mapindex_joinview_streamed" ->

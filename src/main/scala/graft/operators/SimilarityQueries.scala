@@ -1901,6 +1901,33 @@ object SimilarityQueries {
     // random, so τ = 0.4 pairs co-cluster far less reliably than the
     // ≥ 0.9 near-copies SemDeDup targets in practice; the bound is
     // calibrated to the measured floor across SFs with margin.
+    // cluster-balanced DIVERSITY sampling (the curation op next to
+    // SemDeDup in the published pipelines: cap each semantic cluster's
+    // contribution so dominant modes don't swamp the mix): keep at most
+    // M vectors per cell of the MAINTAINED IVF cell view, chosen by a
+    // deterministic per-vector hash through the bounded-heap `topk_by`
+    // aggregate — per-cell work is one heap of M, no window sort, and
+    // the scan is the stored cell relation (no corpus re-clustering).
+    // Cells are engine-defined (k-means), so the gate is the invariant
+    // pattern: the corpus total is oracle-exact, the cap and the
+    // Σ min(cell_size, M) keep-count identity are asserted booleans.
+    "sample_cluster_balance" -> ((s, dir) => {
+      graft.functions.Sketches.register(s)
+      val (store, _) = ivfCellsView(s, dir)
+      val m = 8
+      val kept = store.df("emb_ivf_cells")
+        .select(col("emit_key").as("cid"), col("emit_value.vec_id").as("vec_id"))
+        .withColumn("score", xxhash64(col("vec_id")).cast("double"))
+        .groupBy("cid")
+        .agg(count(lit(1)).as("cell_n"), expr(s"topk_by(score, vec_id, $m)").as("top"))
+        .select(col("cid"), col("cell_n"), size(col("top")).cast("long").as("kept_n"))
+      kept.agg(
+        sum("cell_n").cast("long").as("n_vecs"),
+        (max(col("kept_n")) <= m).as("cap_ok"),
+        (sum(col("kept_n")) === sum(least(col("cell_n"), lit(m.toLong))))
+          .as("kept_exact_ok"))
+    }),
+
     "dedup_semantic" -> ((s, dir) => {
       val e = emb(s, dir)
       val within = semanticDupPairs(s, dir).select("i", "j")
@@ -2525,6 +2552,12 @@ object SimilarityQueries {
         |FROM embeddings GROUP BY 1 ORDER BY label""".stripMargin,
     "sim_brute_topk" -> bruteTopkSql,
     // the oracle recomputes the exact corpus-wide sample pair set the
+    // the stored cell view holds exactly the post-batch corpus, so the
+    // total is oracle-exact; cap and keep-count identity are engine
+    // assertions over engine-defined cells
+    "sample_cluster_balance" ->
+      """SELECT count(*) AS n_vecs, true AS cap_ok, true AS kept_exact_ok
+        |FROM embeddings WHERE vec_id % 41 <> 0""".stripMargin,
     // within-cell scan is graded against; recall_ok is the engine's bound
     "dedup_semantic" ->
       s"""WITH p AS (
