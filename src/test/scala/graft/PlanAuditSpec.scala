@@ -355,6 +355,16 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       s"probe scan must read a strict subset of the $totalCells stored cells, saw $probedCells")
   }
 
+  test("sample_cluster_balance: bounded-heap per cell over the stored view — no window, no join") {
+    // diversity sampling must not sort cells (topk_by keeps an M-heap
+    // per cell) and must read the maintained cell relation, not
+    // re-cluster the corpus
+    val p = finalPlan("sample_cluster_balance")
+    assert(!p.contains("Window"), s"per-cell cap must not window-sort:\n$p")
+    assert(p.contains("ObjectHashAggregate"), s"expected topk_by heap aggregation:\n$p")
+    assert(!p.contains("Join"), s"serving must be a stored read, join-free:\n$p")
+  }
+
   test("mapindex_joinview serves as a stored read: no join in the executed plan") {
     // the whole point of the delta-join view: consumers read the
     // materialized relation — the join ran at maintenance time, never at
