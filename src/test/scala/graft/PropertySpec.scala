@@ -430,4 +430,62 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
       }
     }
   }
+
+  test("join view equals the recomputed join over random two-sided histories") {
+    import graft.engine.JoinView
+    // small key domains force real collisions: shared join keys, moved
+    // rows, orphaned sides, healed matches
+    val lRowGen = Gen.zip(Gen.choose(1L, 10L), Gen.oneOf("a", "b", "c", "d"),
+      Gen.choose(0L, 99L))
+    val rRowGen = Gen.zip(Gen.choose(100L, 106L), Gen.oneOf("a", "b", "c", "d", "e"),
+      Gen.choose(0.0, 9.0).map(x => math.rint(x * 4) / 4))
+    def lDf(rows: Map[Long, (String, Long)]) =
+      rows.toSeq.map { case (k, (j, v)) => (k, j, v) }
+        .toDF("l_pk", "l_jk", "l_val")
+    def rDf(rows: Map[Long, (String, Double)]) =
+      rows.toSeq.map { case (k, (j, v)) => (k, j, v) }
+        .toDF("r_pk", "r_jk", "r_val")
+    def joined(l: Map[Long, (String, Long)], r: Map[Long, (String, Double)]) =
+      (for {
+        (lk, (lj, lv)) <- l.toSeq
+        (rk, (rj, rv)) <- r.toSeq if lj == rj
+      } yield (lk, rk, lv, rv)).toSet
+    (1 to 3).foreach { trial =>
+      val store = graft.engine.BucketedViewStore.temp(spark, 4)
+      val jv = new JoinView(store, s"jv_prop$trial",
+        "l_pk", "l_jk", Seq("l_pk", "l_jk", "l_val"),
+        "r_pk", "r_jk", Seq("r_pk", "r_jk", "r_val"))
+      var lState = sample(Gen.listOfN(6, lRowGen), 400L + trial)
+        .map { case (k, j, v) => k -> (j, v) }.toMap
+      var rState = sample(Gen.listOfN(4, rRowGen), 500L + trial)
+        .map { case (k, j, v) => k -> (j, v) }.toMap
+      jv.build(lDf(lState), rDf(rState))
+      (1 to 3).foreach { round =>
+        val leftTurn = (trial + round) % 2 == 0
+        if (leftTurn) {
+          val ups = sample(Gen.listOfN(3, lRowGen), 1000L * trial + round)
+            .map { case (k, j, v) => k -> (j, v) }.toMap
+          val delIds = sample(Gen.listOfN(2, Gen.choose(1L, 10L)),
+            2000L * trial + round).toSet -- ups.keySet
+          lState = (lState ++ ups) -- delIds
+          jv.refreshLeft(lDf(ups),
+            if (delIds.isEmpty) None
+            else Some(delIds.toSeq.toDF("k").select(col("k").cast("string"))))
+        } else {
+          val ups = sample(Gen.listOfN(2, rRowGen), 3000L * trial + round)
+            .map { case (k, j, v) => k -> (j, v) }.toMap
+          val delIds = sample(Gen.listOfN(1, Gen.choose(100L, 106L)),
+            4000L * trial + round).toSet -- ups.keySet
+          rState = (rState ++ ups) -- delIds
+          jv.refreshRight(rDf(ups),
+            if (delIds.isEmpty) None
+            else Some(delIds.toSeq.toDF("k").select(col("k").cast("string"))))
+        }
+        val got = jv.df.select("l_pk", "r_pk", "l_val", "r_val")
+          .as[(Long, Long, Long, Double)].collect().toSet
+        assert(got === joined(lState, rState),
+          s"trial $trial round $round L=$lState R=$rState")
+      }
+    }
+  }
 }
