@@ -146,6 +146,32 @@ object MapIndexQueries {
       agg
     })
 
+  /** Maintained per-group DISTINCT-value count — the classically
+    * non-retractable aggregate (a deletion says nothing about whether
+    * OTHER rows still carry the value) solved by REFCOUNT state: the
+    * state relation keys by `(group, value)` and its `cnt` is the
+    * value's multiplicity, maintained O(delta) by the ordinary
+    * [[graft.engine.AggView]] delta-merge; a value whose refcount hits
+    * zero drops out of the state, so `count(*)` per group over the
+    * state IS the distinct count. Serving reads state (vocabulary-
+    * sized), never the corpus. */
+  private val distinctIdx = MapIndex.columns("lineitem_flagprice")(
+    concat_ws("-", col("l_orderkey"), col("l_linenumber")),
+    array(emit(concat_ws("|", col("l_returnflag"), col("l_extendedprice")),
+      lit(1L))))
+
+  private val distinctViews =
+    scala.collection.concurrent.TrieMap.empty[String, graft.engine.AggView]
+  private def distinctView(s: SparkSession, dir: String): graft.engine.AggView =
+    distinctViews.getOrElseUpdate(dir, {
+      val store = Views.store(s, dir)
+      val li = Tables.lineitem(s, dir)
+      val base = distinctIdx.materialize(li, store)
+      val agg0 = graft.engine.AggView.build(base, "lineitem_flagprice__state")
+      val (_, agg) = agg0.refresh(base, reflaggedUpserts(li), Some(tombstoneKeys(li)))
+      agg
+    })
+
   /** The shared deterministic change batch (lineitems of `%97` orders
     * re-flagged to 'X', lineitems of `%89` orders tombstoned) every
     * incremental-maintenance fixture pushes — so the flat, bucketed and
@@ -492,6 +518,7 @@ object MapIndexQueries {
     bucketedFlag(s, dir)
     jsonView(s, dir)
     aggView(s, dir)
+    distinctView(s, dir)
     netFeedView(s, dir)
     netFeedBView(s, dir)
     bucketedAggView(s, dir)
@@ -752,6 +779,20 @@ object MapIndexQueries {
     // count/sum/min/max/avg, read AFTER an upsert+tombstone batch went
     // through the delta-merge path — the oracle recomputes the same final
     // state from scratch, so any maintenance error is a hash mismatch
+    // per-group DISTINCT count served from MAINTAINED refcount state
+    // ([[distinctView]]): count distinct is not retractable from the
+    // count alone, so the state keys by (group, value) with the value's
+    // multiplicity — a tombstone decrements, zero drops the row, and
+    // count(*) per group over the state is the exact distinct count.
+    // The oracle recomputes count(DISTINCT) from the modified corpus.
+    "mapindex_distinct_view" -> ((s, dir) =>
+      distinctView(s, dir).state
+        .filter(col("cnt") > 0)
+        .select(substring_index(col("emit_key"), "|", 1).as("flag"))
+        .groupBy("flag")
+        .agg(count(lit(1)).as("n_distinct"))
+        .orderBy("flag")),
+
     "mapindex_aggview" -> ((s, dir) =>
       aggView(s, dir).read
         .select(col("emit_key"), col("cnt"),
@@ -1118,6 +1159,15 @@ object MapIndexQueries {
         |FROM lineitem GROUP BY 1 ORDER BY bucket""".stripMargin,
     // from-scratch recompute of the incrementally-maintained state: the
     // same re-flag/%97 upsert and %89 tombstone batch applied as plain SQL
+    // distinct prices per (possibly re-flagged) group on the modified
+    // corpus; the engine serves this from refcount state, never the corpus
+    "mapindex_distinct_view" ->
+      """WITH src AS (
+        |  SELECT CASE WHEN l_orderkey % 97 = 0 THEN 'X' ELSE l_returnflag END AS flag,
+        |         l_extendedprice AS v
+        |  FROM lineitem WHERE l_orderkey % 89 <> 0)
+        |SELECT flag, count(DISTINCT v) AS n_distinct
+        |FROM src GROUP BY flag ORDER BY flag""".stripMargin,
     "mapindex_aggview" ->
       """WITH src AS (
         |  SELECT CASE WHEN l_orderkey % 97 = 0 THEN 'X' ELSE l_returnflag END AS k,
