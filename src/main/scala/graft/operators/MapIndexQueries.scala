@@ -172,6 +172,27 @@ object MapIndexQueries {
       agg
     })
 
+  /** The refcount distinct state in the BUCKETED (100 TB) layout: a
+    * change batch rewrites only the state buckets of touched
+    * (group, value) keys — distinct-count maintenance I/O ∝ delta at
+    * any corpus size. */
+  private val distinctIdxB = MapIndex.columns("lineitem_flagprice_b")(
+    concat_ws("-", col("l_orderkey"), col("l_linenumber")),
+    array(emit(concat_ws("|", col("l_returnflag"), col("l_extendedprice")),
+      lit(1L))))
+
+  private val distinctBViews =
+    scala.collection.concurrent.TrieMap.empty[String, graft.engine.BucketedAggView]
+  private def distinctBView(s: SparkSession, dir: String): graft.engine.BucketedAggView =
+    distinctBViews.getOrElseUpdate(dir, {
+      val store = graft.engine.BucketedViewStore.temp(s, numBuckets = 16)
+      val li = Tables.lineitem(s, dir)
+      val v = graft.engine.BucketedAggView.build(
+        store, distinctIdxB, li, "lineitem_flagprice_b__state")
+      v.refresh(distinctIdxB, reflaggedUpserts(li), Some(tombstoneKeys(li)))
+      v
+    })
+
   /** The shared deterministic change batch (lineitems of `%97` orders
     * re-flagged to 'X', lineitems of `%89` orders tombstoned) every
     * incremental-maintenance fixture pushes — so the flat, bucketed and
@@ -519,6 +540,7 @@ object MapIndexQueries {
     jsonView(s, dir)
     aggView(s, dir)
     distinctView(s, dir)
+    distinctBView(s, dir)
     netFeedView(s, dir)
     netFeedBView(s, dir)
     bucketedAggView(s, dir)
@@ -787,6 +809,16 @@ object MapIndexQueries {
     // The oracle recomputes count(DISTINCT) from the modified corpus.
     "mapindex_distinct_view" -> ((s, dir) =>
       distinctView(s, dir).state
+        .filter(col("cnt") > 0)
+        .select(substring_index(col("emit_key"), "|", 1).as("flag"))
+        .groupBy("flag")
+        .agg(count(lit(1)).as("n_distinct"))
+        .orderBy("flag")),
+
+    // the refcount distinct state in the bucketed layout: the same
+    // serving aggregation over partition-scoped-maintained state
+    "mapindex_bucketed_distinct_view" -> ((s, dir) =>
+      distinctBView(s, dir).state
         .filter(col("cnt") > 0)
         .select(substring_index(col("emit_key"), "|", 1).as("flag"))
         .groupBy("flag")
@@ -1159,6 +1191,14 @@ object MapIndexQueries {
         |FROM lineitem GROUP BY 1 ORDER BY bucket""".stripMargin,
     // from-scratch recompute of the incrementally-maintained state: the
     // same re-flag/%97 upsert and %89 tombstone batch applied as plain SQL
+    // the bucketed layout must land the identical distinct counts
+    "mapindex_bucketed_distinct_view" ->
+      """WITH src AS (
+        |  SELECT CASE WHEN l_orderkey % 97 = 0 THEN 'X' ELSE l_returnflag END AS flag,
+        |         l_extendedprice AS v
+        |  FROM lineitem WHERE l_orderkey % 89 <> 0)
+        |SELECT flag, count(DISTINCT v) AS n_distinct
+        |FROM src GROUP BY flag ORDER BY flag""".stripMargin,
     // distinct prices per (possibly re-flagged) group on the modified
     // corpus; the engine serves this from refcount state, never the corpus
     "mapindex_distinct_view" ->
