@@ -1538,10 +1538,10 @@ object RelationalQueries {
         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
     "q12_priority_shipping" ->
       """SELECT l_returnflag,
-        |       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-        |                THEN 1 ELSE 0 END) AS high_line_count,
-        |       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-        |                THEN 1 ELSE 0 END) AS low_line_count
+        |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
         |  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
