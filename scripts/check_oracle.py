@@ -31,10 +31,11 @@ import duckdb
 # (spark_type, oracle_type) pairs the driver's hash demonstrably tolerates.
 # Keep this list EMPTY unless a query with exactly this divergence has been
 # green in a driver CORRECTNESS_r*.json — i.e. the widening is proven benign.
-ALLOW_TYPE_PAIRS = {
-    # Driver history (r1-r12): every green query has had identical DuckDB
-    # types on both sides once values matched; no proven-benign widenings yet.
-}
+# A set of (spark_type, oracle_type) tuples — set(), not {}: the empty dict
+# literal reads as "mapping pair -> reason" and invites a `pair: reason`
+# entry that would silently change membership semantics.
+ALLOW_TYPE_PAIRS = set()  # r1-r13: no proven-benign widenings; add tuples only
+
 
 
 def normalize(rows, cols):
@@ -58,11 +59,21 @@ def rel_schema(rel):
 
 
 def type_mismatches(got_schema, exp_schema):
-    """Compare types per column name (both schemas sorted by name upstream)."""
+    """Compare types BY COLUMN NAME. Positional zip over name-sorted schemas
+    breaks on duplicate column names (types pair against the wrong column);
+    a duplicate name is itself a defect — the driver's sort-by-name hash
+    cannot disambiguate it — so fail loudly on it instead."""
+    gnames = [c for c, _ in got_schema]
+    enames = [c for c, _ in exp_schema]
+    if len(set(gnames)) != len(gnames) or len(set(enames)) != len(enames):
+        return [("<duplicate column names>",
+                 ",".join(sorted(gnames)), ",".join(sorted(enames)))]
+    gmap = dict(got_schema)
     bad = []
-    for (gc, gt), (ec, et) in zip(got_schema, exp_schema):
-        if gt != et and (gt, et) not in ALLOW_TYPE_PAIRS:
-            bad.append((gc, gt, et))
+    for ec, et in exp_schema:
+        gt = gmap.get(ec)
+        if gt is not None and gt != et and (gt, et) not in ALLOW_TYPE_PAIRS:
+            bad.append((ec, gt, et))
     return bad
 
 

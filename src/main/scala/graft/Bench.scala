@@ -67,17 +67,28 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val repeats = sys.env.get("SPARK_GRAFT_REPEATS").map(_.toInt).getOrElse(2)
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val runs = (1 to repeats).map { _ =>
-        // isolate timings by construction: a query must not read (or evict)
-        // another query's leftover cache — r2's bench charged ~25 s of one
-        // query's persisted garbage to its alphabetical neighbors
-        spark.catalog.clearCache()
-        val t0 = System.nanoTime()
-        val err = try { fn(spark, sfDir).count(); None }
-                  catch { case e: Throwable => Some(e) }
-        ((System.nanoTime() - t0) / 1e9, err)
+      .toSeq.sortBy(_._1)
+    // repeats run as FULL PASSES over all queries, min taken ACROSS passes —
+    // NOT back-to-back per-query repeats: a transient machine-contention
+    // window covers both adjacent runs of one query (r13's q5–q8 block
+    // inflated 2.5–12.5x in BOTH of its back-to-back runs), while full
+    // passes put a query's repeats minutes apart so at most one pass is
+    // inside any contention window and the min discards it.
+    val passTimes: Seq[Map[String, (Double, Option[Throwable])]] =
+      (1 to repeats).map { _ =>
+        selected.map { case (name, fn) =>
+          // isolate timings by construction: a query must not read (or
+          // evict) another query's leftover cache — r2's bench charged
+          // ~25 s of one query's persisted garbage to its neighbors
+          spark.catalog.clearCache()
+          val t0 = System.nanoTime()
+          val err = try { fn(spark, sfDir).count(); None }
+                    catch { case e: Throwable => Some(e) }
+          name -> (((System.nanoTime() - t0) / 1e9, err))
+        }.toMap
       }
+    val results = selected.map { case (name, _) =>
+      val runs = passTimes.map(_(name))
       val err = runs.flatMap(_._2).headOption
       (name, if (err.isDefined) -1.0 else runs.map(_._1).min, err)
     }

@@ -33,24 +33,68 @@ import graft.engine.BucketedViewStore.RefreshStats
   *
   * Column names of the two inputs must be disjoint (the usual TPC-H
   * prefix convention) so the joined emission schema is unambiguous.
+  *
+  * SKEW: a hot join key (one key owning a large share of a side)
+  * concentrates that key's emissions into ONE emit bucket, so a one-row
+  * delta touching the hot key rewrites the whole hot bucket — bucket-
+  * scoped I/O stops being delta-proportional exactly on the keys where
+  * it matters most. `saltBuckets = S > 1` shards every emit key by a
+  * salt DERIVED FROM THE ROW'S OWN PRIMARY KEY (`hash(pk) % S`), the
+  * two-round trick [[Layout.saltedSum]] uses for skewed aggregation: a
+  * hot key's rows spread over ~S buckets, a delta's changed rows dirty
+  * only the salt shards their pks map to (rewrite ≤ hot-bucket/S per
+  * row), and key-addressed reads fan out to a BOUNDED S sub-keys
+  * ([[byKeys]], the refresh's opposite-side reads). Salt 1 (default) is
+  * byte-identical to the unsalted layout.
   */
 final class JoinView(
     val store: BucketedViewStore,
     val name: String,
-    leftPk: String, leftJk: String, leftCols: Seq[String],
-    rightPk: String, rightJk: String, rightCols: Seq[String]) {
+    val leftPk: String, leftJk: String, leftCols: Seq[String],
+    rightPk: String, rightJk: String, rightCols: Seq[String],
+    saltBuckets: Int = 1) {
+  require(saltBuckets >= 1, s"saltBuckets must be >= 1, got $saltBuckets")
+
+  /** U+0001 separates key from salt: order-irrelevant here (hash
+    * bucketing), only collision-safety with key text matters. */
+  private val Sep = "\u0001"
+
+  /** Emit key of a row: the join key, sharded by the row's pk when
+    * salting. The SAME row always lands in the same shard, so refresh's
+    * delete-then-insert stays shard-local. */
+  private def saltedKey(jk: org.apache.spark.sql.Column,
+      pk: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    if (saltBuckets <= 1) jk.cast("string")
+    else concat_ws(Sep, jk.cast("string"),
+      pmod(xxhash64(pk.cast("string")), lit(saltBuckets)).cast("string"))
+
+  /** Expand a base-key relation to its S salted spellings (identity at
+    * salt 1) — the bounded fan-out every key-addressed read pays. */
+  private def expandKeys(keys: DataFrame): DataFrame =
+    if (saltBuckets <= 1) keys
+    else {
+      val c = keys.columns.head
+      keys.crossJoin(
+          store.spark.range(saltBuckets).toDF("__salt"))
+        .select(concat_ws(Sep, col(c).cast("string"), col("__salt")).as(c))
+    }
+
+  /** Strip the salt shard back off a stored emit key (identity at salt 1
+    * — and on unsalted keys, which never contain the separator). */
+  private def unsalt(k: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    substring_index(k, Sep, 1)
 
   private def leftIdx = MapIndex.columns(s"${name}__left")(
     col(leftPk).cast("string"),
-    array(emit(col(leftJk).cast("string"), struct(leftCols.map(col): _*))))
+    array(emit(saltedKey(col(leftJk), col(leftPk)), struct(leftCols.map(col): _*))))
 
   private def rightIdx = MapIndex.columns(s"${name}__right")(
     col(rightPk).cast("string"),
-    array(emit(col(rightJk).cast("string"), struct(rightCols.map(col): _*))))
+    array(emit(saltedKey(col(rightJk), col(rightPk)), struct(rightCols.map(col): _*))))
 
   private def joinIdx = MapIndex.columns(name)(
     col(leftPk).cast("string"),
-    array(emit(col(leftJk).cast("string"),
+    array(emit(saltedKey(col(leftJk), col(leftPk)),
       struct((leftCols ++ rightCols).map(col): _*))))
 
   /** Materialize all three views from the base inputs (epoch 0 each). */
@@ -69,7 +113,7 @@ final class JoinView(
   def refreshLeft(ups: DataFrame, dels: Option[DataFrame]): RefreshStats = {
     store.refresh(leftIdx, ups, dels)
     val rMatch = store.getAll(rightIdx.name,
-        ups.select(col(leftJk).cast("string")).distinct())
+        expandKeys(ups.select(col(leftJk).cast("string")).distinct()))
       .select(col("emit_value.*"))
     val upsJoined = ups.join(rMatch, col(leftJk) === col(rightJk))
     val matched = upsJoined
@@ -90,10 +134,15 @@ final class JoinView(
   def refreshRight(ups: DataFrame, dels: Option[DataFrame]): RefreshStats = {
     store.refresh(rightIdx, ups, dels)
     val e = store.epoch(rightIdx.name)
+    // sidecar keys carry the RIGHT rows' salt shards; the left side's
+    // shards for the same base key differ (salted by their own pks), so
+    // strip the shard and re-expand per side
     val dirtyJk = store.changesBetween(rightIdx.name, e - 1, e)
-      .select("emit_key").distinct()
-    val lRows = store.getAll(leftIdx.name, dirtyJk).select(col("emit_value.*"))
-    val rRows = store.getAll(rightIdx.name, dirtyJk).select(col("emit_value.*"))
+      .select(unsalt(col("emit_key")).as("emit_key")).distinct()
+    val lRows = store.getAll(leftIdx.name, expandKeys(dirtyJk))
+      .select(col("emit_value.*"))
+    val rRows = store.getAll(rightIdx.name, expandKeys(dirtyJk))
+      .select(col("emit_value.*"))
     val upsJoined = lRows.join(rRows, col(leftJk) === col(rightJk))
     val matched = upsJoined
       .select(col(leftPk).cast("string").as("src_key")).distinct()
@@ -102,12 +151,40 @@ final class JoinView(
     store.refresh(joinIdx, upsJoined, Some(unmatched))
   }
 
+  /** Catch a DOWNSTREAM JoinView — one whose LEFT input is THIS view's
+    * joined rows (same left primary key) — up to this view's state by
+    * replaying this view's CDC feed over `(fromEpoch, toEpoch]`: the
+    * three-way (and deeper) delta-join chain. Net per source key: a key
+    * with an insert in the feed is an upsert (refreshLeft's ownership
+    * retraction covers its old outputs), a key with deletes only is a
+    * tombstone. Replay is O(delta at this level); the downstream refresh
+    * is its ordinary bucket-pruned ΔL⋈R′. */
+  def cascadeInto(next: JoinView, fromEpoch: Int, toEpoch: Int): RefreshStats = {
+    require(next.leftPk == leftPk,
+      s"downstream join view '${next.name}' keys its left side by " +
+        s"'${next.leftPk}', not this view's left pk '$leftPk'")
+    val feed = changes(fromEpoch, toEpoch)
+    // resolve the gross feed to each key's FINAL state (the replayDelta
+    // rule: a refresh retracts changed keys wholesale, so only the last
+    // touching version's inserts survive a multi-epoch replay — feeding
+    // both an e1 and an e2 version of one key downstream would double it)
+    val lastV = feed.groupBy("src_key").agg(max("change_version").as("change_version"))
+    val ups = feed.join(lastV, Seq("src_key", "change_version"))
+      .filter(col("change_type") === "insert")
+      .select(col("emit_value.*"))
+    val upsKeys = ups.select(col(leftPk).cast("string").as("src_key")).distinct()
+    val delKeys = feed.select("src_key").distinct()
+      .join(upsKeys, Seq("src_key"), "left_anti")
+    next.refreshLeft(ups, Some(delKeys))
+  }
+
   /** The maintained join relation (original input columns). */
   def df: DataFrame = store.df(name).select(col("emit_value.*"))
 
-  /** Bucket-pruned read of the join rows for a set of join keys. */
+  /** Bucket-pruned read of the join rows for a set of join keys (fans
+    * out to the S salt shards per key when salting). */
   def byKeys(keys: DataFrame): DataFrame =
-    store.getAll(name, keys).select(col("emit_value.*"))
+    store.getAll(name, expandKeys(keys)).select(col("emit_value.*"))
 
   def epoch: Int = store.epoch(name)
 

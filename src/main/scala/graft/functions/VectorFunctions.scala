@@ -257,6 +257,105 @@ object VectorFunctions {
     override def prettyName: String = "pq_adc"
   }
 
+  /** pq_lut(v): the probe-side ADC lookup table for product quantization —
+    * `lut[mi·ks + k] = dot(v_sub_mi, books[mi][k])`, all M·ks sub-dot
+    * products in one pass over the probe vector. The codebook matrix rides
+    * as a codegen REFERENCE OBJECT like [[NearestCells]]'s centroids: the
+    * per-entry literal spelling (`array(vec_dot(slice(v,…), lit(book)) …)`)
+    * compiles O(M·ks) expression nodes into the plan, which is what
+    * bounded the engine's sub-quantizer resolution at ks=16 — as a
+    * reference, codegen is O(1) in ks and the codebooks can scale with
+    * the byte-code ceiling (ks ≤ 256) instead of the plan size.
+    * Accumulation order per entry is i ascending — identical to the
+    * literal `vec_dot` spelling this replaces. */
+  case class PqLut(child: Expression, flatBooks: Array[Double],
+      m: Int, subDim: Int, ks: Int)
+      extends UnaryExpression with ImplicitCastInputTypes {
+    override def inputTypes = Seq(ArrayType(DoubleType))
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val v = input.asInstanceOf[ArrayData]
+      if (v.numElements() != m * subDim)
+        throw new IllegalArgumentException(
+          s"pq_lut: dimension mismatch (${v.numElements()} vs ${m * subDim})")
+      val out = new Array[Double](m * ks)
+      var mi = 0
+      while (mi < m) {
+        var k = 0
+        while (k < ks) {
+          var acc = 0.0
+          val boff = (mi * ks + k) * subDim
+          val voff = mi * subDim
+          var i = 0
+          while (i < subDim) { acc += v.getDouble(voff + i) * flatBooks(boff + i); i += 1 }
+          out(mi * ks + k) = acc
+          k += 1
+        }
+        mi += 1
+      }
+      ArrayData.toArrayData(out)
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val books = ctx.addReferenceObj("pqBooks", flatBooks, "double[]")
+      nullSafeCodeGen(ctx, ev, v => {
+        val out = ctx.freshName("out")
+        val mi = ctx.freshName("mi")
+        val k = ctx.freshName("k")
+        val i = ctx.freshName("i")
+        val acc = ctx.freshName("acc")
+        val boff = ctx.freshName("boff")
+        val voff = ctx.freshName("voff")
+        s"""
+           |if ($v.numElements() != ${m * subDim}) {
+           |  throw new IllegalArgumentException(
+           |    "pq_lut: dimension mismatch (" + $v.numElements() + " vs ${m * subDim})");
+           |}
+           |double[] $out = new double[${m * ks}];
+           |for (int $mi = 0; $mi < $m; $mi++) {
+           |  final int $voff = $mi * $subDim;
+           |  for (int $k = 0; $k < $ks; $k++) {
+           |    final int $boff = ($mi * $ks + $k) * $subDim;
+           |    double $acc = 0.0;
+           |    for (int $i = 0; $i < $subDim; $i++) {
+           |      $acc += $v.getDouble($voff + $i) * $books[$boff + $i];
+           |    }
+           |    $out[$mi * $ks + $k] = $acc;
+           |  }
+           |}
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         """.stripMargin
+      })
+    }
+    override protected def withNewChildInternal(newChild: Expression): PqLut =
+      copy(child = newChild)
+    override def prettyName: String = "pq_lut"
+    // keep plan strings model-size-independent (see NearestCells)
+    override def toString: String = s"pq_lut($child, m=$m, ks=$ks)"
+  }
+
+  /** Column wrapper for [[PqLut]]: flattens `books[m][k][i]` m-major. */
+  def pqLut(v: org.apache.spark.sql.Column,
+      books: Array[Array[Array[Double]]]): org.apache.spark.sql.Column = {
+    require(books.nonEmpty && books(0).nonEmpty, "pqLut: empty codebook model")
+    val m = books.length
+    val ks = books(0).length
+    val subDim = books(0)(0).length
+    val flat = new Array[Double](m * ks * subDim)
+    var mi = 0
+    while (mi < m) {
+      require(books(mi).length == ks, "pqLut: ragged codebook model")
+      var k = 0
+      while (k < ks) {
+        require(books(mi)(k).length == subDim, "pqLut: ragged sub-centroid")
+        System.arraycopy(books(mi)(k), 0, flat, (mi * ks + k) * subDim, subDim)
+        k += 1
+      }
+      mi += 1
+    }
+    org.apache.spark.sql.graftshim.Shims.column(
+      PqLut(org.apache.spark.sql.graftshim.Shims.expression(v), flat, m, subDim, ks))
+  }
+
   /**
    * nearest_cells(v): indices of the `nSelect` nearest coarse-quantizer
    * centroids of `v`, ranked by `dist² − |v|² = −2·v·c + |c|²` (the

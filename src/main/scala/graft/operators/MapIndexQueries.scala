@@ -193,6 +193,63 @@ object MapIndexQueries {
       v
     })
 
+  /** Maintained PERCENTILES from refcount state: quantiles are the
+    * classically non-mergeable/non-retractable aggregate, but over a
+    * discrete value domain the refcount state the distinct-count view
+    * already maintains ((group, value) → multiplicity, delta-merged
+    * O(delta) by the ordinary [[graft.engine.AggView]]) IS an exact,
+    * deletion-safe quantile state: p50/p95 fall out of a weighted
+    * cumulative sum over the (vocabulary-sized) state — the corpus is
+    * never re-read at serve time. l_quantity's domain is 1..50, so the
+    * state is ≤ |groups|·50 rows at ANY corpus size; for continuous
+    * domains the same state over a rounded/bucketed value gives
+    * bounded-error quantiles with the same O(delta) maintenance. */
+  private val pctIdx = MapIndex.columns("lineitem_flagqty")(
+    concat_ws("-", col("l_orderkey"), col("l_linenumber")),
+    array(emit(concat_ws("|", col("l_returnflag"), col("l_quantity").cast("int")),
+      lit(1L))))
+
+  private val pctViews =
+    scala.collection.concurrent.TrieMap.empty[String, graft.engine.AggView]
+  private def percentileView(s: SparkSession, dir: String): graft.engine.AggView =
+    pctViews.getOrElseUpdate(dir, {
+      val store = Views.store(s, dir)
+      val li = Tables.lineitem(s, dir)
+      val base = pctIdx.materialize(li, store)
+      val agg0 = graft.engine.AggView.build(base, "lineitem_flagqty__state")
+      val (_, agg) = agg0.refresh(base, reflaggedUpserts(li), Some(tombstoneKeys(li)))
+      agg
+    })
+
+  /** The refcount distinct state built purely through STREAMING
+    * micro-batches ([[graft.streaming.StreamingAggMapIndex]] — joint
+    * base + aggregate-state refresh per batch): three insert batches
+    * partitioning lineitem, then the shared upsert+tombstone batch. The
+    * same from-scratch `count(DISTINCT)` oracle as the flat and bucketed
+    * twins grades the whole streamed history. */
+  private val distinctIdxS = MapIndex.columns("lineitem_flagprice_s")(
+    concat_ws("-", col("l_orderkey"), col("l_linenumber")),
+    array(emit(concat_ws("|", col("l_returnflag"), col("l_extendedprice")),
+      lit(1L))))
+
+  private val distinctSViews =
+    scala.collection.concurrent.TrieMap.empty[String, graft.engine.AggView]
+  private def distinctSView(s: SparkSession, dir: String): graft.engine.AggView =
+    distinctSViews.getOrElseUpdate(dir, {
+      val store = Views.store(s, dir)
+      val smi = new graft.streaming.StreamingAggMapIndex(
+        distinctIdxS, store, "lineitem_flagprice_s__state")
+      val li = Tables.lineitem(s, dir)
+      (0 to 2).foreach(r => smi.applyBatch(li.filter(col("l_orderkey") % 3 === r)))
+      val key = concat_ws("-", col("l_orderkey"), col("l_linenumber"))
+      val ups = reflaggedUpserts(li)
+        .withColumn("key", key).withColumn("deleted", lit(false))
+      val dels = tombstoneKeys(li).withColumnRenamed("src_key", "key")
+        .withColumn("deleted", lit(true))
+      smi.applyBatch(ups.unionByName(dels, allowMissingColumns = true))
+      graft.engine.AggView.attach(s, store, "lineitem_flagprice_s__state")
+    })
+
   /** The shared deterministic change batch (lineitems of `%97` orders
     * re-flagged to 'X', lineitems of `%89` orders tombstoned) every
     * incremental-maintenance fixture pushes — so the flat, bucketed and
@@ -526,10 +583,149 @@ object MapIndexQueries {
       jv
     })
 
+  /** The join view under SALT-SHARDED emit keys (`saltBuckets = 4` — the
+    * skew hardening: a hot join key's rows spread over 4 shard buckets,
+    * so a delta's rewrite I/O stays ∝ delta under key skew). Same build
+    * + two-sided change batches as [[ordersCustomerView]], same oracle:
+    * the shard layout must be invisible to serving. */
+  private def saltedOrdersCustomerView(s: SparkSession, dir: String): graft.engine.JoinView =
+    joinViews.getOrElseUpdate(s"$dir#salt", {
+      val store = Views.bucketedStore(s, dir)
+      val jv = new graft.engine.JoinView(store, "orders_customer_sl",
+        "o_orderkey", "o_custkey",
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate", "o_orderpriority"),
+        "c_custkey", "c_custkey",
+        Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"),
+        saltBuckets = 4)
+      val unit = "orders_customer_sl"
+      if (!Views.unitDone(store.baseDir, unit)) {
+        val o = Tables.orders(s, dir)
+        val c = Tables.customer(s, dir)
+        jv.build(o, c)
+        val upsL = o.filter(col("o_orderkey") % 37 === 0 && col("o_orderkey") % 41 =!= 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000)
+        val delsL = o.filter(col("o_orderkey") % 41 === 0)
+          .select(col("o_orderkey").cast("string")).distinct()
+        jv.refreshLeft(upsL, Some(delsL))
+        val upsR = c.filter(col("c_custkey") % 13 === 0 && col("c_custkey") % 17 =!= 0)
+          .withColumn("c_acctbal", col("c_acctbal") + 100)
+        val delsR = c.filter(col("c_custkey") % 17 === 0)
+          .select(col("c_custkey").cast("string")).distinct()
+        jv.refreshRight(upsR, Some(delsR))
+        Views.markUnitDone(store.baseDir, unit)
+      }
+      jv
+    })
+
+  /** Maintained AGGREGATE-OVER-JOIN ([[graft.engine.JoinAggView]]): a
+    * revenue-by-priority rollup fed from the orders⋈customer join view's
+    * CDC sidecar — after EACH side's change batch the rollup catches up
+    * by folding that refresh's join delta, never re-reading the join.
+    * The oracle recomputes join+group-by from both modified tables from
+    * scratch, so a stale group (a repriced order's old total still in
+    * its priority's sum, a deleted customer's orders not retracted from
+    * the rollup) is a hash mismatch. */
+  private val joinAggViews =
+    scala.collection.concurrent.TrieMap.empty[String, graft.engine.JoinAggView]
+  private def ordersCustomerAggView(s: SparkSession, dir: String): graft.engine.JoinAggView =
+    joinAggViews.getOrElseUpdate(dir, {
+      val store = Views.bucketedStore(s, dir)
+      val jv = new graft.engine.JoinView(store, "orders_customer_g",
+        "o_orderkey", "o_custkey",
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate", "o_orderpriority"),
+        "c_custkey", "c_custkey",
+        Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"))
+      val unit = "orders_customer_g"
+      if (Views.unitDone(store.baseDir, unit))
+        graft.engine.JoinAggView.attach(jv, "orders_customer_g__rollup",
+          "o_orderpriority", "o_totalprice")
+      else {
+        val o = Tables.orders(s, dir)
+        val c = Tables.customer(s, dir)
+        jv.build(o, c)
+        val agg = new graft.engine.JoinAggView(jv, "orders_customer_g__rollup",
+          "o_orderpriority", "o_totalprice")
+        agg.build()
+        val upsL = o.filter(col("o_orderkey") % 37 === 0 && col("o_orderkey") % 41 =!= 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000)
+        val delsL = o.filter(col("o_orderkey") % 41 === 0)
+          .select(col("o_orderkey").cast("string")).distinct()
+        jv.refreshLeft(upsL, Some(delsL))
+        agg.catchUp()
+        val upsR = c.filter(col("c_custkey") % 13 === 0 && col("c_custkey") % 17 =!= 0)
+          .withColumn("c_acctbal", col("c_acctbal") + 100)
+        val delsR = c.filter(col("c_custkey") % 17 === 0)
+          .select(col("c_custkey").cast("string")).distinct()
+        jv.refreshRight(upsR, Some(delsR))
+        agg.catchUp()
+        Views.markUnitDone(store.baseDir, unit)
+        agg
+      }
+    })
+
+  /** THREE-WAY delta join — (orders⋈customer)⋈nation at depth 2
+    * ([[graft.engine.JoinView.cascadeInto]]): level 2's left side is
+    * level 1's joined output, caught up after each level-1 refresh by
+    * replaying level 1's CDC feed (O(delta) per level — no level ever
+    * re-reads its inputs). A nation-side batch (renames + tombstones)
+    * then exercises level 2's own right-side refresh: deleting a nation
+    * must retract every surviving order of that nation's customers from
+    * the final relation. */
+  private def ordersCustomerNationView(s: SparkSession, dir: String): graft.engine.JoinView =
+    joinViews.getOrElseUpdate(s"$dir#threeway", {
+      val store = Views.bucketedStore(s, dir)
+      val oCols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      val cCols = Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      val jv1 = new graft.engine.JoinView(store, "oc3",
+        "o_orderkey", "o_custkey", oCols, "c_custkey", "c_custkey", cCols)
+      val jv2 = new graft.engine.JoinView(store, "ocn3",
+        "o_orderkey", "c_nationkey", oCols ++ cCols,
+        "n_nationkey", "n_nationkey", Seq("n_nationkey", "n_name"))
+      val unit = "ocn3"
+      if (!Views.unitDone(store.baseDir, unit)) {
+        val o = Tables.orders(s, dir)
+        val c = Tables.customer(s, dir)
+        val n = Tables.nation(s, dir)
+        jv1.build(o, c)
+        jv2.build(jv1.df, n)
+        // level-1 left batch (the shared orders reprice/tombstone), then
+        // level 2 catches up off level 1's CDC alone
+        val upsL = o.filter(col("o_orderkey") % 37 === 0 && col("o_orderkey") % 41 =!= 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000)
+        val delsL = o.filter(col("o_orderkey") % 41 === 0)
+          .select(col("o_orderkey").cast("string")).distinct()
+        jv1.refreshLeft(upsL, Some(delsL))
+        jv1.cascadeInto(jv2, 0, 1)
+        // level-1 right batch (the shared customers batch), same replay
+        val upsR = c.filter(col("c_custkey") % 13 === 0 && col("c_custkey") % 17 =!= 0)
+          .withColumn("c_acctbal", col("c_acctbal") + 100)
+        val delsR = c.filter(col("c_custkey") % 17 === 0)
+          .select(col("c_custkey").cast("string")).distinct()
+        jv1.refreshRight(upsR, Some(delsR))
+        jv1.cascadeInto(jv2, 1, 2)
+        // level-2 right batch: nations %5 renamed, %7 tombstoned
+        val upsN = n.filter(col("n_nationkey") % 5 === 0 && col("n_nationkey") % 7 =!= 0)
+          .withColumn("n_name", concat(col("n_name"), lit("_X")))
+        val delsN = n.filter(col("n_nationkey") % 7 === 0)
+          .select(col("n_nationkey").cast("string")).distinct()
+        jv2.refreshRight(upsN, Some(delsN))
+        Views.markUnitDone(store.baseDir, unit)
+      }
+      jv2
+    })
+
   def prewarm(s: SparkSession, dir: String): Unit = {
     ordersCustomerView(s, dir)
     streamedOrdersCustomerView(s, dir)
     compactedOrdersCustomerView(s, dir)
+    ordersCustomerAggView(s, dir)
+    ordersCustomerNationView(s, dir)
+    saltedOrdersCustomerView(s, dir)
+    percentileView(s, dir)
+    distinctSView(s, dir)
     mixedView(s, dir)
     rangeBucketedFlag(s, dir)
     rangeMaintained(s, dir)
@@ -616,6 +812,36 @@ object MapIndexQueries {
         .select(col("o_orderkey"), col("o_custkey"), col("c_name"),
           round(col("o_totalprice"), 2).as("o_totalprice"),
           round(col("c_acctbal"), 2).as("c_acctbal"))
+        .orderBy("o_orderkey")),
+
+    // the SALT-SHARDED join view ([[saltedOrdersCustomerView]]): the
+    // skew-hardened emit layout must be invisible to serving — same
+    // history and oracle as mapindex_joinview
+    "mapindex_joinview_salted" -> ((s, dir) =>
+      saltedOrdersCustomerView(s, dir).df
+        .select(col("o_orderkey"), col("o_custkey"), col("c_name"),
+          round(col("o_totalprice"), 2).as("o_totalprice"),
+          round(col("c_acctbal"), 2).as("c_acctbal"))
+        .orderBy("o_orderkey")),
+
+    // maintained aggregate-over-join ([[ordersCustomerAggView]] —
+    // JoinAggView): the revenue-by-priority rollup fed purely from the
+    // join view's CDC after change batches to BOTH sides; the oracle
+    // joins + groups both modified tables from scratch
+    "mapindex_joinview_agg" -> ((s, dir) =>
+      ordersCustomerAggView(s, dir).state
+        .select(col("emit_key").as("o_orderpriority"), col("cnt"),
+          round(col("sum_value").cast("double"), 2).as("revenue"))
+        .orderBy("o_orderpriority")),
+
+    // three-way delta join ([[ordersCustomerNationView]]): level 2 caught
+    // up from level 1's CDC after each level-1 refresh, then a nation
+    // batch through level 2's own right-side refresh — the oracle is the
+    // from-scratch three-way join of all three modified tables
+    "mapindex_joinview3" -> ((s, dir) =>
+      ordersCustomerNationView(s, dir).df
+        .select(col("o_orderkey"), col("o_custkey"), col("c_name"), col("n_name"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
         .orderBy("o_orderkey")),
 
     // O14 grouped aggregation over the materialized view (+ O16 count)
@@ -824,6 +1050,46 @@ object MapIndexQueries {
         .groupBy("flag")
         .agg(count(lit(1)).as("n_distinct"))
         .orderBy("flag")),
+
+    // the refcount distinct state built PURELY through streaming
+    // micro-batches ([[distinctSView]]): same serving aggregation, same
+    // from-scratch count(DISTINCT) oracle as the flat and bucketed twins
+    "mapindex_distinct_view_streamed" -> ((s, dir) =>
+      distinctSView(s, dir).state
+        .filter(col("cnt") > 0)
+        .select(substring_index(col("emit_key"), "|", 1).as("flag"))
+        .groupBy("flag")
+        .agg(count(lit(1)).as("n_distinct"))
+        .orderBy("flag")),
+
+    // maintained p50/p95 served from the refcount (group, value) state
+    // ([[percentileView]]): a weighted cumulative sum over the
+    // vocabulary-sized state picks the discrete (type-1) quantiles —
+    // smallest value whose cumulative multiplicity reaches ceil(p·n) —
+    // and the oracle recomputes the identical definition from the
+    // modified corpus from scratch
+    "mapindex_percentile_view" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val st = percentileView(s, dir).state
+        .filter(col("cnt") > 0)
+        .select(substring_index(col("emit_key"), "|", 1).as("flag"),
+          substring_index(col("emit_key"), "|", -1).cast("int").as("qty"),
+          col("cnt"))
+      // state is vocabulary-sized (≤ |flags|·50 rows) — the windows run
+      // over the aggregate state, never the corpus
+      val cum = st
+        .withColumn("cum", sum("cnt").over(Window.partitionBy("flag").orderBy("qty")))
+        .withColumn("n", sum("cnt").over(Window.partitionBy("flag")))
+      // rank_p = ceil(p·n) spelled as exact small-integer arithmetic
+      // (n/2, 19n/20): a 0.95·n double literal could land within an ulp
+      // of an integer differently across engines; 19n/20's fractional
+      // part is ≥ 1/20, so the double quotient's ceil is exact in both
+      cum.groupBy("flag")
+        .agg(min(when(col("cum") >= ceil(col("n") / 2), col("qty"))).as("p50"),
+          min(when(col("cum") >= ceil(col("n") * 19 / 20), col("qty"))).as("p95"),
+          max(col("n")).as("n"))
+        .orderBy("flag")
+    }),
 
     "mapindex_aggview" -> ((s, dir) =>
       aggView(s, dir).read
@@ -1060,6 +1326,57 @@ object MapIndexQueries {
         |       round(c_acctbal, 2) AS c_acctbal
         |FROM o JOIN c ON o_custkey = c_custkey
         |ORDER BY o_orderkey""".stripMargin,
+    // salt shards must be invisible: identical oracle to mapindex_joinview
+    "mapindex_joinview_salted" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey,
+        |         CASE WHEN o_orderkey % 37 = 0 THEN o_totalprice + 1000
+        |              ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 41 <> 0),
+        |c AS (
+        |  SELECT c_custkey, c_name,
+        |         CASE WHEN c_custkey % 13 = 0 THEN c_acctbal + 100
+        |              ELSE c_acctbal END AS c_acctbal
+        |  FROM customer WHERE c_custkey % 17 <> 0)
+        |SELECT o_orderkey, o_custkey, c_name,
+        |       round(o_totalprice, 2) AS o_totalprice,
+        |       round(c_acctbal, 2) AS c_acctbal
+        |FROM o JOIN c ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+    // the maintained rollup must equal join-then-group-by on both
+    // modified tables, recomputed from scratch
+    "mapindex_joinview_agg" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey, o_orderpriority,
+        |         CASE WHEN o_orderkey % 37 = 0 THEN o_totalprice + 1000
+        |              ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 41 <> 0),
+        |c AS (
+        |  SELECT c_custkey FROM customer WHERE c_custkey % 17 <> 0)
+        |SELECT o_orderpriority, count(*) AS cnt,
+        |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue
+        |FROM o JOIN c ON o_custkey = c_custkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // the from-scratch THREE-WAY join of all three modified tables
+    "mapindex_joinview3" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey,
+        |         CASE WHEN o_orderkey % 37 = 0 THEN o_totalprice + 1000
+        |              ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 41 <> 0),
+        |c AS (
+        |  SELECT c_custkey, c_name, c_nationkey
+        |  FROM customer WHERE c_custkey % 17 <> 0),
+        |n AS (
+        |  SELECT n_nationkey,
+        |         CASE WHEN n_nationkey % 5 = 0 THEN n_name || '_X'
+        |              ELSE n_name END AS n_name
+        |  FROM nation WHERE n_nationkey % 7 <> 0)
+        |SELECT o_orderkey, o_custkey, c_name, n_name,
+        |       round(o_totalprice, 2) AS o_totalprice
+        |FROM o JOIN c ON o_custkey = c_custkey
+        |       JOIN n ON c_nationkey = n_nationkey
+        |ORDER BY o_orderkey""".stripMargin,
     // the inter-refresh epoch = modified orders ⋈ original customers
     "mapindex_joinview_asof" ->
       """WITH o AS (
@@ -1208,6 +1525,36 @@ object MapIndexQueries {
         |  FROM lineitem WHERE l_orderkey % 89 <> 0)
         |SELECT flag, count(DISTINCT v) AS n_distinct
         |FROM src GROUP BY flag ORDER BY flag""".stripMargin,
+    // the streamed refcount state must converge to the same distinct
+    // counts as the flat and bucketed twins
+    "mapindex_distinct_view_streamed" ->
+      """WITH src AS (
+        |  SELECT CASE WHEN l_orderkey % 97 = 0 THEN 'X' ELSE l_returnflag END AS flag,
+        |         l_extendedprice AS v
+        |  FROM lineitem WHERE l_orderkey % 89 <> 0)
+        |SELECT flag, count(DISTINCT v) AS n_distinct
+        |FROM src GROUP BY flag ORDER BY flag""".stripMargin,
+    // maintained p50/p95: the identical discrete-quantile definition
+    // (smallest value whose cumulative count reaches ceil(p·n)),
+    // recomputed from the modified corpus from scratch — window sums
+    // cast to BIGINT (DuckDB sums BIGINT into HUGEINT)
+    "mapindex_percentile_view" ->
+      """WITH src AS (
+        |  SELECT CASE WHEN l_orderkey % 97 = 0 THEN 'X' ELSE l_returnflag END AS flag,
+        |         CAST(l_quantity AS INTEGER) AS qty
+        |  FROM lineitem WHERE l_orderkey % 89 <> 0),
+        |counts AS (
+        |  SELECT flag, qty, count(*) AS cnt FROM src GROUP BY flag, qty),
+        |cum AS (
+        |  SELECT flag, qty,
+        |         CAST(sum(cnt) OVER (PARTITION BY flag ORDER BY qty) AS BIGINT) AS cum,
+        |         CAST(sum(cnt) OVER (PARTITION BY flag) AS BIGINT) AS n
+        |  FROM counts)
+        |SELECT flag,
+        |       min(CASE WHEN cum >= ceil(n / 2.0) THEN qty END) AS p50,
+        |       min(CASE WHEN cum >= ceil(n * 19 / 20.0) THEN qty END) AS p95,
+        |       max(n) AS n
+        |FROM cum GROUP BY flag ORDER BY flag""".stripMargin,
     "mapindex_aggview" ->
       """WITH src AS (
         |  SELECT CASE WHEN l_orderkey % 97 = 0 THEN 'X' ELSE l_returnflag END AS k,

@@ -359,7 +359,8 @@ object RelationalQueries {
         .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
           (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
         .groupBy(col("supp_nation"), col("cust_nation"),
-          year(col("l_shipdate")).as("l_year"))
+          // long, matching DuckDB year()'s BIGINT (q9 does the same)
+          year(col("l_shipdate")).cast("long").as("l_year"))
         .agg(round(sum(rev), 2).as("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     }),
@@ -384,7 +385,7 @@ object RelationalQueries {
         .join(asiaCust, col("o_custkey") === col("c_custkey"), "left_semi")
         .join(Tables.lineitem(s, dir), col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
-        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
         .agg(
           round(sum(when(col("supp_nation") === "NATION_3", rev).otherwise(lit(0.0))), 2)
             .as("nation_revenue"),

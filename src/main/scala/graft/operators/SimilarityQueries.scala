@@ -304,6 +304,33 @@ object SimilarityQueries {
       .withColumn("v",
         when(col("vec_id") % 37 === 0, reverse(col("v"))).otherwise(col("v")))
 
+  /** Measurement hook behind the PQ-family doc bounds ([[PqRecallBound]]
+    * / [[IvfPqRecallBound]]): measured recall of each PQ path against its
+    * exact ground truth — the numbers the bound comments record, re-run
+    * whenever the PQ geometry (Ks, refine margin) changes. Dev-only; no
+    * query serves from this. */
+  private[graft] def pqMeasuredRecall(s: SparkSession, dir: String): Map[String, Double] = {
+    def recall(approx: DataFrame, truth: DataFrame): Double = {
+      val t = truth.select("probe_id", "neighbor_id")
+      val hit = t.join(approx.select("probe_id", "neighbor_id"),
+        Seq("probe_id", "neighbor_id"), "left_semi").count()
+      hit.toDouble / t.count()
+    }
+    val bruteBase = queries("sim_brute_topk")(s, dir)
+    val e = modifiedEmb(s, dir)
+    val probes = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("norm").as("pn"))
+    val bruteMod = rankTopK(
+      e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+        .withColumn("cos", round(dot(col("pv"), col("v")) / (col("pn") * col("norm")), 6))
+        .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("cos")))
+    Map(
+      "pq_flat" -> recall(pqTopKPairs(s, dir), bruteBase),
+      "pq_view" -> recall(pqTopKFromView(s, dir), bruteMod),
+      "pq_bulk" -> recall(pqTopKBulk(s, dir), bruteMod),
+      "ivfpq_view" -> recall(ivfpqTopKFromView(s, dir), bruteMod))
+  }
+
   /** Per-JVM cache of the maintained IVF cell view and the centroids it
     * is currently serving with (they diverge from [[ivfCentroidsFor]]'s
     * train-time model only when a drift re-fit fired). */
@@ -924,10 +951,22 @@ object SimilarityQueries {
     * 4×, paid for with a wider exact-rerank margin ([[PqRefine]]). */
   private[graft] val PqM = 8
   private[graft] val PqSubDim = 8
-  private[graft] val PqKs = 16
+  /** Sub-quantizer resolution CEILING: up to 64 centroids per subspace
+    * (6 bits of the byte each code already occupies — the hard byte-code
+    * ceiling is 256); the effective ks scales with the corpus
+    * ([[pqKsFor]]). Was a flat 16, which was the plan-size bound of the
+    * literal-expression LUT spelling, not a design choice: with the LUT
+    * as a native reference-object expression ([[VectorFunctions.PqLut]])
+    * the table cost is M·ks doubles per probe regardless of how it is
+    * spelled, and 64 sub-centroids measurably lift recall on weakly-
+    * clustered corpora (sf0.1: flat 0.58 → 0.86 together with the wider
+    * refine margin). */
+  private[graft] val PqKs = 64
   /** Exact-rerank the top `K · PqRefine` ADC candidates: PQ reconstruction
-    * error is far larger than SQ8's, so the refine margin is wider. */
-  private val PqRefine = 8
+    * error is far larger than SQ8's, so the refine margin is wider (and
+    * rerank cost is K·PqRefine float dots per probe — parameters, not a
+    * corpus term, so widening it is nearly free at any scale). */
+  private val PqRefine = 16
 
   /** Nearest sub-centroid of `sub` in one subspace's codebook — same
     * dist² ranking trick as [[assignExpr]] (`-2·sub·c + |c|²`; `|sub|²`
@@ -950,13 +989,12 @@ object SimilarityQueries {
 
   /** The probe's flattened ADC lookup table: `lut[m·Ks + k] =
     * dot(probe_sub_m, books[m][k])` — M·Ks doubles computed ONCE per
-    * probe, then every candidate is scored from its code alone. */
-  private[graft] def pqLutExpr(books: Array[Array[Array[Double]]], v: Column): Column = {
-    import org.apache.spark.sql.functions.typedlit
-    array((for { m <- 0 until PqM; k <- 0 until PqKs } yield
-      call_function("vec_dot",
-        slice(v, m * PqSubDim + 1, PqSubDim), typedlit(books(m)(k)))): _*)
-  }
+    * probe, then every candidate is scored from its code alone. Native
+    * reference-object expression ([[VectorFunctions.PqLut]]): the old
+    * per-entry literal spelling put O(M·Ks) nodes in the plan, which is
+    * what capped Ks at 16. */
+  private[graft] def pqLutExpr(books: Array[Array[Array[Double]]], v: Column): Column =
+    VectorFunctions.pqLut(v, books)
 
   /** Flattened `|books[m][k]|²` table: `pq_adc(codes, this)` is then the
     * squared norm of the RECONSTRUCTED vector — stored alongside the code
@@ -965,12 +1003,26 @@ object SimilarityQueries {
   private def pqNormLut(books: Array[Array[Array[Double]]]): Array[Double] =
     books.flatMap(_.map(c => c.map(x => x * x).sum))
 
+  /** Effective sub-quantizer resolution for an n-vector corpus:
+    * `min(PqKs, max(16, n/8))`. The corpus cap is NOT about plan size
+    * (the reference-object LUT made Ks free there) — it keeps the
+    * codebooks from MEMORIZING a small corpus: near-zero training error
+    * would make the refit gate's relative-error test
+    * ([[PqRefitErrFactor]] × baseErr) fire on ordinary in-distribution
+    * batches, turning every refresh into a rebuild. n/8 keeps ≥8
+    * training sub-vectors per centroid, the usual k-means floor. */
+  private[graft] def pqKsFor(n: Long): Int =
+    math.min(PqKs, math.max(16, (n / 8).toInt))
+
   /** Train the M codebooks: ONE exploded `(m, sub)` relation carries every
     * subspace, so each Lloyd round is a single corpus-scan + one
     * delta-small aggregation for ALL subspaces together (not M separate
     * fits). Same broadcast-model iteration shape as [[ivfCentroids]]:
-    * the collected model is M·Ks·SubDim doubles — parameters, not data.
-    * Init = sub-slices of the first Ks vectors by vec_id (deterministic). */
+    * the collected model is M·ks·SubDim doubles — parameters, not data.
+    * Init = sub-slices of the first ks vectors by vec_id (deterministic).
+    * ks scales with the corpus ([[pqKsFor]]); every downstream consumer
+    * derives it from the books' SHAPE (`books(0).length`), so build,
+    * encode, LUT, ADC and model reopen can never disagree on it. */
   private[graft] def pqCodebooks(e0: DataFrame): Array[Array[Array[Double]]] = {
     val subs = e0.select(col("vec_id"),
         posexplode(expr(
@@ -978,8 +1030,14 @@ object SimilarityQueries {
           .as(Seq("m", "sub")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val init = e0.orderBy("vec_id").limit(PqKs)
+      val ks = pqKsFor(e0.count())
+      val initRows = e0.orderBy("vec_id").limit(ks)
         .select("v").collect().map(_.getSeq[Double](0).toArray)
+      require(initRows.nonEmpty, "pqCodebooks: empty training corpus")
+      // a corpus smaller than ks cycles its vectors: the duplicate
+      // centroids are never chosen (nearest ties toward the lower code)
+      // and empty sub-cells keep them, so the books stay ks-shaped
+      val init = Array.tabulate(ks)(k => initRows(k % initRows.length))
       var books: Array[Array[Array[Double]]] =
         Array.tabulate(PqM)(m => init.map(_.slice(m * PqSubDim, (m + 1) * PqSubDim)))
       var it = 0
@@ -1000,7 +1058,7 @@ object SimilarityQueries {
           .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toArray).toMap
         // an empty sub-cell keeps its previous centroid
         books = Array.tabulate(PqM)(m =>
-          Array.tabulate(PqKs)(k => means.getOrElse((m, k), books(m)(k))))
+          Array.tabulate(ks)(k => means.getOrElse((m, k), books(m)(k))))
         it += 1
       }
       books
@@ -1024,7 +1082,7 @@ object SimilarityQueries {
     val books = pqBooksFor(s, dir)
     val codes = pqEncodeExpr(books, col("v"))
     val corpus = e.select(col("vec_id"), codes.as("codes"),
-      sqrt(call_function("pq_adc", codes, typedlit(pqNormLut(books)), lit(PqKs))).as("qn"))
+      sqrt(call_function("pq_adc", codes, typedlit(pqNormLut(books)), lit(books(0).length))).as("qn"))
       .filter(col("qn") > 0)
     val probes = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("norm").as("pn"))
@@ -1032,7 +1090,7 @@ object SimilarityQueries {
     val approx = corpus
       .join(broadcast(probes.select("probe_id", "lut")), col("vec_id") =!= col("probe_id"))
       .withColumn("adc",
-        call_function("pq_adc", col("codes"), col("lut"), lit(PqKs)) / col("qn"))
+        call_function("pq_adc", col("codes"), col("lut"), lit(books(0).length)) / col("qn"))
     val w = Window.partitionBy("probe_id").orderBy(col("adc").desc, col("vec_id"))
     val cands = approx.withColumn("r", row_number().over(w))
       .filter(col("r") <= K * PqRefine)
@@ -1071,8 +1129,8 @@ object SimilarityQueries {
     val codes = pqEncodeExpr(books, col("v"))
     corpus.select(
         (call_function("vec_dot", col("v"), col("v"))
-          - lit(2.0) * call_function("pq_adc", codes, pqLutExpr(books, col("v")), lit(PqKs))
-          + call_function("pq_adc", codes, typedlit(pqNormLut(books)), lit(PqKs))).as("e"))
+          - lit(2.0) * call_function("pq_adc", codes, pqLutExpr(books, col("v")), lit(books(0).length))
+          + call_function("pq_adc", codes, typedlit(pqNormLut(books)), lit(books(0).length))).as("e"))
       .agg(coalesce(avg("e"), lit(0.0))).head().getDouble(0)
   }
 
@@ -1087,7 +1145,7 @@ object SimilarityQueries {
     MapIndex.columns("emb_pq_inc")(
       col("vec_id").cast("string"),
       array(emit(col("vec_id"), struct(codes.as("codes"),
-        sqrt(call_function("pq_adc", codes, typedlit(pqNormLut(books)), lit(PqKs)))
+        sqrt(call_function("pq_adc", codes, typedlit(pqNormLut(books)), lit(books(0).length)))
           .as("qn")))))
   }
 
@@ -1140,7 +1198,8 @@ object SimilarityQueries {
         VectorFunctions.register(s)
         val rows = Views.readModel(store.baseDir, unit).get
         val flat = rows.filter(_.length == PqSubDim).map(_.toArray).toArray
-        val books = Array.tabulate(PqM)(m => Array.tabulate(PqKs)(k => flat(m * PqKs + k)))
+        val ks = flat.length / PqM
+        val books = Array.tabulate(PqM)(m => Array.tabulate(ks)(k => flat(m * ks + k)))
         (store, books)
       } else {
         val e = emb(s, dir)
@@ -1174,7 +1233,7 @@ object SimilarityQueries {
     val approx = qcorpus
       .join(broadcast(probes.select("probe_id", "lut")), col("vec_id") =!= col("probe_id"))
       .withColumn("adc",
-        call_function("pq_adc", col("codes"), col("lut"), lit(PqKs)) / col("qn"))
+        call_function("pq_adc", col("codes"), col("lut"), lit(books(0).length)) / col("qn"))
     val w = Window.partitionBy("probe_id").orderBy(col("adc").desc, col("vec_id"))
     val cands = approx.withColumn("r", row_number().over(w))
       .filter(col("r") <= K * PqRefine)
@@ -1211,7 +1270,7 @@ object SimilarityQueries {
       .join(probes.select("probe_id", "lut").hint("shuffle_replicate_nl"),
         col("vec_id") =!= col("probe_id"))
       .withColumn("adc",
-        call_function("pq_adc", col("codes"), col("lut"), lit(PqKs)) / col("qn"))
+        call_function("pq_adc", col("codes"), col("lut"), lit(books(0).length)) / col("qn"))
     val cands = approx.groupBy("probe_id")
       .agg(expr(s"topk_by(adc, vec_id, ${K * PqRefine})").as("top"))
       .select(col("probe_id"), explode(expr("transform(top, t -> t.id)")).as("vec_id"))
@@ -1250,7 +1309,7 @@ object SimilarityQueries {
       col("vec_id").cast("string"),
       array(emit(assignExpr(cents).cast("string"),
         struct(col("vec_id"), codes.as("codes"),
-          sqrt(call_function("pq_adc", codes, typedlit(pqNormLut(books)), lit(PqKs)))
+          sqrt(call_function("pq_adc", codes, typedlit(pqNormLut(books)), lit(books(0).length)))
             .as("qn")))))
   }
 
@@ -1316,7 +1375,8 @@ object SimilarityQueries {
         val rows = Views.readModel(store.baseDir, unit).get
         val cents = rows.filter(_.length == 64).map(_.toArray).toArray
         val flat = rows.filter(_.length == PqSubDim).map(_.toArray).toArray
-        val books = Array.tabulate(PqM)(m => Array.tabulate(PqKs)(k => flat(m * PqKs + k)))
+        val ks = flat.length / PqM
+        val books = Array.tabulate(PqM)(m => Array.tabulate(ks)(k => flat(m * ks + k)))
         (store, cents, books)
       } else {
         val e = emb(s, dir)
@@ -1386,7 +1446,8 @@ object SimilarityQueries {
         val rows = Views.readModel(store.baseDir, unit).get
         val cents = rows.filter(_.length == 64).map(_.toArray).toArray
         val flat = rows.filter(_.length == PqSubDim).map(_.toArray).toArray
-        val books = Array.tabulate(PqM)(m => Array.tabulate(PqKs)(k => flat(m * PqKs + k)))
+        val ks = flat.length / PqM
+        val books = Array.tabulate(PqM)(m => Array.tabulate(ks)(k => flat(m * ks + k)))
         (store, cents, books)
       } else {
         val e = emb(s, dir)
@@ -1467,7 +1528,7 @@ object SimilarityQueries {
     val approx = qcells.join(broadcast(probeCells), Seq("cid"))
       .filter(col("vec_id") =!= col("probe_id"))
       .withColumn("adc",
-        call_function("pq_adc", col("codes"), col("lut"), lit(PqKs)) / col("qn"))
+        call_function("pq_adc", col("codes"), col("lut"), lit(books(0).length)) / col("qn"))
     val w = Window.partitionBy("probe_id").orderBy(col("adc").desc, col("vec_id"))
     val cands = approx.withColumn("r", row_number().over(w))
       .filter(col("r") <= K * PqRefine)
@@ -1509,7 +1570,7 @@ object SimilarityQueries {
     val approx = qcells.join(probeCells.hint("shuffle_hash"), Seq("cid"))
       .filter(col("vec_id") =!= col("probe_id"))
       .withColumn("adc",
-        call_function("pq_adc", col("codes"), col("lut"), lit(PqKs)) / col("qn"))
+        call_function("pq_adc", col("codes"), col("lut"), lit(books(0).length)) / col("qn"))
     val cands = approx.groupBy("probe_id")
       .agg(expr(s"topk_by(adc, vec_id, ${K * PqRefine})").as("top"))
       .select(col("probe_id"), explode(expr("transform(top, t -> t.id)")).as("vec_id"))
@@ -1841,15 +1902,20 @@ object SimilarityQueries {
     * refine margin — the conservative bound still leaves room for an
     * adversarially flat corpus. */
   private val SqRecallBound = 0.9
-  /** PQ measured recall at sf0.001/0.01/0.1: flat 0.76/0.66/0.58,
-    * composed IVF-PQ 0.87/0.78/0.64 — declining with corpus size like
-    * the LSH series (random synthetic vectors are the adversarial case
-    * for an 8-byte code: similarities are flat, so reconstruction error
-    * reorders neighbors easily; clustered real embeddings reconstruct
-    * far better). Bounds sit under the measured minima with margin,
-    * same promise-about-this-corpus-family stance as [[AnnRecallBound]]. */
-  private val PqRecallBound = 0.4
-  private val IvfPqRecallBound = 0.45
+  /** PQ measured recall at sf0.001/0.01/0.1 ([[pqMeasuredRecall]], r14
+    * geometry — corpus-scaled ks ([[pqKsFor]]: 62/62/64 at these sf),
+    * K·16 refine): flat 0.98/1.00/0.86, maintained view 0.98/1.00/0.89,
+    * composed IVF-PQ 0.89/0.91/0.82.
+    * (The r13 geometry — Ks=16, K·8 refine — measured 0.76/0.66/0.58 and
+    * 0.87/0.78/0.64; the 16-centroid cap was the plan-size bound of the
+    * literal-expression LUT, lifted by the reference-object
+    * [[graft.functions.VectorFunctions.PqLut]].) Random synthetic
+    * vectors remain the adversarial case for an 8-byte code — clustered
+    * real embeddings reconstruct better. Bounds sit under the measured
+    * minima with margin, same promise-about-this-corpus-family stance
+    * as [[AnnRecallBound]]. */
+  private val PqRecallBound = 0.7
+  private val IvfPqRecallBound = 0.7
   /** brute-force ground truth inside the dedup_embedding invariant is
     * restricted to pairs touching vec_id < this (full brute is O(n²)). */
   private val SampleVecs = 50

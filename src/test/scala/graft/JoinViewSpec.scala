@@ -77,4 +77,145 @@ class JoinViewSpec extends AnyFunSuite with SparkSpec {
     assert(jv.byKeys(Seq("a").toDF("k")).select("l_pk")
       .as[Long].collect().toSet === Set(1L, 5L))
   }
+
+  test("aggregate-over-join rollup: CDC-fed delta-merge touches only dirty groups") {
+    import graft.engine.JoinAggView
+    val store = BucketedViewStore.temp(spark, 8)
+    val jv = new JoinView(store, "t_jagg",
+      "l_pk", "l_jk", Seq("l_pk", "l_jk", "l_val"),
+      "r_pk", "r_jk", Seq("r_pk", "r_jk", "r_val"))
+    jv.build(
+      leftDf((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L), (4L, "c", 40L)),
+      rightDf((100L, "a", 1.0), (101L, "b", 2.0), (102L, "c", 3.0)))
+    val agg = new JoinAggView(jv, "t_jagg__rollup", "l_jk", "l_val")
+    agg.build()
+    def state(): Map[String, (Long, Long)] =
+      agg.state.select(col("emit_key"), col("cnt"), col("sum_value").cast("long"))
+        .as[(String, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(state() === Map("a" -> (2L, 30L), "b" -> (1L, 30L), "c" -> (1L, 40L)))
+
+    // left delta inside group 'a' only: pk 1 revalued, pk 2 deleted —
+    // the rollup refresh must rewrite at most 'a''s state bucket
+    jv.refreshLeft(leftDf((1L, "a", 15L)),
+      Some(leftDf((2L, "zz", 0L)).select(col("l_pk").cast("string"))))
+    val s1 = agg.catchUp()
+    assert(state() === Map("a" -> (1L, 15L), "b" -> (1L, 30L), "c" -> (1L, 40L)))
+    assert(s1.emitBucketsRewritten <= 1,
+      s"one dirty group must touch at most one state bucket, " +
+        s"rewrote ${s1.emitBucketsRewritten}")
+
+    // right delta deleting r 101: group 'b' loses its only join row and
+    // must VANISH from the state (count reached zero)
+    jv.refreshRight(rightDf(),
+      Some(rightDf((101L, "zz", 0.0)).select(col("r_pk").cast("string"))))
+    val s2 = agg.catchUp()
+    assert(state() === Map("a" -> (1L, 15L), "c" -> (1L, 40L)))
+    assert(s2.emitBucketsRewritten <= 1)
+
+    // multi-epoch catch-up (two refreshes folded in one replay): pk 5
+    // arrives at 'c', then moves to 'a' — only the FINAL state may land
+    jv.refreshLeft(leftDf((5L, "c", 50L)), None)
+    jv.refreshLeft(leftDf((5L, "a", 50L)), None)
+    agg.catchUp()
+    assert(state() === Map("a" -> (2L, 65L), "c" -> (1L, 40L)))
+  }
+
+  test("three-way delta join: level 2 caught up from level 1's CDC equals the recomputed chain") {
+    val store = BucketedViewStore.temp(spark, 8)
+    // mid rows carry their own dimension key (m_dk) — level 1 joins
+    // left⋈mid on l_jk=m_jk, level 2 joins that output to dim on m_dk
+    def midDf(rows: (Long, String, String)*) =
+      rows.toSeq.toDF("m_pk", "m_jk", "m_dk")
+    val jv1 = new JoinView(store, "t3_lv1",
+      "l_pk", "l_jk", Seq("l_pk", "l_jk", "l_val"),
+      "m_pk", "m_jk", Seq("m_pk", "m_jk", "m_dk"))
+    val jv2 = new JoinView(store, "t3_lv2",
+      "l_pk", "m_dk", Seq("l_pk", "l_jk", "l_val", "m_pk", "m_jk", "m_dk"),
+      "d_pk", "d_jk", Seq("d_pk", "d_jk", "d_name"))
+    def dimDf(rows: (Long, String, String)*) =
+      rows.toSeq.toDF("d_pk", "d_jk", "d_name")
+    jv1.build(
+      leftDf((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L)),
+      midDf((100L, "a", "x"), (101L, "b", "y")))
+    jv2.build(jv1.df, dimDf((7L, "x", "X"), (8L, "y", "Y")))
+    def snap3(): Set[(Long, Long, String)] =
+      jv2.df.select("l_pk", "d_pk", "d_name")
+        .as[(Long, Long, String)].collect().toSet
+    assert(snap3() === Set((1L, 7L, "X"), (2L, 7L, "X"), (3L, 8L, "Y")))
+
+    // level-1 left batch: pk 1 moves a→b, pk 2 deleted; the replay must
+    // retract both 'X' rows and land pk 1 under 'Y'
+    jv1.refreshLeft(leftDf((1L, "b", 11L)),
+      Some(leftDf((2L, "zz", 0L)).select(col("l_pk").cast("string"))))
+    val lv2Stats = jv1.cascadeInto(jv2, 0, 1)
+    assert(snap3() === Set((1L, 8L, "Y"), (3L, 8L, "Y")))
+    assert(lv2Stats.emitBucketsRewritten < lv2Stats.totalBuckets,
+      "a small level-1 delta must not rewrite every level-2 bucket")
+
+    // level-1 right batch: mid 101's dim key re-pointed y→x; every 'b'
+    // chain row re-routes through dim 7
+    jv1.refreshRight(midDf((101L, "b", "x")), None)
+    jv1.cascadeInto(jv2, 1, 2)
+    assert(snap3() === Set((1L, 7L, "X"), (3L, 7L, "X")))
+
+    // level-2's OWN right batch: dim 7 renamed, dim 8 tombstoned
+    jv2.refreshRight(dimDf((7L, "x", "X2")), Some(dimDf((8L, "zz", ""))
+      .select(col("d_pk").cast("string"))))
+    assert(snap3() === Set((1L, 7L, "X2"), (3L, 7L, "X2")))
+
+    // wrong-key composition fails loud
+    val bad = new JoinView(store, "t3_bad",
+      "other_pk", "m_jk", Seq("l_pk"), "d_pk", "d_jk", Seq("d_pk"))
+    val e = intercept[IllegalArgumentException](jv1.cascadeInto(bad, 1, 2))
+    assert(e.getMessage.contains("left pk"))
+  }
+
+  test("salted join view: hot-key refresh I/O stays delta-proportional, serving unchanged") {
+    val store = BucketedViewStore.temp(spark, 8)
+    // 50 %-skewed left: half the rows on ONE join key
+    val lRows = (1L to 200L).map(i => (i, "HOT", i)) ++
+      (201L to 400L).map(i => (i, s"k${i % 40}", i))
+    val rRows = ("HOT" +: (0 until 40).map(i => s"k$i").toSeq).zipWithIndex
+      .map { case (j, i) => (1000L + i, j, i.toDouble) }
+    val l = lRows.toDF("l_pk", "l_jk", "l_val")
+    val r = rRows.toDF("r_pk", "r_jk", "r_val")
+    val expected = lRows.map { case (pk, jk, v) =>
+      (pk, jk, v, rRows.find(_._2 == jk).get._3) }.toSet
+    val jv = new JoinView(store, "t_salt",
+      "l_pk", "l_jk", Seq("l_pk", "l_jk", "l_val"),
+      "r_pk", "r_jk", Seq("r_pk", "r_jk", "r_val"), saltBuckets = 8)
+    jv.build(l, r)
+    assert(snap(jv) === expected, "salting must be invisible to serving")
+
+    // layout: the hot key's 200 join rows SPREAD across emit buckets
+    // (unsalted they all share hash('HOT')'s single bucket)
+    val hotShardBuckets = jv.store.df("t_salt")
+      .filter(col("emit_value.l_jk") === "HOT")
+      .select("emit_key").as[String].collect()
+      .map(k => BucketedViewStore.bucketOf(k, 8))
+    assert(hotShardBuckets.toSet.size >= 3,
+      s"hot rows landed in only ${hotShardBuckets.toSet.size} buckets")
+    val maxShare = hotShardBuckets.groupBy(identity).values.map(_.length).max
+    assert(maxShare <= 100,
+      s"one bucket still owns $maxShare of the 200 hot rows")
+
+    // a 2-row delta ON the hot key dirties only the salt shards those
+    // pks map to — bucket-scoped I/O ∝ delta, not ∝ hot-key size
+    val stats = jv.refreshLeft(
+      Seq((1L, "HOT", 101L), (2L, "HOT", 102L)).toDF("l_pk", "l_jk", "l_val"), None)
+    assert(stats.emitBucketsRewritten <= 2,
+      s"2 changed hot rows rewrote ${stats.emitBucketsRewritten} join buckets")
+    assert(snap(jv) === (expected -- Set((1L, "HOT", 1L, 0.0), (2L, "HOT", 2L, 0.0))
+      ++ Set((1L, "HOT", 101L, 0.0), (2L, "HOT", 102L, 0.0))))
+
+    // key-addressed serving fans out to the bounded S shards and still
+    // returns every hot row
+    assert(jv.byKeys(Seq("HOT").toDF("k")).count() === 200L)
+
+    // right-side delta on the hot key: every hot row legitimately
+    // rewrites (the delta really touches them all), across shards
+    jv.refreshRight(Seq((1000L, "HOT", 9.0)).toDF("r_pk", "r_jk", "r_val"), None)
+    assert(jv.byKeys(Seq("HOT").toDF("k"))
+      .filter(col("r_val") === 9.0).count() === 200L)
+  }
 }

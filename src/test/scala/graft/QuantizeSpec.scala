@@ -86,7 +86,8 @@ class QuantizeSpec extends AnyFunSuite with SparkSpec {
     val books = SimilarityQueries.pqCodebooks(e)
     val m = SimilarityQueries.PqM
     val sub = SimilarityQueries.PqSubDim
-    val ks = SimilarityQueries.PqKs
+    // ks is corpus-scaled (pqKsFor); consumers derive it from the shape
+    val ks = books(0).length
     val probe = e.filter(col("vec_id") === 3).select(col("v").as("pv"))
     val pv = probe.collect()(0).getSeq[Double](0).toArray
     val rows = e
