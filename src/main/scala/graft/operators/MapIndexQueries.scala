@@ -221,6 +221,51 @@ object MapIndexQueries {
       agg
     })
 
+  /** The quantile state in the BUCKETED (100 TB) layout: the same
+    * refcount index through [[graft.engine.BucketedAggView]], so a change
+    * batch rewrites only the state buckets of touched (group, value)
+    * keys — percentile maintenance I/O ∝ delta at any corpus size. */
+  private val pctIdxB = MapIndex.columns("lineitem_flagqty_b")(
+    concat_ws("-", col("l_orderkey"), col("l_linenumber")),
+    array(emit(concat_ws("|", col("l_returnflag"), col("l_quantity").cast("int")),
+      lit(1L))))
+
+  private val pctBViews =
+    scala.collection.concurrent.TrieMap.empty[String, graft.engine.BucketedAggView]
+  private def percentileBView(s: SparkSession, dir: String): graft.engine.BucketedAggView =
+    pctBViews.getOrElseUpdate(dir, {
+      val store = graft.engine.BucketedViewStore.temp(s, numBuckets = 16)
+      val li = Tables.lineitem(s, dir)
+      val v = graft.engine.BucketedAggView.build(
+        store, pctIdxB, li, "lineitem_flagqty_b__state")
+      v.refresh(pctIdxB, reflaggedUpserts(li), Some(tombstoneKeys(li)))
+      v
+    })
+
+  /** Shared percentile serving: discrete (type-1) p50/p95 from refcount
+    * `(group, value)` state via a weighted cumulative sum — the windows
+    * run over the vocabulary-sized state (≤ |flags|·50 rows), never the
+    * corpus. rank_p = ceil(p·n) spelled as exact small-integer arithmetic
+    * (n/2, 19n/20): a 0.95·n double literal could land within an ulp of
+    * an integer differently across engines; 19n/20's fractional part is
+    * ≥ 1/20, so the double quotient's ceil is exact in both. */
+  private def quantileServe(state: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val st = state
+      .filter(col("cnt") > 0)
+      .select(substring_index(col("emit_key"), "|", 1).as("flag"),
+        substring_index(col("emit_key"), "|", -1).cast("int").as("qty"),
+        col("cnt"))
+    val cum = st
+      .withColumn("cum", sum("cnt").over(Window.partitionBy("flag").orderBy("qty")))
+      .withColumn("n", sum("cnt").over(Window.partitionBy("flag")))
+    cum.groupBy("flag")
+      .agg(min(when(col("cum") >= ceil(col("n") / 2), col("qty"))).as("p50"),
+        min(when(col("cum") >= ceil(col("n") * 19 / 20), col("qty"))).as("p95"),
+        max(col("n")).as("n"))
+      .orderBy("flag")
+  }
+
   /** The refcount distinct state built purely through STREAMING
     * micro-batches ([[graft.streaming.StreamingAggMapIndex]] — joint
     * base + aggregate-state refresh per batch): three insert batches
@@ -725,6 +770,7 @@ object MapIndexQueries {
     ordersCustomerNationView(s, dir)
     saltedOrdersCustomerView(s, dir)
     percentileView(s, dir)
+    percentileBView(s, dir)
     distinctSView(s, dir)
     mixedView(s, dir)
     rangeBucketedFlag(s, dir)
@@ -833,6 +879,19 @@ object MapIndexQueries {
         .select(col("emit_key").as("o_orderpriority"), col("cnt"),
           round(col("sum_value").cast("double"), 2).as("revenue"))
         .orderBy("o_orderpriority")),
+
+    // the rollup state served AS OF the epoch BETWEEN its two catch-ups
+    // (state epoch 1 = after the left-side batch only): aggregate time
+    // travel on the composition — the historical read must reproduce the
+    // rollup of modified-orders ⋈ ORIGINAL-customers
+    "mapindex_joinview_agg_asof" -> ((s, dir) => {
+      val agg = ordersCustomerAggView(s, dir)
+      agg.jv.store.dfAsOf(agg.stateName, 1)
+        .select(col("emit_key").as("o_orderpriority"),
+          col("emit_value.cnt").as("cnt"),
+          round(col("emit_value.sum_value").cast("double"), 2).as("revenue"))
+        .orderBy("o_orderpriority")
+    }),
 
     // three-way delta join ([[ordersCustomerNationView]]): level 2 caught
     // up from level 1's CDC after each level-1 refresh, then a nation
@@ -1063,33 +1122,17 @@ object MapIndexQueries {
         .orderBy("flag")),
 
     // maintained p50/p95 served from the refcount (group, value) state
-    // ([[percentileView]]): a weighted cumulative sum over the
-    // vocabulary-sized state picks the discrete (type-1) quantiles —
-    // smallest value whose cumulative multiplicity reaches ceil(p·n) —
-    // and the oracle recomputes the identical definition from the
-    // modified corpus from scratch
-    "mapindex_percentile_view" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val st = percentileView(s, dir).state
-        .filter(col("cnt") > 0)
-        .select(substring_index(col("emit_key"), "|", 1).as("flag"),
-          substring_index(col("emit_key"), "|", -1).cast("int").as("qty"),
-          col("cnt"))
-      // state is vocabulary-sized (≤ |flags|·50 rows) — the windows run
-      // over the aggregate state, never the corpus
-      val cum = st
-        .withColumn("cum", sum("cnt").over(Window.partitionBy("flag").orderBy("qty")))
-        .withColumn("n", sum("cnt").over(Window.partitionBy("flag")))
-      // rank_p = ceil(p·n) spelled as exact small-integer arithmetic
-      // (n/2, 19n/20): a 0.95·n double literal could land within an ulp
-      // of an integer differently across engines; 19n/20's fractional
-      // part is ≥ 1/20, so the double quotient's ceil is exact in both
-      cum.groupBy("flag")
-        .agg(min(when(col("cum") >= ceil(col("n") / 2), col("qty"))).as("p50"),
-          min(when(col("cum") >= ceil(col("n") * 19 / 20), col("qty"))).as("p95"),
-          max(col("n")).as("n"))
-        .orderBy("flag")
-    }),
+    // ([[percentileView]] → [[quantileServe]]): smallest value whose
+    // cumulative multiplicity reaches ceil(p·n); the oracle recomputes
+    // the identical definition from the modified corpus from scratch
+    "mapindex_percentile_view" -> ((s, dir) =>
+      quantileServe(percentileView(s, dir).state)),
+
+    // the quantile state in the bucketed (100 TB) layout
+    // ([[percentileBView]]): same serving, same oracle — flat and
+    // bucketed percentile maintenance must agree exactly
+    "mapindex_bucketed_percentile_view" -> ((s, dir) =>
+      quantileServe(percentileBView(s, dir).state)),
 
     "mapindex_aggview" -> ((s, dir) =>
       aggView(s, dir).read
@@ -1357,6 +1400,18 @@ object MapIndexQueries {
         |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue
         |FROM o JOIN c ON o_custkey = c_custkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // rollup as-of the inter-batch epoch: modified orders ⋈ ORIGINAL
+    // customers, grouped from scratch
+    "mapindex_joinview_agg_asof" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey, o_orderpriority,
+        |         CASE WHEN o_orderkey % 37 = 0 THEN o_totalprice + 1000
+        |              ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 41 <> 0)
+        |SELECT o_orderpriority, count(*) AS cnt,
+        |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue
+        |FROM o JOIN customer ON o_custkey = c_custkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     // the from-scratch THREE-WAY join of all three modified tables
     "mapindex_joinview3" ->
       """WITH o AS (
@@ -1539,6 +1594,24 @@ object MapIndexQueries {
     // recomputed from the modified corpus from scratch — window sums
     // cast to BIGINT (DuckDB sums BIGINT into HUGEINT)
     "mapindex_percentile_view" ->
+      """WITH src AS (
+        |  SELECT CASE WHEN l_orderkey % 97 = 0 THEN 'X' ELSE l_returnflag END AS flag,
+        |         CAST(l_quantity AS INTEGER) AS qty
+        |  FROM lineitem WHERE l_orderkey % 89 <> 0),
+        |counts AS (
+        |  SELECT flag, qty, count(*) AS cnt FROM src GROUP BY flag, qty),
+        |cum AS (
+        |  SELECT flag, qty,
+        |         CAST(sum(cnt) OVER (PARTITION BY flag ORDER BY qty) AS BIGINT) AS cum,
+        |         CAST(sum(cnt) OVER (PARTITION BY flag) AS BIGINT) AS n
+        |  FROM counts)
+        |SELECT flag,
+        |       min(CASE WHEN cum >= ceil(n / 2.0) THEN qty END) AS p50,
+        |       min(CASE WHEN cum >= ceil(n * 19 / 20.0) THEN qty END) AS p95,
+        |       max(n) AS n
+        |FROM cum GROUP BY flag ORDER BY flag""".stripMargin,
+    // bucketed quantile state: identical oracle to the flat twin
+    "mapindex_bucketed_percentile_view" ->
       """WITH src AS (
         |  SELECT CASE WHEN l_orderkey % 97 = 0 THEN 'X' ELSE l_returnflag END AS flag,
         |         CAST(l_quantity AS INTEGER) AS qty
