@@ -356,6 +356,175 @@ object VectorFunctions {
       PqLut(org.apache.spark.sql.graftshim.Shims.expression(v), flat, m, subDim, ks))
   }
 
+  /** cell_residual(v, cid): `v − cents[cid]` — the residual a vector
+    * leaves against its coarse-quantizer centroid, the quantity the
+    * IVFADC design (residual-encoded IVF-PQ, the standard layout from the
+    * public ANN literature) trains its codebooks on and encodes. The
+    * centroid matrix rides as a driver-side reference array like
+    * [[NearestCells]]'s. Index-write path only (once per stored row), so
+    * interpreted eval suffices (CodegenFallback). */
+  case class CellResidual(left: Expression, right: Expression,
+      flatCents: Array[Double], dim: Int)
+      extends BinaryExpression with CodegenFallback with ImplicitCastInputTypes {
+    override def inputTypes = Seq(ArrayType(DoubleType), IntegerType)
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def nullSafeEval(a: Any, c: Any): Any = {
+      val v = a.asInstanceOf[ArrayData]
+      val cid = c.asInstanceOf[Int]
+      if (v.numElements() != dim)
+        throw new IllegalArgumentException(
+          s"cell_residual: dimension mismatch (${v.numElements()} vs $dim)")
+      if (cid < 0 || (cid + 1) * dim > flatCents.length)
+        throw new IllegalArgumentException(s"cell_residual: cell $cid out of range")
+      val off = cid * dim
+      val out = new Array[Double](dim)
+      var i = 0
+      while (i < dim) { out(i) = v.getDouble(i) - flatCents(off + i); i += 1 }
+      ArrayData.toArrayData(out)
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): CellResidual =
+      copy(left = l, right = r)
+    override def prettyName: String = "cell_residual"
+    override def toString: String = s"cell_residual($left, $right, dim=$dim)"
+  }
+
+  /** cell_dot(v, cid): `dot(v, cents[cid])` — the probe-side coarse term
+    * of the residual-ADC score `dot(p, c + r̂) = dot(p, c) + adc(codes)`.
+    * Runs once per (probe, probed cell) — model-sized — so interpreted
+    * eval suffices. */
+  case class CellDot(left: Expression, right: Expression,
+      flatCents: Array[Double], dim: Int)
+      extends BinaryExpression with CodegenFallback with ImplicitCastInputTypes {
+    override def inputTypes = Seq(ArrayType(DoubleType), IntegerType)
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(a: Any, c: Any): Any = {
+      val v = a.asInstanceOf[ArrayData]
+      val cid = c.asInstanceOf[Int]
+      if (v.numElements() != dim)
+        throw new IllegalArgumentException(
+          s"cell_dot: dimension mismatch (${v.numElements()} vs $dim)")
+      if (cid < 0 || (cid + 1) * dim > flatCents.length)
+        throw new IllegalArgumentException(s"cell_dot: cell $cid out of range")
+      val off = cid * dim
+      var acc = 0.0
+      var i = 0
+      while (i < dim) { acc += v.getDouble(i) * flatCents(off + i); i += 1 }
+      acc
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): CellDot =
+      copy(left = l, right = r)
+    override def prettyName: String = "cell_dot"
+    override def toString: String = s"cell_dot($left, $right, dim=$dim)"
+  }
+
+  /** pq_recon_norm2(cid, codes): `|cents[cid] + recon(codes)|²` — the
+    * squared norm of a residual-encoded vector's RECONSTRUCTION, stored
+    * alongside the code so residual-ADC dots can rank by approximate
+    * cosine. Index-write path only; interpreted eval suffices. */
+  case class PqReconNorm2(left: Expression, right: Expression,
+      flatCents: Array[Double], flatBooks: Array[Double],
+      dim: Int, subDim: Int, ks: Int)
+      extends BinaryExpression with CodegenFallback with ImplicitCastInputTypes {
+    override def inputTypes = Seq(IntegerType, ArrayType(ByteType))
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(c: Any, cd: Any): Any = {
+      val cid = c.asInstanceOf[Int]
+      val codes = cd.asInstanceOf[ArrayData]
+      val m = codes.numElements()
+      if (m * subDim != dim)
+        throw new IllegalArgumentException(
+          s"pq_recon_norm2: code count $m × subDim $subDim != dim $dim")
+      if (cid < 0 || (cid + 1) * dim > flatCents.length)
+        throw new IllegalArgumentException(s"pq_recon_norm2: cell $cid out of range")
+      val coff = cid * dim
+      var acc = 0.0
+      var mi = 0
+      while (mi < m) {
+        val code = codes.getByte(mi).toInt
+        if (code < 0 || code >= ks)
+          throw new IllegalArgumentException(s"pq_recon_norm2: code $code out of [0, $ks)")
+        val boff = (mi * ks + code) * subDim
+        var i = 0
+        while (i < subDim) {
+          val x = flatCents(coff + mi * subDim + i) + flatBooks(boff + i)
+          acc += x * x
+          i += 1
+        }
+        mi += 1
+      }
+      acc
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): PqReconNorm2 =
+      copy(left = l, right = r)
+    override def prettyName: String = "pq_recon_norm2"
+    override def toString: String = s"pq_recon_norm2($left, $right, ks=$ks)"
+  }
+
+  /** Shared centroid-matrix flattener for the cell-model expressions. */
+  private def flattenCents(cents: Array[Array[Double]]): (Array[Double], Int) = {
+    require(cents.nonEmpty, "empty centroid model")
+    val dim = cents(0).length
+    val flat = new Array[Double](cents.length * dim)
+    var c = 0
+    while (c < cents.length) {
+      require(cents(c).length == dim, "ragged centroid model")
+      System.arraycopy(cents(c), 0, flat, c * dim, dim)
+      c += 1
+    }
+    (flat, dim)
+  }
+
+  /** Shared codebook flattener (m-major, k-minor): `books[m][k][i]` →
+    * `flat[(m·ks + k)·subDim + i]`. */
+  private def flattenBooks(books: Array[Array[Array[Double]]]): (Array[Double], Int, Int, Int) = {
+    require(books.nonEmpty && books(0).nonEmpty, "empty codebook model")
+    val m = books.length
+    val ks = books(0).length
+    val subDim = books(0)(0).length
+    val flat = new Array[Double](m * ks * subDim)
+    var mi = 0
+    while (mi < m) {
+      require(books(mi).length == ks, "ragged codebook model")
+      var k = 0
+      while (k < ks) {
+        require(books(mi)(k).length == subDim, "ragged sub-centroid")
+        System.arraycopy(books(mi)(k), 0, flat, (mi * ks + k) * subDim, subDim)
+        k += 1
+      }
+      mi += 1
+    }
+    (flat, m, ks, subDim)
+  }
+
+  def cellResidual(v: org.apache.spark.sql.Column, cid: org.apache.spark.sql.Column,
+      cents: Array[Array[Double]]): org.apache.spark.sql.Column = {
+    val (flat, dim) = flattenCents(cents)
+    org.apache.spark.sql.graftshim.Shims.column(CellResidual(
+      org.apache.spark.sql.graftshim.Shims.expression(v),
+      org.apache.spark.sql.graftshim.Shims.expression(cid), flat, dim))
+  }
+
+  def cellDot(v: org.apache.spark.sql.Column, cid: org.apache.spark.sql.Column,
+      cents: Array[Array[Double]]): org.apache.spark.sql.Column = {
+    val (flat, dim) = flattenCents(cents)
+    org.apache.spark.sql.graftshim.Shims.column(CellDot(
+      org.apache.spark.sql.graftshim.Shims.expression(v),
+      org.apache.spark.sql.graftshim.Shims.expression(cid), flat, dim))
+  }
+
+  def pqReconNorm2(cid: org.apache.spark.sql.Column, codes: org.apache.spark.sql.Column,
+      cents: Array[Array[Double]],
+      books: Array[Array[Array[Double]]]): org.apache.spark.sql.Column = {
+    val (flatC, dim) = flattenCents(cents)
+    val (flatB, m, ks, subDim) = flattenBooks(books)
+    require(m * subDim == dim,
+      s"pqReconNorm2: codebook geometry m=$m × subDim=$subDim != centroid dim $dim")
+    org.apache.spark.sql.graftshim.Shims.column(PqReconNorm2(
+      org.apache.spark.sql.graftshim.Shims.expression(cid),
+      org.apache.spark.sql.graftshim.Shims.expression(codes),
+      flatC, flatB, dim, subDim, ks))
+  }
+
   /**
    * nearest_cells(v): indices of the `nSelect` nearest coarse-quantizer
    * centroids of `v`, ranked by `dist² − |v|² = −2·v·c + |c|²` (the

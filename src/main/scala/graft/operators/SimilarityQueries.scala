@@ -1119,6 +1119,18 @@ object SimilarityQueries {
     * arm with deliberately out-of-distribution vectors. */
   private val PqRefitErrFactor = 2.0
 
+  /** The composed (residual-encoded) index's gate factor. The recorded
+    * base error is TRAINING error, which understates held-out error by
+    * the codebooks' generalization gap — negligible for raw-vector books
+    * (raw components have high irreducible variance; the 2× factor
+    * suffices), but real for residual books (≈ n/ks ≈ 8 training
+    * residuals per 8-dim sub-centroid: measured ≈ 2× on this corpus
+    * family — an ordinary in-distribution batch would trip a 2× gate).
+    * Out-of-distribution batches land ORDERS OF MAGNITUDE above (the
+    * 100×-components fixture measures ~3·10⁴×), so 8× discriminates with
+    * wide margin on both sides. */
+  private val IvfPqRefitErrFactor = 8.0
+
   /** Mean squared PQ reconstruction error of `corpus` under `books`:
     * `|v|² − 2·v·recon(v) + |recon(v)|²` per vector via the ADC
     * machinery (encode → LUT dot → code-norm LUT), averaged — ONE scan,
@@ -1287,14 +1299,27 @@ object SimilarityQueries {
       .orderBy("probe_id", "rank")
   }
 
-  /** The composed IVF-PQ index: PQ codes stored INSIDE the cell posting
-    * lists — emit key = cell id, emit value = `(vec_id, codes, qn)`, no
-    * float vector in the view at all. A probe scans nProbe cells' lists
-    * reading M bytes per candidate: the cell prune and the 64× code
-    * compression multiply, the standard IVFPQ layout from the public ANN
-    * literature. Both model families (coarse centroids + codebooks) bake
-    * into the map expression, so refresh re-encodes changed vectors under
-    * exactly the model the stored codes carry. */
+  /** The residual relation a corpus leaves against a coarse quantizer:
+    * `(vec_id, v = original − cents[nearest])` — what IVFADC trains its
+    * codebooks on and encodes. One scan-local pass ([[VectorFunctions
+    * .CellResidual]], centroids as a reference array — no join). */
+  private[graft] def residualsOf(df: DataFrame, cents: Array[Array[Double]]): DataFrame =
+    df.select(col("vec_id"),
+      VectorFunctions.cellResidual(col("v"), assignExpr(cents), cents).as("v"))
+
+  /** The composed IVF-PQ index, RESIDUAL-encoded (IVFADC — the standard
+    * layout from the public ANN literature): PQ codes stored INSIDE the
+    * cell posting lists encode `v − cents[cell]`, NOT `v` — residuals are
+    * far tighter-distributed than raw vectors (the coarse quantizer has
+    * already explained the cell-scale structure), so the same M-byte code
+    * reconstructs much closer and recall rises for free. Emit key = cell
+    * id, emit value = `(vec_id, codes, qn)` with `qn = |cents[cell] +
+    * recon(codes)|` — no float vector in the view at all. A probe scores
+    * a candidate as `(dot(p, cent_cell) + adc(codes, lut_p)) / qn`: the
+    * coarse term is per (probe, cell) — model-sized — and the residual
+    * term reads M bytes. Both model families bake into the map
+    * expression, so refresh re-encodes changed vectors under exactly the
+    * model the stored codes carry. */
   private def ivfpqIdx(
       cents: Array[Array[Double]],
       books: Array[Array[Array[Double]]]): MapIndex =
@@ -1303,25 +1328,37 @@ object SimilarityQueries {
   private def ivfpqIdxNamed(name: String,
       cents: Array[Array[Double]],
       books: Array[Array[Array[Double]]]): MapIndex = {
-    import org.apache.spark.sql.functions.typedlit
-    val codes = pqEncodeExpr(books, col("v"))
+    val cid = assignExpr(cents)
+    val codes = pqEncodeExpr(books,
+      VectorFunctions.cellResidual(col("v"), cid, cents))
     MapIndex.columns(name)(
       col("vec_id").cast("string"),
-      array(emit(assignExpr(cents).cast("string"),
+      array(emit(cid.cast("string"),
         struct(col("vec_id"), codes.as("codes"),
-          sqrt(call_function("pq_adc", codes, typedlit(pqNormLut(books)), lit(books(0).length)))
-            .as("qn")))))
+          sqrt(VectorFunctions.pqReconNorm2(cid, codes, cents, books)).as("qn")))))
   }
 
+  /** Residual codebooks for a coarse quantizer: [[pqCodebooks]] over the
+    * corpus's residual relation. Per-JVM cache keyed like the other
+    * model caches. */
+  private val ivfpqBookCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Array[Double]]]]()
+  private def ivfpqBooksFor(s: SparkSession, dir: String,
+      cents: Array[Array[Double]]): Array[Array[Array[Double]]] =
+    ivfpqBookCache.computeIfAbsent(s"$dir#${corpusFingerprint(s, dir)}",
+      _ => pqCodebooks(residualsOf(emb(s, dir), cents)))
+
   /** Build a composed IVF-PQ view over `corpus` under freshly-trained
-    * models; returns (centroids, codebooks, base reconstruction error) —
-    * the [[pqIncBuild]] shape for the composed index. */
+    * models; returns (centroids, residual codebooks, base RESIDUAL
+    * reconstruction error) — the [[pqIncBuild]] shape for the composed
+    * index. The error yardstick is measured on residuals, the space the
+    * codebooks actually encode. */
   private[graft] def ivfpqIncBuild(store: BucketedViewStore, unit: String,
       corpus: DataFrame): (Array[Array[Double]], Array[Array[Array[Double]]], Double) = {
     val cents = ivfCentroids(corpus)
-    val books = pqCodebooks(corpus)
+    val books = pqCodebooks(residualsOf(corpus, cents))
     store.materialize(ivfpqIdxNamed(unit, cents, books), corpus)
-    (cents, books, pqMeanSqError(corpus, books))
+    (cents, books, pqMeanSqError(residualsOf(corpus, cents), books))
   }
 
   /** The composed IVF-PQ change-batch gate, factored for direct testing
@@ -1340,13 +1377,19 @@ object SimilarityQueries {
       corpusAfter: => DataFrame, corpusSize: Long)
       : (Array[Array[Double]], Array[Array[Array[Double]]], Double) = {
     val changed = ups.count() + dels.map(_.count()).getOrElse(0L)
+    // the codebook gate measures the batch in RESIDUAL space under the
+    // STORED models — the quantity the stored codes actually encode —
+    // against the composed factor (see [[IvfPqRefitErrFactor]]: training
+    // error understates held-out residual error by the books' ≈2×
+    // generalization gap)
     if (changed > corpusSize * RefitDriftBound ||
-        (baseErr > 0 && pqMeanSqError(ups, books) > PqRefitErrFactor * baseErr)) {
+        (baseErr > 0 &&
+          pqMeanSqError(residualsOf(ups, cents), books) > IvfPqRefitErrFactor * baseErr)) {
       val m = corpusAfter
       val refitC = ivfCentroids(m)
-      val refitB = pqCodebooks(m)
+      val refitB = pqCodebooks(residualsOf(m, refitC))
       store.materialize(ivfpqIdxNamed(unit, refitC, refitB), m)
-      (refitC, refitB, pqMeanSqError(m, refitB))
+      (refitC, refitB, pqMeanSqError(residualsOf(m, refitC), refitB))
     } else {
       store.refresh(ivfpqIdxNamed(unit, cents, books), ups, dels)
       (cents, books, baseErr)
@@ -1381,8 +1424,8 @@ object SimilarityQueries {
       } else {
         val e = emb(s, dir)
         val cents = ivfCentroidsFor(s, dir)
-        val books = pqBooksFor(s, dir)
-        val baseErr = pqMeanSqError(e, books)
+        val books = ivfpqBooksFor(s, dir, cents)
+        val baseErr = pqMeanSqError(residualsOf(e, cents), books)
         store.materialize(ivfpqIdx(cents, books), e)
         val (ups, dels) = embChangeBatch(e)
         // BOTH staleness gates compose in [[ivfpqApplyBatch]]: the IVF
@@ -1452,8 +1495,8 @@ object SimilarityQueries {
       } else {
         val e = emb(s, dir)
         val cents = ivfCentroidsFor(s, dir)
-        val books = pqBooksFor(s, dir)
-        val baseErr = pqMeanSqError(e, books)
+        val books = ivfpqBooksFor(s, dir, cents)
+        val baseErr = pqMeanSqError(residualsOf(e, cents), books)
         store.materialize(ivfpqIdxNamed(unit, cents, books), e)
         val (ups1, dels1) = embChangeBatch(e)
         val (c1, b1, err1) = ivfpqApplyBatch(store, unit,
@@ -1505,8 +1548,10 @@ object SimilarityQueries {
 
   /** The IVF-PQ search core shared by the live and as-of serving paths:
     * nProbe cell ids prune the stored scan (pushed In-filter,
-    * model-sized), ADC scoring over stored M-byte codes, exact rerank
-    * against `corpus`. */
+    * model-sized), residual-ADC scoring over stored M-byte codes —
+    * `(dot(p, cent_cell) + adc(codes, lut_p)) / qn`, the coarse term
+    * computed once per (probe, probed cell) — exact rerank against
+    * `corpus`. */
   private def ivfpqSearchStored(stored: DataFrame, corpus: DataFrame,
       cents: Array[Array[Double]], books: Array[Array[Array[Double]]]): DataFrame = {
     val nProbe = probesFor(cents.length)
@@ -1515,8 +1560,9 @@ object SimilarityQueries {
       .withColumn("lut", pqLutExpr(books, col("pv")))
     val probeCells = probes
       .withColumn("cid0", explode(probeCellsCol(cents, nProbe, col("pv"))))
+      .withColumn("pc", VectorFunctions.cellDot(col("pv"), col("cid0"), cents))
       .withColumn("cid", col("cid0").cast("string"))
-      .select("probe_id", "cid", "lut")
+      .select("probe_id", "cid", "lut", "pc")
     val cellIds = probeCells.select("cid").distinct()
       .collect().map(_.getString(0)).toSeq
     val qcells = stored
@@ -1528,7 +1574,8 @@ object SimilarityQueries {
     val approx = qcells.join(broadcast(probeCells), Seq("cid"))
       .filter(col("vec_id") =!= col("probe_id"))
       .withColumn("adc",
-        call_function("pq_adc", col("codes"), col("lut"), lit(books(0).length)) / col("qn"))
+        (col("pc") + call_function("pq_adc", col("codes"), col("lut"),
+          lit(books(0).length))) / col("qn"))
     val w = Window.partitionBy("probe_id").orderBy(col("adc").desc, col("vec_id"))
     val cands = approx.withColumn("r", row_number().over(w))
       .filter(col("r") <= K * PqRefine)
@@ -1559,8 +1606,9 @@ object SimilarityQueries {
       .withColumn("lut", pqLutExpr(books, col("pv")))
     val probeCells = probes
       .withColumn("cid0", explode(probeCellsCol(cents, nProbe, col("pv"))))
+      .withColumn("pc", VectorFunctions.cellDot(col("pv"), col("cid0"), cents))
       .withColumn("cid", col("cid0").cast("string"))
-      .select("probe_id", "cid", "lut")
+      .select("probe_id", "cid", "lut", "pc")
     val qcells = store.df("emb_ivfpq_cells")
       .select(col("emit_key").as("cid"), col("emit_value.vec_id").as("vec_id"),
         col("emit_value.codes").as("codes"), col("emit_value.qn").as("qn"))
@@ -1570,7 +1618,8 @@ object SimilarityQueries {
     val approx = qcells.join(probeCells.hint("shuffle_hash"), Seq("cid"))
       .filter(col("vec_id") =!= col("probe_id"))
       .withColumn("adc",
-        call_function("pq_adc", col("codes"), col("lut"), lit(books(0).length)) / col("qn"))
+        (col("pc") + call_function("pq_adc", col("codes"), col("lut"),
+          lit(books(0).length))) / col("qn"))
     val cands = approx.groupBy("probe_id")
       .agg(expr(s"topk_by(adc, vec_id, ${K * PqRefine})").as("top"))
       .select(col("probe_id"), explode(expr("transform(top, t -> t.id)")).as("vec_id"))
@@ -1905,7 +1954,9 @@ object SimilarityQueries {
   /** PQ measured recall at sf0.001/0.01/0.1 ([[pqMeasuredRecall]], r14
     * geometry — corpus-scaled ks ([[pqKsFor]]: 62/62/64 at these sf),
     * K·16 refine): flat 0.98/1.00/0.86, maintained view 0.98/1.00/0.89,
-    * composed IVF-PQ 0.89/0.91/0.82.
+    * composed IVF-PQ 0.89/0.91/0.87 (residual-encoded — IVFADC; raw-code
+    * IVF-PQ measured 0.82 at sf0.1, and the composed index now sits at
+    * its coarse tier's cell-recall ceiling, [[IvfRecallBound]] ~0.88).
     * (The r13 geometry — Ks=16, K·8 refine — measured 0.76/0.66/0.58 and
     * 0.87/0.78/0.64; the 16-centroid cap was the plan-size bound of the
     * literal-expression LUT, lifted by the reference-object
