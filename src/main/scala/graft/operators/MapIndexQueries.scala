@@ -710,6 +710,57 @@ object MapIndexQueries {
       }
     })
 
+  /** The rollup maintained through the STREAMING join history: the same
+    * interleaved out-of-order micro-batches as
+    * [[streamedOrdersCustomerView]], with the JoinAggView catching up
+    * after EVERY batch — including the batches where a late customer
+    * HEALS pending join rows (the heal's join delta must flow into the
+    * rollup like any other delta). Final state must equal the same
+    * from-scratch join+group-by oracle as the batch-built rollup. */
+  private def streamedOrdersCustomerAggView(s: SparkSession, dir: String): graft.engine.JoinAggView =
+    joinAggViews.getOrElseUpdate(s"$dir#stream", {
+      val store = Views.bucketedStore(s, dir)
+      val jv = new graft.engine.JoinView(store, "orders_customer_gs",
+        "o_orderkey", "o_custkey",
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate", "o_orderpriority"),
+        "c_custkey", "c_custkey",
+        Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"))
+      val unit = "orders_customer_gs"
+      if (Views.unitDone(store.baseDir, unit))
+        graft.engine.JoinAggView.attach(jv, "orders_customer_gs__rollup",
+          "o_orderpriority", "o_totalprice")
+      else {
+        val o = Tables.orders(s, dir)
+        val c = Tables.customer(s, dir)
+        def oB(r: Int) = o.filter(col("o_orderkey") % 3 === r)
+        def cB(r: Int) = c.filter(col("c_custkey") % 3 === r)
+        jv.build(oB(0), cB(0))
+        val agg = new graft.engine.JoinAggView(jv, "orders_customer_gs__rollup",
+          "o_orderpriority", "o_totalprice")
+        agg.build()
+        // interleaved arrivals, left one slice ahead — each refresh's
+        // join delta folds into the rollup before the next batch lands
+        jv.refreshLeft(oB(1), None); agg.catchUp()
+        jv.refreshRight(cB(1), None); agg.catchUp() // heals pending joins
+        jv.refreshLeft(oB(2), None); agg.catchUp()
+        jv.refreshRight(cB(2), None); agg.catchUp()
+        // the shared deterministic change batches on top
+        val upsL = o.filter(col("o_orderkey") % 37 === 0 && col("o_orderkey") % 41 =!= 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000)
+        val delsL = o.filter(col("o_orderkey") % 41 === 0)
+          .select(col("o_orderkey").cast("string")).distinct()
+        jv.refreshLeft(upsL, Some(delsL)); agg.catchUp()
+        val upsR = c.filter(col("c_custkey") % 13 === 0 && col("c_custkey") % 17 =!= 0)
+          .withColumn("c_acctbal", col("c_acctbal") + 100)
+        val delsR = c.filter(col("c_custkey") % 17 === 0)
+          .select(col("c_custkey").cast("string")).distinct()
+        jv.refreshRight(upsR, Some(delsR)); agg.catchUp()
+        Views.markUnitDone(store.baseDir, unit)
+        agg
+      }
+    })
+
   /** THREE-WAY delta join — (orders⋈customer)⋈nation at depth 2
     * ([[graft.engine.JoinView.cascadeInto]]): level 2's left side is
     * level 1's joined output, caught up after each level-1 refresh by
@@ -767,6 +818,7 @@ object MapIndexQueries {
     streamedOrdersCustomerView(s, dir)
     compactedOrdersCustomerView(s, dir)
     ordersCustomerAggView(s, dir)
+    streamedOrdersCustomerAggView(s, dir)
     ordersCustomerNationView(s, dir)
     saltedOrdersCustomerView(s, dir)
     percentileView(s, dir)
@@ -876,6 +928,16 @@ object MapIndexQueries {
     // joins + groups both modified tables from scratch
     "mapindex_joinview_agg" -> ((s, dir) =>
       ordersCustomerAggView(s, dir).state
+        .select(col("emit_key").as("o_orderpriority"), col("cnt"),
+          round(col("sum_value").cast("double"), 2).as("revenue"))
+        .orderBy("o_orderpriority")),
+
+    // the rollup fed through the STREAMING join history
+    // ([[streamedOrdersCustomerAggView]]): out-of-order arrivals, healed
+    // joins and the shared change batches all flow through per-batch
+    // catch-ups — same oracle as the batch-built rollup
+    "mapindex_joinview_agg_streamed" -> ((s, dir) =>
+      streamedOrdersCustomerAggView(s, dir).state
         .select(col("emit_key").as("o_orderpriority"), col("cnt"),
           round(col("sum_value").cast("double"), 2).as("revenue"))
         .orderBy("o_orderpriority")),
@@ -1389,6 +1451,19 @@ object MapIndexQueries {
     // the maintained rollup must equal join-then-group-by on both
     // modified tables, recomputed from scratch
     "mapindex_joinview_agg" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey, o_orderpriority,
+        |         CASE WHEN o_orderkey % 37 = 0 THEN o_totalprice + 1000
+        |              ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 41 <> 0),
+        |c AS (
+        |  SELECT c_custkey FROM customer WHERE c_custkey % 17 <> 0)
+        |SELECT o_orderpriority, count(*) AS cnt,
+        |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue
+        |FROM o JOIN c ON o_custkey = c_custkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // the streamed rollup converges to the same final state
+    "mapindex_joinview_agg_streamed" ->
       """WITH o AS (
         |  SELECT o_orderkey, o_custkey, o_orderpriority,
         |         CASE WHEN o_orderkey % 37 = 0 THEN o_totalprice + 1000

@@ -109,6 +109,57 @@ class QuantizeSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("IVFADC plumbing identity: cell_residual + cell_dot + pq_recon_norm2 match driver math") {
+    // pins the residual-encoding conventions against each other: residual
+    // := v − cents[cid], reconstruction := cents[cid] + books[m][code_m],
+    // qn² := |reconstruction|² summed i-within-m, cell_dot := dot(v,
+    // cents[cid]) — each expression recomputed driver-side in the same
+    // order, so equality is essentially bit-exact
+    import graft.operators.SimilarityQueries
+    import graft.engine.Tables
+    import graft.functions.VectorFunctions
+    val sf = "/root/testdata/sf0.001"
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .filter(col("vec_id") < 40)
+    // the identity holds for ANY centroid model; use the first 6 vectors
+    val cents: Array[Array[Double]] = e.orderBy("vec_id").limit(6)
+      .select("v").collect().map(_.getSeq[Double](0).toArray)
+    val cid = element_at(VectorFunctions.nearestCells(col("v"), cents, 1), 1)
+    val resid = VectorFunctions.cellResidual(col("v"), cid, cents)
+    val books = SimilarityQueries.pqCodebooks(e.select(col("vec_id"), resid.as("v")))
+    val m = SimilarityQueries.PqM
+    val sub = SimilarityQueries.PqSubDim
+    val codes = SimilarityQueries.pqEncodeExpr(books, resid)
+    val rows = e.select(col("vec_id"), col("v"), cid.as("cid"),
+        resid.as("resid"), codes.as("codes"),
+        VectorFunctions.pqReconNorm2(cid, codes, cents, books).as("qn2"),
+        VectorFunctions.cellDot(col("v"), cid, cents).as("cd")).collect()
+    assert(rows.length === 40)
+    rows.foreach { r =>
+      val v = r.getSeq[Double](1).toArray
+      val c = r.getInt(2)
+      val res = r.getSeq[Double](3).toArray
+      val cs = r.getSeq[Byte](4)
+      val dim = v.length
+      // residual = v − cents[cid], elementwise
+      (0 until dim).foreach(i => assert(res(i) === v(i) - cents(c)(i)))
+      // |cents[cid] + recon(codes)|², i-within-m summation order
+      var qn2 = 0.0
+      (0 until m).foreach { mi =>
+        (0 until sub).foreach { i =>
+          val x = cents(c)(mi * sub + i) + books(mi)(cs(mi))(i)
+          qn2 += x * x
+        }
+      }
+      assert(math.abs(r.getDouble(5) - qn2) <= 1e-9 * math.max(1.0, qn2),
+        s"vec ${r.getLong(0)}: qn2 ${r.getDouble(5)} != $qn2")
+      val cd = (0 until dim).map(i => v(i) * cents(c)(i)).sum
+      assert(math.abs(r.getDouble(6) - cd) <= 1e-9 * math.max(1.0, math.abs(cd)),
+        s"vec ${r.getLong(0)}: cell_dot ${r.getDouble(6)} != $cd")
+    }
+  }
+
   test("vec_quantize refuses a non-positive scale") {
     val ex = intercept[Exception] {
       Seq(Tuple1(Seq(1.0))).toDF("v")
