@@ -52,8 +52,19 @@ final class JoinView(
     val name: String,
     val leftPk: String, leftJk: String, leftCols: Seq[String],
     rightPk: String, rightJk: String, rightCols: Seq[String],
-    saltBuckets: Int = 1) {
+    saltBuckets: Int = 1,
+    joinType: String = "inner") {
   require(saltBuckets >= 1, s"saltBuckets must be >= 1, got $saltBuckets")
+  // LEFT-OUTER IVM: a left row with no right match emits ONE null-padded
+  // join row instead of nothing. The delta rules are unchanged — both
+  // refresh joins just run left_outer, so an upsert with no match emits
+  // its null-pad, a right DELETE's dirty keys re-join to null-pads (the
+  // inner view would retract those rows), and a late right arrival heals
+  // a null-pad into the real join row through the ordinary ownership
+  // delete-then-insert. The left join key should be non-null (a null key
+  // never matches and its null-pad is keyed null).
+  require(joinType == "inner" || joinType == "left_outer",
+    s"joinType must be 'inner' or 'left_outer', got '$joinType'")
 
   /** U+0001 separates key from salt: order-irrelevant here (hash
     * bucketing), only collision-safety with key text matters. */
@@ -102,7 +113,7 @@ final class JoinView(
     store.materialize(leftIdx, left)
     store.materialize(rightIdx, right)
     store.materialize(joinIdx,
-      left.join(right, col(leftJk) === col(rightJk)))
+      left.join(right, col(leftJk) === col(rightJk), joinType))
   }
 
   /** Apply a LEFT-side change batch: ΔL⋈R′ — the delta joins against
@@ -115,7 +126,9 @@ final class JoinView(
     val rMatch = store.getAll(rightIdx.name,
         expandKeys(ups.select(col(leftJk).cast("string")).distinct()))
       .select(col("emit_value.*"))
-    val upsJoined = ups.join(rMatch, col(leftJk) === col(rightJk))
+    // left_outer: every ups key emits (null-padded if unmatched), so the
+    // unmatched-tombstone set is empty by construction — same code path
+    val upsJoined = ups.join(rMatch, col(leftJk) === col(rightJk), joinType)
     val matched = upsJoined
       .select(col(leftPk).cast("string").as("src_key")).distinct()
     val unmatched = ups.select(col(leftPk).cast("string").as("src_key"))
@@ -143,7 +156,9 @@ final class JoinView(
       .select(col("emit_value.*"))
     val rRows = store.getAll(rightIdx.name, expandKeys(dirtyJk))
       .select(col("emit_value.*"))
-    val upsJoined = lRows.join(rRows, col(leftJk) === col(rightJk))
+    // left_outer: a dirty-key left row whose match vanished re-emits its
+    // null-pad here (the inner view tombstones it via `unmatched`)
+    val upsJoined = lRows.join(rRows, col(leftJk) === col(rightJk), joinType)
     val matched = upsJoined
       .select(col(leftPk).cast("string").as("src_key")).distinct()
     val unmatched = lRows.select(col(leftPk).cast("string").as("src_key"))

@@ -663,6 +663,44 @@ object MapIndexQueries {
       jv
     })
 
+  /** The LEFT-OUTER maintained join — outer-join IVM: an order whose
+    * customer is missing (or tombstoned by the right-side batch) holds a
+    * null-padded row instead of vanishing, and a late/restored customer
+    * HEALS the null-pad into the real join row through the ordinary
+    * ownership delete-then-insert. Same build + two-sided change batches
+    * as [[ordersCustomerView]]; the oracle is the from-scratch LEFT JOIN
+    * of both modified tables — the %17-tombstoned customers' orders MUST
+    * appear null-padded (the inner twin drops them). */
+  private def leftOuterOrdersCustomerView(s: SparkSession, dir: String): graft.engine.JoinView =
+    joinViews.getOrElseUpdate(s"$dir#louter", {
+      val store = Views.bucketedStore(s, dir)
+      val jv = new graft.engine.JoinView(store, "orders_customer_lo",
+        "o_orderkey", "o_custkey",
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate", "o_orderpriority"),
+        "c_custkey", "c_custkey",
+        Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"),
+        joinType = "left_outer")
+      val unit = "orders_customer_lo"
+      if (!Views.unitDone(store.baseDir, unit)) {
+        val o = Tables.orders(s, dir)
+        val c = Tables.customer(s, dir)
+        jv.build(o, c)
+        val upsL = o.filter(col("o_orderkey") % 37 === 0 && col("o_orderkey") % 41 =!= 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000)
+        val delsL = o.filter(col("o_orderkey") % 41 === 0)
+          .select(col("o_orderkey").cast("string")).distinct()
+        jv.refreshLeft(upsL, Some(delsL))
+        val upsR = c.filter(col("c_custkey") % 13 === 0 && col("c_custkey") % 17 =!= 0)
+          .withColumn("c_acctbal", col("c_acctbal") + 100)
+        val delsR = c.filter(col("c_custkey") % 17 === 0)
+          .select(col("c_custkey").cast("string")).distinct()
+        jv.refreshRight(upsR, Some(delsR))
+        Views.markUnitDone(store.baseDir, unit)
+      }
+      jv
+    })
+
   /** Maintained AGGREGATE-OVER-JOIN ([[graft.engine.JoinAggView]]): a
     * revenue-by-priority rollup fed from the orders⋈customer join view's
     * CDC sidecar — after EACH side's change batch the rollup catches up
@@ -821,6 +859,7 @@ object MapIndexQueries {
     streamedOrdersCustomerAggView(s, dir)
     ordersCustomerNationView(s, dir)
     saltedOrdersCustomerView(s, dir)
+    leftOuterOrdersCustomerView(s, dir)
     percentileView(s, dir)
     percentileBView(s, dir)
     distinctSView(s, dir)
@@ -907,6 +946,16 @@ object MapIndexQueries {
     // on top — the SAME oracle as mapindex_joinview grades the history
     "mapindex_joinview_streamed" -> ((s, dir) =>
       streamedOrdersCustomerView(s, dir).df
+        .select(col("o_orderkey"), col("o_custkey"), col("c_name"),
+          round(col("o_totalprice"), 2).as("o_totalprice"),
+          round(col("c_acctbal"), 2).as("c_acctbal"))
+        .orderBy("o_orderkey")),
+
+    // the LEFT-OUTER maintained join ([[leftOuterOrdersCustomerView]]):
+    // tombstoned customers' surviving orders must appear null-padded —
+    // the oracle is the from-scratch LEFT JOIN of both modified tables
+    "mapindex_joinview_outer" -> ((s, dir) =>
+      leftOuterOrdersCustomerView(s, dir).df
         .select(col("o_orderkey"), col("o_custkey"), col("c_name"),
           round(col("o_totalprice"), 2).as("o_totalprice"),
           round(col("c_acctbal"), 2).as("c_acctbal"))
@@ -1196,6 +1245,27 @@ object MapIndexQueries {
     "mapindex_bucketed_percentile_view" -> ((s, dir) =>
       quantileServe(percentileBView(s, dir).state)),
 
+    // maintained per-group TOP-K FREQUENT values from the SAME refcount
+    // state — the exact, deletion-safe version of what Misra-Gries
+    // approximates: the state's per-(group, value) multiplicity ranks
+    // directly (cnt desc, value asc tie-break), serving O(state) with
+    // the corpus never re-read. The oracle recomputes the identical
+    // ranking from the modified corpus from scratch.
+    "mapindex_topfreq_view" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val st = percentileView(s, dir).state
+        .filter(col("cnt") > 0)
+        .select(substring_index(col("emit_key"), "|", 1).as("flag"),
+          substring_index(col("emit_key"), "|", -1).cast("int").as("qty"),
+          col("cnt"))
+      st.withColumn("rank", row_number()
+          .over(Window.partitionBy("flag")
+            .orderBy(col("cnt").desc, col("qty"))).cast("long"))
+        .filter(col("rank") <= 3)
+        .select("flag", "rank", "qty", "cnt")
+        .orderBy("flag", "rank")
+    }),
+
     "mapindex_aggview" -> ((s, dir) =>
       aggView(s, dir).read
         .select(col("emit_key"), col("cnt"),
@@ -1430,6 +1500,24 @@ object MapIndexQueries {
         |       round(o_totalprice, 2) AS o_totalprice,
         |       round(c_acctbal, 2) AS c_acctbal
         |FROM o JOIN c ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+    // the from-scratch LEFT JOIN of both modified tables: %17-tombstoned
+    // customers' surviving orders appear null-padded
+    "mapindex_joinview_outer" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey,
+        |         CASE WHEN o_orderkey % 37 = 0 THEN o_totalprice + 1000
+        |              ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 41 <> 0),
+        |c AS (
+        |  SELECT c_custkey, c_name,
+        |         CASE WHEN c_custkey % 13 = 0 THEN c_acctbal + 100
+        |              ELSE c_acctbal END AS c_acctbal
+        |  FROM customer WHERE c_custkey % 17 <> 0)
+        |SELECT o_orderkey, o_custkey, c_name,
+        |       round(o_totalprice, 2) AS o_totalprice,
+        |       round(c_acctbal, 2) AS c_acctbal
+        |FROM o LEFT JOIN c ON o_custkey = c_custkey
         |ORDER BY o_orderkey""".stripMargin,
     // salt shards must be invisible: identical oracle to mapindex_joinview
     "mapindex_joinview_salted" ->
@@ -1685,6 +1773,23 @@ object MapIndexQueries {
         |       min(CASE WHEN cum >= ceil(n * 19 / 20.0) THEN qty END) AS p95,
         |       max(n) AS n
         |FROM cum GROUP BY flag ORDER BY flag""".stripMargin,
+    // top-3 most frequent quantities per (possibly re-flagged) group on
+    // the modified corpus, ties to the smaller quantity — row_number
+    // mirrored; ranks cast BIGINT both sides
+    "mapindex_topfreq_view" ->
+      """WITH src AS (
+        |  SELECT CASE WHEN l_orderkey % 97 = 0 THEN 'X' ELSE l_returnflag END AS flag,
+        |         CAST(l_quantity AS INTEGER) AS qty
+        |  FROM lineitem WHERE l_orderkey % 89 <> 0),
+        |counts AS (
+        |  SELECT flag, qty, count(*) AS cnt FROM src GROUP BY flag, qty),
+        |ranked AS (
+        |  SELECT flag, qty, cnt,
+        |         CAST(row_number() OVER (PARTITION BY flag
+        |           ORDER BY cnt DESC, qty) AS BIGINT) AS rank
+        |  FROM counts)
+        |SELECT flag, rank, qty, cnt FROM ranked WHERE rank <= 3
+        |ORDER BY flag, rank""".stripMargin,
     // bucketed quantile state: identical oracle to the flat twin
     "mapindex_bucketed_percentile_view" ->
       """WITH src AS (

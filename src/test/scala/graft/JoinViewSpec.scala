@@ -170,6 +170,39 @@ class JoinViewSpec extends AnyFunSuite with SparkSpec {
     assert(e.getMessage.contains("left pk"))
   }
 
+  test("left-outer join view: null-pads unmatched, heals on arrival, re-pads on right delete") {
+    val store = BucketedViewStore.temp(spark, 8)
+    val jv = new JoinView(store, "t_louter",
+      "l_pk", "l_jk", Seq("l_pk", "l_jk", "l_val"),
+      "r_pk", "r_jk", Seq("r_pk", "r_jk", "r_val"), joinType = "left_outer")
+    def osnap(): Set[(Long, String, Long, Option[Double])] =
+      jv.df.select("l_pk", "l_jk", "l_val", "r_val")
+        .as[(Long, String, Long, Option[Double])].collect().toSet
+    // build: pk 2 has no right match — it must hold a null-padded row
+    jv.build(leftDf((1L, "a", 10L), (2L, "b", 20L)),
+      rightDf((100L, "a", 1.0)))
+    assert(osnap() === Set((1L, "a", 10L, Some(1.0)), (2L, "b", 20L, None)))
+
+    // late right arrival HEALS pk 2's null-pad into the real join row
+    jv.refreshRight(rightDf((101L, "b", 2.0)), None)
+    assert(osnap() === Set((1L, "a", 10L, Some(1.0)), (2L, "b", 20L, Some(2.0))))
+
+    // right delete RE-PADS: pk 1's match vanishes but the row survives
+    // (the inner view would retract it)
+    jv.refreshRight(rightDf(),
+      Some(rightDf((100L, "zz", 0.0)).select(col("r_pk").cast("string"))))
+    assert(osnap() === Set((1L, "a", 10L, None), (2L, "b", 20L, Some(2.0))))
+
+    // a left upsert with no match null-pads immediately; a left delete
+    // removes the null-pad like any owned row
+    jv.refreshLeft(leftDf((3L, "c", 30L)), None)
+    assert(osnap() === Set((1L, "a", 10L, None), (2L, "b", 20L, Some(2.0)),
+      (3L, "c", 30L, None)))
+    jv.refreshLeft(leftDf(),
+      Some(leftDf((1L, "zz", 0L)).select(col("l_pk").cast("string"))))
+    assert(osnap() === Set((2L, "b", 20L, Some(2.0)), (3L, "c", 30L, None)))
+  }
+
   test("salted join view: hot-key refresh I/O stays delta-proportional, serving unchanged") {
     val store = BucketedViewStore.temp(spark, 8)
     // 50 %-skewed left: half the rows on ONE join key
