@@ -545,4 +545,22 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       s"the corpus must never shuffle to meet the pre-filter:\n$p")
     assert(p.split("Window").length - 1 >= 1, s"exact window must remain:\n$p")
   }
+
+  test("maintained-state serving never touches a corpus: percentile, topfreq, rollup") {
+    // the whole point of the refcount / rollup states: serving is a read
+    // of the vocabulary- or group-sized STATE relation — no lineitem or
+    // orders scan, no join against a base table anywhere in the executed
+    // plan. (The quantile/topfreq windows run over state rows; the rollup
+    // read is a pure bucket scan with zero joins.)
+    for (q <- Seq("mapindex_percentile_view", "mapindex_topfreq_view")) {
+      val p = finalPlan(q)
+      assert(!p.contains("lineitem.parquet"),
+        s"$q must serve from maintained state, not re-scan the corpus:\n$p")
+      assert(!p.contains("Join"), s"$q serving must be join-free:\n$p")
+    }
+    val p = finalPlan("mapindex_joinview_agg")
+    assert(!p.contains("orders.parquet") && !p.contains("customer.parquet"),
+      s"the rollup must serve from state, not re-join the base tables:\n$p")
+    assert(!p.contains("Join"), s"rollup serving must be join-free:\n$p")
+  }
 }
