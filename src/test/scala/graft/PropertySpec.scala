@@ -489,6 +489,67 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("left-outer join view equals the recomputed left join on random histories") {
+    import graft.engine.JoinView
+    val lRowGen = Gen.zip(Gen.choose(1L, 10L), Gen.oneOf("a", "b", "c", "d"),
+      Gen.choose(0L, 99L))
+    val rRowGen = Gen.zip(Gen.choose(100L, 106L), Gen.oneOf("a", "b", "c", "d", "e"),
+      Gen.choose(0.0, 9.0).map(x => math.rint(x * 4) / 4))
+    def lDf(rows: Map[Long, (String, Long)]) =
+      rows.toSeq.map { case (k, (j, v)) => (k, j, v) }
+        .toDF("l_pk", "l_jk", "l_val")
+    def rDf(rows: Map[Long, (String, Double)]) =
+      rows.toSeq.map { case (k, (j, v)) => (k, j, v) }
+        .toDF("r_pk", "r_jk", "r_val")
+    // LEFT JOIN semantics: every left row appears; null-padded when no
+    // right key matches, once per matching right row otherwise
+    def leftJoined(l: Map[Long, (String, Long)], r: Map[Long, (String, Double)])
+        : Set[(Long, Option[Long], Long, Option[Double])] =
+      l.toSeq.flatMap { case (lk, (lj, lv)) =>
+        val ms = r.toSeq.collect { case (rk, (rj, rv)) if rj == lj => (rk, rv) }
+        if (ms.isEmpty) Seq((lk, None: Option[Long], lv, None: Option[Double]))
+        else ms.map { case (rk, rv) => (lk, Some(rk), lv, Some(rv)) }
+      }.toSet
+    (1 to 2).foreach { trial =>
+      val store = graft.engine.BucketedViewStore.temp(spark, 4)
+      val jv = new JoinView(store, s"jvlo_prop$trial",
+        "l_pk", "l_jk", Seq("l_pk", "l_jk", "l_val"),
+        "r_pk", "r_jk", Seq("r_pk", "r_jk", "r_val"),
+        joinType = "left_outer")
+      var lState = sample(Gen.listOfN(6, lRowGen), 800L + trial)
+        .map { case (k, j, v) => k -> (j, v) }.toMap
+      var rState = sample(Gen.listOfN(4, rRowGen), 900L + trial)
+        .map { case (k, j, v) => k -> (j, v) }.toMap
+      jv.build(lDf(lState), rDf(rState))
+      (1 to 3).foreach { round =>
+        val leftTurn = (trial + round) % 2 == 0
+        if (leftTurn) {
+          val ups = sample(Gen.listOfN(3, lRowGen), 9000L * trial + round)
+            .map { case (k, j, v) => k -> (j, v) }.toMap
+          val delIds = sample(Gen.listOfN(2, Gen.choose(1L, 10L)),
+            9500L * trial + round).toSet -- ups.keySet
+          lState = (lState ++ ups) -- delIds
+          jv.refreshLeft(lDf(ups),
+            if (delIds.isEmpty) None
+            else Some(delIds.toSeq.toDF("k").select(col("k").cast("string"))))
+        } else {
+          val ups = sample(Gen.listOfN(2, rRowGen), 9800L * trial + round)
+            .map { case (k, j, v) => k -> (j, v) }.toMap
+          val delIds = sample(Gen.listOfN(1, Gen.choose(100L, 106L)),
+            9900L * trial + round).toSet -- ups.keySet
+          rState = (rState ++ ups) -- delIds
+          jv.refreshRight(rDf(ups),
+            if (delIds.isEmpty) None
+            else Some(delIds.toSeq.toDF("k").select(col("k").cast("string"))))
+        }
+        val got = jv.df.select("l_pk", "r_pk", "l_val", "r_val")
+          .as[(Long, Option[Long], Long, Option[Double])].collect().toSet
+        assert(got === leftJoined(lState, rState),
+          s"trial $trial round $round L=$lState R=$rState")
+      }
+    }
+  }
+
   test("aggregate-over-join rollup equals recomputed join+group-by on random histories") {
     import graft.engine.{JoinAggView, JoinView}
     val lRowGen = Gen.zip(Gen.choose(1L, 10L), Gen.oneOf("a", "b", "c", "d"),
