@@ -69,11 +69,20 @@ def type_mismatches(got_schema, exp_schema):
         return [("<duplicate column names>",
                  ",".join(sorted(gnames)), ",".join(sorted(enames)))]
     gmap = dict(got_schema)
+    emap = dict(exp_schema)
     bad = []
     for ec, et in exp_schema:
         gt = gmap.get(ec)
-        if gt is not None and gt != et and (gt, et) not in ALLOW_TYPE_PAIRS:
+        if gt is None:
+            # a column the oracle produced but Spark dropped is itself a
+            # schema defect — report it here instead of relying on the row
+            # hash to catch it indirectly
+            bad.append((ec, "<missing in spark result>", et))
+        elif gt != et and (gt, et) not in ALLOW_TYPE_PAIRS:
             bad.append((ec, gt, et))
+    for gc, gt in got_schema:
+        if gc not in emap:
+            bad.append((gc, gt, "<missing in oracle result>"))
     return bad
 
 

@@ -25,6 +25,35 @@ import graft.engine.BucketedViewStore.RefreshStats
   * level. Sums are carried in DECIMAL so the merge is exact and
   * associative ([[AggView.SumType]] contract); avg derives as sum/cnt.
   *
+  * DURABILITY: the catch-up watermark (the join epoch already folded in)
+  * is persisted INSIDE the state view as a sentinel row
+  * ([[JoinAggView.WatermarkKey]]) written in the SAME materialize/refresh
+  * as the state rows — watermark and state commit atomically under one
+  * manifest swap, so a process restart between a join refresh and the
+  * rollup catch-up can never serve a silently-stale rollup:
+  * [[JoinAggView.attach]] reads the watermark from disk and the next
+  * [[catchUp]] folds exactly the unconsumed epochs. [[catchUp]] is
+  * idempotent per epoch (already-current → no-op).
+  *
+  * NULL GROUPS: a null group key (reachable when rolling up a left_outer
+  * [[JoinView]] by a right-side column) is coalesced to a sentinel
+  * ([[JoinAggView.NullGroupKey]]) before keying the state — null can
+  * neither key a store bucket nor survive the dirty-group semi-join —
+  * and mapped back to null at serve time, so SQL's null-group semantics
+  * hold end to end.
+  *
+  * With `trackValues = true` a second refcount state (`stateName__vals`,
+  * one row per live (group, value) with the value's multiplicity — the
+  * same deletion-safe machinery as the engine's maintained distinct-count
+  * and percentile states) is kept from the same CDC feed, serving exact
+  * per-group `min` / `max` / `distinct-count` — the aggregates the plain
+  * `(cnt, sum)` state cannot retract under deletes. State size is
+  * |groups| · |distinct values per group|: bounded for discrete/bounded-
+  * precision domains, the documented contract of the refcount family.
+  * Each state carries its own watermark, so a crash between the two
+  * folds self-heals: the lagging state folds the wider range on the next
+  * catch-up, the current one no-ops.
+  *
   * The state lives in the SAME bucketed store as the join view, as its
   * own map view (src_key = emit key = group key, one emission per group),
   * so CDC, time travel and compaction apply to the rollup itself.
@@ -33,51 +62,141 @@ final class JoinAggView(
     val jv: JoinView,
     val stateName: String,
     groupCol: String,
-    valueCol: String) {
+    valueCol: String,
+    trackValues: Boolean = false) {
+
+  import JoinAggView.{NullGroupKey, WatermarkKey, ValSep}
 
   private def store = jv.store
+  private def valsName = s"${stateName}__vals"
+
+  /** State-key spelling of a group value (null → sentinel). */
+  private def groupKey(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    coalesce(c.cast("string"), lit(NullGroupKey))
+
+  /** Serve-side inverse of [[groupKey]]. */
+  private def unkey(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(c === NullGroupKey, lit(null).cast("string")).otherwise(c)
 
   private def stateIdx = MapIndex.columns(stateName)(
     col("emit_key").cast("string"),
     array(MapIndex.emit(col("emit_key"),
       struct(col("cnt"), col("sum_value")))))
 
+  /** Refcount state: one row per (group, value), keyed by their joint
+    * spelling, the group and DECIMAL value carried as struct fields so
+    * serving never parses the key. */
+  private def valsIdx = MapIndex.columns(valsName)(
+    col("emit_key").cast("string"),
+    array(MapIndex.emit(col("emit_key"),
+      struct(col("grp"), col("v"), col("cnt")))))
+
+  private def valKey(grp: org.apache.spark.sql.Column,
+      v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat_ws(ValSep, grp, v.cast("string"))
+
   private def aggregateOf(rows: DataFrame): DataFrame =
-    rows.groupBy(col(groupCol).cast("string").as("emit_key"))
+    rows.groupBy(groupKey(col(groupCol)).as("emit_key"))
       .agg(count(lit(1)).as("cnt"),
         coalesce(sum(col(valueCol).cast(DecimalType(18, 4))), lit(0))
           .cast(AggView.SumType).as("sum_value"))
 
-  /** Join epochs already folded into the state (build snapshot = the
-    * join view's epoch at build time). */
-  private var consumedEpoch: Int = 0
+  /** Full refcount recompute (build path). Null values drop out — SQL's
+    * min/max/count(DISTINCT) all ignore them. */
+  private def valsOf(rows: DataFrame): DataFrame =
+    rows.select(groupKey(col(groupCol)).as("grp"),
+        col(valueCol).cast(DecimalType(18, 4)).as("v"))
+      .filter(col("v").isNotNull)
+      .groupBy("grp", "v").agg(count(lit(1)).as("cnt"))
+      .withColumn("emit_key", valKey(col("grp"), col("v")))
+
+  /** The watermark sentinel row in the MAIN state's schema: `cnt` carries
+    * the consumed join epoch (sum 0). Committing it with the state rows
+    * is what makes the watermark crash-consistent. */
+  private def wmRow(epoch: Int): DataFrame =
+    store.spark.range(1).select(
+      lit(WatermarkKey).as("emit_key"),
+      lit(epoch.toLong).as("cnt"),
+      lit(0).cast(AggView.SumType).as("sum_value"))
+
+  /** Watermark row in the vals state's schema. */
+  private def wmValsRow(epoch: Int): DataFrame =
+    store.spark.range(1).select(
+      lit(WatermarkKey).as("emit_key"),
+      lit(WatermarkKey).as("grp"),
+      lit(null).cast(DecimalType(18, 4)).as("v"),
+      lit(epoch.toLong).as("cnt"))
+
+  /** In-memory mirrors of the persisted watermarks (source of truth is
+    * the sentinel row on disk; these only skip the read on the hot
+    * path). */
+  private var consumedMain: Int = 0
+  private var consumedVals: Int = 0
 
   /** Materialize the rollup from the join view's CURRENT snapshot (the
     * one full-scan moment; everything after is delta-fed). */
   def build(): Unit = {
-    store.materialize(stateIdx, aggregateOf(jv.df))
-    consumedEpoch = jv.epoch
+    val e = jv.epoch
+    store.materialize(stateIdx, aggregateOf(jv.df).unionByName(wmRow(e)))
+    consumedMain = e
+    if (trackValues) {
+      store.materialize(valsIdx,
+        valsOf(jv.df).select("emit_key", "grp", "v", "cnt")
+          .unionByName(wmValsRow(e)))
+      consumedVals = e
+    }
   }
 
   /** Current rollup: `emit_key (group), cnt, sum_value`. */
   def state: DataFrame =
-    store.df(stateName).select(col("emit_key"),
-      col("emit_value.cnt").as("cnt"),
-      col("emit_value.sum_value").as("sum_value"))
+    store.df(stateName)
+      .filter(col("emit_key") =!= WatermarkKey)
+      .select(unkey(col("emit_key")).as("emit_key"),
+        col("emit_value.cnt").as("cnt"),
+        col("emit_value.sum_value").as("sum_value"))
 
-  /** Fold the join view's CDC feed `(consumed, jv.epoch]` into the state:
-    * one delta-sized aggregation, a bucket-pruned read of ONLY the dirty
-    * groups' current state, and a state refresh scoped to those groups
-    * (delete-then-insert; a group whose count reaches zero vanishes).
-    * Returns the state store's refresh stats so callers — and the spec's
-    * I/O-bound assertion — can see the dirty-buckets-only economics. */
+  /** The refcount (group, value) state: `emit_key (group), value, cnt`. */
+  def valueState: DataFrame = {
+    require(trackValues, s"rollup '$stateName' was not built with trackValues")
+    store.df(valsName)
+      .filter(col("emit_key") =!= WatermarkKey)
+      .select(unkey(col("emit_value.grp")).as("emit_key"),
+        col("emit_value.v").as("value"),
+        col("emit_value.cnt").as("cnt"))
+  }
+
+  /** Exact deletion-safe min / max / distinct-count per group, served
+    * from the refcount state alone (vocabulary-sized — the join is never
+    * re-read). */
+  def multiState: DataFrame =
+    valueState.groupBy("emit_key")
+      .agg(min("value").as("min_value"), max("value").as("max_value"),
+        count(lit(1)).as("n_distinct"))
+
+  /** Fold the join view's CDC feed `(consumed, jv.epoch]` into the
+    * state(s): one delta-sized aggregation per state, a bucket-pruned
+    * read of ONLY the dirty keys' current state, and a state refresh
+    * scoped to those keys (delete-then-insert; a key whose count reaches
+    * zero vanishes). The watermark sentinel rides in the same refresh,
+    * so serving can never observe state without its matching watermark.
+    * Idempotent: already-current states no-op. Returns the MAIN state
+    * store's refresh stats (the spec's I/O-bound assertion target). */
   def catchUp(): RefreshStats = {
     val to = jv.epoch
-    require(to > consumedEpoch,
-      s"rollup '$stateName' already current at join epoch $to")
-    val feed = jv.changes(consumedEpoch, to)
-    val delta = feed.select(
-        col(s"emit_value.$groupCol").cast("string").as("emit_key"),
+    val mainStats = foldMain(to)
+    if (trackValues) foldVals(to)
+    mainStats
+  }
+
+  private def feedBetween(from: Int, to: Int): DataFrame = jv.changes(from, to)
+
+  private def foldMain(to: Int): RefreshStats = {
+    require(to >= consumedMain,
+      s"rollup '$stateName' watermark $consumedMain is ahead of join epoch $to")
+    if (to == consumedMain) // already current: idempotent no-op
+      return RefreshStats(0, 0, store.numBuckets)
+    val delta = feedBetween(consumedMain, to).select(
+        groupKey(col(s"emit_value.$groupCol")).as("emit_key"),
         when(col("change_type") === "insert", 1L).otherwise(-1L).as("d_cnt"),
         (when(col("change_type") === "insert",
             col(s"emit_value.$valueCol").cast(DecimalType(18, 4)))
@@ -87,40 +206,102 @@ final class JoinAggView(
       .agg(sum("d_cnt").as("d_cnt"),
         sum("d_sum").cast(AggView.SumType).as("d_sum"))
       .persist() // feeds the touched-key set AND the merge below
-    if (delta.isEmpty) { // epoch bumped but the join delta was empty
-      delta.unpersist()
-      consumedEpoch = to
-      return BucketedViewStore.RefreshStats(0, 0, store.numBuckets)
-    }
-    val touched = delta.select("emit_key")
-    val old = store.getAll(stateName, touched)
-      .select(col("emit_key"),
-        col("emit_value.cnt").as("cnt"),
-        col("emit_value.sum_value").as("sum_value"))
-    val merged = old.join(delta, Seq("emit_key"), "full_outer")
-      .select(col("emit_key"),
-        (coalesce(col("cnt"), lit(0L)) + coalesce(col("d_cnt"), lit(0L))).as("cnt"),
-        (coalesce(col("sum_value"), lit(0).cast(AggView.SumType))
-          + coalesce(col("d_sum"), lit(0).cast(AggView.SumType)))
-          .cast(AggView.SumType).as("sum_value"))
-      .filter(col("cnt") > 0)
-    val stats = store.refresh(stateIdx, merged,
-      Some(touched.select(col("emit_key").cast("string").as("src_key"))))
+    val stats =
+      if (delta.isEmpty)
+        // the join delta was empty, but the watermark still advances ON
+        // DISK: leaving it behind would eventually age the replay range
+        // past the store's sidecar retention for a reopening process
+        store.refresh(stateIdx, wmRow(to), None)
+      else {
+        val touched = delta.select("emit_key")
+        val old = store.getAll(stateName, touched)
+          .select(col("emit_key"),
+            col("emit_value.cnt").as("cnt"),
+            col("emit_value.sum_value").as("sum_value"))
+        val merged = old.join(delta, Seq("emit_key"), "full_outer")
+          .select(col("emit_key"),
+            (coalesce(col("cnt"), lit(0L)) + coalesce(col("d_cnt"), lit(0L))).as("cnt"),
+            (coalesce(col("sum_value"), lit(0).cast(AggView.SumType))
+              + coalesce(col("d_sum"), lit(0).cast(AggView.SumType)))
+              .cast(AggView.SumType).as("sum_value"))
+          .filter(col("cnt") > 0)
+        store.refresh(stateIdx, merged.unionByName(wmRow(to)),
+          Some(touched.select(col("emit_key").cast("string").as("src_key"))))
+      }
     delta.unpersist()
-    consumedEpoch = to
+    consumedMain = to
     stats
+  }
+
+  private def foldVals(to: Int): Unit = {
+    require(to >= consumedVals,
+      s"rollup '$valsName' watermark $consumedVals is ahead of join epoch $to")
+    if (to == consumedVals) return
+    val delta = feedBetween(consumedVals, to).select(
+        groupKey(col(s"emit_value.$groupCol")).as("grp"),
+        col(s"emit_value.$valueCol").cast(DecimalType(18, 4)).as("v"),
+        when(col("change_type") === "insert", 1L).otherwise(-1L).as("d_cnt"))
+      .filter(col("v").isNotNull)
+      .groupBy("grp", "v")
+      .agg(sum("d_cnt").as("d_cnt"))
+      .withColumn("emit_key", valKey(col("grp"), col("v")))
+      .persist()
+    if (delta.isEmpty) store.refresh(valsIdx, wmValsRow(to), None)
+    else {
+      val touched = delta.select("emit_key")
+      val old = store.getAll(valsName, touched)
+        .select(col("emit_key"), col("emit_value.cnt").as("cnt"))
+      val merged = old.join(delta, Seq("emit_key"), "full_outer")
+        .select(col("emit_key"), col("grp"), col("v"),
+          (coalesce(col("cnt"), lit(0L)) + coalesce(col("d_cnt"), lit(0L))).as("cnt"))
+        .filter(col("cnt") > 0)
+      // a (group, value) resurfacing only in `old` has null grp/v fields
+      // from the outer join — but cnt > 0 with d_cnt null means nothing
+      // changed for it, and it is only here because its key was touched;
+      // re-spell its fields from the key is unnecessary: touched keys
+      // come FROM the delta, so grp/v are always present on survivors
+      store.refresh(valsIdx,
+        merged.select("emit_key", "grp", "v", "cnt").unionByName(wmValsRow(to)),
+        Some(touched.select(col("emit_key").cast("string").as("src_key"))))
+    }
+    delta.unpersist()
+    consumedVals = to
   }
 }
 
 object JoinAggView {
-  /** Handle to an already-materialized rollup (durable-store reopen):
-    * trusts the on-disk state to be current with the join view, so the
-    * caller must gate attachment behind its build unit's completion
-    * marker ([[Views.unitDone]]). */
+  /** Sentinel emit_key of the persisted watermark row (U+0000 prefix —
+    * outside any cast-to-string group domain). */
+  val WatermarkKey = "\u0000__watermark"
+
+  /** Sentinel spelling of a NULL group key in the state. */
+  val NullGroupKey = "\u0000__null"
+
+  /** Separator inside refcount state keys. */
+  private val ValSep = "\u0001"
+
+  /** Read a state view's persisted watermark (the consumed join epoch). */
+  private def readWatermark(store: BucketedViewStore, name: String): Int = {
+    val rows = store.get(name, WatermarkKey)
+      .select(col("emit_value.cnt")).collect()
+    require(rows.nonEmpty,
+      s"state view '$name' has no persisted watermark — built by a " +
+        "pre-watermark version or never materialized; rebuild it")
+    rows.head.getLong(0).toInt
+  }
+
+  /** Handle to an already-materialized rollup (durable-store reopen).
+    * The catch-up watermark is read from the PERSISTED sentinel row —
+    * never trusted from the caller or driver memory — so a reopening
+    * process resumes from exactly the epochs the on-disk state has
+    * folded, and the next [[JoinAggView.catchUp]] replays any refreshes
+    * that landed after the last fold. */
   def attach(jv: JoinView, stateName: String,
-      groupCol: String, valueCol: String): JoinAggView = {
-    val v = new JoinAggView(jv, stateName, groupCol, valueCol)
-    v.consumedEpoch = jv.epoch
+      groupCol: String, valueCol: String,
+      trackValues: Boolean = false): JoinAggView = {
+    val v = new JoinAggView(jv, stateName, groupCol, valueCol, trackValues)
+    v.consumedMain = readWatermark(jv.store, stateName)
+    if (trackValues) v.consumedVals = readWatermark(jv.store, v.valsName)
     v
   }
 }

@@ -90,10 +90,14 @@ final class JoinView(
         .select(concat_ws(Sep, col(c).cast("string"), col("__salt")).as(c))
     }
 
-  /** Strip the salt shard back off a stored emit key (identity at salt 1
-    * — and on unsalted keys, which never contain the separator). */
+  /** Strip the salt shard back off a stored emit key. A true identity at
+    * salt 1 (not substring_index, which would truncate a join key that
+    * legitimately contains U+0001); with salting enabled, join keys must
+    * not contain the separator — [[saltedKey]] would produce ambiguous
+    * spellings, so shard parsing requires the caller to keep U+0001 out
+    * of salted keys. */
   private def unsalt(k: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    substring_index(k, Sep, 1)
+    if (saltBuckets <= 1) k else substring_index(k, Sep, 1)
 
   private def leftIdx = MapIndex.columns(s"${name}__left")(
     col(leftPk).cast("string"),

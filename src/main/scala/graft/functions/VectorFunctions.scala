@@ -220,8 +220,10 @@ object VectorFunctions {
       var acc = 0.0
       var i = 0
       while (i < m) {
-        val code = codes.getByte(i).toInt
-        if (code < 0 || code >= ks)
+        // unsigned decode: a tinyint code 128..255 stores as a negative
+        // byte; & 0xFF recovers it, so the byte-code ceiling is ks = 256
+        val code = codes.getByte(i) & 0xFF
+        if (code >= ks)
           throw new IllegalArgumentException(s"pq_adc: code $code out of [0, $ks)")
         acc += lut.getDouble(i * ks + code)
         i += 1
@@ -242,8 +244,8 @@ object VectorFunctions {
            |}
            |double $acc = 0.0;
            |for (int $i = 0; $i < $m; $i++) {
-           |  final int $code = (int) $c.getByte($i);
-           |  if ($code < 0 || $code >= $k) {
+           |  final int $code = $c.getByte($i) & 0xFF;
+           |  if ($code >= $k) {
            |    throw new IllegalArgumentException("pq_adc: code " + $code + " out of [0, " + $k + ")");
            |  }
            |  $acc += $l.getDouble($i * $k + $code);
@@ -265,7 +267,9 @@ object VectorFunctions {
     * compiles O(M·ks) expression nodes into the plan, which is what
     * bounded the engine's sub-quantizer resolution at ks=16 — as a
     * reference, codegen is O(1) in ks and the codebooks can scale with
-    * the byte-code ceiling (ks ≤ 256) instead of the plan size.
+    * the byte-code ceiling (ks ≤ 256 — codes decode UNSIGNED via & 0xFF
+    * in [[PqAdc]]/[[PqReconNorm2]], so 128..255 round-trip through the
+    * signed tinyint storage) instead of the plan size.
     * Accumulation order per entry is i ascending — identical to the
     * literal `vec_dot` spelling this replaces. */
   case class PqLut(child: Expression, flatBooks: Array[Double],
@@ -440,8 +444,8 @@ object VectorFunctions {
       var acc = 0.0
       var mi = 0
       while (mi < m) {
-        val code = codes.getByte(mi).toInt
-        if (code < 0 || code >= ks)
+        val code = codes.getByte(mi) & 0xFF // unsigned decode (ks ≤ 256)
+        if (code >= ks)
           throw new IllegalArgumentException(s"pq_recon_norm2: code $code out of [0, $ks)")
         val boff = (mi * ks + code) * subDim
         var i = 0

@@ -998,6 +998,9 @@ object MapIndexQueries {
     "mapindex_joinview_agg_asof" -> ((s, dir) => {
       val agg = ordersCustomerAggView(s, dir)
       agg.jv.store.dfAsOf(agg.stateName, 1)
+        // drop the persisted catch-up watermark sentinel (it rides in the
+        // state view so it commits atomically with the rollup rows)
+        .filter(col("emit_key") =!= graft.engine.JoinAggView.WatermarkKey)
         .select(col("emit_key").as("o_orderpriority"),
           col("emit_value.cnt").as("cnt"),
           round(col("emit_value.sum_value").cast("double"), 2).as("revenue"))

@@ -100,8 +100,10 @@ class JoinViewSpec extends AnyFunSuite with SparkSpec {
       Some(leftDf((2L, "zz", 0L)).select(col("l_pk").cast("string"))))
     val s1 = agg.catchUp()
     assert(state() === Map("a" -> (1L, 15L), "b" -> (1L, 30L), "c" -> (1L, 40L)))
-    assert(s1.emitBucketsRewritten <= 1,
-      s"one dirty group must touch at most one state bucket, " +
+    // ≤ 2: the dirty group's bucket plus (possibly) the persisted
+    // watermark sentinel's bucket — still O(dirty groups), never O(state)
+    assert(s1.emitBucketsRewritten <= 2,
+      s"one dirty group must touch at most its bucket + the watermark's, " +
         s"rewrote ${s1.emitBucketsRewritten}")
 
     // right delta deleting r 101: group 'b' loses its only join row and
@@ -110,7 +112,7 @@ class JoinViewSpec extends AnyFunSuite with SparkSpec {
       Some(rightDf((101L, "zz", 0.0)).select(col("r_pk").cast("string"))))
     val s2 = agg.catchUp()
     assert(state() === Map("a" -> (1L, 15L), "c" -> (1L, 40L)))
-    assert(s2.emitBucketsRewritten <= 1)
+    assert(s2.emitBucketsRewritten <= 2)
 
     // multi-epoch catch-up (two refreshes folded in one replay): pk 5
     // arrives at 'c', then moves to 'a' — only the FINAL state may land
@@ -118,6 +120,98 @@ class JoinViewSpec extends AnyFunSuite with SparkSpec {
     jv.refreshLeft(leftDf((5L, "a", 50L)), None)
     agg.catchUp()
     assert(state() === Map("a" -> (2L, 65L), "c" -> (1L, 40L)))
+  }
+
+  test("rollup watermark is persisted: a reopening process resumes from disk and double-catchUp no-ops") {
+    import graft.engine.JoinAggView
+    val store = BucketedViewStore.temp(spark, 8)
+    val jv = new JoinView(store, "t_jwm",
+      "l_pk", "l_jk", Seq("l_pk", "l_jk", "l_val"),
+      "r_pk", "r_jk", Seq("r_pk", "r_jk", "r_val"))
+    jv.build(
+      leftDf((1L, "a", 10L), (2L, "b", 20L)),
+      rightDf((100L, "a", 1.0), (101L, "b", 2.0)))
+    val agg = new JoinAggView(jv, "t_jwm__rollup", "l_jk", "l_val")
+    agg.build()
+    def state(a: JoinAggView): Map[String, (Long, Long)] =
+      a.state.select(col("emit_key"), col("cnt"), col("sum_value").cast("long"))
+        .as[(String, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+
+    // a join refresh lands, then the PROCESS DIES before catchUp: the
+    // original JoinAggView object is gone. A fresh attach must read the
+    // BUILD-TIME watermark from disk (not trust jv.epoch) and fold the
+    // missed refresh.
+    jv.refreshLeft(leftDf((1L, "a", 99L), (3L, "b", 30L)), None)
+    val reopened = JoinAggView.attach(jv, "t_jwm__rollup", "l_jk", "l_val")
+    val s1 = reopened.catchUp()
+    assert(state(reopened) === Map("a" -> (1L, 99L), "b" -> (2L, 50L)))
+    assert(s1.emitBucketsRewritten >= 1, "the missed refresh must actually fold")
+
+    // double-catchUp no-ops: already current at the join epoch
+    val s2 = reopened.catchUp()
+    assert(s2.emitBucketsRewritten === 0 && s2.metaBucketsRewritten === 0,
+      "a second catchUp at the same join epoch must be a no-op")
+    assert(state(reopened) === Map("a" -> (1L, 99L), "b" -> (2L, 50L)))
+
+    // a SECOND reopen after the fold resumes current (watermark advanced
+    // atomically with the fold's state refresh) and also no-ops
+    val reopened2 = JoinAggView.attach(jv, "t_jwm__rollup", "l_jk", "l_val")
+    assert(reopened2.catchUp().emitBucketsRewritten === 0)
+    assert(state(reopened2) === Map("a" -> (1L, 99L), "b" -> (2L, 50L)))
+
+    // an EMPTY join delta still advances the persisted watermark (else a
+    // long empty streak ages the replay range past sidecar retention)
+    jv.refreshLeft(leftDf((9L, "nomatch", 1L)), None) // joins nothing
+    val reopened3 = JoinAggView.attach(jv, "t_jwm__rollup", "l_jk", "l_val")
+    reopened3.catchUp()
+    val reopened4 = JoinAggView.attach(jv, "t_jwm__rollup", "l_jk", "l_val")
+    assert(reopened4.catchUp().emitBucketsRewritten === 0,
+      "the empty-delta fold must have persisted its watermark")
+  }
+
+  test("rollup value-refcount state serves exact deletion-safe min/max/distinct") {
+    import graft.engine.JoinAggView
+    val store = BucketedViewStore.temp(spark, 8)
+    val jv = new JoinView(store, "t_jmulti",
+      "l_pk", "l_jk", Seq("l_pk", "l_jk", "l_val"),
+      "r_pk", "r_jk", Seq("r_pk", "r_jk", "r_val"))
+    jv.build(
+      leftDf((1L, "a", 10L), (2L, "a", 20L), (3L, "a", 20L), (4L, "b", 5L)),
+      rightDf((100L, "a", 1.0), (101L, "b", 2.0)))
+    val agg = new JoinAggView(jv, "t_jmulti__rollup", "l_jk", "l_val",
+      trackValues = true)
+    agg.build()
+    def multi(): Map[String, (Long, Long, Long)] =
+      agg.multiState.select(col("emit_key"), col("min_value").cast("long"),
+          col("max_value").cast("long"), col("n_distinct"))
+        .as[(String, Long, Long, Long)].collect()
+        .map(t => t._1 -> (t._2, t._3, t._4)).toMap
+    assert(multi() === Map("a" -> (10L, 20L, 2L), "b" -> (5L, 5L, 1L)))
+
+    // delete the current MAX of 'a' (pk 3, val 20) — but pk 2 still
+    // carries 20: the refcount must keep max = 20, distinct = 2
+    jv.refreshLeft(leftDf(), Some(leftDf((3L, "zz", 0L))
+      .select(col("l_pk").cast("string"))))
+    agg.catchUp()
+    assert(multi() === Map("a" -> (10L, 20L, 2L), "b" -> (5L, 5L, 1L)))
+
+    // now delete the LAST 20 (pk 2): max falls to 10, distinct to 1 —
+    // the non-retractable case a plain (cnt,sum) state cannot serve
+    jv.refreshLeft(leftDf(), Some(leftDf((2L, "zz", 0L))
+      .select(col("l_pk").cast("string"))))
+    agg.catchUp()
+    assert(multi() === Map("a" -> (10L, 10L, 1L), "b" -> (5L, 5L, 1L)))
+
+    // new minimum arrives; the vals state watermark also survives reopen
+    jv.refreshLeft(leftDf((5L, "a", 3L)), None)
+    val reopened = JoinAggView.attach(jv, "t_jmulti__rollup", "l_jk", "l_val",
+      trackValues = true)
+    reopened.catchUp()
+    assert(reopened.multiState.select(col("emit_key"), col("min_value").cast("long"),
+        col("max_value").cast("long"), col("n_distinct"))
+      .as[(String, Long, Long, Long)].collect()
+      .map(t => t._1 -> (t._2, t._3, t._4)).toMap ===
+      Map("a" -> (3L, 10L, 2L), "b" -> (5L, 5L, 1L)))
   }
 
   test("three-way delta join: level 2 caught up from level 1's CDC equals the recomputed chain") {
