@@ -67,6 +67,12 @@ final class JoinAggView(
 
   import JoinAggView.{NullGroupKey, WatermarkKey, ValSep}
 
+  // a full_outer view's CDC feed covers only its left-owned relation
+  // (JoinView.changes) — folding it would silently miss right-pad churn
+  require(jv.joinType != "full_outer",
+    s"rollup '$stateName': JoinAggView cannot consume a full_outer " +
+      "JoinView (its CDC feed excludes the right-pad twin)")
+
   private def store = jv.store
   private def valsName = s"${stateName}__vals"
 

@@ -53,7 +53,7 @@ final class JoinView(
     val leftPk: String, leftJk: String, leftCols: Seq[String],
     rightPk: String, rightJk: String, rightCols: Seq[String],
     saltBuckets: Int = 1,
-    joinType: String = "inner") {
+    val joinType: String = "inner") {
   require(saltBuckets >= 1, s"saltBuckets must be >= 1, got $saltBuckets")
   // LEFT-OUTER IVM: a left row with no right match emits ONE null-padded
   // join row instead of nothing. The delta rules are unchanged — both
@@ -63,8 +63,27 @@ final class JoinView(
   // a null-pad into the real join row through the ordinary ownership
   // delete-then-insert. The left join key should be non-null (a null key
   // never matches and its null-pad is keyed null).
-  require(joinType == "inner" || joinType == "left_outer",
-    s"joinType must be 'inner' or 'left_outer', got '$joinType'")
+  //
+  // FULL-OUTER IVM: the left-owned machinery cannot own a right row with
+  // no left match (src_key is the LEFT pk), so the view splits into the
+  // left_outer-owned relation above plus a RIGHT-PAD twin (`name__rpad`,
+  // src_key = the RIGHT pk) holding exactly the right rows with no left
+  // match, null-padded on the left columns — the remaining published
+  // delta rule: pads heal in BOTH directions. Each refresh recomputes
+  // pad membership for ONLY the batch's dirty join keys (both reads
+  // bucket-pruned): a left arrival at a padded key tombstones the pad
+  // (heal), a left retreat re-pads the orphaned right rows, a right
+  // delete drops its pad via the ordinary ownership tombstone. Serving
+  // unions the two relations. Join keys must be non-null on both sides
+  // under full_outer (a null key never matches and cannot address a
+  // store bucket).
+  require(joinType == "inner" || joinType == "left_outer" || joinType == "full_outer",
+    s"joinType must be 'inner', 'left_outer' or 'full_outer', got '$joinType'")
+
+  /** The owned (left-pk-keyed) relation's join type: full_outer's owned
+    * half is exactly the left_outer rule. */
+  private val ownedType = if (joinType == "full_outer") "left_outer" else joinType
+  private def fullOuter = joinType == "full_outer"
 
   /** U+0001 separates key from salt: order-irrelevant here (hash
     * bucketing), only collision-safety with key text matters. */
@@ -112,12 +131,52 @@ final class JoinView(
     array(emit(saltedKey(col(leftJk), col(leftPk)),
       struct((leftCols ++ rightCols).map(col): _*))))
 
-  /** Materialize all three views from the base inputs (epoch 0 each). */
+  /** full_outer only: right rows with no left match, null-padded on the
+    * left columns, OWNED by their right pk — retracting or rewriting a
+    * right row delete-then-inserts its pad through the ordinary refresh. */
+  private def rpadIdx = MapIndex.columns(s"${name}__rpad")(
+    col(rightPk).cast("string"),
+    array(emit(saltedKey(col(rightJk), col(rightPk)),
+      struct((leftCols ++ rightCols).map(col): _*))))
+
+  /** Materialize the stored views from the base inputs (epoch 0 each). */
   def build(left: DataFrame, right: DataFrame): Unit = {
     store.materialize(leftIdx, left)
     store.materialize(rightIdx, right)
     store.materialize(joinIdx,
-      left.join(right, col(leftJk) === col(rightJk), joinType))
+      left.join(right, col(leftJk) === col(rightJk), ownedType))
+    if (fullOuter)
+      // right_outer + left-pk-null filter: the unmatched right rows in
+      // the FULL joined schema, left columns typed-null
+      store.materialize(rpadIdx,
+        left.join(right, col(leftJk) === col(rightJk), "right_outer")
+          .filter(col(leftPk).isNull))
+  }
+
+  /** Typed-null left columns in the joined schema (pad construction). */
+  private def nullLeftCols: Seq[org.apache.spark.sql.Column] = {
+    val schema = store.df(leftIdx.name).select(col("emit_value.*")).schema
+    leftCols.map(c => lit(null).cast(schema(c).dataType).as(c))
+  }
+
+  /** Recompute right-pad membership for the dirty join keys of one batch:
+    * post-batch left keys and right rows at those keys are both
+    * bucket-pruned reads; pads are the anti-join, healed pads the
+    * semi-join — O(dirty keys' buckets), never O(|L|) or O(|R|).
+    * `alsoDelete` carries right pks tombstoned by the batch itself. */
+  private def refreshRpad(dirtyJk: DataFrame,
+      alsoDelete: Option[DataFrame]): Unit = {
+    val lKeys = store.getAll(leftIdx.name, expandKeys(dirtyJk))
+      .select(col(s"emit_value.$leftJk")).distinct()
+    val rRows = store.getAll(rightIdx.name, expandKeys(dirtyJk))
+      .select(col("emit_value.*"))
+    val pads = rRows.join(lKeys, col(rightJk) === col(leftJk), "left_anti")
+      .select(nullLeftCols ++ rightCols.map(col): _*)
+    val healed = rRows.join(lKeys, col(rightJk) === col(leftJk), "left_semi")
+      .select(col(rightPk).cast("string").as("src_key")).distinct()
+    val dels = alsoDelete.map(_.toDF("src_key").unionByName(healed)).getOrElse(healed)
+    store.refresh(rpadIdx, pads, Some(dels))
+    ()
   }
 
   /** Apply a LEFT-side change batch: ΔL⋈R′ — the delta joins against
@@ -132,14 +191,24 @@ final class JoinView(
       .select(col("emit_value.*"))
     // left_outer: every ups key emits (null-padded if unmatched), so the
     // unmatched-tombstone set is empty by construction — same code path
-    val upsJoined = ups.join(rMatch, col(leftJk) === col(rightJk), joinType)
+    val upsJoined = ups.join(rMatch, col(leftJk) === col(rightJk), ownedType)
     val matched = upsJoined
       .select(col(leftPk).cast("string").as("src_key")).distinct()
     val unmatched = ups.select(col(leftPk).cast("string").as("src_key"))
       .distinct().join(matched, Seq("src_key"), "left_anti")
     val allDels = dels.map(_.toDF("src_key").unionByName(unmatched))
       .getOrElse(unmatched)
-    store.refresh(joinIdx, upsJoined, Some(allDels))
+    val stats = store.refresh(joinIdx, upsJoined, Some(allDels))
+    if (fullOuter) {
+      // the batch's dirty join keys — upserted keys AND deleted rows'
+      // old keys — come from the left view's own refresh sidecar; a left
+      // arrival heals pads at its key, a left retreat re-pads orphans
+      val e = store.epoch(leftIdx.name)
+      val dirtyJk = store.changesBetween(leftIdx.name, e - 1, e)
+        .select(unsalt(col("emit_key")).as("emit_key")).distinct()
+      refreshRpad(dirtyJk, None)
+    }
+    stats
   }
 
   /** Apply a RIGHT-side change batch: L⋈ΔR — the dirty join-key set
@@ -162,12 +231,17 @@ final class JoinView(
       .select(col("emit_value.*"))
     // left_outer: a dirty-key left row whose match vanished re-emits its
     // null-pad here (the inner view tombstones it via `unmatched`)
-    val upsJoined = lRows.join(rRows, col(leftJk) === col(rightJk), joinType)
+    val upsJoined = lRows.join(rRows, col(leftJk) === col(rightJk), ownedType)
     val matched = upsJoined
       .select(col(leftPk).cast("string").as("src_key")).distinct()
     val unmatched = lRows.select(col(leftPk).cast("string").as("src_key"))
       .distinct().join(matched, Seq("src_key"), "left_anti")
-    store.refresh(joinIdx, upsJoined, Some(unmatched))
+    val stats = store.refresh(joinIdx, upsJoined, Some(unmatched))
+    if (fullOuter)
+      // same dirty keys drive pad membership; right pks the batch itself
+      // tombstoned lose their pads via the explicit delete set
+      refreshRpad(dirtyJk, dels.map(_.toDF("src_key")))
+    stats
   }
 
   /** Catch a DOWNSTREAM JoinView — one whose LEFT input is THIS view's
@@ -197,17 +271,32 @@ final class JoinView(
     next.refreshLeft(ups, Some(delKeys))
   }
 
-  /** The maintained join relation (original input columns). */
-  def df: DataFrame = store.df(name).select(col("emit_value.*"))
+  /** The maintained join relation (original input columns). Under
+    * full_outer this is the union of the left-owned relation and the
+    * right-pad twin. */
+  def df: DataFrame = {
+    val owned = store.df(name).select(col("emit_value.*"))
+    if (fullOuter)
+      owned.unionByName(store.df(s"${name}__rpad").select(col("emit_value.*")))
+    else owned
+  }
 
   /** Bucket-pruned read of the join rows for a set of join keys (fans
     * out to the S salt shards per key when salting). */
-  def byKeys(keys: DataFrame): DataFrame =
-    store.getAll(name, expandKeys(keys)).select(col("emit_value.*"))
+  def byKeys(keys: DataFrame): DataFrame = {
+    val owned = store.getAll(name, expandKeys(keys)).select(col("emit_value.*"))
+    if (fullOuter)
+      owned.unionByName(store.getAll(s"${name}__rpad", expandKeys(keys))
+        .select(col("emit_value.*")))
+    else owned
+  }
 
   def epoch: Int = store.epoch(name)
 
-  /** CDC feed of the join view over (fromEpoch, toEpoch]. */
+  /** CDC feed of the join view over (fromEpoch, toEpoch]. Under
+    * full_outer this covers the LEFT-OWNED relation only (the right-pad
+    * twin has its own sidecars under `name__rpad`) — cascaded consumers
+    * of a full-outer view must replay both. */
   def changes(fromEpoch: Int, toEpoch: Int): DataFrame =
     store.changesBetween(name, fromEpoch, toEpoch)
 }

@@ -701,6 +701,51 @@ object MapIndexQueries {
       jv
     })
 
+  /** The FULL-OUTER maintained join — the remaining published outer-join
+    * delta rule: unmatched rows on EITHER side hold null-padded rows
+    * (left-pads via the owned left_outer relation, right-pads via the
+    * `__rpad` twin keyed by the right pk), and pads heal/re-form in BOTH
+    * directions under the change batches. Same build + two-sided batches
+    * as [[ordersCustomerView]]; the oracle is the from-scratch FULL JOIN
+    * of both modified tables — %41-tombstoned orders' surviving customers
+    * must appear right-padded, %17-tombstoned customers' orders
+    * left-padded. */
+  private def fullOuterOrdersCustomerView(s: SparkSession, dir: String): graft.engine.JoinView =
+    joinViews.getOrElseUpdate(s"$dir#fouter", {
+      val store = Views.bucketedStore(s, dir)
+      val jv = new graft.engine.JoinView(store, "orders_customer_fo",
+        "o_orderkey", "o_custkey",
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate", "o_orderpriority"),
+        "c_custkey", "c_custkey",
+        Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"),
+        joinType = "full_outer")
+      val unit = "orders_customer_fo"
+      if (!Views.unitDone(store.baseDir, unit)) {
+        val o = Tables.orders(s, dir)
+        val c = Tables.customer(s, dir)
+        jv.build(o, c)
+        // the left batch ALSO tombstones every order of the %19 customers
+        // — orphaning them entirely so genuine RIGHT-pads exist at the
+        // gate (the synthetic data gives every customer surviving orders
+        // under the shared %41-only delete, which would leave the rpad
+        // twin empty and the full join row-identical to the left join)
+        val upsL = o.filter(col("o_orderkey") % 37 === 0 && col("o_orderkey") % 41 =!= 0
+            && col("o_custkey") % 19 =!= 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000)
+        val delsL = o.filter(col("o_orderkey") % 41 === 0 || col("o_custkey") % 19 === 0)
+          .select(col("o_orderkey").cast("string")).distinct()
+        jv.refreshLeft(upsL, Some(delsL))
+        val upsR = c.filter(col("c_custkey") % 13 === 0 && col("c_custkey") % 17 =!= 0)
+          .withColumn("c_acctbal", col("c_acctbal") + 100)
+        val delsR = c.filter(col("c_custkey") % 17 === 0)
+          .select(col("c_custkey").cast("string")).distinct()
+        jv.refreshRight(upsR, Some(delsR))
+        Views.markUnitDone(store.baseDir, unit)
+      }
+      jv
+    })
+
   /** Maintained AGGREGATE-OVER-JOIN ([[graft.engine.JoinAggView]]): a
     * revenue-by-priority rollup fed from the orders⋈customer join view's
     * CDC sidecar — after EACH side's change batch the rollup catches up
@@ -860,6 +905,7 @@ object MapIndexQueries {
     ordersCustomerNationView(s, dir)
     saltedOrdersCustomerView(s, dir)
     leftOuterOrdersCustomerView(s, dir)
+    fullOuterOrdersCustomerView(s, dir)
     percentileView(s, dir)
     percentileBView(s, dir)
     distinctSView(s, dir)
@@ -960,6 +1006,18 @@ object MapIndexQueries {
           round(col("o_totalprice"), 2).as("o_totalprice"),
           round(col("c_acctbal"), 2).as("c_acctbal"))
         .orderBy("o_orderkey")),
+
+    // the FULL-OUTER maintained join ([[fullOuterOrdersCustomerView]]):
+    // surviving orders of tombstoned customers appear left-padded AND
+    // customers with no surviving orders appear right-padded — the
+    // oracle is the from-scratch FULL JOIN of both modified tables
+    "mapindex_joinview_full" -> ((s, dir) =>
+      fullOuterOrdersCustomerView(s, dir).df
+        .select(col("o_orderkey"), col("o_custkey"), col("c_custkey"),
+          col("c_name"),
+          round(col("o_totalprice"), 2).as("o_totalprice"),
+          round(col("c_acctbal"), 2).as("c_acctbal"))
+        .orderBy("o_orderkey", "c_custkey")),
 
     // the SALT-SHARDED join view ([[saltedOrdersCustomerView]]): the
     // skew-hardened emit layout must be invisible to serving — same
@@ -1522,6 +1580,25 @@ object MapIndexQueries {
         |       round(c_acctbal, 2) AS c_acctbal
         |FROM o LEFT JOIN c ON o_custkey = c_custkey
         |ORDER BY o_orderkey""".stripMargin,
+    // the from-scratch FULL JOIN of both modified tables: left-pads for
+    // orders of tombstoned customers, right-pads for the %19 customers
+    // whose orders the left batch tombstoned wholesale
+    "mapindex_joinview_full" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey,
+        |         CASE WHEN o_orderkey % 37 = 0 THEN o_totalprice + 1000
+        |              ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 41 <> 0 AND o_custkey % 19 <> 0),
+        |c AS (
+        |  SELECT c_custkey, c_name,
+        |         CASE WHEN c_custkey % 13 = 0 THEN c_acctbal + 100
+        |              ELSE c_acctbal END AS c_acctbal
+        |  FROM customer WHERE c_custkey % 17 <> 0)
+        |SELECT o_orderkey, o_custkey, c_custkey, c_name,
+        |       round(o_totalprice, 2) AS o_totalprice,
+        |       round(c_acctbal, 2) AS c_acctbal
+        |FROM o FULL JOIN c ON o_custkey = c_custkey
+        |ORDER BY o_orderkey NULLS FIRST, c_custkey NULLS FIRST""".stripMargin,
     // salt shards must be invisible: identical oracle to mapindex_joinview
     "mapindex_joinview_salted" ->
       """WITH o AS (

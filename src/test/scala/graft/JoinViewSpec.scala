@@ -297,6 +297,69 @@ class JoinViewSpec extends AnyFunSuite with SparkSpec {
     assert(osnap() === Set((2L, "b", 20L, Some(2.0)), (3L, "c", 30L, None)))
   }
 
+  test("full-outer join view: pads on BOTH sides, heals and re-pads in both directions") {
+    val store = BucketedViewStore.temp(spark, 8)
+    val jv = new JoinView(store, "t_fouter",
+      "l_pk", "l_jk", Seq("l_pk", "l_jk", "l_val"),
+      "r_pk", "r_jk", Seq("r_pk", "r_jk", "r_val"), joinType = "full_outer")
+    def fsnap(): Set[(Option[Long], Option[Long], Option[Long], Option[Double])] =
+      jv.df.select("l_pk", "r_pk", "l_val", "r_val")
+        .as[(Option[Long], Option[Long], Option[Long], Option[Double])]
+        .collect().toSet
+    // build: left 'b' has no right match (LEFT-pad), right 'c' has no
+    // left match (RIGHT-pad) — both must appear, null-padded
+    jv.build(leftDf((1L, "a", 10L), (2L, "b", 20L)),
+      rightDf((100L, "a", 1.0), (102L, "c", 3.0)))
+    assert(fsnap() === Set(
+      (Some(1L), Some(100L), Some(10L), Some(1.0)),
+      (Some(2L), None, Some(20L), None),
+      (None, Some(102L), None, Some(3.0))))
+
+    // late LEFT arrival at 'c' HEALS the right-pad into the real row
+    jv.refreshLeft(leftDf((3L, "c", 30L)), None)
+    assert(fsnap() === Set(
+      (Some(1L), Some(100L), Some(10L), Some(1.0)),
+      (Some(2L), None, Some(20L), None),
+      (Some(3L), Some(102L), Some(30L), Some(3.0))))
+
+    // LEFT delete RE-PADS: right 102's only match retreats, the right
+    // row must reappear null-padded (not vanish)
+    jv.refreshLeft(leftDf(),
+      Some(leftDf((3L, "zz", 0L)).select(col("l_pk").cast("string"))))
+    assert(fsnap() === Set(
+      (Some(1L), Some(100L), Some(10L), Some(1.0)),
+      (Some(2L), None, Some(20L), None),
+      (None, Some(102L), None, Some(3.0))))
+
+    // late RIGHT arrival heals the LEFT-pad (the left_outer direction)
+    jv.refreshRight(rightDf((101L, "b", 2.0)), None)
+    assert(fsnap() === Set(
+      (Some(1L), Some(100L), Some(10L), Some(1.0)),
+      (Some(2L), Some(101L), Some(20L), Some(2.0)),
+      (None, Some(102L), None, Some(3.0))))
+
+    // RIGHT delete re-pads the left side AND a right upsert at a virgin
+    // key creates a fresh right-pad in the same batch
+    jv.refreshRight(rightDf((103L, "d", 4.0)),
+      Some(rightDf((100L, "zz", 0.0)).select(col("r_pk").cast("string"))))
+    assert(fsnap() === Set(
+      (Some(1L), None, Some(10L), None),
+      (Some(2L), Some(101L), Some(20L), Some(2.0)),
+      (None, Some(102L), None, Some(3.0)),
+      (None, Some(103L), None, Some(4.0))))
+
+    // deleting a right-padded row drops its pad through the ownership
+    // tombstone; key-addressed reads see both relations
+    jv.refreshRight(rightDf(),
+      Some(rightDf((103L, "zz", 0.0)).select(col("r_pk").cast("string"))))
+    assert(fsnap() === Set(
+      (Some(1L), None, Some(10L), None),
+      (Some(2L), Some(101L), Some(20L), Some(2.0)),
+      (None, Some(102L), None, Some(3.0))))
+    assert(jv.byKeys(Seq("c").toDF("k")).select("r_pk")
+      .as[Option[Long]].collect().toSet === Set(Some(102L)))
+  }
+
   test("salted join view: hot-key refresh I/O stays delta-proportional, serving unchanged") {
     val store = BucketedViewStore.temp(spark, 8)
     // 50 %-skewed left: half the rows on ONE join key

@@ -550,6 +550,75 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("full-outer join view equals the recomputed full join on random histories") {
+    import graft.engine.JoinView
+    val lRowGen = Gen.zip(Gen.choose(1L, 10L), Gen.oneOf("a", "b", "c", "d"),
+      Gen.choose(0L, 99L))
+    val rRowGen = Gen.zip(Gen.choose(100L, 106L), Gen.oneOf("a", "b", "c", "d", "e"),
+      Gen.choose(0.0, 9.0).map(x => math.rint(x * 4) / 4))
+    def lDf(rows: Map[Long, (String, Long)]) =
+      rows.toSeq.map { case (k, (j, v)) => (k, j, v) }
+        .toDF("l_pk", "l_jk", "l_val")
+    def rDf(rows: Map[Long, (String, Double)]) =
+      rows.toSeq.map { case (k, (j, v)) => (k, j, v) }
+        .toDF("r_pk", "r_jk", "r_val")
+    // FULL JOIN semantics: matched pairs once per pair; unmatched left
+    // rows null-padded right; unmatched right rows null-padded left
+    def fullJoined(l: Map[Long, (String, Long)], r: Map[Long, (String, Double)])
+        : Set[(Option[Long], Option[Long], Option[Long], Option[Double])] = {
+      val leftSide = l.toSeq.flatMap { case (lk, (lj, lv)) =>
+        val ms = r.toSeq.collect { case (rk, (rj, rv)) if rj == lj => (rk, rv) }
+        if (ms.isEmpty)
+          Seq((Some(lk), None: Option[Long], Some(lv), None: Option[Double]))
+        else ms.map { case (rk, rv) => (Some(lk), Some(rk), Some(lv), Some(rv)) }
+      }
+      val rightOnly = r.toSeq.collect {
+        case (rk, (rj, rv)) if !l.values.exists(_._1 == rj) =>
+          (None: Option[Long], Some(rk), None: Option[Long], Some(rv))
+      }
+      (leftSide ++ rightOnly).toSet
+    }
+    (1 to 2).foreach { trial =>
+      val store = graft.engine.BucketedViewStore.temp(spark, 4)
+      val jv = new JoinView(store, s"jvfo_prop$trial",
+        "l_pk", "l_jk", Seq("l_pk", "l_jk", "l_val"),
+        "r_pk", "r_jk", Seq("r_pk", "r_jk", "r_val"),
+        joinType = "full_outer")
+      var lState = sample(Gen.listOfN(6, lRowGen), 1800L + trial)
+        .map { case (k, j, v) => k -> (j, v) }.toMap
+      var rState = sample(Gen.listOfN(4, rRowGen), 1900L + trial)
+        .map { case (k, j, v) => k -> (j, v) }.toMap
+      jv.build(lDf(lState), rDf(rState))
+      (1 to 3).foreach { round =>
+        val leftTurn = (trial + round) % 2 == 0
+        if (leftTurn) {
+          val ups = sample(Gen.listOfN(3, lRowGen), 11000L * trial + round)
+            .map { case (k, j, v) => k -> (j, v) }.toMap
+          val delIds = sample(Gen.listOfN(2, Gen.choose(1L, 10L)),
+            11500L * trial + round).toSet -- ups.keySet
+          lState = (lState ++ ups) -- delIds
+          jv.refreshLeft(lDf(ups),
+            if (delIds.isEmpty) None
+            else Some(delIds.toSeq.toDF("k").select(col("k").cast("string"))))
+        } else {
+          val ups = sample(Gen.listOfN(2, rRowGen), 11800L * trial + round)
+            .map { case (k, j, v) => k -> (j, v) }.toMap
+          val delIds = sample(Gen.listOfN(1, Gen.choose(100L, 106L)),
+            11900L * trial + round).toSet -- ups.keySet
+          rState = (rState ++ ups) -- delIds
+          jv.refreshRight(rDf(ups),
+            if (delIds.isEmpty) None
+            else Some(delIds.toSeq.toDF("k").select(col("k").cast("string"))))
+        }
+        val got = jv.df.select("l_pk", "r_pk", "l_val", "r_val")
+          .as[(Option[Long], Option[Long], Option[Long], Option[Double])]
+          .collect().toSet
+        assert(got === fullJoined(lState, rState),
+          s"trial $trial round $round L=$lState R=$rState")
+      }
+    }
+  }
+
   test("aggregate-over-join rollup equals recomputed join+group-by on random histories") {
     import graft.engine.{JoinAggView, JoinView}
     val lRowGen = Gen.zip(Gen.choose(1L, 10L), Gen.oneOf("a", "b", "c", "d"),
