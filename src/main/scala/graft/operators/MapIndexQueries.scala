@@ -793,6 +793,103 @@ object MapIndexQueries {
       }
     })
 
+  /** The rollup with the VALUE-REFCOUNT companion state
+    * (`trackValues = true`): alongside `(cnt, sum)` the engine maintains
+    * one row per live (priority, totalprice) with its multiplicity —
+    * the deletion-safe machinery serving exact per-group min / max /
+    * distinct-count, the aggregates a plain (cnt,sum) state cannot
+    * retract. Same join history as [[ordersCustomerAggView]]; the
+    * oracle recomputes all six aggregates from scratch. */
+  private def ordersCustomerAggMultiView(s: SparkSession, dir: String): graft.engine.JoinAggView =
+    joinAggViews.getOrElseUpdate(s"$dir#multi", {
+      val store = Views.bucketedStore(s, dir)
+      val jv = new graft.engine.JoinView(store, "orders_customer_gm",
+        "o_orderkey", "o_custkey",
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate", "o_orderpriority"),
+        "c_custkey", "c_custkey",
+        Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"))
+      val unit = "orders_customer_gm"
+      if (Views.unitDone(store.baseDir, unit))
+        graft.engine.JoinAggView.attach(jv, "orders_customer_gm__rollup",
+          "o_orderpriority", "o_totalprice", trackValues = true)
+      else {
+        val o = Tables.orders(s, dir)
+        val c = Tables.customer(s, dir)
+        jv.build(o, c)
+        val agg = new graft.engine.JoinAggView(jv, "orders_customer_gm__rollup",
+          "o_orderpriority", "o_totalprice", trackValues = true)
+        agg.build()
+        val upsL = o.filter(col("o_orderkey") % 37 === 0 && col("o_orderkey") % 41 =!= 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000)
+        val delsL = o.filter(col("o_orderkey") % 41 === 0)
+          .select(col("o_orderkey").cast("string")).distinct()
+        jv.refreshLeft(upsL, Some(delsL))
+        agg.catchUp()
+        val upsR = c.filter(col("c_custkey") % 13 === 0 && col("c_custkey") % 17 =!= 0)
+          .withColumn("c_acctbal", col("c_acctbal") + 100)
+        val delsR = c.filter(col("c_custkey") % 17 === 0)
+          .select(col("c_custkey").cast("string")).distinct()
+        jv.refreshRight(upsR, Some(delsR))
+        agg.catchUp()
+        Views.markUnitDone(store.baseDir, unit)
+        agg
+      }
+    })
+
+  /** ROLLUP-OVER-CASCADE at depth 2: a JoinAggView fed by the level-2
+    * view of the three-way chain — the full base → join → join → group
+    * delta path in one gate. Level 1 (orders⋈customer) refreshes push
+    * into level 2 purely via [[graft.engine.JoinView.cascadeInto]] CDC
+    * replay; the nation batch runs level 2's own right-side refresh; and
+    * after EVERY level-2 epoch the revenue-by-nation rollup catches up
+    * from level 2's CDC alone. No level ever re-reads its inputs. */
+  private def ordersCustomerNationAggView(s: SparkSession, dir: String): graft.engine.JoinAggView =
+    joinAggViews.getOrElseUpdate(s"$dir#threeway", {
+      val store = Views.bucketedStore(s, dir)
+      val oCols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      val cCols = Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      val jv1 = new graft.engine.JoinView(store, "oc3g",
+        "o_orderkey", "o_custkey", oCols, "c_custkey", "c_custkey", cCols)
+      val jv2 = new graft.engine.JoinView(store, "ocn3g",
+        "o_orderkey", "c_nationkey", oCols ++ cCols,
+        "n_nationkey", "n_nationkey", Seq("n_nationkey", "n_name"))
+      val unit = "ocn3g"
+      if (Views.unitDone(store.baseDir, unit))
+        graft.engine.JoinAggView.attach(jv2, "ocn3g__rollup",
+          "n_name", "o_totalprice")
+      else {
+        val o = Tables.orders(s, dir)
+        val c = Tables.customer(s, dir)
+        val n = Tables.nation(s, dir)
+        jv1.build(o, c)
+        jv2.build(jv1.df, n)
+        val agg = new graft.engine.JoinAggView(jv2, "ocn3g__rollup",
+          "n_name", "o_totalprice")
+        agg.build()
+        val upsL = o.filter(col("o_orderkey") % 37 === 0 && col("o_orderkey") % 41 =!= 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000)
+        val delsL = o.filter(col("o_orderkey") % 41 === 0)
+          .select(col("o_orderkey").cast("string")).distinct()
+        jv1.refreshLeft(upsL, Some(delsL))
+        jv1.cascadeInto(jv2, 0, 1); agg.catchUp()
+        val upsR = c.filter(col("c_custkey") % 13 === 0 && col("c_custkey") % 17 =!= 0)
+          .withColumn("c_acctbal", col("c_acctbal") + 100)
+        val delsR = c.filter(col("c_custkey") % 17 === 0)
+          .select(col("c_custkey").cast("string")).distinct()
+        jv1.refreshRight(upsR, Some(delsR))
+        jv1.cascadeInto(jv2, 1, 2); agg.catchUp()
+        val upsN = n.filter(col("n_nationkey") % 5 === 0 && col("n_nationkey") % 7 =!= 0)
+          .withColumn("n_name", concat(col("n_name"), lit("_X")))
+        val delsN = n.filter(col("n_nationkey") % 7 === 0)
+          .select(col("n_nationkey").cast("string")).distinct()
+        jv2.refreshRight(upsN, Some(delsN)); agg.catchUp()
+        Views.markUnitDone(store.baseDir, unit)
+        agg
+      }
+    })
+
   /** The rollup maintained through the STREAMING join history: the same
     * interleaved out-of-order micro-batches as
     * [[streamedOrdersCustomerView]], with the JoinAggView catching up
@@ -901,8 +998,10 @@ object MapIndexQueries {
     streamedOrdersCustomerView(s, dir)
     compactedOrdersCustomerView(s, dir)
     ordersCustomerAggView(s, dir)
+    ordersCustomerAggMultiView(s, dir)
     streamedOrdersCustomerAggView(s, dir)
     ordersCustomerNationView(s, dir)
+    ordersCustomerNationAggView(s, dir)
     saltedOrdersCustomerView(s, dir)
     leftOuterOrdersCustomerView(s, dir)
     fullOuterOrdersCustomerView(s, dir)
@@ -1038,6 +1137,33 @@ object MapIndexQueries {
         .select(col("emit_key").as("o_orderpriority"), col("cnt"),
           round(col("sum_value").cast("double"), 2).as("revenue"))
         .orderBy("o_orderpriority")),
+
+    // the rollup's MULTI-AGGREGATE surface ([[ordersCustomerAggMultiView]]
+    // — trackValues): cnt/sum from the main state, exact deletion-safe
+    // min/max/distinct-count from the value-refcount companion, all
+    // maintained from the same CDC feed; the oracle recomputes all six
+    // from both modified tables from scratch
+    "mapindex_joinview_agg_multi" -> ((s, dir) => {
+      val agg = ordersCustomerAggMultiView(s, dir)
+      agg.state.join(agg.multiState, Seq("emit_key"))
+        .select(col("emit_key").as("o_orderpriority"), col("cnt"),
+          round(col("sum_value").cast("double"), 2).as("revenue"),
+          round(col("min_value").cast("double"), 2).as("min_price"),
+          round(col("max_value").cast("double"), 2).as("max_price"),
+          col("n_distinct"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // rollup-over-cascade at depth 2 ([[ordersCustomerNationAggView]]):
+    // revenue by nation over the three-way chain, every delta flowing
+    // base → join → join → group through CDC replay alone; the oracle is
+    // the from-scratch three-way join + group-by of all three modified
+    // tables
+    "mapindex_joinview3_agg" -> ((s, dir) =>
+      ordersCustomerNationAggView(s, dir).state
+        .select(col("emit_key").as("n_name"), col("cnt"),
+          round(col("sum_value").cast("double"), 2).as("revenue"))
+        .orderBy("n_name")),
 
     // the rollup fed through the STREAMING join history
     // ([[streamedOrdersCustomerAggView]]): out-of-order arrivals, healed
@@ -1630,6 +1756,43 @@ object MapIndexQueries {
         |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue
         |FROM o JOIN c ON o_custkey = c_custkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // all six aggregates recomputed from scratch; min/max/distinct run
+    // over the same DECIMAL(18,4) spelling the refcount state keys on
+    "mapindex_joinview_agg_multi" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey, o_orderpriority,
+        |         CASE WHEN o_orderkey % 37 = 0 THEN o_totalprice + 1000
+        |              ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 41 <> 0),
+        |c AS (
+        |  SELECT c_custkey FROM customer WHERE c_custkey % 17 <> 0)
+        |SELECT o_orderpriority, count(*) AS cnt,
+        |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue,
+        |       round(CAST(min(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS min_price,
+        |       round(CAST(max(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS max_price,
+        |       count(DISTINCT CAST(o_totalprice AS DECIMAL(18,4))) AS n_distinct
+        |FROM o JOIN c ON o_custkey = c_custkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // the depth-2 rollup equals the from-scratch three-way join+group-by
+    "mapindex_joinview3_agg" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey,
+        |         CASE WHEN o_orderkey % 37 = 0 THEN o_totalprice + 1000
+        |              ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 41 <> 0),
+        |c AS (
+        |  SELECT c_custkey, c_nationkey
+        |  FROM customer WHERE c_custkey % 17 <> 0),
+        |n AS (
+        |  SELECT n_nationkey,
+        |         CASE WHEN n_nationkey % 5 = 0 THEN n_name || '_X'
+        |              ELSE n_name END AS n_name
+        |  FROM nation WHERE n_nationkey % 7 <> 0)
+        |SELECT n_name, count(*) AS cnt,
+        |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue
+        |FROM o JOIN c ON o_custkey = c_custkey
+        |       JOIN n ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
     // the streamed rollup converges to the same final state
     "mapindex_joinview_agg_streamed" ->
       """WITH o AS (
