@@ -221,6 +221,34 @@ object MapIndexQueries {
       agg
     })
 
+  /** CONTINUOUS-domain maintained quantiles: `l_extendedprice` has no
+    * small discrete domain, so the refcount state keys on a FIXED VALUE
+    * GRID (bucket = floor(price / 100)) — state size is bounded by
+    * |groups| · (value range / grid), independent of corpus size, and
+    * maintenance stays the ordinary O(delta) refcount delta-merge. The
+    * estimate a grid state serves is the bucket holding the true
+    * rank-⌈p·n⌉ value: its RANK is exact over the bucketed distribution
+    * and its VALUE error is < one grid width — the bound the gate query
+    * ASSERTS with boolean columns (exact anchors recomputed from the
+    * modified corpus, `exact ∈ [bucket_lo, bucket_lo + grid)`), both
+    * recomputed independently by the DuckDB oracle. */
+  private val pctContIdx = MapIndex.columns("lineitem_flaggrid")(
+    concat_ws("-", col("l_orderkey"), col("l_linenumber")),
+    array(emit(concat_ws("|", col("l_returnflag"),
+      floor(col("l_extendedprice") / 100).cast("long")), lit(1L))))
+
+  private val pctContViews =
+    scala.collection.concurrent.TrieMap.empty[String, graft.engine.AggView]
+  private def percentileContView(s: SparkSession, dir: String): graft.engine.AggView =
+    pctContViews.getOrElseUpdate(dir, {
+      val store = Views.store(s, dir)
+      val li = Tables.lineitem(s, dir)
+      val base = pctContIdx.materialize(li, store)
+      val agg0 = graft.engine.AggView.build(base, "lineitem_flaggrid__state")
+      val (_, agg) = agg0.refresh(base, reflaggedUpserts(li), Some(tombstoneKeys(li)))
+      agg
+    })
+
   /** The quantile state in the BUCKETED (100 TB) layout: the same
     * refcount index through [[graft.engine.BucketedAggView]], so a change
     * batch rewrites only the state buckets of touched (group, value)
@@ -1007,6 +1035,7 @@ object MapIndexQueries {
     fullOuterOrdersCustomerView(s, dir)
     percentileView(s, dir)
     percentileBView(s, dir)
+    percentileContView(s, dir)
     distinctSView(s, dir)
     mixedView(s, dir)
     rangeBucketedFlag(s, dir)
@@ -1431,6 +1460,57 @@ object MapIndexQueries {
     // bucketed percentile maintenance must agree exactly
     "mapindex_bucketed_percentile_view" -> ((s, dir) =>
       quantileServe(percentileBView(s, dir).state)),
+
+    // CONTINUOUS-domain maintained quantiles ([[percentileContView]] —
+    // grid-bucketed refcount state): the ESTIMATE arm reads only the
+    // vocabulary-sized state (bucket lower edges at the exact bucketed
+    // rank); the ANCHOR arm recomputes the exact type-1 p50/p95 from
+    // the modified corpus; the boolean columns ASSERT the grid bound
+    // (exact ∈ [estimate, estimate + grid)) — the oracle independently
+    // recomputes estimates, anchors AND emits literal `true` bounds, so
+    // a violated bound is a hash mismatch
+    "mapindex_percentile_cont" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val st = percentileContView(s, dir).state
+        .filter(col("cnt") > 0)
+        .select(substring_index(col("emit_key"), "|", 1).as("flag"),
+          substring_index(col("emit_key"), "|", -1).cast("long").as("b"),
+          col("cnt"))
+      val cum = st
+        .withColumn("cum", sum("cnt").over(Window.partitionBy("flag").orderBy("b")))
+        .withColumn("n", sum("cnt").over(Window.partitionBy("flag")))
+      val est = cum.groupBy("flag")
+        .agg(min(when(col("cum") >= ceil(col("n") / 2), col("b"))).as("b50"),
+          min(when(col("cum") >= ceil(col("n") * 19 / 20), col("b"))).as("b95"),
+          max("n").as("n"))
+        .select(col("flag"), col("n"),
+          (col("b50") * 100.0).as("p50_lo"), (col("b95") * 100.0).as("p95_lo"))
+      // anchor arm: exact type-1 quantiles recomputed from the modified
+      // corpus (the invariant pattern: served path reads stored state,
+      // the anchor recomputes from scratch)
+      val src = Tables.lineitem(s, dir)
+        .filter(col("l_orderkey") % 89 =!= 0)
+        .select(when(col("l_orderkey") % 97 === 0, lit("X"))
+            .otherwise(col("l_returnflag")).as("flag"),
+          col("l_extendedprice").as("v"))
+      val counts = src.groupBy("flag", "v").agg(count(lit(1)).as("cnt"))
+      val cum2 = counts
+        .withColumn("cum", sum("cnt").over(Window.partitionBy("flag").orderBy("v")))
+        .withColumn("n2", sum("cnt").over(Window.partitionBy("flag")))
+      val exact = cum2.groupBy("flag")
+        .agg(min(when(col("cum") >= ceil(col("n2") / 2), col("v"))).as("x50"),
+          min(when(col("cum") >= ceil(col("n2") * 19 / 20), col("v"))).as("x95"))
+      est.join(exact, Seq("flag"))
+        .select(col("flag"), col("n"),
+          col("p50_lo"), col("p95_lo"),
+          round(col("x50"), 2).as("exact_p50"),
+          round(col("x95"), 2).as("exact_p95"),
+          (col("p50_lo") <= col("x50") && col("x50") < col("p50_lo") + 100.0)
+            .as("p50_within_grid"),
+          (col("p95_lo") <= col("x95") && col("x95") < col("p95_lo") + 100.0)
+            .as("p95_within_grid"))
+        .orderBy("flag")
+    }),
 
     // maintained per-group TOP-K FREQUENT values from the SAME refcount
     // state — the exact, deletion-safe version of what Misra-Gries
@@ -2016,6 +2096,44 @@ object MapIndexQueries {
         |       min(CASE WHEN cum >= ceil(n * 19 / 20.0) THEN qty END) AS p95,
         |       max(n) AS n
         |FROM cum GROUP BY flag ORDER BY flag""".stripMargin,
+    // grid estimates, exact anchors and the grid bound all recomputed
+    // from the modified corpus; window sums cast BIGINT (DuckDB HUGEINT)
+    "mapindex_percentile_cont" ->
+      """WITH src AS (
+        |  SELECT CASE WHEN l_orderkey % 97 = 0 THEN 'X' ELSE l_returnflag END AS flag,
+        |         l_extendedprice AS v
+        |  FROM lineitem WHERE l_orderkey % 89 <> 0),
+        |bcounts AS (
+        |  SELECT flag, CAST(floor(v / 100) AS BIGINT) AS b, count(*) AS cnt
+        |  FROM src GROUP BY flag, b),
+        |bcum AS (
+        |  SELECT flag, b,
+        |         CAST(sum(cnt) OVER (PARTITION BY flag ORDER BY b) AS BIGINT) AS cum,
+        |         CAST(sum(cnt) OVER (PARTITION BY flag) AS BIGINT) AS n
+        |  FROM bcounts),
+        |est AS (
+        |  SELECT flag, max(n) AS n,
+        |         CAST(min(CASE WHEN cum >= ceil(n / 2.0) THEN b END) * 100 AS DOUBLE) AS p50_lo,
+        |         CAST(min(CASE WHEN cum >= ceil(n * 19 / 20.0) THEN b END) * 100 AS DOUBLE) AS p95_lo
+        |  FROM bcum GROUP BY flag),
+        |vcounts AS (
+        |  SELECT flag, v, count(*) AS cnt FROM src GROUP BY flag, v),
+        |vcum AS (
+        |  SELECT flag, v,
+        |         CAST(sum(cnt) OVER (PARTITION BY flag ORDER BY v) AS BIGINT) AS cum,
+        |         CAST(sum(cnt) OVER (PARTITION BY flag) AS BIGINT) AS n2
+        |  FROM vcounts),
+        |exact AS (
+        |  SELECT flag,
+        |         min(CASE WHEN cum >= ceil(n2 / 2.0) THEN v END) AS x50,
+        |         min(CASE WHEN cum >= ceil(n2 * 19 / 20.0) THEN v END) AS x95
+        |  FROM vcum GROUP BY flag)
+        |SELECT est.flag, n, p50_lo, p95_lo,
+        |       round(x50, 2) AS exact_p50, round(x95, 2) AS exact_p95,
+        |       (p50_lo <= x50 AND x50 < p50_lo + 100.0) AS p50_within_grid,
+        |       (p95_lo <= x95 AND x95 < p95_lo + 100.0) AS p95_within_grid
+        |FROM est JOIN exact ON est.flag = exact.flag
+        |ORDER BY est.flag""".stripMargin,
     // top-3 most frequent quantities per (possibly re-flagged) group on
     // the modified corpus, ties to the smaller quantity — row_number
     // mirrored; ranks cast BIGINT both sides

@@ -150,6 +150,17 @@ object SimilarityQueries {
     math.max(MinCells, math.round(math.sqrt(n.toDouble)).toInt)
   private[graft] def probesFor(nCells: Int): Int =
     math.max(4, math.ceil(math.sqrt(nCells.toDouble)).toInt)
+  /** Probe count for the COMPOSED IVF-PQ index only: 2×√nCells (capped
+    * at nCells). The composed index sits at its coarse tier's
+    * cell-recall ceiling (~0.88 at √nCells — the residual ADC tier
+    * itself reconstructs well, measured 0.87 vs IVF's 0.88), and its
+    * per-candidate cost is M BYTES + M table reads — 64× below the
+    * float tier — so doubling the probed cell mass costs less scan I/O
+    * than √nCells probes of the uncompressed IVF while lifting the
+    * union-of-cells recall past the single-tier ceiling (measured at
+    * sf0.1: 0.87 → 0.93). Scanned code fraction stays ∝ 2·n^(-1/4). */
+  private[graft] def ivfpqProbesFor(nCells: Int): Int =
+    math.min(nCells, 2 * probesFor(nCells))
   private val KmeansIters = 5
 
   /** Per-JVM quantizer cache: like a real IVF index, the model is trained
@@ -328,7 +339,8 @@ object SimilarityQueries {
       "pq_flat" -> recall(pqTopKPairs(s, dir), bruteBase),
       "pq_view" -> recall(pqTopKFromView(s, dir), bruteMod),
       "pq_bulk" -> recall(pqTopKBulk(s, dir), bruteMod),
-      "ivfpq_view" -> recall(ivfpqTopKFromView(s, dir), bruteMod))
+      "ivfpq_view" -> recall(ivfpqTopKFromView(s, dir), bruteMod),
+      "ivfpq_bulk" -> recall(ivfpqTopKBulk(s, dir), bruteMod))
   }
 
   /** Per-JVM cache of the maintained IVF cell view and the centroids it
@@ -1554,7 +1566,7 @@ object SimilarityQueries {
     * `corpus`. */
   private def ivfpqSearchStored(stored: DataFrame, corpus: DataFrame,
       cents: Array[Array[Double]], books: Array[Array[Array[Double]]]): DataFrame = {
-    val nProbe = probesFor(cents.length)
+    val nProbe = ivfpqProbesFor(cents.length)
     val probes = corpus.filter(col("vec_id") < 10)
       .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("norm").as("pn"))
       .withColumn("lut", pqLutExpr(books, col("pv")))
@@ -1599,7 +1611,7 @@ object SimilarityQueries {
   def ivfpqTopKBulk(s: SparkSession, dir: String): DataFrame = {
     graft.functions.Sketches.register(s)
     val (store, cents, books) = ivfpqCellsView(s, dir)
-    val nProbe = probesFor(cents.length)
+    val nProbe = ivfpqProbesFor(cents.length)
     val m = modifiedEmb(s, dir)
     val probes = m.filter(col("vec_id") < 10)
       .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("norm").as("pn"))
@@ -1951,22 +1963,28 @@ object SimilarityQueries {
     * refine margin — the conservative bound still leaves room for an
     * adversarially flat corpus. */
   private val SqRecallBound = 0.9
-  /** PQ measured recall at sf0.001/0.01/0.1 ([[pqMeasuredRecall]], r14
+  /** PQ measured recall at sf0.001/0.01/0.1 ([[pqMeasuredRecall]], r15
     * geometry — corpus-scaled ks ([[pqKsFor]]: 62/62/64 at these sf),
-    * K·16 refine): flat 0.98/1.00/0.86, maintained view 0.98/1.00/0.89,
-    * composed IVF-PQ 0.89/0.91/0.87 (residual-encoded — IVFADC; raw-code
-    * IVF-PQ measured 0.82 at sf0.1, and the composed index now sits at
-    * its coarse tier's cell-recall ceiling, [[IvfRecallBound]] ~0.88).
-    * (The r13 geometry — Ks=16, K·8 refine — measured 0.76/0.66/0.58 and
-    * 0.87/0.78/0.64; the 16-centroid cap was the plan-size bound of the
-    * literal-expression LUT, lifted by the reference-object
+    * K·16 refine, and DOUBLED probes on the composed index only
+    * ([[ivfpqProbesFor]] = 2·√nCells)): flat 0.98/1.00/0.86, maintained
+    * view 0.98/1.00/0.89, composed IVF-PQ 0.98/0.96/0.96 (view and bulk
+    * agree; residual-encoded — IVFADC; raw-code IVF-PQ measured 0.82 at
+    * sf0.1). The probe doubling is what lifted the composed index past
+    * its coarse tier's single-√nCells cell-recall ceiling (r14 measured
+    * 0.89/0.91/0.87 there): the union of 2√nCells cells recovers the
+    * neighbors a single-tier probe set misses, and the scanned mass is
+    * M-byte codes, 64× below the float tier, so the doubled probe I/O
+    * still undercuts √nCells float probes. (The r13 geometry — Ks=16,
+    * K·8 refine — measured 0.76/0.66/0.58 and 0.87/0.78/0.64; the
+    * 16-centroid cap was the plan-size bound of the literal-expression
+    * LUT, lifted by the reference-object
     * [[graft.functions.VectorFunctions.PqLut]].) Random synthetic
     * vectors remain the adversarial case for an 8-byte code — clustered
     * real embeddings reconstruct better. Bounds sit under the measured
     * minima with margin, same promise-about-this-corpus-family stance
     * as [[AnnRecallBound]]. */
   private val PqRecallBound = 0.7
-  private val IvfPqRecallBound = 0.7
+  private val IvfPqRecallBound = 0.85
   /** brute-force ground truth inside the dedup_embedding invariant is
     * restricted to pairs touching vec_id < this (full brute is O(n²)). */
   private val SampleVecs = 50
