@@ -297,6 +297,38 @@ class JoinViewSpec extends AnyFunSuite with SparkSpec {
     assert(osnap() === Set((2L, "b", 20L, Some(2.0)), (3L, "c", 30L, None)))
   }
 
+  test("rollup over a left-outer view by a RIGHT-side column: null groups key, serve and retract") {
+    import graft.engine.JoinAggView
+    val store = BucketedViewStore.temp(spark, 8)
+    val jv = new JoinView(store, "t_jnullg",
+      "l_pk", "l_jk", Seq("l_pk", "l_jk", "l_val"),
+      "r_pk", "r_jk", Seq("r_pk", "r_jk", "r_val"), joinType = "left_outer")
+    // pk 2 and 3 have no right match -> their r_jk group is NULL
+    jv.build(leftDf((1L, "a", 10L), (2L, "b", 20L), (3L, "b", 30L)),
+      rightDf((100L, "a", 1.0)))
+    val agg = new JoinAggView(jv, "t_jnullg__rollup", "r_jk", "l_val")
+    agg.build()
+    def state(): Map[Option[String], (Long, Long)] =
+      agg.state.select(col("emit_key"), col("cnt"), col("sum_value").cast("long"))
+        .as[(Option[String], Long, Long)].collect()
+        .map(t => t._1 -> (t._2, t._3)).toMap
+    assert(state() === Map(Some("a") -> (1L, 10L), None -> (2L, 50L)),
+      "the unmatched rows must aggregate under the NULL group, served as null")
+
+    // a late right arrival heals pk 2's null-pad: its l_val moves from
+    // the null group to 'b' through the ordinary delta fold
+    jv.refreshRight(rightDf((101L, "b", 2.0)), None)
+    agg.catchUp()
+    assert(state() === Map(Some("a") -> (1L, 10L),
+      Some("b") -> (2L, 50L)), "the null group empties and vanishes")
+
+    // right delete re-pads both 'b' rows: the null group re-forms
+    jv.refreshRight(rightDf(),
+      Some(rightDf((101L, "zz", 0.0)).select(col("r_pk").cast("string"))))
+    agg.catchUp()
+    assert(state() === Map(Some("a") -> (1L, 10L), None -> (2L, 50L)))
+  }
+
   test("full-outer join view: pads on BOTH sides, heals and re-pads in both directions") {
     val store = BucketedViewStore.temp(spark, 8)
     val jv = new JoinView(store, "t_fouter",

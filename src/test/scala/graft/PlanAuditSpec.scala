@@ -562,5 +562,18 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("orders.parquet") && !p.contains("customer.parquet"),
       s"the rollup must serve from state, not re-join the base tables:\n$p")
     assert(!p.contains("Join"), s"rollup serving must be join-free:\n$p")
+    // the multi-aggregate surface joins the TWO state relations (both
+    // vocabulary-sized) — that join is fine; what must never appear is a
+    // base-table scan: min/max/distinct come from the refcount state,
+    // not a re-read of the join or its inputs
+    val pm = finalPlan("mapindex_joinview_agg_multi")
+    assert(!pm.contains("orders.parquet") && !pm.contains("customer.parquet"),
+      s"multi-agg serving must read only the two state relations:\n$pm")
+    // depth-2 rollup: state-only and join-free like the level-1 rollup
+    val p3 = finalPlan("mapindex_joinview3_agg")
+    assert(!p3.contains("orders.parquet") && !p3.contains("customer.parquet") &&
+      !p3.contains("nation.parquet"),
+      s"the depth-2 rollup must serve from state alone:\n$p3")
+    assert(!p3.contains("Join"), s"depth-2 rollup serving must be join-free:\n$p3")
   }
 }

@@ -681,4 +681,72 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
       }
     }
   }
+
+  test("rollup value-refcount min/max/distinct equals recomputed aggregates on random histories") {
+    import graft.engine.{JoinAggView, JoinView}
+    val lRowGen = Gen.zip(Gen.choose(1L, 10L), Gen.oneOf("a", "b", "c"),
+      Gen.choose(0L, 9L)) // small value domain: heavy duplicate multiplicity
+    val rRowGen = Gen.zip(Gen.choose(100L, 104L), Gen.oneOf("a", "b", "c", "d"),
+      Gen.choose(0.0, 9.0).map(x => math.rint(x)))
+    def lDf(rows: Map[Long, (String, Long)]) =
+      rows.toSeq.map { case (k, (j, v)) => (k, j, v) }
+        .toDF("l_pk", "l_jk", "l_val")
+    def rDf(rows: Map[Long, (String, Double)]) =
+      rows.toSeq.map { case (k, (j, v)) => (k, j, v) }
+        .toDF("r_pk", "r_jk", "r_val")
+    // expected per-group (min, max, distinct) over the recomputed join
+    // multiset — the deletion-safe aggregates the refcount state serves
+    def multi(l: Map[Long, (String, Long)], r: Map[Long, (String, Double)]) =
+      (for {
+        (_, (lj, lv)) <- l.toSeq
+        (_, (rj, _)) <- r.toSeq if lj == rj
+      } yield (lj, lv)).groupBy(_._1)
+        .map { case (j, xs) =>
+          val vs = xs.map(_._2)
+          j -> (vs.min, vs.max, vs.distinct.size.toLong) }
+    (1 to 2).foreach { trial =>
+      val store = graft.engine.BucketedViewStore.temp(spark, 4)
+      val jv = new JoinView(store, s"jvm_prop$trial",
+        "l_pk", "l_jk", Seq("l_pk", "l_jk", "l_val"),
+        "r_pk", "r_jk", Seq("r_pk", "r_jk", "r_val"))
+      var lState = sample(Gen.listOfN(7, lRowGen), 2600L + trial)
+        .map { case (k, j, v) => k -> (j, v) }.toMap
+      var rState = sample(Gen.listOfN(4, rRowGen), 2700L + trial)
+        .map { case (k, j, v) => k -> (j, v) }.toMap
+      jv.build(lDf(lState), rDf(rState))
+      val agg = new JoinAggView(jv, s"jvm_prop${trial}__rollup", "l_jk", "l_val",
+        trackValues = true)
+      agg.build()
+      (1 to 3).foreach { round =>
+        val leftTurn = (trial + round) % 2 == 0
+        if (leftTurn) {
+          val ups = sample(Gen.listOfN(3, lRowGen), 15000L * trial + round)
+            .map { case (k, j, v) => k -> (j, v) }.toMap
+          val delIds = sample(Gen.listOfN(2, Gen.choose(1L, 10L)),
+            16000L * trial + round).toSet -- ups.keySet
+          lState = (lState ++ ups) -- delIds
+          jv.refreshLeft(lDf(ups),
+            if (delIds.isEmpty) None
+            else Some(delIds.toSeq.toDF("k").select(col("k").cast("string"))))
+        } else {
+          val ups = sample(Gen.listOfN(2, rRowGen), 17000L * trial + round)
+            .map { case (k, j, v) => k -> (j, v) }.toMap
+          val delIds = sample(Gen.listOfN(1, Gen.choose(100L, 104L)),
+            18000L * trial + round).toSet -- ups.keySet
+          rState = (rState ++ ups) -- delIds
+          jv.refreshRight(rDf(ups),
+            if (delIds.isEmpty) None
+            else Some(delIds.toSeq.toDF("k").select(col("k").cast("string"))))
+        }
+        agg.catchUp()
+        val got = agg.multiState
+          .select(col("emit_key"), col("min_value").cast("long"),
+            col("max_value").cast("long"), col("n_distinct"))
+          .as[(String, Long, Long, Long)].collect()
+          .map(t => t._1 -> (t._2, t._3, t._4)).toMap
+        assert(got === multi(lState, rState),
+          s"trial $trial round $round L=$lState R=$rState")
+      }
+    }
+  }
 }
