@@ -36,7 +36,9 @@ import graft.engine.BucketedViewStore.RefreshStats
   * idempotent per epoch (already-current → no-op).
   *
   * NULL GROUPS: a null group key (reachable when rolling up a left_outer
-  * [[JoinView]] by a right-side column) is coalesced to a sentinel
+  * [[JoinView]] by a right-side column, or a padded view by an
+  * opposite-side column — a right-pad's left columns are all null) is
+  * coalesced to a sentinel
   * ([[JoinAggView.NullGroupKey]]) before keying the state — null can
   * neither key a store bucket nor survive the dirty-group semi-join —
   * and mapped back to null at serve time, so SQL's null-group semantics
@@ -67,11 +69,12 @@ final class JoinAggView(
 
   import JoinAggView.{NullGroupKey, WatermarkKey, ValSep}
 
-  // a full_outer view's CDC feed covers only its left-owned relation
-  // (JoinView.changes) — folding it would silently miss right-pad churn
-  require(jv.joinType != "full_outer",
-    s"rollup '$stateName': JoinAggView cannot consume a full_outer " +
-      "JoinView (its CDC feed excludes the right-pad twin)")
+  // a padded view (full_outer / right_outer) splits its CDC across the
+  // owned relation and the right-pad twin; [[feedBetween]] folds BOTH —
+  // the twin refreshes in lockstep with the owned relation, so one
+  // watermark governs the union. A pad healing into a real join row is
+  // a twin delete + an owned insert in the same epoch: the fold sees
+  // the retraction and the arrival as ordinary ±1 rows.
 
   private def store = jv.store
   private def valsName = s"${stateName}__vals"
@@ -194,7 +197,10 @@ final class JoinAggView(
     mainStats
   }
 
-  private def feedBetween(from: Int, to: Int): DataFrame = jv.changes(from, to)
+  private def feedBetween(from: Int, to: Int): DataFrame = {
+    val owned = jv.changes(from, to)
+    if (jv.padsRight) owned.unionByName(jv.rpadChanges(from, to)) else owned
+  }
 
   private def foldMain(to: Int): RefreshStats = {
     require(to >= consumedMain,

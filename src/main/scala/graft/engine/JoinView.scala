@@ -64,26 +64,36 @@ final class JoinView(
   // delete-then-insert. The left join key should be non-null (a null key
   // never matches and its null-pad is keyed null).
   //
-  // FULL-OUTER IVM: the left-owned machinery cannot own a right row with
-  // no left match (src_key is the LEFT pk), so the view splits into the
-  // left_outer-owned relation above plus a RIGHT-PAD twin (`name__rpad`,
+  // FULL-OUTER / RIGHT-OUTER IVM: the left-owned machinery cannot own a
+  // right row with no left match (src_key is the LEFT pk), so the view
+  // splits into an owned relation plus a RIGHT-PAD twin (`name__rpad`,
   // src_key = the RIGHT pk) holding exactly the right rows with no left
   // match, null-padded on the left columns — the remaining published
-  // delta rule: pads heal in BOTH directions. Each refresh recomputes
+  // delta rules: pads heal in BOTH directions. full_outer = left_outer
+  // owned relation + the twin; right_outer = INNER owned relation + the
+  // twin (matched rows only, no left-pads). Each refresh recomputes
   // pad membership for ONLY the batch's dirty join keys (both reads
   // bucket-pruned): a left arrival at a padded key tombstones the pad
   // (heal), a left retreat re-pads the orphaned right rows, a right
   // delete drops its pad via the ordinary ownership tombstone. Serving
   // unions the two relations. Join keys must be non-null on both sides
-  // under full_outer (a null key never matches and cannot address a
-  // store bucket).
-  require(joinType == "inner" || joinType == "left_outer" || joinType == "full_outer",
-    s"joinType must be 'inner', 'left_outer' or 'full_outer', got '$joinType'")
+  // when the twin is in play (a null key never matches and cannot
+  // address a store bucket).
+  require(Set("inner", "left_outer", "right_outer", "full_outer")(joinType),
+    s"joinType must be 'inner', 'left_outer', 'right_outer' or " +
+      s"'full_outer', got '$joinType'")
 
   /** The owned (left-pk-keyed) relation's join type: full_outer's owned
-    * half is exactly the left_outer rule. */
-  private val ownedType = if (joinType == "full_outer") "left_outer" else joinType
-  private def fullOuter = joinType == "full_outer"
+    * half is exactly the left_outer rule; right_outer's is the inner. */
+  private val ownedType = joinType match {
+    case "full_outer"  => "left_outer"
+    case "right_outer" => "inner"
+    case t             => t
+  }
+
+  /** Does this view carry the right-pad twin? */
+  def padsRight: Boolean = joinType == "full_outer" || joinType == "right_outer"
+  private def fullOuter = padsRight
 
   /** U+0001 separates key from salt: order-irrelevant here (hash
     * bucketing), only collision-safety with key text matters. */
@@ -131,9 +141,10 @@ final class JoinView(
     array(emit(saltedKey(col(leftJk), col(leftPk)),
       struct((leftCols ++ rightCols).map(col): _*))))
 
-  /** full_outer only: right rows with no left match, null-padded on the
-    * left columns, OWNED by their right pk — retracting or rewriting a
-    * right row delete-then-inserts its pad through the ordinary refresh. */
+  /** full_outer / right_outer only: right rows with no left match,
+    * null-padded on the left columns, OWNED by their right pk —
+    * retracting or rewriting a right row delete-then-inserts its pad
+    * through the ordinary refresh. */
   private def rpadIdx = MapIndex.columns(s"${name}__rpad")(
     col(rightPk).cast("string"),
     array(emit(saltedKey(col(rightJk), col(rightPk)),
@@ -293,10 +304,19 @@ final class JoinView(
 
   def epoch: Int = store.epoch(name)
 
-  /** CDC feed of the join view over (fromEpoch, toEpoch]. Under
-    * full_outer this covers the LEFT-OWNED relation only (the right-pad
-    * twin has its own sidecars under `name__rpad`) — cascaded consumers
-    * of a full-outer view must replay both. */
+  /** CDC feed of the join view over (fromEpoch, toEpoch]. When the view
+    * [[padsRight]] this covers the OWNED relation only (the right-pad
+    * twin has its own sidecars under `name__rpad`, [[rpadChanges]]) —
+    * consumers of a padded view must replay both. */
   def changes(fromEpoch: Int, toEpoch: Int): DataFrame =
     store.changesBetween(name, fromEpoch, toEpoch)
+
+  /** CDC feed of the right-pad twin over (fromEpoch, toEpoch] — same
+    * joined-row schema as [[changes]]. The twin refreshes in lockstep
+    * with the owned relation (once per build/refresh), so the two feeds
+    * share epoch numbering. */
+  def rpadChanges(fromEpoch: Int, toEpoch: Int): DataFrame = {
+    require(padsRight, s"join view '$name' ($joinType) has no right-pad twin")
+    store.changesBetween(s"${name}__rpad", fromEpoch, toEpoch)
+  }
 }

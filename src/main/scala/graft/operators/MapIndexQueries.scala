@@ -774,6 +774,44 @@ object MapIndexQueries {
       jv
     })
 
+  /** The RIGHT-OUTER maintained join: the inner-owned relation (matched
+    * rows only) plus the same `__rpad` twin as full_outer — customers
+    * whose orders all vanished appear right-padded; orders of tombstoned
+    * customers DROP (no left-pads). Same build + batches as
+    * [[fullOuterOrdersCustomerView]] (incl. the %19 orphaning that makes
+    * genuine right-pads exist); the oracle is the from-scratch RIGHT
+    * JOIN of both modified tables. */
+  private def rightOuterOrdersCustomerView(s: SparkSession, dir: String): graft.engine.JoinView =
+    joinViews.getOrElseUpdate(s"$dir#router", {
+      val store = Views.bucketedStore(s, dir)
+      val jv = new graft.engine.JoinView(store, "orders_customer_ro",
+        "o_orderkey", "o_custkey",
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate", "o_orderpriority"),
+        "c_custkey", "c_custkey",
+        Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"),
+        joinType = "right_outer")
+      val unit = "orders_customer_ro"
+      if (!Views.unitDone(store.baseDir, unit)) {
+        val o = Tables.orders(s, dir)
+        val c = Tables.customer(s, dir)
+        jv.build(o, c)
+        val upsL = o.filter(col("o_orderkey") % 37 === 0 && col("o_orderkey") % 41 =!= 0
+            && col("o_custkey") % 19 =!= 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000)
+        val delsL = o.filter(col("o_orderkey") % 41 === 0 || col("o_custkey") % 19 === 0)
+          .select(col("o_orderkey").cast("string")).distinct()
+        jv.refreshLeft(upsL, Some(delsL))
+        val upsR = c.filter(col("c_custkey") % 13 === 0 && col("c_custkey") % 17 =!= 0)
+          .withColumn("c_acctbal", col("c_acctbal") + 100)
+        val delsR = c.filter(col("c_custkey") % 17 === 0)
+          .select(col("c_custkey").cast("string")).distinct()
+        jv.refreshRight(upsR, Some(delsR))
+        Views.markUnitDone(store.baseDir, unit)
+      }
+      jv
+    })
+
   /** Maintained AGGREGATE-OVER-JOIN ([[graft.engine.JoinAggView]]): a
     * revenue-by-priority rollup fed from the orders⋈customer join view's
     * CDC sidecar — after EACH side's change batch the rollup catches up
@@ -851,6 +889,52 @@ object MapIndexQueries {
         val upsL = o.filter(col("o_orderkey") % 37 === 0 && col("o_orderkey") % 41 =!= 0)
           .withColumn("o_totalprice", col("o_totalprice") + 1000)
         val delsL = o.filter(col("o_orderkey") % 41 === 0)
+          .select(col("o_orderkey").cast("string")).distinct()
+        jv.refreshLeft(upsL, Some(delsL))
+        agg.catchUp()
+        val upsR = c.filter(col("c_custkey") % 13 === 0 && col("c_custkey") % 17 =!= 0)
+          .withColumn("c_acctbal", col("c_acctbal") + 100)
+        val delsR = c.filter(col("c_custkey") % 17 === 0)
+          .select(col("c_custkey").cast("string")).distinct()
+        jv.refreshRight(upsR, Some(delsR))
+        agg.catchUp()
+        Views.markUnitDone(store.baseDir, unit)
+        agg
+      }
+    })
+
+  /** The rollup OVER A FULL-OUTER view — the composition the engine
+    * refused before the twin-feed fold: revenue by market segment where
+    * unmatched orders (their customers tombstoned) aggregate under the
+    * NULL segment and right-pads (orphaned customers) count into their
+    * real segment with a null value. [[graft.engine.JoinAggView]] folds
+    * BOTH CDC feeds (owned + `__rpad`) per catch-up; the oracle
+    * recomputes FULL JOIN + GROUP BY from both modified tables. */
+  private def fullOuterOrdersCustomerAggView(s: SparkSession, dir: String): graft.engine.JoinAggView =
+    joinAggViews.getOrElseUpdate(s"$dir#fullagg", {
+      val store = Views.bucketedStore(s, dir)
+      val jv = new graft.engine.JoinView(store, "orders_customer_fog",
+        "o_orderkey", "o_custkey",
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate", "o_orderpriority"),
+        "c_custkey", "c_custkey",
+        Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"),
+        joinType = "full_outer")
+      val unit = "orders_customer_fog"
+      if (Views.unitDone(store.baseDir, unit))
+        graft.engine.JoinAggView.attach(jv, "orders_customer_fog__rollup",
+          "c_mktsegment", "o_totalprice")
+      else {
+        val o = Tables.orders(s, dir)
+        val c = Tables.customer(s, dir)
+        jv.build(o, c)
+        val agg = new graft.engine.JoinAggView(jv, "orders_customer_fog__rollup",
+          "c_mktsegment", "o_totalprice")
+        agg.build()
+        val upsL = o.filter(col("o_orderkey") % 37 === 0 && col("o_orderkey") % 41 =!= 0
+            && col("o_custkey") % 19 =!= 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000)
+        val delsL = o.filter(col("o_orderkey") % 41 === 0 || col("o_custkey") % 19 === 0)
           .select(col("o_orderkey").cast("string")).distinct()
         jv.refreshLeft(upsL, Some(delsL))
         agg.catchUp()
@@ -1033,6 +1117,8 @@ object MapIndexQueries {
     saltedOrdersCustomerView(s, dir)
     leftOuterOrdersCustomerView(s, dir)
     fullOuterOrdersCustomerView(s, dir)
+    rightOuterOrdersCustomerView(s, dir)
+    fullOuterOrdersCustomerAggView(s, dir)
     percentileView(s, dir)
     percentileBView(s, dir)
     percentileContView(s, dir)
@@ -1146,6 +1232,29 @@ object MapIndexQueries {
           round(col("o_totalprice"), 2).as("o_totalprice"),
           round(col("c_acctbal"), 2).as("c_acctbal"))
         .orderBy("o_orderkey", "c_custkey")),
+
+    // the RIGHT-OUTER maintained join ([[rightOuterOrdersCustomerView]]):
+    // matched rows plus right-pads for customers with no surviving
+    // orders; orders of tombstoned customers DROP — the oracle is the
+    // from-scratch RIGHT JOIN of both modified tables
+    "mapindex_joinview_right" -> ((s, dir) =>
+      rightOuterOrdersCustomerView(s, dir).df
+        .select(col("o_orderkey"), col("o_custkey"), col("c_custkey"),
+          col("c_name"),
+          round(col("o_totalprice"), 2).as("o_totalprice"),
+          round(col("c_acctbal"), 2).as("c_acctbal"))
+        .orderBy("o_orderkey", "c_custkey")),
+
+    // the rollup OVER the full-outer view ([[fullOuterOrdersCustomerAggView]]):
+    // both CDC feeds (owned + right-pad twin) fold into one state —
+    // unmatched orders group under the NULL segment, right-pads count
+    // into their segment with no revenue; the oracle recomputes
+    // FULL JOIN + GROUP BY from scratch
+    "mapindex_joinview_full_agg" -> ((s, dir) =>
+      fullOuterOrdersCustomerAggView(s, dir).state
+        .select(col("emit_key").as("c_mktsegment"), col("cnt"),
+          round(col("sum_value").cast("double"), 2).as("revenue"))
+        .orderBy("c_mktsegment")),
 
     // the SALT-SHARDED join view ([[saltedOrdersCustomerView]]): the
     // skew-hardened emit layout must be invisible to serving — same
@@ -1805,6 +1914,42 @@ object MapIndexQueries {
         |       round(c_acctbal, 2) AS c_acctbal
         |FROM o FULL JOIN c ON o_custkey = c_custkey
         |ORDER BY o_orderkey NULLS FIRST, c_custkey NULLS FIRST""".stripMargin,
+    // the from-scratch RIGHT JOIN of both modified tables: right-pads
+    // for the %19 customers whose orders the left batch tombstoned
+    // wholesale, NO left-pads
+    "mapindex_joinview_right" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey,
+        |         CASE WHEN o_orderkey % 37 = 0 THEN o_totalprice + 1000
+        |              ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 41 <> 0 AND o_custkey % 19 <> 0),
+        |c AS (
+        |  SELECT c_custkey, c_name,
+        |         CASE WHEN c_custkey % 13 = 0 THEN c_acctbal + 100
+        |              ELSE c_acctbal END AS c_acctbal
+        |  FROM customer WHERE c_custkey % 17 <> 0)
+        |SELECT o_orderkey, o_custkey, c_custkey, c_name,
+        |       round(o_totalprice, 2) AS o_totalprice,
+        |       round(c_acctbal, 2) AS c_acctbal
+        |FROM o RIGHT JOIN c ON o_custkey = c_custkey
+        |ORDER BY o_orderkey NULLS FIRST, c_custkey""".stripMargin,
+    // FULL JOIN then GROUP BY recomputed from scratch: the NULL segment
+    // collects left-pads (orders of tombstoned customers), right-pads
+    // count into their real segment with a null (sum-invisible) value
+    "mapindex_joinview_full_agg" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey,
+        |         CASE WHEN o_orderkey % 37 = 0 THEN o_totalprice + 1000
+        |              ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 41 <> 0 AND o_custkey % 19 <> 0),
+        |c AS (
+        |  SELECT c_custkey, c_mktsegment
+        |  FROM customer WHERE c_custkey % 17 <> 0)
+        |SELECT c_mktsegment, count(*) AS cnt,
+        |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue
+        |FROM o FULL JOIN c ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment NULLS FIRST""".stripMargin,
     // salt shards must be invisible: identical oracle to mapindex_joinview
     "mapindex_joinview_salted" ->
       """WITH o AS (

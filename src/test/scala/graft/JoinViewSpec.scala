@@ -392,6 +392,89 @@ class JoinViewSpec extends AnyFunSuite with SparkSpec {
       .as[Option[Long]].collect().toSet === Set(Some(102L)))
   }
 
+  test("right-outer join view: matched rows plus right-pads, never left-pads") {
+    val store = BucketedViewStore.temp(spark, 8)
+    val jv = new JoinView(store, "t_router",
+      "l_pk", "l_jk", Seq("l_pk", "l_jk", "l_val"),
+      "r_pk", "r_jk", Seq("r_pk", "r_jk", "r_val"), joinType = "right_outer")
+    def rsnap(): Set[(Option[Long], Option[Long], Option[Long], Option[Double])] =
+      jv.df.select("l_pk", "r_pk", "l_val", "r_val")
+        .as[(Option[Long], Option[Long], Option[Long], Option[Double])]
+        .collect().toSet
+    // build: left 'b' unmatched DROPS (no left-pads under right_outer),
+    // right 'c' unmatched appears null-padded
+    jv.build(leftDf((1L, "a", 10L), (2L, "b", 20L)),
+      rightDf((100L, "a", 1.0), (102L, "c", 3.0)))
+    assert(rsnap() === Set(
+      (Some(1L), Some(100L), Some(10L), Some(1.0)),
+      (None, Some(102L), None, Some(3.0))))
+
+    // late LEFT arrival at 'c' heals the pad; a left row at a virgin key
+    // in the same batch emits NOTHING (inner-owned, no match)
+    jv.refreshLeft(leftDf((3L, "c", 30L), (4L, "x", 40L)), None)
+    assert(rsnap() === Set(
+      (Some(1L), Some(100L), Some(10L), Some(1.0)),
+      (Some(3L), Some(102L), Some(30L), Some(3.0))))
+
+    // LEFT delete re-pads the orphaned right row
+    jv.refreshLeft(leftDf(),
+      Some(leftDf((3L, "zz", 0L)).select(col("l_pk").cast("string"))))
+    assert(rsnap() === Set(
+      (Some(1L), Some(100L), Some(10L), Some(1.0)),
+      (None, Some(102L), None, Some(3.0))))
+
+    // RIGHT delete of the matched row retracts it (no left-pad forms);
+    // deleting the padded row drops its pad
+    jv.refreshRight(rightDf(),
+      Some(rightDf((100L, "zz", 0.0), (102L, "zz", 0.0))
+        .select(col("r_pk").cast("string"))))
+    assert(rsnap() === Set.empty)
+  }
+
+  test("rollup over a full-outer view folds BOTH CDC feeds (owned + right-pad twin)") {
+    import graft.engine.JoinAggView
+    val store = BucketedViewStore.temp(spark, 8)
+    val jv = new JoinView(store, "t_foagg",
+      "l_pk", "l_jk", Seq("l_pk", "l_jk", "l_val"),
+      "r_pk", "r_jk", Seq("r_pk", "r_jk", "r_val"), joinType = "full_outer")
+    // group by the RIGHT join key, sum the LEFT value: left-pads group
+    // under NULL, right-pads count with a sum-invisible null value
+    jv.build(leftDf((1L, "a", 10L), (2L, "b", 20L)),
+      rightDf((100L, "a", 1.0), (102L, "c", 3.0)))
+    val agg = new JoinAggView(jv, "t_foagg__rollup", "r_jk", "l_val")
+    agg.build()
+    def state(): Map[Option[String], (Long, Long)] =
+      agg.state.select(col("emit_key"),
+          col("cnt"), coalesce(col("sum_value").cast("long"), lit(0L)))
+        .as[(Option[String], Long, Long)].collect()
+        .map(t => t._1 -> (t._2, t._3)).toMap
+    assert(state() === Map(Some("a") -> (1L, 10L), Some("c") -> (1L, 0L),
+      None -> (1L, 20L)))
+
+    // a left arrival at 'c' heals the right-pad: the twin feed retracts
+    // the pad row while the owned feed inserts the join row — cnt stays,
+    // the sum gains the value
+    jv.refreshLeft(leftDf((3L, "c", 30L)), None)
+    agg.catchUp()
+    assert(state() === Map(Some("a") -> (1L, 10L), Some("c") -> (1L, 30L),
+      None -> (1L, 20L)))
+
+    // a right delete re-pads its matched left row into the NULL group;
+    // a right arrival at 'b' heals the left-pad out of it
+    jv.refreshRight(rightDf((101L, "b", 2.0)),
+      Some(rightDf((100L, "zz", 0.0)).select(col("r_pk").cast("string"))))
+    agg.catchUp()
+    assert(state() === Map(Some("b") -> (1L, 20L), Some("c") -> (1L, 30L),
+      None -> (1L, 10L)))
+
+    // reopen from disk: the persisted watermark already covers every
+    // epoch, so a fresh catchUp over the twin-fed state no-ops
+    val re = JoinAggView.attach(jv, "t_foagg__rollup", "r_jk", "l_val")
+    re.catchUp()
+    assert(state() === Map(Some("b") -> (1L, 20L), Some("c") -> (1L, 30L),
+      None -> (1L, 10L)))
+  }
+
   test("salted join view: hot-key refresh I/O stays delta-proportional, serving unchanged") {
     val store = BucketedViewStore.temp(spark, 8)
     // 50 %-skewed left: half the rows on ONE join key
