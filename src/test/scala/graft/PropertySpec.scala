@@ -578,6 +578,23 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
       }
       (leftSide ++ rightOnly).toSet
     }
+    // the rollup riding the same history: group by the RIGHT join key
+    // (left-pads under NULL), sum the LEFT value (right-pads count with
+    // a sum-invisible null) — per-group over the full-join multiset
+    def rolled(l: Map[Long, (String, Long)], r: Map[Long, (String, Double)])
+        : Map[Option[String], (Long, Long)] = {
+      val rows: Seq[(Option[String], Option[Long])] =
+        l.toSeq.flatMap { case (_, (lj, lv)) =>
+          val n = r.values.count(_._1 == lj)
+          if (n == 0) Seq((None: Option[String], Some(lv)))
+          else Seq.fill(n)((Some(lj), Some(lv)))
+        } ++ r.toSeq.collect {
+          case (_, (rj, _)) if !l.values.exists(_._1 == rj) =>
+            (Some(rj), None: Option[Long])
+        }
+      rows.groupBy(_._1).map { case (g, xs) =>
+        g -> (xs.size.toLong, xs.flatMap(_._2).sum) }
+    }
     (1 to 2).foreach { trial =>
       val store = graft.engine.BucketedViewStore.temp(spark, 4)
       val jv = new JoinView(store, s"jvfo_prop$trial",
@@ -589,6 +606,15 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
       var rState = sample(Gen.listOfN(4, rRowGen), 1900L + trial)
         .map { case (k, j, v) => k -> (j, v) }.toMap
       jv.build(lDf(lState), rDf(rState))
+      val agg = new graft.engine.JoinAggView(jv, s"jvfo_prop${trial}__rollup",
+        "r_jk", "l_val")
+      agg.build()
+      def aggGot(): Map[Option[String], (Long, Long)] =
+        agg.state.select(col("emit_key"), col("cnt"),
+            coalesce(col("sum_value").cast("long"), lit(0L)))
+          .as[(Option[String], Long, Long)].collect()
+          .map(t => t._1 -> (t._2, t._3)).toMap
+      assert(aggGot() === rolled(lState, rState), s"trial $trial build")
       (1 to 3).foreach { round =>
         val leftTurn = (trial + round) % 2 == 0
         if (leftTurn) {
@@ -615,6 +641,9 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
           .collect().toSet
         assert(got === fullJoined(lState, rState),
           s"trial $trial round $round L=$lState R=$rState")
+        agg.catchUp()
+        assert(aggGot() === rolled(lState, rState),
+          s"rollup trial $trial round $round L=$lState R=$rState")
       }
     }
   }
