@@ -61,7 +61,7 @@ import graft.engine.BucketedViewStore.RefreshStats
   * so CDC, time travel and compaction apply to the rollup itself.
   */
 final class JoinAggView(
-    val jv: JoinView,
+    val jv: MaintainedRelation,
     val stateName: String,
     groupCol: String,
     valueCol: String,
@@ -308,7 +308,7 @@ object JoinAggView {
     * process resumes from exactly the epochs the on-disk state has
     * folded, and the next [[JoinAggView.catchUp]] replays any refreshes
     * that landed after the last fold. */
-  def attach(jv: JoinView, stateName: String,
+  def attach(jv: MaintainedRelation, stateName: String,
       groupCol: String, valueCol: String,
       trackValues: Boolean = false): JoinAggView = {
     val v = new JoinAggView(jv, stateName, groupCol, valueCol, trackValues)

@@ -53,7 +53,7 @@ final class JoinView(
     val leftPk: String, leftJk: String, leftCols: Seq[String],
     rightPk: String, rightJk: String, rightCols: Seq[String],
     saltBuckets: Int = 1,
-    val joinType: String = "inner") {
+    val joinType: String = "inner") extends MaintainedRelation {
   require(saltBuckets >= 1, s"saltBuckets must be >= 1, got $saltBuckets")
   // LEFT-OUTER IVM: a left row with no right match emits ONE null-padded
   // join row instead of nothing. The delta rules are unchanged — both
@@ -92,7 +92,8 @@ final class JoinView(
   }
 
   /** Does this view carry the right-pad twin? */
-  def padsRight: Boolean = joinType == "full_outer" || joinType == "right_outer"
+  override def padsRight: Boolean =
+    joinType == "full_outer" || joinType == "right_outer"
   private def fullOuter = padsRight
 
   /** U+0001 separates key from salt: order-irrelevant here (hash
@@ -315,7 +316,7 @@ final class JoinView(
     * joined-row schema as [[changes]]. The twin refreshes in lockstep
     * with the owned relation (once per build/refresh), so the two feeds
     * share epoch numbering. */
-  def rpadChanges(fromEpoch: Int, toEpoch: Int): DataFrame = {
+  override def rpadChanges(fromEpoch: Int, toEpoch: Int): DataFrame = {
     require(padsRight, s"join view '$name' ($joinType) has no right-pad twin")
     store.changesBetween(s"${name}__rpad", fromEpoch, toEpoch)
   }

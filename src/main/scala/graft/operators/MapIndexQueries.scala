@@ -1105,6 +1105,152 @@ object MapIndexQueries {
       jv2
     })
 
+  /** The maintained AS-OF join view ([[graft.engine.AsOfJoinView]]):
+    * every purchase joined to the user's LAST click at-or-before it
+    * (backward as-of, ties to the greatest click id; clickless purchases
+    * null-padded) — last-touch attribution, kept fresh under change
+    * batches to EACH side. The left batch re-values AND re-times
+    * purchases `%37` (a moved probe must re-pick) and tombstones `%41`;
+    * the right batch re-values and re-times clicks `%13` (a moved
+    * candidate steals or releases matches) and tombstones `%17` (matched
+    * purchases must fall back to the previous click or the null pad).
+    * The oracle recomputes the as-of argmax per purchase from both
+    * modified tables, so any stale pick is a hash mismatch. */
+  private val asofViews =
+    scala.collection.concurrent.TrieMap.empty[String, graft.engine.AsOfJoinView]
+  private def purchaseClickView(s: SparkSession, dir: String): graft.engine.AsOfJoinView =
+    asofViews.getOrElseUpdate(dir, {
+      val store = Views.bucketedStore(s, dir)
+      val v = new graft.engine.AsOfJoinView(store, "purchase_click_asof",
+        "a_id", "a_user", "a_ts", Seq("a_id", "a_user", "a_ts", "a_value"),
+        "b_id", "b_user", "b_ts", Seq("b_id", "b_user", "b_ts", "b_value"))
+      val unit = "purchase_click_asof"
+      if (!Views.unitDone(store.baseDir, unit)) {
+        val (p, c) = purchasesClicks(s, dir)
+        v.build(p, c)
+        v.refreshLeft(purchaseUps(p), Some(purchaseDels(p)))
+        v.refreshRight(clickUps(c), Some(clickDels(c)))
+        Views.markUnitDone(store.baseDir, unit)
+      }
+      v
+    })
+
+  private def purchasesClicks(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val ev = Tables.events(s, dir)
+    (ev.filter(col("event_type") === "purchase")
+       .select(col("event_id").as("a_id"), col("user_id").as("a_user"),
+         col("ts").as("a_ts"), col("value").as("a_value")),
+     ev.filter(col("event_type") === "click")
+       .select(col("event_id").as("b_id"), col("user_id").as("b_user"),
+         col("ts").as("b_ts"), col("value").as("b_value")))
+  }
+  private def purchaseUps(p: DataFrame): DataFrame =
+    p.filter(col("a_id") % 37 === 0 && col("a_id") % 41 =!= 0)
+      .withColumn("a_value", col("a_value") + 1000)
+      .withColumn("a_ts", col("a_ts") + expr("INTERVAL 1 HOUR"))
+  private def purchaseDels(p: DataFrame): DataFrame =
+    p.filter(col("a_id") % 41 === 0).select(col("a_id").cast("string")).distinct()
+  private def clickUps(c: DataFrame): DataFrame =
+    c.filter(col("b_id") % 13 === 0 && col("b_id") % 17 =!= 0)
+      .withColumn("b_value", col("b_value") + 100)
+      .withColumn("b_ts", col("b_ts") + expr("INTERVAL 30 MINUTES"))
+  private def clickDels(c: DataFrame): DataFrame =
+    c.filter(col("b_id") % 17 === 0).select(col("b_id").cast("string")).distinct()
+
+  /** A [[graft.engine.JoinAggView]] OVER the as-of view — the maintained
+    * last-touch attribution rollup ("revenue credited to each click,
+    * always fresh"; the null group = unattributed revenue): the rollup
+    * consumes the as-of view's CDC alone through the shared
+    * [[graft.engine.MaintainedRelation]] contract, catching up after
+    * every refresh. Same history as [[purchaseClickView]] on twin view
+    * names; the oracle recomputes match + group-by from scratch. */
+  private def purchaseClickAttribution(s: SparkSession, dir: String): graft.engine.JoinAggView =
+    joinAggViews.getOrElseUpdate(s"$dir#asof", {
+      val store = Views.bucketedStore(s, dir)
+      val v = new graft.engine.AsOfJoinView(store, "purchase_click_asof_g",
+        "a_id", "a_user", "a_ts", Seq("a_id", "a_user", "a_ts", "a_value"),
+        "b_id", "b_user", "b_ts", Seq("b_id", "b_user", "b_ts", "b_value"))
+      val unit = "purchase_click_asof_g"
+      if (Views.unitDone(store.baseDir, unit))
+        graft.engine.JoinAggView.attach(v, "purchase_click_asof_g__rollup",
+          "b_id", "a_value")
+      else {
+        val (p, c) = purchasesClicks(s, dir)
+        v.build(p, c)
+        val agg = new graft.engine.JoinAggView(v, "purchase_click_asof_g__rollup",
+          "b_id", "a_value")
+        agg.build()
+        v.refreshLeft(purchaseUps(p), Some(purchaseDels(p)))
+        agg.catchUp()
+        v.refreshRight(clickUps(c), Some(clickDels(c)))
+        agg.catchUp()
+        Views.markUnitDone(store.baseDir, unit)
+        agg
+      }
+    })
+
+  /** Maintained GROUPING-SETS lattices ([[graft.engine.JoinGroupingView]]):
+    * ONE join view ("orders_customer_l", the shared change-batch history)
+    * feeds TWO lattice states from the same CDC — the ROLLUP of
+    * (c_mktsegment, o_orderpriority) and the full CUBE — each fold
+    * updating every grouping set at once. The oracles are DuckDB's own
+    * `GROUP BY ROLLUP` / `GROUP BY CUBE` over both modified tables, with
+    * the gid bitmask recomputed via GROUPING(). */
+  private val latticeViews =
+    scala.collection.concurrent.TrieMap.empty[String, graft.engine.JoinGroupingView]
+  private def ordersCustomerLattice(s: SparkSession, dir: String,
+      cube: Boolean): graft.engine.JoinGroupingView = {
+    val key = s"$dir#${if (cube) "cube" else "rollup"}"
+    latticeViews.getOrElse(key, this.synchronized {
+      latticeViews.getOrElse(key, {
+        val store = Views.bucketedStore(s, dir)
+        val jv = new graft.engine.JoinView(store, "orders_customer_l",
+          "o_orderkey", "o_custkey",
+          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate", "o_orderpriority"),
+          "c_custkey", "c_custkey",
+          Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"))
+        val gcols = Seq("c_mktsegment", "o_orderpriority")
+        val rSets = graft.engine.JoinGroupingView.rollupSets(gcols)
+        val cSets = graft.engine.JoinGroupingView.cubeSets(gcols)
+        val unit = "orders_customer_l"
+        val (r, c) =
+          if (Views.unitDone(store.baseDir, unit))
+            (graft.engine.JoinGroupingView.attach(jv, "orders_customer_l__roll",
+              gcols, "o_totalprice", rSets),
+             graft.engine.JoinGroupingView.attach(jv, "orders_customer_l__cube",
+              gcols, "o_totalprice", cSets))
+          else {
+            val o = Tables.orders(s, dir)
+            val cu = Tables.customer(s, dir)
+            jv.build(o, cu)
+            val r0 = new graft.engine.JoinGroupingView(jv,
+              "orders_customer_l__roll", gcols, "o_totalprice", rSets)
+            val c0 = new graft.engine.JoinGroupingView(jv,
+              "orders_customer_l__cube", gcols, "o_totalprice", cSets)
+            r0.build(); c0.build()
+            val upsL = o.filter(col("o_orderkey") % 37 === 0 && col("o_orderkey") % 41 =!= 0)
+              .withColumn("o_totalprice", col("o_totalprice") + 1000)
+            val delsL = o.filter(col("o_orderkey") % 41 === 0)
+              .select(col("o_orderkey").cast("string")).distinct()
+            jv.refreshLeft(upsL, Some(delsL))
+            r0.catchUp(); c0.catchUp()
+            val upsR = cu.filter(col("c_custkey") % 13 === 0 && col("c_custkey") % 17 =!= 0)
+              .withColumn("c_acctbal", col("c_acctbal") + 100)
+            val delsR = cu.filter(col("c_custkey") % 17 === 0)
+              .select(col("c_custkey").cast("string")).distinct()
+            jv.refreshRight(upsR, Some(delsR))
+            r0.catchUp(); c0.catchUp()
+            Views.markUnitDone(store.baseDir, unit)
+            (r0, c0)
+          }
+        latticeViews.put(s"$dir#rollup", r)
+        latticeViews.put(s"$dir#cube", c)
+        if (cube) c else r
+      })
+    })
+  }
+
   def prewarm(s: SparkSession, dir: String): Unit = {
     ordersCustomerView(s, dir)
     streamedOrdersCustomerView(s, dir)
@@ -1114,6 +1260,9 @@ object MapIndexQueries {
     streamedOrdersCustomerAggView(s, dir)
     ordersCustomerNationView(s, dir)
     ordersCustomerNationAggView(s, dir)
+    purchaseClickView(s, dir)
+    purchaseClickAttribution(s, dir)
+    ordersCustomerLattice(s, dir, cube = false)
     saltedOrdersCustomerView(s, dir)
     leftOuterOrdersCustomerView(s, dir)
     fullOuterOrdersCustomerView(s, dir)
@@ -1328,6 +1477,46 @@ object MapIndexQueries {
           round(col("emit_value.sum_value").cast("double"), 2).as("revenue"))
         .orderBy("o_orderpriority")
     }),
+
+    // maintained AS-OF join ([[purchaseClickView]] — AsOfJoinView):
+    // every purchase's last click at-or-before it, kept fresh under
+    // re-timed/re-valued/tombstoned batches to BOTH sides; the oracle
+    // recomputes the per-purchase argmax from both modified tables
+    "mapindex_asofjoinview" -> ((s, dir) =>
+      purchaseClickView(s, dir).df
+        .select(col("a_id"), col("a_user"),
+          round(col("a_value"), 2).as("a_value"),
+          col("b_id"), round(col("b_value"), 2).as("b_value"))
+        .orderBy("a_id")),
+
+    // maintained LAST-TOUCH ATTRIBUTION ([[purchaseClickAttribution]] —
+    // JoinAggView over the as-of view via the MaintainedRelation
+    // contract): revenue credited per click, null group = unattributed;
+    // served from the rollup state alone, fed purely by the as-of
+    // view's CDC across both refreshes
+    "mapindex_asofjoinview_agg" -> ((s, dir) =>
+      purchaseClickAttribution(s, dir).state
+        .select(col("emit_key").as("b_id"), col("cnt"),
+          round(col("sum_value").cast("double"), 2).as("revenue"))
+        .orderBy("b_id")),
+
+    // maintained ROLLUP lattice ([[ordersCustomerLattice]] —
+    // JoinGroupingView): (segment, priority) / (segment) / () revenue,
+    // every set folded from the SAME join CDC at once; gid = the
+    // GROUPING bitmask (bit 0 = segment masked, bit 1 = priority masked)
+    "mapindex_joinview_rollup_lattice" -> ((s, dir) =>
+      ordersCustomerLattice(s, dir, cube = false).state
+        .select(col("gid"), col("c_mktsegment"), col("o_orderpriority"),
+          col("cnt"), round(col("sum_value").cast("double"), 2).as("revenue"))
+        .orderBy("gid", "c_mktsegment", "o_orderpriority")),
+
+    // the full CUBE lattice over the same maintained join and the same
+    // CDC history — adds the (priority)-only set the rollup lacks
+    "mapindex_joinview_cube_lattice" -> ((s, dir) =>
+      ordersCustomerLattice(s, dir, cube = true).state
+        .select(col("gid"), col("c_mktsegment"), col("o_orderpriority"),
+          col("cnt"), round(col("sum_value").cast("double"), 2).as("revenue"))
+        .orderBy("gid", "c_mktsegment", "o_orderpriority")),
 
     // three-way delta join ([[ordersCustomerNationView]]): level 2 caught
     // up from level 1's CDC after each level-1 refresh, then a nation
@@ -2044,6 +2233,95 @@ object MapIndexQueries {
         |FROM o JOIN customer ON o_custkey = c_custkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     // the from-scratch THREE-WAY join of all three modified tables
+    // as-of IVM: the oracle recomputes each purchase's backward argmax
+    // (greatest ts <= purchase ts, ties to the greatest click id) from
+    // both modified tables with a correlated subquery
+    "mapindex_asofjoinview" ->
+      """WITH p AS (
+        |  SELECT event_id AS a_id, user_id AS a_user,
+        |         CASE WHEN event_id % 37 = 0 THEN ts + INTERVAL 1 HOUR
+        |              ELSE ts END AS a_ts,
+        |         CASE WHEN event_id % 37 = 0 THEN value + 1000
+        |              ELSE value END AS a_value
+        |  FROM events WHERE event_type = 'purchase' AND event_id % 41 <> 0),
+        |c AS (
+        |  SELECT event_id AS b_id, user_id AS b_user,
+        |         CASE WHEN event_id % 13 = 0 THEN ts + INTERVAL 30 MINUTE
+        |              ELSE ts END AS b_ts,
+        |         CASE WHEN event_id % 13 = 0 THEN value + 100
+        |              ELSE value END AS b_value
+        |  FROM events WHERE event_type = 'click' AND event_id % 17 <> 0)
+        |SELECT a.a_id, a.a_user, round(a.a_value, 2) AS a_value,
+        |  (SELECT b.b_id FROM c b
+        |   WHERE b.b_user = a.a_user AND b.b_ts <= a.a_ts
+        |   ORDER BY b.b_ts DESC, b.b_id DESC LIMIT 1) AS b_id,
+        |  (SELECT round(b.b_value, 2) FROM c b
+        |   WHERE b.b_user = a.a_user AND b.b_ts <= a.a_ts
+        |   ORDER BY b.b_ts DESC, b.b_id DESC LIMIT 1) AS b_value
+        |FROM p a ORDER BY a.a_id""".stripMargin,
+    // attribution rollup: match per purchase, then group by the matched
+    // click (NULL = unattributed), both recomputed from scratch
+    "mapindex_asofjoinview_agg" ->
+      """WITH p AS (
+        |  SELECT event_id AS a_id, user_id AS a_user,
+        |         CASE WHEN event_id % 37 = 0 THEN ts + INTERVAL 1 HOUR
+        |              ELSE ts END AS a_ts,
+        |         CASE WHEN event_id % 37 = 0 THEN value + 1000
+        |              ELSE value END AS a_value
+        |  FROM events WHERE event_type = 'purchase' AND event_id % 41 <> 0),
+        |c AS (
+        |  SELECT event_id AS b_id, user_id AS b_user,
+        |         CASE WHEN event_id % 13 = 0 THEN ts + INTERVAL 30 MINUTE
+        |              ELSE ts END AS b_ts,
+        |         CASE WHEN event_id % 13 = 0 THEN value + 100
+        |              ELSE value END AS b_value
+        |  FROM events WHERE event_type = 'click' AND event_id % 17 <> 0),
+        |m AS (
+        |  SELECT a.a_value,
+        |    (SELECT b.b_id FROM c b
+        |     WHERE b.b_user = a.a_user AND b.b_ts <= a.a_ts
+        |     ORDER BY b.b_ts DESC, b.b_id DESC LIMIT 1) AS b_id
+        |  FROM p a)
+        |SELECT CAST(b_id AS VARCHAR) AS b_id, count(*) AS cnt,
+        |       round(CAST(sum(CAST(a_value AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue
+        |FROM m GROUP BY 1
+        |ORDER BY b_id NULLS FIRST""".stripMargin,
+    // lattice IVM: DuckDB recomputes the whole ROLLUP from both modified
+    // tables; gid rebuilt from GROUPING() with the engine's bit layout
+    "mapindex_joinview_rollup_lattice" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey, o_orderpriority,
+        |         CASE WHEN o_orderkey % 37 = 0 THEN o_totalprice + 1000
+        |              ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 41 <> 0),
+        |c AS (
+        |  SELECT c_custkey, c_mktsegment
+        |  FROM customer WHERE c_custkey % 17 <> 0)
+        |SELECT CAST(GROUPING(c_mktsegment) + 2 * GROUPING(o_orderpriority)
+        |            AS INTEGER) AS gid,
+        |       c_mktsegment, o_orderpriority, count(*) AS cnt,
+        |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2)
+        |         AS revenue
+        |FROM o JOIN c ON o_custkey = c_custkey
+        |GROUP BY ROLLUP(c_mktsegment, o_orderpriority)
+        |ORDER BY gid, c_mktsegment NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "mapindex_joinview_cube_lattice" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey, o_orderpriority,
+        |         CASE WHEN o_orderkey % 37 = 0 THEN o_totalprice + 1000
+        |              ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 41 <> 0),
+        |c AS (
+        |  SELECT c_custkey, c_mktsegment
+        |  FROM customer WHERE c_custkey % 17 <> 0)
+        |SELECT CAST(GROUPING(c_mktsegment) + 2 * GROUPING(o_orderpriority)
+        |            AS INTEGER) AS gid,
+        |       c_mktsegment, o_orderpriority, count(*) AS cnt,
+        |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2)
+        |         AS revenue
+        |FROM o JOIN c ON o_custkey = c_custkey
+        |GROUP BY CUBE(c_mktsegment, o_orderpriority)
+        |ORDER BY gid, c_mktsegment NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
     "mapindex_joinview3" ->
       """WITH o AS (
         |  SELECT o_orderkey, o_custkey,

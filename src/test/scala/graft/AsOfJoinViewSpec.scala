@@ -1,0 +1,161 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.engine.{AsOfJoinView, BucketedViewStore, JoinAggView}
+
+/** As-of join IVM ([[graft.engine.AsOfJoinView]]): maintenance under
+  * change batches to either side must land exactly the recomputed
+  * backward as-of join (greatest right ts ≤ left ts, ties to the
+  * greatest right pk), with partition-scoped I/O. The from-scratch
+  * arbiter is a plain-Scala argmax over the final row sets — fully
+  * independent of the engine's pick plan. */
+class AsOfJoinViewSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  // probes: (p_pk, p_jk, p_ts, p_val); quotes: (q_pk, q_jk, q_ts, q_px)
+  private def probes(rows: (Long, String, Long, Long)*) =
+    rows.toSeq.toDF("p_pk", "p_jk", "p_ts", "p_val")
+  private def quotes(rows: (Long, String, Long, Double)*) =
+    rows.toSeq.toDF("q_pk", "q_jk", "q_ts", "q_px")
+
+  private def mk(store: BucketedViewStore, nm: String) =
+    new AsOfJoinView(store, nm,
+      "p_pk", "p_jk", "p_ts", Seq("p_pk", "p_jk", "p_ts", "p_val"),
+      "q_pk", "q_jk", "q_ts", Seq("q_pk", "q_jk", "q_ts", "q_px"))
+
+  private def snap(v: AsOfJoinView): Set[(Long, Option[Long], Option[Double])] =
+    v.df.select("p_pk", "q_pk", "q_px")
+      .as[(Long, Option[Long], Option[Double])].collect().toSet
+
+  /** Independent arbiter: the as-of argmax computed row-at-a-time in
+    * plain Scala from the two input row sets. */
+  private def expected(ls: Seq[(Long, String, Long, Long)],
+      rs: Seq[(Long, String, Long, Double)]): Set[(Long, Option[Long], Option[Double])] =
+    ls.map { case (pk, jk, ts, _) =>
+      val m = rs.filter(r => r._2 == jk && r._3 <= ts)
+        .sortBy(r => (r._3, r._1)).lastOption
+      (pk, m.map(_._1), m.map(_._4))
+    }.toSet
+
+  test("build is the backward as-of join: inclusive bound, pk tie-break, null pad") {
+    val store = BucketedViewStore.temp(spark, 8)
+    val v = mk(store, "t_asof_build")
+    val ls = Seq((100L, "a", 5L, 1L), (101L, "a", 10L, 1L), (102L, "a", 15L, 1L),
+      (103L, "a", 25L, 1L), (104L, "b", 40L, 1L), (105L, "c", 7L, 1L))
+    val rs = Seq((1L, "a", 10L, 1.0), (2L, "a", 20L, 2.0),
+      (3L, "a", 20L, 3.0), (9L, "b", 50L, 9.0))
+    v.build(probes(ls: _*), quotes(rs: _*))
+    assert(snap(v) === expected(ls, rs))
+    // spot the classes: ts 5 precedes every quote (pad); ts 10 matches
+    // inclusively; the equal-ts pair (q2, q3) resolves to the greater pk
+    assert(snap(v).contains((100L, None, None)))
+    assert(snap(v).contains((101L, Some(1L), Some(1.0))))
+    assert(snap(v).contains((103L, Some(3L), Some(3.0))))
+  }
+
+  test("left and right deltas maintain the pick exactly, bucket-pruned") {
+    val store = BucketedViewStore.temp(spark, 8)
+    val v = mk(store, "t_asof_ivm")
+    var ls = Seq((100L, "a", 5L, 1L), (101L, "a", 10L, 1L), (102L, "a", 15L, 1L),
+      (103L, "a", 25L, 1L), (104L, "b", 40L, 1L), (106L, "b", 60L, 1L))
+    var rs = Seq((1L, "a", 10L, 1.0), (2L, "a", 20L, 2.0),
+      (3L, "a", 20L, 3.0), (9L, "b", 50L, 9.0))
+    v.build(probes(ls: _*), quotes(rs: _*))
+
+    // LEFT delta: 102 hops to ts 30 (match shifts q1→q3), new probe 107
+    // lands on b (matches q9), 101 retracts — all classes in one batch
+    val s1 = v.refreshLeft(probes((102L, "a", 30L, 2L), (107L, "b", 55L, 1L)),
+      Some(probes((101L, "zz", 0L, 0L)).select(col("p_pk").cast("string"))))
+    ls = ls.filterNot(_._1 == 101L).filterNot(_._1 == 102L) ++
+      Seq((102L, "a", 30L, 2L), (107L, "b", 55L, 1L))
+    assert(snap(v) === expected(ls, rs))
+    assert(s1.emitBucketsRewritten < s1.totalBuckets,
+      "a small left delta must not rewrite every join bucket")
+
+    // RIGHT delta: q4 arrives at (a, 22) and steals 103 and 102; q1
+    // retracts so 101-era matches fall back (100 stays padded); q9
+    // retracts so 104/107 heal back to pads; q10 re-keys b at ts 45
+    val s2 = v.refreshRight(quotes((4L, "a", 22L, 4.0), (10L, "b", 45L, 10.0)),
+      Some(quotes((1L, "zz", 0L, 0.0), (9L, "zz", 0L, 0.0))
+        .select(col("q_pk").cast("string"))))
+    rs = rs.filterNot(r => r._1 == 1L || r._1 == 9L) ++
+      Seq((4L, "a", 22L, 4.0), (10L, "b", 45L, 10.0))
+    assert(snap(v) === expected(ls, rs))
+    assert(s2.emitBucketsRewritten < s2.totalBuckets,
+      "a small right delta must not rewrite every join bucket")
+    assert(snap(v).contains((103L, Some(4L), Some(4.0))), "steal")
+    assert(snap(v).contains((104L, None, None)), "heal back to pad")
+
+    // serving by key is a pruned read
+    assert(v.byKeys(Seq("b").toDF("k")).select("p_pk")
+      .as[Long].collect().toSet === Set(104L, 106L, 107L))
+  }
+
+  test("random history converges to the plain-Scala argmax") {
+    val store = BucketedViewStore.temp(spark, 8)
+    val v = mk(store, "t_asof_prop")
+    val rnd = new scala.util.Random(4242)
+    val jks = Vector("a", "b", "c", "d")
+    var ls = (0L until 24L).map(i =>
+      (i, jks(rnd.nextInt(4)), rnd.nextInt(100).toLong, rnd.nextInt(10).toLong))
+    var rs = (100L until 112L).map(i =>
+      (i, jks(rnd.nextInt(4)), rnd.nextInt(100).toLong, rnd.nextInt(9).toDouble))
+    v.build(probes(ls: _*), quotes(rs: _*))
+    for (step <- 0 until 4) {
+      if (step % 2 == 0) {
+        val upd = ls.filter(_ => rnd.nextBoolean()).map(r =>
+          (r._1, jks(rnd.nextInt(4)), rnd.nextInt(100).toLong, r._4 + 1))
+        val del = ls.filterNot(r => upd.exists(_._1 == r._1))
+          .filter(_ => rnd.nextInt(3) == 0).map(_._1)
+        v.refreshLeft(probes(upd: _*),
+          Some(del.toDF("p_pk").select(col("p_pk").cast("string"))))
+        ls = ls.filterNot(r => upd.exists(_._1 == r._1) || del.contains(r._1)) ++ upd
+      } else {
+        val upd = rs.filter(_ => rnd.nextBoolean()).map(r =>
+          (r._1, jks(rnd.nextInt(4)), rnd.nextInt(100).toLong, r._4 + 0.5))
+        val del = rs.filterNot(r => upd.exists(_._1 == r._1))
+          .filter(_ => rnd.nextInt(3) == 0).map(_._1)
+        v.refreshRight(quotes(upd: _*),
+          Some(del.toDF("q_pk").select(col("q_pk").cast("string"))))
+        rs = rs.filterNot(r => upd.exists(_._1 == r._1) || del.contains(r._1)) ++ upd
+      }
+      assert(snap(v) === expected(ls, rs), s"diverged at step $step")
+    }
+  }
+
+  test("a JoinAggView over the as-of view is a maintained attribution rollup") {
+    val store = BucketedViewStore.temp(spark, 8)
+    val v = mk(store, "t_asof_roll")
+    val ls = Seq((100L, "a", 12L, 5L), (101L, "a", 25L, 7L), (102L, "a", 30L, 2L),
+      (103L, "b", 40L, 4L), (104L, "b", 5L, 6L))
+    val rs = Seq((1L, "a", 10L, 1.0), (2L, "a", 20L, 2.0), (9L, "b", 35L, 9.0))
+    v.build(probes(ls: _*), quotes(rs: _*))
+    // revenue per touchpoint (q_pk), the null group = unattributed
+    val agg = new JoinAggView(v, "t_asof_roll__rollup", "q_pk", "p_val")
+    agg.build()
+
+    def served: Map[Option[String], (Long, Long)] =
+      agg.state.select(col("emit_key"), col("cnt"),
+          col("sum_value").cast("long"))
+        .as[(Option[String], Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(served === Map(Some("1") -> (1L, 5L), Some("2") -> (2L, 9L),
+      Some("9") -> (1L, 4L), None -> (1L, 6L)))
+
+    // a right retraction reflows attribution; the rollup catches up
+    // from the as-of view's CDC alone
+    v.refreshRight(quotes(), Some(quotes((2L, "zz", 0L, 0.0))
+      .select(col("q_pk").cast("string"))))
+    agg.catchUp()
+    assert(served === Map(Some("1") -> (3L, 14L), Some("9") -> (1L, 4L),
+      None -> (1L, 6L)), "q2's probes fall back to q1")
+
+    // a left batch (re-valued + retracted probes), same CDC-only path
+    v.refreshLeft(probes((100L, "a", 12L, 8L)),
+      Some(probes((104L, "zz", 0L, 0L)).select(col("p_pk").cast("string"))))
+    agg.catchUp()
+    assert(served === Map(Some("1") -> (3L, 17L), Some("9") -> (1L, 4L)),
+      "unattributed group vanishes with its probe")
+  }
+}

@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.engine.{BucketedViewStore, JoinGroupingView, JoinView}
+
+/** Maintained grouping-sets lattice ([[graft.engine.JoinGroupingView]]):
+  * one CDC fold must keep EVERY set of the ROLLUP/CUBE lattice equal to
+  * the from-scratch GROUP BY of the maintained relation. */
+class JoinGroupingViewSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def leftDf(rows: (Long, String, String, Long)*) =
+    rows.toSeq.toDF("l_pk", "l_jk", "l_cat", "l_val")
+  private def rightDf(rows: (Long, String, String)*) =
+    rows.toSeq.toDF("r_pk", "r_jk", "r_seg")
+
+  private def mkJv(store: BucketedViewStore, nm: String) =
+    new JoinView(store, nm,
+      "l_pk", "l_jk", Seq("l_pk", "l_jk", "l_cat", "l_val"),
+      "r_pk", "r_jk", Seq("r_pk", "r_jk", "r_seg"))
+
+  /** From-scratch lattice of the CURRENT join relation, set by set. */
+  private def expected(jv: JoinView, sets: Seq[Seq[String]],
+      gcols: Seq[String]): Set[(Int, Option[String], Option[String], Long, Long)] =
+    sets.flatMap { set =>
+      val gid = gcols.zipWithIndex
+        .collect { case (c, i) if !set.contains(c) => 1 << i }.sum
+      val df0 = jv.df
+      val grouped =
+        if (set.isEmpty)
+          df0.agg(count(lit(1)).as("cnt"), sum("l_val").as("s")).collect()
+            .map(r => (None: Option[String], None: Option[String],
+              r.getLong(0), r.getLong(1)))
+        else {
+          val df = df0.groupBy(set.map(col): _*)
+            .agg(count(lit(1)).as("cnt"), sum("l_val").as("s")).collect()
+          df.map { r =>
+            val m = set.zipWithIndex.map { case (c, i) =>
+              c -> Option(r.get(i)).map(_.toString)
+            }.toMap
+            (m.getOrElse(gcols(0), None), m.getOrElse(gcols(1), None),
+              r.getLong(set.size), r.getLong(set.size + 1))
+          }
+        }
+      grouped.map(g => (gid, g._1, g._2, g._3, g._4))
+    }.toSet
+
+  private def served(gv: JoinGroupingView): Set[(Int, Option[String], Option[String], Long, Long)] =
+    gv.state.select(col("gid"), col("l_cat"), col("r_seg"), col("cnt"),
+        col("sum_value").cast("long"))
+      .as[(Int, Option[String], Option[String], Long, Long)].collect().toSet
+
+  test("rollup and cube lattices maintain under deltas to both sides") {
+    val store = BucketedViewStore.temp(spark, 8)
+    val jv = mkJv(store, "t_lat")
+    jv.build(
+      leftDf((1L, "a", "x", 10L), (2L, "a", "y", 20L), (3L, "b", "x", 30L),
+        (4L, "b", "y", 40L), (5L, "c", "x", 50L)),
+      rightDf((100L, "a", "S1"), (101L, "b", "S2"), (102L, "c", "S1")))
+    val gcols = Seq("l_cat", "r_seg")
+    val rSets = JoinGroupingView.rollupSets(gcols)
+    val cSets = JoinGroupingView.cubeSets(gcols)
+    assert(rSets.toSet === Set(Seq(), Seq("l_cat"), Seq("l_cat", "r_seg")))
+    assert(cSets.toSet === Set(Seq(), Seq("l_cat"), Seq("r_seg"),
+      Seq("l_cat", "r_seg")))
+    val roll = new JoinGroupingView(jv, "t_lat__roll", gcols, "l_val", rSets)
+    val cube = new JoinGroupingView(jv, "t_lat__cube", gcols, "l_val", cSets)
+    roll.build(); cube.build()
+    assert(served(roll) === expected(jv, rSets, gcols))
+    assert(served(cube) === expected(jv, cSets, gcols))
+
+    // left delta: category flip, new row, tombstone — one CDC fold must
+    // move every affected set
+    jv.refreshLeft(leftDf((1L, "a", "y", 11L), (6L, "c", "z", 60L)),
+      Some(leftDf((4L, "zz", "x", 0L)).select(col("l_pk").cast("string"))))
+    val s1 = roll.catchUp(); cube.catchUp()
+    assert(served(roll) === expected(jv, rSets, gcols))
+    assert(served(cube) === expected(jv, cSets, gcols))
+    assert(s1.emitBucketsRewritten < s1.totalBuckets,
+      "a small delta must not rewrite every lattice bucket")
+
+    // right delta: segment rename fans out to all its left rows; a
+    // deleted right key retracts its join rows from every set
+    jv.refreshRight(rightDf((100L, "a", "S3")),
+      Some(rightDf((102L, "zz", "S0")).select(col("r_pk").cast("string"))))
+    roll.catchUp(); cube.catchUp()
+    assert(served(roll) === expected(jv, rSets, gcols))
+    assert(served(cube) === expected(jv, cSets, gcols))
+
+    // idempotent: an already-current lattice no-ops
+    val s2 = roll.catchUp()
+    assert(s2.emitBucketsRewritten === 0)
+
+    // reopen from the persisted watermark: a fresh handle resumes and
+    // serves identically with no catch-up needed
+    val re = JoinGroupingView.attach(jv, "t_lat__roll", gcols, "l_val", rSets)
+    assert(served(re) === expected(jv, rSets, gcols))
+    re.catchUp()
+    assert(served(re) === expected(jv, rSets, gcols))
+  }
+
+  test("a genuinely-null group value keys the lattice and serves as null") {
+    val store = BucketedViewStore.temp(spark, 8)
+    val jv = new JoinView(store, "t_latn",
+      "l_pk", "l_jk", Seq("l_pk", "l_jk", "l_cat", "l_val"),
+      "r_pk", "r_jk", Seq("r_pk", "r_jk", "r_seg"),
+      joinType = "left_outer")
+    jv.build(
+      leftDf((1L, "a", "x", 10L), (2L, "q", "x", 20L)),
+      rightDf((100L, "a", "S1")))
+    val gcols = Seq("l_cat", "r_seg")
+    val sets = JoinGroupingView.rollupSets(gcols)
+    val gv = new JoinGroupingView(jv, "t_latn__roll", gcols, "l_val", sets)
+    gv.build()
+    // pk 2 has no right match: r_seg is genuinely null in the (x, null)
+    // group of the full set — distinct from the set that MASKS r_seg
+    val full = served(gv).filter(_._1 == 0)
+    assert(full === Set((0, Some("x"), Some("S1"), 1L, 10L),
+      (0, Some("x"), None, 1L, 20L)))
+    val masked = served(gv).filter(_._1 == 2)
+    assert(masked === Set((2, Some("x"), None, 2L, 30L)))
+
+    // the null-group row heals when the match arrives
+    jv.refreshRight(rightDf((101L, "q", "S1")), None)
+    gv.catchUp()
+    assert(served(gv).filter(_._1 == 0) ===
+      Set((0, Some("x"), Some("S1"), 2L, 30L)))
+  }
+}
