@@ -1157,6 +1157,36 @@ object MapIndexQueries {
   private def clickDels(c: DataFrame): DataFrame =
     c.filter(col("b_id") % 17 === 0).select(col("b_id").cast("string")).distinct()
 
+  /** The as-of view built PURELY through interleaved out-of-order
+    * micro-batches ([[purchaseClickView]]'s streaming twin): purchases
+    * arrive one slice ahead of clicks, so early purchases serve with a
+    * provisional (or null) match that a LATE click must STEAL on its
+    * own refresh — the as-of analog of the equi twin's heal. The shared
+    * change batches land on top; the final state is graded by the SAME
+    * from-scratch oracle as the batch-built view. */
+  private def purchaseClickStreamView(s: SparkSession, dir: String): graft.engine.AsOfJoinView =
+    asofViews.getOrElseUpdate(s"$dir#stream", {
+      val store = Views.bucketedStore(s, dir)
+      val v = new graft.engine.AsOfJoinView(store, "purchase_click_asof_s",
+        "a_id", "a_user", "a_ts", Seq("a_id", "a_user", "a_ts", "a_value"),
+        "b_id", "b_user", "b_ts", Seq("b_id", "b_user", "b_ts", "b_value"))
+      val unit = "purchase_click_asof_s"
+      if (!Views.unitDone(store.baseDir, unit)) {
+        val (p, c) = purchasesClicks(s, dir)
+        def pB(r: Int) = p.filter(col("a_id") % 3 === r)
+        def cB(r: Int) = c.filter(col("b_id") % 3 === r)
+        v.build(pB(0), cB(0))
+        v.refreshLeft(pB(1), None)
+        v.refreshRight(cB(1), None) // late clicks steal matches
+        v.refreshLeft(pB(2), None)
+        v.refreshRight(cB(2), None)
+        v.refreshLeft(purchaseUps(p), Some(purchaseDels(p)))
+        v.refreshRight(clickUps(c), Some(clickDels(c)))
+        Views.markUnitDone(store.baseDir, unit)
+      }
+      v
+    })
+
   /** A [[graft.engine.JoinAggView]] OVER the as-of view — the maintained
     * last-touch attribution rollup ("revenue credited to each click,
     * always fresh"; the null group = unattributed revenue): the rollup
@@ -1261,6 +1291,7 @@ object MapIndexQueries {
     ordersCustomerNationView(s, dir)
     ordersCustomerNationAggView(s, dir)
     purchaseClickView(s, dir)
+    purchaseClickStreamView(s, dir)
     purchaseClickAttribution(s, dir)
     ordersCustomerLattice(s, dir, cube = false)
     saltedOrdersCustomerView(s, dir)
@@ -1488,6 +1519,31 @@ object MapIndexQueries {
           round(col("a_value"), 2).as("a_value"),
           col("b_id"), round(col("b_value"), 2).as("b_value"))
         .orderBy("a_id")),
+
+    // the as-of view built purely through out-of-order micro-batches
+    // ([[purchaseClickStreamView]]): late clicks must steal already-
+    // served matches; same oracle as the batch-built view
+    "mapindex_asofjoinview_streamed" -> ((s, dir) =>
+      purchaseClickStreamView(s, dir).df
+        .select(col("a_id"), col("a_user"),
+          round(col("a_value"), 2).as("a_value"),
+          col("b_id"), round(col("b_value"), 2).as("b_value"))
+        .orderBy("a_id")),
+
+    // the ROLLUP lattice served AS OF the epoch between its two
+    // catch-ups (state epoch 1 = the left-side batch folded, customers
+    // still original): time travel on the whole lattice at once
+    "mapindex_lattice_asof" -> ((s, dir) => {
+      val gv = ordersCustomerLattice(s, dir, cube = false)
+      gv.jv.store.dfAsOf(gv.stateName, 1)
+        .filter(col("emit_key") =!= graft.engine.JoinAggView.WatermarkKey)
+        .select(col("emit_value.gid").as("gid"),
+          col("emit_value.g_c_mktsegment").as("c_mktsegment"),
+          col("emit_value.g_o_orderpriority").as("o_orderpriority"),
+          col("emit_value.cnt").as("cnt"),
+          round(col("emit_value.sum_value").cast("double"), 2).as("revenue"))
+        .orderBy("gid", "c_mktsegment", "o_orderpriority")
+    }),
 
     // maintained LAST-TOUCH ATTRIBUTION ([[purchaseClickAttribution]] —
     // JoinAggView over the as-of view via the MaintainedRelation
@@ -2259,6 +2315,46 @@ object MapIndexQueries {
         |   WHERE b.b_user = a.a_user AND b.b_ts <= a.a_ts
         |   ORDER BY b.b_ts DESC, b.b_id DESC LIMIT 1) AS b_value
         |FROM p a ORDER BY a.a_id""".stripMargin,
+    // the streamed twin converges to the identical final state
+    "mapindex_asofjoinview_streamed" ->
+      """WITH p AS (
+        |  SELECT event_id AS a_id, user_id AS a_user,
+        |         CASE WHEN event_id % 37 = 0 THEN ts + INTERVAL 1 HOUR
+        |              ELSE ts END AS a_ts,
+        |         CASE WHEN event_id % 37 = 0 THEN value + 1000
+        |              ELSE value END AS a_value
+        |  FROM events WHERE event_type = 'purchase' AND event_id % 41 <> 0),
+        |c AS (
+        |  SELECT event_id AS b_id, user_id AS b_user,
+        |         CASE WHEN event_id % 13 = 0 THEN ts + INTERVAL 30 MINUTE
+        |              ELSE ts END AS b_ts,
+        |         CASE WHEN event_id % 13 = 0 THEN value + 100
+        |              ELSE value END AS b_value
+        |  FROM events WHERE event_type = 'click' AND event_id % 17 <> 0)
+        |SELECT a.a_id, a.a_user, round(a.a_value, 2) AS a_value,
+        |  (SELECT b.b_id FROM c b
+        |   WHERE b.b_user = a.a_user AND b.b_ts <= a.a_ts
+        |   ORDER BY b.b_ts DESC, b.b_id DESC LIMIT 1) AS b_id,
+        |  (SELECT round(b.b_value, 2) FROM c b
+        |   WHERE b.b_user = a.a_user AND b.b_ts <= a.a_ts
+        |   ORDER BY b.b_ts DESC, b.b_id DESC LIMIT 1) AS b_value
+        |FROM p a ORDER BY a.a_id""".stripMargin,
+    // lattice time travel: epoch 1 = modified orders x ORIGINAL customers
+    "mapindex_lattice_asof" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey, o_orderpriority,
+        |         CASE WHEN o_orderkey % 37 = 0 THEN o_totalprice + 1000
+        |              ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 41 <> 0),
+        |c AS (SELECT c_custkey, c_mktsegment FROM customer)
+        |SELECT CAST(GROUPING(c_mktsegment) + 2 * GROUPING(o_orderpriority)
+        |            AS INTEGER) AS gid,
+        |       c_mktsegment, o_orderpriority, count(*) AS cnt,
+        |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2)
+        |         AS revenue
+        |FROM o JOIN c ON o_custkey = c_custkey
+        |GROUP BY ROLLUP(c_mktsegment, o_orderpriority)
+        |ORDER BY gid, c_mktsegment NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
     // attribution rollup: match per purchase, then group by the matched
     // click (NULL = unattributed), both recomputed from scratch
     "mapindex_asofjoinview_agg" ->

@@ -576,4 +576,27 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       s"the depth-2 rollup must serve from state alone:\n$p3")
     assert(!p3.contains("Join"), s"depth-2 rollup serving must be join-free:\n$p3")
   }
+
+  test("as-of view and lattice serving is state-only: no events/base scan, no join") {
+    // the maintained as-of join serves the stored joined relation — the
+    // pick (window argmax) ran at maintenance time, never at read time
+    val p = finalPlan("mapindex_asofjoinview")
+    assert(!p.contains("events.parquet"),
+      s"the as-of view must serve stored rows, not re-scan events:\n$p")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"as-of serving must be join- and window-free:\n$p")
+    // the attribution rollup reads only its group-sized state
+    val pa = finalPlan("mapindex_asofjoinview_agg")
+    assert(!pa.contains("events.parquet"),
+      s"attribution must serve from rollup state:\n$pa")
+    assert(!pa.contains("Join"), s"attribution serving must be join-free:\n$pa")
+    // both lattices serve one bucket scan of the state relation
+    for (q <- Seq("mapindex_joinview_rollup_lattice",
+        "mapindex_joinview_cube_lattice")) {
+      val pl = finalPlan(q)
+      assert(!pl.contains("orders.parquet") && !pl.contains("customer.parquet"),
+        s"$q must serve from the lattice state alone:\n$pl")
+      assert(!pl.contains("Join"), s"$q serving must be join-free:\n$pl")
+    }
+  }
 }
