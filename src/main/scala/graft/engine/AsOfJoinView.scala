@@ -50,6 +50,14 @@ import graft.engine.BucketedViewStore.RefreshStats
   * `last` candidate payload — at 100 TB the refresh windows only ever
   * see the delta's keys' rows.
   *
+  * `direction = "forward"` picks the LEAST right ts ≥ the left ts
+  * (ties to the least pk — the engine's `join_asof_forward`
+  * convention); `tolerance` is a (leftTs, rightTs) => boolean Column
+  * bounding how far the pick may reach (the pandas
+  * merge_asof(tolerance=...) surface) — it filters the picked closest
+  * row, which is equivalent to filtering before the pick since every
+  * other candidate is strictly farther.
+  *
   * Timestamp columns must have the same (mutually comparable) type on
   * both sides; column names of the two inputs must be disjoint. As a
   * [[MaintainedRelation]] the view feeds any downstream incremental
@@ -60,9 +68,13 @@ final class AsOfJoinView(
     val store: BucketedViewStore,
     val name: String,
     leftPk: String, leftJk: String, leftTs: String, leftCols: Seq[String],
-    rightPk: String, rightJk: String, rightTs: String, rightCols: Seq[String])
+    rightPk: String, rightJk: String, rightTs: String, rightCols: Seq[String],
+    direction: String = "backward",
+    tolerance: Option[(Column, Column) => Column] = None)
   extends MaintainedRelation {
 
+  require(Set("backward", "forward")(direction),
+    s"direction must be 'backward' or 'forward', got '$direction'")
   require((leftCols.toSet & rightCols.toSet).isEmpty,
     s"left/right column names must be disjoint, both carry: " +
       (leftCols.toSet & rightCols.toSet).mkString(", "))
@@ -103,12 +115,28 @@ final class AsOfJoinView(
       col(rightJk).cast("string").as("__jk"), col(rightTs).as("__ts"),
       lit(0).as("__probe"), col(rightPk).as("__rpk"),
       lit(null).cast(lType).as("__l"), rStruct.as("__r"))
-    val w = Window.partitionBy("__jk")
-      .orderBy(col("__ts"), col("__probe"), col("__rpk"))
+    // forward flips the scan: candidates with GREATER ts come first, so
+    // the running `last` at a probe is the LEAST ts ≥ it (ties: least
+    // pk, hence the flipped pk order). Candidates still sort before
+    // probes at equal ts — the bound stays inclusive either way.
+    val w0 = Window.partitionBy("__jk")
+    val w = (if (direction == "backward")
+        w0.orderBy(col("__ts").asc, col("__probe").asc, col("__rpk").asc)
+      else
+        w0.orderBy(col("__ts").desc, col("__probe").asc, col("__rpk").desc))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    probes.unionByName(cands)
+    val picked = probes.unionByName(cands)
       .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
-      .filter(col("__probe") === 1)
+    // tolerance filters the PICKED closest row: any other candidate is
+    // strictly farther, so filter-after-pick ≡ filter-before-pick (the
+    // pandas merge_asof(tolerance=...) semantics, O(1) extra work)
+    val bounded = tolerance match {
+      case None => picked
+      case Some(f) => picked.withColumn("__m",
+        when(col("__m").isNotNull && f(col("__ts"), col(s"__m.$rightTs")),
+          col("__m")))
+    }
+    bounded.filter(col("__probe") === 1)
       .select(leftCols.map(c => col(s"__l.$c").as(c)) ++
         rightCols.map(c => col(s"__m.$c").as(c)): _*)
   }

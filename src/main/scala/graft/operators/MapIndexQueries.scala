@@ -1187,6 +1187,49 @@ object MapIndexQueries {
       v
     })
 
+  /** FORWARD and TOLERANCE variants of the maintained as-of view, each
+    * under the SAME two-sided change-batch history: forward picks the
+    * NEXT click at-or-after each purchase (least ts ≥, ties to least
+    * id); tolerance bounds the backward pick to one hour. Both delta
+    * rules re-pick under the variant semantics — a moved click must
+    * steal/release forward matches and tolerance-expire stale ones. */
+  private def purchaseClickFwdView(s: SparkSession, dir: String): graft.engine.AsOfJoinView =
+    asofViews.getOrElseUpdate(s"$dir#fwd", {
+      val store = Views.bucketedStore(s, dir)
+      val v = new graft.engine.AsOfJoinView(store, "purchase_click_asof_f",
+        "a_id", "a_user", "a_ts", Seq("a_id", "a_user", "a_ts", "a_value"),
+        "b_id", "b_user", "b_ts", Seq("b_id", "b_user", "b_ts", "b_value"),
+        direction = "forward")
+      val unit = "purchase_click_asof_f"
+      if (!Views.unitDone(store.baseDir, unit)) {
+        val (p, c) = purchasesClicks(s, dir)
+        v.build(p, c)
+        v.refreshLeft(purchaseUps(p), Some(purchaseDels(p)))
+        v.refreshRight(clickUps(c), Some(clickDels(c)))
+        Views.markUnitDone(store.baseDir, unit)
+      }
+      v
+    })
+
+  private def purchaseClickTolView(s: SparkSession, dir: String): graft.engine.AsOfJoinView =
+    asofViews.getOrElseUpdate(s"$dir#tol", {
+      val store = Views.bucketedStore(s, dir)
+      val v = new graft.engine.AsOfJoinView(store, "purchase_click_asof_t",
+        "a_id", "a_user", "a_ts", Seq("a_id", "a_user", "a_ts", "a_value"),
+        "b_id", "b_user", "b_ts", Seq("b_id", "b_user", "b_ts", "b_value"),
+        tolerance = Some((lts, rts) =>
+          unix_micros(lts) - unix_micros(rts) <= lit(3600000000L))) // 1 h
+      val unit = "purchase_click_asof_t"
+      if (!Views.unitDone(store.baseDir, unit)) {
+        val (p, c) = purchasesClicks(s, dir)
+        v.build(p, c)
+        v.refreshLeft(purchaseUps(p), Some(purchaseDels(p)))
+        v.refreshRight(clickUps(c), Some(clickDels(c)))
+        Views.markUnitDone(store.baseDir, unit)
+      }
+      v
+    })
+
   /** A [[graft.engine.JoinAggView]] OVER the as-of view — the maintained
     * last-touch attribution rollup ("revenue credited to each click,
     * always fresh"; the null group = unattributed revenue): the rollup
@@ -1292,6 +1335,8 @@ object MapIndexQueries {
     ordersCustomerNationAggView(s, dir)
     purchaseClickView(s, dir)
     purchaseClickStreamView(s, dir)
+    purchaseClickFwdView(s, dir)
+    purchaseClickTolView(s, dir)
     purchaseClickAttribution(s, dir)
     ordersCustomerLattice(s, dir, cube = false)
     saltedOrdersCustomerView(s, dir)
@@ -1515,6 +1560,46 @@ object MapIndexQueries {
     // recomputes the per-purchase argmax from both modified tables
     "mapindex_asofjoinview" -> ((s, dir) =>
       purchaseClickView(s, dir).df
+        .select(col("a_id"), col("a_user"),
+          round(col("a_value"), 2).as("a_value"),
+          col("b_id"), round(col("b_value"), 2).as("b_value"))
+        .orderBy("a_id")),
+
+    // the as-of view's NET CDC across both refresh epochs: gross feed
+    // over (build, latest], insert/delete multisets cancelled — must
+    // equal the from-scratch diff of the post-batch as-of join vs the
+    // build-time one
+    "mapindex_asofjoinview_changefeed" -> ((s, dir) => {
+      val v = purchaseClickView(s, dir)
+      val feed = v.changes(0, v.epoch)
+        .select(col("emit_value.a_id").as("a_id"),
+          col("emit_value.a_user").as("a_user"),
+          round(col("emit_value.a_value"), 2).as("a_value"),
+          col("emit_value.b_id").as("b_id"),
+          round(col("emit_value.b_value"), 2).as("b_value"),
+          col("change_type"))
+      val dels = feed.filter(col("change_type") === "delete").drop("change_type")
+      val ins = feed.filter(col("change_type") === "insert").drop("change_type")
+      dels.exceptAll(ins).withColumn("change_type", lit("delete"))
+        .unionByName(ins.exceptAll(dels).withColumn("change_type", lit("insert")))
+        .orderBy("change_type", "a_id")
+    }),
+
+    // FORWARD maintained as-of ([[purchaseClickFwdView]]): the NEXT
+    // click at-or-after each purchase, maintained under the same
+    // two-sided batches
+    "mapindex_asofjoinview_fwd" -> ((s, dir) =>
+      purchaseClickFwdView(s, dir).df
+        .select(col("a_id"), col("a_user"),
+          round(col("a_value"), 2).as("a_value"),
+          col("b_id"), round(col("b_value"), 2).as("b_value"))
+        .orderBy("a_id")),
+
+    // TOLERANCE maintained as-of ([[purchaseClickTolView]]): the last
+    // click within ONE HOUR before each purchase — older closest picks
+    // expire to the null pad
+    "mapindex_asofjoinview_tol" -> ((s, dir) =>
+      purchaseClickTolView(s, dir).df
         .select(col("a_id"), col("a_user"),
           round(col("a_value"), 2).as("a_value"),
           col("b_id"), round(col("b_value"), 2).as("b_value"))
@@ -2313,6 +2398,102 @@ object MapIndexQueries {
         |   ORDER BY b.b_ts DESC, b.b_id DESC LIMIT 1) AS b_id,
         |  (SELECT round(b.b_value, 2) FROM c b
         |   WHERE b.b_user = a.a_user AND b.b_ts <= a.a_ts
+        |   ORDER BY b.b_ts DESC, b.b_id DESC LIMIT 1) AS b_value
+        |FROM p a ORDER BY a.a_id""".stripMargin,
+    // net as-of CDC = diff of the post-batch as-of join vs build-time
+    "mapindex_asofjoinview_changefeed" ->
+      """WITH p0 AS (
+        |  SELECT event_id AS a_id, user_id AS a_user, ts AS a_ts, value AS a_value
+        |  FROM events WHERE event_type = 'purchase'),
+        |c0 AS (
+        |  SELECT event_id AS b_id, user_id AS b_user, ts AS b_ts, value AS b_value
+        |  FROM events WHERE event_type = 'click'),
+        |before AS (
+        |  SELECT a.a_id, a.a_user, round(a.a_value, 2) AS a_value,
+        |    (SELECT b.b_id FROM c0 b
+        |     WHERE b.b_user = a.a_user AND b.b_ts <= a.a_ts
+        |     ORDER BY b.b_ts DESC, b.b_id DESC LIMIT 1) AS b_id,
+        |    (SELECT round(b.b_value, 2) FROM c0 b
+        |     WHERE b.b_user = a.a_user AND b.b_ts <= a.a_ts
+        |     ORDER BY b.b_ts DESC, b.b_id DESC LIMIT 1) AS b_value
+        |  FROM p0 a),
+        |p AS (
+        |  SELECT a_id, a_user,
+        |         CASE WHEN a_id % 37 = 0 THEN a_ts + INTERVAL 1 HOUR
+        |              ELSE a_ts END AS a_ts,
+        |         CASE WHEN a_id % 37 = 0 THEN a_value + 1000
+        |              ELSE a_value END AS a_value
+        |  FROM p0 WHERE a_id % 41 <> 0),
+        |c AS (
+        |  SELECT b_id, b_user,
+        |         CASE WHEN b_id % 13 = 0 THEN b_ts + INTERVAL 30 MINUTE
+        |              ELSE b_ts END AS b_ts,
+        |         CASE WHEN b_id % 13 = 0 THEN b_value + 100
+        |              ELSE b_value END AS b_value
+        |  FROM c0 WHERE b_id % 17 <> 0),
+        |after AS (
+        |  SELECT a.a_id, a.a_user, round(a.a_value, 2) AS a_value,
+        |    (SELECT b.b_id FROM c b
+        |     WHERE b.b_user = a.a_user AND b.b_ts <= a.a_ts
+        |     ORDER BY b.b_ts DESC, b.b_id DESC LIMIT 1) AS b_id,
+        |    (SELECT round(b.b_value, 2) FROM c b
+        |     WHERE b.b_user = a.a_user AND b.b_ts <= a.a_ts
+        |     ORDER BY b.b_ts DESC, b.b_id DESC LIMIT 1) AS b_value
+        |  FROM p a)
+        |SELECT a_id, a_user, a_value, b_id, b_value, 'delete' AS change_type
+        |FROM (SELECT * FROM before EXCEPT ALL SELECT * FROM after)
+        |UNION ALL
+        |SELECT a_id, a_user, a_value, b_id, b_value, 'insert' AS change_type
+        |FROM (SELECT * FROM after EXCEPT ALL SELECT * FROM before)
+        |ORDER BY change_type, a_id""".stripMargin,
+    // forward maintained as-of: least ts >= purchase ts, ties to least id
+    "mapindex_asofjoinview_fwd" ->
+      """WITH p AS (
+        |  SELECT event_id AS a_id, user_id AS a_user,
+        |         CASE WHEN event_id % 37 = 0 THEN ts + INTERVAL 1 HOUR
+        |              ELSE ts END AS a_ts,
+        |         CASE WHEN event_id % 37 = 0 THEN value + 1000
+        |              ELSE value END AS a_value
+        |  FROM events WHERE event_type = 'purchase' AND event_id % 41 <> 0),
+        |c AS (
+        |  SELECT event_id AS b_id, user_id AS b_user,
+        |         CASE WHEN event_id % 13 = 0 THEN ts + INTERVAL 30 MINUTE
+        |              ELSE ts END AS b_ts,
+        |         CASE WHEN event_id % 13 = 0 THEN value + 100
+        |              ELSE value END AS b_value
+        |  FROM events WHERE event_type = 'click' AND event_id % 17 <> 0)
+        |SELECT a.a_id, a.a_user, round(a.a_value, 2) AS a_value,
+        |  (SELECT b.b_id FROM c b
+        |   WHERE b.b_user = a.a_user AND b.b_ts >= a.a_ts
+        |   ORDER BY b.b_ts ASC, b.b_id ASC LIMIT 1) AS b_id,
+        |  (SELECT round(b.b_value, 2) FROM c b
+        |   WHERE b.b_user = a.a_user AND b.b_ts >= a.a_ts
+        |   ORDER BY b.b_ts ASC, b.b_id ASC LIMIT 1) AS b_value
+        |FROM p a ORDER BY a.a_id""".stripMargin,
+    // tolerance maintained as-of: backward pick bounded to one hour
+    "mapindex_asofjoinview_tol" ->
+      """WITH p AS (
+        |  SELECT event_id AS a_id, user_id AS a_user,
+        |         CASE WHEN event_id % 37 = 0 THEN ts + INTERVAL 1 HOUR
+        |              ELSE ts END AS a_ts,
+        |         CASE WHEN event_id % 37 = 0 THEN value + 1000
+        |              ELSE value END AS a_value
+        |  FROM events WHERE event_type = 'purchase' AND event_id % 41 <> 0),
+        |c AS (
+        |  SELECT event_id AS b_id, user_id AS b_user,
+        |         CASE WHEN event_id % 13 = 0 THEN ts + INTERVAL 30 MINUTE
+        |              ELSE ts END AS b_ts,
+        |         CASE WHEN event_id % 13 = 0 THEN value + 100
+        |              ELSE value END AS b_value
+        |  FROM events WHERE event_type = 'click' AND event_id % 17 <> 0)
+        |SELECT a.a_id, a.a_user, round(a.a_value, 2) AS a_value,
+        |  (SELECT b.b_id FROM c b
+        |   WHERE b.b_user = a.a_user AND b.b_ts <= a.a_ts
+        |     AND epoch_us(a.a_ts) - epoch_us(b.b_ts) <= 3600000000
+        |   ORDER BY b.b_ts DESC, b.b_id DESC LIMIT 1) AS b_id,
+        |  (SELECT round(b.b_value, 2) FROM c b
+        |   WHERE b.b_user = a.a_user AND b.b_ts <= a.a_ts
+        |     AND epoch_us(a.a_ts) - epoch_us(b.b_ts) <= 3600000000
         |   ORDER BY b.b_ts DESC, b.b_id DESC LIMIT 1) AS b_value
         |FROM p a ORDER BY a.a_id""".stripMargin,
     // the streamed twin converges to the identical final state

@@ -124,6 +124,47 @@ class AsOfJoinViewSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("forward direction picks the least ts >= (ties: least pk) and maintains") {
+    val store = BucketedViewStore.temp(spark, 8)
+    val v = new AsOfJoinView(store, "t_asof_fwd",
+      "p_pk", "p_jk", "p_ts", Seq("p_pk", "p_jk", "p_ts", "p_val"),
+      "q_pk", "q_jk", "q_ts", Seq("q_pk", "q_jk", "q_ts", "q_px"),
+      direction = "forward")
+    v.build(
+      probes((100L, "a", 5L, 1L), (101L, "a", 15L, 1L), (102L, "a", 25L, 1L),
+        (103L, "a", 20L, 1L)),
+      quotes((1L, "a", 10L, 1.0), (2L, "a", 20L, 2.0), (3L, "a", 20L, 3.0)))
+    // ts 5 → next is q1(10); ts 15 → the equal-ts pair resolves to the
+    // LEAST pk (q2); ts 20 matches inclusively (q2); ts 25 → nothing
+    assert(snap(v) === Set((100L, Some(1L), Some(1.0)),
+      (101L, Some(2L), Some(2.0)), (103L, Some(2L), Some(2.0)),
+      (102L, None, None)))
+    // deleting q2 shifts the tie to q3; a new later quote catches 102
+    v.refreshRight(quotes((4L, "a", 30L, 4.0)),
+      Some(quotes((2L, "zz", 0L, 0.0)).select(col("q_pk").cast("string"))))
+    assert(snap(v) === Set((100L, Some(1L), Some(1.0)),
+      (101L, Some(3L), Some(3.0)), (103L, Some(3L), Some(3.0)),
+      (102L, Some(4L), Some(4.0))))
+  }
+
+  test("tolerance expires picks beyond the bound, and maintains through deltas") {
+    val store = BucketedViewStore.temp(spark, 8)
+    val v = new AsOfJoinView(store, "t_asof_tol",
+      "p_pk", "p_jk", "p_ts", Seq("p_pk", "p_jk", "p_ts", "p_val"),
+      "q_pk", "q_jk", "q_ts", Seq("q_pk", "q_jk", "q_ts", "q_px"),
+      tolerance = Some((l, r) => l - r <= lit(5L)))
+    v.build(
+      probes((100L, "a", 15L, 1L), (101L, "a", 30L, 1L)),
+      quotes((1L, "a", 8L, 1.0), (2L, "a", 12L, 2.0)))
+    // 100's closest is q2 (diff 3, in bound); 101's closest is also q2
+    // but diff 18 exceeds the bound → pad (q1 is even farther)
+    assert(snap(v) === Set((100L, Some(2L), Some(2.0)), (101L, None, None)))
+    // a fresh quote inside 101's window heals it; moving q2 out of
+    // 100's window expires that pick back to q1 (diff 7 → also out → pad)
+    v.refreshRight(quotes((2L, "a", 27L, 2.5)), None)
+    assert(snap(v) === Set((100L, None, None), (101L, Some(2L), Some(2.5))))
+  }
+
   test("a JoinAggView over the as-of view is a maintained attribution rollup") {
     val store = BucketedViewStore.temp(spark, 8)
     val v = mk(store, "t_asof_roll")
