@@ -1,0 +1,126 @@
+package graft.engine
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.engine.MapIndex.emit
+import graft.engine.BucketedViewStore.RefreshStats
+
+/** An incrementally-maintained SEMI / ANTI join view — "left rows that
+  * DO (semi) / do NOT (anti) have a match on the right", each left row
+  * emitted at most once regardless of match multiplicity (the EXISTS /
+  * NOT EXISTS surface: "orders of live customers", "orders orphaned by
+  * a customer purge"). The reference has no joins at all (SURVEY.md
+  * §2.2); [[JoinView]] covers the four outer shapes — this is the
+  * remaining pair, whose delta rule is a MEMBERSHIP FLIP rather than a
+  * row rewrite: a right-side change cannot alter a served row's
+  * payload, only whether its left row is in or out.
+  *
+  * Layout mirrors [[JoinView]]: `name__left` (left rows keyed by the
+  * join key), `name__right` (right KEYS keyed by the join key — the
+  * payload is irrelevant to membership, so only `(pk, jk)` is stored:
+  * at 100 TB the membership side is two columns, not the table), and
+  * `name` (the passing left rows, src_key = left pk, emit key = jk).
+  *
+  * Delta rules — O(|delta| · key fanout), bucket-pruned:
+  *  - LEFT batch: each upserted row's membership is decided against
+  *    only the right buckets holding its join key; failing rows emit
+  *    nothing and their old outputs retract via an explicit tombstone
+  *    (ownership delete-then-insert can't cover a row that no longer
+  *    emits).
+  *  - RIGHT batch: the sidecar's dirty join keys name every left row
+  *    whose membership MIGHT flip; those rows re-check against the
+  *    post-batch right keys — newly-passing rows insert, newly-failing
+  *    rows tombstone. A right change at an untouched key flips nothing
+  *    and costs nothing.
+  *
+  * Join keys must be non-null on both sides (SQL's EXISTS never
+  * matches a null key; a null key also cannot address a store bucket),
+  * so this implements the non-null-key EXISTS/NOT-EXISTS semantics.
+  * As a [[MaintainedRelation]] the view feeds downstream incremental
+  * consumers (a rollup over "orders of live customers" folds its CDC).
+  */
+final class FilterJoinView(
+    val store: BucketedViewStore,
+    val name: String,
+    leftPk: String, leftJk: String, leftCols: Seq[String],
+    rightPk: String, rightJk: String,
+    mode: String) extends MaintainedRelation {
+
+  require(Set("semi", "anti")(mode),
+    s"mode must be 'semi' or 'anti', got '$mode'")
+  require(leftCols.contains(leftPk) && leftCols.contains(leftJk),
+    s"leftCols must carry the pk '$leftPk' and join key '$leftJk'")
+
+  private val passType = if (mode == "semi") "left_semi" else "left_anti"
+
+  private def leftIdx = MapIndex.columns(s"${name}__left")(
+    col(leftPk).cast("string"),
+    array(emit(col(leftJk).cast("string"), struct(leftCols.map(col): _*))))
+
+  // internal aliases keep the stored struct legal when the right pk IS
+  // the join key (the customer-dimension case: pk == jk == c_custkey)
+  private def rightIdx = MapIndex.columns(s"${name}__right")(
+    col(rightPk).cast("string"),
+    array(emit(col(rightJk).cast("string"),
+      struct(col(rightPk).as("__rpk"), col(rightJk).as("__rjk")))))
+
+  private def viewIdx = MapIndex.columns(name)(
+    col(leftPk).cast("string"),
+    array(emit(col(leftJk).cast("string"), struct(leftCols.map(col): _*))))
+
+  /** The left rows of `lRows` passing the membership test against
+    * `keys`, a one-column `__rjk` relation of right join keys. */
+  private def passing(lRows: DataFrame, keys: DataFrame): DataFrame =
+    lRows.join(keys.select(col("__rjk")).distinct(),
+      col(leftJk) === col("__rjk"), passType)
+
+  def build(left: DataFrame, right: DataFrame): Unit = {
+    store.materialize(leftIdx, left)
+    store.materialize(rightIdx, right)
+    store.materialize(viewIdx,
+      passing(left, right.select(col(rightJk).as("__rjk"))))
+  }
+
+  /** LEFT batch: upserts decide membership against only their keys'
+    * right buckets; non-passing upserts and deletes tombstone. */
+  def refreshLeft(ups: DataFrame, dels: Option[DataFrame]): RefreshStats = {
+    store.refresh(leftIdx, ups, dels)
+    val rKeys = store.getAll(rightIdx.name,
+        ups.select(col(leftJk).cast("string")).distinct())
+      .select(col("emit_value.*"))
+    val pass = passing(ups, rKeys)
+    val out = ups.select(col(leftPk).cast("string").as("src_key")).distinct()
+      .join(pass.select(col(leftPk).cast("string").as("src_key")).distinct(),
+        Seq("src_key"), "left_anti")
+    val allDels = dels.map(_.toDF("src_key").unionByName(out)).getOrElse(out)
+    store.refresh(viewIdx, pass, Some(allDels))
+  }
+
+  /** RIGHT batch: the sidecar's dirty keys re-check exactly the left
+    * rows whose membership might flip. */
+  def refreshRight(ups: DataFrame, dels: Option[DataFrame]): RefreshStats = {
+    store.refresh(rightIdx, ups, dels)
+    val e = store.epoch(rightIdx.name)
+    val dirtyJk = store.changesBetween(rightIdx.name, e - 1, e)
+      .select("emit_key").distinct()
+    val lRows = store.getAll(leftIdx.name, dirtyJk).select(col("emit_value.*"))
+    val rKeys = store.getAll(rightIdx.name, dirtyJk).select(col("emit_value.*"))
+    val pass = passing(lRows, rKeys)
+    val out = lRows.select(col(leftPk).cast("string").as("src_key")).distinct()
+      .join(pass.select(col(leftPk).cast("string").as("src_key")).distinct(),
+        Seq("src_key"), "left_anti")
+    store.refresh(viewIdx, pass, Some(out))
+  }
+
+  /** The maintained filtered relation (original left columns). */
+  def df: DataFrame = store.df(name).select(col("emit_value.*"))
+
+  /** Bucket-pruned read for a set of join keys. */
+  def byKeys(keys: DataFrame): DataFrame =
+    store.getAll(name, keys).select(col("emit_value.*"))
+
+  def epoch: Int = store.epoch(name)
+
+  def changes(fromEpoch: Int, toEpoch: Int): DataFrame =
+    store.changesBetween(name, fromEpoch, toEpoch)
+}

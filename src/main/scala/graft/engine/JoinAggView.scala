@@ -5,13 +5,14 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.engine.BucketedViewStore.RefreshStats
 
-/** A maintained GROUP-BY rollup OVER a maintained equi-join ([[JoinView]])
-  * — the aggregate-over-join composition a star-schema warehouse serves
-  * ("revenue by order priority, always fresh"). The reference's cascade
-  * (O17, `/root/reference/index.js:250-253`) pipes one view's OUTPUT into
-  * another index; this is that composition applied to the engine's two
-  * richest views: the rollup is a downstream consumer of the join view's
-  * CDC sidecar, exactly like a cascaded index.
+/** A maintained GROUP-BY rollup OVER any [[MaintainedRelation]] — the
+  * aggregate-over-join composition a star-schema warehouse serves
+  * ("revenue by order priority, always fresh"), and over an
+  * [[AsOfJoinView]] the last-touch attribution rollup. The reference's
+  * cascade (O17, `/root/reference/index.js:250-253`) pipes one view's
+  * OUTPUT into another index; this is that composition applied to the
+  * engine's richest views: the rollup is a downstream consumer of the
+  * upstream view's CDC sidecar, exactly like a cascaded index.
   *
   * Maintenance reads NOTHING but deltas: a join-view refresh (either
   * side) persists delete/insert rows of the joined relation

@@ -1187,6 +1187,27 @@ object MapIndexQueries {
       v
     })
 
+  /** The as-of store COMPACTED after both change batches — bin-packing
+    * the accreted bucket fragments of the joined relation must be
+    * invisible to as-of serving (same oracle as the uncompacted twin). */
+  private def purchaseClickCompactView(s: SparkSession, dir: String): graft.engine.AsOfJoinView =
+    asofViews.getOrElseUpdate(s"$dir#compact", {
+      val store = Views.bucketedStore(s, dir)
+      val v = new graft.engine.AsOfJoinView(store, "purchase_click_asof_c",
+        "a_id", "a_user", "a_ts", Seq("a_id", "a_user", "a_ts", "a_value"),
+        "b_id", "b_user", "b_ts", Seq("b_id", "b_user", "b_ts", "b_value"))
+      val unit = "purchase_click_asof_c"
+      if (!Views.unitDone(store.baseDir, unit)) {
+        val (p, c) = purchasesClicks(s, dir)
+        v.build(p, c)
+        v.refreshLeft(purchaseUps(p), Some(purchaseDels(p)))
+        v.refreshRight(clickUps(c), Some(clickDels(c)))
+        store.compact(unit, maxFilesPerBucket = 0)
+        Views.markUnitDone(store.baseDir, unit)
+      }
+      v
+    })
+
   /** FORWARD and TOLERANCE variants of the maintained as-of view, each
     * under the SAME two-sided change-batch history: forward picks the
     * NEXT click at-or-after each purchase (least ts ≥, ties to least
@@ -1324,6 +1345,51 @@ object MapIndexQueries {
     })
   }
 
+  /** Maintained SEMI and ANTI join views ([[graft.engine.FilterJoinView]]
+    * — the membership-flip delta rule): "orders of surviving customers"
+    * and "orders orphaned by the customer purge", one store unit, both
+    * under the shared two-sided change batches. The right relation is
+    * stored as KEYS ONLY ((pk, jk) — membership needs no payload). The
+    * customer `%17` tombstones guarantee genuine anti rows at the gate;
+    * oracles are from-scratch EXISTS / NOT EXISTS over both modified
+    * tables. */
+  private val filterViews =
+    scala.collection.concurrent.TrieMap.empty[String, graft.engine.FilterJoinView]
+  private def ordersCustomerFilterView(s: SparkSession, dir: String,
+      mode: String): graft.engine.FilterJoinView = {
+    val key = s"$dir#$mode"
+    filterViews.getOrElse(key, this.synchronized {
+      filterViews.getOrElse(key, {
+        val store = Views.bucketedStore(s, dir)
+        def mk(m: String) = new graft.engine.FilterJoinView(store,
+          s"orders_customer_$m",
+          "o_orderkey", "o_custkey",
+          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"),
+          "c_custkey", "c_custkey", m)
+        val (semi, anti) = (mk("semi"), mk("anti"))
+        val unit = "orders_customer_semianti"
+        if (!Views.unitDone(store.baseDir, unit)) {
+          val o = Tables.orders(s, dir)
+          val c = Tables.customer(s, dir)
+          semi.build(o, c); anti.build(o, c)
+          val upsL = o.filter(col("o_orderkey") % 37 === 0 && col("o_orderkey") % 41 =!= 0)
+            .withColumn("o_totalprice", col("o_totalprice") + 1000)
+          val delsL = o.filter(col("o_orderkey") % 41 === 0)
+            .select(col("o_orderkey").cast("string")).distinct()
+          semi.refreshLeft(upsL, Some(delsL)); anti.refreshLeft(upsL, Some(delsL))
+          val upsR = c.filter(col("c_custkey") % 13 === 0 && col("c_custkey") % 17 =!= 0)
+          val delsR = c.filter(col("c_custkey") % 17 === 0)
+            .select(col("c_custkey").cast("string")).distinct()
+          semi.refreshRight(upsR, Some(delsR)); anti.refreshRight(upsR, Some(delsR))
+          Views.markUnitDone(store.baseDir, unit)
+        }
+        filterViews.put(s"$dir#semi", semi)
+        filterViews.put(s"$dir#anti", anti)
+        if (mode == "semi") semi else anti
+      })
+    })
+  }
+
   def prewarm(s: SparkSession, dir: String): Unit = {
     ordersCustomerView(s, dir)
     streamedOrdersCustomerView(s, dir)
@@ -1337,8 +1403,10 @@ object MapIndexQueries {
     purchaseClickStreamView(s, dir)
     purchaseClickFwdView(s, dir)
     purchaseClickTolView(s, dir)
+    purchaseClickCompactView(s, dir)
     purchaseClickAttribution(s, dir)
     ordersCustomerLattice(s, dir, cube = false)
+    ordersCustomerFilterView(s, dir, "semi")
     saltedOrdersCustomerView(s, dir)
     leftOuterOrdersCustomerView(s, dir)
     fullOuterOrdersCustomerView(s, dir)
@@ -1585,6 +1653,16 @@ object MapIndexQueries {
         .orderBy("change_type", "a_id")
     }),
 
+    // the as-of store compacted after both refreshes
+    // ([[purchaseClickCompactView]]): compaction must be invisible to
+    // serving — same oracle as the uncompacted view
+    "mapindex_asofjoinview_compacted" -> ((s, dir) =>
+      purchaseClickCompactView(s, dir).df
+        .select(col("a_id"), col("a_user"),
+          round(col("a_value"), 2).as("a_value"),
+          col("b_id"), round(col("b_value"), 2).as("b_value"))
+        .orderBy("a_id")),
+
     // FORWARD maintained as-of ([[purchaseClickFwdView]]): the NEXT
     // click at-or-after each purchase, maintained under the same
     // two-sided batches
@@ -1640,6 +1718,24 @@ object MapIndexQueries {
         .select(col("emit_key").as("b_id"), col("cnt"),
           round(col("sum_value").cast("double"), 2).as("revenue"))
         .orderBy("b_id")),
+
+    // maintained SEMI join ([[ordersCustomerFilterView]] —
+    // FilterJoinView): orders of surviving customers, membership
+    // flipped incrementally under both batches; oracle = EXISTS over
+    // both modified tables
+    "mapindex_semiview" -> ((s, dir) =>
+      ordersCustomerFilterView(s, dir, "semi").df
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+        .orderBy("o_orderkey")),
+
+    // maintained ANTI join: orders orphaned by the customer purge;
+    // oracle = NOT EXISTS over both modified tables
+    "mapindex_antiview" -> ((s, dir) =>
+      ordersCustomerFilterView(s, dir, "anti").df
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+        .orderBy("o_orderkey")),
 
     // maintained ROLLUP lattice ([[ordersCustomerLattice]] —
     // JoinGroupingView): (segment, priority) / (segment) / () revenue,
@@ -2446,6 +2542,30 @@ object MapIndexQueries {
         |SELECT a_id, a_user, a_value, b_id, b_value, 'insert' AS change_type
         |FROM (SELECT * FROM after EXCEPT ALL SELECT * FROM before)
         |ORDER BY change_type, a_id""".stripMargin,
+    // compaction invisible: same oracle as mapindex_asofjoinview
+    "mapindex_asofjoinview_compacted" ->
+      """WITH p AS (
+        |  SELECT event_id AS a_id, user_id AS a_user,
+        |         CASE WHEN event_id % 37 = 0 THEN ts + INTERVAL 1 HOUR
+        |              ELSE ts END AS a_ts,
+        |         CASE WHEN event_id % 37 = 0 THEN value + 1000
+        |              ELSE value END AS a_value
+        |  FROM events WHERE event_type = 'purchase' AND event_id % 41 <> 0),
+        |c AS (
+        |  SELECT event_id AS b_id, user_id AS b_user,
+        |         CASE WHEN event_id % 13 = 0 THEN ts + INTERVAL 30 MINUTE
+        |              ELSE ts END AS b_ts,
+        |         CASE WHEN event_id % 13 = 0 THEN value + 100
+        |              ELSE value END AS b_value
+        |  FROM events WHERE event_type = 'click' AND event_id % 17 <> 0)
+        |SELECT a.a_id, a.a_user, round(a.a_value, 2) AS a_value,
+        |  (SELECT b.b_id FROM c b
+        |   WHERE b.b_user = a.a_user AND b.b_ts <= a.a_ts
+        |   ORDER BY b.b_ts DESC, b.b_id DESC LIMIT 1) AS b_id,
+        |  (SELECT round(b.b_value, 2) FROM c b
+        |   WHERE b.b_user = a.a_user AND b.b_ts <= a.a_ts
+        |   ORDER BY b.b_ts DESC, b.b_id DESC LIMIT 1) AS b_value
+        |FROM p a ORDER BY a.a_id""".stripMargin,
     // forward maintained as-of: least ts >= purchase ts, ties to least id
     "mapindex_asofjoinview_fwd" ->
       """WITH p AS (
@@ -2563,6 +2683,27 @@ object MapIndexQueries {
         |       round(CAST(sum(CAST(a_value AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue
         |FROM m GROUP BY 1
         |ORDER BY b_id NULLS FIRST""".stripMargin,
+    // semi/anti IVM: from-scratch EXISTS / NOT EXISTS on modified tables
+    "mapindex_semiview" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey,
+        |         CASE WHEN o_orderkey % 37 = 0 THEN o_totalprice + 1000
+        |              ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 41 <> 0),
+        |c AS (SELECT c_custkey FROM customer WHERE c_custkey % 17 <> 0)
+        |SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+        |FROM o WHERE EXISTS (SELECT 1 FROM c WHERE c.c_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin,
+    "mapindex_antiview" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey,
+        |         CASE WHEN o_orderkey % 37 = 0 THEN o_totalprice + 1000
+        |              ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 41 <> 0),
+        |c AS (SELECT c_custkey FROM customer WHERE c_custkey % 17 <> 0)
+        |SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+        |FROM o WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.c_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin,
     // lattice IVM: DuckDB recomputes the whole ROLLUP from both modified
     // tables; gid rebuilt from GROUPING() with the engine's bit layout
     "mapindex_joinview_rollup_lattice" ->

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.engine.{BucketedViewStore, FilterJoinView}
+
+/** Semi/anti join IVM ([[graft.engine.FilterJoinView]]): membership
+  * flips under change batches to either side must land exactly the
+  * recomputed EXISTS / NOT EXISTS filter. */
+class FilterJoinViewSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def leftDf(rows: (Long, String, Long)*) =
+    rows.toSeq.toDF("l_pk", "l_jk", "l_val")
+  private def rightDf(rows: (Long, String)*) =
+    rows.toSeq.toDF("r_pk", "r_jk")
+
+  private def mk(store: BucketedViewStore, nm: String, mode: String) =
+    new FilterJoinView(store, nm,
+      "l_pk", "l_jk", Seq("l_pk", "l_jk", "l_val"), "r_pk", "r_jk", mode)
+
+  private def snap(v: FilterJoinView): Set[Long] =
+    v.df.select("l_pk").as[Long].collect().toSet
+
+  test("semi and anti membership flips under both delta sides") {
+    val store = BucketedViewStore.temp(spark, 8)
+    val semi = mk(store, "t_semi", "semi")
+    val anti = mk(store, "t_anti", "anti")
+    val l0 = leftDf((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L), (4L, "a", 40L))
+    val r0 = rightDf((100L, "a"), (101L, "b"), (102L, "b"))
+    semi.build(l0, r0); anti.build(l0, r0)
+    assert(snap(semi) === Set(1L, 2L, 4L), "a and b match; c does not")
+    assert(snap(anti) === Set(3L))
+
+    // LEFT batch: pk 3 hops c→b (anti→semi flip), pk 5 arrives at d
+    // (semi-out, anti-in), pk 1 deleted
+    val delsL = Some(leftDf((1L, "zz", 0L)).select(col("l_pk").cast("string")))
+    semi.refreshLeft(leftDf((3L, "b", 31L), (5L, "d", 50L)), delsL)
+    anti.refreshLeft(leftDf((3L, "b", 31L), (5L, "d", 50L)), delsL)
+    assert(snap(semi) === Set(2L, 3L, 4L))
+    assert(snap(anti) === Set(5L))
+
+    // RIGHT batch: key a's only right row is deleted (4 flips out of
+    // semi, into anti); key d gains a right row (5 flips the other
+    // way); one of b's TWO rows is deleted — b's membership must NOT
+    // flip (multiplicity-insensitive)
+    val s1 = semi.refreshRight(rightDf((103L, "d")),
+      Some(rightDf((100L, "zz"), (101L, "zz")).select(col("r_pk").cast("string"))))
+    anti.refreshRight(rightDf((103L, "d")),
+      Some(rightDf((100L, "zz"), (101L, "zz")).select(col("r_pk").cast("string"))))
+    assert(snap(semi) === Set(2L, 3L, 5L))
+    assert(snap(anti) === Set(4L))
+    assert(s1.emitBucketsRewritten < s1.totalBuckets,
+      "a small right delta must not rewrite every view bucket")
+
+    // each left row serves at most once regardless of match count
+    assert(semi.df.count() === 3)
+    assert(semi.byKeys(Seq("b").toDF("k")).select("l_pk")
+      .as[Long].collect().toSet === Set(2L, 3L))
+  }
+}

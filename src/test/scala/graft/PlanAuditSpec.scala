@@ -598,5 +598,13 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
         s"$q must serve from the lattice state alone:\n$pl")
       assert(!pl.contains("Join"), s"$q serving must be join-free:\n$pl")
     }
+    // semi/anti views serve the stored filtered relation — the
+    // membership test ran at maintenance time, never at read time
+    for (q <- Seq("mapindex_semiview", "mapindex_antiview")) {
+      val pf = finalPlan(q)
+      assert(!pf.contains("orders.parquet") && !pf.contains("customer.parquet"),
+        s"$q must serve stored rows, not re-derive membership:\n$pf")
+      assert(!pf.contains("Join"), s"$q serving must be join-free:\n$pf")
+    }
   }
 }
