@@ -163,8 +163,12 @@ final class AsOfJoinView(
   /** Apply a RIGHT-side change batch: the dirty join keys from the right
     * view's own CDC sidecar drive a re-pick of exactly those keys' left
     * rows against the post-batch right rows — both reads bucket-pruned.
-    * Left ownership is unchanged (every touched left row re-emits its
-    * one row), so no tombstones are needed. */
+    * Only rows whose PICK ACTUALLY CHANGED are rewritten (the re-pick is
+    * diffed against the stored rows first), so bucket I/O and the CDC
+    * sidecar are ∝ the real output delta, not the dirty keys' fanout —
+    * a hot key's thousand facts don't rewrite because one candidate
+    * moved elsewhere in its timeline, and a downstream rollup folds
+    * only true changes. Left ownership is unchanged, so no tombstones. */
   def refreshRight(ups: DataFrame, dels: Option[DataFrame]): RefreshStats = {
     store.refresh(rightIdx, ups, dels)
     val e = store.epoch(rightIdx.name)
@@ -172,7 +176,9 @@ final class AsOfJoinView(
       .select("emit_key").distinct()
     val lRows = store.getAll(leftIdx.name, dirtyJk).select(col("emit_value.*"))
     val rRows = store.getAll(rightIdx.name, dirtyJk).select(col("emit_value.*"))
-    store.refresh(joinIdx, asofPick(lRows, rRows), None)
+    val current = store.getAll(name, dirtyJk).select(col("emit_value.*"))
+    val changed = asofPick(lRows, rRows).exceptAll(current)
+    store.refresh(joinIdx, changed, None)
   }
 
   /** The maintained as-of join relation (original input columns; right

@@ -97,7 +97,13 @@ final class FilterJoinView(
   }
 
   /** RIGHT batch: the sidecar's dirty keys re-check exactly the left
-    * rows whose membership might flip. */
+    * rows whose membership might flip — and only rows that ACTUALLY
+    * flipped are written: newly-passing rows diff against the stored
+    * membership, newly-failing tombstones are scoped to currently-served
+    * rows. A right change that flips nobody (a second match arriving, a
+    * redundant match leaving) rewrites zero view buckets and emits an
+    * empty CDC delta — membership noise never reaches a downstream
+    * consumer. */
   def refreshRight(ups: DataFrame, dels: Option[DataFrame]): RefreshStats = {
     store.refresh(rightIdx, ups, dels)
     val e = store.epoch(rightIdx.name)
@@ -105,11 +111,14 @@ final class FilterJoinView(
       .select("emit_key").distinct()
     val lRows = store.getAll(leftIdx.name, dirtyJk).select(col("emit_value.*"))
     val rKeys = store.getAll(rightIdx.name, dirtyJk).select(col("emit_value.*"))
+    val served = store.getAll(name, dirtyJk)
+      .select(col("src_key")).distinct()
     val pass = passing(lRows, rKeys)
-    val out = lRows.select(col(leftPk).cast("string").as("src_key")).distinct()
-      .join(pass.select(col(leftPk).cast("string").as("src_key")).distinct(),
-        Seq("src_key"), "left_anti")
-    store.refresh(viewIdx, pass, Some(out))
+    val passKeys = pass.select(col(leftPk).cast("string").as("src_key")).distinct()
+    val newlyIn = pass.join(served,
+      col(leftPk).cast("string") === col("src_key"), "left_anti")
+    val newlyOut = served.join(passKeys, Seq("src_key"), "left_anti")
+    store.refresh(viewIdx, newlyIn, Some(newlyOut))
   }
 
   /** The maintained filtered relation (original left columns). */

@@ -90,6 +90,19 @@ class AsOfJoinViewSpec extends AnyFunSuite with SparkSpec {
     // serving by key is a pruned read
     assert(v.byKeys(Seq("b").toDF("k")).select("p_pk")
       .as[Long].collect().toSet === Set(104L, 106L, 107L))
+
+    // a DOMINATED candidate (beats no probe's current pick, ineligible
+    // for the padded one) changes no output: the re-pick diffs against
+    // the stored rows, rewrites zero buckets, and the CDC delta is
+    // empty — a hot key's facts don't rewrite for timeline noise
+    val before = snap(v)
+    val e0 = v.epoch
+    val s3 = v.refreshRight(quotes((12L, "b", 41L, 12.0)), None)
+    assert(snap(v) === before)
+    assert(s3.emitBucketsRewritten === 0,
+      "a no-op right delta must rewrite zero join buckets")
+    assert(v.changes(e0, v.epoch).count() === 0,
+      "a no-op right delta must emit an empty CDC sidecar")
   }
 
   test("random history converges to the plain-Scala argmax") {

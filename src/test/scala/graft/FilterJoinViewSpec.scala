@@ -57,5 +57,54 @@ class FilterJoinViewSpec extends AnyFunSuite with SparkSpec {
     assert(semi.df.count() === 3)
     assert(semi.byKeys(Seq("b").toDF("k")).select("l_pk")
       .as[Long].collect().toSet === Set(2L, 3L))
+
+    // membership NOISE (b gains a second match — nobody flips) writes
+    // nothing: zero view buckets rewritten, empty CDC delta
+    val e0 = semi.epoch
+    val s2b = semi.refreshRight(rightDf((104L, "b")), None)
+    assert(snap(semi) === Set(2L, 3L, 5L))
+    assert(s2b.emitBucketsRewritten === 0,
+      "a flip-free right delta must rewrite zero view buckets")
+    assert(semi.changes(e0, semi.epoch).count() === 0,
+      "a flip-free right delta must emit an empty CDC sidecar")
+  }
+
+  test("random history converges to the recomputed EXISTS / NOT EXISTS") {
+    val store = BucketedViewStore.temp(spark, 8)
+    val semi = mk(store, "t_semi_prop", "semi")
+    val anti = mk(store, "t_anti_prop", "anti")
+    val rnd = new scala.util.Random(1717)
+    val jks = Vector("a", "b", "c", "d", "e")
+    var ls = (0L until 20L).map(i => (i, jks(rnd.nextInt(5)), rnd.nextInt(50).toLong))
+    var rs = (100L until 108L).map(i => (i, jks(rnd.nextInt(5))))
+    semi.build(leftDf(ls: _*), rightDf(rs: _*))
+    anti.build(leftDf(ls: _*), rightDf(rs: _*))
+    def expect(m: String): Set[Long] = {
+      val keys = rs.map(_._2).toSet
+      ls.filter(r => if (m == "semi") keys(r._2) else !keys(r._2)).map(_._1).toSet
+    }
+    for (step <- 0 until 4) {
+      if (step % 2 == 0) {
+        val upd = ls.filter(_ => rnd.nextBoolean()).map(r =>
+          (r._1, jks(rnd.nextInt(5)), r._3 + 1))
+        val del = ls.filterNot(r => upd.exists(_._1 == r._1))
+          .filter(_ => rnd.nextInt(3) == 0).map(_._1)
+        val dels = Some(del.toDF("l_pk").select(col("l_pk").cast("string")))
+        semi.refreshLeft(leftDf(upd: _*), dels)
+        anti.refreshLeft(leftDf(upd: _*), dels)
+        ls = ls.filterNot(r => upd.exists(_._1 == r._1) || del.contains(r._1)) ++ upd
+      } else {
+        val upd = rs.filter(_ => rnd.nextBoolean()).map(r =>
+          (r._1, jks(rnd.nextInt(5))))
+        val del = rs.filterNot(r => upd.exists(_._1 == r._1))
+          .filter(_ => rnd.nextInt(3) == 0).map(_._1)
+        val dels = Some(del.toDF("r_pk").select(col("r_pk").cast("string")))
+        semi.refreshRight(rightDf(upd: _*), dels)
+        anti.refreshRight(rightDf(upd: _*), dels)
+        rs = rs.filterNot(r => upd.exists(_._1 == r._1) || del.contains(r._1)) ++ upd
+      }
+      assert(snap(semi) === expect("semi"), s"semi diverged at step $step")
+      assert(snap(anti) === expect("anti"), s"anti diverged at step $step")
+    }
   }
 }
