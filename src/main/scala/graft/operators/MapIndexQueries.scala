@@ -1390,6 +1390,91 @@ object MapIndexQueries {
     })
   }
 
+  /** The ROLLUP lattice fed through the STREAMING join history: the
+    * same interleaved out-of-order micro-batches as the streamed join
+    * twin, with the whole lattice catching up from the CDC after EVERY
+    * batch — heals included. Same oracle as the batch-built lattice. */
+  private def streamedOrdersCustomerLattice(s: SparkSession, dir: String): graft.engine.JoinGroupingView =
+    latticeViews.getOrElseUpdate(s"$dir#stream", {
+      val store = Views.bucketedStore(s, dir)
+      val jv = new graft.engine.JoinView(store, "orders_customer_ls",
+        "o_orderkey", "o_custkey",
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate", "o_orderpriority"),
+        "c_custkey", "c_custkey",
+        Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"))
+      val gcols = Seq("c_mktsegment", "o_orderpriority")
+      val rSets = graft.engine.JoinGroupingView.rollupSets(gcols)
+      val unit = "orders_customer_ls"
+      if (Views.unitDone(store.baseDir, unit))
+        graft.engine.JoinGroupingView.attach(jv, "orders_customer_ls__roll",
+          gcols, "o_totalprice", rSets)
+      else {
+        val o = Tables.orders(s, dir)
+        val c = Tables.customer(s, dir)
+        def oB(r: Int) = o.filter(col("o_orderkey") % 3 === r)
+        def cB(r: Int) = c.filter(col("c_custkey") % 3 === r)
+        jv.build(oB(0), cB(0))
+        val gv = new graft.engine.JoinGroupingView(jv,
+          "orders_customer_ls__roll", gcols, "o_totalprice", rSets)
+        gv.build()
+        jv.refreshLeft(oB(1), None); gv.catchUp()
+        jv.refreshRight(cB(1), None); gv.catchUp() // heals flow into every set
+        jv.refreshLeft(oB(2), None); gv.catchUp()
+        jv.refreshRight(cB(2), None); gv.catchUp()
+        val upsL = o.filter(col("o_orderkey") % 37 === 0 && col("o_orderkey") % 41 =!= 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000)
+        val delsL = o.filter(col("o_orderkey") % 41 === 0)
+          .select(col("o_orderkey").cast("string")).distinct()
+        jv.refreshLeft(upsL, Some(delsL)); gv.catchUp()
+        val upsR = c.filter(col("c_custkey") % 13 === 0 && col("c_custkey") % 17 =!= 0)
+          .withColumn("c_acctbal", col("c_acctbal") + 100)
+        val delsR = c.filter(col("c_custkey") % 17 === 0)
+          .select(col("c_custkey").cast("string")).distinct()
+        jv.refreshRight(upsR, Some(delsR)); gv.catchUp()
+        Views.markUnitDone(store.baseDir, unit)
+        gv
+      }
+    })
+
+  /** A rollup OVER the maintained SEMI view — "revenue of live
+    * customers' orders by priority, always fresh": the aggregate folds
+    * the FilterJoinView's CDC through the shared [[graft.engine
+    * .MaintainedRelation]] contract, so membership flips (a purged
+    * customer's orders leaving the rollup, a late customer's orders
+    * entering) arrive as ordinary ±1 deltas. */
+  private def semiOrdersAggView(s: SparkSession, dir: String): graft.engine.JoinAggView =
+    joinAggViews.getOrElseUpdate(s"$dir#semi", {
+      val store = Views.bucketedStore(s, dir)
+      val fv = new graft.engine.FilterJoinView(store, "orders_customer_semig",
+        "o_orderkey", "o_custkey",
+        Seq("o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"),
+        "c_custkey", "c_custkey", "semi")
+      val unit = "orders_customer_semig"
+      if (Views.unitDone(store.baseDir, unit))
+        graft.engine.JoinAggView.attach(fv, "orders_customer_semig__rollup",
+          "o_orderpriority", "o_totalprice")
+      else {
+        val o = Tables.orders(s, dir)
+        val c = Tables.customer(s, dir)
+        fv.build(o, c)
+        val agg = new graft.engine.JoinAggView(fv, "orders_customer_semig__rollup",
+          "o_orderpriority", "o_totalprice")
+        agg.build()
+        val upsL = o.filter(col("o_orderkey") % 37 === 0 && col("o_orderkey") % 41 =!= 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000)
+        val delsL = o.filter(col("o_orderkey") % 41 === 0)
+          .select(col("o_orderkey").cast("string")).distinct()
+        fv.refreshLeft(upsL, Some(delsL)); agg.catchUp()
+        val upsR = c.filter(col("c_custkey") % 13 === 0 && col("c_custkey") % 17 =!= 0)
+        val delsR = c.filter(col("c_custkey") % 17 === 0)
+          .select(col("c_custkey").cast("string")).distinct()
+        fv.refreshRight(upsR, Some(delsR)); agg.catchUp()
+        Views.markUnitDone(store.baseDir, unit)
+        agg
+      }
+    })
+
   def prewarm(s: SparkSession, dir: String): Unit = {
     ordersCustomerView(s, dir)
     streamedOrdersCustomerView(s, dir)
@@ -1406,7 +1491,9 @@ object MapIndexQueries {
     purchaseClickCompactView(s, dir)
     purchaseClickAttribution(s, dir)
     ordersCustomerLattice(s, dir, cube = false)
+    streamedOrdersCustomerLattice(s, dir)
     ordersCustomerFilterView(s, dir, "semi")
+    semiOrdersAggView(s, dir)
     saltedOrdersCustomerView(s, dir)
     leftOuterOrdersCustomerView(s, dir)
     fullOuterOrdersCustomerView(s, dir)
@@ -1736,6 +1823,26 @@ object MapIndexQueries {
         .select(col("o_orderkey"), col("o_custkey"),
           round(col("o_totalprice"), 2).as("o_totalprice"))
         .orderBy("o_orderkey")),
+
+    // rollup OVER the maintained semi view ([[semiOrdersAggView]]):
+    // revenue of live customers' orders by priority, membership flips
+    // flowing into the aggregate as CDC deltas; oracle = EXISTS filter
+    // + group-by over both modified tables from scratch
+    "mapindex_semiview_agg" -> ((s, dir) =>
+      semiOrdersAggView(s, dir).state
+        .select(col("emit_key").as("o_orderpriority"), col("cnt"),
+          round(col("sum_value").cast("double"), 2).as("revenue"))
+        .orderBy("o_orderpriority")),
+
+    // the ROLLUP lattice fed through the STREAMING join history
+    // ([[streamedOrdersCustomerLattice]]): every micro-batch's delta —
+    // heals included — folds into every grouping set; same oracle as
+    // the batch-built lattice
+    "mapindex_lattice_streamed" -> ((s, dir) =>
+      streamedOrdersCustomerLattice(s, dir).state
+        .select(col("gid"), col("c_mktsegment"), col("o_orderpriority"),
+          col("cnt"), round(col("sum_value").cast("double"), 2).as("revenue"))
+        .orderBy("gid", "c_mktsegment", "o_orderpriority")),
 
     // maintained ROLLUP lattice ([[ordersCustomerLattice]] —
     // JoinGroupingView): (segment, priority) / (segment) / () revenue,
@@ -2683,6 +2790,38 @@ object MapIndexQueries {
         |       round(CAST(sum(CAST(a_value AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue
         |FROM m GROUP BY 1
         |ORDER BY b_id NULLS FIRST""".stripMargin,
+    // rollup over the semi view: EXISTS filter + group-by from scratch
+    "mapindex_semiview_agg" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey, o_orderpriority,
+        |         CASE WHEN o_orderkey % 37 = 0 THEN o_totalprice + 1000
+        |              ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 41 <> 0),
+        |c AS (SELECT c_custkey FROM customer WHERE c_custkey % 17 <> 0)
+        |SELECT o_orderpriority, count(*) AS cnt,
+        |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2)
+        |         AS revenue
+        |FROM o WHERE EXISTS (SELECT 1 FROM c WHERE c.c_custkey = o.o_custkey)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    // streamed lattice converges to the batch-built lattice's oracle
+    "mapindex_lattice_streamed" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey, o_orderpriority,
+        |         CASE WHEN o_orderkey % 37 = 0 THEN o_totalprice + 1000
+        |              ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 41 <> 0),
+        |c AS (
+        |  SELECT c_custkey, c_mktsegment
+        |  FROM customer WHERE c_custkey % 17 <> 0)
+        |SELECT CAST(GROUPING(c_mktsegment) + 2 * GROUPING(o_orderpriority)
+        |            AS INTEGER) AS gid,
+        |       c_mktsegment, o_orderpriority, count(*) AS cnt,
+        |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2)
+        |         AS revenue
+        |FROM o JOIN c ON o_custkey = c_custkey
+        |GROUP BY ROLLUP(c_mktsegment, o_orderpriority)
+        |ORDER BY gid, c_mktsegment NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
     // semi/anti IVM: from-scratch EXISTS / NOT EXISTS on modified tables
     "mapindex_semiview" ->
       """WITH o AS (

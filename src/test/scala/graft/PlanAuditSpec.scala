@@ -598,6 +598,15 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
         s"$q must serve from the lattice state alone:\n$pl")
       assert(!pl.contains("Join"), s"$q serving must be join-free:\n$pl")
     }
+    // the semi-view rollup and the streamed lattice serve their state
+    // relations alone — the membership/grouping work happened at
+    // maintenance time
+    for (q <- Seq("mapindex_semiview_agg", "mapindex_lattice_streamed")) {
+      val ps = finalPlan(q)
+      assert(!ps.contains("orders.parquet") && !ps.contains("customer.parquet"),
+        s"$q must serve from state alone:\n$ps")
+      assert(!ps.contains("Join"), s"$q serving must be join-free:\n$ps")
+    }
     // semi/anti views serve the stored filtered relation — the
     // membership test ran at maintenance time, never at read time
     for (q <- Seq("mapindex_semiview", "mapindex_antiview")) {
