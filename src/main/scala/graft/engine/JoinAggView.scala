@@ -91,7 +91,7 @@ final class JoinAggView(
   private def stateIdx = MapIndex.columns(stateName)(
     col("emit_key").cast("string"),
     array(MapIndex.emit(col("emit_key"),
-      struct(col("cnt"), col("sum_value")))))
+      struct(col("cnt"), col("vcnt"), col("sum_value")))))
 
   /** Refcount state: one row per (group, value), keyed by their joint
     * spelling, the group and DECIMAL value carried as struct fields so
@@ -108,6 +108,9 @@ final class JoinAggView(
   private def aggregateOf(rows: DataFrame): DataFrame =
     rows.groupBy(groupKey(col(groupCol)).as("emit_key"))
       .agg(count(lit(1)).as("cnt"),
+        // non-null value count: SQL's SUM over an all-null group is
+        // NULL, and only this count can retract that under deletes
+        count(col(valueCol)).as("vcnt"),
         coalesce(sum(col(valueCol).cast(DecimalType(18, 4))), lit(0))
           .cast(AggView.SumType).as("sum_value"))
 
@@ -126,7 +129,7 @@ final class JoinAggView(
   private def wmRow(epoch: Int): DataFrame =
     store.spark.range(1).select(
       lit(WatermarkKey).as("emit_key"),
-      lit(epoch.toLong).as("cnt"),
+      lit(epoch.toLong).as("cnt"), lit(0L).as("vcnt"),
       lit(0).cast(AggView.SumType).as("sum_value"))
 
   /** Watermark row in the vals state's schema. */
@@ -163,7 +166,8 @@ final class JoinAggView(
       .filter(col("emit_key") =!= WatermarkKey)
       .select(unkey(col("emit_key")).as("emit_key"),
         col("emit_value.cnt").as("cnt"),
-        col("emit_value.sum_value").as("sum_value"))
+        when(col("emit_value.vcnt") > 0, col("emit_value.sum_value"))
+          .as("sum_value"))
 
   /** The refcount (group, value) state: `emit_key (group), value, cnt`. */
   def valueState: DataFrame = {
@@ -211,12 +215,15 @@ final class JoinAggView(
     val delta = feedBetween(consumedMain, to).select(
         groupKey(col(s"emit_value.$groupCol")).as("emit_key"),
         when(col("change_type") === "insert", 1L).otherwise(-1L).as("d_cnt"),
-        (when(col("change_type") === "insert",
-            col(s"emit_value.$valueCol").cast(DecimalType(18, 4)))
-          .otherwise(-col(s"emit_value.$valueCol").cast(DecimalType(18, 4))))
+        (when(col("change_type") === "insert", 1L).otherwise(-1L)
+          * when(col(s"emit_value.$valueCol").isNotNull, 1L).otherwise(0L))
+          .as("d_vcnt"),
+        (when(col("change_type") === "insert", 1L).otherwise(-1L)
+          * coalesce(col(s"emit_value.$valueCol").cast(DecimalType(18, 4)),
+              lit(0).cast(DecimalType(18, 4))))
           .as("d_sum"))
       .groupBy("emit_key")
-      .agg(sum("d_cnt").as("d_cnt"),
+      .agg(sum("d_cnt").as("d_cnt"), sum("d_vcnt").as("d_vcnt"),
         sum("d_sum").cast(AggView.SumType).as("d_sum"))
       .persist() // feeds the touched-key set AND the merge below
     val stats =
@@ -230,10 +237,12 @@ final class JoinAggView(
         val old = store.getAll(stateName, touched)
           .select(col("emit_key"),
             col("emit_value.cnt").as("cnt"),
+            col("emit_value.vcnt").as("vcnt"),
             col("emit_value.sum_value").as("sum_value"))
         val merged = old.join(delta, Seq("emit_key"), "full_outer")
           .select(col("emit_key"),
             (coalesce(col("cnt"), lit(0L)) + coalesce(col("d_cnt"), lit(0L))).as("cnt"),
+            (coalesce(col("vcnt"), lit(0L)) + coalesce(col("d_vcnt"), lit(0L))).as("vcnt"),
             (coalesce(col("sum_value"), lit(0).cast(AggView.SumType))
               + coalesce(col("d_sum"), lit(0).cast(AggView.SumType)))
               .cast(AggView.SumType).as("sum_value"))

@@ -71,14 +71,18 @@ final class JoinGroupingView(
   private def stateIdx = MapIndex.columns(stateName)(
     col("emit_key").cast("string"),
     array(MapIndex.emit(col("emit_key"),
-      struct(Seq(col("gid"), col("cnt"), col("sum_value")) ++
+      struct(Seq(col("gid"), col("cnt"), col("vcnt"), col("sum_value")) ++
         groupCols.map(c => col(s"g_$c")): _*))))
 
-  /** One row per (set, group) of `rows` — the build-path aggregation. */
+  /** One row per (set, group) of `rows` — the build-path aggregation.
+    * `vcnt` counts NON-NULL values: SQL's SUM over an all-null group is
+    * NULL (not 0), and only the non-null count can retract that
+    * distinction under deletes. */
   private def latticeOf(rows: DataFrame): DataFrame =
     sets.indices.map { si =>
       rows.groupBy((keyOf(si, col).as("emit_key") +: fieldsOf(si, col)): _*)
         .agg(count(lit(1)).as("cnt"),
+          count(col(valueCol)).as("vcnt"),
           coalesce(sum(col(valueCol).cast(DecimalType(18, 4))), lit(0))
             .cast(AggView.SumType).as("sum_value"))
         .withColumn("gid", lit(gidOf(sets(si))))
@@ -88,7 +92,7 @@ final class JoinGroupingView(
   private def wmRow(epoch: Int): DataFrame =
     store.spark.range(1).select(
       Seq(lit(WatermarkKey).as("emit_key"), lit(0).as("gid"),
-        lit(epoch.toLong).as("cnt"),
+        lit(epoch.toLong).as("cnt"), lit(0L).as("vcnt"),
         lit(0).cast(AggView.SumType).as("sum_value")) ++
         groupCols.map(c => lit(null).cast("string").as(s"g_$c")): _*)
 
@@ -102,7 +106,9 @@ final class JoinGroupingView(
   }
 
   /** Current lattice: `gid, <groupCols>, cnt, sum_value` — group columns
-    * null where masked by the set or genuinely null in the data. */
+    * null where masked by the set or genuinely null in the data; the sum
+    * serves as NULL when the group holds no non-null values (SQL SUM
+    * semantics — a pad-only group is NULL, not 0). */
   def state: DataFrame = {
     val unkeyed = groupCols.map(c =>
       when(col(s"emit_value.g_$c") === NullGroupKey, lit(null).cast("string"))
@@ -111,7 +117,8 @@ final class JoinGroupingView(
       .filter(col("emit_key") =!= WatermarkKey)
       .select(Seq(col("emit_value.gid").as("gid")) ++ unkeyed ++
         Seq(col("emit_value.cnt").as("cnt"),
-          col("emit_value.sum_value").as("sum_value")): _*)
+          when(col("emit_value.vcnt") > 0, col("emit_value.sum_value"))
+            .as("sum_value")): _*)
   }
 
   /** Fold the relation's CDC feed `(consumed, jv.epoch]` into the whole
@@ -132,12 +139,13 @@ final class JoinGroupingView(
       feed.select(Seq(keyOf(si, of).as("emit_key"),
           lit(gidOf(sets(si))).as("gid"),
           sgn.as("d_cnt"),
+          (sgn * when(dv.isNotNull, 1L).otherwise(0L)).as("d_vcnt"),
           (sgn * coalesce(dv, lit(0).cast(DecimalType(18, 4)))).as("d_sum")) ++
         fieldsOf(si, of): _*)
     }.reduce(_.unionByName(_))
       .groupBy(Seq(col("emit_key"), col("gid")) ++
         groupCols.map(c => col(s"g_$c")): _*)
-      .agg(sum("d_cnt").as("d_cnt"),
+      .agg(sum("d_cnt").as("d_cnt"), sum("d_vcnt").as("d_vcnt"),
         sum("d_sum").cast(AggView.SumType).as("d_sum"))
       .persist()
     val stats =
@@ -147,10 +155,12 @@ final class JoinGroupingView(
         val old = store.getAll(stateName, touched)
           .select(col("emit_key"),
             col("emit_value.cnt").as("cnt"),
+            col("emit_value.vcnt").as("vcnt"),
             col("emit_value.sum_value").as("sum_value"))
         val merged = old.join(delta, Seq("emit_key"), "full_outer")
           .select(Seq(col("emit_key"), col("gid"),
             (coalesce(col("cnt"), lit(0L)) + coalesce(col("d_cnt"), lit(0L))).as("cnt"),
+            (coalesce(col("vcnt"), lit(0L)) + coalesce(col("d_vcnt"), lit(0L))).as("vcnt"),
             (coalesce(col("sum_value"), lit(0).cast(AggView.SumType))
               + coalesce(col("d_sum"), lit(0).cast(AggView.SumType)))
               .cast(AggView.SumType).as("sum_value")) ++

@@ -1437,6 +1437,51 @@ object MapIndexQueries {
       }
     })
 
+  /** The ROLLUP lattice over a FULL-OUTER view ([[graft.engine
+    * .JoinGroupingView]] folding BOTH CDC feeds — owned + right-pad
+    * twin): left-pads put a GENUINE NULL in the segment sets, right-pads
+    * a null priority with a sum-invisible null value, and every pad,
+    * heal and re-pad flows into every grouping set. Same orphaning
+    * history as [[fullOuterOrdersCustomerView]] on twin names. */
+  private def fullOuterOrdersCustomerLattice(s: SparkSession, dir: String): graft.engine.JoinGroupingView =
+    latticeViews.getOrElseUpdate(s"$dir#full", {
+      val store = Views.bucketedStore(s, dir)
+      val jv = new graft.engine.JoinView(store, "orders_customer_fol",
+        "o_orderkey", "o_custkey",
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate", "o_orderpriority"),
+        "c_custkey", "c_custkey",
+        Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"),
+        joinType = "full_outer")
+      val gcols = Seq("c_mktsegment", "o_orderpriority")
+      val rSets = graft.engine.JoinGroupingView.rollupSets(gcols)
+      val unit = "orders_customer_fol"
+      if (Views.unitDone(store.baseDir, unit))
+        graft.engine.JoinGroupingView.attach(jv, "orders_customer_fol__roll",
+          gcols, "o_totalprice", rSets)
+      else {
+        val o = Tables.orders(s, dir)
+        val c = Tables.customer(s, dir)
+        jv.build(o, c)
+        val gv = new graft.engine.JoinGroupingView(jv,
+          "orders_customer_fol__roll", gcols, "o_totalprice", rSets)
+        gv.build()
+        val upsL = o.filter(col("o_orderkey") % 37 === 0 && col("o_orderkey") % 41 =!= 0
+            && col("o_custkey") % 19 =!= 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000)
+        val delsL = o.filter(col("o_orderkey") % 41 === 0 || col("o_custkey") % 19 === 0)
+          .select(col("o_orderkey").cast("string")).distinct()
+        jv.refreshLeft(upsL, Some(delsL)); gv.catchUp()
+        val upsR = c.filter(col("c_custkey") % 13 === 0 && col("c_custkey") % 17 =!= 0)
+          .withColumn("c_acctbal", col("c_acctbal") + 100)
+        val delsR = c.filter(col("c_custkey") % 17 === 0)
+          .select(col("c_custkey").cast("string")).distinct()
+        jv.refreshRight(upsR, Some(delsR)); gv.catchUp()
+        Views.markUnitDone(store.baseDir, unit)
+        gv
+      }
+    })
+
   /** A rollup OVER the maintained SEMI view — "revenue of live
     * customers' orders by priority, always fresh": the aggregate folds
     * the FilterJoinView's CDC through the shared [[graft.engine
@@ -1492,6 +1537,7 @@ object MapIndexQueries {
     purchaseClickAttribution(s, dir)
     ordersCustomerLattice(s, dir, cube = false)
     streamedOrdersCustomerLattice(s, dir)
+    fullOuterOrdersCustomerLattice(s, dir)
     ordersCustomerFilterView(s, dir, "semi")
     semiOrdersAggView(s, dir)
     saltedOrdersCustomerView(s, dir)
@@ -1833,6 +1879,16 @@ object MapIndexQueries {
         .select(col("emit_key").as("o_orderpriority"), col("cnt"),
           round(col("sum_value").cast("double"), 2).as("revenue"))
         .orderBy("o_orderpriority")),
+
+    // the ROLLUP lattice over the FULL-OUTER view
+    // ([[fullOuterOrdersCustomerLattice]]): genuine null groups from
+    // left-pads, sum-invisible right-pads, both CDC feeds folded into
+    // every set; oracle = ROLLUP over the from-scratch FULL JOIN
+    "mapindex_lattice_full" -> ((s, dir) =>
+      fullOuterOrdersCustomerLattice(s, dir).state
+        .select(col("gid"), col("c_mktsegment"), col("o_orderpriority"),
+          col("cnt"), round(col("sum_value").cast("double"), 2).as("revenue"))
+        .orderBy("gid", "c_mktsegment", "o_orderpriority")),
 
     // the ROLLUP lattice fed through the STREAMING join history
     // ([[streamedOrdersCustomerLattice]]): every micro-batch's delta —
@@ -2804,6 +2860,25 @@ object MapIndexQueries {
         |FROM o WHERE EXISTS (SELECT 1 FROM c WHERE c.c_custkey = o.o_custkey)
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+    // lattice over the full-outer view: ROLLUP of the from-scratch FULL
+    // JOIN (genuine null groups from pads, sum-invisible right-pads)
+    "mapindex_lattice_full" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey, o_orderpriority,
+        |         CASE WHEN o_orderkey % 37 = 0 THEN o_totalprice + 1000
+        |              ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 41 <> 0 AND o_custkey % 19 <> 0),
+        |c AS (
+        |  SELECT c_custkey, c_mktsegment
+        |  FROM customer WHERE c_custkey % 17 <> 0)
+        |SELECT CAST(GROUPING(c_mktsegment) + 2 * GROUPING(o_orderpriority)
+        |            AS INTEGER) AS gid,
+        |       c_mktsegment, o_orderpriority, count(*) AS cnt,
+        |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2)
+        |         AS revenue
+        |FROM o FULL JOIN c ON o_custkey = c_custkey
+        |GROUP BY ROLLUP(c_mktsegment, o_orderpriority)
+        |ORDER BY gid, c_mktsegment NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
     // streamed lattice converges to the batch-built lattice's oracle
     "mapindex_lattice_streamed" ->
       """WITH o AS (

@@ -127,4 +127,33 @@ class JoinGroupingViewSpec extends AnyFunSuite with SparkSpec {
     assert(served(gv).filter(_._1 == 0) ===
       Set((0, Some("x"), Some("S1"), 2L, 30L)))
   }
+
+  test("a pad-only group's sum serves as NULL (SQL SUM), healing to a value") {
+    val store = BucketedViewStore.temp(spark, 8)
+    val jv = new JoinView(store, "t_latp",
+      "l_pk", "l_jk", Seq("l_pk", "l_jk", "l_cat", "l_val"),
+      "r_pk", "r_jk", Seq("r_pk", "r_jk", "r_seg"),
+      joinType = "full_outer")
+    jv.build(leftDf((1L, "a", "x", 10L)),
+      rightDf((100L, "a", "S1"), (101L, "b", "S2")))
+    // value from the LEFT side, grouped by the RIGHT segment: S2's only
+    // member is the right-pad (null l_val) — its sum is NULL, not 0
+    val gcols = Seq("r_seg")
+    val gv = new JoinGroupingView(jv, "t_latp__roll", gcols, "l_val",
+      JoinGroupingView.rollupSets(gcols))
+    gv.build()
+    def rows: Set[(Int, Option[String], Long, Option[Long])] =
+      gv.state.select(col("gid"), col("r_seg"), col("cnt"),
+          col("sum_value").cast("long"))
+        .as[(Int, Option[String], Long, Option[Long])].collect().toSet
+    assert(rows === Set((0, Some("S1"), 1L, Some(10L)),
+      (0, Some("S2"), 1L, None), (1, None, 2L, Some(10L))))
+
+    // the pad heals into a real row: S2's sum becomes a value — the
+    // vcnt retraction machinery must flip NULL → 20 through pure deltas
+    jv.refreshLeft(leftDf((2L, "b", "y", 20L)), None)
+    gv.catchUp()
+    assert(rows === Set((0, Some("S1"), 1L, Some(10L)),
+      (0, Some("S2"), 1L, Some(20L)), (1, None, 2L, Some(30L))))
+  }
 }
