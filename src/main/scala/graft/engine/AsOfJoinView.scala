@@ -70,9 +70,11 @@ final class AsOfJoinView(
     leftPk: String, leftJk: String, leftTs: String, leftCols: Seq[String],
     rightPk: String, rightJk: String, rightTs: String, rightCols: Seq[String],
     direction: String = "backward",
-    tolerance: Option[(Column, Column) => Column] = None)
+    tolerance: Option[(Column, Column) => Column] = None,
+    saltBuckets: Int = 1)
   extends MaintainedRelation {
 
+  require(saltBuckets >= 1, s"saltBuckets must be >= 1, got $saltBuckets")
   require(Set("backward", "forward")(direction),
     s"direction must be 'backward' or 'forward', got '$direction'")
   require((leftCols.toSet & rightCols.toSet).isEmpty,
@@ -83,17 +85,49 @@ final class AsOfJoinView(
   require(rightCols.contains(rightPk) && rightCols.contains(rightTs),
     s"rightCols must carry the pk '$rightPk' and timestamp '$rightTs'")
 
+  // SKEW: a hot join key (one user owning a large share of facts or
+  // candidates) concentrates its emissions in ONE bucket per view;
+  // `saltBuckets = S > 1` shards every emit key by a salt derived from
+  // the row's OWN pk (the [[JoinView]] hardening) so a hot key's rows
+  // spread over ~S buckets and a delta's rewrites stay shard-local.
+  // The PICK is storage-independent — the refresh windows partition by
+  // the actual key COLUMN of the read rows, so salting never splits a
+  // key's candidate timeline. Salt 1 is byte-identical to unsalted.
+  private val Sep = "\u0001"
+
+  private def saltedKey(jk: Column, pk: Column): Column =
+    if (saltBuckets <= 1) jk.cast("string")
+    else concat_ws(Sep, jk.cast("string"),
+      pmod(xxhash64(pk.cast("string")), lit(saltBuckets)).cast("string"))
+
+  /** Expand a base-key relation to its S salted spellings (identity at
+    * salt 1). */
+  private def expandKeys(keys: DataFrame): DataFrame =
+    if (saltBuckets <= 1) keys
+    else {
+      val c = keys.columns.head
+      keys.crossJoin(store.spark.range(saltBuckets).toDF("__salt"))
+        .select(concat_ws(Sep, col(c).cast("string"), col("__salt")).as(c))
+    }
+
+  /** Strip the salt shard off a stored emit key (identity at salt 1;
+    * with salting, join keys must not contain U+0001). */
+  private def unsalt(k: Column): Column =
+    if (saltBuckets <= 1) k else substring_index(k, Sep, 1)
+
   private def leftIdx = MapIndex.columns(s"${name}__left")(
     col(leftPk).cast("string"),
-    array(emit(col(leftJk).cast("string"), struct(leftCols.map(col): _*))))
+    array(emit(saltedKey(col(leftJk), col(leftPk)),
+      struct(leftCols.map(col): _*))))
 
   private def rightIdx = MapIndex.columns(s"${name}__right")(
     col(rightPk).cast("string"),
-    array(emit(col(rightJk).cast("string"), struct(rightCols.map(col): _*))))
+    array(emit(saltedKey(col(rightJk), col(rightPk)),
+      struct(rightCols.map(col): _*))))
 
   private def joinIdx = MapIndex.columns(name)(
     col(leftPk).cast("string"),
-    array(emit(col(leftJk).cast("string"),
+    array(emit(saltedKey(col(leftJk), col(leftPk)),
       struct((leftCols ++ rightCols).map(col): _*))))
 
   /** Backward as-of pick: for each `lRows` row, the `rRows` row with the
@@ -155,7 +189,7 @@ final class AsOfJoinView(
   def refreshLeft(ups: DataFrame, dels: Option[DataFrame]): RefreshStats = {
     store.refresh(leftIdx, ups, dels)
     val rRows = store.getAll(rightIdx.name,
-        ups.select(col(leftJk).cast("string")).distinct())
+        expandKeys(ups.select(col(leftJk).cast("string")).distinct()))
       .select(col("emit_value.*"))
     store.refresh(joinIdx, asofPick(ups, rRows), dels.map(_.toDF("src_key")))
   }
@@ -173,10 +207,13 @@ final class AsOfJoinView(
     store.refresh(rightIdx, ups, dels)
     val e = store.epoch(rightIdx.name)
     val dirtyJk = store.changesBetween(rightIdx.name, e - 1, e)
-      .select("emit_key").distinct()
-    val lRows = store.getAll(leftIdx.name, dirtyJk).select(col("emit_value.*"))
-    val rRows = store.getAll(rightIdx.name, dirtyJk).select(col("emit_value.*"))
-    val current = store.getAll(name, dirtyJk).select(col("emit_value.*"))
+      .select(unsalt(col("emit_key")).as("emit_key")).distinct()
+    val lRows = store.getAll(leftIdx.name, expandKeys(dirtyJk))
+      .select(col("emit_value.*"))
+    val rRows = store.getAll(rightIdx.name, expandKeys(dirtyJk))
+      .select(col("emit_value.*"))
+    val current = store.getAll(name, expandKeys(dirtyJk))
+      .select(col("emit_value.*"))
     val changed = asofPick(lRows, rRows).exceptAll(current)
     store.refresh(joinIdx, changed, None)
   }
@@ -187,7 +224,7 @@ final class AsOfJoinView(
 
   /** Bucket-pruned read of the joined rows for a set of join keys. */
   def byKeys(keys: DataFrame): DataFrame =
-    store.getAll(name, keys).select(col("emit_value.*"))
+    store.getAll(name, expandKeys(keys)).select(col("emit_value.*"))
 
   def epoch: Int = store.epoch(name)
 

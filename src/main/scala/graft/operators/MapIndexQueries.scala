@@ -1187,6 +1187,28 @@ object MapIndexQueries {
       v
     })
 
+  /** The as-of view under SALT-SHARDED emit keys (`saltBuckets = 4` —
+    * the hot-user hardening: one user's facts and clicks spread over 4
+    * shard buckets so delta rewrites stay shard-local). Same history as
+    * [[purchaseClickView]], same oracle: shards must be invisible. */
+  private def purchaseClickSaltedView(s: SparkSession, dir: String): graft.engine.AsOfJoinView =
+    asofViews.getOrElseUpdate(s"$dir#salt", {
+      val store = Views.bucketedStore(s, dir)
+      val v = new graft.engine.AsOfJoinView(store, "purchase_click_asof_sl",
+        "a_id", "a_user", "a_ts", Seq("a_id", "a_user", "a_ts", "a_value"),
+        "b_id", "b_user", "b_ts", Seq("b_id", "b_user", "b_ts", "b_value"),
+        saltBuckets = 4)
+      val unit = "purchase_click_asof_sl"
+      if (!Views.unitDone(store.baseDir, unit)) {
+        val (p, c) = purchasesClicks(s, dir)
+        v.build(p, c)
+        v.refreshLeft(purchaseUps(p), Some(purchaseDels(p)))
+        v.refreshRight(clickUps(c), Some(clickDels(c)))
+        Views.markUnitDone(store.baseDir, unit)
+      }
+      v
+    })
+
   /** The as-of store COMPACTED after both change batches — bin-packing
     * the accreted bucket fragments of the joined relation must be
     * invisible to as-of serving (same oracle as the uncompacted twin). */
@@ -1534,6 +1556,7 @@ object MapIndexQueries {
     purchaseClickFwdView(s, dir)
     purchaseClickTolView(s, dir)
     purchaseClickCompactView(s, dir)
+    purchaseClickSaltedView(s, dir)
     purchaseClickAttribution(s, dir)
     ordersCustomerLattice(s, dir, cube = false)
     streamedOrdersCustomerLattice(s, dir)
@@ -1785,6 +1808,16 @@ object MapIndexQueries {
         .unionByName(ins.exceptAll(dels).withColumn("change_type", lit("insert")))
         .orderBy("change_type", "a_id")
     }),
+
+    // the SALT-SHARDED as-of view ([[purchaseClickSaltedView]]): the
+    // skew-hardened emit layout must be invisible to serving — same
+    // history and oracle as mapindex_asofjoinview
+    "mapindex_asofjoinview_salted" -> ((s, dir) =>
+      purchaseClickSaltedView(s, dir).df
+        .select(col("a_id"), col("a_user"),
+          round(col("a_value"), 2).as("a_value"),
+          col("b_id"), round(col("b_value"), 2).as("b_value"))
+        .orderBy("a_id")),
 
     // the as-of store compacted after both refreshes
     // ([[purchaseClickCompactView]]): compaction must be invisible to
@@ -2705,6 +2738,30 @@ object MapIndexQueries {
         |SELECT a_id, a_user, a_value, b_id, b_value, 'insert' AS change_type
         |FROM (SELECT * FROM after EXCEPT ALL SELECT * FROM before)
         |ORDER BY change_type, a_id""".stripMargin,
+    // salt shards invisible: same oracle as mapindex_asofjoinview
+    "mapindex_asofjoinview_salted" ->
+      """WITH p AS (
+        |  SELECT event_id AS a_id, user_id AS a_user,
+        |         CASE WHEN event_id % 37 = 0 THEN ts + INTERVAL 1 HOUR
+        |              ELSE ts END AS a_ts,
+        |         CASE WHEN event_id % 37 = 0 THEN value + 1000
+        |              ELSE value END AS a_value
+        |  FROM events WHERE event_type = 'purchase' AND event_id % 41 <> 0),
+        |c AS (
+        |  SELECT event_id AS b_id, user_id AS b_user,
+        |         CASE WHEN event_id % 13 = 0 THEN ts + INTERVAL 30 MINUTE
+        |              ELSE ts END AS b_ts,
+        |         CASE WHEN event_id % 13 = 0 THEN value + 100
+        |              ELSE value END AS b_value
+        |  FROM events WHERE event_type = 'click' AND event_id % 17 <> 0)
+        |SELECT a.a_id, a.a_user, round(a.a_value, 2) AS a_value,
+        |  (SELECT b.b_id FROM c b
+        |   WHERE b.b_user = a.a_user AND b.b_ts <= a.a_ts
+        |   ORDER BY b.b_ts DESC, b.b_id DESC LIMIT 1) AS b_id,
+        |  (SELECT round(b.b_value, 2) FROM c b
+        |   WHERE b.b_user = a.a_user AND b.b_ts <= a.a_ts
+        |   ORDER BY b.b_ts DESC, b.b_id DESC LIMIT 1) AS b_value
+        |FROM p a ORDER BY a.a_id""".stripMargin,
     // compaction invisible: same oracle as mapindex_asofjoinview
     "mapindex_asofjoinview_compacted" ->
       """WITH p AS (

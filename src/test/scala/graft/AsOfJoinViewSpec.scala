@@ -105,6 +105,30 @@ class AsOfJoinViewSpec extends AnyFunSuite with SparkSpec {
       "a no-op right delta must emit an empty CDC sidecar")
   }
 
+  test("salt shards are invisible: the salted view equals the argmax") {
+    val store = BucketedViewStore.temp(spark, 8)
+    val v = new AsOfJoinView(store, "t_asof_salt",
+      "p_pk", "p_jk", "p_ts", Seq("p_pk", "p_jk", "p_ts", "p_val"),
+      "q_pk", "q_jk", "q_ts", Seq("q_pk", "q_jk", "q_ts", "q_px"),
+      saltBuckets = 3)
+    // a HOT key: every row on "a" — shards must neither split the
+    // timeline (the pick sees all candidates) nor leak into serving
+    var ls = (0L until 12L).map(i => (i, "a", i * 10L, i))
+    var rs = (100L until 106L).map(i => (i, "a", (i - 100L) * 17L, i.toDouble))
+    v.build(probes(ls: _*), quotes(rs: _*))
+    assert(snap(v) === expected(ls, rs))
+    v.refreshLeft(probes((3L, "a", 95L, 3L)), Some(probes((5L, "zz", 0L, 0L))
+      .select(col("p_pk").cast("string"))))
+    ls = ls.filterNot(r => r._1 == 3L || r._1 == 5L) :+ (3L, "a", 95L, 3L)
+    assert(snap(v) === expected(ls, rs))
+    v.refreshRight(quotes((106L, "a", 50L, 6.5)), Some(quotes((102L, "zz", 0L, 0.0))
+      .select(col("q_pk").cast("string"))))
+    rs = rs.filterNot(_._1 == 102L) :+ (106L, "a", 50L, 6.5)
+    assert(snap(v) === expected(ls, rs))
+    // bucket-pruned serving fans out to the bounded S shards per key
+    assert(v.byKeys(Seq("a").toDF("k")).count() === ls.size)
+  }
+
   test("random history converges to the plain-Scala argmax") {
     val store = BucketedViewStore.temp(spark, 8)
     val v = mk(store, "t_asof_prop")
