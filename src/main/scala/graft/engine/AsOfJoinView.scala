@@ -35,13 +35,13 @@ import graft.engine.BucketedViewStore.RefreshStats
   *  - LEFT batch: each upserted left row as-of-picks against ONLY the
   *    right buckets holding its join key; deletes tombstone by pk.
   *  - RIGHT batch: the dirty join keys come from the right view's own
-  *    CDC sidecar (a delete carries its key); ALL left rows at those
-  *    keys re-pick against the post-batch right rows at those keys —
-  *    re-emitting through ownership delete-then-insert. This is the
-  *    same touched-key recompute bound [[JoinView.refreshRight]] pays:
-  *    a new right version can steal matches from, and a retracted one
-  *    return them to, any left row at its key, so the key's left rows
-  *    are the exact affected set.
+  *    CDC sidecar (a delete carries its key); those keys' left rows
+  *    re-pick against the post-batch right rows — a new right version
+  *    can steal matches from, and a retracted one return them to, any
+  *    left row at its key, so the key's left rows are the candidate
+  *    set — and the re-pick is DIFFED against the stored rows before
+  *    writing, so bucket I/O and the CDC sidecar scale with the real
+  *    output delta, not the key's fanout.
   *
   * The as-of pick itself is the union+window spelling (one exchange on
   * the join key, O(n log n) per key group, no per-row subquery and no
