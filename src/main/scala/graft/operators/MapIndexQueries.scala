@@ -1504,6 +1504,36 @@ object MapIndexQueries {
       }
     })
 
+  /** The attribution rollup WITH the value-refcount companion
+    * (`trackValues = true`): exact deletion-safe per-click min / max /
+    * distinct-count of attributed revenue alongside (cnt, sum), all
+    * maintained from the as-of view's CDC. Same history as
+    * [[purchaseClickAttribution]] on twin names. */
+  private def purchaseClickAttributionMulti(s: SparkSession, dir: String): graft.engine.JoinAggView =
+    joinAggViews.getOrElseUpdate(s"$dir#asofmulti", {
+      val store = Views.bucketedStore(s, dir)
+      val v = new graft.engine.AsOfJoinView(store, "purchase_click_asof_gm",
+        "a_id", "a_user", "a_ts", Seq("a_id", "a_user", "a_ts", "a_value"),
+        "b_id", "b_user", "b_ts", Seq("b_id", "b_user", "b_ts", "b_value"))
+      val unit = "purchase_click_asof_gm"
+      if (Views.unitDone(store.baseDir, unit))
+        graft.engine.JoinAggView.attach(v, "purchase_click_asof_gm__rollup",
+          "b_id", "a_value", trackValues = true)
+      else {
+        val (p, c) = purchasesClicks(s, dir)
+        v.build(p, c)
+        val agg = new graft.engine.JoinAggView(v, "purchase_click_asof_gm__rollup",
+          "b_id", "a_value", trackValues = true)
+        agg.build()
+        v.refreshLeft(purchaseUps(p), Some(purchaseDels(p)))
+        agg.catchUp()
+        v.refreshRight(clickUps(c), Some(clickDels(c)))
+        agg.catchUp()
+        Views.markUnitDone(store.baseDir, unit)
+        agg
+      }
+    })
+
   /** A rollup OVER the maintained SEMI view — "revenue of live
     * customers' orders by priority, always fresh": the aggregate folds
     * the FilterJoinView's CDC through the shared [[graft.engine
@@ -1558,6 +1588,7 @@ object MapIndexQueries {
     purchaseClickCompactView(s, dir)
     purchaseClickSaltedView(s, dir)
     purchaseClickAttribution(s, dir)
+    purchaseClickAttributionMulti(s, dir)
     ordersCustomerLattice(s, dir, cube = false)
     streamedOrdersCustomerLattice(s, dir)
     fullOuterOrdersCustomerLattice(s, dir)
@@ -1848,6 +1879,26 @@ object MapIndexQueries {
           round(col("a_value"), 2).as("a_value"),
           col("b_id"), round(col("b_value"), 2).as("b_value"))
         .orderBy("a_id")),
+
+    // the attribution rollup's MULTI-AGGREGATE surface
+    // ([[purchaseClickAttributionMulti]] — trackValues): cnt/sum from
+    // the main state, exact deletion-safe min/max/distinct-count of
+    // attributed revenue from the refcount companion; the NULL group
+    // (unattributed) joins the two states null-safely
+    "mapindex_asofjoinview_agg_multi" -> ((s, dir) => {
+      val agg = purchaseClickAttributionMulti(s, dir)
+      val nullK = " __nullgrp"
+      val st = agg.state.withColumn("k", coalesce(col("emit_key"), lit(nullK)))
+      val ms = agg.multiState.withColumn("k", coalesce(col("emit_key"), lit(nullK)))
+        .drop("emit_key")
+      st.join(ms, Seq("k"))
+        .select(col("emit_key").as("b_id"), col("cnt"),
+          round(col("sum_value").cast("double"), 2).as("revenue"),
+          round(col("min_value").cast("double"), 2).as("min_rev"),
+          round(col("max_value").cast("double"), 2).as("max_rev"),
+          col("n_distinct"))
+        .orderBy("b_id")
+    }),
 
     // the as-of view built purely through out-of-order micro-batches
     // ([[purchaseClickStreamView]]): late clicks must steal already-
@@ -2836,6 +2887,35 @@ object MapIndexQueries {
         |     AND epoch_us(a.a_ts) - epoch_us(b.b_ts) <= 3600000000
         |   ORDER BY b.b_ts DESC, b.b_id DESC LIMIT 1) AS b_value
         |FROM p a ORDER BY a.a_id""".stripMargin,
+    // multi-aggregate attribution: all five recomputed from scratch
+    "mapindex_asofjoinview_agg_multi" ->
+      """WITH p AS (
+        |  SELECT event_id AS a_id, user_id AS a_user,
+        |         CASE WHEN event_id % 37 = 0 THEN ts + INTERVAL 1 HOUR
+        |              ELSE ts END AS a_ts,
+        |         CASE WHEN event_id % 37 = 0 THEN value + 1000
+        |              ELSE value END AS a_value
+        |  FROM events WHERE event_type = 'purchase' AND event_id % 41 <> 0),
+        |c AS (
+        |  SELECT event_id AS b_id, user_id AS b_user,
+        |         CASE WHEN event_id % 13 = 0 THEN ts + INTERVAL 30 MINUTE
+        |              ELSE ts END AS b_ts,
+        |         CASE WHEN event_id % 13 = 0 THEN value + 100
+        |              ELSE value END AS b_value
+        |  FROM events WHERE event_type = 'click' AND event_id % 17 <> 0),
+        |m AS (
+        |  SELECT a.a_value,
+        |    (SELECT b.b_id FROM c b
+        |     WHERE b.b_user = a.a_user AND b.b_ts <= a.a_ts
+        |     ORDER BY b.b_ts DESC, b.b_id DESC LIMIT 1) AS b_id
+        |  FROM p a)
+        |SELECT CAST(b_id AS VARCHAR) AS b_id, count(*) AS cnt,
+        |       round(CAST(sum(CAST(a_value AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue,
+        |       round(CAST(min(CAST(a_value AS DECIMAL(18,4))) AS DOUBLE), 2) AS min_rev,
+        |       round(CAST(max(CAST(a_value AS DECIMAL(18,4))) AS DOUBLE), 2) AS max_rev,
+        |       count(DISTINCT CAST(a_value AS DECIMAL(18,4))) AS n_distinct
+        |FROM m GROUP BY 1
+        |ORDER BY b_id NULLS FIRST""".stripMargin,
     // the streamed twin converges to the identical final state
     "mapindex_asofjoinview_streamed" ->
       """WITH p AS (

@@ -585,6 +585,10 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       s"the as-of view must serve stored rows, not re-scan events:\n$p")
     assert(!p.contains("Join") && !p.contains("Window"),
       s"as-of serving must be join- and window-free:\n$p")
+    // the salted twin: shards add no join or window to serving either
+    val psl = finalPlan("mapindex_asofjoinview_salted")
+    assert(!psl.contains("events.parquet") && !psl.contains("Window"),
+      s"salted as-of serving must stay a stored read:\n$psl")
     // the attribution rollup reads only its group-sized state
     val pa = finalPlan("mapindex_asofjoinview_agg")
     assert(!pa.contains("events.parquet"),
@@ -592,7 +596,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(!pa.contains("Join"), s"attribution serving must be join-free:\n$pa")
     // both lattices serve one bucket scan of the state relation
     for (q <- Seq("mapindex_joinview_rollup_lattice",
-        "mapindex_joinview_cube_lattice")) {
+        "mapindex_joinview_cube_lattice", "mapindex_lattice_full")) {
       val pl = finalPlan(q)
       assert(!pl.contains("orders.parquet") && !pl.contains("customer.parquet"),
         s"$q must serve from the lattice state alone:\n$pl")
