@@ -44,8 +44,10 @@ final class FilterJoinView(
     val name: String,
     leftPk: String, leftJk: String, leftCols: Seq[String],
     rightPk: String, rightJk: String,
-    mode: String) extends MaintainedRelation {
+    mode: String,
+    saltBuckets: Int = 1) extends MaintainedRelation {
 
+  require(saltBuckets >= 1, s"saltBuckets must be >= 1, got $saltBuckets")
   require(Set("semi", "anti")(mode),
     s"mode must be 'semi' or 'anti', got '$mode'")
   require(leftCols.contains(leftPk) && leftCols.contains(leftJk),
@@ -53,20 +55,49 @@ final class FilterJoinView(
 
   private val passType = if (mode == "semi") "left_semi" else "left_anti"
 
+  // SKEW: `saltBuckets = S > 1` shards every emit key by a salt derived
+  // from the row's own pk (the [[JoinView]] hardening) so a hot join
+  // key's rows spread over ~S buckets; membership is storage-independent
+  // (the semi/anti join runs on the read rows' actual key columns).
+  private val Sep = "\u0001"
+
+  private def saltedKey(jk: org.apache.spark.sql.Column,
+      pk: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    if (saltBuckets <= 1) jk.cast("string")
+    else concat_ws(Sep, jk.cast("string"),
+      pmod(xxhash64(pk.cast("string")), lit(saltBuckets)).cast("string"))
+
+  /** Expand a base-key relation to its S salted spellings (identity at
+    * salt 1). */
+  private def expandKeys(keys: DataFrame): DataFrame =
+    if (saltBuckets <= 1) keys
+    else {
+      val c = keys.columns.head
+      keys.crossJoin(store.spark.range(saltBuckets).toDF("__salt"))
+        .select(concat_ws(Sep, col(c).cast("string"), col("__salt")).as(c))
+    }
+
+  /** Strip the salt shard off a stored emit key (identity at salt 1;
+    * with salting, join keys must not contain U+0001). */
+  private def unsalt(k: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    if (saltBuckets <= 1) k else substring_index(k, Sep, 1)
+
   private def leftIdx = MapIndex.columns(s"${name}__left")(
     col(leftPk).cast("string"),
-    array(emit(col(leftJk).cast("string"), struct(leftCols.map(col): _*))))
+    array(emit(saltedKey(col(leftJk), col(leftPk)),
+      struct(leftCols.map(col): _*))))
 
   // internal aliases keep the stored struct legal when the right pk IS
   // the join key (the customer-dimension case: pk == jk == c_custkey)
   private def rightIdx = MapIndex.columns(s"${name}__right")(
     col(rightPk).cast("string"),
-    array(emit(col(rightJk).cast("string"),
+    array(emit(saltedKey(col(rightJk), col(rightPk)),
       struct(col(rightPk).as("__rpk"), col(rightJk).as("__rjk")))))
 
   private def viewIdx = MapIndex.columns(name)(
     col(leftPk).cast("string"),
-    array(emit(col(leftJk).cast("string"), struct(leftCols.map(col): _*))))
+    array(emit(saltedKey(col(leftJk), col(leftPk)),
+      struct(leftCols.map(col): _*))))
 
   /** The left rows of `lRows` passing the membership test against
     * `keys`, a one-column `__rjk` relation of right join keys. */
@@ -86,7 +117,7 @@ final class FilterJoinView(
   def refreshLeft(ups: DataFrame, dels: Option[DataFrame]): RefreshStats = {
     store.refresh(leftIdx, ups, dels)
     val rKeys = store.getAll(rightIdx.name,
-        ups.select(col(leftJk).cast("string")).distinct())
+        expandKeys(ups.select(col(leftJk).cast("string")).distinct()))
       .select(col("emit_value.*"))
     val pass = passing(ups, rKeys)
     val out = ups.select(col(leftPk).cast("string").as("src_key")).distinct()
@@ -108,10 +139,12 @@ final class FilterJoinView(
     store.refresh(rightIdx, ups, dels)
     val e = store.epoch(rightIdx.name)
     val dirtyJk = store.changesBetween(rightIdx.name, e - 1, e)
-      .select("emit_key").distinct()
-    val lRows = store.getAll(leftIdx.name, dirtyJk).select(col("emit_value.*"))
-    val rKeys = store.getAll(rightIdx.name, dirtyJk).select(col("emit_value.*"))
-    val served = store.getAll(name, dirtyJk)
+      .select(unsalt(col("emit_key")).as("emit_key")).distinct()
+    val lRows = store.getAll(leftIdx.name, expandKeys(dirtyJk))
+      .select(col("emit_value.*"))
+    val rKeys = store.getAll(rightIdx.name, expandKeys(dirtyJk))
+      .select(col("emit_value.*"))
+    val served = store.getAll(name, expandKeys(dirtyJk))
       .select(col("src_key")).distinct()
     val pass = passing(lRows, rKeys)
     val passKeys = pass.select(col(leftPk).cast("string").as("src_key")).distinct()
@@ -126,7 +159,7 @@ final class FilterJoinView(
 
   /** Bucket-pruned read for a set of join keys. */
   def byKeys(keys: DataFrame): DataFrame =
-    store.getAll(name, keys).select(col("emit_value.*"))
+    store.getAll(name, expandKeys(keys)).select(col("emit_value.*"))
 
   def epoch: Int = store.epoch(name)
 

@@ -1412,6 +1412,36 @@ object MapIndexQueries {
     })
   }
 
+  /** The SEMI view under SALT-SHARDED emit keys (`saltBuckets = 4`) —
+    * a hot customer's orders spread over 4 shard buckets; membership
+    * and serving must be shard-invisible. Same history and oracle as
+    * [[ordersCustomerFilterView]]'s semi half. */
+  private def saltedSemiView(s: SparkSession, dir: String): graft.engine.FilterJoinView =
+    filterViews.getOrElseUpdate(s"$dir#semisalt", {
+      val store = Views.bucketedStore(s, dir)
+      val fv = new graft.engine.FilterJoinView(store, "orders_customer_semisl",
+        "o_orderkey", "o_custkey",
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"),
+        "c_custkey", "c_custkey", "semi", saltBuckets = 4)
+      val unit = "orders_customer_semisl"
+      if (!Views.unitDone(store.baseDir, unit)) {
+        val o = Tables.orders(s, dir)
+        val c = Tables.customer(s, dir)
+        fv.build(o, c)
+        val upsL = o.filter(col("o_orderkey") % 37 === 0 && col("o_orderkey") % 41 =!= 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000)
+        val delsL = o.filter(col("o_orderkey") % 41 === 0)
+          .select(col("o_orderkey").cast("string")).distinct()
+        fv.refreshLeft(upsL, Some(delsL))
+        val upsR = c.filter(col("c_custkey") % 13 === 0 && col("c_custkey") % 17 =!= 0)
+        val delsR = c.filter(col("c_custkey") % 17 === 0)
+          .select(col("c_custkey").cast("string")).distinct()
+        fv.refreshRight(upsR, Some(delsR))
+        Views.markUnitDone(store.baseDir, unit)
+      }
+      fv
+    })
+
   /** The ROLLUP lattice fed through the STREAMING join history: the
     * same interleaved out-of-order micro-batches as the streamed join
     * twin, with the whole lattice catching up from the CDC after EVERY
@@ -1593,6 +1623,7 @@ object MapIndexQueries {
     streamedOrdersCustomerLattice(s, dir)
     fullOuterOrdersCustomerLattice(s, dir)
     ordersCustomerFilterView(s, dir, "semi")
+    saltedSemiView(s, dir)
     semiOrdersAggView(s, dir)
     saltedOrdersCustomerView(s, dir)
     leftOuterOrdersCustomerView(s, dir)
@@ -1942,6 +1973,15 @@ object MapIndexQueries {
     // both modified tables
     "mapindex_semiview" -> ((s, dir) =>
       ordersCustomerFilterView(s, dir, "semi").df
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+        .orderBy("o_orderkey")),
+
+    // the SALT-SHARDED semi view ([[saltedSemiView]]): shard layout
+    // invisible to membership and serving — same oracle as
+    // mapindex_semiview
+    "mapindex_semiview_salted" -> ((s, dir) =>
+      saltedSemiView(s, dir).df
         .select(col("o_orderkey"), col("o_custkey"),
           round(col("o_totalprice"), 2).as("o_totalprice"))
         .orderBy("o_orderkey")),
@@ -3036,6 +3076,17 @@ object MapIndexQueries {
         |ORDER BY gid, c_mktsegment NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
     // semi/anti IVM: from-scratch EXISTS / NOT EXISTS on modified tables
     "mapindex_semiview" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey,
+        |         CASE WHEN o_orderkey % 37 = 0 THEN o_totalprice + 1000
+        |              ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 41 <> 0),
+        |c AS (SELECT c_custkey FROM customer WHERE c_custkey % 17 <> 0)
+        |SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+        |FROM o WHERE EXISTS (SELECT 1 FROM c WHERE c.c_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin,
+    // salt shards invisible: same oracle as mapindex_semiview
+    "mapindex_semiview_salted" ->
       """WITH o AS (
         |  SELECT o_orderkey, o_custkey,
         |         CASE WHEN o_orderkey % 37 = 0 THEN o_totalprice + 1000

@@ -69,6 +69,25 @@ class FilterJoinViewSpec extends AnyFunSuite with SparkSpec {
       "a flip-free right delta must emit an empty CDC sidecar")
   }
 
+  test("salt shards are invisible to membership on a fully-hot key") {
+    val store = BucketedViewStore.temp(spark, 8)
+    val semi = new FilterJoinView(store, "t_semi_salt",
+      "l_pk", "l_jk", Seq("l_pk", "l_jk", "l_val"), "r_pk", "r_jk", "semi",
+      saltBuckets = 3)
+    // every left row on one hot key; membership flips whole-key
+    val ls = (0L until 10L).map(i => (i, "hot", i))
+    semi.build(leftDf(ls: _*), rightDf((100L, "hot"), (101L, "cold")))
+    assert(snap(semi) === ls.map(_._1).toSet)
+    // the hot key's only match leaves: every shard's rows flip out
+    semi.refreshRight(rightDf(),
+      Some(rightDf((100L, "zz")).select(col("r_pk").cast("string"))))
+    assert(snap(semi) === Set.empty[Long])
+    // and back in
+    semi.refreshRight(rightDf((102L, "hot")), None)
+    assert(snap(semi) === ls.map(_._1).toSet)
+    assert(semi.byKeys(Seq("hot").toDF("k")).count() === 10)
+  }
+
   test("random history converges to the recomputed EXISTS / NOT EXISTS") {
     val store = BucketedViewStore.temp(spark, 8)
     val semi = mk(store, "t_semi_prop", "semi")

@@ -128,6 +128,43 @@ class JoinGroupingViewSpec extends AnyFunSuite with SparkSpec {
       Set((0, Some("x"), Some("S1"), 2L, 30L)))
   }
 
+  test("random history: every lattice set tracks the recomputed group-bys") {
+    val store = BucketedViewStore.temp(spark, 8)
+    val jv = mkJv(store, "t_lat_prop")
+    val rnd = new scala.util.Random(9090)
+    val jks = Vector("a", "b", "c")
+    val cats = Vector("x", "y", "z")
+    var ls = (0L until 18L).map(i =>
+      (i, jks(rnd.nextInt(3)), cats(rnd.nextInt(3)), rnd.nextInt(40).toLong))
+    var rs = (100L until 106L).map(i => (i, jks(rnd.nextInt(3)), "S" + rnd.nextInt(3)))
+    jv.build(leftDf(ls: _*), rightDf(rs: _*))
+    val gcols = Seq("l_cat", "r_seg")
+    val sets = JoinGroupingView.cubeSets(gcols)
+    val gv = new JoinGroupingView(jv, "t_lat_prop__cube", gcols, "l_val", sets)
+    gv.build()
+    for (step <- 0 until 4) {
+      if (step % 2 == 0) {
+        val upd = ls.filter(_ => rnd.nextBoolean()).map(r =>
+          (r._1, jks(rnd.nextInt(3)), cats(rnd.nextInt(3)), r._4 + 1))
+        val del = ls.filterNot(r => upd.exists(_._1 == r._1))
+          .filter(_ => rnd.nextInt(3) == 0).map(_._1)
+        jv.refreshLeft(leftDf(upd: _*),
+          Some(del.toDF("l_pk").select(col("l_pk").cast("string"))))
+        ls = ls.filterNot(r => upd.exists(_._1 == r._1) || del.contains(r._1)) ++ upd
+      } else {
+        val upd = rs.filter(_ => rnd.nextBoolean()).map(r =>
+          (r._1, jks(rnd.nextInt(3)), "S" + rnd.nextInt(3)))
+        val del = rs.filterNot(r => upd.exists(_._1 == r._1))
+          .filter(_ => rnd.nextInt(3) == 0).map(_._1)
+        jv.refreshRight(rightDf(upd: _*),
+          Some(del.toDF("r_pk").select(col("r_pk").cast("string"))))
+        rs = rs.filterNot(r => upd.exists(_._1 == r._1) || del.contains(r._1)) ++ upd
+      }
+      gv.catchUp()
+      assert(served(gv) === expected(jv, sets, gcols), s"diverged at step $step")
+    }
+  }
+
   test("a pad-only group's sum serves as NULL (SQL SUM), healing to a value") {
     val store = BucketedViewStore.temp(spark, 8)
     val jv = new JoinView(store, "t_latp",
