@@ -26,6 +26,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     val all = functions.Hashes.builders ++
       functions.Sketches.builders ++
+      functions.QuantileSketch.builders ++
       functions.VectorFunctions.builders ++
       functions.Bloom.builders ++
       functions.BytewiseKey.builders

@@ -3,6 +3,7 @@ package graft.engine
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{TimestampType, TimestampNTZType}
 import graft.engine.MapIndex.emit
 import graft.engine.BucketedViewStore.RefreshStats
 
@@ -31,6 +32,12 @@ import graft.engine.BucketedViewStore.RefreshStats
   *    rewriting or retracting a left row delete-then-inserts exactly its
   *    one output row), emit key = the join key (clustered serving).
   *
+  * JOIN KEYS may be COMPOSITE ([[JoinKey]], same arity both sides): the
+  * stored emit keys are the [[CompositeKey]] spelling (escaped,
+  * injective — a part containing U+0001 can neither truncate nor
+  * collide), and the pick windows partition by that spelled key, whose
+  * equality is tuple equality for non-null parts.
+  *
   * Delta rules (both O(|delta| · key fanout), never O(|L|) or O(|R|)):
   *  - LEFT batch: each upserted left row as-of-picks against ONLY the
   *    right buckets holding its join key; deletes tombstone by pk.
@@ -52,11 +59,26 @@ import graft.engine.BucketedViewStore.RefreshStats
   *
   * `direction = "forward"` picks the LEAST right ts ≥ the left ts
   * (ties to the least pk — the engine's `join_asof_forward`
-  * convention); `tolerance` is a (leftTs, rightTs) => boolean Column
-  * bounding how far the pick may reach (the pandas
-  * merge_asof(tolerance=...) surface) — it filters the picked closest
-  * row, which is equivalent to filtering before the pick since every
-  * other candidate is strictly farther.
+  * convention); `direction = "nearest"` picks the candidate minimizing
+  * |right ts − left ts|, distance ties resolved toward the BACKWARD
+  * candidate (each side keeping its own pk tie rule — the pandas
+  * merge_asof(direction='nearest') surface), composed as the backward
+  * and forward picks plus an O(1) per-row choice (nearest needs a
+  * timestamp DISTANCE, so the ts columns must be timestamps or numeric).
+  * `tolerance` is a (leftTs, rightTs) => boolean Column bounding how far
+  * the pick may reach (the pandas merge_asof(tolerance=...) surface) —
+  * it filters the picked closest row, which is equivalent to filtering
+  * before the pick since every other candidate is strictly farther;
+  * under `nearest` it applies to EACH directional pick before the
+  * choice, so a nearer-but-out-of-tolerance side loses to the other.
+  *
+  * NULL KEYS / TIMESTAMPS: SQL as-of semantics never match a null join
+  * key or a null timestamp — candidates with a null key part or null ts
+  * are dropped from every pick, and a probe with a null key part or
+  * null ts always takes the null pad. (Rows with null join keys cannot
+  * address a store bucket, so like the rest of the family the contract
+  * is non-null keys; the pick hardening makes the semantics explicit
+  * rather than ordering-dependent.)
   *
   * Timestamp columns must have the same (mutually comparable) type on
   * both sides; column names of the two inputs must be disjoint. As a
@@ -67,16 +89,16 @@ import graft.engine.BucketedViewStore.RefreshStats
 final class AsOfJoinView(
     val store: BucketedViewStore,
     val name: String,
-    leftPk: String, leftJk: String, leftTs: String, leftCols: Seq[String],
-    rightPk: String, rightJk: String, rightTs: String, rightCols: Seq[String],
+    leftPk: String, leftJk: JoinKey, leftTs: String, leftCols: Seq[String],
+    rightPk: String, rightJk: JoinKey, rightTs: String, rightCols: Seq[String],
     direction: String = "backward",
     tolerance: Option[(Column, Column) => Column] = None,
     saltBuckets: Int = 1)
   extends MaintainedRelation {
 
   require(saltBuckets >= 1, s"saltBuckets must be >= 1, got $saltBuckets")
-  require(Set("backward", "forward")(direction),
-    s"direction must be 'backward' or 'forward', got '$direction'")
+  require(Set("backward", "forward", "nearest")(direction),
+    s"direction must be 'backward', 'forward' or 'nearest', got '$direction'")
   require((leftCols.toSet & rightCols.toSet).isEmpty,
     s"left/right column names must be disjoint, both carry: " +
       (leftCols.toSet & rightCols.toSet).mkString(", "))
@@ -84,6 +106,12 @@ final class AsOfJoinView(
     s"leftCols must carry the pk '$leftPk' and timestamp '$leftTs'")
   require(rightCols.contains(rightPk) && rightCols.contains(rightTs),
     s"rightCols must carry the pk '$rightPk' and timestamp '$rightTs'")
+  require(leftJk.size == rightJk.size,
+    s"join keys must have the same arity: $leftJk vs $rightJk")
+  require(leftJk.parts.forall(leftCols.contains),
+    s"leftCols must carry the join key $leftJk")
+  require(rightJk.parts.forall(rightCols.contains),
+    s"rightCols must carry the join key $rightJk")
 
   // SKEW: a hot join key (one user owning a large share of facts or
   // candidates) concentrates its emissions in ONE bucket per view;
@@ -91,50 +119,56 @@ final class AsOfJoinView(
   // the row's OWN pk (the [[JoinView]] hardening) so a hot key's rows
   // spread over ~S buckets and a delta's rewrites stay shard-local.
   // The PICK is storage-independent — the refresh windows partition by
-  // the actual key COLUMN of the read rows, so salting never splits a
+  // the spelled key COLUMN of the read rows, so salting never splits a
   // key's candidate timeline. Salt 1 is byte-identical to unsalted.
-  private val Sep = "\u0001"
-
-  private def saltedKey(jk: Column, pk: Column): Column =
-    if (saltBuckets <= 1) jk.cast("string")
-    else concat_ws(Sep, jk.cast("string"),
-      pmod(xxhash64(pk.cast("string")), lit(saltBuckets)).cast("string"))
-
-  /** Expand a base-key relation to its S salted spellings (identity at
-    * salt 1). */
+  private def lSpell = CompositeKey.spellNames(leftJk)
+  private def rSpell = CompositeKey.spellNames(rightJk)
   private def expandKeys(keys: DataFrame): DataFrame =
-    if (saltBuckets <= 1) keys
-    else {
-      val c = keys.columns.head
-      keys.crossJoin(store.spark.range(saltBuckets).toDF("__salt"))
-        .select(concat_ws(Sep, col(c).cast("string"), col("__salt")).as(c))
-    }
-
-  /** Strip the salt shard off a stored emit key (identity at salt 1;
-    * with salting, join keys must not contain U+0001). */
+    CompositeKey.expand(store.spark, keys, saltBuckets)
   private def unsalt(k: Column): Column =
-    if (saltBuckets <= 1) k else substring_index(k, Sep, 1)
+    CompositeKey.unsalt(k, leftJk.size, saltBuckets)
 
   private def leftIdx = MapIndex.columns(s"${name}__left")(
     col(leftPk).cast("string"),
-    array(emit(saltedKey(col(leftJk), col(leftPk)),
+    array(emit(CompositeKey.salted(lSpell, col(leftPk), saltBuckets),
       struct(leftCols.map(col): _*))))
 
   private def rightIdx = MapIndex.columns(s"${name}__right")(
     col(rightPk).cast("string"),
-    array(emit(saltedKey(col(rightJk), col(rightPk)),
+    array(emit(CompositeKey.salted(rSpell, col(rightPk), saltBuckets),
       struct(rightCols.map(col): _*))))
 
   private def joinIdx = MapIndex.columns(name)(
     col(leftPk).cast("string"),
-    array(emit(saltedKey(col(leftJk), col(leftPk)),
+    array(emit(CompositeKey.salted(lSpell, col(leftPk), saltBuckets),
       struct((leftCols ++ rightCols).map(col): _*))))
 
-  /** Backward as-of pick: for each `lRows` row, the `rRows` row with the
-    * same join key and max (ts, pk) among ts ≤ the left ts; no match →
-    * typed-null right columns. Union+window: candidates sort before
-    * probes at equal ts (inclusive bound), `last(_, ignoreNulls)` over
-    * the running frame is the argmax. */
+  /** One directional pick over the interleaved union: candidates sort
+    * before probes at equal ts (inclusive bound), `last(_, ignoreNulls)`
+    * over the running frame is the argmax/argmin. Backward scans ts asc
+    * (ties: greatest pk wins = last seen); forward scans ts desc so the
+    * running `last` at a probe is the LEAST ts ≥ it (ties: least pk,
+    * hence the flipped pk order). */
+  private def pickOver(u: DataFrame, dir: String): Column = {
+    val w0 = Window.partitionBy("__jk")
+    val w = (if (dir == "backward")
+        w0.orderBy(col("__ts").asc, col("__probe").asc, col("__rpk").asc)
+      else
+        w0.orderBy(col("__ts").desc, col("__probe").asc, col("__rpk").desc))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    last(col("__r"), ignoreNulls = true).over(w)
+  }
+
+  /** Apply the tolerance bound to a picked row (identity when none). */
+  private def bound(m: Column, lts: Column): Column = tolerance match {
+    case None    => m
+    case Some(f) => when(m.isNotNull && f(lts, m.getField(rightTs)), m)
+  }
+
+  /** As-of pick: for each `lRows` row, the `rRows` row with the same
+    * join key that the direction's argmax/argmin/argmin-|Δ| selects; no
+    * match → typed-null right columns. See the class doc for the
+    * direction and tolerance semantics. */
   private def asofPick(lRows: DataFrame, rRows: DataFrame): DataFrame = {
     val lStruct = struct(leftCols.map(col): _*)
     val rStruct = struct(rightCols.map(col): _*)
@@ -142,35 +176,47 @@ final class AsOfJoinView(
     val rType = rRows.select(rStruct.as("s")).schema("s").dataType
     val pkType = rRows.schema(rightPk).dataType
     val probes = lRows.select(
-      col(leftJk).cast("string").as("__jk"), col(leftTs).as("__ts"),
+      lSpell.as("__jk"), col(leftTs).as("__ts"),
       lit(1).as("__probe"), lit(null).cast(pkType).as("__rpk"),
       lStruct.as("__l"), lit(null).cast(rType).as("__r"))
-    val cands = rRows.select(
-      col(rightJk).cast("string").as("__jk"), col(rightTs).as("__ts"),
-      lit(0).as("__probe"), col(rightPk).as("__rpk"),
-      lit(null).cast(lType).as("__l"), rStruct.as("__r"))
-    // forward flips the scan: candidates with GREATER ts come first, so
-    // the running `last` at a probe is the LEAST ts ≥ it (ties: least
-    // pk, hence the flipped pk order). Candidates still sort before
-    // probes at equal ts — the bound stays inclusive either way.
-    val w0 = Window.partitionBy("__jk")
-    val w = (if (direction == "backward")
-        w0.orderBy(col("__ts").asc, col("__probe").asc, col("__rpk").asc)
-      else
-        w0.orderBy(col("__ts").desc, col("__probe").asc, col("__rpk").desc))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val picked = probes.unionByName(cands)
-      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
-    // tolerance filters the PICKED closest row: any other candidate is
-    // strictly farther, so filter-after-pick ≡ filter-before-pick (the
-    // pandas merge_asof(tolerance=...) semantics, O(1) extra work)
-    val bounded = tolerance match {
-      case None => picked
-      case Some(f) => picked.withColumn("__m",
-        when(col("__m").isNotNull && f(col("__ts"), col(s"__m.$rightTs")),
-          col("__m")))
+    // null-key/null-ts candidates can never be picked (SQL as-of
+    // semantics) — and under ts desc ordering a null would otherwise
+    // sort into scan range, so drop them before the union
+    val cands = rRows
+      .filter(rSpell.isNotNull && col(rightTs).isNotNull)
+      .select(
+        rSpell.as("__jk"), col(rightTs).as("__ts"),
+        lit(0).as("__probe"), col(rightPk).as("__rpk"),
+        lit(null).cast(lType).as("__l"), rStruct.as("__r"))
+    val u = probes.unionByName(cands)
+    val picked = direction match {
+      case "backward" | "forward" =>
+        u.withColumn("__m", bound(pickOver(u, direction), col("__ts")))
+      case "nearest" =>
+        // both directional picks over ONE exchange (same partition key,
+        // two sorts), each tolerance-bounded, then the nearer |Δts| wins
+        // with distance ties resolved BACKWARD. Distance needs numbers:
+        // micros for timestamps, an exact decimal cast otherwise.
+        val toNum: Column => Column =
+          rRows.schema(rightTs).dataType match {
+            case TimestampType | TimestampNTZType => c => unix_micros(c.cast(TimestampType))
+            case _ => c => c.cast("decimal(38,6)")
+          }
+        val mb = bound(pickOver(u, "backward"), col("__ts"))
+        val mf = bound(pickOver(u, "forward"), col("__ts"))
+        val db = abs(toNum(col("__ts")) - toNum(col("__mb").getField(rightTs)))
+        val df_ = abs(toNum(col("__mf").getField(rightTs)) - toNum(col("__ts")))
+        u.withColumn("__mb", mb).withColumn("__mf", mf)
+          .withColumn("__m",
+            when(col("__mb").isNotNull && (col("__mf").isNull || db <= df_),
+              col("__mb")).otherwise(col("__mf")))
     }
-    bounded.filter(col("__probe") === 1)
+    picked.filter(col("__probe") === 1)
+      // a probe with a null key part or null ts never matches: take the
+      // null pad regardless of what the window scan ran into
+      .withColumn("__m",
+        when(col("__jk").isNull || col("__ts").isNull, lit(null).cast(rType))
+          .otherwise(col("__m")))
       .select(leftCols.map(c => col(s"__l.$c").as(c)) ++
         rightCols.map(c => col(s"__m.$c").as(c)): _*)
   }
@@ -189,7 +235,7 @@ final class AsOfJoinView(
   def refreshLeft(ups: DataFrame, dels: Option[DataFrame]): RefreshStats = {
     store.refresh(leftIdx, ups, dels)
     val rRows = store.getAll(rightIdx.name,
-        expandKeys(ups.select(col(leftJk).cast("string")).distinct()))
+        expandKeys(ups.select(lSpell.as("emit_key")).distinct()))
       .select(col("emit_value.*"))
     store.refresh(joinIdx, asofPick(ups, rRows), dels.map(_.toDF("src_key")))
   }
@@ -222,7 +268,8 @@ final class AsOfJoinView(
     * columns null where no candidate was eligible). */
   def df: DataFrame = store.df(name).select(col("emit_value.*"))
 
-  /** Bucket-pruned read of the joined rows for a set of join keys. */
+  /** Bucket-pruned read of the joined rows for a set of SPELLED join
+    * keys ([[CompositeKey.spell]]). */
   def byKeys(keys: DataFrame): DataFrame =
     store.getAll(name, expandKeys(keys)).select(col("emit_value.*"))
 

@@ -70,11 +70,23 @@ final class BucketedViewStore(
       * its slice by `(emit_key, uid)`, so per-file min/max pruning is
       * unchanged; reads never see the salt (partitionBy folds the slices
       * into one bucket directory). */
-    val writeSalt: Int = 4) extends Serializable {
+    val writeSalt: Int = 4,
+    /** largest changed-key set a refresh may BROADCAST for its old-row
+      * joins. Ordinary change batches are delta-sized and broadcasting
+      * them is the right plan (the big sides — old emissions, meta —
+      * scan once, never shuffle); a BULK BACKFILL (10 % of a 100 TB
+      * view) would drive an arbitrarily large driver-held broadcast and
+      * OOM it, so past this many keys the refresh falls back to plain
+      * (shuffle) joins on the same predicates — identical results,
+      * bounded driver memory. The count is one cheap job over the
+      * already-cached key set. */
+    val broadcastKeyLimit: Long = 2000000L) extends Serializable {
 
   require(graceVersions >= 0, s"graceVersions must be >= 0, got $graceVersions")
   require(changeRetention >= 1, s"changeRetention must be >= 1, got $changeRetention")
   require(writeSalt >= 1, s"writeSalt must be >= 1, got $writeSalt")
+  require(broadcastKeyLimit >= 0,
+    s"broadcastKeyLimit must be >= 0, got $broadcastKeyLimit")
   rangeBoundaries.foreach { bs =>
     require(bs.size == numBuckets - 1,
       s"range mode needs numBuckets - 1 = ${numBuckets - 1} boundaries, got ${bs.size}")
@@ -561,6 +573,12 @@ final class BucketedViewStore(
         .withColumn("mb", metaBucketExpr(col("src_key"))).cache()
     }
     val changedKeys = changed.select("src_key")
+    // size-gate the changed-key joins: broadcast a delta-sized set (the
+    // common case — big sides scan once, never shuffle), fall back to
+    // plain shuffle joins past [[broadcastKeyLimit]] so a bulk backfill
+    // cannot OOM the driver. One count over the cached key set.
+    val keyHint: DataFrame => DataFrame =
+      if (changed.count() <= broadcastKeyLimit) broadcast else identity
 
     // 1-2: back-pointer lookup, pruned to the changed keys' meta buckets
     val metaBuckets = changed.select("mb").distinct()
@@ -569,7 +587,7 @@ final class BucketedViewStore(
     val oldEmitBuckets: Set[Int] =
       if (oldMetaPaths.isEmpty) Set.empty
       else spark.read.parquet(oldMetaPaths: _*)
-        .join(broadcast(changedKeys), Seq("src_key"), "left_semi")
+        .join(keyHint(changedKeys), Seq("src_key"), "left_semi")
         .select(explode(col("emit_buckets")).as("kb"))
         .distinct().as[Long].collect().map(_.toInt).toSet
 
@@ -588,7 +606,7 @@ final class BucketedViewStore(
     val taggedOld =
       if (oldAffectedPaths.isEmpty) None
       else Some(withBuckets(spark.read.parquet(oldAffectedPaths: _*))
-        .join(broadcast(changedKeys.withColumn("_chg", lit(true))),
+        .join(keyHint(changedKeys.withColumn("_chg", lit(true))),
           Seq("src_key"), "left_outer")
         .persist())
     val kept = taggedOld.map(_.filter(col("_chg").isNull).drop("_chg"))
@@ -603,7 +621,7 @@ final class BucketedViewStore(
     val oldMetaKept =
       if (oldMetaPaths.isEmpty) metaOf(newEmissions).limit(0)
       else spark.read.parquet(oldMetaPaths: _*)
-        .join(broadcast(changedKeys), Seq("src_key"), "left_anti")
+        .join(keyHint(changedKeys), Seq("src_key"), "left_anti")
         .withColumn("mb", metaBucketExpr(col("src_key")))
     val mMeta = stagedWrite(name, Meta,
       oldMetaKept.unionByName(metaOf(newEmissions)), "mb", metaBuckets, m0)

@@ -21,6 +21,12 @@ import graft.engine.BucketedViewStore.RefreshStats
   * at 100 TB the membership side is two columns, not the table), and
   * `name` (the passing left rows, src_key = left pk, emit key = jk).
   *
+  * JOIN KEYS may be COMPOSITE ([[JoinKey]], same arity both sides): the
+  * stored membership keys and emit keys are the [[CompositeKey]]
+  * spelling — escaped and injective, so a part containing U+0001 can
+  * neither truncate nor collide — and the membership test compares the
+  * spelled keys (tuple equality ⟺ spelled equality for non-null parts).
+  *
   * Delta rules — O(|delta| · key fanout), bucket-pruned:
   *  - LEFT batch: each upserted row's membership is decided against
   *    only the right buckets holding its join key; failing rows emit
@@ -42,74 +48,62 @@ import graft.engine.BucketedViewStore.RefreshStats
 final class FilterJoinView(
     val store: BucketedViewStore,
     val name: String,
-    leftPk: String, leftJk: String, leftCols: Seq[String],
-    rightPk: String, rightJk: String,
+    leftPk: String, leftJk: JoinKey, leftCols: Seq[String],
+    rightPk: String, rightJk: JoinKey,
     mode: String,
     saltBuckets: Int = 1) extends MaintainedRelation {
 
   require(saltBuckets >= 1, s"saltBuckets must be >= 1, got $saltBuckets")
   require(Set("semi", "anti")(mode),
     s"mode must be 'semi' or 'anti', got '$mode'")
-  require(leftCols.contains(leftPk) && leftCols.contains(leftJk),
-    s"leftCols must carry the pk '$leftPk' and join key '$leftJk'")
+  require(leftCols.contains(leftPk) && leftJk.parts.forall(leftCols.contains),
+    s"leftCols must carry the pk '$leftPk' and join key $leftJk")
+  require(leftJk.size == rightJk.size,
+    s"join keys must have the same arity: $leftJk vs $rightJk")
 
   private val passType = if (mode == "semi") "left_semi" else "left_anti"
 
   // SKEW: `saltBuckets = S > 1` shards every emit key by a salt derived
   // from the row's own pk (the [[JoinView]] hardening) so a hot join
   // key's rows spread over ~S buckets; membership is storage-independent
-  // (the semi/anti join runs on the read rows' actual key columns).
-  private val Sep = "\u0001"
-
-  private def saltedKey(jk: org.apache.spark.sql.Column,
-      pk: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    if (saltBuckets <= 1) jk.cast("string")
-    else concat_ws(Sep, jk.cast("string"),
-      pmod(xxhash64(pk.cast("string")), lit(saltBuckets)).cast("string"))
-
-  /** Expand a base-key relation to its S salted spellings (identity at
-    * salt 1). */
+  // (the semi/anti join runs on the read rows' spelled key columns).
+  private def lSpell = CompositeKey.spellNames(leftJk)
+  private def rSpell = CompositeKey.spellNames(rightJk)
   private def expandKeys(keys: DataFrame): DataFrame =
-    if (saltBuckets <= 1) keys
-    else {
-      val c = keys.columns.head
-      keys.crossJoin(store.spark.range(saltBuckets).toDF("__salt"))
-        .select(concat_ws(Sep, col(c).cast("string"), col("__salt")).as(c))
-    }
-
-  /** Strip the salt shard off a stored emit key (identity at salt 1;
-    * with salting, join keys must not contain U+0001). */
+    CompositeKey.expand(store.spark, keys, saltBuckets)
   private def unsalt(k: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    if (saltBuckets <= 1) k else substring_index(k, Sep, 1)
+    CompositeKey.unsalt(k, leftJk.size, saltBuckets)
 
   private def leftIdx = MapIndex.columns(s"${name}__left")(
     col(leftPk).cast("string"),
-    array(emit(saltedKey(col(leftJk), col(leftPk)),
+    array(emit(CompositeKey.salted(lSpell, col(leftPk), saltBuckets),
       struct(leftCols.map(col): _*))))
 
   // internal aliases keep the stored struct legal when the right pk IS
-  // the join key (the customer-dimension case: pk == jk == c_custkey)
+  // the join key (the customer-dimension case: pk == jk == c_custkey);
+  // __rjk is the SPELLED key, so membership is one string compare
+  // whatever the key arity
   private def rightIdx = MapIndex.columns(s"${name}__right")(
     col(rightPk).cast("string"),
-    array(emit(saltedKey(col(rightJk), col(rightPk)),
-      struct(col(rightPk).as("__rpk"), col(rightJk).as("__rjk")))))
+    array(emit(CompositeKey.salted(rSpell, col(rightPk), saltBuckets),
+      struct(col(rightPk).as("__rpk"), rSpell.as("__rjk")))))
 
   private def viewIdx = MapIndex.columns(name)(
     col(leftPk).cast("string"),
-    array(emit(saltedKey(col(leftJk), col(leftPk)),
+    array(emit(CompositeKey.salted(lSpell, col(leftPk), saltBuckets),
       struct(leftCols.map(col): _*))))
 
   /** The left rows of `lRows` passing the membership test against
-    * `keys`, a one-column `__rjk` relation of right join keys. */
+    * `keys`, a one-column `__rjk` relation of SPELLED right join keys. */
   private def passing(lRows: DataFrame, keys: DataFrame): DataFrame =
     lRows.join(keys.select(col("__rjk")).distinct(),
-      col(leftJk) === col("__rjk"), passType)
+      lSpell === col("__rjk"), passType)
 
   def build(left: DataFrame, right: DataFrame): Unit = {
     store.materialize(leftIdx, left)
     store.materialize(rightIdx, right)
     store.materialize(viewIdx,
-      passing(left, right.select(col(rightJk).as("__rjk"))))
+      passing(left, right.select(rSpell.as("__rjk"))))
   }
 
   /** LEFT batch: upserts decide membership against only their keys'
@@ -117,7 +111,7 @@ final class FilterJoinView(
   def refreshLeft(ups: DataFrame, dels: Option[DataFrame]): RefreshStats = {
     store.refresh(leftIdx, ups, dels)
     val rKeys = store.getAll(rightIdx.name,
-        expandKeys(ups.select(col(leftJk).cast("string")).distinct()))
+        expandKeys(ups.select(lSpell.as("emit_key")).distinct()))
       .select(col("emit_value.*"))
     val pass = passing(ups, rKeys)
     val out = ups.select(col(leftPk).cast("string").as("src_key")).distinct()
@@ -157,7 +151,7 @@ final class FilterJoinView(
   /** The maintained filtered relation (original left columns). */
   def df: DataFrame = store.df(name).select(col("emit_value.*"))
 
-  /** Bucket-pruned read for a set of join keys. */
+  /** Bucket-pruned read for a set of SPELLED join keys. */
   def byKeys(keys: DataFrame): DataFrame =
     store.getAll(name, expandKeys(keys)).select(col("emit_value.*"))
 

@@ -312,6 +312,21 @@ object JoinAggView {
     rows.head.getLong(0).toInt
   }
 
+  /** Verify a persisted state view carries the struct fields THIS engine
+    * version folds — fail at attach with the rebuild-it message, not
+    * mid-catch-up with a raw AnalysisException on a missing field (the
+    * watermark row alone reads fine off a pre-`vcnt` store, so the
+    * watermark check cannot catch a schema generation gap). Schema-only:
+    * reads parquet footers, never data. */
+  private[engine] def requireStateFields(store: BucketedViewStore,
+      name: String, fields: Seq[String]): Unit = {
+    val have = store.df(name).select(col("emit_value.*")).schema.fieldNames.toSet
+    val missing = fields.filterNot(have)
+    require(missing.isEmpty,
+      s"state view '$name' lacks state field(s) ${missing.mkString(", ")} — " +
+        "built by an earlier engine version; rebuild it")
+  }
+
   /** Handle to an already-materialized rollup (durable-store reopen).
     * The catch-up watermark is read from the PERSISTED sentinel row —
     * never trusted from the caller or driver memory — so a reopening
@@ -322,8 +337,12 @@ object JoinAggView {
       groupCol: String, valueCol: String,
       trackValues: Boolean = false): JoinAggView = {
     val v = new JoinAggView(jv, stateName, groupCol, valueCol, trackValues)
+    requireStateFields(jv.store, stateName, Seq("cnt", "vcnt", "sum_value"))
     v.consumedMain = readWatermark(jv.store, stateName)
-    if (trackValues) v.consumedVals = readWatermark(jv.store, v.valsName)
+    if (trackValues) {
+      requireStateFields(jv.store, v.valsName, Seq("grp", "v", "cnt"))
+      v.consumedVals = readWatermark(jv.store, v.valsName)
+    }
     v
   }
 }

@@ -26,6 +26,18 @@ import graft.engine.BucketedViewStore.RefreshStats
   * plus the group columns (null where masked or genuinely null), so the
   * state is directly comparable to `GROUP BY ROLLUP/CUBE` output.
   *
+  * With `trackValues = true` a refcount companion state
+  * (`stateName__vals`, one row per live (set, group, value) with the
+  * value's multiplicity — the same deletion-safe machinery
+  * [[JoinAggView.multiState]] uses for single-set rollups) is folded
+  * from the same CDC feed, serving exact per-(set, group) `min` / `max`
+  * / `distinct-count` alongside `(cnt, sum)` — "distinct customers by
+  * (segment, priority) rollup, always fresh" across the whole lattice.
+  * State size is Σ_sets |groups of the set| · |distinct values per
+  * group| — the refcount family's documented discrete/bounded-precision
+  * domain contract, |sets|× the single-set version. Each state carries
+  * its own watermark, so a crash between the two folds self-heals.
+  *
   * The catch-up watermark rides in the state as the same atomic sentinel
   * row as [[JoinAggView]] — crash-consistent, reopenable via [[attach]],
   * idempotent per epoch.
@@ -35,7 +47,8 @@ final class JoinGroupingView(
     val stateName: String,
     groupCols: Seq[String],
     valueCol: String,
-    sets: Seq[Seq[String]]) {
+    sets: Seq[Seq[String]],
+    trackValues: Boolean = false) {
 
   import JoinAggView.{NullGroupKey, WatermarkKey}
   import JoinGroupingView.SetSep
@@ -46,6 +59,7 @@ final class JoinGroupingView(
   require(sets.distinct.size == sets.size, "grouping sets must be distinct")
 
   private def store = jv.store
+  private[engine] def valsName = s"${stateName}__vals"
 
   /** gid bitmask of a set: bit i set = groupCols(i) MASKED (absent). */
   private def gidOf(set: Seq[String]): Int =
@@ -74,6 +88,17 @@ final class JoinGroupingView(
       struct(Seq(col("gid"), col("cnt"), col("vcnt"), col("sum_value")) ++
         groupCols.map(c => col(s"g_$c")): _*))))
 
+  /** Refcount companion: one row per live (set, group, value), keyed by
+    * the main state key ∥ the value; `grp` carries the main state key so
+    * serving groups without parsing. */
+  private def valsIdx = MapIndex.columns(valsName)(
+    col("emit_key").cast("string"),
+    array(MapIndex.emit(col("emit_key"),
+      struct(col("grp"), col("v"), col("cnt")))))
+
+  private def valKey(grp: Column, v: Column): Column =
+    concat_ws(SetSep, grp, v.cast("string"))
+
   /** One row per (set, group) of `rows` — the build-path aggregation.
     * `vcnt` counts NON-NULL values: SQL's SUM over an all-null group is
     * NULL (not 0), and only the non-null count can retract that
@@ -88,6 +113,17 @@ final class JoinGroupingView(
         .withColumn("gid", lit(gidOf(sets(si))))
     }.reduce(_.unionByName(_))
 
+  /** Full refcount recompute (build path). Null values drop out — SQL's
+    * min/max/count(DISTINCT) all ignore them. */
+  private def latticeValsOf(rows: DataFrame): DataFrame =
+    sets.indices.map { si =>
+      rows.select(keyOf(si, col).as("grp"),
+        col(valueCol).cast(DecimalType(18, 4)).as("v"))
+    }.reduce(_.unionByName(_))
+      .filter(col("v").isNotNull)
+      .groupBy("grp", "v").agg(count(lit(1)).as("cnt"))
+      .withColumn("emit_key", valKey(col("grp"), col("v")))
+
   /** Watermark sentinel in the state schema. */
   private def wmRow(epoch: Int): DataFrame =
     store.spark.range(1).select(
@@ -96,42 +132,92 @@ final class JoinGroupingView(
         lit(0).cast(AggView.SumType).as("sum_value")) ++
         groupCols.map(c => lit(null).cast("string").as(s"g_$c")): _*)
 
+  /** Watermark row in the vals state's schema. */
+  private def wmValsRow(epoch: Int): DataFrame =
+    store.spark.range(1).select(
+      lit(WatermarkKey).as("emit_key"),
+      lit(WatermarkKey).as("grp"),
+      lit(null).cast(DecimalType(18, 4)).as("v"),
+      lit(epoch.toLong).as("cnt"))
+
   private var consumed: Int = 0
+  private var consumedVals: Int = 0
 
   /** Materialize the lattice from the relation's CURRENT snapshot. */
   def build(): Unit = {
     val e = jv.epoch
     store.materialize(stateIdx, latticeOf(jv.df).unionByName(wmRow(e)))
     consumed = e
+    if (trackValues) {
+      store.materialize(valsIdx,
+        latticeValsOf(jv.df).select("emit_key", "grp", "v", "cnt")
+          .unionByName(wmValsRow(e)))
+      consumedVals = e
+    }
+  }
+
+  /** The raw state rows with their state key (internal serving base). */
+  private def rawState: DataFrame = {
+    val unkeyed = groupCols.map(c =>
+      when(col(s"emit_value.g_$c") === NullGroupKey, lit(null).cast("string"))
+        .otherwise(col(s"emit_value.g_$c")).as(c))
+    store.df(stateName)
+      .filter(col("emit_key") =!= WatermarkKey)
+      .select(Seq(col("emit_key"), col("emit_value.gid").as("gid")) ++ unkeyed ++
+        Seq(col("emit_value.cnt").as("cnt"),
+          when(col("emit_value.vcnt") > 0, col("emit_value.sum_value"))
+            .as("sum_value")): _*)
   }
 
   /** Current lattice: `gid, <groupCols>, cnt, sum_value` — group columns
     * null where masked by the set or genuinely null in the data; the sum
     * serves as NULL when the group holds no non-null values (SQL SUM
     * semantics — a pad-only group is NULL, not 0). */
-  def state: DataFrame = {
-    val unkeyed = groupCols.map(c =>
-      when(col(s"emit_value.g_$c") === NullGroupKey, lit(null).cast("string"))
-        .otherwise(col(s"emit_value.g_$c")).as(c))
-    store.df(stateName)
+  def state: DataFrame = rawState.drop("emit_key")
+
+  /** Exact deletion-safe min / max / distinct-count per (set, group)
+    * from the refcount companion alone, keyed by the main state key. */
+  private def multiState: DataFrame = {
+    require(trackValues, s"lattice '$stateName' was not built with trackValues")
+    store.df(valsName)
       .filter(col("emit_key") =!= WatermarkKey)
-      .select(Seq(col("emit_value.gid").as("gid")) ++ unkeyed ++
-        Seq(col("emit_value.cnt").as("cnt"),
-          when(col("emit_value.vcnt") > 0, col("emit_value.sum_value"))
-            .as("sum_value")): _*)
+      .groupBy(col("emit_value.grp").as("__k"))
+      .agg(min(col("emit_value.v")).as("min_value"),
+        max(col("emit_value.v")).as("max_value"),
+        count(lit(1)).as("n_distinct"))
   }
+
+  /** The full multi-aggregate lattice surface: `gid, <groupCols>, cnt,
+    * sum_value, min_value, max_value, n_distinct`. LEFT join from the
+    * main state: a (set, group) whose values are ALL NULL exists in the
+    * main state (cnt > 0, NULL sum) but holds no refcount rows — it
+    * serves with null min/max and distinct-count 0, exactly SQL's
+    * aggregate-over-all-null-group answers. */
+  def stateMulti: DataFrame =
+    rawState.join(multiState, col("emit_key") === col("__k"), "left_outer")
+      .withColumn("n_distinct", coalesce(col("n_distinct"), lit(0L)))
+      .drop("emit_key", "__k")
 
   /** Fold the relation's CDC feed `(consumed, jv.epoch]` into the whole
     * lattice: the delta explodes |sets|×, aggregates once, and merges
     * into only the dirty groups' buckets. Idempotent per epoch. */
   def catchUp(): RefreshStats = {
     val to = jv.epoch
+    val stats = foldMain(to)
+    if (trackValues) foldVals(to)
+    stats
+  }
+
+  private def feedBetween(from: Int, to: Int): DataFrame = {
+    val owned = jv.changes(from, to)
+    if (jv.padsRight) owned.unionByName(jv.rpadChanges(from, to)) else owned
+  }
+
+  private def foldMain(to: Int): RefreshStats = {
     require(to >= consumed,
       s"lattice '$stateName' watermark $consumed is ahead of epoch $to")
     if (to == consumed) return RefreshStats(0, 0, store.numBuckets)
-    val owned = jv.changes(consumed, to)
-    val feed = if (jv.padsRight) owned.unionByName(jv.rpadChanges(consumed, to))
-      else owned
+    val feed = feedBetween(consumed, to)
     val sgn = when(col("change_type") === "insert", 1L).otherwise(-1L)
     val dv = col(s"emit_value.$valueCol").cast(DecimalType(18, 4))
     val of: String => Column = c => col(s"emit_value.$c")
@@ -173,10 +259,48 @@ final class JoinGroupingView(
     consumed = to
     stats
   }
+
+  /** Refcount fold: the same |sets|× exploded delta, merged into the
+    * dirty (set, group, value) rows only — a value whose multiplicity
+    * reaches zero drops, so min/max/distinct stay exact under deletes. */
+  private def foldVals(to: Int): Unit = {
+    require(to >= consumedVals,
+      s"lattice '$valsName' watermark $consumedVals is ahead of epoch $to")
+    if (to == consumedVals) return
+    val feed = feedBetween(consumedVals, to)
+    val sgn = when(col("change_type") === "insert", 1L).otherwise(-1L)
+    val of: String => Column = c => col(s"emit_value.$c")
+    val delta = sets.indices.map { si =>
+      feed.select(keyOf(si, of).as("grp"),
+        col(s"emit_value.$valueCol").cast(DecimalType(18, 4)).as("v"),
+        sgn.as("d_cnt"))
+    }.reduce(_.unionByName(_))
+      .filter(col("v").isNotNull)
+      .groupBy("grp", "v")
+      .agg(sum("d_cnt").as("d_cnt"))
+      .withColumn("emit_key", valKey(col("grp"), col("v")))
+      .persist()
+    if (delta.isEmpty) store.refresh(valsIdx, wmValsRow(to), None)
+    else {
+      val touched = delta.select("emit_key")
+      val old = store.getAll(valsName, touched)
+        .select(col("emit_key"), col("emit_value.cnt").as("cnt"))
+      val merged = old.join(delta, Seq("emit_key"), "full_outer")
+        .select(col("emit_key"), col("grp"), col("v"),
+          (coalesce(col("cnt"), lit(0L)) + coalesce(col("d_cnt"), lit(0L))).as("cnt"))
+        .filter(col("cnt") > 0)
+      store.refresh(valsIdx,
+        merged.select("emit_key", "grp", "v", "cnt").unionByName(wmValsRow(to)),
+        Some(touched.select(col("emit_key").cast("string").as("src_key"))))
+    }
+    delta.unpersist()
+    consumedVals = to
+  }
 }
 
 object JoinGroupingView {
-  /** Separator inside lattice state keys (set index ∥ values). */
+  /** Separator inside lattice state keys (set index ∥ values ∥ refcount
+    * value suffix). */
   private val SetSep = "\u0001"
 
   /** ROLLUP lattice: the prefixes of `groupCols`, () included. */
@@ -189,16 +313,28 @@ object JoinGroupingView {
       acc ++ acc.map(_ :+ c))
 
   /** Reopen an already-materialized lattice from its persisted
-    * watermark (never trusting driver memory). */
+    * watermark (never trusting driver memory). Verifies the stored
+    * schema carries this engine generation's state fields up front. */
   def attach(jv: MaintainedRelation, stateName: String,
       groupCols: Seq[String], valueCol: String,
-      sets: Seq[Seq[String]]): JoinGroupingView = {
-    val v = new JoinGroupingView(jv, stateName, groupCols, valueCol, sets)
-    val rows = jv.store.get(stateName, JoinAggView.WatermarkKey)
+      sets: Seq[Seq[String]], trackValues: Boolean = false): JoinGroupingView = {
+    val v = new JoinGroupingView(jv, stateName, groupCols, valueCol, sets,
+      trackValues)
+    JoinAggView.requireStateFields(jv.store, stateName,
+      Seq("gid", "cnt", "vcnt", "sum_value"))
+    v.consumed = readWatermark(jv.store, stateName)
+    if (trackValues) {
+      JoinAggView.requireStateFields(jv.store, v.valsName, Seq("grp", "v", "cnt"))
+      v.consumedVals = readWatermark(jv.store, v.valsName)
+    }
+    v
+  }
+
+  private def readWatermark(store: BucketedViewStore, name: String): Int = {
+    val rows = store.get(name, JoinAggView.WatermarkKey)
       .select(col("emit_value.cnt")).collect()
     require(rows.nonEmpty,
-      s"lattice view '$stateName' has no persisted watermark; rebuild it")
-    v.consumed = rows.head.getLong(0).toInt
-    v
+      s"lattice view '$name' has no persisted watermark; rebuild it")
+    rows.head.getLong(0).toInt
   }
 }

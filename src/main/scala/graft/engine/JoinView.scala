@@ -25,6 +25,14 @@ import graft.engine.BucketedViewStore.RefreshStats
   *    store's ordinary refresh), emit key = the join key (clustered, so
   *    serving by key is a pruned read), emit value = the joined row.
   *
+  * JOIN KEYS may be COMPOSITE ([[JoinKey]] — pass a `Seq[String]` per
+  * side, same arity): the stored emit key is the [[CompositeKey]]
+  * spelling (escaped, injective, null-poisoning — a key part containing
+  * the U+0001 separator can neither truncate nor collide), while every
+  * actual join predicate runs part-wise on the original columns. Join
+  * key parts should be non-null: SQL's equi-join never matches a null
+  * and a null spelled key cannot address a store bucket.
+  *
   * Refresh cost is O(|delta| · join fanout) plus the touched buckets'
   * rewrite — independent of |L| and |R|: at 100 TB a 1 % daily change
   * batch reads 1 % of the opposite side's buckets and rewrites the dirty
@@ -50,11 +58,17 @@ import graft.engine.BucketedViewStore.RefreshStats
 final class JoinView(
     val store: BucketedViewStore,
     val name: String,
-    val leftPk: String, leftJk: String, leftCols: Seq[String],
-    rightPk: String, rightJk: String, rightCols: Seq[String],
+    val leftPk: String, leftJk: JoinKey, leftCols: Seq[String],
+    rightPk: String, rightJk: JoinKey, rightCols: Seq[String],
     saltBuckets: Int = 1,
     val joinType: String = "inner") extends MaintainedRelation {
   require(saltBuckets >= 1, s"saltBuckets must be >= 1, got $saltBuckets")
+  require(leftJk.size == rightJk.size,
+    s"join keys must have the same arity: $leftJk vs $rightJk")
+  require(leftCols.contains(leftPk) && leftJk.parts.forall(leftCols.contains),
+    s"leftCols must carry the pk '$leftPk' and join key $leftJk")
+  require(rightCols.contains(rightPk) && rightJk.parts.forall(rightCols.contains),
+    s"rightCols must carry the pk '$rightPk' and join key $rightJk")
   // LEFT-OUTER IVM: a left row with no right match emits ONE null-padded
   // join row instead of nothing. The delta rules are unchanged — both
   // refresh joins just run left_outer, so an upsert with no match emits
@@ -96,50 +110,30 @@ final class JoinView(
     joinType == "full_outer" || joinType == "right_outer"
   private def fullOuter = padsRight
 
-  /** U+0001 separates key from salt: order-irrelevant here (hash
-    * bucketing), only collision-safety with key text matters. */
-  private val Sep = "\u0001"
-
-  /** Emit key of a row: the join key, sharded by the row's pk when
-    * salting. The SAME row always lands in the same shard, so refresh's
-    * delete-then-insert stays shard-local. */
-  private def saltedKey(jk: org.apache.spark.sql.Column,
-      pk: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    if (saltBuckets <= 1) jk.cast("string")
-    else concat_ws(Sep, jk.cast("string"),
-      pmod(xxhash64(pk.cast("string")), lit(saltBuckets)).cast("string"))
-
-  /** Expand a base-key relation to its S salted spellings (identity at
-    * salt 1) — the bounded fan-out every key-addressed read pays. */
+  // key spelling / salting / join predicates: the shared [[CompositeKey]]
+  // machinery — byte-identical to the historical layout for single-part
+  // keys at salt 1
+  private def lSpell = CompositeKey.spellNames(leftJk)
+  private def rSpell = CompositeKey.spellNames(rightJk)
+  private def joinCond = CompositeKey.equi(leftJk, rightJk)
   private def expandKeys(keys: DataFrame): DataFrame =
-    if (saltBuckets <= 1) keys
-    else {
-      val c = keys.columns.head
-      keys.crossJoin(
-          store.spark.range(saltBuckets).toDF("__salt"))
-        .select(concat_ws(Sep, col(c).cast("string"), col("__salt")).as(c))
-    }
-
-  /** Strip the salt shard back off a stored emit key. A true identity at
-    * salt 1 (not substring_index, which would truncate a join key that
-    * legitimately contains U+0001); with salting enabled, join keys must
-    * not contain the separator — [[saltedKey]] would produce ambiguous
-    * spellings, so shard parsing requires the caller to keep U+0001 out
-    * of salted keys. */
+    CompositeKey.expand(store.spark, keys, saltBuckets)
   private def unsalt(k: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    if (saltBuckets <= 1) k else substring_index(k, Sep, 1)
+    CompositeKey.unsalt(k, leftJk.size, saltBuckets)
 
   private def leftIdx = MapIndex.columns(s"${name}__left")(
     col(leftPk).cast("string"),
-    array(emit(saltedKey(col(leftJk), col(leftPk)), struct(leftCols.map(col): _*))))
+    array(emit(CompositeKey.salted(lSpell, col(leftPk), saltBuckets),
+      struct(leftCols.map(col): _*))))
 
   private def rightIdx = MapIndex.columns(s"${name}__right")(
     col(rightPk).cast("string"),
-    array(emit(saltedKey(col(rightJk), col(rightPk)), struct(rightCols.map(col): _*))))
+    array(emit(CompositeKey.salted(rSpell, col(rightPk), saltBuckets),
+      struct(rightCols.map(col): _*))))
 
   private def joinIdx = MapIndex.columns(name)(
     col(leftPk).cast("string"),
-    array(emit(saltedKey(col(leftJk), col(leftPk)),
+    array(emit(CompositeKey.salted(lSpell, col(leftPk), saltBuckets),
       struct((leftCols ++ rightCols).map(col): _*))))
 
   /** full_outer / right_outer only: right rows with no left match,
@@ -148,20 +142,19 @@ final class JoinView(
     * through the ordinary refresh. */
   private def rpadIdx = MapIndex.columns(s"${name}__rpad")(
     col(rightPk).cast("string"),
-    array(emit(saltedKey(col(rightJk), col(rightPk)),
+    array(emit(CompositeKey.salted(rSpell, col(rightPk), saltBuckets),
       struct((leftCols ++ rightCols).map(col): _*))))
 
   /** Materialize the stored views from the base inputs (epoch 0 each). */
   def build(left: DataFrame, right: DataFrame): Unit = {
     store.materialize(leftIdx, left)
     store.materialize(rightIdx, right)
-    store.materialize(joinIdx,
-      left.join(right, col(leftJk) === col(rightJk), ownedType))
+    store.materialize(joinIdx, left.join(right, joinCond, ownedType))
     if (fullOuter)
       // right_outer + left-pk-null filter: the unmatched right rows in
       // the FULL joined schema, left columns typed-null
       store.materialize(rpadIdx,
-        left.join(right, col(leftJk) === col(rightJk), "right_outer")
+        left.join(right, joinCond, "right_outer")
           .filter(col(leftPk).isNull))
   }
 
@@ -179,12 +172,12 @@ final class JoinView(
   private def refreshRpad(dirtyJk: DataFrame,
       alsoDelete: Option[DataFrame]): Unit = {
     val lKeys = store.getAll(leftIdx.name, expandKeys(dirtyJk))
-      .select(col(s"emit_value.$leftJk")).distinct()
+      .select(leftJk.parts.map(p => col(s"emit_value.$p")): _*).distinct()
     val rRows = store.getAll(rightIdx.name, expandKeys(dirtyJk))
       .select(col("emit_value.*"))
-    val pads = rRows.join(lKeys, col(rightJk) === col(leftJk), "left_anti")
+    val pads = rRows.join(lKeys, joinCond, "left_anti")
       .select(nullLeftCols ++ rightCols.map(col): _*)
-    val healed = rRows.join(lKeys, col(rightJk) === col(leftJk), "left_semi")
+    val healed = rRows.join(lKeys, joinCond, "left_semi")
       .select(col(rightPk).cast("string").as("src_key")).distinct()
     val dels = alsoDelete.map(_.toDF("src_key").unionByName(healed)).getOrElse(healed)
     store.refresh(rpadIdx, pads, Some(dels))
@@ -199,11 +192,11 @@ final class JoinView(
   def refreshLeft(ups: DataFrame, dels: Option[DataFrame]): RefreshStats = {
     store.refresh(leftIdx, ups, dels)
     val rMatch = store.getAll(rightIdx.name,
-        expandKeys(ups.select(col(leftJk).cast("string")).distinct()))
+        expandKeys(ups.select(lSpell.as("emit_key")).distinct()))
       .select(col("emit_value.*"))
     // left_outer: every ups key emits (null-padded if unmatched), so the
     // unmatched-tombstone set is empty by construction — same code path
-    val upsJoined = ups.join(rMatch, col(leftJk) === col(rightJk), ownedType)
+    val upsJoined = ups.join(rMatch, joinCond, ownedType)
     val matched = upsJoined
       .select(col(leftPk).cast("string").as("src_key")).distinct()
     val unmatched = ups.select(col(leftPk).cast("string").as("src_key"))
@@ -243,7 +236,7 @@ final class JoinView(
       .select(col("emit_value.*"))
     // left_outer: a dirty-key left row whose match vanished re-emits its
     // null-pad here (the inner view tombstones it via `unmatched`)
-    val upsJoined = lRows.join(rRows, col(leftJk) === col(rightJk), ownedType)
+    val upsJoined = lRows.join(rRows, joinCond, ownedType)
     val matched = upsJoined
       .select(col(leftPk).cast("string").as("src_key")).distinct()
     val unmatched = lRows.select(col(leftPk).cast("string").as("src_key"))
@@ -293,8 +286,9 @@ final class JoinView(
     else owned
   }
 
-  /** Bucket-pruned read of the join rows for a set of join keys (fans
-    * out to the S salt shards per key when salting). */
+  /** Bucket-pruned read of the join rows for a set of SPELLED join keys
+    * ([[CompositeKey.spell]]; fans out to the S salt shards per key when
+    * salting). */
   def byKeys(keys: DataFrame): DataFrame = {
     val owned = store.getAll(name, expandKeys(keys)).select(col("emit_value.*"))
     if (fullOuter)

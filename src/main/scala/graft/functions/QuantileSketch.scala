@@ -1,0 +1,302 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types._
+
+/**
+ * Mergeable quantile sketch — a KLL-style compactor stack with
+ * DETERMINISTIC alternating compaction (the Manku–Rajagopalan–Lindsay
+ * multi-level-buffer lineage, published long before KLL randomized it):
+ * level `i` holds up to `k` values each representing `2^i` input rows;
+ * when a level overflows, its sorted buffer promotes every second value
+ * to the next level. The engine's maintained discrete/grid quantile
+ * states are exact but need a KNOWN value domain (discrete vocabulary or
+ * a caller-chosen grid width); this sketch covers the remaining case —
+ * an unknown-scale continuous domain (latencies spanning six orders of
+ * magnitude) — with a size independent of both the corpus and its value
+ * range.
+ *
+ * WORST-CASE rank error (deterministic — no failure probability): one
+ * compaction of a weight-`w` level perturbs any rank by ≤ `w`; level `i`
+ * absorbs ≤ `n` total weight so it compacts ≤ `n / (k·2^i)` times, and
+ * summing the geometric series over `L ≈ log2(n/k)` levels gives
+ * `|R̂(x) − R(x)| ≤ (L + c)·n/k` for every value `x` (c a small
+ * constant from the partial top level). At the default `k = 1024` that
+ * is under 2.5 % of `n` for a BILLION rows per group and under 5 % out
+ * past `n = 10^12` — the bound the gate query asserts with an 0.05
+ * margin. Size: ≤ `(L+1)·k` doubles ≈ 200 KB per group at 100 TB scale,
+ * independent of the value distribution.
+ *
+ * Mergeability (the 100 TB property): two sketches merge level-wise and
+ * re-compact — the error bound composes by total absorbed weight, not
+ * by merge order, so partial aggregation across thousands of partitions
+ * and incremental "stored ⊕ batch" folds are safe. DELETIONS are the
+ * one thing a compacting sketch cannot retract (removing a value says
+ * nothing about what its compactions discarded); the engine's
+ * [[graft.engine.SketchQuantileView]] pairs the sketch with a
+ * rebuild-on-delete rule — insert batches fold O(delta), delete batches
+ * rebuild ONLY the affected groups' sketches from the maintained base
+ * view (bucket-pruned).
+ *
+ * Functions (register via [[QuantileSketch.register]]):
+ *  - `qsketch(col[, k])` — aggregate a DOUBLE column into a sketch
+ *    (BINARY);
+ *  - `qsketch_merge(sketchCol)` — aggregate-merge stored sketches;
+ *  - `qsketch_quantile(sketch, p)` — the value whose sketch rank first
+ *    reaches `ceil(p·n)` (type-1 flavored; NULL for an empty sketch);
+ *  - `qsketch_n(sketch)` — exact row count (never approximated).
+ */
+object QuantileSketch {
+
+  val DefaultK = 1024
+
+  /** The compactor stack. Mutable, single-threaded per aggregation
+    * buffer (the TypedImperativeAggregate contract). */
+  final class Sketch(val k: Int) {
+    require(k >= 8 && k % 2 == 0, s"qsketch: k must be even and >= 8, got $k")
+    var n: Long = 0L
+    /** levels(i): unsorted buffer of values with weight 2^i. */
+    var levels: Array[java.util.ArrayList[java.lang.Double]] =
+      Array(new java.util.ArrayList[java.lang.Double]())
+
+    private def ensureLevel(i: Int): Unit =
+      while (levels.length <= i) {
+        val next = new Array[java.util.ArrayList[java.lang.Double]](levels.length + 1)
+        System.arraycopy(levels, 0, next, 0, levels.length)
+        next(levels.length) = new java.util.ArrayList[java.lang.Double]()
+        levels = next
+      }
+
+    def update(v: Double): Unit = {
+      levels(0).add(v)
+      n += 1
+      compactFrom(0)
+    }
+
+    /** Cascade compaction upward from level `i0` until every level fits.
+      * Deterministic: sort, hold one value back when the count is odd
+      * (weight conservation), promote alternate values starting at index
+      * 1 (the classic MRL choice — each compaction perturbs any rank by
+      * at most the level's weight). */
+    private def compactFrom(i0: Int): Unit = {
+      var i = i0
+      while (i < levels.length && levels(i).size() >= k) {
+        val buf = levels(i)
+        java.util.Collections.sort(buf)
+        val keepBack = (buf.size() % 2) == 1
+        val even = buf.size() - (if (keepBack) 1 else 0)
+        ensureLevel(i + 1)
+        val up = levels(i + 1)
+        var j = 1
+        while (j < even) { up.add(buf.get(j)); j += 2 }
+        val held = if (keepBack) buf.get(buf.size() - 1) else null
+        buf.clear()
+        if (held != null) buf.add(held)
+        i += 1
+      }
+    }
+
+    def merge(o: Sketch): Unit = {
+      require(o.k == k, s"qsketch: cannot merge sketches of k=$k and k=${o.k}")
+      ensureLevel(o.levels.length - 1)
+      var i = 0
+      while (i < o.levels.length) {
+        levels(i).addAll(o.levels(i))
+        i += 1
+      }
+      n += o.n
+      var l = 0
+      while (l < levels.length) { compactFrom(l); l += 1 }
+    }
+
+    /** Smallest stored value whose cumulative weight reaches ceil(p·n). */
+    def quantile(p: Double): java.lang.Double = {
+      if (n == 0) return null
+      val items = new java.util.ArrayList[Array[Double]]()
+      var i = 0
+      while (i < levels.length) {
+        val w = (1L << i).toDouble
+        val it = levels(i).iterator()
+        while (it.hasNext) items.add(Array(it.next(), w))
+        i += 1
+      }
+      java.util.Collections.sort(items,
+        (a: Array[Double], b: Array[Double]) => java.lang.Double.compare(a(0), b(0)))
+      val target = math.max(1.0, math.ceil(p * n))
+      var cum = 0.0
+      var j = 0
+      while (j < items.size()) {
+        cum += items.get(j)(1)
+        if (cum >= target) return items.get(j)(0)
+        j += 1
+      }
+      items.get(items.size() - 1)(0)
+    }
+
+    def serialize(): Array[Byte] = {
+      var doubles = 0
+      levels.foreach(l => doubles += l.size())
+      val bb = ByteBuffer.allocate(4 + 8 + 4 + levels.length * 4 + doubles * 8)
+      bb.putInt(k); bb.putLong(n); bb.putInt(levels.length)
+      levels.foreach { l =>
+        bb.putInt(l.size())
+        val it = l.iterator()
+        while (it.hasNext) bb.putDouble(it.next().doubleValue())
+      }
+      bb.array()
+    }
+  }
+
+  def deserialize(bytes: Array[Byte]): Sketch = {
+    val bb = ByteBuffer.wrap(bytes)
+    val s = new Sketch(bb.getInt())
+    s.n = bb.getLong()
+    val nl = bb.getInt()
+    var i = 0
+    while (i < nl) {
+      if (i > 0) {
+        val next = new Array[java.util.ArrayList[java.lang.Double]](i + 1)
+        System.arraycopy(s.levels, 0, next, 0, i)
+        next(i) = new java.util.ArrayList[java.lang.Double]()
+        s.levels = next
+      }
+      val len = bb.getInt()
+      var j = 0
+      while (j < len) { s.levels(i).add(bb.getDouble()); j += 1 }
+      i += 1
+    }
+    s
+  }
+
+  /** `qsketch(col, k)`: fold a DOUBLE column into a sketch. */
+  case class SketchAgg(
+      child: Expression,
+      k: Int,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+      extends TypedImperativeAggregate[Sketch] with ImplicitCastInputTypes {
+    override def children: Seq[Expression] = Seq(child)
+    override def inputTypes: Seq[DataType] = Seq(DoubleType)
+    override def nullable: Boolean = false
+    override def dataType: DataType = BinaryType
+    override def createAggregationBuffer(): Sketch = new Sketch(k)
+    override def update(buf: Sketch, input: InternalRow): Sketch = {
+      val v = child.eval(input)
+      if (v != null) buf.update(v.asInstanceOf[Double])
+      buf
+    }
+    override def merge(b1: Sketch, b2: Sketch): Sketch = { b1.merge(b2); b1 }
+    override def eval(buf: Sketch): Any = buf.serialize()
+    override def serialize(buf: Sketch): Array[Byte] = buf.serialize()
+    override def deserialize(bytes: Array[Byte]): Sketch =
+      QuantileSketch.deserialize(bytes)
+    override def withNewMutableAggBufferOffset(o: Int): SketchAgg =
+      copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): SketchAgg =
+      copy(inputAggBufferOffset = o)
+    override protected def withNewChildrenInternal(
+        c: IndexedSeq[Expression]): SketchAgg = copy(child = c.head)
+    override def prettyName: String = "qsketch"
+  }
+
+  /** `qsketch_merge(sketchCol)`: merge already-built sketches — the
+    * maintained-state fold ("stored sketch ⊕ batch sketch"). */
+  case class MergeAgg(
+      child: Expression,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+      extends TypedImperativeAggregate[Sketch] with ImplicitCastInputTypes {
+    override def children: Seq[Expression] = Seq(child)
+    override def inputTypes: Seq[DataType] = Seq(BinaryType)
+    override def nullable: Boolean = false
+    override def dataType: DataType = BinaryType
+    /** Lazily adopt the first real sketch's k (a fresh buffer has no
+      * inherent capacity until it sees one). */
+    override def createAggregationBuffer(): Sketch = new Sketch(DefaultK)
+    private def fold(buf: Sketch, other: Sketch): Sketch =
+      if (buf.n == 0 && buf.k != other.k) other
+      else { buf.merge(other); buf }
+    override def update(buf: Sketch, input: InternalRow): Sketch = {
+      val v = child.eval(input)
+      if (v == null) buf
+      else fold(buf, QuantileSketch.deserialize(v.asInstanceOf[Array[Byte]]))
+    }
+    override def merge(b1: Sketch, b2: Sketch): Sketch =
+      if (b2.n == 0) b1 else fold(b1, b2)
+    override def eval(buf: Sketch): Any = buf.serialize()
+    override def serialize(buf: Sketch): Array[Byte] = buf.serialize()
+    override def deserialize(bytes: Array[Byte]): Sketch =
+      QuantileSketch.deserialize(bytes)
+    override def withNewMutableAggBufferOffset(o: Int): MergeAgg =
+      copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): MergeAgg =
+      copy(inputAggBufferOffset = o)
+    override protected def withNewChildrenInternal(
+        c: IndexedSeq[Expression]): MergeAgg = copy(child = c.head)
+    override def prettyName: String = "qsketch_merge"
+  }
+
+  /** `qsketch_quantile(sketch, p)` — scalar decode; runs over state
+    * rows (one per group), never in a corpus-scan hot path, so
+    * CodegenFallback is fine. */
+  case class Quantile(left: Expression, right: Expression)
+      extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
+    override def inputTypes: Seq[DataType] = Seq(BinaryType, DoubleType)
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(sketch: Any, p: Any): Any = {
+      val q = QuantileSketch.deserialize(sketch.asInstanceOf[Array[Byte]])
+        .quantile(p.asInstanceOf[Double])
+      if (q == null) null else q.doubleValue()
+    }
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): Quantile = copy(left = l, right = r)
+    override def prettyName: String = "qsketch_quantile"
+  }
+
+  /** `qsketch_n(sketch)` — the exact folded row count. */
+  case class Count(child: Expression)
+      extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+    override def inputTypes: Seq[DataType] = Seq(BinaryType)
+    override def dataType: DataType = LongType
+    override def nullSafeEval(sketch: Any): Any =
+      QuantileSketch.deserialize(sketch.asInstanceOf[Array[Byte]]).n
+    override protected def withNewChildInternal(c: Expression): Count =
+      copy(child = c)
+    override def prettyName: String = "qsketch_n"
+  }
+
+  private def literalK(kExpr: Expression): Int = {
+    require(kExpr.foldable, "qsketch: k must be a literal (it sizes the sketch)")
+    kExpr.eval(InternalRow.empty).asInstanceOf[Number].intValue()
+  }
+
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "qsketch" -> {
+      case Seq(c) => SketchAgg(c, DefaultK).toAggregateExpression()
+      case Seq(c, kExpr) => SketchAgg(c, literalK(kExpr)).toAggregateExpression()
+      case es => throw new IllegalArgumentException(
+        s"qsketch expects (col) or (col, k), got ${es.length} arguments")
+    },
+    "qsketch_merge" -> {
+      case Seq(c) => MergeAgg(c).toAggregateExpression()
+      case es => throw new IllegalArgumentException(
+        s"qsketch_merge expects (sketch), got ${es.length} arguments")
+    },
+    "qsketch_quantile" -> {
+      case Seq(c, p) => Quantile(c, p)
+      case es => throw new IllegalArgumentException(
+        s"qsketch_quantile expects (sketch, p), got ${es.length} arguments")
+    },
+    "qsketch_n" -> (es => Count(es.head)))
+
+  /** Register in the session's function registry (idempotent). */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    builders.foreach { case (n, b) => reg.createOrReplaceTempFunction(n, b, "scala_udf") }
+  }
+}

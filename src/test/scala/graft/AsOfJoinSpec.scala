@@ -174,6 +174,11 @@ class AsOfJoinSpec extends AnyFunSuite with SparkSpec {
       val h = ext.sql("SELECT simhash64('the quick brown fox') AS h").collect().head.getLong(0)
       val h2 = ext.sql("SELECT simhash64('the quick brown fox') AS h").collect().head.getLong(0)
       assert(h === h2)
+      // the quantile-sketch family rides the same injection (agg + scalar)
+      val q = ext.sql(
+        "SELECT qsketch_quantile(qsketch(CAST(v AS DOUBLE)), 0.5) AS q " +
+          "FROM VALUES (1.0), (2.0), (3.0) t(v)").collect().head.getDouble(0)
+      assert(q === 2.0)
       // ...and carries the injected planner strategy (not via experimental)
       assert(ext.experimental.extraStrategies.isEmpty)
       assert(ext.sessionState.planner.strategies.contains(graft.plans.AsOfJoinStrategy))

@@ -236,4 +236,126 @@ class AsOfJoinViewSpec extends AnyFunSuite with SparkSpec {
     assert(served === Map(Some("1") -> (3L, 17L), Some("9") -> (1L, 4L)),
       "unattributed group vanishes with its probe")
   }
+
+  test("nearest direction: argmin |dt|, distance ties backward, per-side pk ties, maintained") {
+    def expectedNearest(ls: Seq[(Long, String, Long, Long)],
+        rs: Seq[(Long, String, Long, Double)]): Set[(Long, Option[Long], Option[Double])] =
+      ls.map { case (pk, jk, ts, _) =>
+        val back = rs.filter(r => r._2 == jk && r._3 <= ts)
+          .sortBy(r => (r._3, r._1)).lastOption
+        val fwd = rs.filter(r => r._2 == jk && r._3 >= ts)
+          .sortBy(r => (r._3, r._1)).headOption
+        val m = (back, fwd) match {
+          case (Some(b), Some(f)) => if (ts - b._3 <= f._3 - ts) Some(b) else Some(f)
+          case (b, f) => b.orElse(f)
+        }
+        (pk, m.map(_._1), m.map(_._4))
+      }.toSet
+    val store = BucketedViewStore.temp(spark, 8)
+    val v = new AsOfJoinView(store, "t_asof_near",
+      "p_pk", "p_jk", "p_ts", Seq("p_pk", "p_jk", "p_ts", "p_val"),
+      "q_pk", "q_jk", "q_ts", Seq("q_pk", "q_jk", "q_ts", "q_px"),
+      direction = "nearest")
+    // probe 101 at ts 14: back q1(10, d4) vs fwd q2/q3(20, d6) -> back;
+    // probe 102 at ts 18: back d8 vs fwd d2 -> forward, equal-ts pair
+    // resolves to the LEAST pk (q2); probe 103 at ts 15: EQUAL distance
+    // 5 both ways -> backward wins; probe 104: only a forward candidate
+    var ls = Seq((101L, "a", 14L, 1L), (102L, "a", 18L, 1L),
+      (103L, "a", 15L, 1L), (104L, "b", 5L, 1L), (105L, "c", 9L, 1L))
+    var rs = Seq((1L, "a", 10L, 1.0), (2L, "a", 20L, 2.0),
+      (3L, "a", 20L, 3.0), (9L, "b", 50L, 9.0))
+    v.build(probes(ls: _*), quotes(rs: _*))
+    assert(snap(v) === expectedNearest(ls, rs))
+    assert(snap(v).contains((101L, Some(1L), Some(1.0))), "nearer backward")
+    assert(snap(v).contains((102L, Some(2L), Some(2.0))), "forward, least pk")
+    assert(snap(v).contains((103L, Some(1L), Some(1.0))), "distance tie -> backward")
+    assert(snap(v).contains((104L, Some(9L), Some(9.0))), "forward-only match")
+    assert(snap(v).contains((105L, None, None)), "no candidate -> pad")
+
+    // deltas re-pick under nearest on both sides
+    v.refreshLeft(probes((101L, "a", 19L, 2L)),
+      Some(probes((103L, "zz", 0L, 0L)).select(col("p_pk").cast("string"))))
+    ls = ls.filterNot(r => r._1 == 101L || r._1 == 103L) :+ (101L, "a", 19L, 2L)
+    assert(snap(v) === expectedNearest(ls, rs))
+    v.refreshRight(quotes((4L, "a", 16L, 4.0)),
+      Some(quotes((1L, "zz", 0L, 0.0)).select(col("q_pk").cast("string"))))
+    rs = rs.filterNot(_._1 == 1L) :+ (4L, "a", 16L, 4.0)
+    assert(snap(v) === expectedNearest(ls, rs))
+  }
+
+  test("nearest + tolerance: a nearer out-of-bound side loses to the farther in-bound one") {
+    val store = BucketedViewStore.temp(spark, 8)
+    val v = new AsOfJoinView(store, "t_asof_near_tol",
+      "p_pk", "p_jk", "p_ts", Seq("p_pk", "p_jk", "p_ts", "p_val"),
+      "q_pk", "q_jk", "q_ts", Seq("q_pk", "q_jk", "q_ts", "q_px"),
+      direction = "nearest",
+      tolerance = Some((l, r) => abs(l - r) <= lit(6L)))
+    // probe 100 at ts 20: back q1(18, d2) in bound; probe 101 at ts 10:
+    // the nearer side is backward q2(2, d8) but it is OUT of bound while
+    // forward q3(15, d5) is IN bound -> tolerance flips the choice to
+    // forward. probe 102: both sides out of bound -> pad.
+    v.build(
+      probes((100L, "a", 20L, 1L), (101L, "b", 10L, 1L), (102L, "c", 50L, 1L)),
+      quotes((1L, "a", 18L, 1.0), (2L, "b", 2L, 2.0), (3L, "b", 15L, 3.0),
+        (4L, "c", 30L, 4.0), (5L, "c", 80L, 5.0)))
+    assert(snap(v) === Set(
+      (100L, Some(1L), Some(1.0)),
+      (101L, Some(3L), Some(3.0)), // back d8 out of bound, fwd d5 wins
+      (102L, None, None)))         // d20 / d30 both out
+    // a right delta that lands a NEARER but out-of-bound candidate
+    // changes nothing; one in bound steals
+    v.refreshRight(quotes((6L, "b", 3L, 6.0)), None)
+    assert(snap(v).contains((101L, Some(3L), Some(3.0))))
+    v.refreshRight(quotes((7L, "b", 12L, 7.0)), None)
+    assert(snap(v).contains((101L, Some(7L), Some(7.0))))
+  }
+
+  test("null timestamps never match: null-ts candidates drop, null-ts probes pad (both directions)") {
+    def probesN(rows: (Long, String, Option[Long], Long)*) =
+      rows.toSeq.toDF("p_pk", "p_jk", "p_ts", "p_val")
+    def quotesN(rows: (Long, String, Option[Long], Double)*) =
+      rows.toSeq.toDF("q_pk", "q_jk", "q_ts", "q_px")
+    for ((dir, nm) <- Seq("backward" -> "t_asof_nullb", "forward" -> "t_asof_nullf",
+        "nearest" -> "t_asof_nulln")) {
+      val store = BucketedViewStore.temp(spark, 8)
+      val v = new AsOfJoinView(store, nm,
+        "p_pk", "p_jk", "p_ts", Seq("p_pk", "p_jk", "p_ts", "p_val"),
+        "q_pk", "q_jk", "q_ts", Seq("q_pk", "q_jk", "q_ts", "q_px"),
+        direction = dir)
+      v.build(
+        probesN((100L, "a", Some(15L), 1L), (101L, "a", None, 1L)),
+        quotesN((1L, "a", Some(10L), 1.0), (2L, "a", Some(20L), 2.0),
+          (3L, "a", None, 99.0)))
+      val got = snap(v)
+      assert(got.contains((101L, None, None)),
+        s"$dir: a null-ts probe must take the pad, got $got")
+      assert(!got.exists(_._2.contains(3L)),
+        s"$dir: a null-ts candidate must never be picked, got $got")
+    }
+  }
+
+  test("composite join keys on the as-of view: separator-bearing parts pick correctly") {
+    def probes2(rows: (Long, String, String, Long, Long)*) =
+      rows.toSeq.toDF("p_pk", "p_j1", "p_j2", "p_ts", "p_val")
+    def quotes2(rows: (Long, String, String, Long, Double)*) =
+      rows.toSeq.toDF("q_pk", "q_j1", "q_j2", "q_ts", "q_px")
+    val store = BucketedViewStore.temp(spark, 8)
+    val v = new AsOfJoinView(store, "t_asof_comp",
+      "p_pk", Seq("p_j1", "p_j2"), "p_ts", Seq("p_pk", "p_j1", "p_j2", "p_ts", "p_val"),
+      "q_pk", Seq("q_j1", "q_j2"), "q_ts", Seq("q_pk", "q_j1", "q_j2", "q_ts", "q_px"),
+      saltBuckets = 3)
+    // the concat_ws-colliding tuple pair: each probe must pick ONLY from
+    // its own tuple's timeline
+    val kA = ("a\u0001", "x"); val kB = ("a", "\u0001x")
+    v.build(
+      probes2((100L, kA._1, kA._2, 15L, 1L), (101L, kB._1, kB._2, 15L, 1L)),
+      quotes2((1L, kA._1, kA._2, 10L, 1.0), (2L, kB._1, kB._2, 12L, 2.0),
+        (3L, kB._1, kB._2, 14L, 3.0)))
+    assert(snap(v) === Set((100L, Some(1L), Some(1.0)), (101L, Some(3L), Some(3.0))))
+    // a right delta at ONE tuple leaves the colliding twin untouched
+    v.refreshRight(quotes2((4L, kA._1, kA._2, 13L, 4.0)), None)
+    assert(snap(v) === Set((100L, Some(4L), Some(4.0)), (101L, Some(3L), Some(3.0))))
+    v.refreshLeft(probes2((101L, kB._1, kB._2, 11L, 1L)), None)
+    assert(snap(v) === Set((100L, Some(4L), Some(4.0)), (101L, None, None)))
+  }
 }

@@ -390,4 +390,35 @@ class BucketedStoreSpec extends AnyFunSuite with SparkSpec {
     assert(store.df(idx.name).count() === 38)
     assert(stats.emitBucketsRewritten === 0) // no back-pointers left to chase
   }
+
+  test("refresh past broadcastKeyLimit falls back to shuffle joins with identical results") {
+    import java.nio.file.Files
+    // limit 0: EVERY batch takes the non-broadcast path — the bulk-
+    // backfill plan must land byte-identical view contents, meta
+    // back-pointers and stats as the default broadcast plan
+    val gated = new BucketedViewStore(spark,
+      Files.createTempDirectory("graft-bkl-").toString, numBuckets = 8,
+      broadcastKeyLimit = 0L)
+    val plain = BucketedViewStore.temp(spark, numBuckets = 8)
+    for (st <- Seq(gated, plain)) st.materialize(idx, rows(120).toDF("key", "v"))
+    // a bulk batch: half the keys upserted, a sixth tombstoned
+    val ups = (0 until 120 by 2).map(i => s"k$i" -> (i + 1000)).toDF("key", "v")
+    val dels = Some((1 until 120 by 6).map(i => s"k$i").toDF("src_key"))
+    val sg = gated.refresh(idx, ups, dels)
+    val sp = plain.refresh(idx, ups, dels)
+    assert(sg === sp, "refresh stats must not depend on the join strategy")
+    assert(snapshot(gated.df(idx.name)) === snapshot(plain.df(idx.name)))
+    // CDC sidecars agree too (delete/insert multisets)
+    def feed(st: BucketedViewStore) =
+      st.changesBetween(idx.name, 0, 1)
+        .select("src_key", "emit_key", "emit_value", "change_type")
+        .as[(String, String, Int, String)].collect().sorted.toSeq
+    assert(feed(gated) === feed(plain))
+    // a second refresh over the gated store keeps compounding correctly
+    gated.refresh(idx, Seq("k2" -> 2).toDF("key", "v"),
+      Some(Seq("k0").toDF("src_key")))
+    plain.refresh(idx, Seq("k2" -> 2).toDF("key", "v"),
+      Some(Seq("k0").toDF("src_key")))
+    assert(snapshot(gated.df(idx.name)) === snapshot(plain.df(idx.name)))
+  }
 }

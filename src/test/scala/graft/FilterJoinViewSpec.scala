@@ -126,4 +126,34 @@ class FilterJoinViewSpec extends AnyFunSuite with SparkSpec {
       assert(snap(anti) === expect("anti"), s"anti diverged at step $step")
     }
   }
+
+  test("composite join keys: membership on separator-bearing tuples, salted") {
+    def left2(rows: (Long, String, String, Long)*) =
+      rows.toSeq.toDF("l_pk", "l_j1", "l_j2", "l_val")
+    def right2(rows: (Long, String, String)*) =
+      rows.toSeq.toDF("r_pk", "r_j1", "r_j2")
+    val store = BucketedViewStore.temp(spark, 8)
+    def mk2(nm: String, mode: String) = new FilterJoinView(store, nm,
+      "l_pk", Seq("l_j1", "l_j2"), Seq("l_pk", "l_j1", "l_j2", "l_val"),
+      "r_pk", Seq("r_j1", "r_j2"), mode, saltBuckets = 3)
+    val semi = mk2("t_semi_comp", "semi")
+    val anti = mk2("t_anti_comp", "anti")
+    // the concat_ws-colliding pair: tuple A has a right match, tuple B
+    // does NOT — an unescaped spelling would leak B into the semi view
+    val kA = ("a\u0001", "x"); val kB = ("a", "\u0001x")
+    val l0 = left2((1L, kA._1, kA._2, 10L), (2L, kB._1, kB._2, 20L),
+      (3L, "plain", "k", 30L))
+    val r0 = right2((100L, kA._1, kA._2), (101L, "plain", "k"))
+    semi.build(l0, r0); anti.build(l0, r0)
+    assert(snap(semi) === Set(1L, 3L))
+    assert(snap(anti) === Set(2L))
+    // RIGHT batch: tuple B gains its row (2 flips in), tuple A loses
+    // its row (1 flips out) — the sidecar's spelled dirty keys route
+    // each flip to the right tuple only
+    val ups = right2((102L, kB._1, kB._2))
+    val dels = Some(right2((100L, "z", "z")).select(col("r_pk").cast("string")))
+    semi.refreshRight(ups, dels); anti.refreshRight(ups, dels)
+    assert(snap(semi) === Set(2L, 3L))
+    assert(snap(anti) === Set(1L))
+  }
 }

@@ -193,4 +193,96 @@ class JoinGroupingViewSpec extends AnyFunSuite with SparkSpec {
     assert(rows === Set((0, Some("S1"), 1L, Some(10L)),
       (0, Some("S2"), 1L, Some(20L)), (1, None, 2L, Some(30L))))
   }
+
+  test("trackValues: exact min/max/distinct per (set, group) under deletes; all-null groups serve") {
+    def leftN(rows: (Long, String, String, Option[Long])*) =
+      rows.toSeq.toDF("l_pk", "l_jk", "l_cat", "l_val")
+    val store = BucketedViewStore.temp(spark, 8)
+    val jv = new JoinView(store, "t_latm",
+      "l_pk", "l_jk", Seq("l_pk", "l_jk", "l_cat", "l_val"),
+      "r_pk", "r_jk", Seq("r_pk", "r_jk", "r_seg"))
+    // cat "z" holds ONLY null values: cnt > 0 in the main state but no
+    // refcount rows — the left-join serve path must keep it with null
+    // min/max and distinct 0
+    jv.build(
+      leftN((1L, "a", "x", Some(10L)), (2L, "a", "x", Some(30L)),
+        (3L, "a", "y", Some(30L)), (4L, "b", "y", Some(20L)),
+        (5L, "b", "z", None), (6L, "b", "z", None)),
+      rightDf((100L, "a", "S1"), (101L, "b", "S2")))
+    val gcols = Seq("l_cat", "r_seg")
+    val sets = JoinGroupingView.rollupSets(gcols)
+    val gv = new JoinGroupingView(jv, "t_latm__roll", gcols, "l_val", sets,
+      trackValues = true)
+    gv.build()
+
+    /** From-scratch multi-aggregate lattice of the current relation. */
+    def expectedMulti(): Set[(Int, Option[String], Option[String], Long,
+        Option[Long], Option[Long], Option[Long], Long)] =
+      sets.flatMap { set =>
+        val gid = gcols.zipWithIndex
+          .collect { case (c, i) if !set.contains(c) => 1 << i }.sum
+        val aggs = Seq(count(lit(1)).as("cnt"), sum("l_val").as("s"),
+          min("l_val").as("mn"), max("l_val").as("mx"),
+          count_distinct(col("l_val")).as("nd"))
+        val rows =
+          if (set.isEmpty) jv.df.agg(aggs.head, aggs.tail: _*).collect()
+            .map(r => (None: Option[String], None: Option[String], r))
+          else jv.df.groupBy(set.map(col): _*).agg(aggs.head, aggs.tail: _*)
+            .collect().map { r =>
+              val m = set.zipWithIndex.map { case (c, i) =>
+                c -> Option(r.get(i)).map(_.toString) }.toMap
+              (m.getOrElse(gcols(0), None), m.getOrElse(gcols(1), None), r)
+            }
+        rows.map { case (g1, g2, r) =>
+          val n = set.size
+          (gid, g1, g2, r.getLong(n),
+            Option(r.get(n + 1)).map(_.toString.toLong),
+            Option(r.get(n + 2)).map(_.toString.toLong),
+            Option(r.get(n + 3)).map(_.toString.toLong),
+            r.getLong(n + 4))
+        }
+      }.toSet
+
+    def servedMulti(): Set[(Int, Option[String], Option[String], Long,
+        Option[Long], Option[Long], Option[Long], Long)] =
+      gv.stateMulti.select(col("gid"), col("l_cat"), col("r_seg"), col("cnt"),
+          col("sum_value").cast("long"), col("min_value").cast("long"),
+          col("max_value").cast("long"), col("n_distinct"))
+        .as[(Int, Option[String], Option[String], Long, Option[Long],
+          Option[Long], Option[Long], Long)].collect().toSet
+
+    assert(servedMulti() === expectedMulti())
+    // the all-null group is present with distinct 0
+    assert(servedMulti().exists(r => r._2 == Some("z") && r._5.isEmpty &&
+      r._6.isEmpty && r._8 == 0L))
+
+    // LEFT delta: retract the (x, S1) MIN (pk 1, val 10) — the refcount
+    // must surface the runner-up 30; retract one of the two equal 30s
+    // across groups (multiplicity!); give "z" its first non-null value
+    jv.refreshLeft(leftN((5L, "b", "z", Some(7L))),
+      Some(leftN((1L, "zz", "x", None)).select(col("l_pk").cast("string"))))
+    gv.catchUp()
+    assert(servedMulti() === expectedMulti())
+
+    // retract z's only non-null value again: back to null min/max, 0
+    // distinct, while cnt stays > 0
+    jv.refreshLeft(leftN((5L, "b", "z", None)), None)
+    gv.catchUp()
+    assert(servedMulti() === expectedMulti())
+    assert(servedMulti().exists(r => r._2 == Some("z") && r._4 == 2L &&
+      r._5.isEmpty && r._8 == 0L))
+
+    // RIGHT delta flows into the refcount state too
+    jv.refreshRight(rightDf((100L, "a", "S9")), None)
+    gv.catchUp()
+    assert(servedMulti() === expectedMulti())
+
+    // attach with trackValues verifies both persisted schemas and
+    // resumes from the watermark: an immediate catch-up no-ops
+    val re = JoinGroupingView.attach(jv, "t_latm__roll", gcols, "l_val",
+      sets, trackValues = true)
+    val stats = re.catchUp()
+    assert(stats.emitBucketsRewritten === 0)
+    assert(servedMulti() === expectedMulti())
+  }
 }

@@ -259,7 +259,8 @@ class JoinViewSpec extends AnyFunSuite with SparkSpec {
 
     // wrong-key composition fails loud
     val bad = new JoinView(store, "t3_bad",
-      "other_pk", "m_jk", Seq("l_pk"), "d_pk", "d_jk", Seq("d_pk"))
+      "other_pk", "m_jk", Seq("other_pk", "m_jk"),
+      "d_pk", "d_jk", Seq("d_pk", "d_jk"))
     val e = intercept[IllegalArgumentException](jv1.cascadeInto(bad, 1, 2))
     assert(e.getMessage.contains("left pk"))
   }
@@ -522,5 +523,70 @@ class JoinViewSpec extends AnyFunSuite with SparkSpec {
     jv.refreshRight(Seq((1000L, "HOT", 9.0)).toDF("r_pk", "r_jk", "r_val"), None)
     assert(jv.byKeys(Seq("HOT").toDF("k"))
       .filter(col("r_val") === 9.0).count() === 200L)
+  }
+
+  test("composite join keys: escaped spelling survives separator-bearing parts, salted and unsalted") {
+    // two STRING parts chosen adversarially: a naive concat_ws(U+0001)
+    // spelling would collide ("a\u0001", "x") with ("a", "\u0001x") and
+    // truncate at the embedded separator; the escaped CompositeKey
+    // spelling must keep them distinct keys end to end. The "e\u0002e"
+    // part exercises the escape character itself (ESC-doubling).
+    val kA1 = "a\u0001"; val kA2 = "x"       // tuple 1
+    val kB1 = "a"; val kB2 = "\u0001x"       // tuple 2 (concat_ws-collides with 1)
+    val kE1 = "e\u0002e"; val kE2 = "y"      // escape-char part
+    def left(rows: (Long, String, String, Long)*) =
+      rows.toSeq.toDF("l_pk", "l_j1", "l_j2", "l_val")
+    def right(rows: (Long, String, String, Double)*) =
+      rows.toSeq.toDF("r_pk", "r_j1", "r_j2", "r_val")
+    def mk(name: String, salt: Int) = new JoinView(
+      BucketedViewStore.temp(spark, 8), name,
+      "l_pk", Seq("l_j1", "l_j2"), Seq("l_pk", "l_j1", "l_j2", "l_val"),
+      "r_pk", Seq("r_j1", "r_j2"), Seq("r_pk", "r_j1", "r_j2", "r_val"),
+      saltBuckets = salt)
+    for ((salt, nm) <- Seq(1 -> "t_comp", 4 -> "t_comp_s")) {
+      val jv = mk(nm, salt)
+      jv.build(
+        left((1L, kA1, kA2, 10L), (2L, kB1, kB2, 20L), (3L, kE1, kE2, 30L),
+          (4L, "plain", "k", 40L)),
+        right((100L, kA1, kA2, 1.0), (101L, kB1, kB2, 2.0),
+          (102L, kE1, kE2, 3.0), (103L, "other", "k", 4.0)))
+      // each tuple joins ONLY its own right row — no cross-collision
+      assert(jv.df.select("l_pk", "r_val").as[(Long, Double)].collect().toSet ===
+        Set((1L, 1.0), (2L, 2.0), (3L, 3.0)), s"salt=$salt")
+
+      // left delta: pk 4 moves onto the separator-bearing tuple 1;
+      // pk 1 deleted
+      jv.refreshLeft(left((4L, kA1, kA2, 41L)),
+        Some(left((1L, "z", "z", 0L)).select(col("l_pk").cast("string"))))
+      assert(jv.df.select("l_pk", "r_val").as[(Long, Double)].collect().toSet ===
+        Set((4L, 1.0), (2L, 2.0), (3L, 3.0)), s"salt=$salt")
+
+      // right delta THROUGH the sidecar's spelled dirty keys: tuple 1
+      // re-valued, tuple 2's row deleted — only tuple 1's left rows
+      // rewrite, tuple 2's retract, the escape tuple is untouched
+      jv.refreshRight(right((100L, kA1, kA2, 9.0)),
+        Some(right((101L, "z", "z", 0.0)).select(col("r_pk").cast("string"))))
+      assert(jv.df.select("l_pk", "r_val").as[(Long, Double)].collect().toSet ===
+        Set((4L, 9.0), (3L, 3.0)), s"salt=$salt")
+
+      // key-addressed serving takes the SPELLED key
+      import graft.engine.CompositeKey
+      val spelled = left((0L, kA1, kA2, 0L))
+        .select(CompositeKey.spell(Seq(col("l_j1"), col("l_j2"))).as("k"))
+      assert(jv.byKeys(spelled).select("l_pk").as[Long].collect().toSet ===
+        Set(4L), s"salt=$salt")
+    }
+  }
+
+  test("composite keys: arity and coverage misuse fails loud") {
+    val store = BucketedViewStore.temp(spark, 8)
+    val e1 = intercept[IllegalArgumentException](new JoinView(store, "t_bad1",
+      "l_pk", Seq("l_j1", "l_j2"), Seq("l_pk", "l_j1", "l_j2"),
+      "r_pk", Seq("r_j1"), Seq("r_pk", "r_j1")))
+    assert(e1.getMessage.contains("arity"))
+    val e2 = intercept[IllegalArgumentException](new JoinView(store, "t_bad2",
+      "l_pk", Seq("l_j1", "l_j2"), Seq("l_pk", "l_j1"),
+      "r_pk", Seq("r_j1", "r_j2"), Seq("r_pk", "r_j1", "r_j2")))
+    assert(e2.getMessage.contains("leftCols"))
   }
 }
