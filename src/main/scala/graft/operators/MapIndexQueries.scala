@@ -1602,6 +1602,197 @@ object MapIndexQueries {
       }
     })
 
+
+  /** COMPOSITE-KEY maintained join ([[graft.engine.JoinKey]]): orders
+    * joined to a derived per-(custkey, orderstatus) profile dim on the
+    * TWO-column key (o_custkey, o_orderstatus) — the state keys are the
+    * escaped [[graft.engine.CompositeKey]] spelling (injective even for
+    * separator-bearing parts; JoinViewSpec proves that adversarially),
+    * while the refresh joins run part-wise on the original columns.
+    * Both sides take change batches: the shared orders reprice/tombstone
+    * on the left, dim re-values (%13) and deletes (%17, by custkey) on
+    * the right. The oracle is the from-scratch two-column-ON join of
+    * both modified relations in DuckDB. The salted twin (saltBuckets=4)
+    * proves shard-invisibility on the same oracle. */
+  private def compositeOrdersView(s: SparkSession, dir: String,
+      salted: Boolean): graft.engine.JoinView = {
+    val nm = if (salted) "orders_custstatus_sl" else "orders_custstatus"
+    joinViews.getOrElseUpdate(s"$dir#$nm", {
+      val store = Views.bucketedStore(s, dir)
+      val jv = new graft.engine.JoinView(store, nm,
+        "o_orderkey", Seq("o_custkey", "o_orderstatus"),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"),
+        "d_pk", Seq("d_custkey", "d_status"),
+        Seq("d_pk", "d_custkey", "d_status", "d_cnt"),
+        saltBuckets = if (salted) 4 else 1)
+      if (!Views.unitDone(store.baseDir, nm)) {
+        val o = Tables.orders(s, dir)
+        // the dim: one row per (custkey, status) with its order count —
+        // derived from the ORIGINAL orders (the oracle mirrors this)
+        val dim = o.groupBy(col("o_custkey").as("d_custkey"),
+            col("o_orderstatus").as("d_status"))
+          .agg(count(lit(1)).as("d_cnt"))
+          .withColumn("d_pk", concat_ws("-", col("d_custkey"), col("d_status")))
+        jv.build(o, dim)
+        val upsL = o.filter(col("o_orderkey") % 37 === 0 && col("o_orderkey") % 41 =!= 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000)
+        val delsL = o.filter(col("o_orderkey") % 41 === 0)
+          .select(col("o_orderkey").cast("string")).distinct()
+        jv.refreshLeft(upsL, Some(delsL))
+        val upsR = dim.filter(col("d_custkey") % 13 === 0 && col("d_custkey") % 17 =!= 0)
+          .withColumn("d_cnt", col("d_cnt") + 5)
+        val delsR = dim.filter(col("d_custkey") % 17 === 0)
+          .select(col("d_pk")).distinct()
+        jv.refreshRight(upsR, Some(delsR))
+        Views.markUnitDone(store.baseDir, nm)
+      }
+      jv
+    })
+  }
+
+  /** The ROLLUP lattice WITH the refcount value companion
+    * ([[graft.engine.JoinGroupingView]] trackValues — the lattice analog
+    * of [[ordersCustomerAggMultiView]]): exact deletion-safe min / max /
+    * distinct-count per (grouping set, group) beside (cnt, sum), all
+    * folded from the SAME join CDC. Same shared change-batch history on
+    * twin view names; the oracle recomputes `GROUP BY ROLLUP` with
+    * min/max/count(DISTINCT) over both modified tables from scratch. */
+  private def latticeMultiView(s: SparkSession, dir: String): graft.engine.JoinGroupingView =
+    latticeViews.getOrElseUpdate(s"$dir#multi", {
+      val store = Views.bucketedStore(s, dir)
+      val jv = new graft.engine.JoinView(store, "orders_customer_lm",
+        "o_orderkey", "o_custkey",
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate", "o_orderpriority"),
+        "c_custkey", "c_custkey",
+        Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"))
+      val gcols = Seq("c_mktsegment", "o_orderpriority")
+      val rSets = graft.engine.JoinGroupingView.rollupSets(gcols)
+      val unit = "orders_customer_lm"
+      if (Views.unitDone(store.baseDir, unit))
+        graft.engine.JoinGroupingView.attach(jv, "orders_customer_lm__roll",
+          gcols, "o_totalprice", rSets, trackValues = true)
+      else {
+        val o = Tables.orders(s, dir)
+        val c = Tables.customer(s, dir)
+        jv.build(o, c)
+        val gv = new graft.engine.JoinGroupingView(jv,
+          "orders_customer_lm__roll", gcols, "o_totalprice", rSets,
+          trackValues = true)
+        gv.build()
+        val upsL = o.filter(col("o_orderkey") % 37 === 0 && col("o_orderkey") % 41 =!= 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000)
+        val delsL = o.filter(col("o_orderkey") % 41 === 0)
+          .select(col("o_orderkey").cast("string")).distinct()
+        jv.refreshLeft(upsL, Some(delsL)); gv.catchUp()
+        val upsR = c.filter(col("c_custkey") % 13 === 0 && col("c_custkey") % 17 =!= 0)
+          .withColumn("c_acctbal", col("c_acctbal") + 100)
+        val delsR = c.filter(col("c_custkey") % 17 === 0)
+          .select(col("c_custkey").cast("string")).distinct()
+        jv.refreshRight(upsR, Some(delsR)); gv.catchUp()
+        Views.markUnitDone(store.baseDir, unit)
+        gv
+      }
+    })
+
+  /** A rollup OVER the maintained ANTI view — the purge-audit query
+    * ("revenue of orders orphaned by the customer purge, by priority,
+    * always fresh"): completes the membership x aggregation matrix next
+    * to [[semiOrdersAggView]]. Anti membership flips flow into the
+    * aggregate as ordinary CDC deltas; the oracle is the from-scratch
+    * NOT EXISTS filter + GROUP BY over both modified tables. */
+  private def antiOrdersAggView(s: SparkSession, dir: String): graft.engine.JoinAggView =
+    joinAggViews.getOrElseUpdate(s"$dir#anti", {
+      val store = Views.bucketedStore(s, dir)
+      val fv = new graft.engine.FilterJoinView(store, "orders_customer_antig",
+        "o_orderkey", "o_custkey",
+        Seq("o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"),
+        "c_custkey", "c_custkey", "anti")
+      val unit = "orders_customer_antig"
+      if (Views.unitDone(store.baseDir, unit))
+        graft.engine.JoinAggView.attach(fv, "orders_customer_antig__rollup",
+          "o_orderpriority", "o_totalprice")
+      else {
+        val o = Tables.orders(s, dir)
+        val c = Tables.customer(s, dir)
+        fv.build(o, c)
+        val agg = new graft.engine.JoinAggView(fv, "orders_customer_antig__rollup",
+          "o_orderpriority", "o_totalprice")
+        agg.build()
+        val upsL = o.filter(col("o_orderkey") % 37 === 0 && col("o_orderkey") % 41 =!= 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000)
+        val delsL = o.filter(col("o_orderkey") % 41 === 0)
+          .select(col("o_orderkey").cast("string")).distinct()
+        fv.refreshLeft(upsL, Some(delsL)); agg.catchUp()
+        val upsR = c.filter(col("c_custkey") % 13 === 0 && col("c_custkey") % 17 =!= 0)
+        val delsR = c.filter(col("c_custkey") % 17 === 0)
+          .select(col("c_custkey").cast("string")).distinct()
+        fv.refreshRight(upsR, Some(delsR)); agg.catchUp()
+        Views.markUnitDone(store.baseDir, unit)
+        agg
+      }
+    })
+
+  /** NEAREST maintained as-of WITH tolerance ([[graft.engine
+    * .AsOfJoinView]] direction="nearest" — pandas merge_asof's third
+    * direction): each purchase takes the click minimizing |dt| within
+    * ONE HOUR either way, distance ties resolved backward (each side
+    * keeping its own pk tie rule). Same two-sided change-batch history
+    * as [[purchaseClickView]] on twin names; the oracle recomputes the
+    * bounded argmin-|dt| per purchase with the same tie order. */
+  private def purchaseClickNearestView(s: SparkSession, dir: String): graft.engine.AsOfJoinView =
+    asofViews.getOrElseUpdate(s"$dir#nearest", {
+      val store = Views.bucketedStore(s, dir)
+      val v = new graft.engine.AsOfJoinView(store, "purchase_click_asof_n",
+        "a_id", "a_user", "a_ts", Seq("a_id", "a_user", "a_ts", "a_value"),
+        "b_id", "b_user", "b_ts", Seq("b_id", "b_user", "b_ts", "b_value"),
+        direction = "nearest",
+        tolerance = Some((lts, rts) =>
+          abs(unix_micros(lts) - unix_micros(rts)) <= lit(3600000000L))) // 1 h
+      val unit = "purchase_click_asof_n"
+      if (!Views.unitDone(store.baseDir, unit)) {
+        val (pq, cq) = purchasesClicks(s, dir)
+        v.build(pq, cq)
+        v.refreshLeft(purchaseUps(pq), Some(purchaseDels(pq)))
+        v.refreshRight(clickUps(cq), Some(clickDels(cq)))
+        Views.markUnitDone(store.baseDir, unit)
+      }
+      v
+    })
+
+
+  /** Maintained MERGEABLE-SKETCH quantiles ([[graft.engine
+    * .SketchQuantileView]] over [[graft.functions.QuantileSketch]]): the
+    * unknown-domain member of the quantile family — the discrete state
+    * needs a vocabulary, the grid state a chosen width, the sketch
+    * neither, at a deterministic worst-case rank error. Insert deltas
+    * fold O(delta) (stored ⊕ batch merge); the shared tombstone batch
+    * exercises the documented REBUILD-ON-DELETE path for exactly the
+    * affected groups. The gate serves exact anchors plus rank-error
+    * booleans (the estimate's true rank within 5 % of the target rank —
+    * actual bound ≈ 1.5 % at this k and n); the oracle recomputes the
+    * anchors and emits literal `true`, so a bound violation is a hash
+    * mismatch. */
+  private val sketchQIdx = MapIndex.columns("lineitem_flagsketchq")(
+    concat_ws("-", col("l_orderkey"), col("l_linenumber")),
+    array(emit(col("l_returnflag"), col("l_extendedprice"))))
+
+  private val sketchViews =
+    scala.collection.concurrent.TrieMap.empty[String, graft.engine.SketchQuantileView]
+  private def percentileSketchView(s: SparkSession, dir: String): graft.engine.SketchQuantileView =
+    sketchViews.getOrElseUpdate(dir, {
+      val store = Views.bucketedStore(s, dir)
+      val v = new graft.engine.SketchQuantileView(store, sketchQIdx,
+        "lineitem_flagsketchq__state")
+      if (!Views.unitDone(store.baseDir, "lineitem_flagsketchq")) {
+        val li = Tables.lineitem(s, dir)
+        v.build(li)
+        v.refresh(reflaggedUpserts(li), Some(tombstoneKeys(li)))
+        Views.markUnitDone(store.baseDir, "lineitem_flagsketchq")
+      }
+      v
+    })
+
   def prewarm(s: SparkSession, dir: String): Unit = {
     ordersCustomerView(s, dir)
     streamedOrdersCustomerView(s, dir)
@@ -1625,6 +1816,11 @@ object MapIndexQueries {
     ordersCustomerFilterView(s, dir, "semi")
     saltedSemiView(s, dir)
     semiOrdersAggView(s, dir)
+    antiOrdersAggView(s, dir)
+    compositeOrdersView(s, dir, salted = false)
+    compositeOrdersView(s, dir, salted = true)
+    latticeMultiView(s, dir)
+    purchaseClickNearestView(s, dir)
     saltedOrdersCustomerView(s, dir)
     leftOuterOrdersCustomerView(s, dir)
     fullOuterOrdersCustomerView(s, dir)
@@ -1633,6 +1829,7 @@ object MapIndexQueries {
     percentileView(s, dir)
     percentileBView(s, dir)
     percentileContView(s, dir)
+    percentileSketchView(s, dir)
     distinctSView(s, dir)
     mixedView(s, dir)
     rangeBucketedFlag(s, dir)
@@ -1794,12 +1991,12 @@ object MapIndexQueries {
     // from both modified tables from scratch
     "mapindex_joinview_agg_multi" -> ((s, dir) => {
       val agg = ordersCustomerAggMultiView(s, dir)
-      agg.state.join(agg.multiState, Seq("emit_key"))
+      agg.state.join(agg.multiState, Seq("emit_key"), "left_outer")
         .select(col("emit_key").as("o_orderpriority"), col("cnt"),
           round(col("sum_value").cast("double"), 2).as("revenue"),
           round(col("min_value").cast("double"), 2).as("min_price"),
           round(col("max_value").cast("double"), 2).as("max_price"),
-          col("n_distinct"))
+          coalesce(col("n_distinct"), lit(0L)).as("n_distinct"))
         .orderBy("o_orderpriority")
     }),
 
@@ -1911,6 +2108,55 @@ object MapIndexQueries {
           col("b_id"), round(col("b_value"), 2).as("b_value"))
         .orderBy("a_id")),
 
+    // NEAREST maintained as-of with a 1 h tolerance
+    // ([[purchaseClickNearestView]]): argmin |dt| within the bound,
+    // distance ties backward — the remaining merge_asof direction,
+    // maintained under both change batches
+    "mapindex_asofjoinview_nearest" -> ((s, dir) =>
+      purchaseClickNearestView(s, dir).df
+        .select(col("a_id"), col("a_user"),
+          round(col("a_value"), 2).as("a_value"),
+          col("b_id"), round(col("b_value"), 2).as("b_value"))
+        .orderBy("a_id")),
+
+    // COMPOSITE-KEY maintained join ([[compositeOrdersView]]): orders x
+    // per-(custkey, status) dim on the two-column key, both sides
+    // refreshed; the oracle is the from-scratch two-column-ON join
+    "mapindex_joinview_composite" -> ((s, dir) =>
+      compositeOrdersView(s, dir, salted = false).df
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          round(col("o_totalprice"), 2).as("o_totalprice"), col("d_cnt"))
+        .orderBy("o_orderkey")),
+
+    // the salted composite twin: shard layout invisible on the same oracle
+    "mapindex_joinview_composite_salted" -> ((s, dir) =>
+      compositeOrdersView(s, dir, salted = true).df
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          round(col("o_totalprice"), 2).as("o_totalprice"), col("d_cnt"))
+        .orderBy("o_orderkey")),
+
+    // the MULTI-AGGREGATE lattice ([[latticeMultiView]] — trackValues):
+    // cnt/sum from the main lattice state, exact deletion-safe
+    // min/max/distinct-count per (set, group) from the refcount
+    // companion, all from one CDC; all-null groups serve via the
+    // engine's left-join (distinct 0, null min/max)
+    "mapindex_lattice_multi" -> ((s, dir) =>
+      latticeMultiView(s, dir).stateMulti
+        .select(col("gid"), col("c_mktsegment"), col("o_orderpriority"),
+          col("cnt"), round(col("sum_value").cast("double"), 2).as("revenue"),
+          round(col("min_value").cast("double"), 2).as("min_price"),
+          round(col("max_value").cast("double"), 2).as("max_price"),
+          col("n_distinct"))
+        .orderBy("gid", "c_mktsegment", "o_orderpriority")),
+
+    // rollup OVER the maintained ANTI view ([[antiOrdersAggView]]): the
+    // purge-audit rollup, completing the membership x aggregation matrix
+    "mapindex_antiview_agg" -> ((s, dir) =>
+      antiOrdersAggView(s, dir).state
+        .select(col("emit_key").as("o_orderpriority"), col("cnt"),
+          round(col("sum_value").cast("double"), 2).as("revenue"))
+        .orderBy("o_orderpriority")),
+
     // the attribution rollup's MULTI-AGGREGATE surface
     // ([[purchaseClickAttributionMulti]] — trackValues): cnt/sum from
     // the main state, exact deletion-safe min/max/distinct-count of
@@ -1922,12 +2168,15 @@ object MapIndexQueries {
       val st = agg.state.withColumn("k", coalesce(col("emit_key"), lit(nullK)))
       val ms = agg.multiState.withColumn("k", coalesce(col("emit_key"), lit(nullK)))
         .drop("emit_key")
-      st.join(ms, Seq("k"))
+      // LEFT join: a group whose attributed values are ALL NULL lives in
+      // the main state (cnt > 0, NULL sum) but has no refcount rows — it
+      // must serve with null min/max and distinct 0, not vanish
+      st.join(ms, Seq("k"), "left_outer")
         .select(col("emit_key").as("b_id"), col("cnt"),
           round(col("sum_value").cast("double"), 2).as("revenue"),
           round(col("min_value").cast("double"), 2).as("min_rev"),
           round(col("max_value").cast("double"), 2).as("max_rev"),
-          col("n_distinct"))
+          coalesce(col("n_distinct"), lit(0L)).as("n_distinct"))
         .orderBy("b_id")
     }),
 
@@ -2331,6 +2580,46 @@ object MapIndexQueries {
             .as("p50_within_grid"),
           (col("p95_lo") <= col("x95") && col("x95") < col("p95_lo") + 100.0)
             .as("p95_within_grid"))
+        .orderBy("flag")
+    }),
+
+    // MERGEABLE-SKETCH maintained quantiles ([[percentileSketchView]]):
+    // the served estimates come from the group-sized sketch state alone;
+    // the ANCHOR arm recomputes exact type-1 p50/p95, the exact count,
+    // and the TRUE RANK of each estimate from the modified corpus; the
+    // boolean columns assert the deterministic rank-error bound
+    // (|rank(est) - target| <= 5 % of n). Estimates themselves stay out
+    // of the compared columns: merge order may legally move them within
+    // the bound.
+    "mapindex_percentile_sketch" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val est = percentileSketchView(s, dir)
+        .quantiles(Seq("est50" -> 0.5, "est95" -> 0.95))
+        .withColumnRenamed("emit_key", "flag")
+      val src = Tables.lineitem(s, dir)
+        .filter(col("l_orderkey") % 89 =!= 0)
+        .select(when(col("l_orderkey") % 97 === 0, lit("X"))
+            .otherwise(col("l_returnflag")).as("flag"),
+          col("l_extendedprice").as("v"))
+      val counts = src.groupBy("flag", "v").agg(count(lit(1)).as("cnt"))
+      val cum = counts
+        .withColumn("cum", sum("cnt").over(Window.partitionBy("flag").orderBy("v")))
+        .withColumn("n2", sum("cnt").over(Window.partitionBy("flag")))
+      val exact = cum.groupBy("flag")
+        .agg(min(when(col("cum") >= ceil(col("n2") / 2), col("v"))).as("x50"),
+          min(when(col("cum") >= ceil(col("n2") * 19 / 20), col("v"))).as("x95"))
+      val ranks = src.join(est, Seq("flag"))
+        .groupBy("flag")
+        .agg(sum(when(col("v") <= col("est50"), 1L).otherwise(0L)).as("r50"),
+          sum(when(col("v") <= col("est95"), 1L).otherwise(0L)).as("r95"))
+      est.join(exact, Seq("flag")).join(ranks, Seq("flag"))
+        .select(col("flag"), col("n"),
+          round(col("x50"), 2).as("exact_p50"),
+          round(col("x95"), 2).as("exact_p95"),
+          (abs(col("r50") - ceil(col("n") / 2)) <= col("n") * 0.05)
+            .as("p50_within_rank"),
+          (abs(col("r95") - ceil(col("n") * 19 / 20)) <= col("n") * 0.05)
+            .as("p95_within_rank"))
         .orderBy("flag")
     }),
 
@@ -3023,6 +3312,118 @@ object MapIndexQueries {
         |       round(CAST(sum(CAST(a_value AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue
         |FROM m GROUP BY 1
         |ORDER BY b_id NULLS FIRST""".stripMargin,
+    // nearest as-of within 1 h: bounded argmin |dt| per purchase,
+    // distance ties backward (then the side's own pk rule) — epoch_us
+    // arithmetic matches the engine's microsecond read granularity
+    "mapindex_asofjoinview_nearest" ->
+      """WITH p AS (
+        |  SELECT event_id AS a_id, user_id AS a_user,
+        |         CASE WHEN event_id % 37 = 0 THEN ts + INTERVAL 1 HOUR
+        |              ELSE ts END AS a_ts,
+        |         CASE WHEN event_id % 37 = 0 THEN value + 1000
+        |              ELSE value END AS a_value
+        |  FROM events WHERE event_type = 'purchase' AND event_id % 41 <> 0),
+        |c AS (
+        |  SELECT event_id AS b_id, user_id AS b_user,
+        |         CASE WHEN event_id % 13 = 0 THEN ts + INTERVAL 30 MINUTE
+        |              ELSE ts END AS b_ts,
+        |         CASE WHEN event_id % 13 = 0 THEN value + 100
+        |              ELSE value END AS b_value
+        |  FROM events WHERE event_type = 'click' AND event_id % 17 <> 0)
+        |SELECT a.a_id, a.a_user, round(a.a_value, 2) AS a_value,
+        |  (SELECT b.b_id FROM c b
+        |   WHERE b.b_user = a.a_user
+        |     AND abs(epoch_us(b.b_ts) - epoch_us(a.a_ts)) <= 3600000000
+        |   ORDER BY abs(epoch_us(b.b_ts) - epoch_us(a.a_ts)) ASC,
+        |            (b.b_ts <= a.a_ts) DESC,
+        |            CASE WHEN b.b_ts <= a.a_ts THEN -b.b_id ELSE b.b_id END ASC
+        |   LIMIT 1) AS b_id,
+        |  (SELECT round(b.b_value, 2) FROM c b
+        |   WHERE b.b_user = a.a_user
+        |     AND abs(epoch_us(b.b_ts) - epoch_us(a.a_ts)) <= 3600000000
+        |   ORDER BY abs(epoch_us(b.b_ts) - epoch_us(a.a_ts)) ASC,
+        |            (b.b_ts <= a.a_ts) DESC,
+        |            CASE WHEN b.b_ts <= a.a_ts THEN -b.b_id ELSE b.b_id END ASC
+        |   LIMIT 1) AS b_value
+        |FROM p a ORDER BY a.a_id""".stripMargin,
+    // composite-key join: the from-scratch TWO-column-ON join of the
+    // modified orders against the modified derived dim
+    "mapindex_joinview_composite" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |         CASE WHEN o_orderkey % 37 = 0 THEN o_totalprice + 1000
+        |              ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 41 <> 0),
+        |d0 AS (
+        |  SELECT o_custkey AS d_custkey, o_orderstatus AS d_status,
+        |         count(*) AS d_cnt
+        |  FROM orders GROUP BY 1, 2),
+        |d AS (
+        |  SELECT d_custkey, d_status,
+        |         CASE WHEN d_custkey % 13 = 0 THEN d_cnt + 5 ELSE d_cnt END AS d_cnt
+        |  FROM d0 WHERE d_custkey % 17 <> 0)
+        |SELECT o_orderkey, o_custkey, o_orderstatus,
+        |       round(o_totalprice, 2) AS o_totalprice, d_cnt
+        |FROM o JOIN d ON o_custkey = d_custkey AND o_orderstatus = d_status
+        |ORDER BY o_orderkey""".stripMargin,
+    // salt shards invisible: identical oracle to the unsalted composite
+    "mapindex_joinview_composite_salted" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |         CASE WHEN o_orderkey % 37 = 0 THEN o_totalprice + 1000
+        |              ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 41 <> 0),
+        |d0 AS (
+        |  SELECT o_custkey AS d_custkey, o_orderstatus AS d_status,
+        |         count(*) AS d_cnt
+        |  FROM orders GROUP BY 1, 2),
+        |d AS (
+        |  SELECT d_custkey, d_status,
+        |         CASE WHEN d_custkey % 13 = 0 THEN d_cnt + 5 ELSE d_cnt END AS d_cnt
+        |  FROM d0 WHERE d_custkey % 17 <> 0)
+        |SELECT o_orderkey, o_custkey, o_orderstatus,
+        |       round(o_totalprice, 2) AS o_totalprice, d_cnt
+        |FROM o JOIN d ON o_custkey = d_custkey AND o_orderstatus = d_status
+        |ORDER BY o_orderkey""".stripMargin,
+    // the multi-aggregate lattice: ROLLUP with min/max/count(DISTINCT)
+    // recomputed from scratch over both modified tables, on the same
+    // DECIMAL(18,4) spelling the refcount state keys on
+    "mapindex_lattice_multi" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey, o_orderpriority,
+        |         CASE WHEN o_orderkey % 37 = 0 THEN o_totalprice + 1000
+        |              ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 41 <> 0),
+        |c AS (
+        |  SELECT c_custkey, c_mktsegment
+        |  FROM customer WHERE c_custkey % 17 <> 0)
+        |SELECT CAST(GROUPING(c_mktsegment) + 2 * GROUPING(o_orderpriority)
+        |            AS INTEGER) AS gid,
+        |       c_mktsegment, o_orderpriority, count(*) AS cnt,
+        |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2)
+        |         AS revenue,
+        |       round(CAST(min(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2)
+        |         AS min_price,
+        |       round(CAST(max(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2)
+        |         AS max_price,
+        |       count(DISTINCT CAST(o_totalprice AS DECIMAL(18,4))) AS n_distinct
+        |FROM o JOIN c ON o_custkey = c_custkey
+        |GROUP BY ROLLUP(c_mktsegment, o_orderpriority)
+        |ORDER BY gid, c_mktsegment NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    // rollup over the anti view: NOT EXISTS + group-by from scratch
+    "mapindex_antiview_agg" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey, o_orderpriority,
+        |         CASE WHEN o_orderkey % 37 = 0 THEN o_totalprice + 1000
+        |              ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 41 <> 0),
+        |c AS (SELECT c_custkey FROM customer WHERE c_custkey % 17 <> 0)
+        |SELECT o_orderpriority, count(*) AS cnt,
+        |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2)
+        |         AS revenue
+        |FROM o WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.c_custkey = o.o_custkey)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     // rollup over the semi view: EXISTS filter + group-by from scratch
     "mapindex_semiview_agg" ->
       """WITH o AS (
@@ -3377,6 +3778,29 @@ object MapIndexQueries {
         |       (p95_lo <= x95 AND x95 < p95_lo + 100.0) AS p95_within_grid
         |FROM est JOIN exact ON est.flag = exact.flag
         |ORDER BY est.flag""".stripMargin,
+    // sketch quantiles: exact anchors + exact n recomputed; the rank
+    // bound booleans are literal TRUE — Spark's arm computing them from
+    // the sketch state must agree or the hash mismatches
+    "mapindex_percentile_sketch" ->
+      """WITH src AS (
+        |  SELECT CASE WHEN l_orderkey % 97 = 0 THEN 'X' ELSE l_returnflag END AS flag,
+        |         l_extendedprice AS v
+        |  FROM lineitem WHERE l_orderkey % 89 <> 0),
+        |vcounts AS (
+        |  SELECT flag, v, count(*) AS cnt FROM src GROUP BY flag, v),
+        |vcum AS (
+        |  SELECT flag, v,
+        |         CAST(sum(cnt) OVER (PARTITION BY flag ORDER BY v) AS BIGINT) AS cum,
+        |         CAST(sum(cnt) OVER (PARTITION BY flag) AS BIGINT) AS n2
+        |  FROM vcounts),
+        |exact AS (
+        |  SELECT flag, max(n2) AS n,
+        |         min(CASE WHEN cum >= ceil(n2 / 2.0) THEN v END) AS x50,
+        |         min(CASE WHEN cum >= ceil(n2 * 19 / 20.0) THEN v END) AS x95
+        |  FROM vcum GROUP BY flag)
+        |SELECT flag, n, round(x50, 2) AS exact_p50, round(x95, 2) AS exact_p95,
+        |       true AS p50_within_rank, true AS p95_within_rank
+        |FROM exact ORDER BY flag""".stripMargin,
     // top-3 most frequent quantities per (possibly re-flagged) group on
     // the modified corpus, ties to the smaller quantity — row_number
     // mirrored; ranks cast BIGINT both sides

@@ -816,6 +816,46 @@ object RelationalQueries {
         .orderBy("event_id")
     }),
 
+    // NEAREST as-of (pandas merge_asof's third direction): the click
+    // minimizing |dt| per purchase, distance ties resolved BACKWARD —
+    // composed as the backward and forward union+window picks over ONE
+    // exchange on user_id (two sorts) plus an O(1) per-row choice. At
+    // 100 TB this is the same single-shuffle linear shape as join_asof;
+    // no per-row subquery, no candidate cross join.
+    "join_asof_nearest" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val cands = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), lit(0).as("is_probe"),
+          col("event_id").as("rpk"),
+          struct(col("event_id").as("m_id"), col("ts").as("m_ts"),
+            col("value").as("m_value")).as("m"))
+        .withColumn("event_id", lit(null).cast(ev.schema("event_id").dataType))
+      val probes = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), lit(1).as("is_probe"),
+          lit(null).cast(ev.schema("event_id").dataType).as("rpk"),
+          lit(null).cast(cands.schema("m").dataType).as("m"),
+          col("event_id"))
+      val frame: org.apache.spark.sql.expressions.WindowSpec => org.apache.spark.sql.expressions.WindowSpec =
+        _.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wb = frame(Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("is_probe").asc, col("rpk").asc))
+      val wf = frame(Window.partitionBy("user_id")
+        .orderBy(col("ts").desc, col("is_probe").asc, col("rpk").desc))
+      val db = abs(unix_micros(col("ts")) - unix_micros(col("mb.m_ts")))
+      val df_ = abs(unix_micros(col("mf.m_ts")) - unix_micros(col("ts")))
+      probes.unionByName(cands)
+        .withColumn("mb", last("m", ignoreNulls = true).over(wb))
+        .withColumn("mf", last("m", ignoreNulls = true).over(wf))
+        .filter(col("is_probe") === 1)
+        .withColumn("m",
+          when(col("mb").isNotNull && (col("mf").isNull || db <= df_),
+            col("mb")).otherwise(col("mf")))
+        .select(col("event_id"), col("user_id"),
+          col("m.m_id").as("nearest_click_id"),
+          round(col("m.m_value"), 2).as("nearest_click_value"))
+        .orderBy("event_id")
+    }),
+
     // pure interval join (no equi-time key): clicks × purchases of the same
     // user within ±1 hour. The naive theta join is a per-user nested loop;
     // the scale shape bins timestamps at the window width and explodes one
@@ -1789,6 +1829,27 @@ object RelationalQueries {
         |     AND epoch_us(b.ts) <= epoch_us(a.ts)
         |     AND epoch_us(a.ts) - epoch_us(b.ts) <= 3600000000
         |   ORDER BY epoch_us(b.ts) DESC, b.event_id DESC LIMIT 1) AS last_click_value_1h
+        |FROM events a WHERE a.event_type = 'purchase'
+        |ORDER BY a.event_id""".stripMargin,
+    // nearest = argmin |dt|, distance ties backward, then the side's own
+    // pk rule (backward: greatest id; forward: least id) — epoch_us
+    // arithmetic matches the engine's microsecond read granularity
+    "join_asof_nearest" ->
+      """SELECT a.event_id, a.user_id,
+        |  (SELECT b.event_id FROM events b
+        |   WHERE b.user_id = a.user_id AND b.event_type = 'click'
+        |   ORDER BY abs(epoch_us(b.ts) - epoch_us(a.ts)) ASC,
+        |            (epoch_us(b.ts) <= epoch_us(a.ts)) DESC,
+        |            CASE WHEN epoch_us(b.ts) <= epoch_us(a.ts)
+        |                 THEN -b.event_id ELSE b.event_id END ASC
+        |   LIMIT 1) AS nearest_click_id,
+        |  (SELECT round(b.value, 2) FROM events b
+        |   WHERE b.user_id = a.user_id AND b.event_type = 'click'
+        |   ORDER BY abs(epoch_us(b.ts) - epoch_us(a.ts)) ASC,
+        |            (epoch_us(b.ts) <= epoch_us(a.ts)) DESC,
+        |            CASE WHEN epoch_us(b.ts) <= epoch_us(a.ts)
+        |                 THEN -b.event_id ELSE b.event_id END ASC
+        |   LIMIT 1) AS nearest_click_value
         |FROM events a WHERE a.event_type = 'purchase'
         |ORDER BY a.event_id""".stripMargin,
     "join_interval_binned" ->

@@ -619,5 +619,27 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
         s"$q must serve stored rows, not re-derive membership:\n$pf")
       assert(!pf.contains("Join"), s"$q serving must be join-free:\n$pf")
     }
+    // r16 additions — composite-key joins and the nearest as-of serve
+    // stored rows (the spelling/pick work happened at maintenance time);
+    // the anti rollup serves its state join-free
+    for (q <- Seq("mapindex_joinview_composite",
+        "mapindex_joinview_composite_salted")) {
+      val pc = finalPlan(q)
+      assert(!pc.contains("orders.parquet"),
+        s"$q must serve stored rows, not re-derive the composite join:\n$pc")
+      assert(!pc.contains("Join"), s"$q serving must be join-free:\n$pc")
+    }
+    val pn = finalPlan("mapindex_asofjoinview_nearest")
+    assert(!pn.contains("events.parquet") && !pn.contains("Window"),
+      s"nearest as-of serving must stay a stored read:\n$pn")
+    val pag = finalPlan("mapindex_antiview_agg")
+    assert(!pag.contains("orders.parquet") && !pag.contains("customer.parquet") &&
+      !pag.contains("Join"),
+      s"the anti rollup must serve from state alone, join-free:\n$pag")
+    // the multi-aggregate lattice joins its TWO state relations (fine);
+    // no base table may appear
+    val plm = finalPlan("mapindex_lattice_multi")
+    assert(!plm.contains("orders.parquet") && !plm.contains("customer.parquet"),
+      s"lattice multi-agg must read only its two state relations:\n$plm")
   }
 }
