@@ -89,7 +89,7 @@ import graft.engine.BucketedViewStore.RefreshStats
 final class AsOfJoinView(
     val store: BucketedViewStore,
     val name: String,
-    leftPk: String, leftJk: JoinKey, leftTs: String, leftCols: Seq[String],
+    val leftPk: String, leftJk: JoinKey, leftTs: String, leftCols: Seq[String],
     rightPk: String, rightJk: JoinKey, rightTs: String, rightCols: Seq[String],
     direction: String = "backward",
     tolerance: Option[(Column, Column) => Column] = None,
@@ -112,6 +112,8 @@ final class AsOfJoinView(
     s"leftCols must carry the join key $leftJk")
   require(rightJk.parts.forall(rightCols.contains),
     s"rightCols must carry the join key $rightJk")
+
+  override def srcPk: String = leftPk
 
   // SKEW: a hot join key (one user owning a large share of facts or
   // candidates) concentrates its emissions in ONE bucket per view;

@@ -48,7 +48,7 @@ import graft.engine.BucketedViewStore.RefreshStats
 final class FilterJoinView(
     val store: BucketedViewStore,
     val name: String,
-    leftPk: String, leftJk: JoinKey, leftCols: Seq[String],
+    val leftPk: String, leftJk: JoinKey, leftCols: Seq[String],
     rightPk: String, rightJk: JoinKey,
     mode: String,
     saltBuckets: Int = 1) extends MaintainedRelation {
@@ -60,6 +60,8 @@ final class FilterJoinView(
     s"leftCols must carry the pk '$leftPk' and join key $leftJk")
   require(leftJk.size == rightJk.size,
     s"join keys must have the same arity: $leftJk vs $rightJk")
+
+  override def srcPk: String = leftPk
 
   private val passType = if (mode == "semi") "left_semi" else "left_anti"
 

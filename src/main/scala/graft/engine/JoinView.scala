@@ -105,6 +105,8 @@ final class JoinView(
     case t             => t
   }
 
+  override def srcPk: String = leftPk
+
   /** Does this view carry the right-pad twin? */
   override def padsRight: Boolean =
     joinType == "full_outer" || joinType == "right_outer"
@@ -247,33 +249,6 @@ final class JoinView(
       // tombstoned lose their pads via the explicit delete set
       refreshRpad(dirtyJk, dels.map(_.toDF("src_key")))
     stats
-  }
-
-  /** Catch a DOWNSTREAM JoinView — one whose LEFT input is THIS view's
-    * joined rows (same left primary key) — up to this view's state by
-    * replaying this view's CDC feed over `(fromEpoch, toEpoch]`: the
-    * three-way (and deeper) delta-join chain. Net per source key: a key
-    * with an insert in the feed is an upsert (refreshLeft's ownership
-    * retraction covers its old outputs), a key with deletes only is a
-    * tombstone. Replay is O(delta at this level); the downstream refresh
-    * is its ordinary bucket-pruned ΔL⋈R′. */
-  def cascadeInto(next: JoinView, fromEpoch: Int, toEpoch: Int): RefreshStats = {
-    require(next.leftPk == leftPk,
-      s"downstream join view '${next.name}' keys its left side by " +
-        s"'${next.leftPk}', not this view's left pk '$leftPk'")
-    val feed = changes(fromEpoch, toEpoch)
-    // resolve the gross feed to each key's FINAL state (the replayDelta
-    // rule: a refresh retracts changed keys wholesale, so only the last
-    // touching version's inserts survive a multi-epoch replay — feeding
-    // both an e1 and an e2 version of one key downstream would double it)
-    val lastV = feed.groupBy("src_key").agg(max("change_version").as("change_version"))
-    val ups = feed.join(lastV, Seq("src_key", "change_version"))
-      .filter(col("change_type") === "insert")
-      .select(col("emit_value.*"))
-    val upsKeys = ups.select(col(leftPk).cast("string").as("src_key")).distinct()
-    val delKeys = feed.select("src_key").distinct()
-      .join(upsKeys, Seq("src_key"), "left_anti")
-    next.refreshLeft(ups, Some(delKeys))
   }
 
   /** The maintained join relation (original input columns). Under

@@ -1793,6 +1793,67 @@ object MapIndexQueries {
       v
     })
 
+
+  /** GENERIC CASCADE from a non-join maintained relation: the SEMI view
+    * ("orders of live customers") feeds a DOWNSTREAM [[graft.engine
+    * .JoinView]] against a derived priority dim via
+    * [[graft.engine.MaintainedRelation.cascadeInto]] CDC replay — the
+    * composition the reference's cascade (O17) gestures at, generalized
+    * to any producer: membership flips at level 1 (a purged customer's
+    * orders leaving) arrive at level 2 as ordinary upsert/tombstone
+    * batches, and level 2 then takes its OWN right-side batch (dim
+    * re-values + the '5-LOW' priority dropped). The oracle recomputes
+    * EXISTS + two-key join from all three modified relations, where the
+    * EXISTS genuinely prunes (the dim join is on priority, not custkey).
+    */
+  private def semiCascadeView(s: SparkSession, dir: String): graft.engine.JoinView =
+    joinViews.getOrElseUpdate(s"$dir#semicascade", {
+      val store = Views.bucketedStore(s, dir)
+      val fv = new graft.engine.FilterJoinView(store, "orders_customer_semic",
+        "o_orderkey", "o_custkey",
+        Seq("o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"),
+        "c_custkey", "c_custkey", "semi")
+      val jv = new graft.engine.JoinView(store, "semi_orders_pr",
+        "o_orderkey", "o_orderpriority",
+        Seq("o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"),
+        "p_name", "p_name", Seq("p_name", "p_cnt"))
+      val unit = "semi_orders_pr"
+      if (!Views.unitDone(store.baseDir, unit)) {
+        val o = Tables.orders(s, dir)
+        val c = Tables.customer(s, dir)
+        val dim = o.groupBy(col("o_orderpriority").as("p_name"))
+          .agg(count(lit(1)).as("p_cnt"))
+        fv.build(o, c)
+        jv.build(fv.df, dim)
+        // level-1 LEFT batch (shared orders reprice/tombstone), replayed
+        // into level 2 off the semi view's CDC alone
+        val upsL = o.filter(col("o_orderkey") % 37 === 0 && col("o_orderkey") % 41 =!= 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000)
+        val delsL = o.filter(col("o_orderkey") % 41 === 0)
+          .select(col("o_orderkey").cast("string")).distinct()
+        fv.refreshLeft(upsL, Some(delsL))
+        fv.cascadeInto(jv, 0, fv.epoch)
+        // level-1 RIGHT batch: the customer purge flips memberships —
+        // those flips reach level 2 purely as CDC replay
+        var from = fv.epoch
+        val upsR = c.filter(col("c_custkey") % 13 === 0 && col("c_custkey") % 17 =!= 0)
+        val delsR = c.filter(col("c_custkey") % 17 === 0)
+          .select(col("c_custkey").cast("string")).distinct()
+        fv.refreshRight(upsR, Some(delsR))
+        fv.cascadeInto(jv, from, fv.epoch)
+        // level-2's OWN right batch: odd-digit priorities re-counted,
+        // '5-LOW' dropped (its orders must leave the view)
+        val upsD = dim.filter(substring(col("p_name"), 1, 1).cast("int") % 2 === 1
+            && substring(col("p_name"), 1, 1).cast("int") % 5 =!= 0)
+          .withColumn("p_cnt", col("p_cnt") + 7)
+        val delsD = dim.filter(substring(col("p_name"), 1, 1).cast("int") % 5 === 0)
+          .select(col("p_name")).distinct()
+        jv.refreshRight(upsD, Some(delsD))
+        Views.markUnitDone(store.baseDir, unit)
+      }
+      jv
+    })
+
   def prewarm(s: SparkSession, dir: String): Unit = {
     ordersCustomerView(s, dir)
     streamedOrdersCustomerView(s, dir)
@@ -1817,6 +1878,7 @@ object MapIndexQueries {
     saltedSemiView(s, dir)
     semiOrdersAggView(s, dir)
     antiOrdersAggView(s, dir)
+    semiCascadeView(s, dir)
     compositeOrdersView(s, dir, salted = false)
     compositeOrdersView(s, dir, salted = true)
     latticeMultiView(s, dir)
@@ -2156,6 +2218,16 @@ object MapIndexQueries {
         .select(col("emit_key").as("o_orderpriority"), col("cnt"),
           round(col("sum_value").cast("double"), 2).as("revenue"))
         .orderBy("o_orderpriority")),
+
+    // GENERIC cascade ([[semiCascadeView]]): the semi view feeds a
+    // downstream JoinView by CDC replay (membership flips arrive as
+    // ordinary deltas), which then takes its own right-side batch; the
+    // oracle recomputes EXISTS + the priority-key join from scratch
+    "mapindex_semiview_cascade" -> ((s, dir) =>
+      semiCascadeView(s, dir).df
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"),
+          round(col("o_totalprice"), 2).as("o_totalprice"), col("p_cnt"))
+        .orderBy("o_orderkey")),
 
     // the attribution rollup's MULTI-AGGREGATE surface
     // ([[purchaseClickAttributionMulti]] — trackValues): cnt/sum from
@@ -3424,6 +3496,28 @@ object MapIndexQueries {
         |FROM o WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.c_custkey = o.o_custkey)
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+    // generic cascade: EXISTS membership + the priority-dim join, all
+    // three relations modified, from scratch
+    "mapindex_semiview_cascade" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey, o_orderpriority,
+        |         CASE WHEN o_orderkey % 37 = 0 THEN o_totalprice + 1000
+        |              ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 41 <> 0),
+        |c AS (SELECT c_custkey FROM customer WHERE c_custkey % 17 <> 0),
+        |d0 AS (
+        |  SELECT o_orderpriority AS p_name, count(*) AS p_cnt
+        |  FROM orders GROUP BY 1),
+        |d AS (
+        |  SELECT p_name,
+        |         CASE WHEN CAST(substr(p_name, 1, 1) AS INT) % 2 = 1
+        |              THEN p_cnt + 7 ELSE p_cnt END AS p_cnt
+        |  FROM d0 WHERE CAST(substr(p_name, 1, 1) AS INT) % 5 <> 0)
+        |SELECT o_orderkey, o_custkey, o_orderpriority,
+        |       round(o_totalprice, 2) AS o_totalprice, p_cnt
+        |FROM o JOIN d ON o_orderpriority = p_name
+        |WHERE EXISTS (SELECT 1 FROM c WHERE c.c_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin,
     // rollup over the semi view: EXISTS filter + group-by from scratch
     "mapindex_semiview_agg" ->
       """WITH o AS (

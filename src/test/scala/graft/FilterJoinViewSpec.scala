@@ -156,4 +156,70 @@ class FilterJoinViewSpec extends AnyFunSuite with SparkSpec {
     assert(snap(semi) === Set(2L, 3L))
     assert(snap(anti) === Set(1L))
   }
+
+  test("generic cascade: the semi view feeds a downstream JoinView by CDC replay") {
+    import graft.engine.JoinView
+    val store = BucketedViewStore.temp(spark, 8)
+    val semi = new FilterJoinView(store, "t_semi_casc",
+      "l_pk", "l_jk", Seq("l_pk", "l_jk", "l_cat", "l_val"), "r_pk", "r_jk", "semi")
+    def left3(rows: (Long, String, String, Long)*) =
+      rows.toSeq.toDF("l_pk", "l_jk", "l_cat", "l_val")
+    val down = new JoinView(store, "t_semi_casc_dn",
+      "l_pk", "l_cat", Seq("l_pk", "l_jk", "l_cat", "l_val"),
+      "d_pk", "d_cat", Seq("d_pk", "d_cat", "d_w"))
+    def dimDf(rows: (Long, String, Double)*) =
+      rows.toSeq.toDF("d_pk", "d_cat", "d_w")
+    var lRows = Seq((1L, "a", "x", 10L), (2L, "a", "y", 20L),
+      (3L, "b", "x", 30L), (4L, "c", "y", 40L))
+    var rKeys = Seq((100L, "a"), (101L, "b"))
+    val dim = Seq((7L, "x", 1.5), (8L, "y", 2.5))
+    semi.build(left3(lRows: _*), rKeys.toSeq.toDF("r_pk", "r_jk"))
+    down.build(semi.df, dimDf(dim: _*))
+
+    def expected(): Set[(Long, Double)] =
+      lRows.filter(r => rKeys.exists(_._2 == r._2))
+        .map(r => (r._1, dim.find(_._2 == r._3).get._3)).toSet
+    def snap3(): Set[(Long, Double)] =
+      down.df.select("l_pk", "d_w").as[(Long, Double)].collect().toSet
+    assert(snap3() === expected())
+
+    // LEFT batch: pk 4 hops c->a (flips INTO membership), pk 1 deleted;
+    // the downstream learns both purely from the semi view's CDC
+    var from = semi.epoch
+    semi.refreshLeft(left3((4L, "a", "y", 41L)),
+      Some(left3((1L, "z", "z", 0L)).select(col("l_pk").cast("string"))))
+    semi.cascadeInto(down, from, semi.epoch)
+    lRows = lRows.filterNot(r => r._1 == 1L || r._1 == 4L) :+ (4L, "a", "y", 41L)
+    assert(snap3() === expected())
+
+    // RIGHT batch: key a purged — every 'a' row flips OUT; the flips
+    // reach the downstream as ordinary tombstones through the replay
+    from = semi.epoch
+    semi.refreshRight(Seq.empty[(Long, String)].toDF("r_pk", "r_jk"),
+      Some(Seq(100L).toDF("r_pk").select(col("r_pk").cast("string"))))
+    semi.cascadeInto(down, from, semi.epoch)
+    rKeys = rKeys.filterNot(_._1 == 100L)
+    assert(snap3() === expected())
+
+    // a FLIP-FREE level-1 refresh cascades an empty delta harmlessly
+    from = semi.epoch
+    semi.refreshRight(Seq((102L, "b")).toDF("r_pk", "r_jk"), None)
+    semi.cascadeInto(down, from, semi.epoch)
+    assert(snap3() === expected())
+
+    // misuse fails loud: wrong downstream pk; padded upstream
+    val bad = new JoinView(store, "t_semi_casc_bad",
+      "other_pk", "o_cat", Seq("other_pk", "o_cat"),
+      "d_pk", "d_cat", Seq("d_pk", "d_cat"))
+    val e1 = intercept[IllegalArgumentException](
+      semi.cascadeInto(bad, 0, semi.epoch))
+    assert(e1.getMessage.contains("pk"))
+    val padded = new JoinView(store, "t_semi_casc_fo",
+      "l_pk", "l_jk", Seq("l_pk", "l_jk", "l_val"),
+      "r_pk", "r_jk", Seq("r_pk", "r_jk", "r_val"), joinType = "full_outer")
+    padded.build(leftDf((1L, "a", 1L)), rightDf((9L, "a")).withColumn("r_val", lit(1.0)))
+    val e2 = intercept[IllegalArgumentException](
+      padded.cascadeInto(down, 0, padded.epoch))
+    assert(e2.getMessage.contains("left-keyed"))
+  }
 }

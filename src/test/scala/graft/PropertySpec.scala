@@ -778,4 +778,65 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
       }
     }
   }
+
+  test("composite-key salted join view equals the recomputed join on adversarial random histories") {
+    import graft.engine.JoinView
+    // key-part alphabet chosen to stress the escaped spelling: raw
+    // separator, raw escape char, and strings that concat_ws would
+    // collide across part boundaries
+    val partGen = Gen.oneOf("a", "a\u0001", "\u0001a", "b\u0002", "\u0002\u0001", "c")
+    val lRowGen = Gen.zip(Gen.choose(1L, 10L), partGen, partGen, Gen.choose(0L, 99L))
+    val rRowGen = Gen.zip(Gen.choose(100L, 106L), partGen, partGen,
+      Gen.choose(0.0, 9.0).map(x => math.rint(x * 4) / 4))
+    def lDf(rows: Map[Long, (String, String, Long)]) =
+      rows.toSeq.map { case (k, (j1, j2, v)) => (k, j1, j2, v) }
+        .toDF("l_pk", "l_j1", "l_j2", "l_val")
+    def rDf(rows: Map[Long, (String, String, Double)]) =
+      rows.toSeq.map { case (k, (j1, j2, v)) => (k, j1, j2, v) }
+        .toDF("r_pk", "r_j1", "r_j2", "r_val")
+    def joined(l: Map[Long, (String, String, Long)],
+        r: Map[Long, (String, String, Double)]) =
+      (for {
+        (lk, (lj1, lj2, lv)) <- l.toSeq
+        (rk, (rj1, rj2, rv)) <- r.toSeq if lj1 == rj1 && lj2 == rj2
+      } yield (lk, rk, lv, rv)).toSet
+    (1 to 2).foreach { trial =>
+      val store = graft.engine.BucketedViewStore.temp(spark, 4)
+      val jv = new JoinView(store, s"jvck_prop$trial",
+        "l_pk", Seq("l_j1", "l_j2"), Seq("l_pk", "l_j1", "l_j2", "l_val"),
+        "r_pk", Seq("r_j1", "r_j2"), Seq("r_pk", "r_j1", "r_j2", "r_val"),
+        saltBuckets = 3)
+      var lState = sample(Gen.listOfN(6, lRowGen), 4400L + trial)
+        .map { case (k, j1, j2, v) => k -> (j1, j2, v) }.toMap
+      var rState = sample(Gen.listOfN(4, rRowGen), 4500L + trial)
+        .map { case (k, j1, j2, v) => k -> (j1, j2, v) }.toMap
+      jv.build(lDf(lState), rDf(rState))
+      (1 to 3).foreach { round =>
+        val leftTurn = (trial + round) % 2 == 0
+        if (leftTurn) {
+          val ups = sample(Gen.listOfN(3, lRowGen), 5000L * trial + round)
+            .map { case (k, j1, j2, v) => k -> (j1, j2, v) }.toMap
+          val delIds = sample(Gen.listOfN(2, Gen.choose(1L, 10L)),
+            6000L * trial + round).toSet -- ups.keySet
+          lState = (lState ++ ups) -- delIds
+          jv.refreshLeft(lDf(ups),
+            if (delIds.isEmpty) None
+            else Some(delIds.toSeq.toDF("k").select(col("k").cast("string"))))
+        } else {
+          val ups = sample(Gen.listOfN(2, rRowGen), 7000L * trial + round)
+            .map { case (k, j1, j2, v) => k -> (j1, j2, v) }.toMap
+          val delIds = sample(Gen.listOfN(1, Gen.choose(100L, 106L)),
+            8000L * trial + round).toSet -- ups.keySet
+          rState = (rState ++ ups) -- delIds
+          jv.refreshRight(rDf(ups),
+            if (delIds.isEmpty) None
+            else Some(delIds.toSeq.toDF("k").select(col("k").cast("string"))))
+        }
+        val got = jv.df.select("l_pk", "r_pk", "l_val", "r_val")
+          .as[(Long, Long, Long, Double)].collect().toSet
+        assert(got === joined(lState, rState),
+          s"trial $trial round $round L=$lState R=$rState")
+      }
+    }
+  }
 }
