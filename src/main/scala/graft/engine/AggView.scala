@@ -137,28 +137,42 @@ object AggView {
     * the flat and bucketed layouts: given the pre-refresh base emissions,
     * the change batch, the post-refresh base emissions, and the current
     * state, returns `(updated state rows for touched groups, touched
-    * group keys)` — the caller writes them into its layout. */
+    * group keys)` — the caller writes them into its layout.
+    * `broadcastLimit` size-gates the changed-key/touched-group broadcast
+    * joins (the [[BucketedViewStore.broadcastKeyLimit]] contract): an
+    * ordinary delta broadcasts, a bulk backfill falls back to plain
+    * shuffle joins on the same predicates — identical results, bounded
+    * driver memory. Long.MaxValue (the flat test-scale layout's default)
+    * skips the count entirely. */
   private[engine] def maintain(
       index: MapIndex,
       preBase: DataFrame,
       upserts: DataFrame,
       deleteKeys: Option[DataFrame],
       postBase: DataFrame,
-      state: DataFrame): (DataFrame, DataFrame) = {
+      state: DataFrame,
+      broadcastLimit: Long = Long.MaxValue): (DataFrame, DataFrame) = {
     requireNumericValue(preBase)
     val upsertKeys = index.touchedKeys(upserts)
     val changed = deleteKeys match {
       case Some(d) => upsertKeys.union(d.toDF("src_key")).distinct()
       case None    => upsertKeys
     }
-    val oldEmis = preBase.join(broadcast(changed), Seq("src_key"), "left_semi")
+    // one delta-sized count decides the plan for all three key joins
+    val hint: DataFrame => DataFrame =
+      if (broadcastLimit == Long.MaxValue) broadcast
+      else {
+        val c = changed.cache()
+        if (c.count() <= broadcastLimit) broadcast else identity
+      }
+    val oldEmis = preBase.join(hint(changed), Seq("src_key"), "left_semi")
     val newEmis = index.emissions(upserts)
     val delta = partials(oldEmis, negate = true)
       .unionByName(partials(newEmis, negate = false))
       .groupBy("emit_key")
       .agg(sum("d_cnt").as("d_cnt"), sum("d_sum").cast(SumType).as("d_sum"))
     val touched = delta.select("emit_key").distinct()
-    val touchedOld = state.join(broadcast(touched), Seq("emit_key"), "left_semi")
+    val touchedOld = state.join(hint(touched), Seq("emit_key"), "left_semi")
     val merged = touchedOld.join(delta, Seq("emit_key"), "full_outer")
       .select(col("emit_key"),
         (coalesce(col("cnt"), lit(0L)) + coalesce(col("d_cnt"), lit(0L))).as("cnt"),
@@ -166,7 +180,7 @@ object AggView {
           + coalesce(col("d_sum"), lit(0).cast(SumType)))
           .cast(SumType).as("sum_value"))
       .filter(col("cnt") > 0) // a group whose count reaches zero vanishes
-    val mm = postBase.join(broadcast(touched), Seq("emit_key"), "left_semi")
+    val mm = postBase.join(hint(touched), Seq("emit_key"), "left_semi")
       .groupBy("emit_key")
       .agg(min("emit_value").as("min_value"), max("emit_value").as("max_value"))
     val updated = merged.join(mm, Seq("emit_key"), "inner")
@@ -234,7 +248,8 @@ final class BucketedAggView private (
     val postBase = store.df(baseIndex.name)
     val preState = state
     val (updated, touched) = AggView.maintain(
-      baseIndex, preBase, upserts, deleteKeys, postBase, preState)
+      baseIndex, preBase, upserts, deleteKeys, postBase, preState,
+      store.broadcastKeyLimit)
     // delete-then-insert per touched group: groups with rows re-emit their
     // new aggregate; vanished groups fall under the delete set only
     val stateStats = store.refresh(stateIdx, updated,

@@ -1793,6 +1793,66 @@ object MapIndexQueries {
       v
     })
 
+  /** The sketch state built PURELY through insert micro-batches (three
+    * corpus slices — each fold takes the O(delta) `qsketch_merge` path,
+    * no group ever rebuilt) before the shared upsert+tombstone batch
+    * exercises rebuild-on-delete: the streamed-history twin every
+    * maintained family carries. Same oracle as the batch-built gate. */
+  private val sketchQSIdx = MapIndex.columns("lineitem_flagsketchs")(
+    concat_ws("-", col("l_orderkey"), col("l_linenumber")),
+    array(emit(col("l_returnflag"), col("l_extendedprice"))))
+
+  private def percentileSketchSView(s: SparkSession, dir: String): graft.engine.SketchQuantileView =
+    sketchViews.getOrElseUpdate(s"$dir#stream", {
+      val store = Views.bucketedStore(s, dir)
+      val v = new graft.engine.SketchQuantileView(store, sketchQSIdx,
+        "lineitem_flagsketchs__state")
+      if (!Views.unitDone(store.baseDir, "lineitem_flagsketchs")) {
+        val li = Tables.lineitem(s, dir)
+        v.build(li.filter(col("l_orderkey") % 3 === 0))
+        v.refresh(li.filter(col("l_orderkey") % 3 === 1), None)
+        v.refresh(li.filter(col("l_orderkey") % 3 === 2), None)
+        v.refresh(reflaggedUpserts(li), Some(tombstoneKeys(li)))
+        Views.markUnitDone(store.baseDir, "lineitem_flagsketchs")
+      }
+      v
+    })
+
+  /** Shared serve arm of the sketch-quantile gates: estimates from the
+    * state, exact anchors + true ranks of the estimates recomputed from
+    * the modified corpus, booleans asserting the 5 % rank bound. */
+  private def sketchQuantileGate(v: graft.engine.SketchQuantileView,
+      s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val est = v.quantiles(Seq("est50" -> 0.5, "est95" -> 0.95))
+      .withColumnRenamed("emit_key", "flag")
+    val src = Tables.lineitem(s, dir)
+      .filter(col("l_orderkey") % 89 =!= 0)
+      .select(when(col("l_orderkey") % 97 === 0, lit("X"))
+          .otherwise(col("l_returnflag")).as("flag"),
+        col("l_extendedprice").as("v"))
+    val counts = src.groupBy("flag", "v").agg(count(lit(1)).as("cnt"))
+    val cum = counts
+      .withColumn("cum", sum("cnt").over(Window.partitionBy("flag").orderBy("v")))
+      .withColumn("n2", sum("cnt").over(Window.partitionBy("flag")))
+    val exact = cum.groupBy("flag")
+      .agg(min(when(col("cum") >= ceil(col("n2") / 2), col("v"))).as("x50"),
+        min(when(col("cum") >= ceil(col("n2") * 19 / 20), col("v"))).as("x95"))
+    val ranks = src.join(est, Seq("flag"))
+      .groupBy("flag")
+      .agg(sum(when(col("v") <= col("est50"), 1L).otherwise(0L)).as("r50"),
+        sum(when(col("v") <= col("est95"), 1L).otherwise(0L)).as("r95"))
+    est.join(exact, Seq("flag")).join(ranks, Seq("flag"))
+      .select(col("flag"), col("n"),
+        round(col("x50"), 2).as("exact_p50"),
+        round(col("x95"), 2).as("exact_p95"),
+        (abs(col("r50") - ceil(col("n") / 2)) <= col("n") * 0.05)
+          .as("p50_within_rank"),
+        (abs(col("r95") - ceil(col("n") * 19 / 20)) <= col("n") * 0.05)
+          .as("p95_within_rank"))
+      .orderBy("flag")
+  }
+
 
   /** GENERIC CASCADE from a non-join maintained relation: the SEMI view
     * ("orders of live customers") feeds a DOWNSTREAM [[graft.engine
@@ -1892,6 +1952,7 @@ object MapIndexQueries {
     percentileBView(s, dir)
     percentileContView(s, dir)
     percentileSketchView(s, dir)
+    percentileSketchSView(s, dir)
     distinctSView(s, dir)
     mixedView(s, dir)
     rangeBucketedFlag(s, dir)
@@ -2663,37 +2724,14 @@ object MapIndexQueries {
     // (|rank(est) - target| <= 5 % of n). Estimates themselves stay out
     // of the compared columns: merge order may legally move them within
     // the bound.
-    "mapindex_percentile_sketch" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val est = percentileSketchView(s, dir)
-        .quantiles(Seq("est50" -> 0.5, "est95" -> 0.95))
-        .withColumnRenamed("emit_key", "flag")
-      val src = Tables.lineitem(s, dir)
-        .filter(col("l_orderkey") % 89 =!= 0)
-        .select(when(col("l_orderkey") % 97 === 0, lit("X"))
-            .otherwise(col("l_returnflag")).as("flag"),
-          col("l_extendedprice").as("v"))
-      val counts = src.groupBy("flag", "v").agg(count(lit(1)).as("cnt"))
-      val cum = counts
-        .withColumn("cum", sum("cnt").over(Window.partitionBy("flag").orderBy("v")))
-        .withColumn("n2", sum("cnt").over(Window.partitionBy("flag")))
-      val exact = cum.groupBy("flag")
-        .agg(min(when(col("cum") >= ceil(col("n2") / 2), col("v"))).as("x50"),
-          min(when(col("cum") >= ceil(col("n2") * 19 / 20), col("v"))).as("x95"))
-      val ranks = src.join(est, Seq("flag"))
-        .groupBy("flag")
-        .agg(sum(when(col("v") <= col("est50"), 1L).otherwise(0L)).as("r50"),
-          sum(when(col("v") <= col("est95"), 1L).otherwise(0L)).as("r95"))
-      est.join(exact, Seq("flag")).join(ranks, Seq("flag"))
-        .select(col("flag"), col("n"),
-          round(col("x50"), 2).as("exact_p50"),
-          round(col("x95"), 2).as("exact_p95"),
-          (abs(col("r50") - ceil(col("n") / 2)) <= col("n") * 0.05)
-            .as("p50_within_rank"),
-          (abs(col("r95") - ceil(col("n") * 19 / 20)) <= col("n") * 0.05)
-            .as("p95_within_rank"))
-        .orderBy("flag")
-    }),
+    "mapindex_percentile_sketch" -> ((s, dir) =>
+      sketchQuantileGate(percentileSketchView(s, dir), s, dir)),
+
+    // the sketch state built through pure insert micro-batches (merge
+    // path only) before the shared batch (rebuild path) — the streamed
+    // twin, same oracle as the batch-built gate
+    "mapindex_percentile_sketch_streamed" -> ((s, dir) =>
+      sketchQuantileGate(percentileSketchSView(s, dir), s, dir)),
 
     // maintained per-group TOP-K FREQUENT values from the SAME refcount
     // state — the exact, deletion-safe version of what Misra-Gries
@@ -3876,6 +3914,27 @@ object MapIndexQueries {
     // bound booleans are literal TRUE — Spark's arm computing them from
     // the sketch state must agree or the hash mismatches
     "mapindex_percentile_sketch" ->
+      """WITH src AS (
+        |  SELECT CASE WHEN l_orderkey % 97 = 0 THEN 'X' ELSE l_returnflag END AS flag,
+        |         l_extendedprice AS v
+        |  FROM lineitem WHERE l_orderkey % 89 <> 0),
+        |vcounts AS (
+        |  SELECT flag, v, count(*) AS cnt FROM src GROUP BY flag, v),
+        |vcum AS (
+        |  SELECT flag, v,
+        |         CAST(sum(cnt) OVER (PARTITION BY flag ORDER BY v) AS BIGINT) AS cum,
+        |         CAST(sum(cnt) OVER (PARTITION BY flag) AS BIGINT) AS n2
+        |  FROM vcounts),
+        |exact AS (
+        |  SELECT flag, max(n2) AS n,
+        |         min(CASE WHEN cum >= ceil(n2 / 2.0) THEN v END) AS x50,
+        |         min(CASE WHEN cum >= ceil(n2 * 19 / 20.0) THEN v END) AS x95
+        |  FROM vcum GROUP BY flag)
+        |SELECT flag, n, round(x50, 2) AS exact_p50, round(x95, 2) AS exact_p95,
+        |       true AS p50_within_rank, true AS p95_within_rank
+        |FROM exact ORDER BY flag""".stripMargin,
+    // the streamed twin converges to the same final state: same oracle
+    "mapindex_percentile_sketch_streamed" ->
       """WITH src AS (
         |  SELECT CASE WHEN l_orderkey % 97 = 0 THEN 'X' ELSE l_returnflag END AS flag,
         |         l_extendedprice AS v

@@ -358,4 +358,51 @@ class AsOfJoinViewSpec extends AnyFunSuite with SparkSpec {
     v.refreshLeft(probes2((101L, kB._1, kB._2, 11L, 1L)), None)
     assert(snap(v) === Set((100L, Some(4L), Some(4.0)), (101L, None, None)))
   }
+
+  test("generic cascade: the as-of view feeds a downstream JoinView by CDC replay") {
+    import graft.engine.JoinView
+    val store = BucketedViewStore.temp(spark, 8)
+    val v = mk(store, "t_asof_casc")
+    // downstream: the as-of view's rows joined to a small dim on the
+    // probe key — replay must carry retractions, re-keys and re-picks
+    val down = new JoinView(store, "t_asof_casc_dn",
+      "p_pk", "p_jk", Seq("p_pk", "p_jk", "p_ts", "p_val"),
+      "d_pk", "d_jk", Seq("d_pk", "d_jk", "d_w"))
+    def dimDf(rows: (Long, String, Double)*) =
+      rows.toSeq.toDF("d_pk", "d_jk", "d_w")
+    var ls = Seq((100L, "a", 10L, 1L), (101L, "a", 25L, 2L), (102L, "b", 40L, 3L))
+    var rs = Seq((1L, "a", 5L, 1.0), (2L, "a", 20L, 2.0))
+    val dim = Seq((7L, "a", 1.5), (8L, "b", 2.5))
+    v.build(probes(ls: _*), quotes(rs: _*))
+    down.build(v.df, dimDf(dim: _*))
+
+    def snapDn(): Set[(Long, Double)] =
+      down.df.select("p_pk", "d_w").as[(Long, Double)].collect().toSet
+    def expectedDn(): Set[(Long, Double)] =
+      ls.flatMap { case (pk, jk, _, _) =>
+        dim.filter(_._2 == jk).map(d => (pk, d._3)) }.toSet
+    assert(snapDn() === expectedDn())
+
+    // a LEFT batch (probe re-keyed a->b, one retracted) replays into
+    // the downstream off the as-of view's CDC alone
+    var from = v.epoch
+    v.refreshLeft(probes((101L, "b", 26L, 2L)),
+      Some(probes((100L, "zz", 0L, 0L)).select(col("p_pk").cast("string"))))
+    v.cascadeInto(down, from, v.epoch)
+    ls = ls.filterNot(r => r._1 == 100L || r._1 == 101L) :+ (101L, "b", 26L, 2L)
+    assert(snapDn() === expectedDn())
+
+    // a RIGHT batch changes PICKS (not membership): the diffed as-of
+    // delta reaches the downstream as upserts of only the re-picked
+    // rows; row 102 keeps its pad-side emission (jk b has no quotes)
+    from = v.epoch
+    v.refreshRight(quotes((3L, "a", 30L, 3.0)), None)
+    v.cascadeInto(down, from, v.epoch)
+    rs = rs :+ (3L, "a", 30L, 3.0)
+    assert(snapDn() === expectedDn())
+    // and the downstream's own right side refreshes independently
+    down.refreshRight(dimDf((8L, "b", 9.5)), None)
+    assert(snapDn() === (expectedDn() -- Set((101L, 2.5), (102L, 2.5))
+      ++ Set((101L, 9.5), (102L, 9.5))))
+  }
 }

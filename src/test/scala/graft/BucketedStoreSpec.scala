@@ -421,4 +421,28 @@ class BucketedStoreSpec extends AnyFunSuite with SparkSpec {
       Some(Seq("k0").toDF("src_key")))
     assert(snapshot(gated.df(idx.name)) === snapshot(plain.df(idx.name)))
   }
+
+  test("bucketed agg maintenance past broadcastKeyLimit matches the broadcast plan") {
+    import java.nio.file.Files
+    import graft.engine.BucketedAggView
+    val aggIdx = MapIndex.columns("bkl_agg")(col("key"),
+      array(emit(concat(lit("g"), (col("v") % 3).cast("string")), col("v"))))
+    val gatedStore = new BucketedViewStore(spark,
+      Files.createTempDirectory("graft-bklagg-").toString, numBuckets = 8,
+      broadcastKeyLimit = 0L)
+    val plainStore = BucketedViewStore.temp(spark, numBuckets = 8)
+    val src = rows(120).toDF("key", "v")
+    val gated = BucketedAggView.build(gatedStore, aggIdx, src, "bkl_agg__state")
+    val plain = BucketedAggView.build(plainStore, aggIdx, src, "bkl_agg__state")
+    val ups = (0 until 120 by 2).map(i => s"k$i" -> (i + 500)).toDF("key", "v")
+    val dels = Some((1 until 120 by 6).map(i => s"k$i").toDF("src_key"))
+    val sg = gated.refresh(aggIdx, ups, dels)
+    val sp = plain.refresh(aggIdx, ups, dels)
+    assert(sg === sp, "agg refresh stats must not depend on the join strategy")
+    def st(v: BucketedAggView) =
+      v.state.select(col("emit_key"), col("cnt"),
+          col("sum_value").cast("long"), col("min_value"), col("max_value"))
+        .as[(String, Long, Long, Int, Int)].collect().sorted.toSeq
+    assert(st(gated) === st(plain))
+  }
 }
