@@ -68,10 +68,17 @@ final class JoinGroupingView(
     }.sum
 
   /** State-key spelling of one set's group for a row: set index, then
-    * the set's UNMASKED values in groupCols order (null → sentinel). */
+    * the set's UNMASKED values in groupCols order (null → sentinel),
+    * each part ESCAPED ([[CompositeKey.escapePart]]) — a group VALUE
+    * containing the separator must not collide two different groups
+    * (("x\u0001", "y") vs ("x", "\u0001y") under raw concat_ws would
+    * merge their counts and serve the wrong group fields). The sentinel
+    * spellings contain no separator/escape bytes, so they are fixed
+    * points of the escaping. */
   private def keyOf(si: Int, of: String => Column): Column = {
     val parts = groupCols.filter(sets(si).contains)
-      .map(c => coalesce(of(c).cast("string"), lit(NullGroupKey)))
+      .map(c => CompositeKey.escapePart(
+        coalesce(of(c).cast("string"), lit(NullGroupKey))))
     concat_ws(SetSep, (lit(si.toString) +: parts): _*)
   }
 

@@ -1914,6 +1914,46 @@ object MapIndexQueries {
       jv
     })
 
+
+  /** GENERIC CASCADE from the AS-OF family: the maintained last-touch
+    * view (purchases → last click) feeds a DOWNSTREAM equi-JoinView
+    * against a derived per-user activity dim via CDC replay — re-picked
+    * attributions and tombstones arrive downstream as ordinary batches,
+    * then the dim takes its OWN right-side refresh. Completes the
+    * producer × cascade matrix next to [[semiCascadeView]]; the oracle
+    * recomputes the as-of argmax AND the user-dim join from scratch. */
+  private def asofCascadeView(s: SparkSession, dir: String): graft.engine.JoinView =
+    joinViews.getOrElseUpdate(s"$dir#asofcascade", {
+      val store = Views.bucketedStore(s, dir)
+      val v = new graft.engine.AsOfJoinView(store, "purchase_click_asof_cc",
+        "a_id", "a_user", "a_ts", Seq("a_id", "a_user", "a_ts", "a_value"),
+        "b_id", "b_user", "b_ts", Seq("b_id", "b_user", "b_ts", "b_value"))
+      val jv = new graft.engine.JoinView(store, "asof_user_dim",
+        "a_id", "a_user",
+        Seq("a_id", "a_user", "a_ts", "a_value", "b_id", "b_user", "b_ts", "b_value"),
+        "u_id", "u_id", Seq("u_id", "u_events"))
+      val unit = "asof_user_dim"
+      if (!Views.unitDone(store.baseDir, unit)) {
+        val (pq, cq) = purchasesClicks(s, dir)
+        val dim = Tables.events(s, dir)
+          .groupBy(col("user_id").as("u_id")).agg(count(lit(1)).as("u_events"))
+        v.build(pq, cq)
+        jv.build(v.df, dim)
+        v.refreshLeft(purchaseUps(pq), Some(purchaseDels(pq)))
+        v.cascadeInto(jv, 0, v.epoch)
+        val from = v.epoch
+        v.refreshRight(clickUps(cq), Some(clickDels(cq)))
+        v.cascadeInto(jv, from, v.epoch)
+        val upsD = dim.filter(col("u_id") % 13 === 0 && col("u_id") % 17 =!= 0)
+          .withColumn("u_events", col("u_events") + 50)
+        val delsD = dim.filter(col("u_id") % 17 === 0)
+          .select(col("u_id").cast("string")).distinct()
+        jv.refreshRight(upsD, Some(delsD))
+        Views.markUnitDone(store.baseDir, unit)
+      }
+      jv
+    })
+
   def prewarm(s: SparkSession, dir: String): Unit = {
     ordersCustomerView(s, dir)
     streamedOrdersCustomerView(s, dir)
@@ -1939,6 +1979,7 @@ object MapIndexQueries {
     semiOrdersAggView(s, dir)
     antiOrdersAggView(s, dir)
     semiCascadeView(s, dir)
+    asofCascadeView(s, dir)
     compositeOrdersView(s, dir, salted = false)
     compositeOrdersView(s, dir, salted = true)
     latticeMultiView(s, dir)
@@ -2289,6 +2330,17 @@ object MapIndexQueries {
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"),
           round(col("o_totalprice"), 2).as("o_totalprice"), col("p_cnt"))
         .orderBy("o_orderkey")),
+
+    // GENERIC cascade from the as-of family ([[asofCascadeView]]):
+    // re-picked attributions replay into the downstream user-dim join,
+    // then the dim refreshes; oracle = as-of argmax + join from scratch
+    "mapindex_asofjoinview_cascade" -> ((s, dir) =>
+      asofCascadeView(s, dir).df
+        .select(col("a_id"), col("a_user"),
+          round(col("a_value"), 2).as("a_value"),
+          col("b_id"), round(col("b_value"), 2).as("b_value"),
+          col("u_events"))
+        .orderBy("a_id")),
 
     // the attribution rollup's MULTI-AGGREGATE surface
     // ([[purchaseClickAttributionMulti]] — trackValues): cnt/sum from
@@ -3556,6 +3608,43 @@ object MapIndexQueries {
         |FROM o JOIN d ON o_orderpriority = p_name
         |WHERE EXISTS (SELECT 1 FROM c WHERE c.c_custkey = o.o_custkey)
         |ORDER BY o_orderkey""".stripMargin,
+    // as-of cascade: per-purchase argmax + user-dim join, all three
+    // relations modified, from scratch
+    "mapindex_asofjoinview_cascade" ->
+      """WITH p AS (
+        |  SELECT event_id AS a_id, user_id AS a_user,
+        |         CASE WHEN event_id % 37 = 0 THEN ts + INTERVAL 1 HOUR
+        |              ELSE ts END AS a_ts,
+        |         CASE WHEN event_id % 37 = 0 THEN value + 1000
+        |              ELSE value END AS a_value
+        |  FROM events WHERE event_type = 'purchase' AND event_id % 41 <> 0),
+        |c AS (
+        |  SELECT event_id AS b_id, user_id AS b_user,
+        |         CASE WHEN event_id % 13 = 0 THEN ts + INTERVAL 30 MINUTE
+        |              ELSE ts END AS b_ts,
+        |         CASE WHEN event_id % 13 = 0 THEN value + 100
+        |              ELSE value END AS b_value
+        |  FROM events WHERE event_type = 'click' AND event_id % 17 <> 0),
+        |m AS (
+        |  SELECT a.a_id, a.a_user, round(a.a_value, 2) AS a_value,
+        |    (SELECT b.b_id FROM c b
+        |     WHERE b.b_user = a.a_user AND b.b_ts <= a.a_ts
+        |     ORDER BY b.b_ts DESC, b.b_id DESC LIMIT 1) AS b_id,
+        |    (SELECT round(b.b_value, 2) FROM c b
+        |     WHERE b.b_user = a.a_user AND b.b_ts <= a.a_ts
+        |     ORDER BY b.b_ts DESC, b.b_id DESC LIMIT 1) AS b_value
+        |  FROM p a),
+        |d0 AS (
+        |  SELECT user_id AS u_id, count(*) AS u_events
+        |  FROM events GROUP BY 1),
+        |d AS (
+        |  SELECT u_id,
+        |         CASE WHEN u_id % 13 = 0 THEN u_events + 50
+        |              ELSE u_events END AS u_events
+        |  FROM d0 WHERE u_id % 17 <> 0)
+        |SELECT m.a_id, m.a_user, m.a_value, m.b_id, m.b_value, d.u_events
+        |FROM m JOIN d ON m.a_user = d.u_id
+        |ORDER BY m.a_id""".stripMargin,
     // rollup over the semi view: EXISTS filter + group-by from scratch
     "mapindex_semiview_agg" ->
       """WITH o AS (

@@ -285,4 +285,36 @@ class JoinGroupingViewSpec extends AnyFunSuite with SparkSpec {
     assert(stats.emitBucketsRewritten === 0)
     assert(servedMulti() === expectedMulti())
   }
+
+  test("separator-bearing group values never collide lattice groups") {
+    // under a raw concat_ws(U+0001) key spelling these two (cat, seg)
+    // tuples spell the SAME state key — their counts would merge and
+    // one group's fields would serve for both; the escaped spelling
+    // must keep them distinct through build, fold and serve
+    val cA = "x\u0001"; val sA = "y"
+    val cB = "x"; val sB = "\u0001y"
+    val store = BucketedViewStore.temp(spark, 8)
+    val jv = new JoinView(store, "t_latsep",
+      "l_pk", "l_jk", Seq("l_pk", "l_jk", "l_cat", "l_val"),
+      "r_pk", "r_jk", Seq("r_pk", "r_jk", "r_seg"))
+    jv.build(
+      leftDf((1L, "a", cA, 10L), (2L, "b", cB, 20L), (3L, "a", cA, 30L)),
+      rightDf((100L, "a", sA), (101L, "b", sB)))
+    val gcols = Seq("l_cat", "r_seg")
+    val sets = JoinGroupingView.rollupSets(gcols)
+    val gv = new JoinGroupingView(jv, "t_latsep__roll", gcols, "l_val", sets)
+    gv.build()
+    assert(served(gv) === expected(jv, sets, gcols))
+    // the finest set must hold TWO distinct (cat, seg) groups
+    val fine = served(gv).filter(_._1 == 0)
+    assert(fine.size === 2, s"collided: $fine")
+    assert(fine === Set((0, Some(cA), Some(sA), 2L, 40L),
+      (0, Some(cB), Some(sB), 1L, 20L)))
+    // a delta against ONE of the twins must leave the other untouched
+    jv.refreshLeft(leftDf((1L, "a", cA, 11L)), None)
+    gv.catchUp()
+    assert(served(gv) === expected(jv, sets, gcols))
+    assert(served(gv).filter(_._1 == 0) === Set(
+      (0, Some(cA), Some(sA), 2L, 41L), (0, Some(cB), Some(sB), 1L, 20L)))
+  }
 }
