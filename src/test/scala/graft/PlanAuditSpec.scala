@@ -632,6 +632,13 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     val pn = finalPlan("mapindex_asofjoinview_nearest")
     assert(!pn.contains("events.parquet") && !pn.contains("Window"),
       s"nearest as-of serving must stay a stored read:\n$pn")
+    // cascaded downstream views serve stored rows like any join view
+    for (q <- Seq("mapindex_semiview_cascade", "mapindex_asofjoinview_cascade")) {
+      val pcc = finalPlan(q)
+      assert(!pcc.contains("orders.parquet") && !pcc.contains("events.parquet") &&
+        !pcc.contains("Join"),
+        s"$q must serve the cascaded store join-free:\n$pcc")
+    }
     val pag = finalPlan("mapindex_antiview_agg")
     assert(!pag.contains("orders.parquet") && !pag.contains("customer.parquet") &&
       !pag.contains("Join"),
