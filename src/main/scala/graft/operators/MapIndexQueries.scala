@@ -1819,18 +1819,22 @@ object MapIndexQueries {
     })
 
   /** Shared serve arm of the sketch-quantile gates: estimates from the
-    * state, exact anchors + true ranks of the estimates recomputed from
-    * the modified corpus, booleans asserting the 5 % rank bound. */
+    * (possibly historical) state, exact anchors + true ranks of the
+    * estimates recomputed from the matching corpus, booleans asserting
+    * the 5 % rank bound. */
   private def sketchQuantileGate(v: graft.engine.SketchQuantileView,
-      s: SparkSession, dir: String): DataFrame = {
+      s: SparkSession, dir: String): DataFrame =
+    sketchQuantileGateFrom(
+      v.quantiles(Seq("est50" -> 0.5, "est95" -> 0.95))
+        .withColumnRenamed("emit_key", "flag"),
+      Tables.lineitem(s, dir)
+        .filter(col("l_orderkey") % 89 =!= 0)
+        .select(when(col("l_orderkey") % 97 === 0, lit("X"))
+            .otherwise(col("l_returnflag")).as("flag"),
+          col("l_extendedprice").as("v")))
+
+  private def sketchQuantileGateFrom(est: DataFrame, src: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val est = v.quantiles(Seq("est50" -> 0.5, "est95" -> 0.95))
-      .withColumnRenamed("emit_key", "flag")
-    val src = Tables.lineitem(s, dir)
-      .filter(col("l_orderkey") % 89 =!= 0)
-      .select(when(col("l_orderkey") % 97 === 0, lit("X"))
-          .otherwise(col("l_returnflag")).as("flag"),
-        col("l_extendedprice").as("v"))
     val counts = src.groupBy("flag", "v").agg(count(lit(1)).as("cnt"))
     val cum = counts
       .withColumn("cum", sum("cnt").over(Window.partitionBy("flag").orderBy("v")))
@@ -2784,6 +2788,24 @@ object MapIndexQueries {
     // twin, same oracle as the batch-built gate
     "mapindex_percentile_sketch_streamed" -> ((s, dir) =>
       sketchQuantileGate(percentileSketchSView(s, dir), s, dir)),
+
+    // the sketch state served AS OF its pre-batch epoch (time travel on
+    // the sketch itself): estimates decoded from the epoch-0 state must
+    // bound the ORIGINAL corpus's exact quantiles — proving the refresh
+    // left the prior sketch epoch intact and addressable
+    "mapindex_percentile_sketch_asof" -> ((s, dir) => {
+      val v = percentileSketchView(s, dir)
+      graft.functions.QuantileSketch.register(s)
+      val est = v.store.dfAsOf("lineitem_flagsketchq__state", 0)
+        .select(col("emit_key").as("flag"),
+          col("emit_value.sketch").as("sketch"))
+        .select(col("flag"), expr("qsketch_n(sketch)").as("n"),
+          expr("qsketch_quantile(sketch, 0.5)").as("est50"),
+          expr("qsketch_quantile(sketch, 0.95)").as("est95"))
+      val src = Tables.lineitem(s, dir)
+        .select(col("l_returnflag").as("flag"), col("l_extendedprice").as("v"))
+      sketchQuantileGateFrom(est, src)
+    }),
 
     // maintained per-group TOP-K FREQUENT values from the SAME refcount
     // state — the exact, deletion-safe version of what Misra-Gries
@@ -4007,6 +4029,25 @@ object MapIndexQueries {
         |  SELECT CASE WHEN l_orderkey % 97 = 0 THEN 'X' ELSE l_returnflag END AS flag,
         |         l_extendedprice AS v
         |  FROM lineitem WHERE l_orderkey % 89 <> 0),
+        |vcounts AS (
+        |  SELECT flag, v, count(*) AS cnt FROM src GROUP BY flag, v),
+        |vcum AS (
+        |  SELECT flag, v,
+        |         CAST(sum(cnt) OVER (PARTITION BY flag ORDER BY v) AS BIGINT) AS cum,
+        |         CAST(sum(cnt) OVER (PARTITION BY flag) AS BIGINT) AS n2
+        |  FROM vcounts),
+        |exact AS (
+        |  SELECT flag, max(n2) AS n,
+        |         min(CASE WHEN cum >= ceil(n2 / 2.0) THEN v END) AS x50,
+        |         min(CASE WHEN cum >= ceil(n2 * 19 / 20.0) THEN v END) AS x95
+        |  FROM vcum GROUP BY flag)
+        |SELECT flag, n, round(x50, 2) AS exact_p50, round(x95, 2) AS exact_p95,
+        |       true AS p50_within_rank, true AS p95_within_rank
+        |FROM exact ORDER BY flag""".stripMargin,
+    // sketch time travel: anchors + n from the ORIGINAL corpus
+    "mapindex_percentile_sketch_asof" ->
+      """WITH src AS (
+        |  SELECT l_returnflag AS flag, l_extendedprice AS v FROM lineitem),
         |vcounts AS (
         |  SELECT flag, v, count(*) AS cnt FROM src GROUP BY flag, v),
         |vcum AS (

@@ -589,4 +589,42 @@ class JoinViewSpec extends AnyFunSuite with SparkSpec {
       "r_pk", Seq("r_j1", "r_j2"), Seq("r_pk", "r_j1", "r_j2")))
     assert(e2.getMessage.contains("leftCols"))
   }
+
+  test("full-outer composite keys: pads form, heal and re-pad on escaped key tuples") {
+    // exercises refreshRpad's composite predicates: pad membership is
+    // recomputed part-wise on the dirty SPELLED keys — the separator-
+    // bearing twins must pad/heal independently
+    val kA = ("a\u0001", "x"); val kB = ("a", "\u0001x")
+    def left2(rows: (Long, String, String, Long)*) =
+      rows.toSeq.toDF("l_pk", "l_j1", "l_j2", "l_val")
+    def right2(rows: (Long, String, String, Double)*) =
+      rows.toSeq.toDF("r_pk", "r_j1", "r_j2", "r_val")
+    val store = BucketedViewStore.temp(spark, 8)
+    val jv = new JoinView(store, "t_fo_comp",
+      "l_pk", Seq("l_j1", "l_j2"), Seq("l_pk", "l_j1", "l_j2", "l_val"),
+      "r_pk", Seq("r_j1", "r_j2"), Seq("r_pk", "r_j1", "r_j2", "r_val"),
+      saltBuckets = 3, joinType = "full_outer")
+    def fsnap(): Set[(Option[Long], Option[Long])] =
+      jv.df.select("l_pk", "r_pk")
+        .as[(Option[Long], Option[Long])].collect().toSet
+    // left on tuple A only; right on tuple B only -> one left-pad, one
+    // right-pad (an unescaped spelling would wrongly match them)
+    jv.build(left2((1L, kA._1, kA._2, 10L)), right2((100L, kB._1, kB._2, 1.0)))
+    assert(fsnap() === Set((Some(1L), None), (None, Some(100L))))
+    // a left arrival at tuple B heals its right-pad
+    jv.refreshLeft(left2((2L, kB._1, kB._2, 20L)), None)
+    assert(fsnap() === Set((Some(1L), None), (Some(2L), Some(100L))))
+    // a right arrival at tuple A heals the left row into a real join
+    jv.refreshRight(right2((101L, kA._1, kA._2, 2.0)), None)
+    assert(fsnap() === Set((Some(1L), Some(101L)), (Some(2L), Some(100L))))
+    // retracting tuple B's left row re-pads its right row
+    jv.refreshLeft(left2(), Some(left2((2L, "z", "z", 0L))
+      .select(col("l_pk").cast("string"))))
+    assert(fsnap() === Set((Some(1L), Some(101L)), (None, Some(100L))))
+    // retracting tuple A's right row re-pads the left row and drops the
+    // join output through ownership
+    jv.refreshRight(right2(), Some(right2((101L, "z", "z", 0.0))
+      .select(col("r_pk").cast("string"))))
+    assert(fsnap() === Set((Some(1L), None), (None, Some(100L))))
+  }
 }
