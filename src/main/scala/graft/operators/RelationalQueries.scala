@@ -856,6 +856,27 @@ object RelationalQueries {
         .orderBy("event_id")
     }),
 
+    // the same NEAREST semantics through the engine's native operator:
+    // one O(1)-state merge per co-partition (the buffered backward match
+    // plus the stream head is the forward candidate) — must agree
+    // exactly with join_asof_nearest's two-window spelling (identical
+    // DuckDB oracle)
+    "join_asof_nearest_native" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+          col("event_id").as("c_event_id"), col("value").as("c_value"))
+      graft.plans.AsOfJoin.nearest(purchases, clicks,
+          leftOn = Seq("user_id"), rightOn = Seq("c_user"),
+          leftTime = "ts", rightTime = "c_ts", rightTie = Seq("c_event_id"))
+        .select(col("event_id"), col("user_id"),
+          col("c_event_id").as("nearest_click_id"),
+          round(col("c_value"), 2).as("nearest_click_value"))
+        .orderBy("event_id")
+    }),
+
     // pure interval join (no equi-time key): clicks × purchases of the same
     // user within ±1 hour. The naive theta join is a per-user nested loop;
     // the scale shape bins timestamps at the window width and explodes one
@@ -1835,6 +1856,26 @@ object RelationalQueries {
     // pk rule (backward: greatest id; forward: least id) — epoch_us
     // arithmetic matches the engine's microsecond read granularity
     "join_asof_nearest" ->
+      """SELECT a.event_id, a.user_id,
+        |  (SELECT b.event_id FROM events b
+        |   WHERE b.user_id = a.user_id AND b.event_type = 'click'
+        |   ORDER BY abs(epoch_us(b.ts) - epoch_us(a.ts)) ASC,
+        |            (epoch_us(b.ts) <= epoch_us(a.ts)) DESC,
+        |            CASE WHEN epoch_us(b.ts) <= epoch_us(a.ts)
+        |                 THEN -b.event_id ELSE b.event_id END ASC
+        |   LIMIT 1) AS nearest_click_id,
+        |  (SELECT round(b.value, 2) FROM events b
+        |   WHERE b.user_id = a.user_id AND b.event_type = 'click'
+        |   ORDER BY abs(epoch_us(b.ts) - epoch_us(a.ts)) ASC,
+        |            (epoch_us(b.ts) <= epoch_us(a.ts)) DESC,
+        |            CASE WHEN epoch_us(b.ts) <= epoch_us(a.ts)
+        |                 THEN -b.event_id ELSE b.event_id END ASC
+        |   LIMIT 1) AS nearest_click_value
+        |FROM events a WHERE a.event_type = 'purchase'
+        |ORDER BY a.event_id""".stripMargin,
+    // intentionally identical to join_asof_nearest's oracle: the native
+    // merge and the two-window spelling must agree exactly
+    "join_asof_nearest_native" ->
       """SELECT a.event_id, a.user_id,
         |  (SELECT b.event_id FROM events b
         |   WHERE b.user_id = a.user_id AND b.event_type = 'click'

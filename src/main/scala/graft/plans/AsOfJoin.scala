@@ -87,6 +87,25 @@ object AsOfJoin {
     join(left, right, leftOn, rightOn, leftTime, rightTime, rightTie,
       forward = true, tolerance)
 
+  /** NEAREST as-of join (pandas merge_asof's third direction): for every
+    * probe row, the build row minimizing |rightTime - leftTime|, distance
+    * ties resolved toward the BACKWARD candidate, each side keeping its
+    * own tie rule (backward: largest under `rightTie`; forward:
+    * smallest). The merge keeps the same O(1) state - the buffered
+    * backward match plus the stream head IS the forward candidate.
+    * Distance needs a physical-long time view, so the time columns must
+    * be integral, timestamp, or date (the [[backward]]/[[forward]]
+    * tolerance requirement, here unconditional). `tolerance` bounds the
+    * distance per side before the choice. */
+  def nearest(
+      left: DataFrame, right: DataFrame,
+      leftOn: Seq[String], rightOn: Seq[String],
+      leftTime: String, rightTime: String,
+      rightTie: Seq[String] = Nil,
+      tolerance: Option[Long] = None): DataFrame =
+    join(left, right, leftOn, rightOn, leftTime, rightTime, rightTie,
+      forward = false, tolerance, nearest = true)
+
   /** Shared builder. `tolerance` (if set) bounds the match distance
     * inclusively — backward: `leftTime - rightTime <= tolerance`; forward:
     * `rightTime - leftTime <= tolerance` — expressed in the time column's
@@ -98,7 +117,8 @@ object AsOfJoin {
       leftOn: Seq[String], rightOn: Seq[String],
       leftTime: String, rightTime: String,
       rightTie: Seq[String],
-      forward: Boolean, tolerance: Option[Long]): DataFrame = {
+      forward: Boolean, tolerance: Option[Long],
+      nearest: Boolean = false): DataFrame = {
     require(leftOn.nonEmpty && leftOn.length == rightOn.length,
       s"asof join: key lists must be non-empty and same-length, got $leftOn / $rightOn")
     require(tolerance.forall(_ >= 0L),
@@ -123,7 +143,7 @@ object AsOfJoin {
     val rTimeAttr = resolve(rPlan, rightTime, "build")
     // fail at build time, not mid-job: tolerance arithmetic needs a
     // physical-long view of the time columns
-    tolerance.foreach { _ =>
+    if (tolerance.isDefined || nearest) {
       AsOfJoinExec.timeAsLong(lTimeAttr.dataType)
       AsOfJoinExec.timeAsLong(rTimeAttr.dataType)
     }
@@ -133,7 +153,7 @@ object AsOfJoin {
       rightOn.map(resolve(rPlan, _, "build")),
       lTimeAttr, rTimeAttr,
       rightTie.map(resolve(rPlan, _, "build")),
-      forward, tolerance))
+      forward, tolerance, nearest))
   }
 
   /** Idempotently register the planner strategy on an existing session
@@ -158,7 +178,8 @@ case class AsOfJoinPlan(
     rightTime: Expression,
     rightTie: Seq[Expression],
     forward: Boolean = false,
-    tolerance: Option[Long] = None) extends BinaryNode {
+    tolerance: Option[Long] = None,
+    nearest: Boolean = false) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override def maxRows: Option[Long] = left.maxRows
@@ -171,8 +192,9 @@ case class AsOfJoinPlan(
   * `spark.experimental.extraStrategies` or [[graft.GraftExtensions]]. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tie, fwd, tol) =>
-      AsOfJoinExec(lk, rk, lt, rt, tie, fwd, tol, planLater(l), planLater(r)) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tie, fwd, tol, near) =>
+      AsOfJoinExec(lk, rk, lt, rt, tie, fwd, tol, near,
+        planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -214,6 +236,7 @@ case class AsOfJoinExec(
     rightTie: Seq[Expression],
     forward: Boolean,
     tolerance: Option[Long],
+    nearest: Boolean,
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode {
 
@@ -249,6 +272,7 @@ case class AsOfJoinExec(
     val outAttrs = output
     val fwd = forward
     val tol = tolerance
+    val near = nearest
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(lKeyExprs, lOut)
       val rKeyProj = UnsafeProjection.create(rKeyExprs, rOut)
@@ -256,11 +280,13 @@ case class AsOfJoinExec(
       val rTimeProj = UnsafeProjection.create(Seq(rTimeExpr), rOut)
       val keyOrd = RowOrdering.createNaturalAscendingOrdering(lKeyExprs.map(_.dataType))
       val timeOrd = RowOrdering.createNaturalAscendingOrdering(Seq(lTimeExpr.dataType))
-      // physical-long time views, only touched when tolerance is set
+      // physical-long time views: tolerance filtering and the nearest
+      // distance comparison both need them
+      val needLong = tol.isDefined || near
       val lTimeLong =
-        if (tol.isDefined) AsOfJoinExec.timeAsLong(lTimeExpr.dataType) else null
+        if (needLong) AsOfJoinExec.timeAsLong(lTimeExpr.dataType) else null
       val rTimeLong =
-        if (tol.isDefined) AsOfJoinExec.timeAsLong(rTimeExpr.dataType) else null
+        if (needLong) AsOfJoinExec.timeAsLong(rTimeExpr.dataType) else null
       // bind against NULLABLE right attrs: the no-match case null-extends
       // the build side, and binding against the children's non-nullable
       // schema would elide the null checks and read garbage zeros
@@ -314,7 +340,34 @@ case class AsOfJoinExec(
           val lTime = lTimeProj(l)
           val probeOk = !lKey.anyNull && !lTime.isNullAt(0)
           var out: InternalRow = null
-          if (fwd) {
+          if (near) {
+            // NEAREST: run the backward advancement (equal-time rows fold
+            // into `matched`, so distance-0 cases resolve backward by
+            // construction); the surviving head is then exactly the FIRST
+            // same-key row strictly after the probe - the forward
+            // candidate with its least-tie rule - and an O(1) distance
+            // comparison picks the closer in-tolerance side, ties backward.
+            if (matched != null && keyOrd.compare(matchedKey, lKey) != 0) matched = null
+            if (probeOk) {
+              var advancing = true
+              while (advancing && rRow != null) {
+                val c = keyOrd.compare(rKey, lKey)
+                if (c < 0) pullRight()
+                else if (c == 0 && timeOrd.compare(rTime, lTime) <= 0) {
+                  matched = rRow; matchedKey = rKey; matchedTime = rTime
+                  pullRight()
+                } else advancing = false
+              }
+              val lT = lTimeLong(lTime)
+              val backDist = if (matched != null) lT - rTimeLong(matchedTime) else 0L
+              val backOk = matched != null && withinTol(backDist)
+              val headSameKey = rRow != null && keyOrd.compare(rKey, lKey) == 0
+              val fwdDist = if (headSameKey) rTimeLong(rTime) - lT else 0L
+              val fwdOk = headSameKey && withinTol(fwdDist)
+              if (backOk && (!fwdOk || backDist <= fwdDist)) out = matched
+              else if (fwdOk) out = rRow
+            }
+          } else if (fwd) {
             // FORWARD: discard dead keys and same-key rows strictly before
             // this probe time (later probes are >= this one, so they can't
             // want them either); the surviving head matches iff same key

@@ -196,4 +196,51 @@ class AsOfJoinSpec extends AnyFunSuite with SparkSpec {
       SparkSession.setActiveSession(base)
     }
   }
+
+  test("asof nearest: argmin |dt|, ties backward, per-side tie rules, tolerance") {
+    val probes = Seq((1L, "u1", 14L), (2L, "u1", 18L), (3L, "u1", 15L),
+      (4L, "u2", 5L), (5L, "u3", 9L)).toDF("p_id", "user", "p_ts")
+    val builds = Seq((101L, "u1", 10L, 1.0), (102L, "u1", 20L, 2.0),
+      (103L, "u1", 20L, 3.0), (109L, "u2", 50L, 9.0))
+      .toDF("c_id", "c_user", "c_ts", "c_value")
+    def run(tol: Option[Long]) =
+      AsOfJoin.nearest(probes, builds, Seq("user"), Seq("c_user"),
+          "p_ts", "c_ts", Seq("c_id"), tolerance = tol)
+        .select("p_id", "c_id", "c_value")
+        .as[(Long, Option[Long], Option[Double])].collect().toSet
+    // 14 -> backward 10 (d4) beats forward 20 (d6); 18 -> forward wins
+    // (d2), equal-time pair resolves to the LEAST id; 15 -> EQUAL
+    // distance 5 both ways resolves backward; u2 -> forward-only match;
+    // u3 -> no candidate
+    assert(run(None) === Set(
+      (1L, Some(101L), Some(1.0)), (2L, Some(102L), Some(2.0)),
+      (3L, Some(101L), Some(1.0)), (4L, Some(109L), Some(9.0)),
+      (5L, None, None)))
+    // tolerance 4: probe 2's forward d2 stays, probe 1's backward d4
+    // stays, probe 3 loses BOTH d5 sides, u2's d45 drops
+    assert(run(Some(4L)) === Set(
+      (1L, Some(101L), Some(1.0)), (2L, Some(102L), Some(2.0)),
+      (3L, None, None), (4L, None, None), (5L, None, None)))
+  }
+
+  test("asof nearest: a probe AT a build time takes it backward (distance zero)") {
+    val probes = Seq((1L, "u1", 20L)).toDF("p_id", "user", "p_ts")
+    val builds = Seq((101L, "u1", 20L, 1.0), (102L, "u1", 21L, 2.0))
+      .toDF("c_id", "c_user", "c_ts", "c_value")
+    val got = AsOfJoin.nearest(probes, builds, Seq("user"), Seq("c_user"),
+        "p_ts", "c_ts", Seq("c_id"))
+      .select("c_id").as[Option[Long]].collect().toSeq
+    assert(got === Seq(Some(101L)))
+  }
+
+  test("asof nearest: null probe time pads; null build time never matches") {
+    val probes = Seq((1L, "u1", Some(15L)), (2L, "u1", None))
+      .toDF("p_id", "user", "p_ts")
+    val builds = Seq((101L, "u1", Some(10L), 1.0), (103L, "u1", None, 9.0))
+      .toDF("c_id", "c_user", "c_ts", "c_value")
+    val got = AsOfJoin.nearest(probes, builds, Seq("user"), Seq("c_user"),
+        "p_ts", "c_ts", Seq("c_id"))
+      .select("p_id", "c_id").as[(Long, Option[Long])].collect().toSet
+    assert(got === Set((1L, Some(101L)), (2L, None)))
+  }
 }

@@ -447,11 +447,16 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(exchanges <= 1, s"expected one hash exchange (the window's), got $exchanges:\n$p")
   }
 
-  test("join_asof_forward and _tolerance plan through AsOfJoinExec") {
+  test("join_asof_forward, _tolerance and _nearest_native plan through AsOfJoinExec") {
     for (q <- Seq("join_asof_forward", "join_asof_tolerance")) {
       val p = finalPlan(q)
       assert(p.contains("AsOfJoin "), s"$q must use the native operator:\n$p")
     }
+    val pn = finalPlan("join_asof_nearest_native")
+    assert(pn.contains("AsOfJoin "),
+      s"nearest must plan through the native merge operator:\n$pn")
+    assert(!pn.contains("Window"),
+      s"the native nearest needs no window machinery:\n$pn")
   }
 
   test("q21: the late-lineitem subtree is exchange-reused between semi and anti sides") {
