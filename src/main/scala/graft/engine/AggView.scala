@@ -69,7 +69,7 @@ final class AggView private[engine] (
     // pin the pre-refresh snapshot path BEFORE the base swap
     val preDf = base.df
     val post = base.refresh(upserts, deleteKeys)
-    val (updated, touched) = AggView.maintain(
+    val (updated, touched, gateCleanup) = AggView.maintain(
       base.index, preDf, upserts, deleteKeys, post.df, state)
     // one scan of the current state, tagged touched/untouched — feeds the
     // rewrite AND the state CDC sidecar (a stream of aggregate updates for
@@ -94,7 +94,7 @@ final class AggView private[engine] (
     store.writeClustered(name,
       untouched.unionByName(updatedP),
       Seq("emit_key"), Some(delta))
-    tagged.unpersist(); updatedP.unpersist()
+    tagged.unpersist(); updatedP.unpersist(); gateCleanup()
     (post, this)
   }
 }
@@ -143,7 +143,10 @@ object AggView {
     * ordinary delta broadcasts, a bulk backfill falls back to plain
     * shuffle joins on the same predicates — identical results, bounded
     * driver memory. Long.MaxValue (the flat test-scale layout's default)
-    * skips the count entirely. */
+    * skips the count entirely. The returned cleanup thunk unpersists the
+    * size-gate's cached key set — the caller MUST invoke it after its
+    * state writes execute, or every gated refresh leaks one cached
+    * DataFrame into storage memory for the life of the session. */
   private[engine] def maintain(
       index: MapIndex,
       preBase: DataFrame,
@@ -151,7 +154,7 @@ object AggView {
       deleteKeys: Option[DataFrame],
       postBase: DataFrame,
       state: DataFrame,
-      broadcastLimit: Long = Long.MaxValue): (DataFrame, DataFrame) = {
+      broadcastLimit: Long = Long.MaxValue): (DataFrame, DataFrame, () => Unit) = {
     requireNumericValue(preBase)
     val upsertKeys = index.touchedKeys(upserts)
     val changed = deleteKeys match {
@@ -159,10 +162,12 @@ object AggView {
       case None    => upsertKeys
     }
     // one delta-sized count decides the plan for all three key joins
+    var cleanup: () => Unit = () => ()
     val hint: DataFrame => DataFrame =
       if (broadcastLimit == Long.MaxValue) broadcast
       else {
         val c = changed.cache()
+        cleanup = () => { c.unpersist(); () }
         if (c.count() <= broadcastLimit) broadcast else identity
       }
     val oldEmis = preBase.join(hint(changed), Seq("src_key"), "left_semi")
@@ -186,7 +191,7 @@ object AggView {
     val updated = merged.join(mm, Seq("emit_key"), "inner")
       .select(col("emit_key"), col("cnt"), col("sum_value"),
         col("min_value"), col("max_value"))
-    (updated, touched)
+    (updated, touched, cleanup)
   }
 
   /** Handle to an already-materialized state relation (resume paths,
@@ -247,13 +252,14 @@ final class BucketedAggView private (
     val baseStats = store.refresh(baseIndex, upserts, deleteKeys)
     val postBase = store.df(baseIndex.name)
     val preState = state
-    val (updated, touched) = AggView.maintain(
+    val (updated, touched, gateCleanup) = AggView.maintain(
       baseIndex, preBase, upserts, deleteKeys, postBase, preState,
       store.broadcastKeyLimit)
     // delete-then-insert per touched group: groups with rows re-emit their
     // new aggregate; vanished groups fall under the delete set only
     val stateStats = store.refresh(stateIdx, updated,
       Some(touched.select(col("emit_key").cast("string").as("src_key"))))
+    gateCleanup()
     (baseStats, stateStats)
   }
 }

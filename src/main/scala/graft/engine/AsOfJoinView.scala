@@ -3,7 +3,7 @@ package graft.engine
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{TimestampType, TimestampNTZType}
+import org.apache.spark.sql.types.{DateType, NumericType, TimestampType, TimestampNTZType}
 import graft.engine.MapIndex.emit
 import graft.engine.BucketedViewStore.RefreshStats
 
@@ -93,8 +93,9 @@ final class AsOfJoinView(
     rightPk: String, rightJk: JoinKey, rightTs: String, rightCols: Seq[String],
     direction: String = "backward",
     tolerance: Option[(Column, Column) => Column] = None,
-    saltBuckets: Int = 1)
-  extends MaintainedRelation {
+    saltBuckets: Int = 1,
+    rightKeyed: Boolean = false)
+  extends MaintainedRelation with LeftKeyedConsumer {
 
   require(saltBuckets >= 1, s"saltBuckets must be >= 1, got $saltBuckets")
   require(Set("backward", "forward", "nearest")(direction),
@@ -132,18 +133,49 @@ final class AsOfJoinView(
 
   private def leftIdx = MapIndex.columns(s"${name}__left")(
     col(leftPk).cast("string"),
-    array(emit(CompositeKey.salted(lSpell, col(leftPk), saltBuckets),
+    array(emit(CompositeKey.salted(lSpell, col(leftPk), saltBuckets, leftJk.size),
       struct(leftCols.map(col): _*))))
 
   private def rightIdx = MapIndex.columns(s"${name}__right")(
     col(rightPk).cast("string"),
-    array(emit(CompositeKey.salted(rSpell, col(rightPk), saltBuckets),
+    array(emit(CompositeKey.salted(rSpell, col(rightPk), saltBuckets, rightJk.size),
       struct(rightCols.map(col): _*))))
 
   private def joinIdx = MapIndex.columns(name)(
     col(leftPk).cast("string"),
-    array(emit(CompositeKey.salted(lSpell, col(leftPk), saltBuckets),
+    array(emit(CompositeKey.salted(lSpell, col(leftPk), saltBuckets, leftJk.size),
       struct((leftCols ++ rightCols).map(col): _*))))
+
+  // RIGHT-KEYED twin (`rightKeyed = true`): the joined rows emitted a
+  // second time under the RIGHT pk — "all facts attributed to click X"
+  // becomes a bucket-pruned point read ([[byRightKeys]]) instead of a
+  // view scan. Ownership stays with the LEFT pk (a re-pick delete-then-
+  // inserts the row in BOTH views from the same batch), only MATCHED
+  // rows emit (a null right pk cannot key a bucket), and rows that lose
+  // their match retract via explicit tombstones — the [[FilterJoinView]]
+  // rule for rows that no longer emit. Write I/O doubles per refresh
+  // (the documented cost of a secondary index); serving by right key
+  // drops from O(view) to O(matching buckets).
+  private def byRightName = s"${name}__byright"
+  private def byRightIdx = MapIndex.columns(byRightName)(
+    col(leftPk).cast("string"),
+    array(emit(CompositeKey.salted(col(rightPk).cast("string"), col(leftPk),
+        saltBuckets),
+      struct((leftCols ++ rightCols).map(col): _*))))
+
+  /** Mirror a batch of (possibly re-)picked rows into the right-keyed
+    * twin: matched rows upsert under their right key; rows now unmatched
+    * (plus any tombstoned left pks) retract via explicit src-key deletes
+    * — ownership delete-then-insert cannot cover a row that no longer
+    * emits. */
+  private def refreshByRight(picked: DataFrame, dels: Option[DataFrame]): Unit = {
+    val unmatched = picked.filter(col(rightPk).isNull)
+      .select(col(leftPk).cast("string").as("src_key")).distinct()
+    val allDels = dels.map(_.toDF("src_key").unionByName(unmatched))
+      .getOrElse(unmatched)
+    store.refresh(byRightIdx, picked.filter(col(rightPk).isNotNull),
+      Some(allDels))
+  }
 
   /** One directional pick over the interleaved union: candidates sort
     * before probes at equal ts (inclusive bound), `last(_, ignoreNulls)`
@@ -198,11 +230,20 @@ final class AsOfJoinView(
         // both directional picks over ONE exchange (same partition key,
         // two sorts), each tolerance-bounded, then the nearer |Δts| wins
         // with distance ties resolved BACKWARD. Distance needs numbers:
-        // micros for timestamps, an exact decimal cast otherwise.
+        // micros for timestamps, epoch days for dates, an exact decimal
+        // cast for numerics — anything else fails HERE, at build/refresh
+        // plan time, mirroring the native operator's timeAsLong fail-fast
+        // (a string ts would otherwise cast to NULL distances under
+        // non-ANSI mode and silently always pick the forward candidate).
         val toNum: Column => Column =
           rRows.schema(rightTs).dataType match {
             case TimestampType | TimestampNTZType => c => unix_micros(c.cast(TimestampType))
-            case _ => c => c.cast("decimal(38,6)")
+            case DateType => c => unix_date(c.cast(DateType)).cast("long")
+            case _: NumericType => c => c.cast("decimal(38,6)")
+            case other => throw new IllegalArgumentException(
+              s"as-of view '$name': direction='nearest' needs a timestamp, " +
+                s"date or numeric ts column for the |distance| compare, " +
+                s"got $other for '$rightTs'")
           }
         val mb = bound(pickOver(u, "backward"), col("__ts"))
         val mf = bound(pickOver(u, "forward"), col("__ts"))
@@ -228,7 +269,14 @@ final class AsOfJoinView(
   def build(left: DataFrame, right: DataFrame): Unit = {
     store.materialize(leftIdx, left)
     store.materialize(rightIdx, right)
-    store.materialize(joinIdx, asofPick(left, right))
+    val joined = asofPick(left, right)
+    if (!rightKeyed) store.materialize(joinIdx, joined)
+    else {
+      val j = joined.persist() // feeds both materializations once
+      store.materialize(joinIdx, j)
+      store.materialize(byRightIdx, j.filter(col(rightPk).isNotNull))
+      j.unpersist()
+    }
   }
 
   /** Apply a LEFT-side change batch: upserted rows re-pick against only
@@ -239,7 +287,16 @@ final class AsOfJoinView(
     val rRows = store.getAll(rightIdx.name,
         expandKeys(ups.select(lSpell.as("emit_key")).distinct()))
       .select(col("emit_value.*"))
-    store.refresh(joinIdx, asofPick(ups, rRows), dels.map(_.toDF("src_key")))
+    val picked = asofPick(ups, rRows)
+    if (!rightKeyed)
+      store.refresh(joinIdx, picked, dels.map(_.toDF("src_key")))
+    else {
+      val p = picked.persist() // feeds both views' refreshes once
+      val stats = store.refresh(joinIdx, p, dels.map(_.toDF("src_key")))
+      refreshByRight(p, dels)
+      p.unpersist()
+      stats
+    }
   }
 
   /** Apply a RIGHT-side change batch: the dirty join keys from the right
@@ -263,7 +320,14 @@ final class AsOfJoinView(
     val current = store.getAll(name, expandKeys(dirtyJk))
       .select(col("emit_value.*"))
     val changed = asofPick(lRows, rRows).exceptAll(current)
-    store.refresh(joinIdx, changed, None)
+    if (!rightKeyed) store.refresh(joinIdx, changed, None)
+    else {
+      val c = changed.persist() // feeds both views' refreshes once
+      val stats = store.refresh(joinIdx, c, None)
+      refreshByRight(c, None)
+      c.unpersist()
+      stats
+    }
   }
 
   /** The maintained as-of join relation (original input columns; right
@@ -274,6 +338,18 @@ final class AsOfJoinView(
     * keys ([[CompositeKey.spell]]). */
   def byKeys(keys: DataFrame): DataFrame =
     store.getAll(name, expandKeys(keys)).select(col("emit_value.*"))
+
+  /** Bucket-pruned read of the joined rows ATTRIBUTED TO a set of RIGHT
+    * pks (one-column relation of right-pk strings) — "all facts whose
+    * pick is click X" as a point lookup over the right-keyed twin, no
+    * view scan. Requires `rightKeyed = true`. */
+  def byRightKeys(keys: DataFrame): DataFrame = {
+    require(rightKeyed,
+      s"as-of view '$name' was not built with rightKeyed = true")
+    store.getAll(byRightName,
+        CompositeKey.expand(store.spark, keys, saltBuckets))
+      .select(col("emit_value.*"))
+  }
 
   def epoch: Int = store.epoch(name)
 

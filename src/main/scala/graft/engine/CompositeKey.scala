@@ -79,11 +79,31 @@ private[graft] object CompositeKey {
     * from the row's OWN primary key when salting — the same row always
     * lands in the same shard, so delete-then-insert stays shard-local.
     * `concat` (null-poisoning) keeps a null key null rather than
-    * spelling a bare shard. Identity at salt 1. */
-  def salted(spelledJk: Column, pk: Column, saltBuckets: Int): Column =
+    * spelling a bare shard. Identity at salt 1.
+    *
+    * `parts` enforces the single-part caveat at RUN time instead of
+    * leaving it to the object doc: a ONE-column key keeps its raw
+    * unescaped spelling (byte-compat with every existing store), so a
+    * raw U+0001 inside it would make [[unsalt]] silently truncate the
+    * key — under salting such a row now fails the write loudly
+    * (`raise_error`) with the documented workaround. Multi-part keys
+    * are escaped and need no guard; the check is one `contains` per
+    * row, only compiled in when `parts == 1 && saltBuckets > 1`. */
+  def salted(spelledJk: Column, pk: Column, saltBuckets: Int,
+      parts: Int = 1): Column =
     if (saltBuckets <= 1) spelledJk
-    else concat(spelledJk, lit(Sep),
-      pmod(xxhash64(pk.cast("string")), lit(saltBuckets)).cast("string"))
+    else {
+      val base =
+        if (parts > 1) spelledJk
+        else when(spelledJk.isNull || !spelledJk.contains(Sep), spelledJk)
+          .otherwise(raise_error(concat(
+            lit("single-column join key value '"), spelledJk,
+            lit("' contains the U+0001 shard separator and saltBuckets > 1 " +
+              "— unsalt would truncate it; spell the key as a composite " +
+              "(add a constant discriminator column) or pre-escape it"))))
+      concat(base, lit(Sep),
+        pmod(xxhash64(pk.cast("string")), lit(saltBuckets)).cast("string"))
+    }
 
   /** Expand a one-column relation of spelled base keys to its S salted
     * spellings (identity at salt 1) — the bounded fan-out every

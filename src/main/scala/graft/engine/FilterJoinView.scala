@@ -51,7 +51,7 @@ final class FilterJoinView(
     val leftPk: String, leftJk: JoinKey, leftCols: Seq[String],
     rightPk: String, rightJk: JoinKey,
     mode: String,
-    saltBuckets: Int = 1) extends MaintainedRelation {
+    saltBuckets: Int = 1) extends MaintainedRelation with LeftKeyedConsumer {
 
   require(saltBuckets >= 1, s"saltBuckets must be >= 1, got $saltBuckets")
   require(Set("semi", "anti")(mode),
@@ -78,7 +78,7 @@ final class FilterJoinView(
 
   private def leftIdx = MapIndex.columns(s"${name}__left")(
     col(leftPk).cast("string"),
-    array(emit(CompositeKey.salted(lSpell, col(leftPk), saltBuckets),
+    array(emit(CompositeKey.salted(lSpell, col(leftPk), saltBuckets, leftJk.size),
       struct(leftCols.map(col): _*))))
 
   // internal aliases keep the stored struct legal when the right pk IS
@@ -87,12 +87,12 @@ final class FilterJoinView(
   // whatever the key arity
   private def rightIdx = MapIndex.columns(s"${name}__right")(
     col(rightPk).cast("string"),
-    array(emit(CompositeKey.salted(rSpell, col(rightPk), saltBuckets),
+    array(emit(CompositeKey.salted(rSpell, col(rightPk), saltBuckets, rightJk.size),
       struct(col(rightPk).as("__rpk"), rSpell.as("__rjk")))))
 
   private def viewIdx = MapIndex.columns(name)(
     col(leftPk).cast("string"),
-    array(emit(CompositeKey.salted(lSpell, col(leftPk), saltBuckets),
+    array(emit(CompositeKey.salted(lSpell, col(leftPk), saltBuckets, leftJk.size),
       struct(leftCols.map(col): _*))))
 
   /** The left rows of `lRows` passing the membership test against

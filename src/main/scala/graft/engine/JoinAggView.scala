@@ -5,6 +5,28 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.engine.BucketedViewStore.RefreshStats
 
+/** The measure list of a maintained rollup — the [[JoinKey]] magnet
+  * pattern: a single column (`"o_totalprice"`) and a list
+  * (`Seq("o_totalprice", "c_acctbal")`) are both accepted at every call
+  * site via the companion's implicit conversions. Real rollups are
+  * multi-measure (TPC-H Q1 carries four sums and two averages); folding
+  * them as N parallel single-measure views would cost N× the CDC fold
+  * and N× the state I/O — one [[JoinAggView]] with N measures folds ONE
+  * pass into ONE state row per group. */
+final case class Measures(parts: Seq[String]) {
+  require(parts.nonEmpty, "a rollup needs at least one measure column")
+  require(parts.distinct.size == parts.size,
+    s"measure columns must be distinct, got ${parts.mkString(", ")}")
+  def size: Int = parts.size
+  override def toString: String = parts.mkString("(", ",", ")")
+}
+
+object Measures {
+  import scala.language.implicitConversions
+  implicit def fromString(c: String): Measures = Measures(Seq(c))
+  implicit def fromSeq(cs: Seq[String]): Measures = Measures(cs)
+}
+
 /** A maintained GROUP-BY rollup OVER any [[MaintainedRelation]] — the
   * aggregate-over-join composition a star-schema warehouse serves
   * ("revenue by order priority, always fresh"), and over an
@@ -17,14 +39,22 @@ import graft.engine.BucketedViewStore.RefreshStats
   * Maintenance reads NOTHING but deltas: a join-view refresh (either
   * side) persists delete/insert rows of the joined relation
   * ([[JoinView.changes]]); [[catchUp]] folds that feed into per-group
-  * `(cnt, sum)` state with the retractable delta-merge
-  * ([[AggView.maintain]]'s cnt/sum half) — deletes at weight −1, inserts
-  * at +1 — touching only the state buckets of dirty groups. Cost per
-  * catch-up is O(|join delta| + |dirty groups' buckets|), independent of
-  * |L|, |R| and the join size: at 100 TB a 1 % change batch flows
-  * base-delta → join-delta → group-delta without any full scan at any
-  * level. Sums are carried in DECIMAL so the merge is exact and
-  * associative ([[AggView.SumType]] contract); avg derives as sum/cnt.
+  * state with the retractable delta-merge ([[AggView.maintain]]'s
+  * cnt/sum half) — deletes at weight −1, inserts at +1 — touching only
+  * the state buckets of dirty groups. Cost per catch-up is O(|join
+  * delta| + |dirty groups' buckets|), independent of |L|, |R| and the
+  * join size: at 100 TB a 1 % change batch flows base-delta →
+  * join-delta → group-delta without any full scan at any level. Sums
+  * are carried in DECIMAL so the merge is exact and associative
+  * ([[AggView.SumType]] contract); avg derives as sum/cnt.
+  *
+  * MEASURES may be MULTIPLE ([[Measures]] — pass a `Seq[String]`): all
+  * measures fold in the SAME single pass over the SAME CDC feed into
+  * the SAME one state row per group, each carrying its own per-measure
+  * `(vcnt, sum)` pair so the NULL-sum rule below holds independently
+  * per measure. A single measure keeps the historical field spelling
+  * (`vcnt`, `sum_value`) — byte-compatible with every existing store;
+  * multiple measures spell `vcnt_<col>` / `sum_<col>`.
   *
   * DURABILITY: the catch-up watermark (the join epoch already folded in)
   * is persisted INSIDE the state view as a sentinel row
@@ -43,19 +73,23 @@ import graft.engine.BucketedViewStore.RefreshStats
   * ([[JoinAggView.NullGroupKey]]) before keying the state — null can
   * neither key a store bucket nor survive the dirty-group semi-join —
   * and mapped back to null at serve time, so SQL's null-group semantics
-  * hold end to end.
+  * hold end to end. NULL SUMS: SQL's SUM over an all-null group is NULL
+  * (not 0) — each measure's non-null value count (`vcnt`) retracts that
+  * distinction under deletes, per measure.
   *
   * With `trackValues = true` a second refcount state (`stateName__vals`,
   * one row per live (group, value) with the value's multiplicity — the
   * same deletion-safe machinery as the engine's maintained distinct-count
   * and percentile states) is kept from the same CDC feed, serving exact
   * per-group `min` / `max` / `distinct-count` — the aggregates the plain
-  * `(cnt, sum)` state cannot retract under deletes. State size is
-  * |groups| · |distinct values per group|: bounded for discrete/bounded-
-  * precision domains, the documented contract of the refcount family.
-  * Each state carries its own watermark, so a crash between the two
-  * folds self-heals: the lagging state folds the wider range on the next
-  * catch-up, the current one no-ops.
+  * `(cnt, sum)` state cannot retract under deletes. The companion tracks
+  * the FIRST measure (min/max/distinct of a secondary measure: make it
+  * first, or run a second rollup). State size is |groups| · |distinct
+  * values per group|: bounded for discrete/bounded-precision domains,
+  * the documented contract of the refcount family. Each state carries
+  * its own watermark, so a crash between the two folds self-heals: the
+  * lagging state folds the wider range on the next catch-up, the
+  * current one no-ops.
   *
   * The state lives in the SAME bucketed store as the join view, as its
   * own map view (src_key = emit key = group key, one emission per group),
@@ -65,10 +99,21 @@ final class JoinAggView(
     val jv: MaintainedRelation,
     val stateName: String,
     groupCol: String,
-    valueCol: String,
+    measures: Measures,
     trackValues: Boolean = false) {
 
   import JoinAggView.{NullGroupKey, WatermarkKey, ValSep}
+
+  /** The measure columns, in fold order. */
+  private val ms: Seq[String] = measures.parts
+  private val single = ms.size == 1
+
+  /** Per-measure state field spellings — the single-measure names are
+    * the historical layout (zero migration for every existing store). */
+  private def vcntF(m: String) = if (single) "vcnt" else s"vcnt_$m"
+  private def sumF(m: String) = if (single) "sum_value" else s"sum_$m"
+  private[engine] def stateFields: Seq[String] =
+    "cnt" +: ms.flatMap(m => Seq(vcntF(m), sumF(m)))
 
   // a padded view (full_outer / right_outer) splits its CDC across the
   // owned relation and the right-pad twin; [[feedBetween]] folds BOTH —
@@ -91,7 +136,7 @@ final class JoinAggView(
   private def stateIdx = MapIndex.columns(stateName)(
     col("emit_key").cast("string"),
     array(MapIndex.emit(col("emit_key"),
-      struct(col("cnt"), col("vcnt"), col("sum_value")))))
+      struct(stateFields.map(col): _*))))
 
   /** Refcount state: one row per (group, value), keyed by their joint
     * spelling, the group and DECIMAL value carried as struct fields so
@@ -105,32 +150,34 @@ final class JoinAggView(
       v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     concat_ws(ValSep, grp, v.cast("string"))
 
-  private def aggregateOf(rows: DataFrame): DataFrame =
+  private def aggregateOf(rows: DataFrame): DataFrame = {
+    val aggs = count(lit(1)).as("cnt") +: ms.flatMap(m => Seq(
+      // non-null value count: SQL's SUM over an all-null group is
+      // NULL, and only this count can retract that under deletes
+      count(col(m)).as(vcntF(m)),
+      coalesce(sum(col(m).cast(DecimalType(18, 4))), lit(0))
+        .cast(AggView.SumType).as(sumF(m))))
     rows.groupBy(groupKey(col(groupCol)).as("emit_key"))
-      .agg(count(lit(1)).as("cnt"),
-        // non-null value count: SQL's SUM over an all-null group is
-        // NULL, and only this count can retract that under deletes
-        count(col(valueCol)).as("vcnt"),
-        coalesce(sum(col(valueCol).cast(DecimalType(18, 4))), lit(0))
-          .cast(AggView.SumType).as("sum_value"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
 
-  /** Full refcount recompute (build path). Null values drop out — SQL's
-    * min/max/count(DISTINCT) all ignore them. */
+  /** Full refcount recompute (build path; first measure). Null values
+    * drop out — SQL's min/max/count(DISTINCT) all ignore them. */
   private def valsOf(rows: DataFrame): DataFrame =
     rows.select(groupKey(col(groupCol)).as("grp"),
-        col(valueCol).cast(DecimalType(18, 4)).as("v"))
+        col(ms.head).cast(DecimalType(18, 4)).as("v"))
       .filter(col("v").isNotNull)
       .groupBy("grp", "v").agg(count(lit(1)).as("cnt"))
       .withColumn("emit_key", valKey(col("grp"), col("v")))
 
   /** The watermark sentinel row in the MAIN state's schema: `cnt` carries
-    * the consumed join epoch (sum 0). Committing it with the state rows
-    * is what makes the watermark crash-consistent. */
+    * the consumed join epoch (each measure's vcnt 0, sum 0). Committing
+    * it with the state rows is what makes the watermark crash-consistent. */
   private def wmRow(epoch: Int): DataFrame =
     store.spark.range(1).select(
-      lit(WatermarkKey).as("emit_key"),
-      lit(epoch.toLong).as("cnt"), lit(0L).as("vcnt"),
-      lit(0).cast(AggView.SumType).as("sum_value"))
+      Seq(lit(WatermarkKey).as("emit_key"), lit(epoch.toLong).as("cnt")) ++
+        ms.flatMap(m => Seq(lit(0L).as(vcntF(m)),
+          lit(0).cast(AggView.SumType).as(sumF(m)))): _*)
 
   /** Watermark row in the vals state's schema. */
   private def wmValsRow(epoch: Int): DataFrame =
@@ -160,14 +207,27 @@ final class JoinAggView(
     }
   }
 
-  /** Current rollup: `emit_key (group), cnt, sum_value`. */
-  def state: DataFrame =
-    store.df(stateName)
-      .filter(col("emit_key") =!= WatermarkKey)
-      .select(unkey(col("emit_key")).as("emit_key"),
+  /** Current rollup: `emit_key (group), cnt`, then per measure its sum —
+    * one measure serves the historical `sum_value` column; several serve
+    * `vcnt_<col>, sum_<col>` pairs (the vcnt IS SQL's `count(col)`).
+    * Each sum is NULL when its measure holds no non-null values in the
+    * group — SQL SUM semantics, independently per measure. */
+  def state: DataFrame = {
+    val base = store.df(stateName).filter(col("emit_key") =!= WatermarkKey)
+    if (single)
+      base.select(unkey(col("emit_key")).as("emit_key"),
         col("emit_value.cnt").as("cnt"),
         when(col("emit_value.vcnt") > 0, col("emit_value.sum_value"))
           .as("sum_value"))
+    else
+      base.select(
+        Seq(unkey(col("emit_key")).as("emit_key"),
+          col("emit_value.cnt").as("cnt")) ++
+          ms.flatMap(m => Seq(
+            col(s"emit_value.${vcntF(m)}").as(vcntF(m)),
+            when(col(s"emit_value.${vcntF(m)}") > 0,
+              col(s"emit_value.${sumF(m)}")).as(sumF(m)))): _*)
+  }
 
   /** The refcount (group, value) state: `emit_key (group), value, cnt`. */
   def valueState: DataFrame = {
@@ -212,19 +272,21 @@ final class JoinAggView(
       s"rollup '$stateName' watermark $consumedMain is ahead of join epoch $to")
     if (to == consumedMain) // already current: idempotent no-op
       return RefreshStats(0, 0, store.numBuckets)
+    val sgn = when(col("change_type") === "insert", 1L).otherwise(-1L)
+    val dAggs = sum("d_cnt").as("d_cnt") +: ms.flatMap(m => Seq(
+      sum(s"d_${vcntF(m)}").as(s"d_${vcntF(m)}"),
+      sum(s"d_${sumF(m)}").cast(AggView.SumType).as(s"d_${sumF(m)}")))
     val delta = feedBetween(consumedMain, to).select(
-        groupKey(col(s"emit_value.$groupCol")).as("emit_key"),
-        when(col("change_type") === "insert", 1L).otherwise(-1L).as("d_cnt"),
-        (when(col("change_type") === "insert", 1L).otherwise(-1L)
-          * when(col(s"emit_value.$valueCol").isNotNull, 1L).otherwise(0L))
-          .as("d_vcnt"),
-        (when(col("change_type") === "insert", 1L).otherwise(-1L)
-          * coalesce(col(s"emit_value.$valueCol").cast(DecimalType(18, 4)),
-              lit(0).cast(DecimalType(18, 4))))
-          .as("d_sum"))
+        Seq(groupKey(col(s"emit_value.$groupCol")).as("emit_key"),
+          sgn.as("d_cnt")) ++
+          ms.flatMap { m =>
+            val v = col(s"emit_value.$m").cast(DecimalType(18, 4))
+            Seq((sgn * when(v.isNotNull, 1L).otherwise(0L)).as(s"d_${vcntF(m)}"),
+              (sgn * coalesce(v, lit(0).cast(DecimalType(18, 4))))
+                .as(s"d_${sumF(m)}"))
+          }: _*)
       .groupBy("emit_key")
-      .agg(sum("d_cnt").as("d_cnt"), sum("d_vcnt").as("d_vcnt"),
-        sum("d_sum").cast(AggView.SumType).as("d_sum"))
+      .agg(dAggs.head, dAggs.tail: _*)
       .persist() // feeds the touched-key set AND the merge below
     val stats =
       if (delta.isEmpty)
@@ -235,17 +297,19 @@ final class JoinAggView(
       else {
         val touched = delta.select("emit_key")
         val old = store.getAll(stateName, touched)
-          .select(col("emit_key"),
-            col("emit_value.cnt").as("cnt"),
-            col("emit_value.vcnt").as("vcnt"),
-            col("emit_value.sum_value").as("sum_value"))
+          .select(col("emit_key") +:
+            stateFields.map(f => col(s"emit_value.$f").as(f)): _*)
         val merged = old.join(delta, Seq("emit_key"), "full_outer")
-          .select(col("emit_key"),
-            (coalesce(col("cnt"), lit(0L)) + coalesce(col("d_cnt"), lit(0L))).as("cnt"),
-            (coalesce(col("vcnt"), lit(0L)) + coalesce(col("d_vcnt"), lit(0L))).as("vcnt"),
-            (coalesce(col("sum_value"), lit(0).cast(AggView.SumType))
-              + coalesce(col("d_sum"), lit(0).cast(AggView.SumType)))
-              .cast(AggView.SumType).as("sum_value"))
+          .select(
+            Seq(col("emit_key"),
+              (coalesce(col("cnt"), lit(0L)) + coalesce(col("d_cnt"), lit(0L)))
+                .as("cnt")) ++
+              ms.flatMap(m => Seq(
+                (coalesce(col(vcntF(m)), lit(0L))
+                  + coalesce(col(s"d_${vcntF(m)}"), lit(0L))).as(vcntF(m)),
+                (coalesce(col(sumF(m)), lit(0).cast(AggView.SumType))
+                  + coalesce(col(s"d_${sumF(m)}"), lit(0).cast(AggView.SumType)))
+                  .cast(AggView.SumType).as(sumF(m)))): _*)
           .filter(col("cnt") > 0)
         store.refresh(stateIdx, merged.unionByName(wmRow(to)),
           Some(touched.select(col("emit_key").cast("string").as("src_key"))))
@@ -261,7 +325,7 @@ final class JoinAggView(
     if (to == consumedVals) return
     val delta = feedBetween(consumedVals, to).select(
         groupKey(col(s"emit_value.$groupCol")).as("grp"),
-        col(s"emit_value.$valueCol").cast(DecimalType(18, 4)).as("v"),
+        col(s"emit_value.${ms.head}").cast(DecimalType(18, 4)).as("v"),
         when(col("change_type") === "insert", 1L).otherwise(-1L).as("d_cnt"))
       .filter(col("v").isNotNull)
       .groupBy("grp", "v")
@@ -324,7 +388,8 @@ object JoinAggView {
     val missing = fields.filterNot(have)
     require(missing.isEmpty,
       s"state view '$name' lacks state field(s) ${missing.mkString(", ")} — " +
-        "built by an earlier engine version; rebuild it")
+        "built by an earlier engine version or a different measure list; " +
+        "rebuild it")
   }
 
   /** Handle to an already-materialized rollup (durable-store reopen).
@@ -334,10 +399,10 @@ object JoinAggView {
     * folded, and the next [[JoinAggView.catchUp]] replays any refreshes
     * that landed after the last fold. */
   def attach(jv: MaintainedRelation, stateName: String,
-      groupCol: String, valueCol: String,
+      groupCol: String, measures: Measures,
       trackValues: Boolean = false): JoinAggView = {
-    val v = new JoinAggView(jv, stateName, groupCol, valueCol, trackValues)
-    requireStateFields(jv.store, stateName, Seq("cnt", "vcnt", "sum_value"))
+    val v = new JoinAggView(jv, stateName, groupCol, measures, trackValues)
+    requireStateFields(jv.store, stateName, v.stateFields)
     v.consumedMain = readWatermark(jv.store, stateName)
     if (trackValues) {
       requireStateFields(jv.store, v.valsName, Seq("grp", "v", "cnt"))

@@ -26,6 +26,14 @@ import graft.engine.BucketedViewStore.RefreshStats
   * plus the group columns (null where masked or genuinely null), so the
   * state is directly comparable to `GROUP BY ROLLUP/CUBE` output.
   *
+  * MEASURES may be MULTIPLE ([[Measures]] — pass a `Seq[String]`): all
+  * measures fold in the SAME |sets|×-exploded pass into the SAME one
+  * state row per (set, group), each with its own `(vcnt, sum)` pair so
+  * SQL's NULL-sum rule holds independently per measure (a TPC-H-Q1-shape
+  * lattice is ONE view, not four). A single measure keeps the historical
+  * field spelling (`vcnt`, `sum_value`) — zero migration; several spell
+  * `vcnt_<col>` / `sum_<col>`.
+  *
   * With `trackValues = true` a refcount companion state
   * (`stateName__vals`, one row per live (set, group, value) with the
   * value's multiplicity — the same deletion-safe machinery
@@ -33,30 +41,45 @@ import graft.engine.BucketedViewStore.RefreshStats
   * from the same CDC feed, serving exact per-(set, group) `min` / `max`
   * / `distinct-count` alongside `(cnt, sum)` — "distinct customers by
   * (segment, priority) rollup, always fresh" across the whole lattice.
-  * State size is Σ_sets |groups of the set| · |distinct values per
-  * group| — the refcount family's documented discrete/bounded-precision
-  * domain contract, |sets|× the single-set version. Each state carries
-  * its own watermark, so a crash between the two folds self-heals.
+  * The companion tracks the FIRST measure. State size is Σ_sets |groups
+  * of the set| · |distinct values per group| — the refcount family's
+  * documented discrete/bounded-precision domain contract, |sets|× the
+  * single-set version. Each state carries its own watermark, so a crash
+  * between the two folds self-heals.
   *
   * The catch-up watermark rides in the state as the same atomic sentinel
   * row as [[JoinAggView]] — crash-consistent, reopenable via [[attach]],
-  * idempotent per epoch.
+  * idempotent per epoch — and carries the key-spelling GENERATION stamp
+  * ([[JoinGroupingView.SpellingGen]]) that [[attach]] verifies, so a
+  * state persisted under an older spelling is rejected with the
+  * rebuild-it message instead of silently double-counting.
   */
 final class JoinGroupingView(
     val jv: MaintainedRelation,
     val stateName: String,
     groupCols: Seq[String],
-    valueCol: String,
+    measures: Measures,
     sets: Seq[Seq[String]],
     trackValues: Boolean = false) {
 
   import JoinAggView.{NullGroupKey, WatermarkKey}
-  import JoinGroupingView.SetSep
+  import JoinGroupingView.{SetSep, SpellingGen}
 
   require(groupCols.nonEmpty && sets.nonEmpty)
   sets.foreach(s => require(s.forall(groupCols.contains),
     s"grouping set ${s.mkString("(", ",", ")")} escapes $groupCols"))
   require(sets.distinct.size == sets.size, "grouping sets must be distinct")
+
+  /** The measure columns, in fold order. */
+  private val ms: Seq[String] = measures.parts
+  private val single = ms.size == 1
+
+  /** Per-measure state field spellings ([[JoinAggView]]'s convention:
+    * single measure = historical names, zero migration). */
+  private def vcntF(m: String) = if (single) "vcnt" else s"vcnt_$m"
+  private def sumF(m: String) = if (single) "sum_value" else s"sum_$m"
+  private[engine] def stateFields: Seq[String] =
+    Seq("gid", "cnt") ++ ms.flatMap(m => Seq(vcntF(m), sumF(m)))
 
   private def store = jv.store
   private[engine] def valsName = s"${stateName}__vals"
@@ -71,7 +94,7 @@ final class JoinGroupingView(
     * the set's UNMASKED values in groupCols order (null → sentinel),
     * each part ESCAPED ([[CompositeKey.escapePart]]) — a group VALUE
     * containing the separator must not collide two different groups
-    * (("x\u0001", "y") vs ("x", "\u0001y") under raw concat_ws would
+    * ((("x"+sep, "y")) vs (("x", sep+"y")) under raw concat_ws would
     * merge their counts and serve the wrong group fields). The sentinel
     * spellings contain no separator/escape bytes, so they are fixed
     * points of the escaping. */
@@ -92,8 +115,7 @@ final class JoinGroupingView(
   private def stateIdx = MapIndex.columns(stateName)(
     col("emit_key").cast("string"),
     array(MapIndex.emit(col("emit_key"),
-      struct(Seq(col("gid"), col("cnt"), col("vcnt"), col("sum_value")) ++
-        groupCols.map(c => col(s"g_$c")): _*))))
+      struct(stateFields.map(col) ++ groupCols.map(c => col(s"g_$c")): _*))))
 
   /** Refcount companion: one row per live (set, group, value), keyed by
     * the main state key ∥ the value; `grp` carries the main state key so
@@ -107,36 +129,49 @@ final class JoinGroupingView(
     concat_ws(SetSep, grp, v.cast("string"))
 
   /** One row per (set, group) of `rows` — the build-path aggregation.
-    * `vcnt` counts NON-NULL values: SQL's SUM over an all-null group is
-    * NULL (not 0), and only the non-null count can retract that
-    * distinction under deletes. */
-  private def latticeOf(rows: DataFrame): DataFrame =
+    * Each measure's `vcnt` counts its NON-NULL values: SQL's SUM over an
+    * all-null group is NULL (not 0), and only the non-null count can
+    * retract that distinction under deletes — per measure. */
+  private def latticeOf(rows: DataFrame): DataFrame = {
+    val aggs = count(lit(1)).as("cnt") +: ms.flatMap(m => Seq(
+      count(col(m)).as(vcntF(m)),
+      coalesce(sum(col(m).cast(DecimalType(18, 4))), lit(0))
+        .cast(AggView.SumType).as(sumF(m))))
     sets.indices.map { si =>
       rows.groupBy((keyOf(si, col).as("emit_key") +: fieldsOf(si, col)): _*)
-        .agg(count(lit(1)).as("cnt"),
-          count(col(valueCol)).as("vcnt"),
-          coalesce(sum(col(valueCol).cast(DecimalType(18, 4))), lit(0))
-            .cast(AggView.SumType).as("sum_value"))
+        .agg(aggs.head, aggs.tail: _*)
         .withColumn("gid", lit(gidOf(sets(si))))
     }.reduce(_.unionByName(_))
+  }
 
-  /** Full refcount recompute (build path). Null values drop out — SQL's
-    * min/max/count(DISTINCT) all ignore them. */
+  /** Full refcount recompute (build path; first measure). Null values
+    * drop out — SQL's min/max/count(DISTINCT) all ignore them. */
   private def latticeValsOf(rows: DataFrame): DataFrame =
     sets.indices.map { si =>
       rows.select(keyOf(si, col).as("grp"),
-        col(valueCol).cast(DecimalType(18, 4)).as("v"))
+        col(ms.head).cast(DecimalType(18, 4)).as("v"))
     }.reduce(_.unionByName(_))
       .filter(col("v").isNotNull)
       .groupBy("grp", "v").agg(count(lit(1)).as("cnt"))
       .withColumn("emit_key", valKey(col("grp"), col("v")))
 
-  /** Watermark sentinel in the state schema. */
+  /** Watermark sentinel in the state schema. The FIRST measure's
+    * otherwise-unused `vcnt` field carries the KEY-SPELLING GENERATION
+    * ([[JoinGroupingView.SpellingGen]]): the r16 escaping change
+    * silently re-spells the state key of any group value containing
+    * U+0001/U+0002, so a post-upgrade catch-up over a pre-escape store
+    * would fold deltas under new spellings while old rows sit under old
+    * ones, double-counting those groups — [[attach]] rejects a
+    * generation mismatch with the rebuild-it message instead. Riding in
+    * the watermark row makes the stamp crash-consistent with the state. */
   private def wmRow(epoch: Int): DataFrame =
     store.spark.range(1).select(
       Seq(lit(WatermarkKey).as("emit_key"), lit(0).as("gid"),
-        lit(epoch.toLong).as("cnt"), lit(0L).as("vcnt"),
-        lit(0).cast(AggView.SumType).as("sum_value")) ++
+        lit(epoch.toLong).as("cnt")) ++
+        ms.zipWithIndex.flatMap { case (m, i) =>
+          Seq(lit(if (i == 0) SpellingGen else 0L).as(vcntF(m)),
+            lit(0).cast(AggView.SumType).as(sumF(m)))
+        } ++
         groupCols.map(c => lit(null).cast("string").as(s"g_$c")): _*)
 
   /** Watermark row in the vals state's schema. */
@@ -163,23 +198,33 @@ final class JoinGroupingView(
     }
   }
 
-  /** The raw state rows with their state key (internal serving base). */
+  /** The raw state rows with their state key (internal serving base).
+    * Single measure serves the historical `cnt, sum_value` pair;
+    * several serve `cnt` plus per-measure `vcnt_<col>, sum_<col>`. */
   private def rawState: DataFrame = {
     val unkeyed = groupCols.map(c =>
       when(col(s"emit_value.g_$c") === NullGroupKey, lit(null).cast("string"))
         .otherwise(col(s"emit_value.g_$c")).as(c))
+    val aggCols =
+      if (single)
+        Seq(col("emit_value.cnt").as("cnt"),
+          when(col("emit_value.vcnt") > 0, col("emit_value.sum_value"))
+            .as("sum_value"))
+      else
+        col("emit_value.cnt").as("cnt") +: ms.flatMap(m => Seq(
+          col(s"emit_value.${vcntF(m)}").as(vcntF(m)),
+          when(col(s"emit_value.${vcntF(m)}") > 0,
+            col(s"emit_value.${sumF(m)}")).as(sumF(m))))
     store.df(stateName)
       .filter(col("emit_key") =!= WatermarkKey)
       .select(Seq(col("emit_key"), col("emit_value.gid").as("gid")) ++ unkeyed ++
-        Seq(col("emit_value.cnt").as("cnt"),
-          when(col("emit_value.vcnt") > 0, col("emit_value.sum_value"))
-            .as("sum_value")): _*)
+        aggCols: _*)
   }
 
-  /** Current lattice: `gid, <groupCols>, cnt, sum_value` — group columns
-    * null where masked by the set or genuinely null in the data; the sum
-    * serves as NULL when the group holds no non-null values (SQL SUM
-    * semantics — a pad-only group is NULL, not 0). */
+  /** Current lattice: `gid, <groupCols>, cnt, <sums>` — group columns
+    * null where masked by the set or genuinely null in the data; each
+    * sum serves as NULL when its measure holds no non-null values in
+    * the group (SQL SUM semantics — a pad-only group is NULL, not 0). */
   def state: DataFrame = rawState.drop("emit_key")
 
   /** Exact deletion-safe min / max / distinct-count per (set, group)
@@ -195,7 +240,7 @@ final class JoinGroupingView(
   }
 
   /** The full multi-aggregate lattice surface: `gid, <groupCols>, cnt,
-    * sum_value, min_value, max_value, n_distinct`. LEFT join from the
+    * <sums>, min_value, max_value, n_distinct`. LEFT join from the
     * main state: a (set, group) whose values are ALL NULL exists in the
     * main state (cnt > 0, NULL sum) but holds no refcount rows — it
     * serves with null min/max and distinct-count 0, exactly SQL's
@@ -226,37 +271,44 @@ final class JoinGroupingView(
     if (to == consumed) return RefreshStats(0, 0, store.numBuckets)
     val feed = feedBetween(consumed, to)
     val sgn = when(col("change_type") === "insert", 1L).otherwise(-1L)
-    val dv = col(s"emit_value.$valueCol").cast(DecimalType(18, 4))
     val of: String => Column = c => col(s"emit_value.$c")
+    val dAggs = sum("d_cnt").as("d_cnt") +: ms.flatMap(m => Seq(
+      sum(s"d_${vcntF(m)}").as(s"d_${vcntF(m)}"),
+      sum(s"d_${sumF(m)}").cast(AggView.SumType).as(s"d_${sumF(m)}")))
     val delta = sets.indices.map { si =>
       feed.select(Seq(keyOf(si, of).as("emit_key"),
           lit(gidOf(sets(si))).as("gid"),
-          sgn.as("d_cnt"),
-          (sgn * when(dv.isNotNull, 1L).otherwise(0L)).as("d_vcnt"),
-          (sgn * coalesce(dv, lit(0).cast(DecimalType(18, 4)))).as("d_sum")) ++
+          sgn.as("d_cnt")) ++
+        ms.flatMap { m =>
+          val dv = of(m).cast(DecimalType(18, 4))
+          Seq((sgn * when(dv.isNotNull, 1L).otherwise(0L)).as(s"d_${vcntF(m)}"),
+            (sgn * coalesce(dv, lit(0).cast(DecimalType(18, 4))))
+              .as(s"d_${sumF(m)}"))
+        } ++
         fieldsOf(si, of): _*)
     }.reduce(_.unionByName(_))
       .groupBy(Seq(col("emit_key"), col("gid")) ++
         groupCols.map(c => col(s"g_$c")): _*)
-      .agg(sum("d_cnt").as("d_cnt"), sum("d_vcnt").as("d_vcnt"),
-        sum("d_sum").cast(AggView.SumType).as("d_sum"))
+      .agg(dAggs.head, dAggs.tail: _*)
       .persist()
     val stats =
       if (delta.isEmpty) store.refresh(stateIdx, wmRow(to), None)
       else {
         val touched = delta.select("emit_key")
         val old = store.getAll(stateName, touched)
-          .select(col("emit_key"),
-            col("emit_value.cnt").as("cnt"),
-            col("emit_value.vcnt").as("vcnt"),
-            col("emit_value.sum_value").as("sum_value"))
+          .select(col("emit_key") +:
+            stateFields.filterNot(_ == "gid")
+              .map(f => col(s"emit_value.$f").as(f)): _*)
         val merged = old.join(delta, Seq("emit_key"), "full_outer")
           .select(Seq(col("emit_key"), col("gid"),
-            (coalesce(col("cnt"), lit(0L)) + coalesce(col("d_cnt"), lit(0L))).as("cnt"),
-            (coalesce(col("vcnt"), lit(0L)) + coalesce(col("d_vcnt"), lit(0L))).as("vcnt"),
-            (coalesce(col("sum_value"), lit(0).cast(AggView.SumType))
-              + coalesce(col("d_sum"), lit(0).cast(AggView.SumType)))
-              .cast(AggView.SumType).as("sum_value")) ++
+            (coalesce(col("cnt"), lit(0L)) + coalesce(col("d_cnt"), lit(0L)))
+              .as("cnt")) ++
+            ms.flatMap(m => Seq(
+              (coalesce(col(vcntF(m)), lit(0L))
+                + coalesce(col(s"d_${vcntF(m)}"), lit(0L))).as(vcntF(m)),
+              (coalesce(col(sumF(m)), lit(0).cast(AggView.SumType))
+                + coalesce(col(s"d_${sumF(m)}"), lit(0).cast(AggView.SumType)))
+                .cast(AggView.SumType).as(sumF(m)))) ++
             groupCols.map(c => col(s"g_$c")): _*)
           .filter(col("cnt") > 0)
         store.refresh(stateIdx, merged.unionByName(wmRow(to)),
@@ -267,9 +319,10 @@ final class JoinGroupingView(
     stats
   }
 
-  /** Refcount fold: the same |sets|× exploded delta, merged into the
-    * dirty (set, group, value) rows only — a value whose multiplicity
-    * reaches zero drops, so min/max/distinct stay exact under deletes. */
+  /** Refcount fold: the same |sets|× exploded delta (first measure),
+    * merged into the dirty (set, group, value) rows only — a value whose
+    * multiplicity reaches zero drops, so min/max/distinct stay exact
+    * under deletes. */
   private def foldVals(to: Int): Unit = {
     require(to >= consumedVals,
       s"lattice '$valsName' watermark $consumedVals is ahead of epoch $to")
@@ -279,7 +332,7 @@ final class JoinGroupingView(
     val of: String => Column = c => col(s"emit_value.$c")
     val delta = sets.indices.map { si =>
       feed.select(keyOf(si, of).as("grp"),
-        col(s"emit_value.$valueCol").cast(DecimalType(18, 4)).as("v"),
+        col(s"emit_value.${ms.head}").cast(DecimalType(18, 4)).as("v"),
         sgn.as("d_cnt"))
     }.reduce(_.unionByName(_))
       .filter(col("v").isNotNull)
@@ -310,6 +363,14 @@ object JoinGroupingView {
     * value suffix). */
   private val SetSep = "\u0001"
 
+  /** Key-spelling generation stamped in the watermark row's first
+    * `vcnt` field: 2 = escaped composite spelling
+    * ([[CompositeKey.escapePart]] applied to group values). Pre-escape
+    * stores carry 0 there and are rejected at [[attach]] — their
+    * separator-bearing group values sit under spellings this generation
+    * would never fold into. Bump when the spelling changes again. */
+  private[engine] val SpellingGen = 2L
+
   /** ROLLUP lattice: the prefixes of `groupCols`, () included. */
   def rollupSets(groupCols: Seq[String]): Seq[Seq[String]] =
     (0 to groupCols.size).map(groupCols.take)
@@ -321,15 +382,16 @@ object JoinGroupingView {
 
   /** Reopen an already-materialized lattice from its persisted
     * watermark (never trusting driver memory). Verifies the stored
-    * schema carries this engine generation's state fields up front. */
+    * schema carries this engine generation's state fields AND the
+    * key-spelling generation stamp up front. */
   def attach(jv: MaintainedRelation, stateName: String,
-      groupCols: Seq[String], valueCol: String,
+      groupCols: Seq[String], measures: Measures,
       sets: Seq[Seq[String]], trackValues: Boolean = false): JoinGroupingView = {
-    val v = new JoinGroupingView(jv, stateName, groupCols, valueCol, sets,
+    val v = new JoinGroupingView(jv, stateName, groupCols, measures, sets,
       trackValues)
-    JoinAggView.requireStateFields(jv.store, stateName,
-      Seq("gid", "cnt", "vcnt", "sum_value"))
-    v.consumed = readWatermark(jv.store, stateName)
+    JoinAggView.requireStateFields(jv.store, stateName, v.stateFields)
+    v.consumed = readWatermark(jv.store, stateName,
+      genField = Some(v.stateFields(2))) // the first measure's vcnt field
     if (trackValues) {
       JoinAggView.requireStateFields(jv.store, v.valsName, Seq("grp", "v", "cnt"))
       v.consumedVals = readWatermark(jv.store, v.valsName)
@@ -337,11 +399,27 @@ object JoinGroupingView {
     v
   }
 
-  private def readWatermark(store: BucketedViewStore, name: String): Int = {
+  /** Read the persisted watermark and — for the MAIN state, whose
+    * sentinel carries the stamp in its first `vcnt` field (the vals
+    * companion has no such field; its keys share the main state's
+    * spelling, so one stamp governs both) — verify the key-spelling
+    * generation, all in one bucket-pruned point read. */
+  private def readWatermark(store: BucketedViewStore, name: String,
+      genField: Option[String] = None): Int = {
+    val fields = col("emit_value.cnt") +:
+      genField.map(f => col(s"emit_value.$f")).toSeq
     val rows = store.get(name, JoinAggView.WatermarkKey)
-      .select(col("emit_value.cnt")).collect()
+      .select(fields: _*).collect()
     require(rows.nonEmpty,
       s"lattice view '$name' has no persisted watermark; rebuild it")
+    genField.foreach { _ =>
+      val gen = rows.head.getLong(1)
+      require(gen == SpellingGen,
+        s"lattice view '$name' was built under key-spelling generation " +
+          s"$gen, this engine folds generation $SpellingGen — a catch-up " +
+          "would double-count groups whose values contain the separator " +
+          "bytes; rebuild it")
+    }
     rows.head.getLong(0).toInt
   }
 }

@@ -61,7 +61,7 @@ final class JoinView(
     val leftPk: String, leftJk: JoinKey, leftCols: Seq[String],
     rightPk: String, rightJk: JoinKey, rightCols: Seq[String],
     saltBuckets: Int = 1,
-    val joinType: String = "inner") extends MaintainedRelation {
+    val joinType: String = "inner") extends MaintainedRelation with LeftKeyedConsumer {
   require(saltBuckets >= 1, s"saltBuckets must be >= 1, got $saltBuckets")
   require(leftJk.size == rightJk.size,
     s"join keys must have the same arity: $leftJk vs $rightJk")
@@ -125,17 +125,17 @@ final class JoinView(
 
   private def leftIdx = MapIndex.columns(s"${name}__left")(
     col(leftPk).cast("string"),
-    array(emit(CompositeKey.salted(lSpell, col(leftPk), saltBuckets),
+    array(emit(CompositeKey.salted(lSpell, col(leftPk), saltBuckets, leftJk.size),
       struct(leftCols.map(col): _*))))
 
   private def rightIdx = MapIndex.columns(s"${name}__right")(
     col(rightPk).cast("string"),
-    array(emit(CompositeKey.salted(rSpell, col(rightPk), saltBuckets),
+    array(emit(CompositeKey.salted(rSpell, col(rightPk), saltBuckets, rightJk.size),
       struct(rightCols.map(col): _*))))
 
   private def joinIdx = MapIndex.columns(name)(
     col(leftPk).cast("string"),
-    array(emit(CompositeKey.salted(lSpell, col(leftPk), saltBuckets),
+    array(emit(CompositeKey.salted(lSpell, col(leftPk), saltBuckets, leftJk.size),
       struct((leftCols ++ rightCols).map(col): _*))))
 
   /** full_outer / right_outer only: right rows with no left match,
@@ -144,7 +144,7 @@ final class JoinView(
     * through the ordinary refresh. */
   private def rpadIdx = MapIndex.columns(s"${name}__rpad")(
     col(rightPk).cast("string"),
-    array(emit(CompositeKey.salted(rSpell, col(rightPk), saltBuckets),
+    array(emit(CompositeKey.salted(rSpell, col(rightPk), saltBuckets, rightJk.size),
       struct((leftCols ++ rightCols).map(col): _*))))
 
   /** Materialize the stored views from the base inputs (epoch 0 each). */

@@ -3,6 +3,28 @@ package graft.engine
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+/** The CONSUMER half of the cascade contract: any maintained view that
+  * takes left-side change batches keyed by a left primary key — the
+  * whole maintained-join family ([[JoinView]], [[FilterJoinView]],
+  * [[AsOfJoinView]]) exposes exactly this `refreshLeft(ups, dels)`
+  * surface, so a cascade can replay an upstream relation's CDC into a
+  * join, a SEMI/ANTI membership filter, or an as-of pick without caring
+  * which it is ("live customers' enriched orders, maintained end to
+  * end" = semi OVER join; "attribution over a maintained join" = as-of
+  * OVER join). */
+trait LeftKeyedConsumer {
+  /** The consumer's view name (error messages, store addressing). */
+  def name: String
+
+  /** The primary-key column the consumer's LEFT rows are owned by —
+    * what an upstream cascade must replay by. */
+  def leftPk: String
+
+  /** Apply a LEFT-side change batch (upserted rows + tombstoned left
+    * pks — the store's ordinary refresh contract). */
+  def refreshLeft(ups: DataFrame, dels: Option[DataFrame]): BucketedViewStore.RefreshStats
+}
+
 /** A maintained relation living in a [[BucketedViewStore]]: a current
   * snapshot plus an epoch-numbered CDC feed. This is the contract a
   * downstream incremental consumer (e.g. [[JoinAggView]]) needs — it
@@ -45,26 +67,28 @@ trait MaintainedRelation {
     throw new UnsupportedOperationException(
       s"maintained relation '$name' has no right-pad twin")
 
-  /** Catch a DOWNSTREAM [[JoinView]] — one whose LEFT input is THIS
-    * relation's rows (same primary key) — up to this relation's state
-    * by replaying this relation's CDC feed over `(fromEpoch, toEpoch]`:
-    * the generic cascade, available from ANY maintained relation — a
-    * join over a join (the three-way chain), over a SEMI/ANTI view
-    * ("live customers' orders ⋈ priority dim, maintained end to end"),
-    * or over an AS-OF view (attribution rows ⋈ a campaign dim). Net per
-    * source key: a key with an insert in the feed is an upsert
+  /** Catch a DOWNSTREAM left-keyed consumer — one whose LEFT input is
+    * THIS relation's rows (same primary key) — up to this relation's
+    * state by replaying this relation's CDC feed over `(fromEpoch,
+    * toEpoch]`: the generic cascade, available from ANY maintained
+    * relation into ANY [[LeftKeyedConsumer]] — a join over a join (the
+    * three-way chain), a SEMI/ANTI membership filter over a join ("live
+    * customers' enriched orders, maintained end to end"), an as-of pick
+    * over a join, or any of those over a semi/anti/as-of producer. Net
+    * per source key: a key with an insert in the feed is an upsert
     * (refreshLeft's ownership retraction covers its old outputs), a key
     * with deletes only is a tombstone. Replay is O(delta at this
     * level); the downstream refresh is its ordinary bucket-pruned
-    * ΔL⋈R′. Padded relations ([[padsRight]]) cannot cascade left-keyed:
-    * their pad rows are owned by the RIGHT pk and have a null left key.
+    * delta rule. Padded relations ([[padsRight]]) cannot cascade
+    * left-keyed: their pad rows are owned by the RIGHT pk and have a
+    * null left key.
     */
-  def cascadeInto(next: JoinView, fromEpoch: Int, toEpoch: Int): BucketedViewStore.RefreshStats = {
+  def cascadeInto(next: LeftKeyedConsumer, fromEpoch: Int, toEpoch: Int): BucketedViewStore.RefreshStats = {
     require(!padsRight,
       s"maintained relation '$name' pads right rows (null left keys, " +
         "right-pk ownership) and cannot feed a left-keyed cascade")
     require(next.leftPk == srcPk,
-      s"downstream join view '${next.name}' keys its left side by " +
+      s"downstream consumer '${next.name}' keys its left side by " +
         s"'${next.leftPk}', not this relation's left pk '$srcPk'")
     val feed = changes(fromEpoch, toEpoch)
     // resolve the gross feed to each key's FINAL state (the replayDelta

@@ -96,10 +96,35 @@ final class SketchQuantileView(
     store.df(stateName)
       .select(col("emit_key"), col("emit_value.sketch").as("sketch"))
 
+  /** The state plus one merged TOTAL row (`emit_key = totalKey`) — the
+    * rollup a mergeable sketch exists for: the global distribution is
+    * |groups| sketch merges over the state rows alone (each ≤ a few
+    * hundred KB), NEVER a corpus re-read — at 100 TB the (group, ALL)
+    * quantile surface costs the same as serving the state. The merge
+    * order cannot move an estimate outside the deterministic rank bound
+    * (the compactor-stack mergeability contract), so the rollup row
+    * carries the same ≈log2(n/k)/k guarantee as the per-group rows. */
+  def stateRollup(totalKey: String = "ALL"): DataFrame = {
+    val per = state
+    val total = per
+      .agg(expr("qsketch_merge(sketch)").as("sketch"))
+      .select(lit(totalKey).as("emit_key"), col("sketch"))
+    per.unionByName(total)
+  }
+
   /** Served quantiles: one row per group with the exact folded count
     * and the sketch estimate per requested percentile. */
   def quantiles(ps: Seq[(String, Double)]): DataFrame =
-    state.select(
+    quantilesOf(state, ps)
+
+  /** [[quantiles]] over the per-group state PLUS the merged-total row —
+    * both lattice levels served from one state, no base read. */
+  def quantilesRollup(ps: Seq[(String, Double)],
+      totalKey: String = "ALL"): DataFrame =
+    quantilesOf(stateRollup(totalKey), ps)
+
+  private def quantilesOf(s: DataFrame, ps: Seq[(String, Double)]): DataFrame =
+    s.select(
       Seq(col("emit_key"), expr("qsketch_n(sketch)").as("n")) ++
         ps.map { case (nm, p) => expr(s"qsketch_quantile(sketch, $p)").as(nm) }: _*)
 

@@ -248,6 +248,10 @@ object QuantileSketch {
       extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
     override def inputTypes: Seq[DataType] = Seq(BinaryType, DoubleType)
     override def dataType: DataType = DoubleType
+    // an EMPTY sketch decodes to NULL regardless of child nullability —
+    // inheriting BinaryExpression's child-derived nullable would let an
+    // optimizer elide the null check over a non-nullable sketch column
+    override def nullable: Boolean = true
     override def nullSafeEval(sketch: Any, p: Any): Any = {
       val q = QuantileSketch.deserialize(sketch.asInstanceOf[Array[Byte]])
         .quantile(p.asInstanceOf[Double])

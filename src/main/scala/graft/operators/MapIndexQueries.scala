@@ -1958,6 +1958,280 @@ object MapIndexQueries {
       jv
     })
 
+  /** MULTI-MEASURE maintained rollup ([[graft.engine.Measures]] — the
+    * TPC-H-Q1 shape): ONE state row per segment carrying (cnt, vcnt,
+    * sum) for BOTH o_totalprice and c_acctbal, folded in ONE pass from
+    * a LEFT-OUTER join's CDC — not two parallel single-measure views at
+    * 2× the fold and state I/O. The LEFT-OUTER base makes the
+    * per-measure NULL-sum rule bite: the NULL segment (orders whose
+    * customer was purged) has real revenue but an all-null acctbal, so
+    * its acctbal sum must serve as SQL-NULL while its revenue is a
+    * number. Oracle: from-scratch LEFT JOIN + GROUP BY of both modified
+    * tables with both sums and both non-null counts. */
+  private def ordersCustomerAggMeasuresView(s: SparkSession, dir: String): graft.engine.JoinAggView =
+    joinAggViews.getOrElseUpdate(s"$dir#measures", {
+      val store = Views.bucketedStore(s, dir)
+      val jv = new graft.engine.JoinView(store, "orders_customer_msr",
+        "o_orderkey", "o_custkey",
+        Seq("o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"),
+        "c_custkey", "c_custkey",
+        Seq("c_custkey", "c_acctbal", "c_mktsegment"),
+        joinType = "left_outer")
+      val unit = "orders_customer_msr"
+      if (Views.unitDone(store.baseDir, unit))
+        graft.engine.JoinAggView.attach(jv, "orders_customer_msr__rollup",
+          "c_mktsegment", Seq("o_totalprice", "c_acctbal"))
+      else {
+        val o = Tables.orders(s, dir)
+        val c = Tables.customer(s, dir)
+        jv.build(o, c)
+        val agg = new graft.engine.JoinAggView(jv, "orders_customer_msr__rollup",
+          "c_mktsegment", Seq("o_totalprice", "c_acctbal"))
+        agg.build()
+        val upsL = o.filter(col("o_orderkey") % 37 === 0 && col("o_orderkey") % 41 =!= 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000)
+        val delsL = o.filter(col("o_orderkey") % 41 === 0)
+          .select(col("o_orderkey").cast("string")).distinct()
+        jv.refreshLeft(upsL, Some(delsL)); agg.catchUp()
+        val upsR = c.filter(col("c_custkey") % 13 === 0 && col("c_custkey") % 17 =!= 0)
+          .withColumn("c_acctbal", col("c_acctbal") + 100)
+        val delsR = c.filter(col("c_custkey") % 17 === 0)
+          .select(col("c_custkey").cast("string")).distinct()
+        jv.refreshRight(upsR, Some(delsR)); agg.catchUp()
+        Views.markUnitDone(store.baseDir, unit)
+        agg
+      }
+    })
+
+  /** The MULTI-MEASURE lattice twin: the FULL-OUTER rollup lattice
+    * ([[fullOuterOrdersCustomerLattice]]'s shape) folding BOTH measures
+    * into every grouping set at once — left-pads carry acctbal but no
+    * revenue, right-pads revenue but no acctbal, so each (set, group)
+    * row proves the per-measure NULL-sum rule independently across the
+    * whole lattice. Same orphaning history on twin view names. */
+  private def fullOuterLatticeMeasuresView(s: SparkSession, dir: String): graft.engine.JoinGroupingView =
+    latticeViews.getOrElseUpdate(s"$dir#measures", {
+      val store = Views.bucketedStore(s, dir)
+      val jv = new graft.engine.JoinView(store, "orders_customer_folm",
+        "o_orderkey", "o_custkey",
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate", "o_orderpriority"),
+        "c_custkey", "c_custkey",
+        Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"),
+        joinType = "full_outer")
+      val gcols = Seq("c_mktsegment", "o_orderpriority")
+      val rSets = graft.engine.JoinGroupingView.rollupSets(gcols)
+      val msrs = Seq("o_totalprice", "c_acctbal")
+      val unit = "orders_customer_folm"
+      if (Views.unitDone(store.baseDir, unit))
+        graft.engine.JoinGroupingView.attach(jv, "orders_customer_folm__roll",
+          gcols, msrs, rSets)
+      else {
+        val o = Tables.orders(s, dir)
+        val c = Tables.customer(s, dir)
+        jv.build(o, c)
+        val gv = new graft.engine.JoinGroupingView(jv,
+          "orders_customer_folm__roll", gcols, msrs, rSets)
+        gv.build()
+        val upsL = o.filter(col("o_orderkey") % 37 === 0 && col("o_orderkey") % 41 =!= 0
+            && col("o_custkey") % 19 =!= 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000)
+        val delsL = o.filter(col("o_orderkey") % 41 === 0 || col("o_custkey") % 19 === 0)
+          .select(col("o_orderkey").cast("string")).distinct()
+        jv.refreshLeft(upsL, Some(delsL)); gv.catchUp()
+        val upsR = c.filter(col("c_custkey") % 13 === 0 && col("c_custkey") % 17 =!= 0)
+          .withColumn("c_acctbal", col("c_acctbal") + 100)
+        val delsR = c.filter(col("c_custkey") % 17 === 0)
+          .select(col("c_custkey").cast("string")).distinct()
+        jv.refreshRight(upsR, Some(delsR)); gv.catchUp()
+        Views.markUnitDone(store.baseDir, unit)
+        gv
+      }
+    })
+
+  /** SEMI-over-JOIN cascade ([[graft.engine.LeftKeyedConsumer]] — the
+    * generalized cascade target): a maintained equi-join (orders ⋈
+    * customer, both sides batched) feeds a DOWNSTREAM [[graft.engine
+    * .FilterJoinView]] by CDC replay — "enriched orders of LIVE
+    * priorities, maintained end to end". Level-1 payload changes
+    * (reprices, acctbal re-values) and retractions arrive at the
+    * membership filter as ordinary upsert/tombstone batches; level 2
+    * then takes its OWN right batch (the '5-LOW'-digit priorities
+    * dropped, flipping their rows out). Oracle: from-scratch join of
+    * both modified tables filtered by the surviving-priority EXISTS. */
+  private def joinSemiCascadeView(s: SparkSession, dir: String): graft.engine.FilterJoinView =
+    filterViews.getOrElseUpdate(s"$dir#joinsemicascade", {
+      val store = Views.bucketedStore(s, dir)
+      val jv = new graft.engine.JoinView(store, "orders_customer_jsc",
+        "o_orderkey", "o_custkey",
+        Seq("o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"),
+        "c_custkey", "c_custkey",
+        Seq("c_custkey", "c_acctbal", "c_mktsegment"))
+      val fv = new graft.engine.FilterJoinView(store, "jsc_live_priority",
+        "o_orderkey", "o_orderpriority",
+        Seq("o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice",
+          "c_custkey", "c_acctbal", "c_mktsegment"),
+        "p_name", "p_name", "semi")
+      val unit = "jsc_live_priority"
+      if (!Views.unitDone(store.baseDir, unit)) {
+        val o = Tables.orders(s, dir)
+        val c = Tables.customer(s, dir)
+        val dim = o.select(col("o_orderpriority").as("p_name")).distinct()
+        jv.build(o, c)
+        fv.build(jv.df, dim)
+        // level-1 LEFT batch, replayed into the downstream SEMI view
+        val upsL = o.filter(col("o_orderkey") % 37 === 0 && col("o_orderkey") % 41 =!= 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000)
+        val delsL = o.filter(col("o_orderkey") % 41 === 0)
+          .select(col("o_orderkey").cast("string")).distinct()
+        jv.refreshLeft(upsL, Some(delsL))
+        jv.cascadeInto(fv, 0, jv.epoch)
+        // level-1 RIGHT batch: acctbal re-values + the customer purge —
+        // purged customers' joined rows reach level 2 as tombstones
+        val from = jv.epoch
+        val upsR = c.filter(col("c_custkey") % 13 === 0 && col("c_custkey") % 17 =!= 0)
+          .withColumn("c_acctbal", col("c_acctbal") + 100)
+          .select("c_custkey", "c_acctbal", "c_mktsegment")
+        val delsR = c.filter(col("c_custkey") % 17 === 0)
+          .select(col("c_custkey").cast("string")).distinct()
+        jv.refreshRight(upsR, Some(delsR))
+        jv.cascadeInto(fv, from, jv.epoch)
+        // level-2's OWN right batch: '5-LOW'-digit priorities dropped —
+        // their enriched rows must flip out of the membership view
+        val delsD = dim.filter(substring(col("p_name"), 1, 1).cast("int") % 5 === 0)
+          .select(col("p_name")).distinct()
+        fv.refreshRight(
+          dim.filter(substring(col("p_name"), 1, 1).cast("int") % 5 =!= 0),
+          Some(delsD))
+        Views.markUnitDone(store.baseDir, unit)
+      }
+      fv
+    })
+
+  /** The RIGHT-KEYED as-of twin (`rightKeyed = true`): the attribution
+    * view additionally emitted under the CLICK id, so "all purchases
+    * attributed to click X" is a bucket-pruned point read
+    * ([[graft.engine.AsOfJoinView.byRightKeys]]), not a view scan —
+    * the secondary-index economics a serving path needs at 100 TB.
+    * Same two-sided change-batch history as [[purchaseClickView]] on
+    * twin names; re-picks and match losses must keep the twin exact. */
+  private def purchaseClickRightKeyedView(s: SparkSession, dir: String): graft.engine.AsOfJoinView =
+    asofViews.getOrElseUpdate(s"$dir#rightkeyed", {
+      val store = Views.bucketedStore(s, dir)
+      val v = new graft.engine.AsOfJoinView(store, "purchase_click_asof_rk",
+        "a_id", "a_user", "a_ts", Seq("a_id", "a_user", "a_ts", "a_value"),
+        "b_id", "b_user", "b_ts", Seq("b_id", "b_user", "b_ts", "b_value"),
+        rightKeyed = true)
+      val unit = "purchase_click_asof_rk"
+      if (!Views.unitDone(store.baseDir, unit)) {
+        val (p, c) = purchasesClicks(s, dir)
+        v.build(p, c)
+        v.refreshLeft(purchaseUps(p), Some(purchaseDels(p)))
+        v.refreshRight(clickUps(c), Some(clickDels(c)))
+        Views.markUnitDone(store.baseDir, unit)
+      }
+      v
+    })
+
+  /** The TPC-H-Q1 SHAPE as a maintained view — the multi-measure
+    * machinery's motivating workload: FOUR measures (quantity, base
+    * price, discount, tax) folded in ONE pass into ONE state row per
+    * (returnflag, linestatus) over "lineitems of SURVIVING orders" (a
+    * maintained SEMI membership), kept fresh under the shared lineitem
+    * reflag/tombstone batch AND the orders purge (whole orders' items
+    * flipping out as membership retractions). Without [[graft.engine
+    * .Measures]] this is four parallel states at 4× the CDC fold; here
+    * it is one. Lineitem's (orderkey, linenumber) is NOT unique in the
+    * synthetic data — the uid key owns duplicate rows as a multiset,
+    * which the delete-then-insert ownership handles as long as batches
+    * are keyed consistently (they are: both batch predicates key on
+    * l_orderkey). */
+  private def lineitemQ1View(s: SparkSession, dir: String): graft.engine.JoinGroupingView =
+    latticeViews.getOrElseUpdate(s"$dir#q1", {
+      val store = Views.bucketedStore(s, dir)
+      val liCols = Seq("l_uid", "l_orderkey", "l_linenumber", "l_returnflag",
+        "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val fv = new graft.engine.FilterJoinView(store, "lineitem_orders_q1",
+        "l_uid", "l_orderkey", liCols, "o_orderkey", "o_orderkey", "semi")
+      val gcols = Seq("l_returnflag", "l_linestatus")
+      val msrs = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val unit = "lineitem_orders_q1"
+      if (Views.unitDone(store.baseDir, unit))
+        graft.engine.JoinGroupingView.attach(fv, "lineitem_orders_q1__roll",
+          gcols, msrs, Seq(gcols))
+      else {
+        val li = Tables.lineitem(s, dir)
+        val liu = li.withColumn("l_uid",
+          concat_ws("-", col("l_orderkey"), col("l_linenumber")))
+          .select(liCols.map(col): _*)
+        val o = Tables.orders(s, dir)
+        fv.build(liu, o)
+        val gv = new graft.engine.JoinGroupingView(fv,
+          "lineitem_orders_q1__roll", gcols, msrs, Seq(gcols))
+        gv.build()
+        // the shared lineitem batch: %97 orders reflag to 'X', %89
+        // tombstone — each a ±fold of all four measures at once
+        fv.refreshLeft(reflaggedUpserts(liu), Some(tombstoneKeys(li)))
+        gv.catchUp()
+        // the orders purge: %41 orders die, their lineitems flip out of
+        // the membership (a reprice on survivors flips nothing)
+        val upsR = o.filter(col("o_orderkey") % 37 === 0 && col("o_orderkey") % 41 =!= 0)
+        val delsR = o.filter(col("o_orderkey") % 41 === 0)
+          .select(col("o_orderkey").cast("string")).distinct()
+        fv.refreshRight(upsR, Some(delsR))
+        gv.catchUp()
+        Views.markUnitDone(store.baseDir, unit)
+        gv
+      }
+    })
+
+  /** AS-OF-over-JOIN cascade (the remaining cell of the producer ×
+    * consumer matrix): purchases enriched by a per-user activity dim
+    * through a maintained equi-join, the ENRICHED relation feeding a
+    * DOWNSTREAM [[graft.engine.AsOfJoinView]] (last-click attribution)
+    * purely by CDC replay — reprices, dim re-values and the dim purge
+    * (orphaning its users' purchases out of the inner join) all arrive
+    * at the as-of view as ordinary left batches, then the CLICK side
+    * takes its own refresh. Oracle: enrich-from-scratch + per-row argmax
+    * over all three modified relations. */
+  private def joinAsofCascadeView(s: SparkSession, dir: String): graft.engine.AsOfJoinView =
+    asofViews.getOrElseUpdate(s"$dir#joincascade", {
+      val store = Views.bucketedStore(s, dir)
+      val jv = new graft.engine.JoinView(store, "purchase_user_jac",
+        "a_id", "a_user", Seq("a_id", "a_user", "a_ts", "a_value"),
+        "u_id", "u_id", Seq("u_id", "u_events"))
+      val v = new graft.engine.AsOfJoinView(store, "jac_purchase_click",
+        "a_id", "a_user", "a_ts",
+        Seq("a_id", "a_user", "a_ts", "a_value", "u_id", "u_events"),
+        "b_id", "b_user", "b_ts", Seq("b_id", "b_user", "b_ts", "b_value"))
+      val unit = "jac_purchase_click"
+      if (!Views.unitDone(store.baseDir, unit)) {
+        val (p, c) = purchasesClicks(s, dir)
+        val dim = Tables.events(s, dir)
+          .groupBy(col("user_id").as("u_id")).agg(count(lit(1)).as("u_events"))
+        jv.build(p, dim)
+        v.build(jv.df, c)
+        // level-1 LEFT batch (re-timed/re-valued/tombstoned purchases):
+        // the re-pick happens downstream off the replayed CDC alone
+        jv.refreshLeft(purchaseUps(p), Some(purchaseDels(p)))
+        jv.cascadeInto(v, 0, jv.epoch)
+        // level-1 RIGHT batch: dim re-values + the %17 purge — orphaned
+        // purchases leave the inner join, so their attribution rows
+        // must tombstone downstream
+        val from = jv.epoch
+        val upsD = dim.filter(col("u_id") % 13 === 0 && col("u_id") % 17 =!= 0)
+          .withColumn("u_events", col("u_events") + 50)
+        val delsD = dim.filter(col("u_id") % 17 === 0)
+          .select(col("u_id").cast("string")).distinct()
+        jv.refreshRight(upsD, Some(delsD))
+        jv.cascadeInto(v, from, jv.epoch)
+        // the as-of view's OWN right batch: the shared click history
+        v.refreshRight(clickUps(c), Some(clickDels(c)))
+        Views.markUnitDone(store.baseDir, unit)
+      }
+      v
+    })
+
   def prewarm(s: SparkSession, dir: String): Unit = {
     ordersCustomerView(s, dir)
     streamedOrdersCustomerView(s, dir)
@@ -1988,6 +2262,12 @@ object MapIndexQueries {
     compositeOrdersView(s, dir, salted = true)
     latticeMultiView(s, dir)
     purchaseClickNearestView(s, dir)
+    ordersCustomerAggMeasuresView(s, dir)
+    fullOuterLatticeMeasuresView(s, dir)
+    joinSemiCascadeView(s, dir)
+    joinAsofCascadeView(s, dir)
+    purchaseClickRightKeyedView(s, dir)
+    lineitemQ1View(s, dir)
     saltedOrdersCustomerView(s, dir)
     leftOuterOrdersCustomerView(s, dir)
     fullOuterOrdersCustomerView(s, dir)
@@ -2168,6 +2448,63 @@ object MapIndexQueries {
         .orderBy("o_orderpriority")
     }),
 
+    // the MULTI-MEASURE rollup ([[ordersCustomerAggMeasuresView]] —
+    // Measures): both sums + both non-null counts from ONE state row per
+    // segment, folded in one pass from the left-outer join's CDC; the
+    // NULL segment proves the per-measure NULL-sum rule (real revenue,
+    // NULL acctbal); the oracle recomputes all five aggregates from the
+    // modified tables from scratch
+    "mapindex_joinview_agg_measures" -> ((s, dir) =>
+      ordersCustomerAggMeasuresView(s, dir).state
+        .select(col("emit_key").as("c_mktsegment"), col("cnt"),
+          col("vcnt_o_totalprice").as("n_price"),
+          round(col("sum_o_totalprice").cast("double"), 2).as("revenue"),
+          col("vcnt_c_acctbal").as("n_acct"),
+          round(col("sum_c_acctbal").cast("double"), 2).as("acctbal"))
+        .orderBy("c_mktsegment")),
+
+    // the MULTI-MEASURE lattice ([[fullOuterLatticeMeasuresView]]): both
+    // measures folded into every grouping set of the FULL-OUTER rollup
+    // at once — left-pads carry acctbal without revenue, right-pads the
+    // reverse, so the per-measure NULL-sum rule is exercised per (set,
+    // group); oracle = ROLLUP of the from-scratch FULL JOIN with both
+    // sums and both non-null counts
+    "mapindex_lattice_measures" -> ((s, dir) =>
+      fullOuterLatticeMeasuresView(s, dir).state
+        .select(col("gid"), col("c_mktsegment"), col("o_orderpriority"),
+          col("cnt"),
+          col("vcnt_o_totalprice").as("n_price"),
+          round(col("sum_o_totalprice").cast("double"), 2).as("revenue"),
+          col("vcnt_c_acctbal").as("n_acct"),
+          round(col("sum_c_acctbal").cast("double"), 2).as("acctbal"))
+        .orderBy("gid", "c_mktsegment", "o_orderpriority")),
+
+    // the TPC-H-Q1 SHAPE as one maintained state ([[lineitemQ1View]]):
+    // four measures per (returnflag, linestatus) over lineitems of
+    // SURVIVING orders, fresh under the lineitem reflag/tombstone batch
+    // and the orders purge; the oracle recomputes the EXISTS + four-sum
+    // GROUP BY from both modified tables from scratch
+    "mapindex_q1_measures" -> ((s, dir) =>
+      lineitemQ1View(s, dir).state
+        .select(col("l_returnflag"), col("l_linestatus"), col("cnt"),
+          round(col("sum_l_quantity").cast("double"), 2).as("sum_qty"),
+          round(col("sum_l_extendedprice").cast("double"), 2).as("sum_base"),
+          round(col("sum_l_discount").cast("double"), 2).as("sum_disc"),
+          round(col("sum_l_tax").cast("double"), 2).as("sum_tax"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // SEMI-over-JOIN cascade ([[joinSemiCascadeView]] — the generalized
+    // LeftKeyedConsumer cascade): the maintained join's CDC replays into
+    // a downstream membership filter, which then takes its own right
+    // batch; oracle = from-scratch join of both modified tables under
+    // the surviving-priority EXISTS
+    "mapindex_joinview_semiview_cascade" -> ((s, dir) =>
+      joinSemiCascadeView(s, dir).df
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"),
+          round(col("o_totalprice"), 2).as("o_totalprice"),
+          round(col("c_acctbal"), 2).as("c_acctbal"), col("c_mktsegment"))
+        .orderBy("o_orderkey")),
+
     // rollup-over-cascade at depth 2 ([[ordersCustomerNationAggView]]):
     // revenue by nation over the three-way chain, every delta flowing
     // base → join → join → group through CDC replay alone; the oracle is
@@ -2215,6 +2552,39 @@ object MapIndexQueries {
           round(col("a_value"), 2).as("a_value"),
           col("b_id"), round(col("b_value"), 2).as("b_value"))
         .orderBy("a_id")),
+
+    // AS-OF-over-JOIN cascade ([[joinAsofCascadeView]]): the enriched
+    // purchase relation (join level) replays into the downstream as-of
+    // pick, then the click side refreshes on its own; the oracle
+    // re-derives the enrichment AND the per-row argmax from all three
+    // modified relations from scratch
+    "mapindex_joinview_asofview_cascade" -> ((s, dir) =>
+      joinAsofCascadeView(s, dir).df
+        .select(col("a_id"), col("a_user"),
+          round(col("a_value"), 2).as("a_value"), col("u_events"),
+          col("b_id"), round(col("b_value"), 2).as("b_value"))
+        .orderBy("a_id")),
+
+    // RIGHT-KEYED attribution serving ([[purchaseClickRightKeyedView]]
+    // — AsOfJoinView.byRightKeys): "all purchases attributed to THESE
+    // clicks" as a bucket-pruned point read over the right-keyed twin,
+    // probed with a deterministic click-id subset (%7 == 3 of the
+    // surviving clicks); the oracle recomputes the per-purchase argmax
+    // and filters the picked click id to the same subset — a stale twin
+    // row (a lost match not retracted, a re-pick not mirrored) is a
+    // hash mismatch
+    "mapindex_asofjoinview_byright" -> ((s, dir) => {
+      val v = purchaseClickRightKeyedView(s, dir)
+      val probes = Tables.events(s, dir)
+        .filter(col("event_type") === "click" && col("event_id") % 17 =!= 0
+          && col("event_id") % 7 === 3)
+        .select(col("event_id").cast("string").as("emit_key")).distinct()
+      v.byRightKeys(probes)
+        .select(col("a_id"), col("a_user"),
+          round(col("a_value"), 2).as("a_value"),
+          col("b_id"), round(col("b_value"), 2).as("b_value"))
+        .orderBy("a_id")
+    }),
 
     // the as-of view's NET CDC across both refresh epochs: gross feed
     // over (build, latest], insert/delete multisets cancelled — must
@@ -2789,6 +3159,26 @@ object MapIndexQueries {
     "mapindex_percentile_sketch_streamed" -> ((s, dir) =>
       sketchQuantileGate(percentileSketchSView(s, dir), s, dir)),
 
+    // the SKETCH ROLLUP ([[graft.engine.SketchQuantileView
+    // .quantilesRollup]]): per-flag AND global ('ALL') quantiles served
+    // from ONE state — the global row is |groups| sketch MERGES over the
+    // state alone (mergeability is the sketch's whole 100 TB payoff;
+    // the corpus is never re-read). Exact anchors + the rank-bound
+    // booleans are checked at BOTH lattice levels; the oracle recomputes
+    // the per-flag anchors plus the same corpus re-labeled 'ALL'.
+    "mapindex_percentile_sketch_rollup" -> ((s, dir) => {
+      val est = percentileSketchView(s, dir)
+        .quantilesRollup(Seq("est50" -> 0.5, "est95" -> 0.95))
+        .withColumnRenamed("emit_key", "flag")
+      val perFlag = Tables.lineitem(s, dir)
+        .filter(col("l_orderkey") % 89 =!= 0)
+        .select(when(col("l_orderkey") % 97 === 0, lit("X"))
+            .otherwise(col("l_returnflag")).as("flag"),
+          col("l_extendedprice").as("v"))
+      sketchQuantileGateFrom(est,
+        perFlag.unionByName(perFlag.select(lit("ALL").as("flag"), col("v"))))
+    }),
+
     // the sketch state served AS OF its pre-batch epoch (time travel on
     // the sketch itself): estimates decoded from the epoch-0 state must
     // bound the ORIGINAL corpus's exact quantiles — proving the refresh
@@ -3184,6 +3574,95 @@ object MapIndexQueries {
         |       count(DISTINCT CAST(o_totalprice AS DECIMAL(18,4))) AS n_distinct
         |FROM o JOIN c ON o_custkey = c_custkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // the multi-measure rollup: both sums + both non-null counts from
+    // the from-scratch LEFT JOIN of both modified tables (the NULL
+    // segment's acctbal sum is SQL-NULL, its revenue a number)
+    "mapindex_joinview_agg_measures" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey,
+        |         CASE WHEN o_orderkey % 37 = 0 THEN o_totalprice + 1000
+        |              ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 41 <> 0),
+        |c AS (
+        |  SELECT c_custkey, c_mktsegment,
+        |         CASE WHEN c_custkey % 13 = 0 THEN c_acctbal + 100
+        |              ELSE c_acctbal END AS c_acctbal
+        |  FROM customer WHERE c_custkey % 17 <> 0)
+        |SELECT c_mktsegment, count(*) AS cnt,
+        |       count(o_totalprice) AS n_price,
+        |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2)
+        |         AS revenue,
+        |       count(c_acctbal) AS n_acct,
+        |       round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE), 2)
+        |         AS acctbal
+        |FROM o LEFT JOIN c ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment NULLS FIRST""".stripMargin,
+    // the multi-measure FULL-OUTER lattice: ROLLUP of the from-scratch
+    // FULL JOIN with both sums and both non-null counts per set
+    "mapindex_lattice_measures" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey, o_orderpriority,
+        |         CASE WHEN o_orderkey % 37 = 0 THEN o_totalprice + 1000
+        |              ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 41 <> 0 AND o_custkey % 19 <> 0),
+        |c AS (
+        |  SELECT c_custkey, c_mktsegment,
+        |         CASE WHEN c_custkey % 13 = 0 THEN c_acctbal + 100
+        |              ELSE c_acctbal END AS c_acctbal
+        |  FROM customer WHERE c_custkey % 17 <> 0)
+        |SELECT CAST(GROUPING(c_mktsegment) + 2 * GROUPING(o_orderpriority)
+        |            AS INTEGER) AS gid,
+        |       c_mktsegment, o_orderpriority, count(*) AS cnt,
+        |       count(o_totalprice) AS n_price,
+        |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2)
+        |         AS revenue,
+        |       count(c_acctbal) AS n_acct,
+        |       round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE), 2)
+        |         AS acctbal
+        |FROM o FULL JOIN c ON o_custkey = c_custkey
+        |GROUP BY ROLLUP(c_mktsegment, o_orderpriority)
+        |ORDER BY gid, c_mktsegment NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    // the Q1 shape: EXISTS + four-sum GROUP BY from scratch
+    "mapindex_q1_measures" ->
+      """WITH li AS (
+        |  SELECT CASE WHEN l_orderkey % 97 = 0 THEN 'X'
+        |              ELSE l_returnflag END AS l_returnflag,
+        |         l_linestatus, l_orderkey, l_quantity, l_extendedprice,
+        |         l_discount, l_tax
+        |  FROM lineitem WHERE l_orderkey % 89 <> 0),
+        |o AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 41 <> 0)
+        |SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+        |       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 2)
+        |         AS sum_qty,
+        |       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 2)
+        |         AS sum_base,
+        |       round(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE), 2)
+        |         AS sum_disc,
+        |       round(CAST(sum(CAST(l_tax AS DECIMAL(18,4))) AS DOUBLE), 2)
+        |         AS sum_tax
+        |FROM li
+        |WHERE EXISTS (SELECT 1 FROM o WHERE o.o_orderkey = li.l_orderkey)
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    // semi-over-join cascade: the from-scratch join of both modified
+    // tables under the surviving-priority EXISTS
+    "mapindex_joinview_semiview_cascade" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey, o_orderpriority,
+        |         CASE WHEN o_orderkey % 37 = 0 THEN o_totalprice + 1000
+        |              ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 41 <> 0),
+        |c AS (
+        |  SELECT c_custkey, c_mktsegment,
+        |         CASE WHEN c_custkey % 13 = 0 THEN c_acctbal + 100
+        |              ELSE c_acctbal END AS c_acctbal
+        |  FROM customer WHERE c_custkey % 17 <> 0)
+        |SELECT o_orderkey, o_custkey, o_orderpriority,
+        |       round(o_totalprice, 2) AS o_totalprice,
+        |       round(c_acctbal, 2) AS c_acctbal, c_mktsegment
+        |FROM o JOIN c ON o_custkey = c_custkey
+        |WHERE CAST(substr(o_orderpriority, 1, 1) AS INT) % 5 <> 0
+        |ORDER BY o_orderkey""".stripMargin,
     // the depth-2 rollup equals the from-scratch three-way join+group-by
     "mapindex_joinview3_agg" ->
       """WITH o AS (
@@ -3256,6 +3735,71 @@ object MapIndexQueries {
         |   WHERE b.b_user = a.a_user AND b.b_ts <= a.a_ts
         |   ORDER BY b.b_ts DESC, b.b_id DESC LIMIT 1) AS b_value
         |FROM p a ORDER BY a.a_id""".stripMargin,
+    // as-of-over-join cascade: enrichment + per-row argmax, all three
+    // relations modified, from scratch
+    "mapindex_joinview_asofview_cascade" ->
+      """WITH p AS (
+        |  SELECT event_id AS a_id, user_id AS a_user,
+        |         CASE WHEN event_id % 37 = 0 THEN ts + INTERVAL 1 HOUR
+        |              ELSE ts END AS a_ts,
+        |         CASE WHEN event_id % 37 = 0 THEN value + 1000
+        |              ELSE value END AS a_value
+        |  FROM events WHERE event_type = 'purchase' AND event_id % 41 <> 0),
+        |c AS (
+        |  SELECT event_id AS b_id, user_id AS b_user,
+        |         CASE WHEN event_id % 13 = 0 THEN ts + INTERVAL 30 MINUTE
+        |              ELSE ts END AS b_ts,
+        |         CASE WHEN event_id % 13 = 0 THEN value + 100
+        |              ELSE value END AS b_value
+        |  FROM events WHERE event_type = 'click' AND event_id % 17 <> 0),
+        |d0 AS (
+        |  SELECT user_id AS u_id, count(*) AS u_events
+        |  FROM events GROUP BY 1),
+        |d AS (
+        |  SELECT u_id,
+        |         CASE WHEN u_id % 13 = 0 THEN u_events + 50
+        |              ELSE u_events END AS u_events
+        |  FROM d0 WHERE u_id % 17 <> 0),
+        |e AS (
+        |  SELECT p.a_id, p.a_user, p.a_ts, p.a_value, d.u_events
+        |  FROM p JOIN d ON p.a_user = d.u_id)
+        |SELECT e.a_id, e.a_user, round(e.a_value, 2) AS a_value, e.u_events,
+        |  (SELECT b.b_id FROM c b
+        |   WHERE b.b_user = e.a_user AND b.b_ts <= e.a_ts
+        |   ORDER BY b.b_ts DESC, b.b_id DESC LIMIT 1) AS b_id,
+        |  (SELECT round(b.b_value, 2) FROM c b
+        |   WHERE b.b_user = e.a_user AND b.b_ts <= e.a_ts
+        |   ORDER BY b.b_ts DESC, b.b_id DESC LIMIT 1) AS b_value
+        |FROM e ORDER BY e.a_id""".stripMargin,
+    // right-keyed serving: the same per-purchase argmax, kept only where
+    // the PICKED click id falls in the probe subset (%7 == 3)
+    "mapindex_asofjoinview_byright" ->
+      """WITH p AS (
+        |  SELECT event_id AS a_id, user_id AS a_user,
+        |         CASE WHEN event_id % 37 = 0 THEN ts + INTERVAL 1 HOUR
+        |              ELSE ts END AS a_ts,
+        |         CASE WHEN event_id % 37 = 0 THEN value + 1000
+        |              ELSE value END AS a_value
+        |  FROM events WHERE event_type = 'purchase' AND event_id % 41 <> 0),
+        |c AS (
+        |  SELECT event_id AS b_id, user_id AS b_user,
+        |         CASE WHEN event_id % 13 = 0 THEN ts + INTERVAL 30 MINUTE
+        |              ELSE ts END AS b_ts,
+        |         CASE WHEN event_id % 13 = 0 THEN value + 100
+        |              ELSE value END AS b_value
+        |  FROM events WHERE event_type = 'click' AND event_id % 17 <> 0),
+        |m AS (
+        |  SELECT a.a_id, a.a_user, round(a.a_value, 2) AS a_value,
+        |    (SELECT b.b_id FROM c b
+        |     WHERE b.b_user = a.a_user AND b.b_ts <= a.a_ts
+        |     ORDER BY b.b_ts DESC, b.b_id DESC LIMIT 1) AS b_id,
+        |    (SELECT round(b.b_value, 2) FROM c b
+        |     WHERE b.b_user = a.a_user AND b.b_ts <= a.a_ts
+        |     ORDER BY b.b_ts DESC, b.b_id DESC LIMIT 1) AS b_value
+        |  FROM p a)
+        |SELECT a_id, a_user, a_value, b_id, b_value
+        |FROM m WHERE b_id IS NOT NULL AND b_id % 7 = 3
+        |ORDER BY a_id""".stripMargin,
     // net as-of CDC = diff of the post-batch as-of join vs build-time
     "mapindex_asofjoinview_changefeed" ->
       """WITH p0 AS (
@@ -4029,6 +4573,32 @@ object MapIndexQueries {
         |  SELECT CASE WHEN l_orderkey % 97 = 0 THEN 'X' ELSE l_returnflag END AS flag,
         |         l_extendedprice AS v
         |  FROM lineitem WHERE l_orderkey % 89 <> 0),
+        |vcounts AS (
+        |  SELECT flag, v, count(*) AS cnt FROM src GROUP BY flag, v),
+        |vcum AS (
+        |  SELECT flag, v,
+        |         CAST(sum(cnt) OVER (PARTITION BY flag ORDER BY v) AS BIGINT) AS cum,
+        |         CAST(sum(cnt) OVER (PARTITION BY flag) AS BIGINT) AS n2
+        |  FROM vcounts),
+        |exact AS (
+        |  SELECT flag, max(n2) AS n,
+        |         min(CASE WHEN cum >= ceil(n2 / 2.0) THEN v END) AS x50,
+        |         min(CASE WHEN cum >= ceil(n2 * 19 / 20.0) THEN v END) AS x95
+        |  FROM vcum GROUP BY flag)
+        |SELECT flag, n, round(x50, 2) AS exact_p50, round(x95, 2) AS exact_p95,
+        |       true AS p50_within_rank, true AS p95_within_rank
+        |FROM exact ORDER BY flag""".stripMargin,
+    // sketch rollup: per-flag anchors plus the same corpus re-labeled
+    // 'ALL' — both lattice levels' anchors recomputed exactly, the
+    // rank-bound booleans emitted as literal true
+    "mapindex_percentile_sketch_rollup" ->
+      """WITH base AS (
+        |  SELECT CASE WHEN l_orderkey % 97 = 0 THEN 'X' ELSE l_returnflag END AS flag,
+        |         l_extendedprice AS v
+        |  FROM lineitem WHERE l_orderkey % 89 <> 0),
+        |src AS (
+        |  SELECT flag, v FROM base
+        |  UNION ALL SELECT 'ALL' AS flag, v FROM base),
         |vcounts AS (
         |  SELECT flag, v, count(*) AS cnt FROM src GROUP BY flag, v),
         |vcum AS (

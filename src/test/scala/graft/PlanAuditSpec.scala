@@ -228,6 +228,30 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("ReusedExchange"), s"posting exchange must be shared:\n$p")
   }
 
+  test("mapindex_asofjoinview_byright: pruned twin-bucket read, no serve-time re-pick") {
+    val df = SparkEntry.queries("mapindex_asofjoinview_byright")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the attribution pick ran at maintenance time; serving the twin is
+    // a key-addressed read (no window, no join against the main view)
+    assert(!p.contains("Window"), s"byright serving must not re-pick:\n$p")
+    val twinFiles = df.inputFiles.filter(_.contains("purchase_click_asof_rk__byright"))
+    assert(twinFiles.nonEmpty, s"the right-keyed twin must feed the read:\n$p")
+    val kb = twinFiles.flatMap("kb=\\d+".r.findFirstIn(_)).toSet
+    val total = graft.engine.Views.bucketedStore(spark, sf).numBuckets
+    assert(kb.size < total,
+      s"expected a bucket-pruned twin read, saw ${kb.size}/$total buckets:\n$p")
+  }
+
+  test("multi-measure rollup and lattice serving is state-only") {
+    for (q <- Seq("mapindex_joinview_agg_measures", "mapindex_lattice_measures")) {
+      val pm = finalPlan(q)
+      assert(!pm.contains("orders.parquet") && !pm.contains("customer.parquet"),
+        s"$q must serve from its state relation alone:\n$pm")
+      assert(!pm.contains("Join"), s"$q serving must be join-free:\n$pm")
+    }
+  }
+
   test("mapindex_get: the point lookup is pushed into the parquet scan") {
     val p = finalPlan("mapindex_get")
     assert(p.contains("EqualTo(emit_key"), s"emit_key lookup must push down:\n$p")
