@@ -2025,13 +2025,14 @@ object MapIndexQueries {
       val unit = "orders_customer_folm"
       if (Views.unitDone(store.baseDir, unit))
         graft.engine.JoinGroupingView.attach(jv, "orders_customer_folm__roll",
-          gcols, msrs, rSets)
+          gcols, msrs, rSets, trackValues = true)
       else {
         val o = Tables.orders(s, dir)
         val c = Tables.customer(s, dir)
         jv.build(o, c)
         val gv = new graft.engine.JoinGroupingView(jv,
-          "orders_customer_folm__roll", gcols, msrs, rSets)
+          "orders_customer_folm__roll", gcols, msrs, rSets,
+          trackValues = true)
         gv.build()
         val upsL = o.filter(col("o_orderkey") % 37 === 0 && col("o_orderkey") % 41 =!= 0
             && col("o_custkey") % 19 =!= 0)
@@ -2106,6 +2107,73 @@ object MapIndexQueries {
         Views.markUnitDone(store.baseDir, unit)
       }
       fv
+    })
+
+  /** The right-keyed twin under SALT SHARDS (`saltBuckets = 4` AND
+    * `rightKeyed = true`): a hot click's attributed facts spread over 4
+    * twin shards; the point read fans out to the bounded S sub-keys and
+    * must stay shard-invisible — same history and oracle as the
+    * unsalted right-keyed gate. */
+  private def purchaseClickRightKeyedSaltedView(s: SparkSession, dir: String): graft.engine.AsOfJoinView =
+    asofViews.getOrElseUpdate(s"$dir#rightkeyedsl", {
+      val store = Views.bucketedStore(s, dir)
+      val v = new graft.engine.AsOfJoinView(store, "purchase_click_asof_rks",
+        "a_id", "a_user", "a_ts", Seq("a_id", "a_user", "a_ts", "a_value"),
+        "b_id", "b_user", "b_ts", Seq("b_id", "b_user", "b_ts", "b_value"),
+        saltBuckets = 4, rightKeyed = true)
+      val unit = "purchase_click_asof_rks"
+      if (!Views.unitDone(store.baseDir, unit)) {
+        val (p, c) = purchasesClicks(s, dir)
+        v.build(p, c)
+        v.refreshLeft(purchaseUps(p), Some(purchaseDels(p)))
+        v.refreshRight(clickUps(c), Some(clickDels(c)))
+        Views.markUnitDone(store.baseDir, unit)
+      }
+      v
+    })
+
+  /** The Q1 state built PURELY through insert micro-batches (three
+    * corpus slices, a catch-up after each — every fold the O(delta)
+    * multi-measure merge) before the shared reflag/tombstone batch and
+    * the orders purge land on top: the streamed-history twin of
+    * [[lineitemQ1View]], graded by the SAME oracle. */
+  private def lineitemQ1StreamedView(s: SparkSession, dir: String): graft.engine.JoinGroupingView =
+    latticeViews.getOrElseUpdate(s"$dir#q1s", {
+      val store = Views.bucketedStore(s, dir)
+      val liCols = Seq("l_uid", "l_orderkey", "l_linenumber", "l_returnflag",
+        "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val fv = new graft.engine.FilterJoinView(store, "lineitem_orders_q1s",
+        "l_uid", "l_orderkey", liCols, "o_orderkey", "o_orderkey", "semi")
+      val gcols = Seq("l_returnflag", "l_linestatus")
+      val msrs = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val unit = "lineitem_orders_q1s"
+      if (Views.unitDone(store.baseDir, unit))
+        graft.engine.JoinGroupingView.attach(fv, "lineitem_orders_q1s__roll",
+          gcols, msrs, Seq(gcols))
+      else {
+        val li = Tables.lineitem(s, dir)
+        val liu = li.withColumn("l_uid",
+          concat_ws("-", col("l_orderkey"), col("l_linenumber")))
+          .select(liCols.map(col): _*)
+        val o = Tables.orders(s, dir)
+        fv.build(liu.filter(col("l_orderkey") % 3 === 0), o)
+        val gv = new graft.engine.JoinGroupingView(fv,
+          "lineitem_orders_q1s__roll", gcols, msrs, Seq(gcols))
+        gv.build()
+        fv.refreshLeft(liu.filter(col("l_orderkey") % 3 === 1), None)
+        gv.catchUp()
+        fv.refreshLeft(liu.filter(col("l_orderkey") % 3 === 2), None)
+        gv.catchUp()
+        fv.refreshLeft(reflaggedUpserts(liu), Some(tombstoneKeys(li)))
+        gv.catchUp()
+        val upsR = o.filter(col("o_orderkey") % 37 === 0 && col("o_orderkey") % 41 =!= 0)
+        val delsR = o.filter(col("o_orderkey") % 41 === 0)
+          .select(col("o_orderkey").cast("string")).distinct()
+        fv.refreshRight(upsR, Some(delsR))
+        gv.catchUp()
+        Views.markUnitDone(store.baseDir, unit)
+        gv
+      }
     })
 
   /** The RIGHT-KEYED as-of twin (`rightKeyed = true`): the attribution
@@ -2267,7 +2335,9 @@ object MapIndexQueries {
     joinSemiCascadeView(s, dir)
     joinAsofCascadeView(s, dir)
     purchaseClickRightKeyedView(s, dir)
+    purchaseClickRightKeyedSaltedView(s, dir)
     lineitemQ1View(s, dir)
+    lineitemQ1StreamedView(s, dir)
     saltedOrdersCustomerView(s, dir)
     leftOuterOrdersCustomerView(s, dir)
     fullOuterOrdersCustomerView(s, dir)
@@ -2493,6 +2563,60 @@ object MapIndexQueries {
           round(col("sum_l_tax").cast("double"), 2).as("sum_tax"))
         .orderBy("l_returnflag", "l_linestatus")),
 
+    // the multi-measure state served AS OF the epoch BETWEEN its two
+    // catch-ups (after the left batch only): time travel on the
+    // multi-measure composition — the historical read must reproduce
+    // modified-orders LEFT JOIN ORIGINAL-customers with all five
+    // aggregates; the per-measure NULL-sum rule applied at serve time
+    // from the historical vcnt fields
+    "mapindex_joinview_agg_measures_asof" -> ((s, dir) => {
+      val agg = ordersCustomerAggMeasuresView(s, dir)
+      agg.jv.store.dfAsOf(agg.stateName, 1)
+        .filter(col("emit_key") =!= graft.engine.JoinAggView.WatermarkKey)
+        .select(
+          when(col("emit_key") === graft.engine.JoinAggView.NullGroupKey,
+            lit(null).cast("string")).otherwise(col("emit_key"))
+            .as("c_mktsegment"),
+          col("emit_value.cnt").as("cnt"),
+          col("emit_value.vcnt_o_totalprice").as("n_price"),
+          round(when(col("emit_value.vcnt_o_totalprice") > 0,
+            col("emit_value.sum_o_totalprice")).cast("double"), 2).as("revenue"),
+          col("emit_value.vcnt_c_acctbal").as("n_acct"),
+          round(when(col("emit_value.vcnt_c_acctbal") > 0,
+            col("emit_value.sum_c_acctbal")).cast("double"), 2).as("acctbal"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // the measures lattice's FULL multi-aggregate surface (stateMulti —
+    // trackValues over the FIRST measure): cnt + both sums from the
+    // main state, exact deletion-safe min/max/distinct-count of
+    // o_totalprice from the refcount companion, all-NULL (pad-only)
+    // groups serving null min/max with distinct-count 0 via the
+    // engine's left join; oracle = ROLLUP of the from-scratch FULL
+    // JOIN with all seven aggregates
+    "mapindex_lattice_measures_multi" -> ((s, dir) =>
+      fullOuterLatticeMeasuresView(s, dir).stateMulti
+        .select(col("gid"), col("c_mktsegment"), col("o_orderpriority"),
+          col("cnt"),
+          round(col("sum_o_totalprice").cast("double"), 2).as("revenue"),
+          round(col("sum_c_acctbal").cast("double"), 2).as("acctbal"),
+          round(col("min_value").cast("double"), 2).as("min_price"),
+          round(col("max_value").cast("double"), 2).as("max_price"),
+          col("n_distinct"))
+        .orderBy("gid", "c_mktsegment", "o_orderpriority")),
+
+    // the Q1 state built through pure insert micro-batches before the
+    // shared batches — every fold the O(delta) multi-measure merge;
+    // same oracle as the batch-built Q1 gate
+    "mapindex_q1_measures_streamed" -> ((s, dir) =>
+      lineitemQ1StreamedView(s, dir).state
+        .select(col("l_returnflag"), col("l_linestatus"), col("cnt"),
+          round(col("sum_l_quantity").cast("double"), 2).as("sum_qty"),
+          round(col("sum_l_extendedprice").cast("double"), 2).as("sum_base"),
+          round(col("sum_l_discount").cast("double"), 2).as("sum_disc"),
+          round(col("sum_l_tax").cast("double"), 2).as("sum_tax"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
     // SEMI-over-JOIN cascade ([[joinSemiCascadeView]] — the generalized
     // LeftKeyedConsumer cascade): the maintained join's CDC replays into
     // a downstream membership filter, which then takes its own right
@@ -2575,6 +2699,23 @@ object MapIndexQueries {
     // hash mismatch
     "mapindex_asofjoinview_byright" -> ((s, dir) => {
       val v = purchaseClickRightKeyedView(s, dir)
+      val probes = Tables.events(s, dir)
+        .filter(col("event_type") === "click" && col("event_id") % 17 =!= 0
+          && col("event_id") % 7 === 3)
+        .select(col("event_id").cast("string").as("emit_key")).distinct()
+      v.byRightKeys(probes)
+        .select(col("a_id"), col("a_user"),
+          round(col("a_value"), 2).as("a_value"),
+          col("b_id"), round(col("b_value"), 2).as("b_value"))
+        .orderBy("a_id")
+    }),
+
+    // the right-keyed twin under SALT SHARDS
+    // ([[purchaseClickRightKeyedSaltedView]]): the point read fans out
+    // to the bounded S sub-keys and the shard layout must be invisible
+    // — same probe subset and oracle as the unsalted twin
+    "mapindex_asofjoinview_byright_salted" -> ((s, dir) => {
+      val v = purchaseClickRightKeyedSaltedView(s, dir)
       val probes = Tables.events(s, dir)
         .filter(col("event_type") === "click" && col("event_id") % 17 =!= 0
           && col("event_id") % 7 === 3)
@@ -3597,6 +3738,75 @@ object MapIndexQueries {
         |         AS acctbal
         |FROM o LEFT JOIN c ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment NULLS FIRST""".stripMargin,
+    // multi-measure rollup as-of the inter-batch epoch: modified orders
+    // LEFT JOIN original customers, all five aggregates from scratch
+    "mapindex_joinview_agg_measures_asof" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey,
+        |         CASE WHEN o_orderkey % 37 = 0 THEN o_totalprice + 1000
+        |              ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 41 <> 0)
+        |SELECT c_mktsegment, count(*) AS cnt,
+        |       count(o_totalprice) AS n_price,
+        |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2)
+        |         AS revenue,
+        |       count(c_acctbal) AS n_acct,
+        |       round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE), 2)
+        |         AS acctbal
+        |FROM o LEFT JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment NULLS FIRST""".stripMargin,
+    // the measures lattice's full multi-aggregate surface: ROLLUP of
+    // the from-scratch FULL JOIN with cnt, both sums, and the first
+    // measure's min/max/distinct-count (DECIMAL(18,4) spelling — the
+    // refcount state's key domain)
+    "mapindex_lattice_measures_multi" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey, o_orderpriority,
+        |         CASE WHEN o_orderkey % 37 = 0 THEN o_totalprice + 1000
+        |              ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 41 <> 0 AND o_custkey % 19 <> 0),
+        |c AS (
+        |  SELECT c_custkey, c_mktsegment,
+        |         CASE WHEN c_custkey % 13 = 0 THEN c_acctbal + 100
+        |              ELSE c_acctbal END AS c_acctbal
+        |  FROM customer WHERE c_custkey % 17 <> 0)
+        |SELECT CAST(GROUPING(c_mktsegment) + 2 * GROUPING(o_orderpriority)
+        |            AS INTEGER) AS gid,
+        |       c_mktsegment, o_orderpriority, count(*) AS cnt,
+        |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2)
+        |         AS revenue,
+        |       round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE), 2)
+        |         AS acctbal,
+        |       round(CAST(min(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2)
+        |         AS min_price,
+        |       round(CAST(max(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2)
+        |         AS max_price,
+        |       count(DISTINCT CAST(o_totalprice AS DECIMAL(18,4))) AS n_distinct
+        |FROM o FULL JOIN c ON o_custkey = c_custkey
+        |GROUP BY ROLLUP(c_mktsegment, o_orderpriority)
+        |ORDER BY gid, c_mktsegment NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    // the streamed Q1 twin converges to the batch-built state
+    "mapindex_q1_measures_streamed" ->
+      """WITH li AS (
+        |  SELECT CASE WHEN l_orderkey % 97 = 0 THEN 'X'
+        |              ELSE l_returnflag END AS l_returnflag,
+        |         l_linestatus, l_orderkey, l_quantity, l_extendedprice,
+        |         l_discount, l_tax
+        |  FROM lineitem WHERE l_orderkey % 89 <> 0),
+        |o AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 41 <> 0)
+        |SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+        |       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 2)
+        |         AS sum_qty,
+        |       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 2)
+        |         AS sum_base,
+        |       round(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE), 2)
+        |         AS sum_disc,
+        |       round(CAST(sum(CAST(l_tax AS DECIMAL(18,4))) AS DOUBLE), 2)
+        |         AS sum_tax
+        |FROM li
+        |WHERE EXISTS (SELECT 1 FROM o WHERE o.o_orderkey = li.l_orderkey)
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     // the multi-measure FULL-OUTER lattice: ROLLUP of the from-scratch
     // FULL JOIN with both sums and both non-null counts per set
     "mapindex_lattice_measures" ->
@@ -3771,6 +3981,35 @@ object MapIndexQueries {
         |   WHERE b.b_user = e.a_user AND b.b_ts <= e.a_ts
         |   ORDER BY b.b_ts DESC, b.b_id DESC LIMIT 1) AS b_value
         |FROM e ORDER BY e.a_id""".stripMargin,
+    // the salted right-keyed twin: identical semantics, shard layout
+    // invisible — same oracle as the unsalted twin
+    "mapindex_asofjoinview_byright_salted" ->
+      """WITH p AS (
+        |  SELECT event_id AS a_id, user_id AS a_user,
+        |         CASE WHEN event_id % 37 = 0 THEN ts + INTERVAL 1 HOUR
+        |              ELSE ts END AS a_ts,
+        |         CASE WHEN event_id % 37 = 0 THEN value + 1000
+        |              ELSE value END AS a_value
+        |  FROM events WHERE event_type = 'purchase' AND event_id % 41 <> 0),
+        |c AS (
+        |  SELECT event_id AS b_id, user_id AS b_user,
+        |         CASE WHEN event_id % 13 = 0 THEN ts + INTERVAL 30 MINUTE
+        |              ELSE ts END AS b_ts,
+        |         CASE WHEN event_id % 13 = 0 THEN value + 100
+        |              ELSE value END AS b_value
+        |  FROM events WHERE event_type = 'click' AND event_id % 17 <> 0),
+        |m AS (
+        |  SELECT a.a_id, a.a_user, round(a.a_value, 2) AS a_value,
+        |    (SELECT b.b_id FROM c b
+        |     WHERE b.b_user = a.a_user AND b.b_ts <= a.a_ts
+        |     ORDER BY b.b_ts DESC, b.b_id DESC LIMIT 1) AS b_id,
+        |    (SELECT round(b.b_value, 2) FROM c b
+        |     WHERE b.b_user = a.a_user AND b.b_ts <= a.a_ts
+        |     ORDER BY b.b_ts DESC, b.b_id DESC LIMIT 1) AS b_value
+        |  FROM p a)
+        |SELECT a_id, a_user, a_value, b_id, b_value
+        |FROM m WHERE b_id IS NOT NULL AND b_id % 7 = 3
+        |ORDER BY a_id""".stripMargin,
     // right-keyed serving: the same per-purchase argmax, kept only where
     // the PICKED click id falls in the probe subset (%7 == 3)
     "mapindex_asofjoinview_byright" ->
