@@ -95,7 +95,7 @@ final class AsOfJoinView(
     tolerance: Option[(Column, Column) => Column] = None,
     saltBuckets: Int = 1,
     rightKeyed: Boolean = false)
-  extends MaintainedRelation with LeftKeyedConsumer {
+  extends MaintainedRelation with LeftKeyedConsumer with KeyAddressable {
 
   require(saltBuckets >= 1, s"saltBuckets must be >= 1, got $saltBuckets")
   require(Set("backward", "forward", "nearest")(direction),
@@ -350,6 +350,13 @@ final class AsOfJoinView(
         CompositeKey.expand(store.spark, keys, saltBuckets))
       .select(col("emit_value.*"))
   }
+
+  /** [[KeyAddressable]] surface: the spelled left join key over the
+    * relation's output columns, and the salt-stripper for stored
+    * (CDC) emit keys — downstream key-scoped consumers read this
+    * relation bucket-pruned without knowing its spelling. */
+  override def spelledKey: org.apache.spark.sql.Column = lSpell
+  override def unsaltKey(k: org.apache.spark.sql.Column): org.apache.spark.sql.Column = unsalt(k)
 
   def epoch: Int = store.epoch(name)
 

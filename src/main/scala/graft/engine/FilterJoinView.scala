@@ -51,7 +51,7 @@ final class FilterJoinView(
     val leftPk: String, leftJk: JoinKey, leftCols: Seq[String],
     rightPk: String, rightJk: JoinKey,
     mode: String,
-    saltBuckets: Int = 1) extends MaintainedRelation with LeftKeyedConsumer {
+    saltBuckets: Int = 1) extends MaintainedRelation with LeftKeyedConsumer with KeyAddressable {
 
   require(saltBuckets >= 1, s"saltBuckets must be >= 1, got $saltBuckets")
   require(Set("semi", "anti")(mode),
@@ -156,6 +156,13 @@ final class FilterJoinView(
   /** Bucket-pruned read for a set of SPELLED join keys. */
   def byKeys(keys: DataFrame): DataFrame =
     store.getAll(name, expandKeys(keys)).select(col("emit_value.*"))
+
+  /** [[KeyAddressable]] surface: the spelled left join key over the
+    * relation's output columns, and the salt-stripper for stored
+    * (CDC) emit keys — downstream key-scoped consumers read this
+    * relation bucket-pruned without knowing its spelling. */
+  override def spelledKey: org.apache.spark.sql.Column = lSpell
+  override def unsaltKey(k: org.apache.spark.sql.Column): org.apache.spark.sql.Column = unsalt(k)
 
   def epoch: Int = store.epoch(name)
 

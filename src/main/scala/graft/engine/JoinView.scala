@@ -61,7 +61,7 @@ final class JoinView(
     val leftPk: String, leftJk: JoinKey, leftCols: Seq[String],
     rightPk: String, rightJk: JoinKey, rightCols: Seq[String],
     saltBuckets: Int = 1,
-    val joinType: String = "inner") extends MaintainedRelation with LeftKeyedConsumer {
+    val joinType: String = "inner") extends MaintainedRelation with LeftKeyedConsumer with KeyAddressable {
   require(saltBuckets >= 1, s"saltBuckets must be >= 1, got $saltBuckets")
   require(leftJk.size == rightJk.size,
     s"join keys must have the same arity: $leftJk vs $rightJk")
@@ -271,6 +271,13 @@ final class JoinView(
         .select(col("emit_value.*")))
     else owned
   }
+
+  /** [[KeyAddressable]] surface: the spelled left join key over the
+    * relation's output columns, and the salt-stripper for stored
+    * (CDC) emit keys — downstream key-scoped consumers read this
+    * relation bucket-pruned without knowing its spelling. */
+  override def spelledKey: org.apache.spark.sql.Column = lSpell
+  override def unsaltKey(k: org.apache.spark.sql.Column): org.apache.spark.sql.Column = unsalt(k)
 
   def epoch: Int = store.epoch(name)
 

@@ -25,6 +25,28 @@ trait LeftKeyedConsumer {
   def refreshLeft(ups: DataFrame, dels: Option[DataFrame]): BucketedViewStore.RefreshStats
 }
 
+/** A maintained relation whose output rows are ADDRESSABLE by their
+  * (spelled) join key — the serving half of the maintained-join family:
+  * every member stores its output clustered by the join key, so a
+  * downstream consumer can read exactly one key group's rows
+  * bucket-pruned ([[byKeys]]) instead of scanning the relation. The
+  * spelling/salting details stay inside the view; consumers only need
+  * the three operations here. */
+trait KeyAddressable {
+  /** Bucket-pruned read of the relation's output rows for a one-column
+    * relation of SPELLED join keys ([[CompositeKey.spell]] — the raw
+    * string for single-column keys). */
+  def byKeys(keys: DataFrame): DataFrame
+
+  /** The spelled join key as a column over the relation's OUTPUT
+    * columns (what [[byKeys]] addresses by). */
+  def spelledKey: org.apache.spark.sql.Column
+
+  /** Strip any salt shard off a STORED emit key (CDC feeds carry the
+    * salted spelling) → the spelled base key [[byKeys]] accepts. */
+  def unsaltKey(k: org.apache.spark.sql.Column): org.apache.spark.sql.Column
+}
+
 /** A maintained relation living in a [[BucketedViewStore]]: a current
   * snapshot plus an epoch-numbered CDC feed. This is the contract a
   * downstream incremental consumer (e.g. [[JoinAggView]]) needs — it

@@ -2253,6 +2253,57 @@ object MapIndexQueries {
       }
     })
 
+  /** SKETCH-over-JOIN ([[graft.engine.JoinSketchView]]): maintained
+    * per-join-key quantile sketches OVER the maintained priority-dim
+    * join — "the order-value distribution per live priority, always
+    * fresh". The reprice batch retracts old values (rebuild path,
+    * bucket-pruned through the upstream's byKeys), the dim's '5-LOW'
+    * drop vanishes a whole priority group, and the rollup row merges
+    * the surviving per-key sketches from state alone. Gate = exact
+    * oracle-recomputed anchors + rank-bound booleans at BOTH levels,
+    * the sketch-family convention. */
+  private val joinSketchViews =
+    scala.collection.concurrent.TrieMap.empty[String, graft.engine.JoinSketchView]
+  private def ordersPrioritySketchView(s: SparkSession, dir: String): graft.engine.JoinSketchView =
+    joinSketchViews.getOrElseUpdate(dir, {
+      val store = Views.bucketedStore(s, dir)
+      val jv = new graft.engine.JoinView(store, "orders_pr_sk",
+        "o_orderkey", "o_orderpriority",
+        Seq("o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"),
+        "p_name", "p_name", Seq("p_name", "p_cnt"))
+      val unit = "orders_pr_sk"
+      if (Views.unitDone(store.baseDir, unit))
+        graft.engine.JoinSketchView.attach(jv, "orders_pr_sk__state",
+          "o_totalprice")
+      else {
+        val o = Tables.orders(s, dir)
+        val dim = o.groupBy(col("o_orderpriority").as("p_name"))
+          .agg(count(lit(1)).as("p_cnt"))
+        jv.build(o, dim)
+        val sk = new graft.engine.JoinSketchView(jv, "orders_pr_sk__state",
+          "o_totalprice")
+        sk.build()
+        // left batch: the reprice RETRACTS each touched key's old values
+        // (rebuild path), the %41 tombstones drop rows
+        val upsL = o.filter(col("o_orderkey") % 37 === 0 && col("o_orderkey") % 41 =!= 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000)
+        val delsL = o.filter(col("o_orderkey") % 41 === 0)
+          .select(col("o_orderkey").cast("string")).distinct()
+        jv.refreshLeft(upsL, Some(delsL)); sk.catchUp()
+        // right batch: odd-digit priorities re-count (payload rewrite →
+        // rebuild), '5-LOW'-digit priorities DROP — their sketch groups
+        // must vanish entirely
+        val upsD = dim.filter(substring(col("p_name"), 1, 1).cast("int") % 2 === 1
+            && substring(col("p_name"), 1, 1).cast("int") % 5 =!= 0)
+          .withColumn("p_cnt", col("p_cnt") + 7)
+        val delsD = dim.filter(substring(col("p_name"), 1, 1).cast("int") % 5 === 0)
+          .select(col("p_name")).distinct()
+        jv.refreshRight(upsD, Some(delsD)); sk.catchUp()
+        Views.markUnitDone(store.baseDir, unit)
+        sk
+      }
+    })
+
   /** AS-OF-over-JOIN cascade (the remaining cell of the producer ×
     * consumer matrix): purchases enriched by a per-user activity dim
     * through a maintained equi-join, the ENRICHED relation feeding a
@@ -2332,6 +2383,7 @@ object MapIndexQueries {
     purchaseClickNearestView(s, dir)
     ordersCustomerAggMeasuresView(s, dir)
     fullOuterLatticeMeasuresView(s, dir)
+    ordersPrioritySketchView(s, dir)
     joinSemiCascadeView(s, dir)
     joinAsofCascadeView(s, dir)
     purchaseClickRightKeyedView(s, dir)
@@ -3299,6 +3351,29 @@ object MapIndexQueries {
     // twin, same oracle as the batch-built gate
     "mapindex_percentile_sketch_streamed" -> ((s, dir) =>
       sketchQuantileGate(percentileSketchSView(s, dir), s, dir)),
+
+    // SKETCH-over-JOIN ([[ordersPrioritySketchView]] — JoinSketchView):
+    // per-priority order-value sketches maintained from the dim join's
+    // CDC (reprice = rebuild via the upstream's bucket-pruned byKeys,
+    // the dim drop vanishes its group), served at BOTH lattice levels
+    // (per key + the merged ALL row); exact anchors + rank bounds
+    // recomputed by the oracle over the modified join from scratch
+    "mapindex_joinview_sketch" -> ((s, dir) => {
+      val est = ordersPrioritySketchView(s, dir)
+        .quantilesRollup(Seq("est50" -> 0.5, "est95" -> 0.95))
+        .withColumnRenamed("emit_key", "flag")
+      val o = Tables.orders(s, dir)
+      // cast-free survivor predicate: the flag equi-join would let
+      // Catalyst propagate an inferred substring-cast constraint onto
+      // the est side, where the 'ALL' rollup row fails the ANSI cast
+      val perKey = o.filter(col("o_orderkey") % 41 =!= 0)
+        .filter(!col("o_orderpriority").startsWith("5"))
+        .select(col("o_orderpriority").as("flag"),
+          (when(col("o_orderkey") % 37 === 0, col("o_totalprice") + 1000)
+            .otherwise(col("o_totalprice"))).as("v"))
+      sketchQuantileGateFrom(est,
+        perKey.unionByName(perKey.select(lit("ALL").as("flag"), col("v"))))
+    }),
 
     // the SKETCH ROLLUP ([[graft.engine.SketchQuantileView
     // .quantilesRollup]]): per-flag AND global ('ALL') quantiles served
@@ -4812,6 +4887,35 @@ object MapIndexQueries {
         |  SELECT CASE WHEN l_orderkey % 97 = 0 THEN 'X' ELSE l_returnflag END AS flag,
         |         l_extendedprice AS v
         |  FROM lineitem WHERE l_orderkey % 89 <> 0),
+        |vcounts AS (
+        |  SELECT flag, v, count(*) AS cnt FROM src GROUP BY flag, v),
+        |vcum AS (
+        |  SELECT flag, v,
+        |         CAST(sum(cnt) OVER (PARTITION BY flag ORDER BY v) AS BIGINT) AS cum,
+        |         CAST(sum(cnt) OVER (PARTITION BY flag) AS BIGINT) AS n2
+        |  FROM vcounts),
+        |exact AS (
+        |  SELECT flag, max(n2) AS n,
+        |         min(CASE WHEN cum >= ceil(n2 / 2.0) THEN v END) AS x50,
+        |         min(CASE WHEN cum >= ceil(n2 * 19 / 20.0) THEN v END) AS x95
+        |  FROM vcum GROUP BY flag)
+        |SELECT flag, n, round(x50, 2) AS exact_p50, round(x95, 2) AS exact_p95,
+        |       true AS p50_within_rank, true AS p95_within_rank
+        |FROM exact ORDER BY flag""".stripMargin,
+    // sketch-over-join: anchors per surviving priority over the
+    // modified orders, plus the same rows re-labeled 'ALL'
+    "mapindex_joinview_sketch" ->
+      """WITH o AS (
+        |  SELECT o_orderpriority,
+        |         CASE WHEN o_orderkey % 37 = 0 THEN o_totalprice + 1000
+        |              ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 41 <> 0),
+        |base AS (
+        |  SELECT o_orderpriority AS flag, o_totalprice AS v FROM o
+        |  WHERE CAST(substr(o_orderpriority, 1, 1) AS INT) % 5 <> 0),
+        |src AS (
+        |  SELECT flag, v FROM base
+        |  UNION ALL SELECT 'ALL' AS flag, v FROM base),
         |vcounts AS (
         |  SELECT flag, v, count(*) AS cnt FROM src GROUP BY flag, v),
         |vcum AS (

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.engine.{BucketedViewStore, JoinView, MapIndex, SketchQuantileView}
+import graft.engine.{BucketedViewStore, JoinSketchView, JoinView, MapIndex, SketchQuantileView}
 import graft.engine.MapIndex.emit
 
 /** Round-17 hardening: the salted single-part-key write guard, the
@@ -93,5 +93,71 @@ class HardeningSpec extends AnyFunSuite with SparkSpec {
     val vals2 = rows.filterNot(_._2 == "g2").map(_._3)
     assert(all2.getLong(1) === vals2.size.toLong)
     assert(rankErr(vals2, all2.getDouble(2), 0.5) <= 0.06)
+  }
+
+  test("sketch-over-join: per-key sketches maintain from the join CDC (merge, rebuild, vanish)") {
+    val store = BucketedViewStore.temp(spark, 8)
+    val jv = new JoinView(store, "t_jsk",
+      "l_pk", "l_jk", Seq("l_pk", "l_jk", "l_val"),
+      "r_pk", "r_jk", Seq("r_pk", "r_jk"))
+    val rnd = new scala.util.Random(7)
+    var live = (0 until 3000).map(i => (i.toLong, s"g${i % 3}", rnd.nextDouble() * 100))
+    val dims = Seq((100L, "g0"), (101L, "g1"), (102L, "g2"))
+    jv.build(live.toDF("l_pk", "l_jk", "l_val"), dims.toDF("r_pk", "r_jk"))
+    val sk = new JoinSketchView(jv, "t_jsk__state", "l_val", k = 256)
+    sk.build()
+
+    def check(expectKeys: Set[String]): Unit = {
+      val byG = live.filter(r => expectKeys(r._2)).groupBy(_._2)
+        .view.mapValues(_.map(_._3)).toMap
+      val served = sk.quantiles(Seq("q50" -> 0.5)).collect()
+      assert(served.map(_.getString(0)).toSet === byG.keySet)
+      served.foreach { r =>
+        val vals = byG(r.getString(0))
+        assert(r.getLong(1) === vals.size.toLong, s"${r.getString(0)}: n exact")
+        assert(rankErr(vals, r.getDouble(2), 0.5) <= 0.06)
+      }
+    }
+    check(Set("g0", "g1", "g2"))
+
+    // LEFT batch: inserts into g1 (merge path), upserts in g0 (value
+    // +1000 — a retraction, rebuild path), tombstones in g2
+    val ins = (3000 until 3800).map(i => (i.toLong, "g1", rnd.nextDouble() * 100))
+    val ups = live.filter(r => r._2 == "g0" && r._1 % 5 == 0)
+      .map(r => (r._1, r._2, r._3 + 1000))
+    val dels = live.filter(r => r._2 == "g2" && r._1 % 4 == 0).map(_._1)
+    jv.refreshLeft((ins ++ ups).toDF("l_pk", "l_jk", "l_val"),
+      Some(dels.toDF("l_pk").select(col("l_pk").cast("string"))))
+    live = live.filterNot(r => dels.contains(r._1))
+      .map(r => if (r._2 == "g0" && r._1 % 5 == 0) (r._1, r._2, r._3 + 1000) else r) ++ ins
+    sk.catchUp()
+    check(Set("g0", "g1", "g2"))
+
+    // RIGHT batch: dim g2 DROPS — its group's sketch must vanish
+    jv.refreshRight(Seq.empty[(Long, String)].toDF("r_pk", "r_jk"),
+      Some(Seq(102L).toDF("r_pk").select(col("r_pk").cast("string"))))
+    live = live.filterNot(_._2 == "g2")
+    sk.catchUp()
+    check(Set("g0", "g1"))
+
+    // rollup: ALL = g0 ∪ g1 from state alone
+    val all = sk.quantilesRollup(Seq("q50" -> 0.5)).collect()
+      .find(_.getString(0) == "ALL").get
+    assert(all.getLong(1) === live.size.toLong)
+    assert(rankErr(live.map(_._3), all.getDouble(2), 0.5) <= 0.06)
+
+    // reopen from the persisted watermark: idempotent catch-up
+    val re = JoinSketchView.attach(jv, "t_jsk__state", "l_val", k = 256)
+    re.catchUp()
+    check(Set("g0", "g1"))
+
+    // padded upstreams are refused
+    val fo = new JoinView(store, "t_jsk_fo",
+      "l_pk", "l_jk", Seq("l_pk", "l_jk", "l_val"),
+      "r_pk", "r_jk", Seq("r_pk", "r_jk"), joinType = "full_outer")
+    val err = intercept[IllegalArgumentException] {
+      new JoinSketchView(fo, "t_jsk_fo__state", "l_val")
+    }
+    assert(err.getMessage.contains("pads right"))
   }
 }
