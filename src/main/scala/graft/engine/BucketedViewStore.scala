@@ -153,17 +153,32 @@ final class BucketedViewStore(
 
   // ---- manifest ----------------------------------------------------------
 
-  def manifest(name: String): Map[(String, Int), Int] =
-    if (!Files.exists(manifestFile(name))) Map.empty
-    else Files.readAllLines(manifestFile(name)).asScala.filter(_.nonEmpty).map { line =>
-      val Array(kind, b, v) = line.split(":")
-      (kind, b.toInt) -> v.toInt
-    }.toMap
+  def manifest(name: String): Map[(String, Int), Int] = {
+    val m =
+      if (!Files.exists(manifestFile(name))) Map.empty[(String, Int), Int]
+      else Files.readAllLines(manifestFile(name)).asScala.filter(_.nonEmpty).map { line =>
+        val Array(kind, b, v) = line.split(":")
+        (kind, b.toInt) -> v.toInt
+      }.toMap
+    // geometry stamp: a handle whose bucket count disagrees with what the
+    // view was WRITTEN at would silently mis-prune every get/getAll/scan
+    // (bucketOf is a function of numBuckets) — fail loudly instead. Views
+    // written before the stamp existed carry none and stay readable.
+    m.get((BucketsKind, 0)).foreach(b => require(b == numBuckets,
+      s"view '$name' in $baseDir was written at $b buckets; this handle " +
+        s"has $numBuckets — reopen at the written geometry (after a " +
+        s"splitBuckets, use the handle it returned)"))
+    m
+  }
 
   private def manifestsRoot(name: String): Path = root(name).resolve("_manifests")
 
-  private def writeManifest(name: String, m: Map[(String, Int), Int]): Unit = {
+  private def writeManifest(name: String, m0: Map[(String, Int), Int]): Unit = {
     Files.createDirectories(root(name))
+    // every write stamps the WRITER's geometry (see [[manifest]]'s check);
+    // splitBuckets publishes through the widened handle, so the stamp
+    // follows the split atomically with the manifest swap
+    val m = m0 + ((BucketsKind, 0) -> numBuckets)
     val body = m.toSeq.sortBy(e => (e._1._1, e._1._2))
       .map { case ((k, b), v) => s"$k:$b:$v" }.mkString("\n")
     // epoch-stamped manifest history BEFORE the live swap: snapshot reads
@@ -206,17 +221,24 @@ final class BucketedViewStore(
    */
   private def stagedWrite(name: String, kind: String, df: DataFrame, bcol: String,
       expected: Set[Int], prev: Map[(String, Int), Int],
-      salt: Int = -1): Map[(String, Int), Int] = {
+      salt: Int = -1, shuffle: Boolean = true): Map[(String, Int), Int] = {
     val staging = root(name).resolve(s"_stage_${kind}_${System.nanoTime()}")
     // salt the shuffle so a hot bucket's rewrite parallelizes across up to
     // writeSalt tasks instead of serializing in one; (uid, src_key) spreads
     // even a single key's emissions (uid is per-row) and the uid=0 meta
     // rows (src_key is per-row there). [[compact]] passes salt = 1: its
     // whole point is folding a bucket's accreted slices into one file.
+    // [[splitBuckets]] passes shuffle = false: its doubling invariant
+    // means each input slice already holds rows of at most two child
+    // buckets, so partitionBy fans each task straight into its children —
+    // re-partitioning would turn a local rewrite into a full exchange.
     val s = if (salt > 0) salt else writeSalt
-    df.repartition(col(bcol),
-        pmod(xxhash64(col("uid"), col("src_key")), lit(s)))
-      .sortWithinPartitions(bcol, "emit_key", "uid")
+    val arranged =
+      if (shuffle) df.repartition(col(bcol),
+          pmod(xxhash64(col("uid"), col("src_key")), lit(s)))
+        .sortWithinPartitions(bcol, "emit_key", "uid")
+      else df.sortWithinPartitions(bcol, "emit_key", "uid")
+    arranged
       .write.partitionBy(bcol).option("compression", "zstd").parquet(staging.toString)
     val out = scala.collection.mutable.Map.empty[(String, Int), Int]
     expected.foreach { b =>
@@ -757,6 +779,202 @@ final class BucketedViewStore(
     }
   }
 
+  /**
+   * Bucket-count evolution: DOUBLE the view's bucket count in a NO-CHANGE
+   * epoch and return a handle at the new geometry. A store sized for last
+   * year's corpus accretes until per-bucket rewrites dominate refresh
+   * latency; at 100 TB "re-materialize into a wider store" means
+   * re-shuffling the whole view, which this avoids entirely:
+   *
+   * Hash bucketing makes doubling LOCAL — `h mod 2N` is either `h mod N`
+   * or `h mod N + N`, so every new bucket's rows come from exactly one
+   * old bucket. The rewrite is a single pass with **no exchange** (the
+   * staged write fans each input slice into at most its two child
+   * directories; `shuffle = false` above), i.e. embarrassingly parallel
+   * per old bucket on a real cluster.
+   *
+   * Meta back-pointers split the same exchange-free way by
+   * OVER-APPROXIMATION: a source key recorded in old emit bucket `b` is
+   * recorded in `{b, b+N}` (deciding which of the two is real would need
+   * the emissions re-hashed — a shuffle). The back-pointer contract
+   * tolerates supersets — a refresh reads at most one extra bucket per
+   * stale pointer and rewrites the pointer exactly on the key's next
+   * change — so the approximation is self-correcting, costing bounded
+   * extra read I/O and never correctness. Each meta ROW still moves
+   * locally (`mb → mb or mb+N`, re-derived from `src_key`).
+   *
+   * Epoch semantics mirror [[compact]]: the epoch bumps with an EMPTY CDC
+   * sidecar (feed replays crossing the split see nothing from it), grace
+   * copies of the old-geometry buckets keep the pre-split epoch
+   * time-travelable until it ages out, and the manifest swap is atomic.
+   * The OLD handle fails loudly on its next manifest read (geometry
+   * stamp); all further maintenance goes through the returned handle.
+   *
+   * Range-bucketed stores refuse: their rebalance is re-materialization
+   * with fresh boundaries (see [[rangeBoundaries]] doc).
+   */
+  def splitBuckets(name: String): BucketedViewStore = {
+    require(rangeBoundaries.isEmpty,
+      "splitBuckets is hash-layout-only: range-bucketed stores rebalance " +
+        "by re-materializing into a store with fresh boundaries")
+    val m0 = manifest(name)
+    require(m0.nonEmpty, s"view '$name' not materialized in $baseDir")
+    val epoch = (m0.getOrElse((EpochKind, 0), 0) + 1).toLong
+    claimEpoch(name, epoch)
+    var published = false
+    try {
+      val wide = new BucketedViewStore(spark, baseDir, numBuckets * 2,
+        graceVersions, changeRetention, None, writeSalt, broadcastKeyLimit)
+      val all2 = (0 until wide.numBuckets).toSet
+      // emissions: re-derive kb under 2N. No repartition — each row's new
+      // bucket differs from its old one only by the +N bit.
+      val mEmit = wide.stagedWrite(name, Emit, wide.withBuckets(df(name)),
+        "kb", all2, m0, shuffle = false)
+      // meta: local row move (mb re-derived from src_key under 2N) +
+      // back-pointer over-approximation b → {b, b+N}
+      val oldMetaPaths = livePaths(name, Meta)
+      val mMeta =
+        if (oldMetaPaths.isEmpty) Map.empty[(String, Int), Int]
+        else {
+          val n = lit(numBuckets.toLong)
+          val remapped = spark.read.parquet(oldMetaPaths: _*)
+            .withColumn("emit_buckets", array_distinct(flatten(
+              transform(col("emit_buckets"), b => array(b, b + n)))))
+            .withColumn("mb", wide.metaBucketExpr(col("src_key")))
+          wide.stagedWrite(name, Meta, remapped, "mb", all2, m0, shuffle = false)
+        }
+      // EMPTY sidecar before the swap, like compact: the epoch
+      // participates in the feed's contiguity contract, contributes no rows
+      df(name).limit(0)
+        .withColumn("change_type", lit("insert"))
+        .withColumn("change_version", lit(epoch))
+        .repartition(1)
+        .write.mode("overwrite").option("compression", "zstd")
+        .parquet(changesPath(name, epoch).toString)
+      // old-geometry data entries are replaced wholesale (ids < N continue
+      // their version counters via stagedWrite's prev/onDisk max, so grace
+      // copies of the old geometry survive for dfAsOf readers)
+      val kept = m0.filterNot { case ((k, _), _) => k == Emit || k == Meta }
+      wide.writeManifest(name,
+        kept ++ mEmit ++ mMeta + ((EpochKind, 0) -> epoch.toInt))
+      published = true
+      val touched = all2.map((Emit, _)) ++ all2.map((Meta, _))
+      gcOldVersions(name, touched, mEmit ++ mMeta)
+      gcOldSidecars(name, epoch)
+      gcOldClaims(name, epoch)
+      wide
+    } finally {
+      if (!published)
+        try Files.deleteIfExists(root(name).resolve(s"_CLAIM.e$epoch"))
+        catch { case _: java.io.IOException =>
+          System.err.println(s"warn: could not release claim e$epoch on '$name'") }
+    }
+  }
+
+  /**
+   * Incremental snapshot ship: publish this view's CURRENT epoch into a
+   * replica store at `destDir`, copying only what the replica does not
+   * already hold. Bucket versions are immutable once published, so
+   * `(kind, bucket, version)` is content-addressed — a manifest diff is
+   * exactly the set of bytes to move, and a steady-state re-ship after a
+   * small refresh copies O(touched buckets), not the view. This is the
+   * cross-region replica / publish-to-serving primitive: at 100 TB a full
+   * copy per publish is a non-starter, while the manifest diff is the
+   * same O(delta) the refresh itself wrote.
+   *
+   * The replica is a normal store (open it with a same-geometry handle):
+   * reads, point lookups, scans, time travel over shipped epochs, and
+   * [[changesBetween]] over the shipped sidecars all work. Ship order is
+   * data → sidecars → atomic manifest swap, so a reader of the replica
+   * never sees an epoch without its data or its sidecar. A crashed ship
+   * re-runs idempotently (already-copied versions are skipped); the
+   * replica's claim marker makes concurrent shippers fail loudly. Epochs
+   * only move forward — shipping an older epoch over a newer replica
+   * refuses.
+   */
+  def shipTo(name: String, destDir: String): ShipStats = {
+    val mSrc = manifest(name)
+    require(mSrc.nonEmpty, s"view '$name' not materialized in $baseDir")
+    val dataCount = mSrc.count(e => e._1._1 == Emit || e._1._1 == Meta)
+    val dest = new BucketedViewStore(spark, destDir, numBuckets, graceVersions,
+      changeRetention, rangeBoundaries, writeSalt, broadcastKeyLimit)
+    val mDst = dest.manifest(name) // geometry-stamp-checked
+    val srcEpoch = mSrc.getOrElse((EpochKind, 0), 0)
+    val dstEpoch = mDst.get((EpochKind, 0))
+    if (dstEpoch.contains(srcEpoch)) return ShipStats(0, 0, dataCount)
+    require(dstEpoch.forall(_ < srcEpoch),
+      s"replica at $destDir is ahead of the source " +
+        s"(epoch ${dstEpoch.getOrElse(-1)} > $srcEpoch) — refusing to ship backwards")
+    dest.claimEpoch(name, srcEpoch.toLong)
+    var published = false
+    try {
+      // 1: data — only versions the replica lacks, copied to a temp
+      // sibling then moved so a crash never leaves a half-copied live dir
+      val toCopy = mSrc.iterator.filter { case ((k, b), v) =>
+        (k == Emit || k == Meta) && !mDst.get((k, b)).contains(v)
+      }.toSeq
+      toCopy.foreach { case ((k, b), v) =>
+        val d = Paths.get(dest.bucketPath(name, k, b, v))
+        if (!Files.exists(d)) {
+          Files.createDirectories(d.getParent)
+          val tmp = d.getParent.resolve(s"${d.getFileName}.ship${System.nanoTime()}")
+          copyRecursively(Paths.get(bucketPath(name, k, b, v)), tmp)
+          Files.move(tmp, d)
+        }
+      }
+      // 2: schema (empty-view reads) + the CDC sidecars the replica lacks,
+      // so its change feed serves the same retained window as the source's
+      Files.createDirectories(dest.root(name))
+      Files.copy(schemaFile(name), dest.schemaFile(name),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      var sidecars = 0
+      if (Files.exists(changesRoot(name))) {
+        val stream = Files.list(changesRoot(name))
+        try stream.iterator().asScala.foreach { c =>
+          val d = dest.changesRoot(name).resolve(c.getFileName.toString)
+          if (!Files.exists(d)) {
+            Files.createDirectories(d.getParent)
+            val tmp = d.getParent.resolve(s"${d.getFileName}.ship${System.nanoTime()}")
+            copyRecursively(c, tmp)
+            Files.move(tmp, d)
+            sidecars += 1
+          }
+        } finally stream.close()
+      }
+      // 3: atomic replica manifest swap, then replica-side GC (superseded
+      // versions past grace — including buckets the source dropped —
+      // and sidecars past retention)
+      dest.writeManifest(name, mSrc)
+      published = true
+      val dropped = mDst.keySet.filter(e => e._1 == Emit || e._1 == Meta) --
+        mSrc.keySet
+      dest.gcOldVersions(name, toCopy.map(_._1).toSet ++ dropped,
+        mSrc.filter(e => e._1._1 == Emit || e._1._1 == Meta))
+      dest.gcOldSidecars(name, srcEpoch.toLong)
+      dest.gcOldClaims(name, srcEpoch.toLong)
+      ShipStats(toCopy.size, sidecars, dataCount)
+    } finally {
+      if (!published)
+        try Files.deleteIfExists(dest.root(name).resolve(s"_CLAIM.e$srcEpoch"))
+        catch { case _: java.io.IOException =>
+          System.err.println(s"warn: could not release replica claim e$srcEpoch on '$name'") }
+    }
+  }
+
+  /** Recursive file-tree copy with the walk stream closed (cf.
+    * [[deleteRecursively]]). */
+  private def copyRecursively(src: Path, dst: Path): Unit = {
+    val stream = Files.walk(src)
+    try stream.forEach { p =>
+      val t = dst.resolve(src.relativize(p).toString)
+      if (Files.isDirectory(p)) Files.createDirectories(t)
+      else {
+        Files.createDirectories(t.getParent)
+        Files.copy(p, t, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    } finally stream.close()
+  }
+
   /** Delete superseded version dirs for every TOUCHED bucket, keeping
     * [[graceVersions]] trailing copies for in-flight readers of older
     * snapshots. Sweeps each touched bucket's parent directory listing —
@@ -798,9 +1016,17 @@ object BucketedViewStore {
   /** manifest entry `(EpochKind, 0) -> e`: monotone refresh counter for
     * cross-refresh uid uniqueness (not a bucket). */
   private val EpochKind = "epoch"
+  /** manifest entry `(BucketsKind, 0) -> B`: the geometry the view was
+    * written at — handles at a different bucket count fail loudly. */
+  private val BucketsKind = "buckets"
 
   final case class RefreshStats(
       emitBucketsRewritten: Int, metaBucketsRewritten: Int, totalBuckets: Int)
+
+  /** What a [[BucketedViewStore.shipTo]] moved: `bucketsCopied` out of
+    * `totalLiveBuckets` manifest data entries, plus CDC sidecar epochs. */
+  final case class ShipStats(
+      bucketsCopied: Int, sidecarsCopied: Int, totalLiveBuckets: Int)
 
   /** JVM-side mirror of the bucket expression (pmod(xxhash64(str), B)). */
   def bucketOf(key: Any, numBuckets: Int): Int = {

@@ -105,6 +105,53 @@ object MapIndexQueries {
       st
     })
 
+  /** Bucket-count DOUBLING (8 → 16) before the shared change batch: the
+    * split's exchange-free rewrite (each old bucket fans locally into
+    * `{b, b+8}`), the geometry stamp, and continued maintenance at the
+    * new geometry are graded against the same from-scratch oracle as the
+    * other layouts. The feed gate replays ACROSS the split epoch — its
+    * sidecar is empty, so the range (0, 2] equals the refresh delta
+    * alone, exactly like a compaction crossing. */
+  private val byFlagSplit = MapIndex.columns("lineitem_byflag_split")(
+    concat_ws("-", col("l_orderkey"), col("l_linenumber")),
+    array(emit(col("l_returnflag"), col("l_extendedprice"))))
+
+  private val splitStores =
+    scala.collection.concurrent.TrieMap.empty[String, graft.engine.BucketedViewStore]
+  private def splitStore(s: SparkSession, dir: String): graft.engine.BucketedViewStore =
+    splitStores.getOrElseUpdate(dir, {
+      val st = graft.engine.BucketedViewStore.temp(s, numBuckets = 8)
+      val li = Tables.lineitem(s, dir)
+      st.materialize(byFlagSplit, li)
+      val wide = st.splitBuckets(byFlagSplit.name)
+      wide.refresh(byFlagSplit, reflaggedUpserts(li), Some(tombstoneKeys(li)))
+      wide
+    })
+
+  /** Incremental snapshot SHIP: materialize + full ship, then the shared
+    * change batch + a second ship that moves only the refresh-touched
+    * buckets (the manifest diff), then serve every read from the REPLICA
+    * handle — a stale or partial replica is a hash mismatch against the
+    * modified-source oracle. */
+  private val byFlagShip = MapIndex.columns("lineitem_byflag_ship")(
+    concat_ws("-", col("l_orderkey"), col("l_linenumber")),
+    array(emit(col("l_returnflag"), col("l_extendedprice"))))
+
+  private val shipStores =
+    scala.collection.concurrent.TrieMap.empty[String, graft.engine.BucketedViewStore]
+  private def shippedReplica(s: SparkSession, dir: String): graft.engine.BucketedViewStore =
+    shipStores.getOrElseUpdate(dir, {
+      val st = graft.engine.BucketedViewStore.temp(s, numBuckets = 8)
+      val li = Tables.lineitem(s, dir)
+      val destDir = java.nio.file.Files
+        .createTempDirectory("graft-replica-").toString
+      st.materialize(byFlagShip, li)
+      st.shipTo(byFlagShip.name, destDir)
+      st.refresh(byFlagShip, reflaggedUpserts(li), Some(tombstoneKeys(li)))
+      st.shipTo(byFlagShip.name, destDir)
+      new graft.engine.BucketedViewStore(s, destDir, numBuckets = 8)
+    })
+
   private def bucketView(s: SparkSession, dir: String) =
     Views.cached(dir, byBucket.name) {
       Views.materialized(s, dir, byOrder)(Tables.lineitem(s, dir))
@@ -3154,6 +3201,53 @@ object MapIndexQueries {
         .orderBy("change_type", "emit_key")
     }),
 
+    // post-SPLIT reads: 8 → 16 bucket doubling (exchange-free local
+    // rewrite) then the shared change batch maintained at the new
+    // geometry — same modified-source recompute as every other layout
+    "mapindex_split_group" -> ((s, dir) =>
+      splitStore(s, dir).df(byFlagSplit.name)
+        .groupBy(col("emit_key"))
+        .agg(round(sum("emit_value"), 2).as("sum_value"),
+          count(lit(1)).as("cnt"))
+        .orderBy("emit_key")),
+
+    // point lookup under the DOUBLED geometry: bucketOf(key, 16) must
+    // route to the bucket the split created — a geometry mismatch reads
+    // an empty (or wrong) bucket and hash-fails
+    "mapindex_split_get" -> ((s, dir) =>
+      splitStore(s, dir).get(byFlagSplit.name, "R").orderBy("emit_value")),
+
+    // feed replay ACROSS the split epoch (0, 2]: the split sidecar is
+    // empty, so the replay equals the refresh delta alone — identical
+    // oracle to the compaction crossing
+    "mapindex_split_changefeed" -> ((s, dir) => {
+      val st = splitStore(s, dir)
+      st.changesBetween(byFlagSplit.name, 0, st.epoch(byFlagSplit.name))
+        .groupBy(col("change_type"), col("emit_key"))
+        .agg(count(lit(1)).as("cnt"), round(sum("emit_value"), 2).as("sum_value"))
+        .orderBy("change_type", "emit_key")
+    }),
+
+    // reads served from the SHIPPED REPLICA after an incremental ship
+    // (manifest-diff copy of only the refresh-touched buckets): a stale
+    // or partially-shipped replica hash-fails the modified-source oracle
+    "mapindex_shipped_group" -> ((s, dir) =>
+      shippedReplica(s, dir).df(byFlagShip.name)
+        .groupBy(col("emit_key"))
+        .agg(round(sum("emit_value"), 2).as("sum_value"),
+          count(lit(1)).as("cnt"))
+        .orderBy("emit_key")),
+
+    // the replica's change feed over its shipped sidecars: replaying
+    // (0, current] on the REPLICA equals the source refresh's delta
+    "mapindex_shipped_changefeed" -> ((s, dir) => {
+      val st = shippedReplica(s, dir)
+      st.changesBetween(byFlagShip.name, 0, st.epoch(byFlagShip.name))
+        .groupBy(col("change_type"), col("emit_key"))
+        .agg(count(lit(1)).as("cnt"), round(sum("emit_value"), 2).as("sum_value"))
+        .orderBy("change_type", "emit_key")
+    }),
+
     // the range layout's CDC sidecar over the same refresh: epoch 0 → 1,
     // same exact-delta oracle as the flat and hash-bucketed feeds — the
     // three layouts must emit byte-identical change semantics
@@ -4745,6 +4839,62 @@ object MapIndexQueries {
         |FROM src GROUP BY 1 ORDER BY emit_key""".stripMargin,
     // the feed across the compaction epoch equals the refresh delta alone
     "mapindex_compacted_changefeed" ->
+      """WITH del AS (
+        |  SELECT l_returnflag AS emit_key, l_extendedprice AS v FROM lineitem
+        |  WHERE l_orderkey % 89 = 0 OR (l_orderkey % 97 = 0 AND l_orderkey % 89 <> 0)),
+        |ins AS (
+        |  SELECT 'X' AS emit_key, l_extendedprice AS v FROM lineitem
+        |  WHERE l_orderkey % 97 = 0 AND l_orderkey % 89 <> 0)
+        |SELECT 'delete' AS change_type, emit_key, count(*) AS cnt,
+        |       round(sum(v), 2) AS sum_value
+        |FROM del GROUP BY 2
+        |UNION ALL
+        |SELECT 'insert' AS change_type, emit_key, count(*) AS cnt,
+        |       round(sum(v), 2) AS sum_value
+        |FROM ins GROUP BY 2
+        |ORDER BY change_type, emit_key""".stripMargin,
+    // post-split reads recompute against the same modified-source SQL as
+    // every other layout: the geometry doubling must not change a byte
+    "mapindex_split_group" ->
+      """WITH src AS (
+        |  SELECT CASE WHEN l_orderkey % 97 = 0 THEN 'X' ELSE l_returnflag END AS emit_key,
+        |         l_extendedprice AS v
+        |  FROM lineitem WHERE l_orderkey % 89 <> 0)
+        |SELECT emit_key, round(sum(v), 2) AS sum_value, count(*) AS cnt
+        |FROM src GROUP BY 1 ORDER BY emit_key""".stripMargin,
+    "mapindex_split_get" ->
+      """WITH src AS (
+        |  SELECT CASE WHEN l_orderkey % 97 = 0 THEN 'X' ELSE l_returnflag END AS emit_key,
+        |         l_extendedprice AS v
+        |  FROM lineitem WHERE l_orderkey % 89 <> 0)
+        |SELECT v AS emit_value FROM src WHERE emit_key = 'R'
+        |ORDER BY emit_value""".stripMargin,
+    // the feed across the split epoch equals the refresh delta alone
+    "mapindex_split_changefeed" ->
+      """WITH del AS (
+        |  SELECT l_returnflag AS emit_key, l_extendedprice AS v FROM lineitem
+        |  WHERE l_orderkey % 89 = 0 OR (l_orderkey % 97 = 0 AND l_orderkey % 89 <> 0)),
+        |ins AS (
+        |  SELECT 'X' AS emit_key, l_extendedprice AS v FROM lineitem
+        |  WHERE l_orderkey % 97 = 0 AND l_orderkey % 89 <> 0)
+        |SELECT 'delete' AS change_type, emit_key, count(*) AS cnt,
+        |       round(sum(v), 2) AS sum_value
+        |FROM del GROUP BY 2
+        |UNION ALL
+        |SELECT 'insert' AS change_type, emit_key, count(*) AS cnt,
+        |       round(sum(v), 2) AS sum_value
+        |FROM ins GROUP BY 2
+        |ORDER BY change_type, emit_key""".stripMargin,
+    // the replica serves the same modified-source answer as the source —
+    // an unshipped (stale) or over-shipped bucket is a hash mismatch
+    "mapindex_shipped_group" ->
+      """WITH src AS (
+        |  SELECT CASE WHEN l_orderkey % 97 = 0 THEN 'X' ELSE l_returnflag END AS emit_key,
+        |         l_extendedprice AS v
+        |  FROM lineitem WHERE l_orderkey % 89 <> 0)
+        |SELECT emit_key, round(sum(v), 2) AS sum_value, count(*) AS cnt
+        |FROM src GROUP BY 1 ORDER BY emit_key""".stripMargin,
+    "mapindex_shipped_changefeed" ->
       """WITH del AS (
         |  SELECT l_returnflag AS emit_key, l_extendedprice AS v FROM lineitem
         |  WHERE l_orderkey % 89 = 0 OR (l_orderkey % 97 = 0 AND l_orderkey % 89 <> 0)),

@@ -445,4 +445,102 @@ class BucketedStoreSpec extends AnyFunSuite with SparkSpec {
         .as[(String, Long, Long, Int, Int)].collect().sorted.toSeq
     assert(st(gated) === st(plain))
   }
+
+  test("splitBuckets: exchange-free doubling preserves rows and pruning; stale handles fail") {
+    val store = BucketedViewStore.temp(spark, numBuckets = 4)
+    store.materialize(idx, rows(80).toDF("key", "v"))
+    val before = snapshot(store.df(idx.name))
+
+    // capture the split's staged-write plans: the doubling invariant means
+    // they must carry NO exchange (partitionBy fans each slice locally
+    // into its two child buckets). The sidecar write repartition(1)s but
+    // goes to _changes/, not a _stage_ dir — the filter excludes it.
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit = {
+        val s = qe.executedPlan.toString
+        if (s.contains(store.baseDir) && s.contains("_stage_")) plans.add(s)
+      }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    val wide = try {
+      val w = store.splitBuckets(idx.name)
+      // listener dispatch is async — wait for both staged writes
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (plans.size < 2 && System.nanoTime() < deadline) Thread.sleep(50)
+      w
+    } finally spark.listenerManager.unregister(listener)
+    assert(plans.size >= 2, "expected the emit and meta staged-write plans")
+    plans.forEach(p => assert(!p.contains("Exchange"),
+      s"split staged write must not shuffle:\n$p"))
+
+    assert(wide.numBuckets === 8)
+    assert(snapshot(wide.df(idx.name)) === before)
+    // point lookup routes by the NEW geometry and reads one bucket dir
+    val b = BucketedViewStore.bucketOf("k7", 8)
+    val lookup = wide.get(idx.name, "k7")
+    assert(lookup.as[Int].collect().toSeq === Seq(7))
+    assert(lookup.inputFiles.nonEmpty &&
+      lookup.inputFiles.forall(_.contains(s"kb=$b/")))
+    // the pre-split handle cannot silently mis-prune at the old geometry
+    val err = intercept[IllegalArgumentException](store.df(idx.name))
+    assert(err.getMessage.contains("buckets"))
+  }
+
+  test("splitBuckets is a no-change epoch: empty sidecar, time travel, maintenance continues") {
+    val store = BucketedViewStore.temp(spark, numBuckets = 4)
+    store.materialize(idx, rows(60).toDF("key", "v"))
+    store.refresh(idx, Seq("k3" -> 33).toDF("key", "v")) // epoch 1
+    val preSplit = snapshot(store.df(idx.name))
+    val wide = store.splitBuckets(idx.name)              // epoch 2
+    assert(wide.epoch(idx.name) === 2)
+    assert(wide.changesBetween(idx.name, 1, 2).count() === 0)
+    // a replay crossing the split equals the refresh delta alone
+    assert(wide.changesBetween(idx.name, 0, 2).count() ===
+      wide.changesBetween(idx.name, 0, 1).count())
+    // the pre-split epoch stays addressable through its grace copies
+    assert(snapshot(wide.dfAsOf(idx.name, 1)) === preSplit)
+    // maintenance continues at the new geometry
+    val stats = wide.refresh(idx, Seq("k5" -> 55).toDF("key", "v"),
+      Some(Seq("k9").toDF("src_key")))
+    assert(stats.totalBuckets === 8)
+    assert(wide.get(idx.name, "k5").as[Int].collect().toSeq === Seq(55))
+    assert(wide.get(idx.name, "k9").count() === 0)
+    assert(wide.df(idx.name).count() === 118)
+    // range layout refuses: its rebalance is re-materialization
+    val ranged = BucketedViewStore.tempRange(spark, Seq("k3", "k6"))
+    ranged.materialize(idx, rows(10).toDF("key", "v"))
+    intercept[IllegalArgumentException](ranged.splitBuckets(idx.name))
+  }
+
+  test("shipTo replicates incrementally: manifest-diff copies only; replica serves reads and feed") {
+    val store = BucketedViewStore.temp(spark, numBuckets = 4)
+    val dest = java.nio.file.Files.createTempDirectory("graft-ship-").toString
+    store.materialize(idx, rows(60).toDF("key", "v"))
+    val s1 = store.shipTo(idx.name, dest)
+    assert(s1.bucketsCopied === s1.totalLiveBuckets)
+    val replica = new BucketedViewStore(spark, dest, numBuckets = 4)
+    assert(snapshot(replica.df(idx.name)) === snapshot(store.df(idx.name)))
+    // refresh one key, re-ship: only its buckets (and the sidecar) move
+    store.refresh(idx, Seq("k3" -> 33).toDF("key", "v"))
+    val s2 = store.shipTo(idx.name, dest)
+    assert(s2.bucketsCopied <= 5, // ≤ 4 emit (2 old + 2 new hashes) + 1 meta
+      s"incremental ship copied ${s2.bucketsCopied}/${s2.totalLiveBuckets}")
+    assert(s2.sidecarsCopied === 1)
+    assert(snapshot(replica.df(idx.name)) === snapshot(store.df(idx.name)))
+    assert(replica.epoch(idx.name) === 1)
+    assert(replica.changesBetween(idx.name, 0, 1).count() ===
+      store.changesBetween(idx.name, 0, 1).count())
+    // same epoch → nothing moves (idempotent re-ship)
+    val s3 = store.shipTo(idx.name, dest)
+    assert(s3.bucketsCopied === 0 && s3.sidecarsCopied === 0)
+    // a mis-geometry handle on the replica fails loudly
+    intercept[IllegalArgumentException](
+      new BucketedViewStore(spark, dest, numBuckets = 8).df(idx.name))
+    // point lookups on the replica prune exactly as on the source
+    assert(replica.get(idx.name, "k3").as[Int].collect().toSeq === Seq(33))
+  }
 }
