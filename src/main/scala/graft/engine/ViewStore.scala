@@ -197,6 +197,49 @@ final class ViewStore(
         catch { case _: java.io.IOException =>
           System.err.println(s"warn: could not release claim v$next on '$name'") }
     }
+    gcAfterPublish(name, next)
+  }
+
+  /**
+   * Publish an EXTERNALLY-STAGED directory as the next version of `name`
+   * — the multi-relation single-job write path ([[WindowedAggView]]): a
+   * caller maintaining many sibling relations (one per time slice) stages
+   * all of their data in ONE Spark job (`partitionBy` on the slice
+   * column), then each relation's staged subdir is adopted here by a
+   * RENAME under the same claim / atomic-pointer-swap / GC contract as
+   * [[writeClustered]] — k relations cost k metadata moves, not k Spark
+   * jobs. `staged` must live on the same filesystem as the store (the
+   * caller stages under `baseDir`); it is consumed (moved) on success.
+   */
+  def adoptStaged(name: String, staged: Path): Unit = {
+    val next = latestVersion(name).getOrElse(-1) + 1
+    claimVersion(name, next)
+    var published = false
+    try {
+      Files.move(staged, dir(name).resolve(s"v$next"))
+      val tmp = dir(name).resolve(s"_LATEST.tmp$next")
+      Files.writeString(tmp, next.toString)
+      Files.move(tmp, latestFile(name),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      published = true
+    } finally {
+      if (!published)
+        try Files.deleteIfExists(dir(name).resolve(s"_CLAIM.v$next"))
+        catch { case _: java.io.IOException =>
+          System.err.println(s"warn: could not release claim v$next on '$name'") }
+    }
+    gcAfterPublish(name, next)
+  }
+
+  /** Drop a whole view (every version, sidecars, markers) — the eviction
+    * primitive ([[WindowedAggView.evictBefore]] drops expired slice
+    * relations wholesale instead of rewriting surviving state). */
+  private[engine] def dropView(name: String): Unit = deleteTree(dir(name))
+
+  /** Post-publish housekeeping shared by [[writeClustered]] and
+    * [[adoptStaged]]: snapshot GC, sidecar sweep, claim-marker GC. */
+  private def gcAfterPublish(name: String, next: Int): Unit = {
     // GC superseded versions (keep graceVersions copies for in-flight
     // readers of older snapshots) — otherwise every refresh leaks a view
     var old = next - 1 - graceVersions
@@ -271,7 +314,7 @@ final class ViewStore(
     } finally stream.close()
   }
 
-  private def deleteTree(p: Path): Unit = if (Files.exists(p)) {
+  private[engine] def deleteTree(p: Path): Unit = if (Files.exists(p)) {
     val stream = Files.walk(p) // close the stream: an unclosed walk leaks an fd
     try stream.sorted(java.util.Comparator.reverseOrder())
       .forEach(f => Files.deleteIfExists(f))

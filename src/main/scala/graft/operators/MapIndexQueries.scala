@@ -2467,6 +2467,54 @@ object MapIndexQueries {
     cascadeCdcView(s, dir)
   }
 
+  // ---- time-sliced windowed aggregates with watermark eviction ----
+
+  private val windowedViews =
+    scala.collection.concurrent.TrieMap.empty[String, graft.engine.WindowedAggView]
+
+  /** Whole-events windowed aggregate (1-day slices): group = event_type,
+    * `emit_value = struct(ts, value)`. The shared events change batch
+    * (`%37` → ts+1h & value+1000 — which MIGRATES those events across a
+    * day boundary — and `%41` tombstones) lands through the slice-local
+    * refresh; the `ev` flavor additionally advances the watermark past the
+    * first three days, dropping those slices wholesale. Oracles recompute
+    * from the modified table from scratch, so a stale slice, an unmigrated
+    * event, or an under- or over-evicted slice is a hash mismatch. */
+  private def eventsWindowedView(s: SparkSession, dir: String,
+      flavor: String): graft.engine.WindowedAggView =
+    windowedViews.getOrElseUpdate(s"$dir#$flavor", {
+      val store = Views.store(s, dir)
+      val name = s"events_windowed_$flavor"
+      val root = java.nio.file.Paths.get(store.baseDir, name).toString
+      val idx = MapIndex.columns(s"events_win_base_$flavor")(
+        col("event_id").cast("string"),
+        array(emit(col("event_type"),
+          struct(col("ts").as("ts"), col("value").as("v")))))
+      if (Views.unitDone(store.baseDir, name))
+        graft.engine.WindowedAggView.attach(s, root, 86400L)
+      else {
+        val ev = Tables.events(s, dir)
+        val base = Views.materialized(s, dir, idx)(ev)
+        val w = graft.engine.WindowedAggView.build(base, root, 86400L)
+        val ups = ev.filter(col("event_id") % 37 === 0 && col("event_id") % 41 =!= 0)
+          .withColumn("ts", col("ts") + expr("INTERVAL 1 HOUR"))
+          .withColumn("value", col("value") + 1000)
+        val dels = ev.filter(col("event_id") % 41 === 0)
+          .select(col("event_id").cast("string")).distinct()
+        w.refresh(base, ups, Some(dels))
+        if (flavor == "ev") w.evictBefore(w.liveSlices.min + 3 * 86400L)
+        Views.markUnitDone(store.baseDir, name)
+        w
+      }
+    })
+
+  private def windowedServe(w: graft.engine.WindowedAggView): DataFrame =
+    w.state.select(col("slice_start"), col("emit_key"), col("cnt"),
+      round(col("sum_value").cast("double"), 2).as("sum_value"),
+      round(col("min_value"), 2).as("min_value"),
+      round(col("max_value"), 2).as("max_value"))
+      .orderBy("slice_start", "emit_key")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // the maintained orders⋈customer join view after a change batch to
     // EACH side ([[ordersCustomerView]] — delta-join IVM): serving is a
@@ -3101,6 +3149,32 @@ object MapIndexQueries {
         .orderBy("o_orderkey")),
 
     // O14 grouped aggregation over the materialized view (+ O16 count)
+    // the windowed (1-day-sliced) maintained aggregate after the shared
+    // events change batch — slice-local merges, boundary migrations for
+    // the +1 h upserts — served as the full per-slice state
+    "mapindex_windowed_agg" -> ((s, dir) =>
+      windowedServe(eventsWindowedView(s, dir, "main"))),
+
+    // trailing-7-day window as of the newest live slice: the slice
+    // partials merged group-wise WITHOUT rescanning events — the serve
+    // shape this family exists for
+    "mapindex_windowed_agg_window" -> ((s, dir) => {
+      val w = eventsWindowedView(s, dir, "main")
+      w.trailing(7)
+        .select(col("emit_key"), col("cnt"),
+          round(col("sum_value").cast("double"), 2).as("sum_value"),
+          round(col("min_value"), 2).as("min_value"),
+          round(col("max_value"), 2).as("max_value"))
+        .orderBy("emit_key")
+    }),
+
+    // the eviction twin: watermark advanced past the first three days,
+    // those slice DIRECTORIES dropped (no surviving-state rewrite — the
+    // spec pins survivor versions); the remaining state must equal the
+    // from-scratch recompute restricted to surviving slices
+    "mapindex_windowed_agg_evict" -> ((s, dir) =>
+      windowedServe(eventsWindowedView(s, dir, "ev"))),
+
     "mapindex_group" -> ((s, dir) =>
       flagView(s, dir).df
         .groupBy(col("emit_key"))
@@ -4769,6 +4843,54 @@ object MapIndexQueries {
         |       round(c_acctbal, 2) AS c_acctbal
         |FROM o JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_orderkey""".stripMargin,
+    // windowed maintained aggregate: from-scratch per-day GROUP BY over the
+    // MODIFIED events table (the %37 +1 h shift moves events across day
+    // boundaries — a slice that failed to retract or receive them mismatches)
+    "mapindex_windowed_agg" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |         CASE WHEN event_id % 37 = 0 THEN ts + INTERVAL 1 HOUR
+        |              ELSE ts END AS ts,
+        |         CASE WHEN event_id % 37 = 0 THEN value + 1000
+        |              ELSE value END AS value
+        |  FROM events WHERE event_id % 41 <> 0)
+        |SELECT CAST(floor(epoch(ts)/86400) AS BIGINT)*86400 AS slice_start,
+        |       event_type AS emit_key, count(*) AS cnt,
+        |       round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_value,
+        |       round(min(value), 2) AS min_value, round(max(value), 2) AS max_value
+        |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "mapindex_windowed_agg_window" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |         CASE WHEN event_id % 37 = 0 THEN ts + INTERVAL 1 HOUR
+        |              ELSE ts END AS ts,
+        |         CASE WHEN event_id % 37 = 0 THEN value + 1000
+        |              ELSE value END AS value
+        |  FROM events WHERE event_id % 41 <> 0),
+        |s AS (SELECT CAST(floor(epoch(ts)/86400) AS BIGINT)*86400 AS sl,
+        |             event_type, value FROM e),
+        |m AS (SELECT max(sl) AS mx FROM s)
+        |SELECT event_type AS emit_key, count(*) AS cnt,
+        |       round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_value,
+        |       round(min(value), 2) AS min_value, round(max(value), 2) AS max_value
+        |FROM s, m WHERE sl >= mx - 6*86400 AND sl < mx + 86400
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "mapindex_windowed_agg_evict" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |         CASE WHEN event_id % 37 = 0 THEN ts + INTERVAL 1 HOUR
+        |              ELSE ts END AS ts,
+        |         CASE WHEN event_id % 37 = 0 THEN value + 1000
+        |              ELSE value END AS value
+        |  FROM events WHERE event_id % 41 <> 0),
+        |s AS (SELECT CAST(floor(epoch(ts)/86400) AS BIGINT)*86400 AS sl,
+        |             event_type, value FROM e),
+        |b AS (SELECT min(sl) + 3*86400 AS bd FROM s)
+        |SELECT sl AS slice_start, event_type AS emit_key, count(*) AS cnt,
+        |       round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_value,
+        |       round(min(value), 2) AS min_value, round(max(value), 2) AS max_value
+        |FROM s, b WHERE sl >= bd
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "mapindex_group" ->
       """SELECT l_returnflag AS emit_key, round(sum(l_extendedprice), 2) AS sum_value,
         |       count(*) AS cnt
