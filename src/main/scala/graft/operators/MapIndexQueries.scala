@@ -2508,6 +2508,40 @@ object MapIndexQueries {
       }
     })
 
+  private val windowedSketchViews =
+    scala.collection.concurrent.TrieMap.empty[String, graft.engine.WindowedSketchView]
+
+  /** The windowed SKETCH twin over the same events contract: one
+    * mergeable quantile sketch per (day, event_type), maintained through
+    * the shared batch (%37 migrations = rebuild of the dirty pairs, the
+    * rest of the batch folds O(delta)); a trailing-window quantile is a
+    * sketch MERGE across slices — the corpus is never re-read. */
+  private def eventsWindowedSketchView(s: SparkSession, dir: String): graft.engine.WindowedSketchView =
+    windowedSketchViews.getOrElseUpdate(dir, {
+      val store = Views.store(s, dir)
+      val name = "events_windowed_sk"
+      val root = java.nio.file.Paths.get(store.baseDir, name).toString
+      val idx = MapIndex.columns("events_win_base_sk")(
+        col("event_id").cast("string"),
+        array(emit(col("event_type"),
+          struct(col("ts").as("ts"), col("value").as("v")))))
+      if (Views.unitDone(store.baseDir, name))
+        graft.engine.WindowedSketchView.attach(s, root, 86400L)
+      else {
+        val ev = Tables.events(s, dir)
+        val base = Views.materialized(s, dir, idx)(ev)
+        val w = graft.engine.WindowedSketchView.build(base, root, 86400L)
+        val ups = ev.filter(col("event_id") % 37 === 0 && col("event_id") % 41 =!= 0)
+          .withColumn("ts", col("ts") + expr("INTERVAL 1 HOUR"))
+          .withColumn("value", col("value") + 1000)
+        val dels = ev.filter(col("event_id") % 41 === 0)
+          .select(col("event_id").cast("string")).distinct()
+        w.refresh(base, ups, Some(dels))
+        Views.markUnitDone(store.baseDir, name)
+        w
+      }
+    })
+
   private def windowedServe(w: graft.engine.WindowedAggView): DataFrame =
     w.state.select(col("slice_start"), col("emit_key"), col("cnt"),
       round(col("sum_value").cast("double"), 2).as("sum_value"),
@@ -3174,6 +3208,29 @@ object MapIndexQueries {
     // from-scratch recompute restricted to surviving slices
     "mapindex_windowed_agg_evict" -> ((s, dir) =>
       windowedServe(eventsWindowedView(s, dir, "ev"))),
+
+    // windowed SKETCH quantiles: the trailing-7-day per-type p50/p95
+    // decoded from slice sketches MERGED across the window (zero event
+    // rescans); exact fold counts + oracle-recomputed anchors + booleans
+    // asserting each estimate's true rank within 5% of target — the
+    // estimates themselves stay out of the hash (merge order may legally
+    // move them within the bound, as in the other sketch gates)
+    "mapindex_windowed_sketch" -> ((s, dir) => {
+      val est = eventsWindowedSketchView(s, dir)
+        .trailingQuantiles(7, Seq("est50" -> 0.5, "est95" -> 0.95))
+        .withColumnRenamed("emit_key", "flag")
+      val e = Tables.events(s, dir)
+        .filter(col("event_id") % 41 =!= 0)
+        .select(col("event_type").as("flag"),
+          when(col("event_id") % 37 === 0, col("ts") + expr("INTERVAL 1 HOUR"))
+            .otherwise(col("ts")).as("ts"),
+          when(col("event_id") % 37 === 0, col("value") + 1000)
+            .otherwise(col("value")).as("v"))
+        .withColumn("sl", (floor(unix_seconds(col("ts")) / 86400).cast("long")) * 86400)
+      val mx = e.agg(max("sl")).head.getLong(0)
+      sketchQuantileGateFrom(est,
+        e.filter(col("sl") >= mx - 6 * 86400L).select("flag", "v"))
+    }),
 
     "mapindex_group" -> ((s, dir) =>
       flagView(s, dir).df
@@ -4891,6 +4948,35 @@ object MapIndexQueries {
         |       round(min(value), 2) AS min_value, round(max(value), 2) AS max_value
         |FROM s, b WHERE sl >= bd
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // windowed sketch: exact anchors over the trailing-7-day window of
+    // the modified events, per type; rank-bound booleans literal true
+    "mapindex_windowed_sketch" ->
+      """WITH e AS (
+        |  SELECT event_type AS flag,
+        |         CASE WHEN event_id % 37 = 0 THEN ts + INTERVAL 1 HOUR
+        |              ELSE ts END AS ts,
+        |         CASE WHEN event_id % 37 = 0 THEN value + 1000
+        |              ELSE value END AS v
+        |  FROM events WHERE event_id % 41 <> 0),
+        |sl AS (SELECT flag, v,
+        |              CAST(floor(epoch(ts)/86400) AS BIGINT)*86400 AS sl FROM e),
+        |m AS (SELECT max(sl) AS mx FROM sl),
+        |src AS (SELECT flag, v FROM sl, m WHERE sl >= mx - 6*86400),
+        |vcounts AS (
+        |  SELECT flag, v, count(*) AS cnt FROM src GROUP BY flag, v),
+        |vcum AS (
+        |  SELECT flag, v,
+        |         CAST(sum(cnt) OVER (PARTITION BY flag ORDER BY v) AS BIGINT) AS cum,
+        |         CAST(sum(cnt) OVER (PARTITION BY flag) AS BIGINT) AS n2
+        |  FROM vcounts),
+        |exact AS (
+        |  SELECT flag, max(n2) AS n,
+        |         min(CASE WHEN cum >= ceil(n2 / 2.0) THEN v END) AS x50,
+        |         min(CASE WHEN cum >= ceil(n2 * 19 / 20.0) THEN v END) AS x95
+        |  FROM vcum GROUP BY flag)
+        |SELECT flag, n, round(x50, 2) AS exact_p50, round(x95, 2) AS exact_p95,
+        |       true AS p50_within_rank, true AS p95_within_rank
+        |FROM exact ORDER BY flag""".stripMargin,
     "mapindex_group" ->
       """SELECT l_returnflag AS emit_key, round(sum(l_extendedprice), 2) AS sum_value,
         |       count(*) AS cnt
