@@ -2494,8 +2494,23 @@ object MapIndexQueries {
         graft.engine.WindowedAggView.attach(s, root, 86400L)
       else {
         val ev = Tables.events(s, dir)
+        // the streamed flavor builds from the FIRST micro-batch only and
+        // folds the rest through ordinary refreshes — every batch spans
+        // all 30 days, so each fold is a genuinely multi-slice delta and
+        // arrives "late" relative to slices already holding newer events
+        val w =
+          if (flavor == "st") {
+            def b(r: Int) = ev.filter(col("event_id") % 3 === r)
+            val base = Views.materialized(s, dir, idx)(b(0))
+            val w0 = graft.engine.WindowedAggView.build(base, root, 86400L)
+            w0.refresh(base, b(1), None)
+            w0.refresh(base, b(2), None)
+            w0
+          } else {
+            val base = Views.materialized(s, dir, idx)(ev)
+            graft.engine.WindowedAggView.build(base, root, 86400L)
+          }
         val base = Views.materialized(s, dir, idx)(ev)
-        val w = graft.engine.WindowedAggView.build(base, root, 86400L)
         val ups = ev.filter(col("event_id") % 37 === 0 && col("event_id") % 41 =!= 0)
           .withColumn("ts", col("ts") + expr("INTERVAL 1 HOUR"))
           .withColumn("value", col("value") + 1000)
@@ -3209,6 +3224,12 @@ object MapIndexQueries {
     "mapindex_windowed_agg_evict" -> ((s, dir) =>
       windowedServe(eventsWindowedView(s, dir, "ev"))),
 
+    // the windowed state built PURELY through micro-batches (every fold
+    // a multi-slice O(delta) merge over out-of-order arrivals) before the
+    // shared change batch lands — same oracle as the batch-built twin
+    "mapindex_windowed_agg_streamed" -> ((s, dir) =>
+      windowedServe(eventsWindowedView(s, dir, "st"))),
+
     // windowed SKETCH quantiles: the trailing-7-day per-type p50/p95
     // decoded from slice sketches MERGED across the window (zero event
     // rescans); exact fold counts + oracle-recomputed anchors + booleans
@@ -3809,6 +3830,24 @@ object MapIndexQueries {
           count(lit(1)).as("cnt"))
         .orderBy("emit_key")),
   )
+
+  // windowed maintained aggregate: from-scratch per-day GROUP BY over the
+  // MODIFIED events table (the %37 +1 h shift moves events across day
+  // boundaries — a slice that failed to retract or receive them
+  // mismatches); shared by the batch-built and streamed twins
+  private val windowedAggOracle: String =
+    """WITH e AS (
+      |  SELECT event_type,
+      |         CASE WHEN event_id % 37 = 0 THEN ts + INTERVAL 1 HOUR
+      |              ELSE ts END AS ts,
+      |         CASE WHEN event_id % 37 = 0 THEN value + 1000
+      |              ELSE value END AS value
+      |  FROM events WHERE event_id % 41 <> 0)
+      |SELECT CAST(floor(epoch(ts)/86400) AS BIGINT)*86400 AS slice_start,
+      |       event_type AS emit_key, count(*) AS cnt,
+      |       round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_value,
+      |       round(min(value), 2) AS min_value, round(max(value), 2) AS max_value
+      |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   val oracle: Map[String, String] = Map(
     // the from-scratch join of both MODIFIED base tables
@@ -4903,19 +4942,9 @@ object MapIndexQueries {
     // windowed maintained aggregate: from-scratch per-day GROUP BY over the
     // MODIFIED events table (the %37 +1 h shift moves events across day
     // boundaries — a slice that failed to retract or receive them mismatches)
-    "mapindex_windowed_agg" ->
-      """WITH e AS (
-        |  SELECT event_type,
-        |         CASE WHEN event_id % 37 = 0 THEN ts + INTERVAL 1 HOUR
-        |              ELSE ts END AS ts,
-        |         CASE WHEN event_id % 37 = 0 THEN value + 1000
-        |              ELSE value END AS value
-        |  FROM events WHERE event_id % 41 <> 0)
-        |SELECT CAST(floor(epoch(ts)/86400) AS BIGINT)*86400 AS slice_start,
-        |       event_type AS emit_key, count(*) AS cnt,
-        |       round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_value,
-        |       round(min(value), 2) AS min_value, round(max(value), 2) AS max_value
-        |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "mapindex_windowed_agg" -> windowedAggOracle,
+    // the streamed twin converges to the same state — same oracle
+    "mapindex_windowed_agg_streamed" -> windowedAggOracle,
     "mapindex_windowed_agg_window" ->
       """WITH e AS (
         |  SELECT event_type,

@@ -678,4 +678,19 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(!plm.contains("orders.parquet") && !plm.contains("customer.parquet"),
       s"lattice multi-agg must read only its two state relations:\n$plm")
   }
+
+  test("windowed serves read slice state only: no events scan, no join, no window fn") {
+    // full-state serve = union of slice parquet reads
+    val pw = finalPlan("mapindex_windowed_agg")
+    assert(!pw.contains("events.parquet"),
+      s"windowed state serving must union slice relations, not re-scan events:\n$pw")
+    assert(!pw.contains("Join"), s"windowed state serving must be join-free:\n$pw")
+    // trailing-window serve = slice partials merged group-wise; the
+    // events table never appears and neither does a window function
+    // (the 'window' is slice selection, not a Window operator)
+    val pt = finalPlan("mapindex_windowed_agg_window")
+    assert(!pt.contains("events.parquet") && !pt.contains("Window"),
+      s"trailing-window serving must merge slice partials only:\n$pt")
+    assert(!pt.contains("Join"), s"trailing-window serving must be join-free:\n$pt")
+  }
 }
