@@ -9,14 +9,32 @@ import org.apache.spark.sql.functions._
  * families ([[WindowedAggView]], [[WindowedSketchView]]): one versioned
  * sub-relation per slice (`s<epochSec>` as an ordinary [[ViewStore]] view
  * under `rootDir`), a persisted eviction watermark, the single-job
- * staged-write publish path, and the slice-ALIGNED window arithmetic.
+ * staged-write publish path, the slice-ALIGNED window arithmetic, and the
+ * COARSENING (rollup-aging) layout: slices may have different widths.
  *
  * The state SCHEMA per slice is the owner's business; this class owns
- * only the layout invariants: slices are keyed by their aligned start
- * second, eviction drops whole slice directories (never rewrites
- * survivors), the watermark is written BEFORE the drops (crash fails
- * closed), and every staged publish clusters by `(slice_start, emit_key)`
- * for file/row-group pruning on the serve predicates.
+ * only the layout invariants:
+ *
+ *  - A slice is keyed by its start second; its WIDTH travels WITH its
+ *    data as a `_WIDTH` marker inside the versioned directory (hidden
+ *    from parquet readers by the underscore convention), absent =
+ *    `sliceSeconds`. Widths are layout facts, not config — a
+ *    crash can never leave a coarse slice readable under a fine width.
+ *  - Eviction drops whole slice directories below an aligned boundary
+ *    (watermark written BEFORE the drops — crash fails closed); a slice
+ *    STRADDLING the boundary refuses rather than over-dropping.
+ *  - COARSENING rewrites history below a FROZEN horizon into wider
+ *    slices (the merged partials are the owner's job). The frozen marker
+ *    persists before any publish, so refreshes into the rewritten range
+ *    refuse from that point on; each coarse publish is an atomic
+ *    per-slice version swap; a member directory surviving a crash
+ *    between the coarse publish and the member drops is SHADOWED — its
+ *    span nests inside the published coarse slice's span, and every
+ *    reader skips nested slices — so the half-finished state serves
+ *    correctly and a re-run (or the next coarsen) heals it by dropping
+ *    the shadowed leftovers.
+ *  - Every staged publish clusters by `(slice_start, emit_key)` for
+ *    file/row-group pruning on the serve predicates.
  */
 private[engine] final class SliceStore(
     val spark: SparkSession,
@@ -31,14 +49,24 @@ private[engine] final class SliceStore(
 
   def sliceName(start: Long): String = s"s$start"
   private def watermarkFile: Path = Paths.get(rootDir, "_WATERMARK")
+  private def frozenFile: Path = Paths.get(rootDir, "_FROZEN")
 
-  /** Eviction horizon (epoch seconds): slices starting below it are gone
-    * and changes below it are refused. `Long.MinValue` = never evicted. */
+  /** Eviction horizon (epoch seconds): slices ending at or below it are
+    * gone and changes below it are refused. `Long.MinValue` = never. */
   def watermark: Long =
     if (Files.exists(watermarkFile)) Files.readString(watermarkFile).trim.toLong
     else Long.MinValue
 
-  /** Live slice starts (epoch seconds), ascending. */
+  /** Coarsening horizon: history below it has been rewritten into wider
+    * slices and is READ-ONLY — a refresh whose delta reaches below it
+    * would fold fine-grained retractions against state that no longer
+    * has that granularity. `Long.MinValue` = never coarsened. */
+  def frozen: Long =
+    if (Files.exists(frozenFile)) Files.readString(frozenFile).trim.toLong
+    else Long.MinValue
+
+  /** Raw live slice starts (epoch seconds), ascending — includes slices
+    * shadowed by a wider coarse slice (crash leftovers). */
   def liveSlices: Seq[Long] = {
     val dir = Paths.get(rootDir)
     if (!Files.exists(dir)) Seq.empty
@@ -56,22 +84,55 @@ private[engine] final class SliceStore(
     }
   }
 
+  /** Width of a live slice: the `_WIDTH` marker inside its current
+    * version, absent = the fine `sliceSeconds`. */
+  def widthOf(start: Long): Long = {
+    val marker = Paths.get(slices.latestPath(sliceName(start)), "_WIDTH")
+    if (Files.exists(marker)) Files.readString(marker).trim.toLong
+    else sliceSeconds
+  }
+
+  /** Live `(start, width)` pairs, ascending, raw (shadows included). */
+  def liveSliceWidths: Seq[(Long, Long)] = liveSlices.map(s0 => (s0, widthOf(s0)))
+
+  /** The serving view of the layout: live slices minus any slice whose
+    * span NESTS inside a wider live slice's span — a nested slice is by
+    * construction a member directory that a crashed coarsen left behind
+    * after its coarse slice (which already holds the merged content)
+    * published. Readers skip them; [[dropShadowed]] heals them. */
+  def effectiveSliceWidths: Seq[(Long, Long)] = {
+    val all = liveSliceWidths
+    all.filter { case (s0, w0) =>
+      !all.exists { case (s1, w1) =>
+        w1 > w0 && s1 <= s0 && s0 + w0 <= s1 + w1 }
+    }
+  }
+
+  /** Drop crash-leftover member slices shadowed by a coarse slice. */
+  def dropShadowed(): Seq[Long] = {
+    val shadowed = liveSliceWidths.map(_._1).diff(effectiveSliceWidths.map(_._1))
+    shadowed.foreach(s0 => slices.dropView(sliceName(s0)))
+    shadowed
+  }
+
   /** One slice's current state (owner-defined schema, no slice column). */
   def sliceState(start: Long): DataFrame =
     spark.read.parquet(slices.latestPath(sliceName(start)))
 
-  /** Full live state with its `slice_start` column. */
+  /** Full effective state with `slice_start` and `slice_w` columns. */
   def state: DataFrame = {
-    val live = liveSlices
+    val live = effectiveSliceWidths
     require(live.nonEmpty, s"windowed view at $rootDir has no live slices")
-    live.map(s0 => sliceState(s0).withColumn("slice_start", lit(s0)))
-      .reduce(_.unionByName(_))
+    live.map { case (s0, w0) =>
+      sliceState(s0).withColumn("slice_start", lit(s0)).withColumn("slice_w", lit(w0))
+    }.reduce(_.unionByName(_))
   }
 
   /** The slices covered by the ALIGNED window `[start, end)`, with the
-    * shared refusals: sub-slice boundaries and sub-watermark reaches are
-    * silent-wrongness bugs, not serveable requests. Returns the covered
-    * slice starts plus one live slice to source an empty-result schema. */
+    * shared refusals: sub-slice boundaries, windows SPLITTING a coarse
+    * slice, and sub-watermark reaches are silent-wrongness bugs, not
+    * serveable requests. Returns the covered slice starts plus one live
+    * slice to source an empty-result schema. */
   def slicesIn(startSec: Long, endSec: Long): (Seq[Long], Long) = {
     require(startSec % sliceSeconds == 0 && endSec % sliceSeconds == 0,
       s"window [$startSec,$endSec) is not aligned to $sliceSeconds-second slices; " +
@@ -80,9 +141,16 @@ private[engine] final class SliceStore(
     require(startSec >= watermark,
       s"window start $startSec reaches below the eviction watermark ${watermark}; " +
         "those slices are gone and the result would silently under-count")
-    val live = liveSlices
+    val live = effectiveSliceWidths
     require(live.nonEmpty, s"windowed view at $rootDir has no live slices")
-    (live.filter(s0 => s0 >= startSec && s0 < endSec), live.head)
+    val covered = live.filter { case (s0, w0) => s0 >= startSec && s0 + w0 <= endSec }
+    val split = live.filter { case (s0, w0) =>
+      s0 < endSec && s0 + w0 > startSec && !(s0 >= startSec && s0 + w0 <= endSec) }
+    require(split.isEmpty,
+      s"window [$startSec,$endSec) splits coarsened slice(s) " +
+        split.map { case (s0, w0) => s"[$s0,${s0 + w0})" }.mkString(",") +
+        " — aged history answers only windows aligned to its coarse width")
+    (covered.map(_._1), live.head._1)
   }
 
   /** Union of the covered slices' states (empty-but-typed when none). */
@@ -92,39 +160,115 @@ private[engine] final class SliceStore(
     else in.map(sliceState).reduce(_.unionByName(_))
   }
 
-  /** Trailing `n`-slice window bounds ending at the newest live slice. */
+  /** Trailing `n`-fine-slice window bounds ending at the newest live
+    * slice's end (a trailing reach into coarsened history refuses in
+    * [[slicesIn]] unless it lands on the coarse boundary). */
   def trailingBounds(n: Int): (Long, Long) = {
     require(n > 0, s"trailing window must cover at least one slice, got $n")
-    val live = liveSlices
+    val live = effectiveSliceWidths
     require(live.nonEmpty, s"windowed view at $rootDir has no live slices")
-    val end = live.max + sliceSeconds
+    val end = live.map { case (s0, w0) => s0 + w0 }.max
     (math.max(end - n.toLong * sliceSeconds, watermark), end)
   }
 
   /** Advance the watermark to `boundarySec` (aligned, monotone) and drop
-    * every slice strictly below it; returns the evicted starts. Watermark
-    * first, drops second — a crash between them fails CLOSED. */
+    * every slice ENDING at or below it; a slice straddling the boundary
+    * refuses (evict at its own width's boundary instead of silently
+    * over- or under-dropping). Watermark first, drops second — a crash
+    * between them fails CLOSED. Returns the dropped starts. */
   def evictBefore(boundarySec: Long): Seq[Long] = {
     require(boundarySec % sliceSeconds == 0,
       s"eviction boundary $boundarySec is not aligned to $sliceSeconds-second slices")
     require(boundarySec >= watermark,
       s"watermark must advance monotonically: have ${watermark}, got $boundarySec")
-    val expired = liveSlices.filter(_ < boundarySec)
+    val all = liveSliceWidths
+    val straddle = all.filter { case (s0, w0) => s0 < boundarySec && s0 + w0 > boundarySec }
+    require(straddle.isEmpty,
+      s"eviction boundary $boundarySec splits coarsened slice(s) " +
+        straddle.map { case (s0, w0) => s"[$s0,${s0 + w0})" }.mkString(",") +
+        " — evict at a boundary aligned to the coarse width")
+    val expired = all.collect { case (s0, w0) if s0 + w0 <= boundarySec => s0 }
     Files.createDirectories(Paths.get(rootDir))
     Files.writeString(watermarkFile, boundarySec.toString)
     expired.foreach(s0 => slices.dropView(sliceName(s0)))
     expired
   }
 
-  /** Refuse changes below the watermark — their old-slice retractions
-    * would target dropped state and double-count on replay. */
-  def requireAboveWatermark(touched: Seq[Long]): Unit = {
+  /** Refuse changes reaching below the maintenance horizon: below the
+    * WATERMARK the state is gone (retractions would double-count on
+    * replay); below the FROZEN horizon it has been coarsened and no
+    * longer has the fine granularity a delta folds against. */
+  def requireRefreshable(touched: Seq[Long]): Unit = {
     val wm = watermark
-    val late = touched.filter(_ < wm)
-    require(late.isEmpty,
-      s"change batch touches evicted slices ${late.mkString(",")} below the " +
+    val lateWm = touched.filter(_ < wm)
+    require(lateWm.isEmpty,
+      s"change batch touches evicted slices ${lateWm.mkString(",")} below the " +
         s"watermark $wm — their retractions would target dropped state and " +
         "double-count on replay; route late data to a fresh build instead")
+    val fz = frozen
+    val lateFz = touched.filter(_ < fz)
+    require(lateFz.isEmpty,
+      s"change batch touches coarsened slices ${lateFz.mkString(",")} below the " +
+        s"frozen horizon $fz — aged history is read-only (its fine granularity " +
+        "is gone); rebuild the view if that range must change")
+  }
+
+  /** Validate and plan a coarsen: every effective slice ending at or
+    * below `boundarySec` (which must sit on the `toWidth` grid) is
+    * grouped into its `toWidth`-wide bucket. Groups that are already a
+    * single slice of exactly `toWidth` are skipped. Refuses members that
+    * straddle a coarse bucket edge. Returns `(coarseStart, members)`
+    * pairs, ascending. */
+  def coarsenGroups(boundarySec: Long, toWidth: Long): Seq[(Long, Seq[Long])] = {
+    require(toWidth > sliceSeconds && toWidth % sliceSeconds == 0,
+      s"coarse width $toWidth must be a multiple of (and wider than) $sliceSeconds")
+    require(boundarySec % toWidth == 0,
+      s"coarsen boundary $boundarySec is not aligned to the coarse width $toWidth")
+    val affected = effectiveSliceWidths.filter { case (s0, w0) => s0 + w0 <= boundarySec }
+    val straddle = affected.filter { case (s0, w0) =>
+      Math.floorDiv(s0, toWidth) != Math.floorDiv(s0 + w0 - 1, toWidth) }
+    require(straddle.isEmpty,
+      s"slice(s) ${straddle.map(_._1).mkString(",")} straddle the $toWidth-second " +
+        "coarse grid — coarsen to a width their spans divide into")
+    affected.groupBy { case (s0, _) => Math.floorDiv(s0, toWidth) * toWidth }
+      .map { case (cs, members) => (cs, members.map(_._1).sorted) }
+      .toSeq.sortBy(_._1)
+      .filter { case (cs, members) =>
+        !(members == Seq(cs) && widthOf(cs) == toWidth) }
+  }
+
+  /** Publish a coarsen: persist the frozen horizon FIRST (late refreshes
+    * refuse from here on), stage every coarse slice's merged state in
+    * ONE job, stamp each staged subdir's `_WIDTH`, adopt them, then drop
+    * the member directories. A crash after any adopt leaves that coarse
+    * slice's members SHADOWED (nested spans), which readers skip and the
+    * next [[dropShadowed]]/coarsen heals. */
+  def publishCoarsened(merged: DataFrame, groups: Seq[(Long, Seq[Long])],
+      toWidth: Long, boundarySec: Long): Unit = {
+    require(boundarySec >= frozen,
+      s"frozen horizon must advance monotonically: have ${frozen}, got $boundarySec")
+    Files.createDirectories(Paths.get(rootDir))
+    Files.writeString(frozenFile, boundarySec.toString)
+    val staging = Files.createTempDirectory(Paths.get(rootDir), "_staging-")
+    try {
+      val dataDir = staging.resolve("d")
+      merged
+        .repartitionByRange(col("slice_start"), col("emit_key"))
+        .sortWithinPartitions("slice_start", "emit_key")
+        .write.mode("overwrite").option("compression", "zstd")
+        .partitionBy("slice_start").parquet(dataDir.toString)
+      groups.foreach { case (cs, members) =>
+        val sub = dataDir.resolve(s"slice_start=$cs")
+        require(Files.exists(sub),
+          s"coarse slice $cs staged no data — members ${members.mkString(",")} " +
+            "were non-empty, so an empty merge is a bug, not an eviction")
+        Files.writeString(sub.resolve("_WIDTH"), toWidth.toString)
+        slices.adoptStaged(sliceName(cs), sub)
+        members.filter(_ != cs).foreach(m => slices.dropView(sliceName(m)))
+      }
+      dropShadowed()
+      ()
+    } finally slices.deleteTree(staging)
   }
 
   /** Stage every touched slice's new content in ONE Spark job (dynamic
@@ -151,8 +295,10 @@ private[engine] final class SliceStore(
     } finally slices.deleteTree(staging)
   }
 
-  /** Stored-width alignment check for reopen paths: slice widths are
-    * layout, not config. */
+  /** Stored-grid alignment check for reopen paths: slice widths are
+    * layout, not config. Coarse starts stay on the fine grid (coarse
+    * widths are multiples of the fine width), so this catches a reopen
+    * under a DIFFERENT fine width. */
   def requireAlignedSlices(): Unit = {
     val off = liveSlices.filter(_ % sliceSeconds != 0)
     require(off.isEmpty,

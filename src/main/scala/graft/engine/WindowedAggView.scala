@@ -54,6 +54,9 @@ final class WindowedAggView private[engine] (
   def sliceSeconds: Long = store.sliceSeconds
   def watermark: Long = store.watermark
   def liveSlices: Seq[Long] = store.liveSlices
+  /** Serving layout: live `(start, width)` pairs, shadowed members
+    * excluded ([[SliceStore.effectiveSliceWidths]]). */
+  def effectiveSlices: Seq[(Long, Long)] = store.effectiveSliceWidths
 
   /** One slice's state: `emit_key, cnt, sum_value, min_value, max_value`. */
   def sliceState(start: Long): DataFrame = store.sliceState(start)
@@ -82,6 +85,32 @@ final class WindowedAggView private[engine] (
   /** Advance the watermark and drop expired slices; see
     * [[SliceStore.evictBefore]]. Returns the evicted slice starts. */
   def evictBefore(boundarySec: Long): Seq[Long] = store.evictBefore(boundarySec)
+
+  /**
+   * ROLLUP AGING: rewrite every slice ending at or below `boundarySec`
+   * (on the `toWidth` grid) into `toWidth`-wide slices by merging their
+   * partials group-wise — cnt/sum add, min/max combine, all exact, so
+   * aged history serves the same answers at 1/(toWidth/slice) the slice
+   * count and file count. The range freezes first ([[SliceStore.frozen]]):
+   * fine-grained retractions below it refuse from then on. Tiered
+   * retention at 100 TB is exactly this: days → weeks → months, each
+   * tier dropped wholesale by [[evictBefore]] when it expires. Returns
+   * the coarse slice starts written.
+   */
+  def coarsen(boundarySec: Long, toWidth: Long): Seq[Long] = {
+    val groups = store.coarsenGroups(boundarySec, toWidth)
+    if (groups.isEmpty) return Seq.empty
+    val merged = groups.map { case (cs, members) =>
+      members.map(sliceState).reduce(_.unionByName(_))
+        .groupBy("emit_key")
+        .agg(sum("cnt").as("cnt"),
+          sum("sum_value").cast(WindowedAggView.SumType).as("sum_value"),
+          min("min_value").as("min_value"), max("max_value").as("max_value"))
+        .withColumn("slice_start", lit(cs))
+    }.reduce(_.unionByName(_))
+    store.publishCoarsened(merged, groups, toWidth, boundarySec)
+    groups.map(_._1)
+  }
 
   /**
    * Refresh the base view AND this windowed state from one change batch
@@ -117,7 +146,7 @@ final class WindowedAggView private[engine] (
       val touched = delta.select("slice_start").distinct()
         .collect().map(_.getLong(0)).sorted.toSeq
       if (touched.isEmpty) return (post, this)
-      store.requireAboveWatermark(touched)
+      store.requireRefreshable(touched)
       val live = liveSlices.toSet
       // current state of the touched slices (a brand-new slice has none)
       val oldStates = touched.filter(live)

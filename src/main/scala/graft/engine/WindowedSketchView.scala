@@ -39,11 +39,32 @@ final class WindowedSketchView private[engine] (
   def sliceSeconds: Long = store.sliceSeconds
   def watermark: Long = store.watermark
   def liveSlices: Seq[Long] = store.liveSlices
+  /** Serving layout: live `(start, width)` pairs, shadowed members
+    * excluded ([[SliceStore.effectiveSliceWidths]]). */
+  def effectiveSlices: Seq[(Long, Long)] = store.effectiveSliceWidths
 
   /** Per-slice state: `emit_key, sketch: binary`. */
   def sliceState(start: Long): DataFrame = store.sliceState(start)
 
   def evictBefore(boundarySec: Long): Seq[Long] = store.evictBefore(boundarySec)
+
+  /** ROLLUP AGING for sketches: members' sketches MERGE into the coarse
+    * slice (associative, no corpus read — mergeability again), the range
+    * freezes, and aged quantile history serves at the coarse width. Same
+    * grid/shadow/heal contract as the agg family
+    * ([[SliceStore.publishCoarsened]]). */
+  def coarsen(boundarySec: Long, toWidth: Long): Seq[Long] = {
+    val groups = store.coarsenGroups(boundarySec, toWidth)
+    if (groups.isEmpty) return Seq.empty
+    val merged = groups.map { case (cs, members) =>
+      members.map(sliceState).reduce(_.unionByName(_))
+        .groupBy("emit_key")
+        .agg(expr("qsketch_merge(sketch)").as("sketch"))
+        .withColumn("slice_start", lit(cs))
+    }.reduce(_.unionByName(_))
+    store.publishCoarsened(merged, groups, toWidth, boundarySec)
+    groups.map(_._1)
+  }
 
   /** One merged sketch per group over the slice-ALIGNED window
     * `[start, end)` — |covered slices| merges per group, zero base reads. */
@@ -102,7 +123,7 @@ final class WindowedSketchView private[engine] (
         .union(newSk.select("slice_start")).distinct()
         .collect().map(_.getLong(0)).sorted.toSeq
       if (touched.isEmpty) return (post, this)
-      store.requireAboveWatermark(touched)
+      store.requireRefreshable(touched)
       val live = liveSlices.toSet
       val oldStates = touched.filter(live)
         .map(s0 => sliceState(s0).withColumn("slice_start", lit(s0)))

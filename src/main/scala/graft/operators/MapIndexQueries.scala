@@ -2518,6 +2518,11 @@ object MapIndexQueries {
           .select(col("event_id").cast("string")).distinct()
         w.refresh(base, ups, Some(dels))
         if (flavor == "ev") w.evictBefore(w.liveSlices.min + 3 * 86400L)
+        // rollup aging: everything up to ~3 weeks in coarsens to 7-day
+        // slices (boundary snapped DOWN to the 7-day epoch grid)
+        if (flavor == "co")
+          w.coarsen(Math.floorDiv(w.liveSlices.min + 21 * 86400L, 604800L) * 604800L,
+            604800L)
         Views.markUnitDone(store.baseDir, name)
         w
       }
@@ -2552,6 +2557,10 @@ object MapIndexQueries {
         val dels = ev.filter(col("event_id") % 41 === 0)
           .select(col("event_id").cast("string")).distinct()
         w.refresh(base, ups, Some(dels))
+        // age the first ~3 weeks into 7-day sketch slices: the trailing-7
+        // gate stays in the fine region, the coarse gate spans both tiers
+        w.coarsen(Math.floorDiv(w.liveSlices.min + 21 * 86400L, 604800L) * 604800L,
+          604800L)
         Views.markUnitDone(store.baseDir, name)
         w
       }
@@ -2559,6 +2568,15 @@ object MapIndexQueries {
 
   private def windowedServe(w: graft.engine.WindowedAggView): DataFrame =
     w.state.select(col("slice_start"), col("emit_key"), col("cnt"),
+      round(col("sum_value").cast("double"), 2).as("sum_value"),
+      round(col("min_value"), 2).as("min_value"),
+      round(col("max_value"), 2).as("max_value"))
+      .orderBy("slice_start", "emit_key")
+
+  /** The coarse-aware serve: slice width joins the comparable surface so
+    * an over- or under-coarsened slice is a hash mismatch, not a guess. */
+  private def windowedServeW(w: graft.engine.WindowedAggView): DataFrame =
+    w.state.select(col("slice_start"), col("slice_w"), col("emit_key"), col("cnt"),
       round(col("sum_value").cast("double"), 2).as("sum_value"),
       round(col("min_value"), 2).as("min_value"),
       round(col("max_value"), 2).as("max_value"))
@@ -3230,6 +3248,15 @@ object MapIndexQueries {
     "mapindex_windowed_agg_streamed" -> ((s, dir) =>
       windowedServe(eventsWindowedView(s, dir, "st"))),
 
+    // ROLLUP AGING: after the shared batch, everything up to the 7-day
+    // grid line below minSlice+21d coarsens into week slices (partials
+    // merged exactly — cnt/sum add, min/max combine) while the tail stays
+    // daily; served with the slice WIDTH in the comparable surface, so an
+    // over- or under-coarsened slice hash-mismatches the oracle's
+    // two-tier recompute
+    "mapindex_windowed_agg_coarse" -> ((s, dir) =>
+      windowedServeW(eventsWindowedView(s, dir, "co"))),
+
     // windowed SKETCH quantiles: the trailing-7-day per-type p50/p95
     // decoded from slice sketches MERGED across the window (zero event
     // rescans); exact fold counts + oracle-recomputed anchors + booleans
@@ -3251,6 +3278,25 @@ object MapIndexQueries {
       val mx = e.agg(max("sl")).head.getLong(0)
       sketchQuantileGateFrom(est,
         e.filter(col("sl") >= mx - 6 * 86400L).select("flag", "v"))
+    }),
+
+    // the sketch view's WHOLE history decoded across BOTH tiers — three
+    // coarsened week slices merged with the daily tail in one serve
+    // (mergeability across mixed widths); anchors = the full modified
+    // corpus per type
+    "mapindex_windowed_sketch_coarse" -> ((s, dir) => {
+      val v = eventsWindowedSketchView(s, dir)
+      val live = v.effectiveSlices
+      val est = v.quantiles(live.map(_._1).min,
+          live.map { case (s0, w0) => s0 + w0 }.max,
+          Seq("est50" -> 0.5, "est95" -> 0.95))
+        .withColumnRenamed("emit_key", "flag")
+      val e = Tables.events(s, dir)
+        .filter(col("event_id") % 41 =!= 0)
+        .select(col("event_type").as("flag"),
+          when(col("event_id") % 37 === 0, col("value") + 1000)
+            .otherwise(col("value")).as("v"))
+      sketchQuantileGateFrom(est, e)
     }),
 
     "mapindex_group" -> ((s, dir) =>
@@ -4977,6 +5023,52 @@ object MapIndexQueries {
         |       round(min(value), 2) AS min_value, round(max(value), 2) AS max_value
         |FROM s, b WHERE sl >= bd
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // rollup aging: the two-tier recompute — fine slices at/above the
+    // snapped boundary, 7-day coarse slices below it, width in the hash
+    "mapindex_windowed_agg_coarse" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |         CASE WHEN event_id % 37 = 0 THEN ts + INTERVAL 1 HOUR
+        |              ELSE ts END AS ts,
+        |         CASE WHEN event_id % 37 = 0 THEN value + 1000
+        |              ELSE value END AS value
+        |  FROM events WHERE event_id % 41 <> 0),
+        |f AS (SELECT event_type, value,
+        |             CAST(floor(epoch(ts)/86400) AS BIGINT)*86400 AS fsl FROM e),
+        |b AS (SELECT ((min(fsl) + 21*86400) // 604800) * 604800 AS bd FROM f),
+        |s AS (SELECT CASE WHEN fsl >= bd THEN fsl
+        |                  ELSE (fsl // 604800) * 604800 END AS slice_start,
+        |             CAST(CASE WHEN fsl >= bd THEN 86400
+        |                       ELSE 604800 END AS BIGINT) AS slice_w,
+        |             event_type, value
+        |      FROM f, b)
+        |SELECT slice_start, slice_w, event_type AS emit_key, count(*) AS cnt,
+        |       round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_value,
+        |       round(min(value), 2) AS min_value, round(max(value), 2) AS max_value
+        |FROM s GROUP BY 1, 2, 3 ORDER BY slice_start, emit_key""".stripMargin,
+    // coarse sketch serve: anchors over the WHOLE modified corpus per
+    // type (both tiers merged into one sketch per group)
+    "mapindex_windowed_sketch_coarse" ->
+      """WITH src AS (
+        |  SELECT event_type AS flag,
+        |         CASE WHEN event_id % 37 = 0 THEN value + 1000
+        |              ELSE value END AS v
+        |  FROM events WHERE event_id % 41 <> 0),
+        |vcounts AS (
+        |  SELECT flag, v, count(*) AS cnt FROM src GROUP BY flag, v),
+        |vcum AS (
+        |  SELECT flag, v,
+        |         CAST(sum(cnt) OVER (PARTITION BY flag ORDER BY v) AS BIGINT) AS cum,
+        |         CAST(sum(cnt) OVER (PARTITION BY flag) AS BIGINT) AS n2
+        |  FROM vcounts),
+        |exact AS (
+        |  SELECT flag, max(n2) AS n,
+        |         min(CASE WHEN cum >= ceil(n2 / 2.0) THEN v END) AS x50,
+        |         min(CASE WHEN cum >= ceil(n2 * 19 / 20.0) THEN v END) AS x95
+        |  FROM vcum GROUP BY flag)
+        |SELECT flag, n, round(x50, 2) AS exact_p50, round(x95, 2) AS exact_p95,
+        |       true AS p50_within_rank, true AS p95_within_rank
+        |FROM exact ORDER BY flag""".stripMargin,
     // windowed sketch: exact anchors over the trailing-7-day window of
     // the modified events, per type; rank-bound booleans literal true
     "mapindex_windowed_sketch" ->

@@ -130,6 +130,43 @@ class WindowedAggViewSpec extends AnyFunSuite with SparkSpec {
     assert(!Files.exists(Paths.get(root, s"s$DAY")))
   }
 
+  test("coarsen merges aged slices exactly; frozen range refuses; windows respect coarse width") {
+    val store = ViewStore.temp(spark)
+    val rows = (0 to 9).flatMap(d =>
+      Seq((d * 10 + 1, "a", ts(d), d * 1.0 + 1), (d * 10 + 2, "b", ts(d), 100.0 - d)))
+    val base = idx.materialize(src(rows: _*), store)
+    val w = WindowedAggView.build(base, tempRoot(), DAY)
+    assert(w.coarsen(7 * DAY, 7 * DAY) === Seq(0L))
+    // layout: one 7-day coarse slice + three fine days, widths marked
+    val st = w.state.collect()
+    assert(st.map(r => r.getAs[Long]("slice_start") -> r.getAs[Long]("slice_w"))
+      .toMap === Map(0L -> 7 * DAY, 7 * DAY -> DAY, 8 * DAY -> DAY, 9 * DAY -> DAY))
+    // merged partials exact: group a over days 0..6 = values 1..7
+    val a0 = st.filter(r => r.getAs[Long]("slice_start") == 0L &&
+      r.getAs[String]("emit_key") == "a").head
+    assert(a0.getAs[Long]("cnt") === 7L)
+    assert(BigDecimal(a0.getAs[java.math.BigDecimal]("sum_value")) === BigDecimal(28))
+    assert(a0.getAs[Double]("min_value") === 1.0 && a0.getAs[Double]("max_value") === 7.0)
+    // a window covering the coarse slice serves; one splitting it refuses
+    assert(w.window(0L, 8 * DAY).collect()
+      .map(r => r.getAs[String]("emit_key") -> r.getAs[Long]("cnt"))
+      .toMap === Map("a" -> 8L, "b" -> 8L))
+    val sp = intercept[IllegalArgumentException](w.window(2 * DAY, 8 * DAY))
+    assert(sp.getMessage.contains("splits"))
+    // refreshes below the frozen horizon refuse; above it they still work
+    val fz = intercept[IllegalArgumentException](
+      w.refresh(base, src((999, "a", ts(3), 9.0)), None))
+    assert(fz.getMessage.contains("frozen"))
+    w.refresh(base, src((998, "a", ts(8), 50.0)), None)
+    assert(w.window(8 * DAY, 9 * DAY).collect()
+      .find(_.getAs[String]("emit_key") == "a").get.getAs[Long]("cnt") === 2L)
+    // evicting inside the coarse slice refuses; at its end it drops whole
+    val ev = intercept[IllegalArgumentException](w.evictBefore(3 * DAY))
+    assert(ev.getMessage.contains("splits"))
+    assert(w.evictBefore(7 * DAY) === Seq(0L))
+    assert(w.liveSlices === Seq(7 * DAY, 8 * DAY, 9 * DAY))
+  }
+
   test("incremental state equals a from-scratch recompute after mixed batches") {
     val store = ViewStore.temp(spark)
     val rows0 = (1 to 40).map(i =>

@@ -81,6 +81,24 @@ class WindowedSketchViewSpec extends AnyFunSuite with SparkSpec {
     assert(after("a")._2 >= 26.0 && after("a")._2 <= 50.0)
   }
 
+  test("coarsened sketch slices merge into whole-history quantiles; frozen range refuses") {
+    val store = ViewStore.temp(spark)
+    val rows = (1 to 100).map(i => (i, "a", ts(i % 10), i.toDouble))
+    val base = idx.materialize(src(rows: _*), store)
+    val w = WindowedSketchView.build(base, root(), DAY, k = 64)
+    assert(w.coarsen(7 * DAY, 7 * DAY) === Seq(0L))
+    // whole-history serve spans the coarse slice + three fine days
+    val all = decode(w.quantiles(0L, 10 * DAY, Seq("est50" -> 0.5)))
+    assert(all("a")._1 === 100L)
+    val rank = (1 to 100).count(_ <= all("a")._2)
+    assert(math.abs(rank - 50) <= 5, s"median ${all("a")._2} rank $rank")
+    // the coarse slice alone folds exactly the days-0..6 values
+    assert(decode(w.quantiles(0L, 7 * DAY, Seq("est50" -> 0.5)))("a")._1 === 70L)
+    val fz = intercept[IllegalArgumentException](
+      w.refresh(base, src((999, "a", ts(2), 1.0)), None))
+    assert(fz.getMessage.contains("frozen"))
+  }
+
   test("eviction drops slices; sub-watermark windows and late batches refuse") {
     val store = ViewStore.temp(spark)
     val rows = (0 to 2).flatMap(d => (1 to 10).map(i => (d * 100 + i, "a", ts(d), i.toDouble)))
