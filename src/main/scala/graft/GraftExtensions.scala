@@ -27,6 +27,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     val all = functions.Hashes.builders ++
       functions.Sketches.builders ++
       functions.QuantileSketch.builders ++
+      functions.KmvSketch.builders ++
       functions.VectorFunctions.builders ++
       functions.Bloom.builders ++
       functions.BytewiseKey.builders

@@ -2566,6 +2566,43 @@ object MapIndexQueries {
       }
     })
 
+  private val windowedDistinctViews =
+    scala.collection.concurrent.TrieMap.empty[String, graft.engine.WindowedDistinctView]
+
+  /** Windowed DISTINCT-USER counts per event type via per-(day, type) KMV
+    * states — distinct is non-additive across days, so the windowed serve
+    * exists only because the state is a mergeable summary. `k` keyed into
+    * the unit: the 1024 flavor stays in KMV's exact regime at gate scale
+    * (the estimate IS the exact distinct count, hash-compared to DuckDB's
+    * COUNT(DISTINCT)), the 32 flavor exercises the estimator with a
+    * bound. */
+  private def eventsWindowedDistinctView(s: SparkSession, dir: String,
+      k: Int): graft.engine.WindowedDistinctView =
+    windowedDistinctViews.getOrElseUpdate(s"$dir#$k", {
+      val store = Views.store(s, dir)
+      val name = s"events_windowed_du$k"
+      val root = java.nio.file.Paths.get(store.baseDir, name).toString
+      val idx = MapIndex.columns(s"events_win_base_du$k")(
+        col("event_id").cast("string"),
+        array(emit(col("event_type"),
+          struct(col("ts").as("ts"), col("user_id").cast("double").as("v")))))
+      if (Views.unitDone(store.baseDir, name))
+        graft.engine.WindowedDistinctView.attach(s, root, 86400L, k)
+      else {
+        val ev = Tables.events(s, dir)
+        val base = Views.materialized(s, dir, idx)(ev)
+        val w = graft.engine.WindowedDistinctView.build(base, root, 86400L, k)
+        val ups = ev.filter(col("event_id") % 37 === 0 && col("event_id") % 41 =!= 0)
+          .withColumn("ts", col("ts") + expr("INTERVAL 1 HOUR"))
+          .withColumn("value", col("value") + 1000)
+        val dels = ev.filter(col("event_id") % 41 === 0)
+          .select(col("event_id").cast("string")).distinct()
+        w.refresh(base, ups, Some(dels))
+        Views.markUnitDone(store.baseDir, name)
+        w
+      }
+    })
+
   private def windowedServe(w: graft.engine.WindowedAggView): DataFrame =
     w.state.select(col("slice_start"), col("emit_key"), col("cnt"),
       round(col("sum_value").cast("double"), 2).as("sum_value"),
@@ -3278,6 +3315,41 @@ object MapIndexQueries {
       val mx = e.agg(max("sl")).head.getLong(0)
       sketchQuantileGateFrom(est,
         e.filter(col("sl") >= mx - 6 * 86400L).select("flag", "v"))
+    }),
+
+    // windowed DISTINCT users (trailing 7 days per type) from per-day KMV
+    // states merged across the window — k=1024 keeps the gate corpus in
+    // the exact regime, so the decoded estimate hash-compares to DuckDB's
+    // COUNT(DISTINCT) and `estimated` must read false
+    "mapindex_windowed_distinct" -> ((s, dir) =>
+      eventsWindowedDistinctView(s, dir, 1024)
+        .trailingDistinct(7)
+        .withColumnRenamed("distinct_est", "distinct_users")
+        .orderBy("emit_key")),
+
+    // the ESTIMATOR regime (k=32, well past full): per-type trailing-7
+    // estimate bounded against the exact distinct recomputed in-arm —
+    // within 40% (>2 sigma of the 1/sqrt(k-2) ~ 18% KMV error); exact
+    // counts and the bound boolean are what the oracle rechecks
+    "mapindex_windowed_distinct_est" -> ((s, dir) => {
+      val est = eventsWindowedDistinctView(s, dir, 32)
+        .trailingDistinct(7)
+      val e = Tables.events(s, dir)
+        .filter(col("event_id") % 41 =!= 0)
+        .select(col("event_type").as("emit_key"),
+          when(col("event_id") % 37 === 0, col("ts") + expr("INTERVAL 1 HOUR"))
+            .otherwise(col("ts")).as("ts"),
+          col("user_id"))
+        .withColumn("sl", (floor(unix_seconds(col("ts")) / 86400).cast("long")) * 86400)
+      val mx = e.agg(max("sl")).head.getLong(0)
+      val exact = e.filter(col("sl") >= mx - 6 * 86400L)
+        .groupBy("emit_key")
+        .agg(countDistinct("user_id").as("exact_distinct"))
+      est.join(exact, Seq("emit_key"))
+        .select(col("emit_key"), col("exact_distinct"),
+          (abs(col("distinct_est") - col("exact_distinct"))
+            <= col("exact_distinct") * 0.4).as("within_bound"))
+        .orderBy("emit_key")
     }),
 
     // the sketch view's WHOLE history decoded across BOTH tiers — three
@@ -5023,6 +5095,37 @@ object MapIndexQueries {
         |       round(min(value), 2) AS min_value, round(max(value), 2) AS max_value
         |FROM s, b WHERE sl >= bd
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // windowed distinct: DuckDB's exact COUNT(DISTINCT) over the trailing
+    // window of the modified table; the KMV serve is in its exact regime
+    // at k=1024, so the estimate and the estimated=false flag both hash
+    "mapindex_windowed_distinct" ->
+      """WITH e AS (
+        |  SELECT event_type AS emit_key,
+        |         CASE WHEN event_id % 37 = 0 THEN ts + INTERVAL 1 HOUR
+        |              ELSE ts END AS ts,
+        |         user_id
+        |  FROM events WHERE event_id % 41 <> 0),
+        |s AS (SELECT emit_key, user_id,
+        |             CAST(floor(epoch(ts)/86400) AS BIGINT)*86400 AS sl FROM e),
+        |m AS (SELECT max(sl) AS mx FROM s)
+        |SELECT emit_key, count(DISTINCT user_id) AS distinct_users,
+        |       false AS estimated
+        |FROM s, m WHERE sl >= mx - 6*86400
+        |GROUP BY emit_key ORDER BY emit_key""".stripMargin,
+    "mapindex_windowed_distinct_est" ->
+      """WITH e AS (
+        |  SELECT event_type AS emit_key,
+        |         CASE WHEN event_id % 37 = 0 THEN ts + INTERVAL 1 HOUR
+        |              ELSE ts END AS ts,
+        |         user_id
+        |  FROM events WHERE event_id % 41 <> 0),
+        |s AS (SELECT emit_key, user_id,
+        |             CAST(floor(epoch(ts)/86400) AS BIGINT)*86400 AS sl FROM e),
+        |m AS (SELECT max(sl) AS mx FROM s)
+        |SELECT emit_key, count(DISTINCT user_id) AS exact_distinct,
+        |       true AS within_bound
+        |FROM s, m WHERE sl >= mx - 6*86400
+        |GROUP BY emit_key ORDER BY emit_key""".stripMargin,
     // rollup aging: the two-tier recompute — fine slices at/above the
     // snapped boundary, 7-day coarse slices below it, width in the hash
     "mapindex_windowed_agg_coarse" ->
