@@ -119,6 +119,19 @@ private[engine] final class SliceStore(
   def sliceState(start: Long): DataFrame =
     spark.read.parquet(slices.latestPath(sliceName(start)))
 
+  /** A slice's current version number (each refresh of a slice is a
+    * versioned swap, so slice history is addressable per slice). */
+  def sliceVersion(start: Long): Int =
+    slices.latestVersion(sliceName(start)).getOrElse(
+      throw new IllegalStateException(s"slice $start not live in $rootDir"))
+
+  /** Snapshot (time-travel) read of one slice's retained version — the
+    * per-slice analog of [[ViewStore.readVersion]]: a reader pins the
+    * pre-refresh version of a touched slice and sees that epoch's world
+    * until the grace horizon passes it. */
+  def sliceStateAsOf(start: Long, version: Int): DataFrame =
+    slices.readVersion(sliceName(start), version)
+
   /** Full effective state with `slice_start` and `slice_w` columns. */
   def state: DataFrame = {
     val live = effectiveSliceWidths

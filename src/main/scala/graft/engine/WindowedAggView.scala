@@ -64,6 +64,21 @@ final class WindowedAggView private[engine] (
   /** Full live state with its slice column (`slice_start` epoch seconds). */
   def state: DataFrame = store.state
 
+  /** ONE group's per-slice series — the metric-dashboard serve ("this
+    * metric, daily"). The equality predicate pushes through the slice
+    * union into every slice scan, where the `(slice_start, emit_key)`
+    * clustering makes it a file/row-group-pruned point read per slice. */
+  def history(groupKey: String): DataFrame =
+    state.filter(col("emit_key") === groupKey)
+
+  /** A slice's current version (refreshes are per-slice versioned swaps). */
+  def sliceVersion(start: Long): Int = store.sliceVersion(start)
+
+  /** Time travel on ONE slice: its state as of a retained version —
+    * pre-refresh reads of touched slices until grace GC passes them. */
+  def sliceStateAsOf(start: Long, version: Int): DataFrame =
+    store.sliceStateAsOf(start, version)
+
   /** Group-wise aggregate over the slice-ALIGNED window `[start, end)`
     * (epoch seconds). Merges the covered slices' partials — no event
     * rescan. Windows reaching below the watermark are refused: evicted

@@ -3317,6 +3317,32 @@ object MapIndexQueries {
         e.filter(col("sl") >= mx - 6 * 86400L).select("flag", "v"))
     }),
 
+    // ONE group's per-day series (the metric-dashboard serve): the
+    // emit_key equality pushes through the slice union into every slice
+    // scan (PlanAuditSpec asserts the pushed filter, no events scan)
+    "mapindex_windowed_history" -> ((s, dir) =>
+      eventsWindowedView(s, dir, "main").history("purchase")
+        .select(col("slice_start"), col("cnt"),
+          round(col("sum_value").cast("double"), 2).as("sum_value"),
+          round(col("min_value"), 2).as("min_value"),
+          round(col("max_value"), 2).as("max_value"))
+        .orderBy("slice_start")),
+
+    // TIME TRAVEL on one slice: the oldest day served AS OF its
+    // pre-batch version — the refresh swapped that slice to v1, and the
+    // grace-retained v0 must still read as the ORIGINAL (unmodified)
+    // day's aggregates, proving slice refreshes never mutate history
+    "mapindex_windowed_agg_sliceasof" -> ((s, dir) => {
+      val w = eventsWindowedView(s, dir, "main")
+      val s0 = w.liveSlices.min
+      w.sliceStateAsOf(s0, w.sliceVersion(s0) - 1)
+        .select(col("emit_key"), col("cnt"),
+          round(col("sum_value").cast("double"), 2).as("sum_value"),
+          round(col("min_value"), 2).as("min_value"),
+          round(col("max_value"), 2).as("max_value"))
+        .orderBy("emit_key")
+    }),
+
     // windowed DISTINCT users (trailing 7 days per type) from per-day KMV
     // states merged across the window — k=1024 keeps the gate corpus in
     // the exact regime, so the decoded estimate hash-compares to DuckDB's
@@ -5095,6 +5121,36 @@ object MapIndexQueries {
         |       round(min(value), 2) AS min_value, round(max(value), 2) AS max_value
         |FROM s, b WHERE sl >= bd
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // one group's per-day series off the modified table
+    "mapindex_windowed_history" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |         CASE WHEN event_id % 37 = 0 THEN ts + INTERVAL 1 HOUR
+        |              ELSE ts END AS ts,
+        |         CASE WHEN event_id % 37 = 0 THEN value + 1000
+        |              ELSE value END AS value
+        |  FROM events WHERE event_id % 41 <> 0)
+        |SELECT CAST(floor(epoch(ts)/86400) AS BIGINT)*86400 AS slice_start,
+        |       count(*) AS cnt,
+        |       round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_value,
+        |       round(min(value), 2) AS min_value, round(max(value), 2) AS max_value
+        |FROM e WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // slice time travel: the oldest modified-table day recomputed from
+    // the ORIGINAL table (no CASE, no delete filter) — what v0 held
+    "mapindex_windowed_agg_sliceasof" ->
+      """WITH e AS (
+        |  SELECT CASE WHEN event_id % 37 = 0 THEN ts + INTERVAL 1 HOUR
+        |              ELSE ts END AS ts
+        |  FROM events WHERE event_id % 41 <> 0),
+        |m AS (SELECT min(CAST(floor(epoch(ts)/86400) AS BIGINT)*86400) AS s0 FROM e),
+        |o AS (SELECT event_type, value,
+        |             CAST(floor(epoch(ts)/86400) AS BIGINT)*86400 AS sl FROM events)
+        |SELECT event_type AS emit_key, count(*) AS cnt,
+        |       round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_value,
+        |       round(min(value), 2) AS min_value, round(max(value), 2) AS max_value
+        |FROM o, m WHERE o.sl = m.s0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // windowed distinct: DuckDB's exact COUNT(DISTINCT) over the trailing
     // window of the modified table; the KMV serve is in its exact regime
     // at k=1024, so the estimate and the estimated=false flag both hash

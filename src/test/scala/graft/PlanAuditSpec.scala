@@ -692,5 +692,13 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(!pt.contains("events.parquet") && !pt.contains("Window"),
       s"trailing-window serving must merge slice partials only:\n$pt")
     assert(!pt.contains("Join"), s"trailing-window serving must be join-free:\n$pt")
+    // one group's series: the emit_key equality pushes through the slice
+    // union into every slice scan (file/row-group pruning on the
+    // (slice_start, emit_key) clustering) — and still no events read
+    val ph = finalPlan("mapindex_windowed_history")
+    assert(!ph.contains("events.parquet"),
+      s"history serving must read slice state only:\n$ph")
+    assert(ph.contains("PushedFilters: [IsNotNull(emit_key), EqualTo(emit_key,purchase)]"),
+      s"the group predicate must push into the slice scans:\n$ph")
   }
 }
