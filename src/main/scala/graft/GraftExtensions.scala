@@ -28,6 +28,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       functions.Sketches.builders ++
       functions.QuantileSketch.builders ++
       functions.KmvSketch.builders ++
+      functions.MgSketch.builders ++
       functions.VectorFunctions.builders ++
       functions.Bloom.builders ++
       functions.BytewiseKey.builders

@@ -245,6 +245,59 @@ final class WindowedDistinctView private[engine] (
   }
 }
 
+/**
+ * Time-sliced maintained FREQUENT ITEMS via Misra-Gries states
+ * ([[graft.functions.MgSketch]]) — the third member of the mergeable
+ * trio (quantiles, distinct, frequent items). The MG guarantee COMPOSES
+ * across the slice merge: every item with window frequency > n/(k+1)
+ * survives the merged candidates regardless of slice layout or merge
+ * order, so "top value-buckets last 7 days" serves from per-day states
+ * with no event rescan. Candidates are a SUPERSET: final answers come
+ * from the candidates-then-exact-verify pattern the one-shot
+ * `heavy_hitters` gates established. See [[WindowedMergeableView]] for
+ * the maintenance/eviction/aging contract.
+ */
+final class WindowedTopFreqView private[engine] (
+    store: SliceStore,
+    val k: Int) extends WindowedMergeableView(store) {
+
+  graft.functions.MgSketch.register(store.spark)
+
+  override protected def buildAgg(c: String): String = s"mg_sketch($c, $k)"
+  override protected def mergeAggSql: String = "mg_merge"
+
+  /** Candidate items per group over the window, one row per candidate,
+    * with the exact window fold count `n` (survivors are guaranteed to
+    * include every item with frequency > n/(k+1)). */
+  def candidates(startSec: Long, endSec: Long): DataFrame =
+    windowSketches(startSec, endSec).select(
+      col("emit_key"),
+      expr("mg_n(sketch)").as("n"),
+      explode(expr("mg_items(sketch)")).as("item"))
+
+  /** Trailing `n`-slice candidate serve ending at the newest live slice. */
+  def trailingCandidates(slices: Int): DataFrame = {
+    val (s0, e0) = store.trailingBounds(slices)
+    candidates(s0, e0)
+  }
+}
+
+object WindowedTopFreqView {
+  def build(base: MaterializedView, rootDir: String, sliceSeconds: Long,
+      k: Int = graft.functions.MgSketch.DefaultK): WindowedTopFreqView = {
+    val v = new WindowedTopFreqView(
+      new SliceStore(base.spark, rootDir, sliceSeconds), k)
+    v.buildFrom(base)
+  }
+
+  def attach(spark: SparkSession, rootDir: String, sliceSeconds: Long,
+      k: Int = graft.functions.MgSketch.DefaultK): WindowedTopFreqView = {
+    val v = new WindowedTopFreqView(new SliceStore(spark, rootDir, sliceSeconds), k)
+    v.store.requireAlignedSlices()
+    v
+  }
+}
+
 object WindowedDistinctView {
   def build(base: MaterializedView, rootDir: String, sliceSeconds: Long,
       k: Int = graft.functions.KmvSketch.DefaultK): WindowedDistinctView = {

@@ -2603,6 +2603,41 @@ object MapIndexQueries {
       }
     })
 
+  private val windowedTopFreqViews =
+    scala.collection.concurrent.TrieMap.empty[String, graft.engine.WindowedTopFreqView]
+
+  /** Windowed FREQUENT value-buckets per type via per-(day, type)
+    * Misra-Gries states (k=16, genuinely lossy — ~10 buckets live per
+    * type). The MG guarantee survives the slice merge, so the trailing
+    * window's frequent set is always inside the candidates; the gate
+    * joins candidates back to exact counts (the heavy_hitters verify
+    * pattern). */
+  private def eventsWindowedTopFreqView(s: SparkSession, dir: String): graft.engine.WindowedTopFreqView =
+    windowedTopFreqViews.getOrElseUpdate(dir, {
+      val store = Views.store(s, dir)
+      val name = "events_windowed_tf"
+      val root = java.nio.file.Paths.get(store.baseDir, name).toString
+      val idx = MapIndex.columns("events_win_base_tf")(
+        col("event_id").cast("string"),
+        array(emit(col("event_type"),
+          struct(col("ts").as("ts"), floor(col("value") / 50).as("v")))))
+      if (Views.unitDone(store.baseDir, name))
+        graft.engine.WindowedTopFreqView.attach(s, root, 86400L, 16)
+      else {
+        val ev = Tables.events(s, dir)
+        val base = Views.materialized(s, dir, idx)(ev)
+        val w = graft.engine.WindowedTopFreqView.build(base, root, 86400L, 16)
+        val ups = ev.filter(col("event_id") % 37 === 0 && col("event_id") % 41 =!= 0)
+          .withColumn("ts", col("ts") + expr("INTERVAL 1 HOUR"))
+          .withColumn("value", col("value") + 1000)
+        val dels = ev.filter(col("event_id") % 41 === 0)
+          .select(col("event_id").cast("string")).distinct()
+        w.refresh(base, ups, Some(dels))
+        Views.markUnitDone(store.baseDir, name)
+        w
+      }
+    })
+
   private def windowedServe(w: graft.engine.WindowedAggView): DataFrame =
     w.state.select(col("slice_start"), col("emit_key"), col("cnt"),
       round(col("sum_value").cast("double"), 2).as("sum_value"),
@@ -3352,6 +3387,34 @@ object MapIndexQueries {
         .trailingDistinct(7)
         .withColumnRenamed("distinct_est", "distinct_users")
         .orderBy("emit_key")),
+
+    // windowed FREQUENT value-buckets (trailing 7 days per type): MG
+    // candidates from the slice merge joined back to exact window counts
+    // and thresholded at total/8 — the MG n/(k+1) guarantee (k=16) makes
+    // the frequent set provably inside the candidates, so the output IS
+    // the exact frequent set; win_n is the sketch's exact fold count,
+    // hash-compared to the oracle's window total
+    "mapindex_windowed_topfreq" -> ((s, dir) => {
+      val cand = eventsWindowedTopFreqView(s, dir).trailingCandidates(7)
+      val e = Tables.events(s, dir)
+        .filter(col("event_id") % 41 =!= 0)
+        .select(col("event_type").as("emit_key"),
+          when(col("event_id") % 37 === 0, col("ts") + expr("INTERVAL 1 HOUR"))
+            .otherwise(col("ts")).as("ts"),
+          floor(when(col("event_id") % 37 === 0, col("value") + 1000)
+            .otherwise(col("value")) / 50).cast("long").as("bucket"))
+        .withColumn("sl", (floor(unix_seconds(col("ts")) / 86400).cast("long")) * 86400)
+      val mx = e.agg(max("sl")).head.getLong(0)
+      val win = e.filter(col("sl") >= mx - 6 * 86400L)
+      val exact = win.groupBy("emit_key", "bucket").agg(count(lit(1)).as("cnt"))
+      val tot = win.groupBy("emit_key").agg(count(lit(1)).as("total"))
+      cand.select(col("emit_key"), col("n"), col("item").cast("long").as("bucket"))
+        .join(exact, Seq("emit_key", "bucket"))
+        .join(tot, Seq("emit_key"))
+        .filter(col("cnt") > col("total") / lit(8.0))
+        .select(col("emit_key"), col("bucket"), col("cnt"), col("n").as("win_n"))
+        .orderBy("emit_key", "bucket")
+    }),
 
     // the ESTIMATOR regime (k=32, well past full): per-type trailing-7
     // estimate bounded against the exact distinct recomputed in-arm —
@@ -5168,6 +5231,26 @@ object MapIndexQueries {
         |       false AS estimated
         |FROM s, m WHERE sl >= mx - 6*86400
         |GROUP BY emit_key ORDER BY emit_key""".stripMargin,
+    // windowed frequent buckets: the exact frequent set over the
+    // trailing window of the modified table, threshold total/8
+    "mapindex_windowed_topfreq" ->
+      """WITH e AS (
+        |  SELECT event_type AS emit_key,
+        |         CASE WHEN event_id % 37 = 0 THEN ts + INTERVAL 1 HOUR
+        |              ELSE ts END AS ts,
+        |         CAST(floor((CASE WHEN event_id % 37 = 0 THEN value + 1000
+        |                          ELSE value END) / 50) AS BIGINT) AS bucket
+        |  FROM events WHERE event_id % 41 <> 0),
+        |s AS (SELECT emit_key, bucket,
+        |             CAST(floor(epoch(ts)/86400) AS BIGINT)*86400 AS sl FROM e),
+        |m AS (SELECT max(sl) AS mx FROM s),
+        |w AS (SELECT emit_key, bucket FROM s, m WHERE sl >= mx - 6*86400),
+        |c AS (SELECT emit_key, bucket, count(*) AS cnt FROM w GROUP BY 1, 2),
+        |t AS (SELECT emit_key, count(*) AS total FROM w GROUP BY 1)
+        |SELECT c.emit_key, c.bucket, c.cnt, t.total AS win_n
+        |FROM c JOIN t USING (emit_key)
+        |WHERE c.cnt > t.total/8.0
+        |ORDER BY c.emit_key, c.bucket""".stripMargin,
     "mapindex_windowed_distinct_est" ->
       """WITH e AS (
         |  SELECT event_type AS emit_key,
