@@ -2,7 +2,7 @@ package graft.engine
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, NumericType, StructType, TimestampType}
+import org.apache.spark.sql.types.{DateType, DecimalType, NumericType, StructType, TimestampNTZType, TimestampType}
 
 /**
  * Time-sliced incrementally-maintained windowed aggregate with WATERMARK
@@ -209,7 +209,11 @@ object WindowedAggView {
     * non-negative epochs this engine stores, so the DuckDB oracle's
     * `floor(epoch(ts)/w)*w` lands on the same boundary. */
   private[engine] def sliceOf(w: Long, ts: org.apache.spark.sql.Column) =
-    (floor(unix_seconds(ts) / w).cast("long") * w)
+    // the cast is a no-op for timestamps, reads NTZ wall-clocks as UTC
+    // instants (sessions run UTC), and maps DATE to midnight UTC, so
+    // every accepted ts type slices on the same grid the oracle's
+    // epoch() arithmetic does
+    (floor(unix_seconds(ts.cast("timestamp")) / w).cast("long") * w)
 
   private[engine] def sliced(v: WindowedAggView, emissions: DataFrame): DataFrame =
     emissions.select(
@@ -228,15 +232,16 @@ object WindowedAggView {
   }
 
   /** Fail at build time, not mid-maintenance: the windowed family needs
-    * `emit_value = struct(ts: timestamp, v: numeric)`. */
+    * `emit_value = struct(ts: timestamp|timestamp_ntz|date, v: numeric)` (dates slice
+    * on their UTC midnights — see [[sliceOf]]). */
   private[engine] def requireEmissionShape(emissions: DataFrame): Unit =
     emissions.schema("emit_value").dataType match {
       case s: StructType
         if s.fieldNames.contains("ts") && s.fieldNames.contains("v") &&
-           s("ts").dataType == TimestampType &&
+           Seq(TimestampType, TimestampNTZType, DateType).contains(s("ts").dataType) &&
            s("v").dataType.isInstanceOf[NumericType] => ()
       case other => throw new IllegalArgumentException(
-        "WindowedAggView requires emit_value = struct(ts: timestamp, v: numeric), " +
+        "WindowedAggView requires emit_value = struct(ts: timestamp|timestamp_ntz|date, v: numeric), " +
           s"got $other")
     }
 

@@ -2638,6 +2638,38 @@ object MapIndexQueries {
       }
     })
 
+  /** The TPC-H-side windowed rollup: quarterly (90-day-grid) revenue per
+    * priority over `orders`, maintained under the shared reprice/purge
+    * batch, then ROLLUP-AGED — everything older than ~4.4 years coarsens
+    * to 360-day tiers. Different table, slice width, and coarse ratio
+    * than the events family; same layout invariants. */
+  private def ordersWindowedView(s: SparkSession, dir: String): graft.engine.WindowedAggView =
+    windowedViews.getOrElseUpdate(s"$dir#orders", {
+      val store = Views.store(s, dir)
+      val name = "orders_windowed"
+      val root = java.nio.file.Paths.get(store.baseDir, name).toString
+      val idx = MapIndex.columns("orders_win_base")(
+        col("o_orderkey").cast("string"),
+        array(emit(col("o_orderpriority"),
+          struct(col("o_orderdate").as("ts"), col("o_totalprice").as("v")))))
+      if (Views.unitDone(store.baseDir, name))
+        graft.engine.WindowedAggView.attach(s, root, 7776000L)
+      else {
+        val o = Tables.orders(s, dir)
+        val base = Views.materialized(s, dir, idx)(o)
+        val w = graft.engine.WindowedAggView.build(base, root, 7776000L)
+        val ups = o.filter(col("o_orderkey") % 37 === 0 && col("o_orderkey") % 41 =!= 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000)
+        val dels = o.filter(col("o_orderkey") % 41 === 0)
+          .select(col("o_orderkey").cast("string")).distinct()
+        w.refresh(base, ups, Some(dels))
+        w.coarsen(Math.floorDiv(w.liveSlices.min + 1600 * 86400L, 31104000L) * 31104000L,
+          31104000L)
+        Views.markUnitDone(store.baseDir, name)
+        w
+      }
+    })
+
   private def windowedServe(w: graft.engine.WindowedAggView): DataFrame =
     w.state.select(col("slice_start"), col("emit_key"), col("cnt"),
       round(col("sum_value").cast("double"), 2).as("sum_value"),
@@ -3377,6 +3409,12 @@ object MapIndexQueries {
           round(col("max_value"), 2).as("max_value"))
         .orderBy("emit_key")
     }),
+
+    // the TPC-H-side windowed rollup: quarterly revenue per priority over
+    // orders, aged to 360-day tiers — a second table, slice width (90 d),
+    // and coarse ratio (4:1) through the same layout; widths in the hash
+    "mapindex_windowed_orders" -> ((s, dir) =>
+      windowedServeW(ordersWindowedView(s, dir))),
 
     // windowed DISTINCT users (trailing 7 days per type) from per-day KMV
     // states merged across the window — k=1024 keeps the gate corpus in
@@ -5231,6 +5269,28 @@ object MapIndexQueries {
         |       false AS estimated
         |FROM s, m WHERE sl >= mx - 6*86400
         |GROUP BY emit_key ORDER BY emit_key""".stripMargin,
+    // orders windowed rollup: two-tier recompute on the 90d/360d grids
+    "mapindex_windowed_orders" ->
+      """WITH o AS (
+        |  SELECT o_orderpriority, o_orderdate,
+        |         CASE WHEN o_orderkey % 37 = 0 THEN o_totalprice + 1000
+        |              ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 41 <> 0),
+        |f AS (SELECT o_orderpriority, o_totalprice,
+        |             (CAST(floor(epoch(o_orderdate)/86400) AS BIGINT)*86400
+        |               // 7776000) * 7776000 AS fsl FROM o),
+        |b AS (SELECT ((min(fsl) + 1600*86400) // 31104000) * 31104000 AS bd FROM f),
+        |s AS (SELECT CASE WHEN fsl >= bd THEN fsl
+        |                  ELSE (fsl // 31104000) * 31104000 END AS slice_start,
+        |             CAST(CASE WHEN fsl >= bd THEN 7776000
+        |                       ELSE 31104000 END AS BIGINT) AS slice_w,
+        |             o_orderpriority, o_totalprice
+        |      FROM f, b)
+        |SELECT slice_start, slice_w, o_orderpriority AS emit_key, count(*) AS cnt,
+        |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_value,
+        |       round(min(o_totalprice), 2) AS min_value,
+        |       round(max(o_totalprice), 2) AS max_value
+        |FROM s GROUP BY 1, 2, 3 ORDER BY slice_start, emit_key""".stripMargin,
     // windowed frequent buckets: the exact frequent set over the
     // trailing window of the modified table, threshold total/8
     "mapindex_windowed_topfreq" ->

@@ -167,6 +167,24 @@ class WindowedAggViewSpec extends AnyFunSuite with SparkSpec {
     assert(w.liveSlices === Seq(7 * DAY, 8 * DAY, 9 * DAY))
   }
 
+  test("date-keyed emissions slice on UTC midnights") {
+    val store = ViewStore.temp(spark)
+    val didx = MapIndex.columns("winagg_date_test")(
+      col("id").cast("string"),
+      array(emit(col("grp"),
+        struct(col("ts").cast("date").as("ts"), col("v").as("v")))))
+    val base = didx.materialize(
+      src((1, "a", ts(0, 1), 1.0), (2, "a", ts(0, 23), 2.0), (3, "a", ts(1, 5), 4.0)),
+      store)
+    val w = WindowedAggView.build(base, tempRoot(), DAY)
+    assert(w.liveSlices === Seq(0L, DAY))
+    val d0 = w.sliceState(0L).collect().head
+    assert(d0.getAs[Long]("cnt") === 2L) // both day-0 hours land on the date
+    w.refresh(base, src((3, "a", ts(0), 8.0)), None) // date moves day 1 -> 0
+    assert(w.liveSlices === Seq(0L))
+    assert(w.sliceState(0L).collect().head.getAs[Long]("cnt") === 3L)
+  }
+
   test("incremental state equals a from-scratch recompute after mixed batches") {
     val store = ViewStore.temp(spark)
     val rows0 = (1 to 40).map(i =>
