@@ -2670,6 +2670,53 @@ object MapIndexQueries {
       }
     })
 
+  private val windowedFeedRollups =
+    scala.collection.concurrent.TrieMap.empty[String, graft.engine.WindowedFeedRollup]
+
+  /** WINDOWED × JOIN-IVM: quarterly revenue per CUSTOMER SEGMENT,
+    * maintained PURELY from a dedicated orders⋈customer [[graft.engine
+    * .JoinView]]'s CDC feed — the rollup never reads the join after its
+    * build-time snapshot; both shared change batches (orders reprice/
+    * purge, customers reprice/purge) arrive as delete+insert feed rows
+    * carrying full old values, so retraction is feed-local. */
+  private def ordersSegmentWindowedRollup(s: SparkSession, dir: String): graft.engine.WindowedFeedRollup =
+    windowedFeedRollups.getOrElseUpdate(dir, {
+      val bstore = Views.bucketedStore(s, dir)
+      val flat = Views.store(s, dir)
+      val root = java.nio.file.Paths.get(flat.baseDir, "orders_segment_winroll").toString
+      val name = "orders_segment_winroll"
+      if (Views.unitDone(flat.baseDir, name))
+        graft.engine.WindowedFeedRollup.attach(s, root, 7776000L)
+      else {
+        val jv = new graft.engine.JoinView(bstore, "orders_customer_win",
+          "o_orderkey", "o_custkey",
+          Seq("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"),
+          "c_custkey", "c_custkey", Seq("c_custkey", "c_mktsegment"))
+        val o = Tables.orders(s, dir)
+        val c = Tables.customer(s, dir)
+        jv.build(o, c)
+        val e0 = jv.epoch
+        val wv = graft.engine.WindowedFeedRollup.build(jv.df,
+          col("o_orderdate"), col("c_mktsegment"), col("o_totalprice"),
+          s, root, 7776000L, e0)
+        jv.refreshLeft(
+          o.filter(col("o_orderkey") % 37 === 0 && col("o_orderkey") % 41 =!= 0)
+            .withColumn("o_totalprice", col("o_totalprice") + 1000),
+          Some(o.filter(col("o_orderkey") % 41 === 0)
+            .select(col("o_orderkey").cast("string")).distinct()))
+        jv.refreshRight(
+          c.filter(col("c_custkey") % 13 === 0 && col("c_custkey") % 17 =!= 0)
+            .withColumn("c_acctbal", col("c_acctbal") + 100),
+          Some(c.filter(col("c_custkey") % 17 === 0)
+            .select(col("c_custkey").cast("string")).distinct()))
+        wv.applyChanges(jv.changes(e0, jv.epoch), jv.epoch,
+          col("emit_value.o_orderdate"), col("emit_value.c_mktsegment"),
+          col("emit_value.o_totalprice"))
+        Views.markUnitDone(flat.baseDir, name)
+        wv
+      }
+    })
+
   private def windowedServe(w: graft.engine.WindowedAggView): DataFrame =
     w.state.select(col("slice_start"), col("emit_key"), col("cnt"),
       round(col("sum_value").cast("double"), 2).as("sum_value"),
@@ -3415,6 +3462,17 @@ object MapIndexQueries {
     // and coarse ratio (4:1) through the same layout; widths in the hash
     "mapindex_windowed_orders" -> ((s, dir) =>
       windowedServeW(ordersWindowedView(s, dir))),
+
+    // WINDOWED × JOIN-IVM: quarterly revenue per customer segment folded
+    // purely from the maintained join's CDC (build snapshot + two-sided
+    // batch feed; the rollup never re-reads the join) — the oracle joins
+    // both modified tables from scratch, so a missed retraction in any
+    // slice is a hash mismatch
+    "mapindex_windowed_joinfeed" -> ((s, dir) =>
+      ordersSegmentWindowedRollup(s, dir).state
+        .select(col("slice_start"), col("emit_key"), col("cnt"),
+          round(col("sum_value").cast("double"), 2).as("sum_value"))
+        .orderBy("slice_start", "emit_key")),
 
     // windowed DISTINCT users (trailing 7 days per type) from per-day KMV
     // states merged across the window — k=1024 keeps the gate corpus in
@@ -5252,6 +5310,24 @@ object MapIndexQueries {
         |       round(min(value), 2) AS min_value, round(max(value), 2) AS max_value
         |FROM o, m WHERE o.sl = m.s0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // windowed-over-join: from-scratch join of both modified tables,
+    // grouped per 90-day slice and segment
+    "mapindex_windowed_joinfeed" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderdate,
+        |         CASE WHEN o_orderkey % 37 = 0 THEN o_totalprice + 1000
+        |              ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 41 <> 0),
+        |c AS (
+        |  SELECT c_custkey, c_mktsegment
+        |  FROM customer WHERE c_custkey % 17 <> 0),
+        |j AS (
+        |  SELECT (CAST(epoch(o_orderdate) AS BIGINT) // 7776000) * 7776000 AS slice_start,
+        |         c_mktsegment AS emit_key, o_totalprice
+        |  FROM o JOIN c ON o_custkey = c_custkey)
+        |SELECT slice_start, emit_key, count(*) AS cnt,
+        |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_value
+        |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // windowed distinct: DuckDB's exact COUNT(DISTINCT) over the trailing
     // window of the modified table; the KMV serve is in its exact regime
     // at k=1024, so the estimate and the estimated=false flag both hash
