@@ -101,6 +101,10 @@ final class WindowedAggView private[engine] (
     * [[SliceStore.evictBefore]]. Returns the evicted slice starts. */
   def evictBefore(boundarySec: Long): Seq[Long] = store.evictBefore(boundarySec)
 
+  /** Heal crash-leftover member slices shadowed by a coarse slice
+    * ([[SliceStore.dropShadowed]]); readers already skip them. */
+  def dropShadowed(): Seq[Long] = store.dropShadowed()
+
   /**
    * ROLLUP AGING: rewrite every slice ending at or below `boundarySec`
    * (on the `toWidth` grid) into `toWidth`-wide slices by merging their

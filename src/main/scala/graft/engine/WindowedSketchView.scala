@@ -54,6 +54,9 @@ sealed abstract class WindowedMergeableView private[engine] (
 
   def evictBefore(boundarySec: Long): Seq[Long] = store.evictBefore(boundarySec)
 
+  /** Heal crash-leftover member slices shadowed by a coarse slice. */
+  def dropShadowed(): Seq[Long] = store.dropShadowed()
+
   /** ROLLUP AGING: members' states MERGE into the coarse slice
     * (associative, no corpus read), the range freezes, and aged history
     * serves at the coarse width. Same grid/shadow/heal contract as the

@@ -185,6 +185,40 @@ class WindowedAggViewSpec extends AnyFunSuite with SparkSpec {
     assert(w.sliceState(0L).collect().head.getAs[Long]("cnt") === 3L)
   }
 
+  test("a member directory surviving a crashed coarsen is shadowed, then healed") {
+    val store = ViewStore.temp(spark)
+    val rows = (0 to 8).map(d => (d + 1, "a", ts(d), d * 1.0 + 1))
+    val base = idx.materialize(src(rows: _*), store)
+    val root = tempRoot()
+    val w = WindowedAggView.build(base, root, DAY)
+    // stash a member aside, coarsen, then restore it — the exact on-disk
+    // state a crash between the coarse publish and the member drops leaves
+    val stash = Files.createTempDirectory("graft-stash-")
+    copyTree(Paths.get(root, s"s$DAY"), stash.resolve(s"s$DAY"))
+    assert(w.coarsen(7 * DAY, 7 * DAY) === Seq(0L))
+    copyTree(stash.resolve(s"s$DAY"), Paths.get(root, s"s$DAY"))
+    // raw listing sees the leftover; the serving view shadows it
+    assert(w.liveSlices.contains(DAY))
+    assert(w.effectiveSlices.map(_._1) === Seq(0L, 7 * DAY, 8 * DAY))
+    // serves are unaffected: day 1's value 2.0 counted ONCE (in the coarse
+    // slice), not twice
+    val a0 = w.window(0L, 7 * DAY).collect()
+      .find(_.getAs[String]("emit_key") == "a").get
+    assert(a0.getAs[Long]("cnt") === 7L)
+    // healing drops the leftover
+    assert(w.dropShadowed() === Seq(DAY))
+    assert(!Files.exists(Paths.get(root, s"s$DAY")))
+  }
+
+  private def copyTree(from: java.nio.file.Path, to: java.nio.file.Path): Unit = {
+    val stream = Files.walk(from)
+    try stream.forEach { p =>
+      val t = to.resolve(from.relativize(p))
+      if (Files.isDirectory(p)) Files.createDirectories(t)
+      else { Files.createDirectories(t.getParent); Files.copy(p, t); () }
+    } finally stream.close()
+  }
+
   test("incremental state equals a from-scratch recompute after mixed batches") {
     val store = ViewStore.temp(spark)
     val rows0 = (1 to 40).map(i =>
