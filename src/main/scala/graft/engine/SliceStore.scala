@@ -132,13 +132,40 @@ private[engine] final class SliceStore(
   def sliceStateAsOf(start: Long, version: Int): DataFrame =
     slices.readVersion(sliceName(start), version)
 
+  /**
+   * Single-scan read of many slices: ONE multi-path parquet scan with the
+   * slice identity recovered from the file path — 30 slices cost one scan
+   * node, not a 30-way union, so serve-plan size and planning time stay
+   * O(1) in slice count (pruning down to the covered slices already
+   * happened at path selection, which is strictly stronger than any
+   * in-plan filter). Paths have the shape `<root>/s<start>/v<N>/part-*`;
+   * the extraction anchors on that `/s<digits>/v<digits>/` segment.
+   */
+  def readSlices(starts: Seq[Long],
+      preFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    require(starts.nonEmpty, "readSlices over an empty slice set")
+    val paths = starts.map(s0 => slices.latestPath(sliceName(s0)))
+    val base = spark.read.parquet(paths: _*)
+    // predicates must land BEFORE the slice-identity projection:
+    // input_file_name() is non-deterministic, so Catalyst will not push a
+    // filter through it — applied here, the predicate reaches the scan
+    // (PushedFilters) and row-group pruning on the emit_key clustering
+    preFilter.map(base.filter).getOrElse(base)
+      .withColumn("slice_start",
+        regexp_extract(input_file_name(), "/s(-?\\d+)/v\\d+/", 1).cast("long"))
+  }
+
   /** Full effective state with `slice_start` and `slice_w` columns. */
-  def state: DataFrame = {
+  def state: DataFrame = stateWhere(None)
+
+  /** [[state]] with a scan-level predicate (pushed into the parquet
+    * scans — see [[readSlices]] on why it cannot ride on top). */
+  def stateWhere(pred: Option[org.apache.spark.sql.Column]): DataFrame = {
     val live = effectiveSliceWidths
     require(live.nonEmpty, s"windowed view at $rootDir has no live slices")
-    live.map { case (s0, w0) =>
-      sliceState(s0).withColumn("slice_start", lit(s0)).withColumn("slice_w", lit(w0))
-    }.reduce(_.unionByName(_))
+    val widths = map(live.flatMap { case (s0, w0) => Seq(lit(s0), lit(w0)) }: _*)
+    readSlices(live.map(_._1), pred)
+      .withColumn("slice_w", element_at(widths, col("slice_start")))
   }
 
   /** The slices covered by the ALIGNED window `[start, end)`, with the
@@ -166,11 +193,11 @@ private[engine] final class SliceStore(
     (covered.map(_._1), live.head._1)
   }
 
-  /** Union of the covered slices' states (empty-but-typed when none). */
+  /** The covered slices' states in one scan (empty-but-typed when none). */
   def windowStates(startSec: Long, endSec: Long): DataFrame = {
     val (in, schemaSrc) = slicesIn(startSec, endSec)
     if (in.isEmpty) sliceState(schemaSrc).filter(lit(false))
-    else in.map(sliceState).reduce(_.unionByName(_))
+    else readSlices(in).drop("slice_start")
   }
 
   /** Trailing `n`-fine-slice window bounds ending at the newest live
@@ -290,7 +317,8 @@ private[engine] final class SliceStore(
     * touched slice with no staged subdir was EMPTIED by the batch — its
     * directory is dropped. `updated` must carry `slice_start, emit_key`
     * plus the owner's state columns. */
-  def stageAndPublish(updated: DataFrame, touched: Seq[Long]): Unit = {
+  def stageAndPublish(updated: DataFrame, touched: Seq[Long],
+      changes: Option[DataFrame] = None): Unit = {
     Files.createDirectories(Paths.get(rootDir))
     val staging = Files.createTempDirectory(Paths.get(rootDir), "_staging-")
     try {
@@ -300,12 +328,33 @@ private[engine] final class SliceStore(
         .sortWithinPartitions("slice_start", "emit_key")
         .write.mode("overwrite").option("compression", "zstd")
         .partitionBy("slice_start").parquet(dataDir.toString)
+      // CDC sidecars staged in one more job (delta-sized, no
+      // re-clustering — a delta is replayed wholesale by its consumer)
+      val chDir = staging.resolve("c")
+      changes.foreach(_.write.mode("overwrite").option("compression", "zstd")
+        .partitionBy("slice_start").parquet(chDir.toString))
       touched.foreach { s0 =>
         val sub = dataDir.resolve(s"slice_start=$s0")
-        if (Files.exists(sub)) slices.adoptStaged(sliceName(s0), sub)
+        val chSub = chDir.resolve(s"slice_start=$s0")
+        if (Files.exists(sub))
+          slices.adoptStaged(sliceName(s0), sub,
+            Some(chSub).filter(Files.exists(_)))
         else slices.dropView(sliceName(s0))
       }
     } finally slices.deleteTree(staging)
+  }
+
+  /** One slice's CDC feed over versions `(fromV, toV]`, each version's
+    * sidecar stamped with its `change_version` at read time (per-slice
+    * versions differ, so the stamp cannot ride the one staged write).
+    * Replay order: `change_version` ascending, deletes before inserts
+    * within one version — the store-wide CDC contract. Builds and
+    * coarsens write no sidecar; only refresh versions are replayable. */
+  def sliceChanges(start: Long, fromV: Int, toV: Int): DataFrame = {
+    require(fromV < toV, s"change feed range must be non-empty: ($fromV, $toV]")
+    ((fromV + 1) to toV).map { v =>
+      slices.readChangesRaw(sliceName(start), v).withColumn("change_version", lit(v))
+    }.reduce(_.unionByName(_))
   }
 
   /** Stored-grid alignment check for reopen paths: slice widths are

@@ -65,6 +65,16 @@ final class ViewStore(
   private def changesPath(name: String, version: Int): Path =
     dir(name).resolve("_changes").resolve(s"v$version")
 
+  /** Raw sidecar read for one version — callers that stamp the version
+    * themselves ([[SliceStore.sliceChanges]]); [[changesBetween]] remains
+    * the stamped-at-write surface. */
+  private[engine] def readChangesRaw(name: String, version: Int): DataFrame = {
+    val p = changesPath(name, version)
+    require(Files.exists(p),
+      s"change sidecar v$version for view '$name' missing or past the GC horizon")
+    spark.read.parquet(p.toString)
+  }
+
   /**
    * Change feed over `(fromVersion, toVersion]`: the per-refresh CDC
    * deltas, concatenated — a replay log. Each refresh persisted its delta
@@ -211,12 +221,22 @@ final class ViewStore(
    * jobs. `staged` must live on the same filesystem as the store (the
    * caller stages under `baseDir`); it is consumed (moved) on success.
    */
-  def adoptStaged(name: String, staged: Path): Unit = {
+  def adoptStaged(name: String, staged: Path,
+      stagedChanges: Option[Path] = None): Unit = {
     val next = latestVersion(name).getOrElse(-1) + 1
     claimVersion(name, next)
     var published = false
     try {
       Files.move(staged, dir(name).resolve(s"v$next"))
+      // CDC sidecar adopted BEFORE the pointer swap (the writeClustered
+      // ordering): a version is never visible without its delta. Staged
+      // sidecar rows carry no change_version column — per-slice versions
+      // differ, so the version is stamped at READ time from the path
+      // ([[SliceStore.sliceChanges]]).
+      stagedChanges.foreach { c =>
+        Files.createDirectories(changesPath(name, next).getParent)
+        Files.move(c, changesPath(name, next))
+      }
       val tmp = dir(name).resolve(s"_LATEST.tmp$next")
       Files.writeString(tmp, next.toString)
       Files.move(tmp, latestFile(name),

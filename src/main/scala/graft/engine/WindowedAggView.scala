@@ -69,7 +69,7 @@ final class WindowedAggView private[engine] (
     * union into every slice scan, where the `(slice_start, emit_key)`
     * clustering makes it a file/row-group-pruned point read per slice. */
   def history(groupKey: String): DataFrame =
-    state.filter(col("emit_key") === groupKey)
+    store.stateWhere(Some(col("emit_key") === groupKey))
 
   /** A slice's current version (refreshes are per-slice versioned swaps). */
   def sliceVersion(start: Long): Int = store.sliceVersion(start)
@@ -78,6 +78,13 @@ final class WindowedAggView private[engine] (
     * pre-refresh reads of touched slices until grace GC passes them. */
   def sliceStateAsOf(start: Long, version: Int): DataFrame =
     store.sliceStateAsOf(start, version)
+
+  /** One slice's aggregate CDC feed over `(fromV, toV]` — which groups'
+    * aggregates changed, old row as delete and new row as insert
+    * ([[SliceStore.sliceChanges]]): the cache-invalidation /
+    * downstream-notification surface. */
+  def sliceChanges(start: Long, fromV: Int, toV: Int): DataFrame =
+    store.sliceChanges(start, fromV, toV)
 
   /** Group-wise aggregate over the slice-ALIGNED window `[start, end)`
     * (epoch seconds). Merges the covered slices' partials — no event
@@ -119,14 +126,15 @@ final class WindowedAggView private[engine] (
   def coarsen(boundarySec: Long, toWidth: Long): Seq[Long] = {
     val groups = store.coarsenGroups(boundarySec, toWidth)
     if (groups.isEmpty) return Seq.empty
-    val merged = groups.map { case (cs, members) =>
-      members.map(sliceState).reduce(_.unionByName(_))
-        .groupBy("emit_key")
-        .agg(sum("cnt").as("cnt"),
-          sum("sum_value").cast(WindowedAggView.SumType).as("sum_value"),
-          min("min_value").as("min_value"), max("max_value").as("max_value"))
-        .withColumn("slice_start", lit(cs))
-    }.reduce(_.unionByName(_))
+    // every member in ONE scan, bucketed to its coarse start in-plan
+    val toCoarse = map(groups.flatMap { case (cs, ms) =>
+      ms.flatMap(m => Seq(lit(m), lit(cs))) }: _*)
+    val merged = store.readSlices(groups.flatMap(_._2))
+      .withColumn("slice_start", element_at(toCoarse, col("slice_start")))
+      .groupBy("slice_start", "emit_key")
+      .agg(sum("cnt").as("cnt"),
+        sum("sum_value").cast(WindowedAggView.SumType).as("sum_value"),
+        min("min_value").as("min_value"), max("max_value").as("max_value"))
     store.publishCoarsened(merged, groups, toWidth, boundarySec)
     groups.map(_._1)
   }
@@ -167,15 +175,16 @@ final class WindowedAggView private[engine] (
       if (touched.isEmpty) return (post, this)
       store.requireRefreshable(touched)
       val live = liveSlices.toSet
-      // current state of the touched slices (a brand-new slice has none)
-      val oldStates = touched.filter(live)
-        .map(s0 => sliceState(s0).withColumn("slice_start", lit(s0)))
-        .reduceOption(_.unionByName(_))
-        .getOrElse(delta.select(col("slice_start"), col("emit_key"),
+      // current state of the touched slices, one scan (a brand-new slice
+      // has none)
+      val touchedLive = touched.filter(live)
+      val oldStates =
+        if (touchedLive.nonEmpty) store.readSlices(touchedLive)
+        else delta.select(col("slice_start"), col("emit_key"),
           lit(0L).as("cnt"),
           lit(null).cast(WindowedAggView.SumType).as("sum_value"),
           lit(null).cast("double").as("min_value"),
-          lit(null).cast("double").as("max_value")).filter(lit(false)))
+          lit(null).cast("double").as("max_value")).filter(lit(false))
       // min/max are not retractable: recompute from the refreshed base,
       // but ONLY for touched (slice, group) pairs — one semi-joined scan
       val touchedPairs = delta.select("slice_start", "emit_key")
@@ -198,7 +207,18 @@ final class WindowedAggView private[engine] (
         .select(col("slice_start"), col("emit_key"), col("cnt"), col("sum_value"),
           when(col("_touched"), col("mm_min")).otherwise(col("min_value")).as("min_value"),
           when(col("_touched"), col("mm_max")).otherwise(col("max_value")).as("max_value"))
-      store.stageAndPublish(updated, touched)
+      // CDC sidecar per touched slice: delete of each touched group's old
+      // aggregate row, insert of its new one (groups whose count reached
+      // zero appear as deletes only) — the AggView state-delta contract,
+      // here slice-partitioned and version-stamped at read
+      // ([[sliceChanges]])
+      val cdc = oldStates
+        .join(broadcast(touchedPairs), Seq("slice_start", "emit_key"), "left_semi")
+        .withColumn("change_type", lit("delete"))
+        .unionByName(updated
+          .join(broadcast(touchedPairs), Seq("slice_start", "emit_key"), "left_semi")
+          .withColumn("change_type", lit("insert")))
+      store.stageAndPublish(updated, touched, Some(cdc))
       (post, this)
     } finally delta.unpersist()
   }

@@ -90,12 +90,12 @@ final class WindowedFeedRollup private[engine] (
       store.requireRefreshable(touched)
       val live = liveSlices.toSet
       val zero = lit(0).cast(WindowedAggView.SumType)
-      val oldStates = touched.filter(live)
-        .map(s0 => store.sliceState(s0).withColumn("slice_start", lit(s0)))
-        .reduceOption(_.unionByName(_))
-        .getOrElse(delta.select(col("slice_start"), col("emit_key"),
+      val touchedLive = touched.filter(live)
+      val oldStates =
+        if (touchedLive.nonEmpty) store.readSlices(touchedLive)
+        else delta.select(col("slice_start"), col("emit_key"),
           lit(0L).as("cnt"), lit(0L).as("vcnt"), zero.as("sum_value"))
-          .filter(lit(false)))
+          .filter(lit(false))
       val updated = oldStates
         .join(delta, Seq("slice_start", "emit_key"), "full_outer")
         .select(col("slice_start"), col("emit_key"),

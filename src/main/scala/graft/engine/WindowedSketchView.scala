@@ -64,12 +64,13 @@ sealed abstract class WindowedMergeableView private[engine] (
   def coarsen(boundarySec: Long, toWidth: Long): Seq[Long] = {
     val groups = store.coarsenGroups(boundarySec, toWidth)
     if (groups.isEmpty) return Seq.empty
-    val merged = groups.map { case (cs, members) =>
-      members.map(sliceState).reduce(_.unionByName(_))
-        .groupBy("emit_key")
-        .agg(expr(s"$mergeAggSql(sketch)").as("sketch"))
-        .withColumn("slice_start", lit(cs))
-    }.reduce(_.unionByName(_))
+    // every member in ONE scan, bucketed to its coarse start in-plan
+    val toCoarse = map(groups.flatMap { case (cs, ms) =>
+      ms.flatMap(m => Seq(lit(m), lit(cs))) }: _*)
+    val merged = store.readSlices(groups.flatMap(_._2))
+      .withColumn("slice_start", element_at(toCoarse, col("slice_start")))
+      .groupBy("slice_start", "emit_key")
+      .agg(expr(s"$mergeAggSql(sketch)").as("sketch"))
     store.publishCoarsened(merged, groups, toWidth, boundarySec)
     groups.map(_._1)
   }
@@ -120,11 +121,12 @@ sealed abstract class WindowedMergeableView private[engine] (
       if (touched.isEmpty) return (post, this)
       store.requireRefreshable(touched)
       val live = liveSlices.toSet
-      val oldStates = touched.filter(live)
-        .map(s0 => sliceState(s0).withColumn("slice_start", lit(s0)))
-        .reduceOption(_.unionByName(_))
-        .getOrElse(newSk.filter(lit(false))
-          .select(col("slice_start"), col("emit_key"), col("sketch")))
+      val touchedLive = touched.filter(live)
+      val oldStates =
+        if (touchedLive.nonEmpty) store.readSlices(touchedLive)
+          .select(col("slice_start"), col("emit_key"), col("sketch"))
+        else newSk.filter(lit(false))
+          .select(col("slice_start"), col("emit_key"), col("sketch"))
       // rebuild path: dirty pairs re-summarized from the refreshed base
       val rebuilt = slicedOf(postDf)
         .join(broadcast(dirty), Seq("slice_start", "emit_key"), "left_semi")

@@ -3463,6 +3463,25 @@ object MapIndexQueries {
     "mapindex_windowed_orders" -> ((s, dir) =>
       windowedServeW(ordersWindowedView(s, dir))),
 
+    // the windowed state's own CDC: the oldest slice's aggregate-level
+    // feed across its refresh (old row as delete, new row as insert,
+    // version-stamped at read), netted — must equal the from-scratch
+    // diff of the ORIGINAL day's aggregates vs the MODIFIED day's
+    "mapindex_windowed_changefeed" -> ((s, dir) => {
+      val w = eventsWindowedView(s, dir, "main")
+      val s0 = w.liveSlices.min
+      val feed = w.sliceChanges(s0, 0, w.sliceVersion(s0))
+        .select(col("emit_key"), col("cnt"),
+          round(col("sum_value").cast("double"), 2).as("sum_value"),
+          round(col("min_value"), 2).as("min_value"),
+          round(col("max_value"), 2).as("max_value"), col("change_type"))
+      val dels = feed.filter(col("change_type") === "delete").drop("change_type")
+      val ins = feed.filter(col("change_type") === "insert").drop("change_type")
+      dels.exceptAll(ins).withColumn("change_type", lit("delete"))
+        .unionByName(ins.exceptAll(dels).withColumn("change_type", lit("insert")))
+        .orderBy("change_type", "emit_key")
+    }),
+
     // WINDOWED × JOIN-IVM: quarterly revenue per customer segment folded
     // purely from the maintained join's CDC (build snapshot + two-sided
     // batch feed; the rollup never re-reads the join) — the oracle joins
@@ -5310,6 +5329,33 @@ object MapIndexQueries {
         |       round(min(value), 2) AS min_value, round(max(value), 2) AS max_value
         |FROM o, m WHERE o.sl = m.s0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // windowed changefeed: symmetric diff of the oldest day's original
+    // vs modified per-type aggregates
+    "mapindex_windowed_changefeed" ->
+      """WITH em AS (
+        |  SELECT CASE WHEN event_id % 37 = 0 THEN ts + INTERVAL 1 HOUR
+        |              ELSE ts END AS ts,
+        |         CASE WHEN event_id % 37 = 0 THEN value + 1000
+        |              ELSE value END AS value,
+        |         event_type
+        |  FROM events WHERE event_id % 41 <> 0),
+        |m AS (SELECT min(CAST(floor(epoch(ts)/86400) AS BIGINT)*86400) AS s0 FROM em),
+        |orig AS (
+        |  SELECT event_type AS emit_key, count(*) AS cnt,
+        |         round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_value,
+        |         round(min(value), 2) AS min_value, round(max(value), 2) AS max_value
+        |  FROM events, m
+        |  WHERE CAST(floor(epoch(ts)/86400) AS BIGINT)*86400 = s0 GROUP BY 1),
+        |modd AS (
+        |  SELECT event_type AS emit_key, count(*) AS cnt,
+        |         round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_value,
+        |         round(min(value), 2) AS min_value, round(max(value), 2) AS max_value
+        |  FROM em, m
+        |  WHERE CAST(floor(epoch(ts)/86400) AS BIGINT)*86400 = s0 GROUP BY 1)
+        |SELECT *, 'delete' AS change_type FROM (SELECT * FROM orig EXCEPT SELECT * FROM modd)
+        |UNION ALL
+        |SELECT *, 'insert' AS change_type FROM (SELECT * FROM modd EXCEPT SELECT * FROM orig)
+        |ORDER BY change_type, emit_key""".stripMargin,
     // windowed-over-join: from-scratch join of both modified tables,
     // grouped per 90-day slice and segment
     "mapindex_windowed_joinfeed" ->
