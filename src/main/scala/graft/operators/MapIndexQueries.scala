@@ -2536,12 +2536,13 @@ object MapIndexQueries {
     * the shared batch (%37 migrations = rebuild of the dirty pairs, the
     * rest of the batch folds O(delta)); a trailing-window quantile is a
     * sketch MERGE across slices — the corpus is never re-read. */
-  private def eventsWindowedSketchView(s: SparkSession, dir: String): graft.engine.WindowedSketchView =
-    windowedSketchViews.getOrElseUpdate(dir, {
+  private def eventsWindowedSketchView(s: SparkSession, dir: String,
+      flavor: String = "main"): graft.engine.WindowedSketchView =
+    windowedSketchViews.getOrElseUpdate(s"$dir#$flavor", {
       val store = Views.store(s, dir)
-      val name = "events_windowed_sk"
+      val name = if (flavor == "main") "events_windowed_sk" else s"events_windowed_sk_$flavor"
       val root = java.nio.file.Paths.get(store.baseDir, name).toString
-      val idx = MapIndex.columns("events_win_base_sk")(
+      val idx = MapIndex.columns(s"events_win_base_${if (flavor == "main") "sk" else s"sk_$flavor"}")(
         col("event_id").cast("string"),
         array(emit(col("event_type"),
           struct(col("ts").as("ts"), col("value").as("v")))))
@@ -2549,8 +2550,22 @@ object MapIndexQueries {
         graft.engine.WindowedSketchView.attach(s, root, 86400L)
       else {
         val ev = Tables.events(s, dir)
+        // the streamed flavor builds from the first micro-batch and folds
+        // the rest through refreshes — pure insert-only sketch MERGES
+        // (the O(delta) path), before the shared batch drives rebuilds
+        val w =
+          if (flavor == "st") {
+            def b(r: Int) = ev.filter(col("event_id") % 3 === r)
+            val base = Views.materialized(s, dir, idx)(b(0))
+            val w0 = graft.engine.WindowedSketchView.build(base, root, 86400L)
+            w0.refresh(base, b(1), None)
+            w0.refresh(base, b(2), None)
+            w0
+          } else {
+            val base = Views.materialized(s, dir, idx)(ev)
+            graft.engine.WindowedSketchView.build(base, root, 86400L)
+          }
         val base = Views.materialized(s, dir, idx)(ev)
-        val w = graft.engine.WindowedSketchView.build(base, root, 86400L)
         val ups = ev.filter(col("event_id") % 37 === 0 && col("event_id") % 41 =!= 0)
           .withColumn("ts", col("ts") + expr("INTERVAL 1 HOUR"))
           .withColumn("value", col("value") + 1000)
@@ -3556,6 +3571,26 @@ object MapIndexQueries {
         .orderBy("emit_key")
     }),
 
+    // the sketch state built through pure insert-only micro-batch MERGES
+    // (the O(delta) fold path) before the shared batch drives rebuilds —
+    // the streamed twin, same oracle as the batch-built trailing gate
+    "mapindex_windowed_sketch_streamed" -> ((s, dir) => {
+      val est = eventsWindowedSketchView(s, dir, "st")
+        .trailingQuantiles(7, Seq("est50" -> 0.5, "est95" -> 0.95))
+        .withColumnRenamed("emit_key", "flag")
+      val e = Tables.events(s, dir)
+        .filter(col("event_id") % 41 =!= 0)
+        .select(col("event_type").as("flag"),
+          when(col("event_id") % 37 === 0, col("ts") + expr("INTERVAL 1 HOUR"))
+            .otherwise(col("ts")).as("ts"),
+          when(col("event_id") % 37 === 0, col("value") + 1000)
+            .otherwise(col("value")).as("v"))
+        .withColumn("sl", (floor(unix_seconds(col("ts")) / 86400).cast("long")) * 86400)
+      val mx = e.agg(max("sl")).head.getLong(0)
+      sketchQuantileGateFrom(est,
+        e.filter(col("sl") >= mx - 6 * 86400L).select("flag", "v"))
+    }),
+
     // the sketch view's WHOLE history decoded across BOTH tiers — three
     // coarsened week slices merged with the daily tail in one serve
     // (mergeability across mixed widths); anchors = the full modified
@@ -4170,6 +4205,34 @@ object MapIndexQueries {
       |       round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_value,
       |       round(min(value), 2) AS min_value, round(max(value), 2) AS max_value
       |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  private val windowedSketchOracle: String =
+    """WITH e AS (
+        |  SELECT event_type AS flag,
+        |         CASE WHEN event_id % 37 = 0 THEN ts + INTERVAL 1 HOUR
+        |              ELSE ts END AS ts,
+        |         CASE WHEN event_id % 37 = 0 THEN value + 1000
+        |              ELSE value END AS v
+        |  FROM events WHERE event_id % 41 <> 0),
+        |sl AS (SELECT flag, v,
+        |              CAST(floor(epoch(ts)/86400) AS BIGINT)*86400 AS sl FROM e),
+        |m AS (SELECT max(sl) AS mx FROM sl),
+        |src AS (SELECT flag, v FROM sl, m WHERE sl >= mx - 6*86400),
+        |vcounts AS (
+        |  SELECT flag, v, count(*) AS cnt FROM src GROUP BY flag, v),
+        |vcum AS (
+        |  SELECT flag, v,
+        |         CAST(sum(cnt) OVER (PARTITION BY flag ORDER BY v) AS BIGINT) AS cum,
+        |         CAST(sum(cnt) OVER (PARTITION BY flag) AS BIGINT) AS n2
+        |  FROM vcounts),
+        |exact AS (
+        |  SELECT flag, max(n2) AS n,
+        |         min(CASE WHEN cum >= ceil(n2 / 2.0) THEN v END) AS x50,
+        |         min(CASE WHEN cum >= ceil(n2 * 19 / 20.0) THEN v END) AS x95
+        |  FROM vcum GROUP BY flag)
+        |SELECT flag, n, round(x50, 2) AS exact_p50, round(x95, 2) AS exact_p95,
+        |       true AS p50_within_rank, true AS p95_within_rank
+        |FROM exact ORDER BY flag""".stripMargin
 
   val oracle: Map[String, String] = Map(
     // the from-scratch join of both MODIFIED base tables
@@ -5494,34 +5557,10 @@ object MapIndexQueries {
         |       true AS p50_within_rank, true AS p95_within_rank
         |FROM exact ORDER BY flag""".stripMargin,
     // windowed sketch: exact anchors over the trailing-7-day window of
-    // the modified events, per type; rank-bound booleans literal true
-    "mapindex_windowed_sketch" ->
-      """WITH e AS (
-        |  SELECT event_type AS flag,
-        |         CASE WHEN event_id % 37 = 0 THEN ts + INTERVAL 1 HOUR
-        |              ELSE ts END AS ts,
-        |         CASE WHEN event_id % 37 = 0 THEN value + 1000
-        |              ELSE value END AS v
-        |  FROM events WHERE event_id % 41 <> 0),
-        |sl AS (SELECT flag, v,
-        |              CAST(floor(epoch(ts)/86400) AS BIGINT)*86400 AS sl FROM e),
-        |m AS (SELECT max(sl) AS mx FROM sl),
-        |src AS (SELECT flag, v FROM sl, m WHERE sl >= mx - 6*86400),
-        |vcounts AS (
-        |  SELECT flag, v, count(*) AS cnt FROM src GROUP BY flag, v),
-        |vcum AS (
-        |  SELECT flag, v,
-        |         CAST(sum(cnt) OVER (PARTITION BY flag ORDER BY v) AS BIGINT) AS cum,
-        |         CAST(sum(cnt) OVER (PARTITION BY flag) AS BIGINT) AS n2
-        |  FROM vcounts),
-        |exact AS (
-        |  SELECT flag, max(n2) AS n,
-        |         min(CASE WHEN cum >= ceil(n2 / 2.0) THEN v END) AS x50,
-        |         min(CASE WHEN cum >= ceil(n2 * 19 / 20.0) THEN v END) AS x95
-        |  FROM vcum GROUP BY flag)
-        |SELECT flag, n, round(x50, 2) AS exact_p50, round(x95, 2) AS exact_p95,
-        |       true AS p50_within_rank, true AS p95_within_rank
-        |FROM exact ORDER BY flag""".stripMargin,
+    // the modified events, per type; rank-bound booleans literal true —
+    // shared by the batch-built and streamed twins
+    "mapindex_windowed_sketch" -> windowedSketchOracle,
+    "mapindex_windowed_sketch_streamed" -> windowedSketchOracle,
     "mapindex_group" ->
       """SELECT l_returnflag AS emit_key, round(sum(l_extendedprice), 2) AS sum_value,
         |       count(*) AS cnt

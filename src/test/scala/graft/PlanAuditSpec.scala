@@ -680,11 +680,15 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("windowed serves read slice state only: no events scan, no join, no window fn") {
-    // full-state serve = union of slice parquet reads
+    // full-state serve = ONE multi-path scan over every live slice (the
+    // 30-way per-slice union would cost 1-2 s of planning per serve —
+    // plan size must stay O(1) in slice count)
     val pw = finalPlan("mapindex_windowed_agg")
     assert(!pw.contains("events.parquet"),
       s"windowed state serving must union slice relations, not re-scan events:\n$pw")
     assert(!pw.contains("Join"), s"windowed state serving must be join-free:\n$pw")
+    assert(pw.split("FileScan parquet").length - 1 == 1,
+      s"the slice serve must be ONE multi-path scan, not per-slice scans:\n$pw")
     // trailing-window serve = slice partials merged group-wise; the
     // events table never appears and neither does a window function
     // (the 'window' is slice selection, not a Window operator)
