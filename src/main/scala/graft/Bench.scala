@@ -81,6 +81,8 @@ object Bench {
           // evict) another query's leftover cache — r2's bench charged
           // ~25 s of one query's persisted garbage to its neighbors
           spark.catalog.clearCache()
+          // label jobs so the UI/event log maps stages to queries (guide §1.5)
+          spark.sparkContext.setJobDescription(s"bench: $name")
           val t0 = System.nanoTime()
           val err = try { fn(spark, sfDir).count(); None }
                     catch { case e: Throwable => Some(e) }

@@ -141,11 +141,21 @@ private[engine] final class SliceStore(
    * in-plan filter). Paths have the shape `<root>/s<start>/v<N>/part-*`;
    * the extraction anchors on that `/s<digits>/v<digits>/` segment.
    */
+  /** Analyzed-plan memo keyed by the resolved VERSION paths: a serve of
+    * k slices pays k directory listings + a footer schema read on every
+    * `spark.read.parquet` call, and the layout only changes when a
+    * refresh/evict/coarsen swaps a version directory — which changes the
+    * key, so a stale plan is never reused. Version dirs are write-once
+    * (rename-published), so the captured file listing cannot go stale
+    * under its key. Plans only — every action still scans the parquet. */
+  private val readMemo =
+    scala.collection.concurrent.TrieMap.empty[Seq[String], DataFrame]
+
   def readSlices(starts: Seq[Long],
       preFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     require(starts.nonEmpty, "readSlices over an empty slice set")
     val paths = starts.map(s0 => slices.latestPath(sliceName(s0)))
-    val base = spark.read.parquet(paths: _*)
+    val base = readMemo.getOrElseUpdate(paths, spark.read.parquet(paths: _*))
     // predicates must land BEFORE the slice-identity projection:
     // input_file_name() is non-deterministic, so Catalyst will not push a
     // filter through it — applied here, the predicate reaches the scan

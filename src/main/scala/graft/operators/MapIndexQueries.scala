@@ -1889,10 +1889,14 @@ object MapIndexQueries {
     val exact = cum.groupBy("flag")
       .agg(min(when(col("cum") >= ceil(col("n2") / 2), col("v"))).as("x50"),
         min(when(col("cum") >= ceil(col("n2") * 19 / 20), col("v"))).as("x95"))
-    val ranks = src.join(est, Seq("flag"))
+    // true ranks of the estimates from the per-value COUNTS relation the
+    // anchors already built — Σ cnt·[v ≤ t] ≡ Σ_rows [v ≤ t] — instead of
+    // re-scanning and re-shuffling the corpus a second time (guide §2.3:
+    // aggregate once, reuse the aggregated relation)
+    val ranks = counts.join(est, Seq("flag"))
       .groupBy("flag")
-      .agg(sum(when(col("v") <= col("est50"), 1L).otherwise(0L)).as("r50"),
-        sum(when(col("v") <= col("est95"), 1L).otherwise(0L)).as("r95"))
+      .agg(sum(when(col("v") <= col("est50"), col("cnt")).otherwise(0L)).as("r50"),
+        sum(when(col("v") <= col("est95"), col("cnt")).otherwise(0L)).as("r95"))
     est.join(exact, Seq("flag")).join(ranks, Seq("flag"))
       .select(col("flag"), col("n"),
         round(col("x50"), 2).as("exact_p50"),
@@ -2465,6 +2469,22 @@ object MapIndexQueries {
     streamView(s, dir)
     bucketedStreamView(s, dir)
     cascadeCdcView(s, dir)
+    // the windowed families were the one view family missing from
+    // prewarm: their (expensive) builds ran inside the first timed bench
+    // pass — min-of-passes hid them from the recorded number, but the
+    // stated methodology (view build is LOAD cost, query timings measure
+    // the read path) and the per-pass timings both want them here
+    eventsWindowedView(s, dir, "main")
+    eventsWindowedView(s, dir, "ev")
+    eventsWindowedView(s, dir, "st")
+    eventsWindowedView(s, dir, "co")
+    eventsWindowedSketchView(s, dir)
+    eventsWindowedSketchView(s, dir, "st")
+    eventsWindowedDistinctView(s, dir, 1024)
+    eventsWindowedDistinctView(s, dir, 32)
+    eventsWindowedTopFreqView(s, dir)
+    ordersWindowedView(s, dir)
+    ordersSegmentWindowedRollup(s, dir)
   }
 
   // ---- time-sliced windowed aggregates with watermark eviction ----
@@ -3430,8 +3450,8 @@ object MapIndexQueries {
     // estimates themselves stay out of the hash (merge order may legally
     // move them within the bound, as in the other sketch gates)
     "mapindex_windowed_sketch" -> ((s, dir) => {
-      val est = eventsWindowedSketchView(s, dir)
-        .trailingQuantiles(7, Seq("est50" -> 0.5, "est95" -> 0.95))
+      val v = eventsWindowedSketchView(s, dir)
+      val est = v.trailingQuantiles(7, Seq("est50" -> 0.5, "est95" -> 0.95))
         .withColumnRenamed("emit_key", "flag")
       val e = Tables.events(s, dir)
         .filter(col("event_id") % 41 =!= 0)
@@ -3441,7 +3461,11 @@ object MapIndexQueries {
           when(col("event_id") % 37 === 0, col("value") + 1000)
             .otherwise(col("value")).as("v"))
         .withColumn("sl", (floor(unix_seconds(col("ts")) / 86400).cast("long")) * 86400)
-      val mx = e.agg(max("sl")).head.getLong(0)
+      // newest event day from the slice LAYOUT, not an events-wide max()
+      // scan: a slice is live iff an event of the modified corpus lands
+      // in it (empty slices drop at publish), so liveSlices.max IS the
+      // max sl — same window, one less corpus scan + driver action
+      val mx = v.liveSlices.max
       sketchQuantileGateFrom(est,
         e.filter(col("sl") >= mx - 6 * 86400L).select("flag", "v"))
     }),
@@ -3525,7 +3549,8 @@ object MapIndexQueries {
     // the exact frequent set; win_n is the sketch's exact fold count,
     // hash-compared to the oracle's window total
     "mapindex_windowed_topfreq" -> ((s, dir) => {
-      val cand = eventsWindowedTopFreqView(s, dir).trailingCandidates(7)
+      val v = eventsWindowedTopFreqView(s, dir)
+      val cand = v.trailingCandidates(7)
       val e = Tables.events(s, dir)
         .filter(col("event_id") % 41 =!= 0)
         .select(col("event_type").as("emit_key"),
@@ -3534,10 +3559,14 @@ object MapIndexQueries {
           floor(when(col("event_id") % 37 === 0, col("value") + 1000)
             .otherwise(col("value")) / 50).cast("long").as("bucket"))
         .withColumn("sl", (floor(unix_seconds(col("ts")) / 86400).cast("long")) * 86400)
-      val mx = e.agg(max("sl")).head.getLong(0)
+      // newest event day from the slice layout (see mapindex_windowed_sketch)
+      val mx = v.liveSlices.max
       val win = e.filter(col("sl") >= mx - 6 * 86400L)
       val exact = win.groupBy("emit_key", "bucket").agg(count(lit(1)).as("cnt"))
-      val tot = win.groupBy("emit_key").agg(count(lit(1)).as("total"))
+      // window totals ARE the sum of the per-bucket counts — derive them
+      // from `exact` instead of a second full aggregation over the events
+      // window (one corpus-window scan + exchange instead of two)
+      val tot = exact.groupBy("emit_key").agg(sum("cnt").as("total"))
       cand.select(col("emit_key"), col("n"), col("item").cast("long").as("bucket"))
         .join(exact, Seq("emit_key", "bucket"))
         .join(tot, Seq("emit_key"))
@@ -3551,8 +3580,8 @@ object MapIndexQueries {
     // within 40% (>2 sigma of the 1/sqrt(k-2) ~ 18% KMV error); exact
     // counts and the bound boolean are what the oracle rechecks
     "mapindex_windowed_distinct_est" -> ((s, dir) => {
-      val est = eventsWindowedDistinctView(s, dir, 32)
-        .trailingDistinct(7)
+      val v = eventsWindowedDistinctView(s, dir, 32)
+      val est = v.trailingDistinct(7)
       val e = Tables.events(s, dir)
         .filter(col("event_id") % 41 =!= 0)
         .select(col("event_type").as("emit_key"),
@@ -3560,7 +3589,8 @@ object MapIndexQueries {
             .otherwise(col("ts")).as("ts"),
           col("user_id"))
         .withColumn("sl", (floor(unix_seconds(col("ts")) / 86400).cast("long")) * 86400)
-      val mx = e.agg(max("sl")).head.getLong(0)
+      // newest event day from the slice layout (see mapindex_windowed_sketch)
+      val mx = v.liveSlices.max
       val exact = e.filter(col("sl") >= mx - 6 * 86400L)
         .groupBy("emit_key")
         .agg(countDistinct("user_id").as("exact_distinct"))
@@ -3575,8 +3605,8 @@ object MapIndexQueries {
     // (the O(delta) fold path) before the shared batch drives rebuilds —
     // the streamed twin, same oracle as the batch-built trailing gate
     "mapindex_windowed_sketch_streamed" -> ((s, dir) => {
-      val est = eventsWindowedSketchView(s, dir, "st")
-        .trailingQuantiles(7, Seq("est50" -> 0.5, "est95" -> 0.95))
+      val v = eventsWindowedSketchView(s, dir, "st")
+      val est = v.trailingQuantiles(7, Seq("est50" -> 0.5, "est95" -> 0.95))
         .withColumnRenamed("emit_key", "flag")
       val e = Tables.events(s, dir)
         .filter(col("event_id") % 41 =!= 0)
@@ -3586,7 +3616,8 @@ object MapIndexQueries {
           when(col("event_id") % 37 === 0, col("value") + 1000)
             .otherwise(col("value")).as("v"))
         .withColumn("sl", (floor(unix_seconds(col("ts")) / 86400).cast("long")) * 86400)
-      val mx = e.agg(max("sl")).head.getLong(0)
+      // newest event day from the slice layout (see mapindex_windowed_sketch)
+      val mx = v.liveSlices.max
       sketchQuantileGateFrom(est,
         e.filter(col("sl") >= mx - 6 * 86400L).select("flag", "v"))
     }),

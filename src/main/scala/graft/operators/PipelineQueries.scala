@@ -1205,15 +1205,33 @@ object PipelineQueries {
     // back, and a per-doc window pass. No pairwise join anywhere: cost
     // is corpus tokens + duplicated-window volume, not doc pairs.
     "dedup_substring_spans" -> ((s, dir) => {
-      val wins = spanWindows(s, dir).withColumn("h", xxhash64(col("win")))
+      // phase 1 hashes windows WITHOUT materializing their text: the
+      // corpus-wide exchange previously carried every window's ~50-char
+      // string only so the exact phase could group on it — the string
+      // rode the shuffle as payload. Hashing the token slice directly
+      // (no array_join, no string alloc) shuffles (h, doc_id, pos) only,
+      // and the exact tier re-extracts text for the DUPLICATE-SIZED
+      // candidate set via [[verifySpanWindows]] — the same two-phase
+      // shape every hash-keyed span-store consumer already uses (guide
+      // §2.3: shuffle keys and metadata, not payloads). A hash collision
+      // can only ADD candidates; the exact `win` grouping below filters
+      // them, so the result set is identical.
+      val toks = split(lower(col("text")), " ")
+      val wins = docs(s, dir).select(col("doc_id"), toks.as("toks"))
+        .filter(size(col("toks")) >= SpanW)
+        .select(col("doc_id"), posexplode(expr(
+            s"transform(sequence(1, size(toks) - ${SpanW - 1}), p -> xxhash64(slice(toks, p, $SpanW)))"))
+            .as(Seq("p0", "h")))
+        .select(col("doc_id"), (col("p0") + 1).as("pos"), col("h"))
       val dupH = wins.groupBy("h")
         .agg(count_distinct(col("doc_id")).as("ndh"))
         .filter(col("ndh") >= 2)
       val cand = wins.join(dupH.select("h"), Seq("h"), "left_semi")
-      val dup = cand.groupBy("win")
+      val withWin = verifySpanWindows(cand, docs(s, dir))
+      val dup = withWin.groupBy("win")
         .agg(count_distinct(col("doc_id")).as("nd"))
         .filter(col("nd") >= 2)
-      val hits = cand.join(dup.select("win"), Seq("win"), "left_semi")
+      val hits = withWin.join(dup.select("win"), Seq("win"), "left_semi")
         .select("doc_id", "pos")
       mergeWindowSpans(hits)
         .groupBy("doc_id")
