@@ -515,9 +515,25 @@ object MapIndexQueries {
       aggView(s, dir) // byFlagAgg at v1 with v0 retained + the CDC sidecar
       val store = Views.store(s, dir)
       val base = store.load(byFlagAgg)
-      byFlagRelay.materialize(
-        graft.engine.MaterializedView.cascadeSourceOf(base.asOf(0)), store)
-      base.cascadeChangesInto(byFlagRelay, 0, 1)
+      // reopen-safe: the asOf(0) seed + (0,1] replay only make sense in
+      // the JVM that just built byFlagAgg (a durable reopen finds it at
+      // a later version with v0 past the GC horizon); once the relay is
+      // marked complete, a reopening process serves the stored relay
+      if (Views.unitDone(store.baseDir, byFlagRelay.name)) store.load(byFlagRelay)
+      else {
+        // version-RELATIVE seed/replay: aggView just left byFlagAgg at
+        // latest L via its deterministic materialize+refresh, so the
+        // pre-refresh snapshot is L-1 and the replayable delta (L-1, L]
+        // — identical to (0, 1] in a fresh store, and still correct in
+        // a reopened durable store where L has moved past 1
+        val l = store.latestVersion(byFlagAgg.name).getOrElse(
+          sys.error(s"${byFlagAgg.name} missing after aggView build"))
+        byFlagRelay.materialize(
+          graft.engine.MaterializedView.cascadeSourceOf(base.asOf(l - 1)), store)
+        val relay = base.cascadeChangesInto(byFlagRelay, l - 1, l)
+        Views.markUnitDone(store.baseDir, byFlagRelay.name)
+        relay
+      }
     })
 
   /** The same micro-batch sequence through the BUCKETED streaming path
@@ -1889,14 +1905,16 @@ object MapIndexQueries {
     val exact = cum.groupBy("flag")
       .agg(min(when(col("cum") >= ceil(col("n2") / 2), col("v"))).as("x50"),
         min(when(col("cum") >= ceil(col("n2") * 19 / 20), col("v"))).as("x95"))
-    // true ranks of the estimates from the per-value COUNTS relation the
-    // anchors already built — Σ cnt·[v ≤ t] ≡ Σ_rows [v ≤ t] — instead of
-    // re-scanning and re-shuffling the corpus a second time (guide §2.3:
-    // aggregate once, reuse the aggregated relation)
-    val ranks = counts.join(est, Seq("flag"))
+    // ranks stay on the RAW src pass, deliberately NOT on the `counts`
+    // relation the anchors aggregate: v is near-unique in the lineitem
+    // gates, so counts ≈ src rows and routing ranks through it would
+    // trade this broadcast-join + map-side partial agg (no shuffle of
+    // src) for a (flag, v) shuffle of the same row count — measured
+    // 0.5→1.3 s on mapindex_percentile_sketch when tried this round
+    val ranks = src.join(est, Seq("flag"))
       .groupBy("flag")
-      .agg(sum(when(col("v") <= col("est50"), col("cnt")).otherwise(0L)).as("r50"),
-        sum(when(col("v") <= col("est95"), col("cnt")).otherwise(0L)).as("r95"))
+      .agg(sum(when(col("v") <= col("est50"), 1L).otherwise(0L)).as("r50"),
+        sum(when(col("v") <= col("est95"), 1L).otherwise(0L)).as("r95"))
     est.join(exact, Seq("flag")).join(ranks, Seq("flag"))
       .select(col("flag"), col("n"),
         round(col("x50"), 2).as("exact_p50"),
