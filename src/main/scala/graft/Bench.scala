@@ -30,6 +30,19 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // A/B knobs (guide §2.2 / engine warmth), env-parameterised so the
+      // driver's bare run gets the measured default:
+      // parallelismFirst=false coalesces post-shuffle partitions to the
+      // advisory SIZE (scale-adaptive at any corpus size) instead of
+      // one-per-core slivers
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        sys.env.getOrElse("SPARK_GRAFT_PARALLELISM_FIRST", "true"))
+      // static conf: the generated-code cache (default 100 entries)
+      // thrashes across this surface's ~800 codegen units per pass, so
+      // the second bench pass re-compiles every plan — compiled-code
+      // reuse, not result caching
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "100"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -224,6 +224,33 @@ object MaterializedView {
       .drop("_first", "_last")
   }
 
+  /** Net a gross changefeed slice's opposite-direction duplicates in ONE
+    * pass. Multiset-equivalent to the exceptAll-pair spelling
+    * (`dels.exceptAll(ins) ∪ ins.exceptAll(dels)` over the feed minus its
+    * `change_type` column): Spark plans EACH exceptAll as union(+1/−1) →
+    * aggregate → ReplicateRows, so the pair evaluates the feed subtree
+    * FOUR times (a feed typically reads CDC sidecars and projects/rounds
+    * per scan) through TWO aggregation exchanges. The signed count per
+    * distinct row — +1 per delete, −1 per insert — yields the same
+    * multisets (a row survives as `delete` with multiplicity max(d−i, 0),
+    * as `insert` with max(i−d, 0), never both) from ONE scan and ONE
+    * exchange, re-expanded by sequence+explode. NULL grouping matches
+    * set-op semantics: groupBy and exceptAll both treat NULLs as equal.
+    * `feed` must carry a `change_type` column of 'delete'/'insert';
+    * output column order (value columns, then `change_type`) matches the
+    * exceptAll-pair spelling exactly. */
+  def nettedFeed(feed: DataFrame): DataFrame = {
+    val valueCols = feed.columns.filterNot(_ == "change_type").toSeq
+    feed.groupBy(valueCols.map(col): _*)
+      .agg(sum(when(col("change_type") === "delete", lit(1L)).otherwise(lit(-1L)))
+        .as("_net"))
+      .filter(col("_net") =!= 0)
+      .withColumn("change_type",
+        when(col("_net") > 0, lit("delete")).otherwise(lit("insert")))
+      .withColumn("_rep", explode(sequence(lit(1L), abs(col("_net")))))
+      .drop("_net", "_rep")
+  }
+
   /** Resolve a gross CDC delta (`change_type`/`change_version`-tagged
     * emission rows from either store's `changesBetween`) into the inputs
     * of ONE downstream refresh: `(changedSource, touchedKeys)`. A key's

@@ -2786,6 +2786,9 @@ object MapIndexQueries {
       round(col("max_value"), 2).as("max_value"))
       .orderBy("slice_start", "emit_key")
 
+  private def nettedFeed(feed: DataFrame): DataFrame =
+    graft.engine.MaterializedView.nettedFeed(feed)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // the maintained orders⋈customer join view after a change batch to
     // EACH side ([[ordersCustomerView]] — delta-join IVM): serving is a
@@ -2809,10 +2812,7 @@ object MapIndexQueries {
           round(col("emit_value.o_totalprice"), 2).as("o_totalprice"),
           round(col("emit_value.c_acctbal"), 2).as("c_acctbal"),
           col("change_type"))
-      val dels = feed.filter(col("change_type") === "delete").drop("change_type")
-      val ins = feed.filter(col("change_type") === "insert").drop("change_type")
-      dels.exceptAll(ins).withColumn("change_type", lit("delete"))
-        .unionByName(ins.exceptAll(dels).withColumn("change_type", lit("insert")))
+      nettedFeed(feed)
         .orderBy("change_type", "o_orderkey")
     }),
 
@@ -3158,10 +3158,7 @@ object MapIndexQueries {
           col("emit_value.b_id").as("b_id"),
           round(col("emit_value.b_value"), 2).as("b_value"),
           col("change_type"))
-      val dels = feed.filter(col("change_type") === "delete").drop("change_type")
-      val ins = feed.filter(col("change_type") === "insert").drop("change_type")
-      dels.exceptAll(ins).withColumn("change_type", lit("delete"))
-        .unionByName(ins.exceptAll(dels).withColumn("change_type", lit("insert")))
+      nettedFeed(feed)
         .orderBy("change_type", "a_id")
     }),
 
@@ -3532,10 +3529,7 @@ object MapIndexQueries {
           round(col("sum_value").cast("double"), 2).as("sum_value"),
           round(col("min_value"), 2).as("min_value"),
           round(col("max_value"), 2).as("max_value"), col("change_type"))
-      val dels = feed.filter(col("change_type") === "delete").drop("change_type")
-      val ins = feed.filter(col("change_type") === "insert").drop("change_type")
-      dels.exceptAll(ins).withColumn("change_type", lit("delete"))
-        .unionByName(ins.exceptAll(dels).withColumn("change_type", lit("insert")))
+      nettedFeed(feed)
         .orderBy("change_type", "emit_key")
     }),
 

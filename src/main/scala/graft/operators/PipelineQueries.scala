@@ -1575,10 +1575,7 @@ object PipelineQueries {
       val g = incPairGraph(s, dir)
       val feed = g.pairsChanges(g.pairsVersion - 1, g.pairsVersion)
         .select(col("i"), col("j"), col("jaccard"), col("change_type"))
-      val dels = feed.filter(col("change_type") === "delete").drop("change_type")
-      val ins = feed.filter(col("change_type") === "insert").drop("change_type")
-      dels.exceptAll(ins).withColumn("change_type", lit("delete"))
-        .unionByName(ins.exceptAll(dels).withColumn("change_type", lit("insert")))
+      graft.engine.MaterializedView.nettedFeed(feed)
         .orderBy("change_type", "i", "j")
     }),
 
@@ -1598,10 +1595,7 @@ object PipelineQueries {
       val g = compactedPairGraph(s, dir)
       val feed = g.pairsChanges(0, g.pairsVersion)
         .select(col("i"), col("j"), col("jaccard"), col("change_type"))
-      val dels = feed.filter(col("change_type") === "delete").drop("change_type")
-      val ins = feed.filter(col("change_type") === "insert").drop("change_type")
-      dels.exceptAll(ins).withColumn("change_type", lit("delete"))
-        .unionByName(ins.exceptAll(dels).withColumn("change_type", lit("insert")))
+      graft.engine.MaterializedView.nettedFeed(feed)
         .orderBy("change_type", "i", "j")
     }),
 

@@ -21,6 +21,15 @@ object QTime {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // A/B knob for the size-based AQE coalescing experiment (guide §2.2):
+      // parallelismFirst=false coalesces post-shuffle partitions to the
+      // advisory size instead of one-per-core slivers
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        sys.env.getOrElse("SPARK_GRAFT_PARALLELISM_FIRST", "true"))
+      // static conf: size the generated-code cache to the query surface
+      // (default 100 entries thrashes across ~800 codegen units)
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "100"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
