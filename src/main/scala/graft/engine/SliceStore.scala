@@ -302,9 +302,7 @@ private[engine] final class SliceStore(
     val staging = Files.createTempDirectory(Paths.get(rootDir), "_staging-")
     try {
       val dataDir = staging.resolve("d")
-      merged
-        .repartitionByRange(col("slice_start"), col("emit_key"))
-        .sortWithinPartitions("slice_start", "emit_key")
+      ViewStore.clustered(merged, Seq("slice_start", "emit_key"))
         .write.mode("overwrite").option("compression", "zstd")
         .partitionBy("slice_start").parquet(dataDir.toString)
       groups.foreach { case (cs, members) =>
@@ -333,9 +331,10 @@ private[engine] final class SliceStore(
     val staging = Files.createTempDirectory(Paths.get(rootDir), "_staging-")
     try {
       val dataDir = staging.resolve("d")
-      updated
-        .repartitionByRange(col("slice_start"), col("emit_key"))
-        .sortWithinPartitions("slice_start", "emit_key")
+      // clustered() skips repartitionByRange's sampling pass for
+      // advisory-partition-sized state (partitionBy still splits the one
+      // sorted partition into per-slice files — layout unchanged)
+      ViewStore.clustered(updated, Seq("slice_start", "emit_key"))
         .write.mode("overwrite").option("compression", "zstd")
         .partitionBy("slice_start").parquet(dataDir.toString)
       // CDC sidecars staged in one more job (delta-sized, no

@@ -179,9 +179,7 @@ final class ViewStore(
     // coordination problem (e.g. fence on the scheduler, not this marker).
     var published = false
     try {
-      df
-        .repartitionByRange(clusterCols.map(col): _*)
-        .sortWithinPartitions(clusterCols.map(col): _*)
+      ViewStore.clustered(df, clusterCols)
         // zstd: ~30% smaller than snappy at comparable decode speed — at
         // 100 TB the stored view's scan cost is IO-bound, so the ratio wins
         .write.mode("overwrite").option("compression", "zstd").parquet(path.toString)
@@ -350,4 +348,27 @@ object ViewStore {
   def temp(spark: SparkSession): ViewStore =
     new ViewStore(spark,
       Files.createTempDirectory("graft-views-").toString)
+
+  /**
+   * Arrange a relation for a clustered write. `repartitionByRange` picks
+   * its boundaries by SAMPLING the child plan — one extra execution of
+   * the whole subtree per write (guide §1.2: remove passes before tuning
+   * inside them). When the optimizer's size estimate says the relation
+   * fits ONE advisory partition, a single sorted partition is the same
+   * layout (one file, globally sorted ⇒ identical rows, identical
+   * row-group pruning) without the sampling pass. The cutover is
+   * SIZE-based, so it is scale-adaptive: a 100 TB view estimates far
+   * above the advisory size and keeps the range path with its sampling
+   * cost amortized; only genuinely small relations (delta-sized states,
+   * test-scale views) take the one-partition shortcut. Join-heavy plans
+   * that OVERestimate merely keep the conservative range path.
+   */
+  private[engine] def clustered(df: DataFrame, clusterCols: Seq[String]): DataFrame = {
+    val sortCols = clusterCols.map(col)
+    val advisory = df.sparkSession.sessionState.conf.getConf(
+      org.apache.spark.sql.internal.SQLConf.ADVISORY_PARTITION_SIZE_IN_BYTES)
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (est <= advisory) df.repartition(1).sortWithinPartitions(sortCols: _*)
+    else df.repartitionByRange(sortCols: _*).sortWithinPartitions(sortCols: _*)
+  }
 }

@@ -29,16 +29,33 @@ object Views {
   private val bstores = TrieMap.empty[String, BucketedViewStore]
   private val cache = TrieMap.empty[(String, String), MaterializedView]
 
+  /** Per-key build mutex. `TrieMap.getOrElseUpdate` evaluates its default
+    * in EVERY racing thread (one result wins, the others are discarded) —
+    * harmless for pure values, but a view BUILDER that runs twice
+    * interleaves store writes: the claim markers catch same-version races
+    * loudly, yet two full build UNITS stacked on one store dir would
+    * publish extra versions and silently shift every version-addressed
+    * consumer (changefeeds, asOf). Prewarm overlaps independent builds
+    * ([[graft.operators.Prewarm]]), so every build-memo lookup that can
+    * be reached from two steps takes this per-key lock first; nesting
+    * follows the build-dependency DAG (acyclic), so lock order cannot
+    * cycle and `synchronized` reentrancy covers self-recursion. */
+  private val buildLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]
+  def locked[T](key: String)(body: => T): T =
+    buildLocks.computeIfAbsent(key, _ => new Object).synchronized(body)
+
   /** Durable root directory, when configured. */
   private def durableRoot: Option[String] =
     sys.props.get("graft.views.root")
       .orElse(sys.env.get("GRAFT_VIEWS_ROOT")).filter(_.nonEmpty)
 
   def store(spark: SparkSession, sfDir: String): ViewStore =
-    stores.getOrElseUpdate(sfDir, durableRoot match {
-      case Some(root) => durableStore(spark, root, sfDir)
-      case None       => ViewStore.temp(spark)
-    })
+    locked(s"store#$sfDir") {
+      stores.getOrElseUpdate(sfDir, durableRoot match {
+        case Some(root) => durableStore(spark, root, sfDir)
+        case None       => ViewStore.temp(spark)
+      })
+    }
 
   /** Bucketed-store selection mirror of [[store]]: temp by default,
     * durable under the configured root. This is the route the persisted
@@ -49,10 +66,12 @@ object Views {
     * never did). One shared store per corpus; view names namespace it. */
   def bucketedStore(spark: SparkSession, sfDir: String,
       numBuckets: Int = 16): BucketedViewStore =
-    bstores.getOrElseUpdate(s"$sfDir#$numBuckets", durableRoot match {
-      case Some(root) => durableBucketedStore(spark, root, sfDir, numBuckets)
-      case None       => BucketedViewStore.temp(spark, numBuckets)
-    })
+    locked(s"bstore#$sfDir#$numBuckets") {
+      bstores.getOrElseUpdate(s"$sfDir#$numBuckets", durableRoot match {
+        case Some(root) => durableBucketedStore(spark, root, sfDir, numBuckets)
+        case None       => BucketedViewStore.temp(spark, numBuckets)
+      })
+    }
 
   /** Completion marker for a multi-step BUILD UNIT — an engine-maintained
     * index whose on-disk state is the product of several store calls (a
@@ -95,18 +114,22 @@ object Views {
 
   def materialized(spark: SparkSession, sfDir: String, index: MapIndex)
       (source: => DataFrame): MaterializedView =
-    cache.getOrElseUpdate((sfDir, index.name), {
-      val st = store(spark, sfDir)
-      // durable hit: the store already holds this view (written by a
-      // previous JVM over a fingerprint-identical corpus) — serve it
-      // without re-running the materialization
-      if (st.latestVersion(index.name).isDefined) st.load(index)
-      else index.materialize(source, st)
-    })
+    locked(s"view#$sfDir#${index.name}") {
+      cache.getOrElseUpdate((sfDir, index.name), {
+        val st = store(spark, sfDir)
+        // durable hit: the store already holds this view (written by a
+        // previous JVM over a fingerprint-identical corpus) — serve it
+        // without re-running the materialization
+        if (st.latestVersion(index.name).isDefined) st.load(index)
+        else index.materialize(source, st)
+      })
+    }
 
   /** Cache an arbitrarily-built view (cascades). */
   def cached(sfDir: String, name: String)(build: => MaterializedView): MaterializedView =
-    cache.getOrElseUpdate((sfDir, name), build)
+    locked(s"view#$sfDir#$name") {
+      cache.getOrElseUpdate((sfDir, name), build)
+    }
 
   /**
    * Open (or create) a durable view store under `root` for the corpus at

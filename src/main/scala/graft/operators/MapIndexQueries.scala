@@ -184,14 +184,31 @@ object MapIndexQueries {
     * The returned state must equal a from-scratch recompute of the
     * modified source — which is exactly what the DuckDB oracle does. */
   private def aggView(s: SparkSession, dir: String): graft.engine.AggView =
+    // reachable from two prewarm steps (itself and cascadeCdcView) — the
+    // per-key lock keeps an overlapped prewarm from running the build
+    // unit twice ([[Views.locked]])
+    Views.locked(s"build#mapindex#aggView#$dir") {
     aggViews.getOrElseUpdate(dir, {
       val store = Views.store(s, dir)
-      val li = Tables.lineitem(s, dir)
-      val base = byFlagAgg.materialize(li, store)
-      val agg0 = graft.engine.AggView.build(base, "lineitem_byflag_agg__state")
-      val (_, agg) = agg0.refresh(base, reflaggedUpserts(li), Some(tombstoneKeys(li)))
-      agg
+      // unit-gated like every other multi-step build: a process reopening
+      // a durable store must ATTACH, not re-run the materialize+refresh —
+      // the re-run advanced versions per process until the early sidecars
+      // passed the GC horizon and every version-addressed consumer
+      // (changefeeds) crashed by the ~3rd reopen. Fresh stores (the
+      // driver contract) build exactly as before plus one marker file.
+      val unit = s"${byFlagAgg.name}_unit"
+      if (Views.unitDone(store.baseDir, unit))
+        graft.engine.AggView.attach(s, store, "lineitem_byflag_agg__state")
+      else {
+        val li = Tables.lineitem(s, dir)
+        val base = byFlagAgg.materialize(li, store)
+        val agg0 = graft.engine.AggView.build(base, "lineitem_byflag_agg__state")
+        val (_, agg) = agg0.refresh(base, reflaggedUpserts(li), Some(tombstoneKeys(li)))
+        Views.markUnitDone(store.baseDir, unit)
+        agg
+      }
     })
+    }
 
   /** Maintained per-group DISTINCT-value count — the classically
     * non-retractable aggregate (a deletion says nothing about whether
@@ -397,16 +414,26 @@ object MapIndexQueries {
 
   private def netFeedView(s: SparkSession, dir: String) =
     Views.cached(dir, byFlagNet.name) {
-      val li = Tables.lineitem(s, dir)
-      val v1 = byFlagNet.materialize(li, Views.store(s, dir))
-        .refresh(reflaggedUpserts(li), Some(tombstoneKeys(li)))
-      val ups2 = li.filter(col("l_orderkey") % 97 === 0 &&
-          col("l_orderkey") % 89 =!= 0 && col("l_orderkey") % 83 =!= 0)
-        .withColumn("l_returnflag", lit("Y"))
-      val dels2 = li.filter(col("l_orderkey") % 83 === 0 && col("l_orderkey") % 89 =!= 0)
-        .select(concat_ws("-", col("l_orderkey"), col("l_linenumber")).as("src_key"))
-        .distinct()
-      v1.refresh(ups2, Some(dels2))
+      val store = Views.store(s, dir)
+      // unit-gated for durable reopens, like aggView: re-running the
+      // two-refresh history per process advanced versions until the
+      // replay range GC'd out from under the net-changefeed gate
+      val unit = s"${byFlagNet.name}_unit"
+      if (Views.unitDone(store.baseDir, unit)) store.load(byFlagNet)
+      else {
+        val li = Tables.lineitem(s, dir)
+        val v1 = byFlagNet.materialize(li, store)
+          .refresh(reflaggedUpserts(li), Some(tombstoneKeys(li)))
+        val ups2 = li.filter(col("l_orderkey") % 97 === 0 &&
+            col("l_orderkey") % 89 =!= 0 && col("l_orderkey") % 83 =!= 0)
+          .withColumn("l_returnflag", lit("Y"))
+        val dels2 = li.filter(col("l_orderkey") % 83 === 0 && col("l_orderkey") % 89 =!= 0)
+          .select(concat_ws("-", col("l_orderkey"), col("l_linenumber")).as("src_key"))
+          .distinct()
+        val v2 = v1.refresh(ups2, Some(dels2))
+        Views.markUnitDone(store.baseDir, unit)
+        v2
+      }
     }
 
   /** The NET-feed fixture in the bucket-partitioned (100 TB) layout: the
@@ -2420,90 +2447,97 @@ object MapIndexQueries {
       v
     })
 
-  def prewarm(s: SparkSession, dir: String): Unit = {
-    ordersCustomerView(s, dir)
-    streamedOrdersCustomerView(s, dir)
-    compactedOrdersCustomerView(s, dir)
-    ordersCustomerAggView(s, dir)
-    ordersCustomerAggMultiView(s, dir)
-    streamedOrdersCustomerAggView(s, dir)
-    ordersCustomerNationView(s, dir)
-    ordersCustomerNationAggView(s, dir)
-    purchaseClickView(s, dir)
-    purchaseClickStreamView(s, dir)
-    purchaseClickFwdView(s, dir)
-    purchaseClickTolView(s, dir)
-    purchaseClickCompactView(s, dir)
-    purchaseClickSaltedView(s, dir)
-    purchaseClickAttribution(s, dir)
-    purchaseClickAttributionMulti(s, dir)
-    ordersCustomerLattice(s, dir, cube = false)
-    streamedOrdersCustomerLattice(s, dir)
-    fullOuterOrdersCustomerLattice(s, dir)
-    ordersCustomerFilterView(s, dir, "semi")
-    saltedSemiView(s, dir)
-    semiOrdersAggView(s, dir)
-    antiOrdersAggView(s, dir)
-    semiCascadeView(s, dir)
-    asofCascadeView(s, dir)
-    compositeOrdersView(s, dir, salted = false)
-    compositeOrdersView(s, dir, salted = true)
-    latticeMultiView(s, dir)
-    purchaseClickNearestView(s, dir)
-    ordersCustomerAggMeasuresView(s, dir)
-    fullOuterLatticeMeasuresView(s, dir)
-    ordersPrioritySketchView(s, dir)
-    joinSemiCascadeView(s, dir)
-    joinAsofCascadeView(s, dir)
-    purchaseClickRightKeyedView(s, dir)
-    purchaseClickRightKeyedSaltedView(s, dir)
-    lineitemQ1View(s, dir)
-    lineitemQ1StreamedView(s, dir)
-    saltedOrdersCustomerView(s, dir)
-    leftOuterOrdersCustomerView(s, dir)
-    fullOuterOrdersCustomerView(s, dir)
-    rightOuterOrdersCustomerView(s, dir)
-    fullOuterOrdersCustomerAggView(s, dir)
-    percentileView(s, dir)
-    percentileBView(s, dir)
-    percentileContView(s, dir)
-    percentileSketchView(s, dir)
-    percentileSketchSView(s, dir)
-    distinctSView(s, dir)
-    mixedView(s, dir)
-    rangeBucketedFlag(s, dir)
-    rangeMaintained(s, dir)
-    compactedStore(s, dir)
-    flagView(s, dir)
-    bucketView(s, dir)
-    bucketedFlag(s, dir)
-    jsonView(s, dir)
-    aggView(s, dir)
-    distinctView(s, dir)
-    distinctBView(s, dir)
-    netFeedView(s, dir)
-    netFeedBView(s, dir)
-    bucketedAggView(s, dir)
-    streamView(s, dir)
-    bucketedStreamView(s, dir)
-    cascadeCdcView(s, dir)
+  def prewarm(s: SparkSession, dir: String): Unit =
+    Prewarm.run(s, "mapindex", prewarmSteps(s, dir))
+
+  /** Each step is one independent build unit ([[Prewarm.run]] may overlap
+    * them); steps sharing an underlying view serialize on the per-key
+    * build locks ([[graft.engine.Views.materialized]] / the builder
+    * memos), so overlap never double-builds or interleaves refreshes. */
+  private def prewarmSteps(s: SparkSession, dir: String): Seq[(String, () => Unit)] = Seq[(String, () => Unit)](
+    ("ordersCustomerView", () => { ordersCustomerView(s, dir); () }),
+    ("streamedOrdersCustomerView", () => { streamedOrdersCustomerView(s, dir); () }),
+    ("compactedOrdersCustomerView", () => { compactedOrdersCustomerView(s, dir); () }),
+    ("ordersCustomerAggView", () => { ordersCustomerAggView(s, dir); () }),
+    ("ordersCustomerAggMultiView", () => { ordersCustomerAggMultiView(s, dir); () }),
+    ("streamedOrdersCustomerAggView", () => { streamedOrdersCustomerAggView(s, dir); () }),
+    ("ordersCustomerNationView", () => { ordersCustomerNationView(s, dir); () }),
+    ("ordersCustomerNationAggView", () => { ordersCustomerNationAggView(s, dir); () }),
+    ("purchaseClickView", () => { purchaseClickView(s, dir); () }),
+    ("purchaseClickStreamView", () => { purchaseClickStreamView(s, dir); () }),
+    ("purchaseClickFwdView", () => { purchaseClickFwdView(s, dir); () }),
+    ("purchaseClickTolView", () => { purchaseClickTolView(s, dir); () }),
+    ("purchaseClickCompactView", () => { purchaseClickCompactView(s, dir); () }),
+    ("purchaseClickSaltedView", () => { purchaseClickSaltedView(s, dir); () }),
+    ("purchaseClickAttribution", () => { purchaseClickAttribution(s, dir); () }),
+    ("purchaseClickAttributionMulti", () => { purchaseClickAttributionMulti(s, dir); () }),
+    ("ordersCustomerLattice", () => { ordersCustomerLattice(s, dir, cube = false); () }),
+    ("streamedOrdersCustomerLattice", () => { streamedOrdersCustomerLattice(s, dir); () }),
+    ("fullOuterOrdersCustomerLattice", () => { fullOuterOrdersCustomerLattice(s, dir); () }),
+    ("ordersCustomerFilterView(semi)", () => { ordersCustomerFilterView(s, dir, "semi"); () }),
+    ("saltedSemiView", () => { saltedSemiView(s, dir); () }),
+    ("semiOrdersAggView", () => { semiOrdersAggView(s, dir); () }),
+    ("antiOrdersAggView", () => { antiOrdersAggView(s, dir); () }),
+    ("semiCascadeView", () => { semiCascadeView(s, dir); () }),
+    ("asofCascadeView", () => { asofCascadeView(s, dir); () }),
+    ("compositeOrdersView", () => { compositeOrdersView(s, dir, salted = false); () }),
+    ("compositeOrdersView(salted)", () => { compositeOrdersView(s, dir, salted = true); () }),
+    ("latticeMultiView", () => { latticeMultiView(s, dir); () }),
+    ("purchaseClickNearestView", () => { purchaseClickNearestView(s, dir); () }),
+    ("ordersCustomerAggMeasuresView", () => { ordersCustomerAggMeasuresView(s, dir); () }),
+    ("fullOuterLatticeMeasuresView", () => { fullOuterLatticeMeasuresView(s, dir); () }),
+    ("ordersPrioritySketchView", () => { ordersPrioritySketchView(s, dir); () }),
+    ("joinSemiCascadeView", () => { joinSemiCascadeView(s, dir); () }),
+    ("joinAsofCascadeView", () => { joinAsofCascadeView(s, dir); () }),
+    ("purchaseClickRightKeyedView", () => { purchaseClickRightKeyedView(s, dir); () }),
+    ("purchaseClickRightKeyedSaltedView", () => { purchaseClickRightKeyedSaltedView(s, dir); () }),
+    ("lineitemQ1View", () => { lineitemQ1View(s, dir); () }),
+    ("lineitemQ1StreamedView", () => { lineitemQ1StreamedView(s, dir); () }),
+    ("saltedOrdersCustomerView", () => { saltedOrdersCustomerView(s, dir); () }),
+    ("leftOuterOrdersCustomerView", () => { leftOuterOrdersCustomerView(s, dir); () }),
+    ("fullOuterOrdersCustomerView", () => { fullOuterOrdersCustomerView(s, dir); () }),
+    ("rightOuterOrdersCustomerView", () => { rightOuterOrdersCustomerView(s, dir); () }),
+    ("fullOuterOrdersCustomerAggView", () => { fullOuterOrdersCustomerAggView(s, dir); () }),
+    ("percentileView", () => { percentileView(s, dir); () }),
+    ("percentileBView", () => { percentileBView(s, dir); () }),
+    ("percentileContView", () => { percentileContView(s, dir); () }),
+    ("percentileSketchView", () => { percentileSketchView(s, dir); () }),
+    ("percentileSketchSView", () => { percentileSketchSView(s, dir); () }),
+    ("distinctSView", () => { distinctSView(s, dir); () }),
+    ("mixedView", () => { mixedView(s, dir); () }),
+    ("rangeBucketedFlag", () => { rangeBucketedFlag(s, dir); () }),
+    ("rangeMaintained", () => { rangeMaintained(s, dir); () }),
+    ("compactedStore", () => { compactedStore(s, dir); () }),
+    ("flagView", () => { flagView(s, dir); () }),
+    ("bucketView", () => { bucketView(s, dir); () }),
+    ("bucketedFlag", () => { bucketedFlag(s, dir); () }),
+    ("jsonView", () => { jsonView(s, dir); () }),
+    ("aggView", () => { aggView(s, dir); () }),
+    ("distinctView", () => { distinctView(s, dir); () }),
+    ("distinctBView", () => { distinctBView(s, dir); () }),
+    ("netFeedView", () => { netFeedView(s, dir); () }),
+    ("netFeedBView", () => { netFeedBView(s, dir); () }),
+    ("bucketedAggView", () => { bucketedAggView(s, dir); () }),
+    ("streamView", () => { streamView(s, dir); () }),
+    ("bucketedStreamView", () => { bucketedStreamView(s, dir); () }),
+    ("cascadeCdcView", () => { cascadeCdcView(s, dir); () }),
     // the windowed families were the one view family missing from
     // prewarm: their (expensive) builds ran inside the first timed bench
     // pass — min-of-passes hid them from the recorded number, but the
     // stated methodology (view build is LOAD cost, query timings measure
     // the read path) and the per-pass timings both want them here
-    eventsWindowedView(s, dir, "main")
-    eventsWindowedView(s, dir, "ev")
-    eventsWindowedView(s, dir, "st")
-    eventsWindowedView(s, dir, "co")
-    eventsWindowedSketchView(s, dir)
-    eventsWindowedSketchView(s, dir, "st")
-    eventsWindowedDistinctView(s, dir, 1024)
-    eventsWindowedDistinctView(s, dir, 32)
-    eventsWindowedTopFreqView(s, dir)
-    ordersWindowedView(s, dir)
-    ordersSegmentWindowedRollup(s, dir)
-  }
+    ("eventsWindowedView(main)", () => { eventsWindowedView(s, dir, "main"); () }),
+    ("eventsWindowedView(ev)", () => { eventsWindowedView(s, dir, "ev"); () }),
+    ("eventsWindowedView(st)", () => { eventsWindowedView(s, dir, "st"); () }),
+    ("eventsWindowedView(co)", () => { eventsWindowedView(s, dir, "co"); () }),
+    ("eventsWindowedSketchView", () => { eventsWindowedSketchView(s, dir); () }),
+    ("eventsWindowedSketchView(st)", () => { eventsWindowedSketchView(s, dir, "st"); () }),
+    ("eventsWindowedDistinctView(1024)", () => { eventsWindowedDistinctView(s, dir, 1024); () }),
+    ("eventsWindowedDistinctView(32)", () => { eventsWindowedDistinctView(s, dir, 32); () }),
+    ("eventsWindowedTopFreqView", () => { eventsWindowedTopFreqView(s, dir); () }),
+    ("ordersWindowedView", () => { ordersWindowedView(s, dir); () }),
+    ("ordersSegmentWindowedRollup", () => { ordersSegmentWindowedRollup(s, dir); () }),
+  )
 
   // ---- time-sliced windowed aggregates with watermark eviction ----
 
@@ -4096,7 +4130,13 @@ object MapIndexQueries {
     // emit_key) so the compare is order-free.
     "mapindex_changefeed" -> ((s, dir) => {
       aggView(s, dir) // builds base v0, then the deterministic refresh → v1
-      Views.store(s, dir).changesBetween(byFlagAgg.name, 0, 1)
+      // version-RELATIVE range like the cascade relay: (L-1, L] is (0, 1]
+      // in a fresh store and stays correct in durable stores written
+      // before the aggView unit gate existed (where L moved past 1)
+      val st = Views.store(s, dir)
+      val l = st.latestVersion(byFlagAgg.name).getOrElse(
+        sys.error(s"${byFlagAgg.name} missing after aggView build"))
+      st.changesBetween(byFlagAgg.name, l - 1, l)
         .groupBy(col("change_type"), col("emit_key"))
         .agg(count(lit(1)).as("cnt"), round(sum("emit_value"), 2).as("sum_value"))
         .orderBy("change_type", "emit_key")
@@ -4109,7 +4149,12 @@ object MapIndexQueries {
     // original rows of every touched key, inserts = the final 'Y' rows.
     "mapindex_net_changefeed" -> ((s, dir) => {
       netFeedView(s, dir) // v0 build, then the two deterministic refreshes
-      Views.store(s, dir).changesNetBetween(byFlagNet.name, 0, 2)
+      // version-relative (L-2, L] — (0, 2] on a fresh store; see
+      // mapindex_changefeed
+      val st = Views.store(s, dir)
+      val l = st.latestVersion(byFlagNet.name).getOrElse(
+        sys.error(s"${byFlagNet.name} missing after netFeedView build"))
+      st.changesNetBetween(byFlagNet.name, l - 2, l)
         .groupBy(col("change_type"), col("emit_key"))
         .agg(count(lit(1)).as("cnt"), round(sum("emit_value"), 2).as("sum_value"))
         .orderBy("change_type", "emit_key")
@@ -4157,7 +4202,12 @@ object MapIndexQueries {
     // pre-refresh and post-refresh state from scratch.
     "mapindex_agg_changefeed" -> ((s, dir) => {
       aggView(s, dir) // state v0 (build), then the refresh → v1 + sidecar
-      Views.store(s, dir).changesBetween("lineitem_byflag_agg__state", 0, 1)
+      // version-relative (Ls-1, Ls] — (0, 1] on a fresh store; see
+      // mapindex_changefeed
+      val st = Views.store(s, dir)
+      val ls = st.latestVersion("lineitem_byflag_agg__state").getOrElse(
+        sys.error("lineitem_byflag_agg__state missing after aggView build"))
+      st.changesBetween("lineitem_byflag_agg__state", ls - 1, ls)
         .select(col("change_type"), col("emit_key"), col("cnt"),
           round(col("sum_value").cast("double"), 2).as("sum_value"),
           col("min_value"), col("max_value"))

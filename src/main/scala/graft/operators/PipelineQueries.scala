@@ -424,35 +424,35 @@ object PipelineQueries {
 
   /** Materialize the stored postings + pair graph eagerly (write-time
     * cost) so bench timings measure the indexed read path. */
-  def prewarm(s: SparkSession, dir: String): Unit = {
-    postingsView(s, dir)
-    incPostingsView(s, dir)
-    bm25View(s, dir)
-    incBm25View(s, dir)
-    lenAgg(s, dir)
-    incLenAgg(s, dir)
-    spanWinView(s, dir)
-    incSpanWinView(s, dir)
-    streamedSpanWinView(s, dir)
-    spanAggView(s, dir)
-    pairsView(s, dir)
-    incPairGraph(s, dir)
-    compactedPairGraph(s, dir)
-    incWinnowGraph(s, dir)
-    incComponentsIdx(s, dir)
-    baseComponentsView(s, dir)
-    keeperView(s, dir)
-    streamedComponentsIdx(s, dir)
-    exactDedupView(s, dir)
-    unigramAgg(s, dir)
-    incUnigramAgg(s, dir)
-    streamedLmViews(s, dir)
-    unigramTgtAgg(s, dir)
-    lenTgtAgg(s, dir)
-    incUnigramTgtAgg(s, dir)
-    incLenTgtAgg(s, dir)
-    ()
-  }
+  def prewarm(s: SparkSession, dir: String): Unit =
+    Prewarm.run(s, "pipeline", Seq[(String, () => Unit)](
+      ("postingsView", () => { postingsView(s, dir); () }),
+      ("incPostingsView", () => { incPostingsView(s, dir); () }),
+      ("bm25View", () => { bm25View(s, dir); () }),
+      ("incBm25View", () => { incBm25View(s, dir); () }),
+      ("lenAgg", () => { lenAgg(s, dir); () }),
+      ("incLenAgg", () => { incLenAgg(s, dir); () }),
+      ("spanWinView", () => { spanWinView(s, dir); () }),
+      ("incSpanWinView", () => { incSpanWinView(s, dir); () }),
+      ("streamedSpanWinView", () => { streamedSpanWinView(s, dir); () }),
+      ("spanAggView", () => { spanAggView(s, dir); () }),
+      ("pairsView", () => { pairsView(s, dir); () }),
+      ("incPairGraph", () => { incPairGraph(s, dir); () }),
+      ("compactedPairGraph", () => { compactedPairGraph(s, dir); () }),
+      ("incWinnowGraph", () => { incWinnowGraph(s, dir); () }),
+      ("incComponentsIdx", () => { incComponentsIdx(s, dir); () }),
+      ("baseComponentsView", () => { baseComponentsView(s, dir); () }),
+      ("keeperView", () => { keeperView(s, dir); () }),
+      ("streamedComponentsIdx", () => { streamedComponentsIdx(s, dir); () }),
+      ("exactDedupView", () => { exactDedupView(s, dir); () }),
+      ("unigramAgg", () => { unigramAgg(s, dir); () }),
+      ("incUnigramAgg", () => { incUnigramAgg(s, dir); () }),
+      ("streamedLmViews", () => { streamedLmViews(s, dir); () }),
+      ("unigramTgtAgg", () => { unigramTgtAgg(s, dir); () }),
+      ("lenTgtAgg", () => { lenTgtAgg(s, dir); () }),
+      ("incUnigramTgtAgg", () => { incUnigramTgtAgg(s, dir); () }),
+      ("incLenTgtAgg", () => { incLenTgtAgg(s, dir); () }),
+    ))
 
   /** The SpanW-token window relation for exact-substring span dedup:
     * `(doc_id, pos, win)`, one row per window start position (1-based).
@@ -742,11 +742,15 @@ object PipelineQueries {
   private val PairViewName = "dedup_pairs"
   private[operators] def pairsView(s: SparkSession, dir: String): DataFrame = {
     val store = Views.store(s, dir)
-    pairViewBuilt.getOrElseUpdate(dir, {
-      // durable reopen over an unchanged corpus serves the stored pairs
-      if (store.latestVersion(PairViewName).isEmpty)
-        store.writeClustered(PairViewName, ngramJaccardPairs(s, dir), Seq("i", "j"))
-    })
+    // shared by two prewarm steps (itself and baseComponentsView) — see
+    // [[Views.locked]] on why racing builders must serialize
+    Views.locked(s"build#pipeline#pairsView#$dir") {
+      pairViewBuilt.getOrElseUpdate(dir, {
+        // durable reopen over an unchanged corpus serves the stored pairs
+        if (store.latestVersion(PairViewName).isEmpty)
+          store.writeClustered(PairViewName, ngramJaccardPairs(s, dir), Seq("i", "j"))
+      })
+    }
     s.read.parquet(store.latestPath(PairViewName))
   }
 
@@ -760,6 +764,8 @@ object PipelineQueries {
   private val pairGraphs =
     scala.collection.concurrent.TrieMap.empty[String, PairGraphIndex]
   private def incPairGraph(s: SparkSession, dir: String): PairGraphIndex =
+    // shared by three prewarm steps (itself, incComponentsIdx, keeperView)
+    Views.locked(s"build#pipeline#incPairGraph#$dir") {
     pairGraphs.getOrElseUpdate(dir, {
       val store = Views.bucketedStore(s, dir)
       val g = new PairGraphIndex(s, store,
@@ -776,6 +782,7 @@ object PipelineQueries {
       }
       g
     })
+    }
 
   /** The same incremental machinery instantiated for WINNOW fingerprints
     * (containment overlap instead of Jaccard) — one parameterization of
@@ -862,6 +869,8 @@ object PipelineQueries {
   private val compGraphs =
     scala.collection.concurrent.TrieMap.empty[String, ComponentsIndex]
   private def incComponentsIdx(s: SparkSession, dir: String): ComponentsIndex =
+    // shared by two prewarm steps (itself and keeperView)
+    Views.locked(s"build#pipeline#incComponentsIdx#$dir") {
     compGraphs.getOrElseUpdate(dir, {
       val g = incPairGraph(s, dir) // built at epoch 0, refreshed to 1
       val store = Views.bucketedStore(s, dir)
@@ -876,6 +885,7 @@ object PipelineQueries {
       }
       ci
     })
+    }
 
   /** The KEEPER MAP maintained one relation further downstream of the
     * labeling: a [[graft.engine.BucketedAggView]] whose base map view

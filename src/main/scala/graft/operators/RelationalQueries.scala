@@ -1253,12 +1253,12 @@ object RelationalQueries {
 
   /** Run the one-time streaming materialization up front (write-time
     * cost, like every stored view) so bench timings measure the read. */
-  def prewarm(s: SparkSession, dir: String): Unit = {
-    streamedHourlyTable(s, dir)
-    streamedSessionsTable(s, dir)
-    streamedFunnelTable(s, dir)
-    ()
-  }
+  def prewarm(s: SparkSession, dir: String): Unit =
+    Prewarm.run(s, "relational", Seq[(String, () => Unit)](
+      ("streamedHourlyTable", () => { streamedHourlyTable(s, dir); () }),
+      ("streamedSessionsTable", () => { streamedSessionsTable(s, dir); () }),
+      ("streamedFunnelTable", () => { streamedFunnelTable(s, dir); () }),
+    ))
 
   private val streamedFunnels =
     scala.collection.concurrent.TrieMap.empty[String, String]

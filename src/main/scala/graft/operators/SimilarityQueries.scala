@@ -198,21 +198,21 @@ object SimilarityQueries {
   /** Train the IVF quantizer up front — index-build cost, not query cost,
     * the same compute-on-write stance as the stored map views (an IVF
     * index in production is fit once at ingest and served thereafter). */
-  def prewarm(s: SparkSession, dir: String): Unit = {
-    ivfCentroidsFor(s, dir)
-    ivfCellsView(s, dir)
-    lshBandsView(s, dir)
-    sqView(s, dir)
-    sqIncView(s, dir)
-    ivfsqCellsView(s, dir)
-    ivfpqCellsView(s, dir)
-    pqIncView(s, dir)
-    lshStreamedView(s, dir)
-    ivfStreamedView(s, dir)
-    ivfpqIncView(s, dir)
-    ivfCmpView(s, dir)
-    ()
-  }
+  def prewarm(s: SparkSession, dir: String): Unit =
+    Prewarm.run(s, "similarity", Seq[(String, () => Unit)](
+      ("ivfCentroidsFor", () => { ivfCentroidsFor(s, dir); () }),
+      ("ivfCellsView", () => { ivfCellsView(s, dir); () }),
+      ("lshBandsView", () => { lshBandsView(s, dir); () }),
+      ("sqView", () => { sqView(s, dir); () }),
+      ("sqIncView", () => { sqIncView(s, dir); () }),
+      ("ivfsqCellsView", () => { ivfsqCellsView(s, dir); () }),
+      ("ivfpqCellsView", () => { ivfpqCellsView(s, dir); () }),
+      ("pqIncView", () => { pqIncView(s, dir); () }),
+      ("lshStreamedView", () => { lshStreamedView(s, dir); () }),
+      ("ivfStreamedView", () => { ivfStreamedView(s, dir); () }),
+      ("ivfpqIncView", () => { ivfpqIncView(s, dir); () }),
+      ("ivfCmpView", () => { ivfCmpView(s, dir); () }),
+    ))
 
   /** Train the IVF coarse quantizer: Lloyd's algorithm with the centroid
     * model collected to the driver each round. This is the
