@@ -31,3 +31,32 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Parallel forked test GROUPS: the suite is dozens of Spark-heavy specs
+// whose wall-clock is dominated by driver-side fixed costs (planning,
+// codegen, tiny sequential jobs) on a 32-core box where one local[4]
+// session leaves everything idle. Groups are whole suites in separate
+// JVMs — shared-JVM state (the one SparkSession, sys.props toggles,
+// operator build memos) stays single-threaded inside each group, and a
+// per-group working directory isolates cwd-derived state
+// (spark-warehouse, metastore_db) across groups. Round-robin by suite
+// name keeps the split deterministic. SPARK_GRAFT_TEST_GROUPS=1 restores
+// the single sequential JVM.
+Test / testGrouping := {
+  val groups = sys.env.getOrElse("SPARK_GRAFT_TEST_GROUPS", "6").toInt
+  val tests = (Test / definedTests).value
+  val baseOpts = (Test / javaOptions).value.toVector
+  val tgt = target.value
+  tests.sortBy(_.name).zipWithIndex.groupBy(_._2 % groups).toSeq.sortBy(_._1)
+    .map { case (i, ts) =>
+      val wd = tgt / s"test-group-$i"
+      java.nio.file.Files.createDirectories(wd.toPath)
+      Tests.Group(s"group$i", ts.map(_._1),
+        Tests.SubProcess(ForkOptions()
+          .withWorkingDirectory(Some(wd))
+          .withRunJVMOptions(baseOpts)))
+    }
+}
+// let the forked groups actually run concurrently
+Global / concurrentRestrictions := Seq(
+  Tags.limit(Tags.ForkedTestGroup,
+    sys.env.getOrElse("SPARK_GRAFT_TEST_GROUPS", "6").toInt))
