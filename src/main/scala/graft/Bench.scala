@@ -51,11 +51,11 @@ object Bench {
     // views at WRITE time and serves queries from the stored index
     // (SURVEY.md §4.1 compute-on-write); view build is load cost, query
     // timings below measure the read path.
-    operators.MapIndexQueries.prewarm(spark, sfDir)
-    operators.LayoutQueries.prewarm(spark, sfDir)
-    operators.SimilarityQueries.prewarm(spark, sfDir)
-    operators.PipelineQueries.prewarm(spark, sfDir)
-    operators.RelationalQueries.prewarm(spark, sfDir)
+    // one combined pool over every family's build steps (Prewarm.all):
+    // prewarm is untimed, but the whole invocation must fit the driver's
+    // step timeout, and the builds are dozens of small sequential Spark
+    // jobs that leave local[N] mostly idle when run one at a time
+    operators.Prewarm.all(spark, sfDir)
     // Untimed warm-up AFTER prewarm: first-use JVM costs (janino compile of
     // generated code, parquet reader + broadcast machinery init) otherwise
     // land on whichever queries run first — r6's bench showed the

@@ -62,11 +62,13 @@ object LayoutQueries {
   /** Build the bucketed tables eagerly (write-time cost, like the map-view
     * prewarm) so bench timings measure the co-located read path. */
   def prewarm(s: SparkSession, dir: String): Unit =
-    Prewarm.run(s, "layout", Seq[(String, () => Unit)](
+    Prewarm.run(s, "layout", prewarmSteps(s, dir))
+
+  private[operators] def prewarmSteps(s: SparkSession, dir: String): Seq[(String, () => Unit)] = Seq[(String, () => Unit)](
       ("bucketedTables", () => { bucketedTables(s, dir); () }),
       ("partitionedEvents", () => { partitionedEvents(s, dir); () }),
       ("zOrderedLineitem", () => { zOrderedLineitem(s, dir); () }),
-    ))
+  )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 

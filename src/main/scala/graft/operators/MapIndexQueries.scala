@@ -178,6 +178,13 @@ object MapIndexQueries {
   private val aggViews =
     scala.collection.concurrent.TrieMap.empty[String, graft.engine.AggView]
 
+  /** Drop the changefeed fixtures' per-JVM memos — lets a spec simulate a
+    * fresh process reopening a durable views root (pair with
+    * [[graft.engine.Views.dropStoresForTest]]). */
+  private[graft] def resetChangefeedCachesForTest(): Unit = {
+    aggViews.clear(); cascadeCdcViews.clear()
+  }
+
   /** Build base + aggregate state, then push ONE deterministic change
     * batch through the incremental path: lineitems of `%97` orders
     * re-flagged to 'X' (upsert), lineitems of `%89` orders tombstoned.
@@ -2454,7 +2461,7 @@ object MapIndexQueries {
     * them); steps sharing an underlying view serialize on the per-key
     * build locks ([[graft.engine.Views.materialized]] / the builder
     * memos), so overlap never double-builds or interleaves refreshes. */
-  private def prewarmSteps(s: SparkSession, dir: String): Seq[(String, () => Unit)] = Seq[(String, () => Unit)](
+  private[operators] def prewarmSteps(s: SparkSession, dir: String): Seq[(String, () => Unit)] = Seq[(String, () => Unit)](
     ("ordersCustomerView", () => { ordersCustomerView(s, dir); () }),
     ("streamedOrdersCustomerView", () => { streamedOrdersCustomerView(s, dir); () }),
     ("compactedOrdersCustomerView", () => { compactedOrdersCustomerView(s, dir); () }),

@@ -425,7 +425,9 @@ object PipelineQueries {
   /** Materialize the stored postings + pair graph eagerly (write-time
     * cost) so bench timings measure the indexed read path. */
   def prewarm(s: SparkSession, dir: String): Unit =
-    Prewarm.run(s, "pipeline", Seq[(String, () => Unit)](
+    Prewarm.run(s, "pipeline", prewarmSteps(s, dir))
+
+  private[operators] def prewarmSteps(s: SparkSession, dir: String): Seq[(String, () => Unit)] = Seq[(String, () => Unit)](
       ("postingsView", () => { postingsView(s, dir); () }),
       ("incPostingsView", () => { incPostingsView(s, dir); () }),
       ("bm25View", () => { bm25View(s, dir); () }),
@@ -452,7 +454,7 @@ object PipelineQueries {
       ("lenTgtAgg", () => { lenTgtAgg(s, dir); () }),
       ("incUnigramTgtAgg", () => { incUnigramTgtAgg(s, dir); () }),
       ("incLenTgtAgg", () => { incLenTgtAgg(s, dir); () }),
-    ))
+  )
 
   /** The SpanW-token window relation for exact-substring span dedup:
     * `(doc_id, pos, win)`, one row per window start position (1-based).

@@ -38,6 +38,23 @@ object Prewarm {
     }
   }
 
+  /** One pool over EVERY family's steps — cross-family overlap lets the
+    * cheap families back-fill the expensive ones' stragglers (guide
+    * §2.6) instead of five sequential pools each draining to a tail.
+    * Families share no builders (disjoint view names, per-key locks
+    * guard the few shared memos), so the combined pool is as safe as
+    * the per-family ones. */
+  def all(spark: SparkSession, dir: String): Unit = {
+    def tag(f: String, steps: Seq[(String, () => Unit)]) =
+      steps.map { case (n, b) => (s"$f/$n", b) }
+    run(spark, "all",
+      tag("mapindex", MapIndexQueries.prewarmSteps(spark, dir)) ++
+      tag("similarity", SimilarityQueries.prewarmSteps(spark, dir)) ++
+      tag("pipeline", PipelineQueries.prewarmSteps(spark, dir)) ++
+      tag("relational", RelationalQueries.prewarmSteps(spark, dir)) ++
+      tag("layout", LayoutQueries.prewarmSteps(spark, dir)))
+  }
+
   def run(spark: SparkSession, family: String,
       steps: Seq[(String, () => Unit)]): Unit = {
     val t0 = System.nanoTime()

@@ -1254,11 +1254,13 @@ object RelationalQueries {
   /** Run the one-time streaming materialization up front (write-time
     * cost, like every stored view) so bench timings measure the read. */
   def prewarm(s: SparkSession, dir: String): Unit =
-    Prewarm.run(s, "relational", Seq[(String, () => Unit)](
+    Prewarm.run(s, "relational", prewarmSteps(s, dir))
+
+  private[operators] def prewarmSteps(s: SparkSession, dir: String): Seq[(String, () => Unit)] = Seq[(String, () => Unit)](
       ("streamedHourlyTable", () => { streamedHourlyTable(s, dir); () }),
       ("streamedSessionsTable", () => { streamedSessionsTable(s, dir); () }),
       ("streamedFunnelTable", () => { streamedFunnelTable(s, dir); () }),
-    ))
+  )
 
   private val streamedFunnels =
     scala.collection.concurrent.TrieMap.empty[String, String]

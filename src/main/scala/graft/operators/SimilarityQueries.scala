@@ -199,7 +199,9 @@ object SimilarityQueries {
     * the same compute-on-write stance as the stored map views (an IVF
     * index in production is fit once at ingest and served thereafter). */
   def prewarm(s: SparkSession, dir: String): Unit =
-    Prewarm.run(s, "similarity", Seq[(String, () => Unit)](
+    Prewarm.run(s, "similarity", prewarmSteps(s, dir))
+
+  private[operators] def prewarmSteps(s: SparkSession, dir: String): Seq[(String, () => Unit)] = Seq[(String, () => Unit)](
       ("ivfCentroidsFor", () => { ivfCentroidsFor(s, dir); () }),
       ("ivfCellsView", () => { ivfCellsView(s, dir); () }),
       ("lshBandsView", () => { lshBandsView(s, dir); () }),
@@ -212,7 +214,7 @@ object SimilarityQueries {
       ("ivfStreamedView", () => { ivfStreamedView(s, dir); () }),
       ("ivfpqIncView", () => { ivfpqIncView(s, dir); () }),
       ("ivfCmpView", () => { ivfCmpView(s, dir); () }),
-    ))
+  )
 
   /** Train the IVF coarse quantizer: Lloyd's algorithm with the centroid
     * model collected to the driver each round. This is the
