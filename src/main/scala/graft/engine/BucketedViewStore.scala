@@ -595,16 +595,22 @@ final class BucketedViewStore(
         .withColumn("mb", metaBucketExpr(col("src_key"))).cache()
     }
     val changedKeys = changed.select("src_key")
+    // ONE job over the cached key set answers both driver questions: the
+    // broadcast size gate (count) and the touched meta buckets
+    // (collect_set over ≤ numBuckets ints) — previously two jobs per
+    // refresh for the same scan (guide §1.2: remove passes)
+    val gateRow = changed
+      .agg(count(lit(1)), collect_set(col("mb"))).head()
     // size-gate the changed-key joins: broadcast a delta-sized set (the
     // common case — big sides scan once, never shuffle), fall back to
     // plain shuffle joins past [[broadcastKeyLimit]] so a bulk backfill
-    // cannot OOM the driver. One count over the cached key set.
+    // cannot OOM the driver.
     val keyHint: DataFrame => DataFrame =
-      if (changed.count() <= broadcastKeyLimit) broadcast else identity
+      if (gateRow.getLong(0) <= broadcastKeyLimit) broadcast else identity
 
     // 1-2: back-pointer lookup, pruned to the changed keys' meta buckets
-    val metaBuckets = changed.select("mb").distinct()
-      .as[Long].collect().map(_.toInt).toSet
+    val metaBuckets: Set[Int] =
+      gateRow.getSeq[Long](1).map(_.toInt).toSet
     val oldMetaPaths = livePaths(name, Meta, Some(metaBuckets))
     val oldEmitBuckets: Set[Int] =
       if (oldMetaPaths.isEmpty) Set.empty
