@@ -44,15 +44,45 @@ object Prewarm {
     * Families share no builders (disjoint view names, per-key locks
     * guard the few shared memos), so the combined pool is as safe as
     * the per-family ones. */
+  /** Measured sequential step seconds (fresh sf0.1 store, round-18
+    * baseline — plans/r18/prewarm_baseline.log): longest-processing-time
+    * ordering keeps the pool's tail short (a 5-minute step started last
+    * IS the wall-clock tail). Unlisted steps keep declared order after
+    * the heavies; staleness only costs packing efficiency, never
+    * correctness. */
+  private val measuredWeight: Map[String, Int] = Map(
+    "pipeline/streamedLmViews" -> 288,
+    "mapindex/streamedOrdersCustomerView" -> 180,
+    "mapindex/ordersCustomerView" -> 162,
+    "mapindex/fullOuterLatticeMeasuresView" -> 127,
+    "pipeline/streamedComponentsIdx" -> 127,
+    "mapindex/joinSemiCascadeView" -> 104,
+    "mapindex/streamedOrdersCustomerAggView" -> 101,
+    "mapindex/ordersCustomerNationView" -> 97,
+    "mapindex/streamedOrdersCustomerLattice" -> 94,
+    "mapindex/fullOuterOrdersCustomerLattice" -> 88,
+    "pipeline/postingsView" -> 86,
+    "mapindex/lineitemQ1StreamedView" -> 82,
+    "pipeline/incUnigramAgg" -> 81,
+    "pipeline/incPostingsView" -> 79,
+    "mapindex/ordersCustomerNationAggView" -> 73,
+    "mapindex/fullOuterOrdersCustomerView" -> 73,
+    "pipeline/bm25View" -> 71,
+    "pipeline/incBm25View" -> 71,
+  )
+
   def all(spark: SparkSession, dir: String): Unit = {
     def tag(f: String, steps: Seq[(String, () => Unit)]) =
       steps.map { case (n, b) => (s"$f/$n", b) }
-    run(spark, "all",
+    val steps =
       tag("mapindex", MapIndexQueries.prewarmSteps(spark, dir)) ++
       tag("similarity", SimilarityQueries.prewarmSteps(spark, dir)) ++
       tag("pipeline", PipelineQueries.prewarmSteps(spark, dir)) ++
       tag("relational", RelationalQueries.prewarmSteps(spark, dir)) ++
-      tag("layout", LayoutQueries.prewarmSteps(spark, dir)))
+      tag("layout", LayoutQueries.prewarmSteps(spark, dir))
+    // stable sort: heavies first by measured weight, everything else in
+    // declared order behind them
+    run(spark, "all", steps.sortBy { case (n, _) => -measuredWeight.getOrElse(n, 0) })
   }
 
   def run(spark: SparkSession, family: String,
