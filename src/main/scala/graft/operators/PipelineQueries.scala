@@ -456,20 +456,6 @@ object PipelineQueries {
       ("incLenTgtAgg", () => { incLenTgtAgg(s, dir); () }),
   )
 
-  /** The SpanW-token window relation for exact-substring span dedup:
-    * `(doc_id, pos, win)`, one row per window start position (1-based).
-    * Documents shorter than SpanW contribute nothing (and the guard also
-    * keeps `sequence` ascending). */
-  private def spanWindows(s: SparkSession, dir: String): DataFrame = {
-    val toks = split(lower(col("text")), " ")
-    docs(s, dir).select(col("doc_id"), toks.as("toks"))
-      .filter(size(col("toks")) >= SpanW)
-      .select(col("doc_id"), posexplode(expr(
-          s"transform(sequence(1, size(toks) - ${SpanW - 1}), p -> array_join(slice(toks, p, $SpanW), ' '))"))
-          .as(Seq("p0", "win")))
-      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("win"))
-  }
-
   /** Token counts of the span-eligible documents (length ≥ SpanW). */
   private def spanDocLengths(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
@@ -1038,7 +1024,16 @@ object PipelineQueries {
    * once. Returns (inter: i,j,inter — sizes: doc_id,n).
    */
   private[operators] def postingStats(items: DataFrame, maxDf: Int): (DataFrame, DataFrame) = {
-    val keyed = items.toDF("doc_id", "key")
+    // ONE hash-partitioned exchange of the raw (doc_id, key) stream feeds
+    // the hot-key count, the anti-join's left side, and the posting-list
+    // aggregate (ReuseExchange): without it the hot aggregate and the
+    // posting aggregate each re-scan the corpus and re-evaluate the
+    // expensive per-doc hash expression (shingle/winnow/band extraction)
+    // under their own exchanges — and near-unique keys defeat partial
+    // aggregation, so those exchanges carried the same per-item bytes
+    // this repartition does (guide §2.4: two operations keyed the same
+    // way share one exchange).
+    val keyed = items.toDF("doc_id", "key").repartition(col("key"))
     // prune hot keys BEFORE collecting posting lists: count() carries O(1)
     // aggregation state per key, so a corpus-universal key costs nothing —
     // collecting first and filtering after would build an O(corpus) array
@@ -1047,10 +1042,10 @@ object PipelineQueries {
     val hot = keyed.groupBy("key").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf).select("key")
     // NOT persisted: callers that consume both branches in one action get
-    // the scan+shingle+partial-agg computed once via ReuseExchange (the
-    // shared shuffle below `postings` dedupes; only the cheap post-shuffle
-    // final agg runs per branch). A persist here would outlive the query —
-    // cache squatting that contaminates whatever runs next (bench-proven).
+    // the scan+hash+shuffle computed once via the reused exchange above;
+    // only the post-shuffle aggregates run per branch. A persist here
+    // would outlive the query — cache squatting that contaminates
+    // whatever runs next (bench-proven).
     val postings = keyed.join(hot, Seq("key"), "left_anti")
       .groupBy("key").agg(collect_list(col("doc_id")).as("docs"))
     val sizes = postings
@@ -1235,14 +1230,19 @@ object PipelineQueries {
             s"transform(sequence(1, size(toks) - ${SpanW - 1}), p -> xxhash64(slice(toks, p, $SpanW)))"))
             .as(Seq("p0", "h")))
         .select(col("doc_id"), (col("p0") + 1).as("pos"), col("h"))
+      // `>= 2 distinct docs` as min ≠ max: count_distinct plans as a
+      // two-level distinct aggregate (an extra exchange on (h, doc_id) +
+      // a second on h); min/max are plain O(1)-state aggregates — one
+      // exchange, same predicate (nulls: both spellings reject a group
+      // without two distinct non-null doc_ids).
       val dupH = wins.groupBy("h")
-        .agg(count_distinct(col("doc_id")).as("ndh"))
-        .filter(col("ndh") >= 2)
+        .agg(min(col("doc_id")).as("d0"), max(col("doc_id")).as("d1"))
+        .filter(col("d0") =!= col("d1"))
       val cand = wins.join(dupH.select("h"), Seq("h"), "left_semi")
       val withWin = verifySpanWindows(cand, docs(s, dir))
       val dup = withWin.groupBy("win")
-        .agg(count_distinct(col("doc_id")).as("nd"))
-        .filter(col("nd") >= 2)
+        .agg(min(col("doc_id")).as("d0"), max(col("doc_id")).as("d1"))
+        .filter(col("d0") =!= col("d1"))
       val hits = withWin.join(dup.select("win"), Seq("win"), "left_semi")
         .select("doc_id", "pos")
       mergeWindowSpans(hits)
@@ -1262,17 +1262,21 @@ object PipelineQueries {
       val occs = incSpanWinView(s, dir).df
         .select(col("emit_key").as("h"),
           col("emit_value.doc_id").as("doc_id"), col("emit_value.pos").as("pos"))
+      // min ≠ max gates (not count_distinct): one plain aggregate
+      // exchange instead of the two-level distinct plan — see
+      // dedup_substring_spans. The stored postings are cheap to re-read
+      // for the semi-join side, so no repartition here.
       val dupH = occs.groupBy("h")
-        .agg(count_distinct(col("doc_id")).as("ndh"))
-        .filter(col("ndh") >= 2)
+        .agg(min(col("doc_id")).as("d0"), max(col("doc_id")).as("d1"))
+        .filter(col("d0") =!= col("d1"))
       val cand = occs.join(dupH.select("h"), Seq("h"), "left_semi")
       val mod = docs(s, dir).filter(col("doc_id") % 41 =!= 0)
         .withColumn("text", when(col("doc_id") % 37 === 0,
           lit("spark join spark stream")).otherwise(col("text")))
       val withWin = verifySpanWindows(cand, mod)
       val dup = withWin.groupBy("win")
-        .agg(count_distinct(col("doc_id")).as("nd"))
-        .filter(col("nd") >= 2)
+        .agg(min(col("doc_id")).as("d0"), max(col("doc_id")).as("d1"))
+        .filter(col("d0") =!= col("d1"))
       val hits = withWin.join(dup.select("win"), Seq("win"), "left_semi")
         .select("doc_id", "pos")
       mergeWindowSpans(hits)
@@ -1288,17 +1292,18 @@ object PipelineQueries {
       val occs = streamedSpanWinView(s, dir).df
         .select(col("emit_key").as("h"),
           col("emit_value.doc_id").as("doc_id"), col("emit_value.pos").as("pos"))
+      // min ≠ max gates — see dedup_substring_spans
       val dupH = occs.groupBy("h")
-        .agg(count_distinct(col("doc_id")).as("ndh"))
-        .filter(col("ndh") >= 2)
+        .agg(min(col("doc_id")).as("d0"), max(col("doc_id")).as("d1"))
+        .filter(col("d0") =!= col("d1"))
       val cand = occs.join(dupH.select("h"), Seq("h"), "left_semi")
       val mod = docs(s, dir).filter(col("doc_id") % 41 =!= 0)
         .withColumn("text", when(col("doc_id") % 37 === 0,
           lit("spark join spark stream")).otherwise(col("text")))
       val withWin = verifySpanWindows(cand, mod)
       val dup = withWin.groupBy("win")
-        .agg(count_distinct(col("doc_id")).as("nd"))
-        .filter(col("nd") >= 2)
+        .agg(min(col("doc_id")).as("d0"), max(col("doc_id")).as("d1"))
+        .filter(col("d0") =!= col("d1"))
       val hits = withWin.join(dup.select("win"), Seq("win"), "left_semi")
         .select("doc_id", "pos")
       mergeWindowSpans(hits)
@@ -1367,17 +1372,19 @@ object PipelineQueries {
       // phase is FREE here: the stored key IS the 64-bit hash, so the
       // corpus-wide shuffle groups 8-byte keys and only the candidate
       // subset re-extracts exact text from the corpus
+      // min ≠ max gates — see dedup_substring_spans
       val dupH = occs.groupBy("h")
-        .agg(count_distinct(col("doc_id")).as("ndh"))
-        .filter(col("ndh") >= 2)
+        .agg(min(col("doc_id")).as("d0"), max(col("doc_id")).as("d1"))
+        .filter(col("d0") =!= col("d1"))
       val cand0 = occs.join(dupH.select("h"), Seq("h"), "left_semi")
       val cand = verifySpanWindows(cand0, docs(s, dir))
       // (doc_id, pos) packed into one orderable key: pos < 1e6 always
       // (documents are ~100s of tokens; a longer corpus widens the pack)
       val occ = col("doc_id") * lit(1000000L) + col("pos")
       val dup = cand.groupBy("win")
-        .agg(count_distinct(col("doc_id")).as("nd"), min(occ).as("firstk"))
-        .filter(col("nd") >= 2)
+        .agg(min(col("doc_id")).as("d0"), max(col("doc_id")).as("d1"),
+          min(occ).as("firstk"))
+        .filter(col("d0") =!= col("d1"))
       val marked = cand.join(dup.select("win", "firstk"), Seq("win"))
         .filter(occ =!= col("firstk"))
         .select("doc_id", "pos")

@@ -12,8 +12,9 @@ import org.apache.spark.sql.SparkSession
  * for fresh-store wall-clock: prewarm is untimed by the bench, but the
  * WHOLE bench invocation must fit the driver's step timeout, and the
  * builds are dozens of small sequential Spark jobs that leave most of
- * local[32] idle. `SPARK_GRAFT_PREWARM_PAR` (default 4) sets the step
- * parallelism; 1 = strictly sequential. Failures in the parallel phase
+ * local[32] idle. `SPARK_GRAFT_PREWARM_PAR` sets the step parallelism
+ * (default scales with cores — see [[parallelism]]); 1 = strictly
+ * sequential. Failures in the parallel phase
  * fall back to a SEQUENTIAL retry of the failed steps in declared order:
  * store writes are claim-guarded (a racer fails loudly before bytes mix)
  * and release their claim on failure, and unit markers are written only
@@ -22,8 +23,17 @@ import org.apache.spark.sql.SparkSession
  * the retry too propagates — a broken build must fail the run, not hide.
  */
 object Prewarm {
-  private def parallelism: Int =
-    sys.env.get("SPARK_GRAFT_PREWARM_PAR").map(_.toInt).getOrElse(4)
+  // Default pool width scales with the session's core count: the steps
+  // are mostly fixed driver-side overhead (planning/codegen/scheduling of
+  // many small jobs), so the per-step times barely inflate under overlap
+  // and the r18 PAR=4 wall sat exactly at sum/4 — fully packed, i.e. the
+  // pool width itself was the limit. cores/4 keeps the executor slots
+  // oversubscribed ~2x at most (each step's stages are cores-partitioned),
+  // floored at the soak-tested 4 and capped at 8 (beyond that the two
+  // ~5-minute streamed-build chains are the wall, not the pool).
+  private def parallelism(spark: SparkSession): Int =
+    sys.env.get("SPARK_GRAFT_PREWARM_PAR").map(_.toInt).getOrElse(
+      math.min(8, math.max(4, spark.sparkContext.defaultParallelism / 4)))
 
   private def timed(spark: SparkSession, family: String, name: String)
       (f: => Unit): Unit = {
@@ -88,7 +98,7 @@ object Prewarm {
   def run(spark: SparkSession, family: String,
       steps: Seq[(String, () => Unit)]): Unit = {
     val t0 = System.nanoTime()
-    val par = parallelism
+    val par = parallelism(spark)
     if (par <= 1) {
       steps.foreach { case (n, f) => timed(spark, family, n)(f()) }
     } else {
